@@ -16,8 +16,8 @@ object SparkEntry {
     queries("q03_join_customer_nation_region")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.queries
+    RelationalQueries.queries ++ SparqlQueries.queries
 
   def oracleSql: Map[String, String] =
-    RelationalQueries.oracles
+    RelationalQueries.oracles ++ SparqlQueries.oracles
 }

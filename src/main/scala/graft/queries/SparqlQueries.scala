@@ -1,0 +1,232 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.rdf.QuadStore
+import graft.sparql.Sparql
+
+/** SPARQL-engine coverage for the correctness gate: each entry rdfizes the
+  * needed driver tables (direct-mapping, QuadStore.rdfize), runs a SPARQL
+  * query through the full parse->algebra->DataFrame pipeline, and types the
+  * output so a plain-SQL DuckDB oracle can hash-match it.
+  */
+object SparqlQueries {
+
+  /** Per-JVM store cache so Verify/Bench don't re-rdfize per query. */
+  private val cache =
+    scala.collection.concurrent.TrieMap[(String, Set[String]), QuadStore]()
+
+  private def store(s: SparkSession, dir: String,
+                    tables: String*): QuadStore =
+    cache.getOrElseUpdate((dir, tables.toSet), {
+      val st = QuadStore.rdfizeDir(s, dir, tables)
+      QuadStore(st.quads.cache(), st.resources.cache())
+    })
+
+  private def sparql(s: SparkSession, dir: String, tables: Seq[String],
+                     q: String): DataFrame =
+    Sparql.run(store(s, dir, tables: _*), s, q)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // BGP chain join over two rdfized tables (fs_bind + fs_binding_merge)
+    "s01_sparql_bgp_join" -> ((s, d) =>
+      sparql(s, d, Seq("nation", "region"),
+        """SELECT ?nname ?rname WHERE {
+             ?n <urn:p:nation:n_regionkey> ?rk ;
+                <urn:p:nation:n_name> ?nname .
+             ?r <urn:p:region:r_regionkey> ?rk ;
+                <urn:p:region:r_name> ?rname }""")
+        .orderBy("nname", "rname")),
+
+    // OPTIONAL = left join with filter-first (fs_binding_join FS_LEFT)
+    "s02_sparql_optional" -> ((s, d) =>
+      sparql(s, d, Seq("customer", "orders"),
+        """SELECT ?cname ?tp WHERE {
+             ?c <urn:p:customer:c_custkey> ?ck ;
+                <urn:p:customer:c_name> ?cname .
+             OPTIONAL { ?o <urn:p:orders:o_custkey> ?ck ;
+                           <urn:p:orders:o_totalprice> ?tp .
+                        FILTER(?tp > 300000) } }""")
+        .select(col("cname"), col("tp").cast("double").as("tp"))
+        .orderBy("cname", "tp")),
+
+    // UNION (fs_binding_union)
+    "s03_sparql_union" -> ((s, d) =>
+      sparql(s, d, Seq("customer", "supplier"),
+        """SELECT ?name WHERE {
+             { ?c <urn:p:customer:c_name> ?name }
+             UNION { ?x <urn:p:supplier:s_name> ?name } }""")
+        .orderBy("name")),
+
+    // MINUS (fs_binding_minus with shared-var compat matching)
+    "s04_sparql_minus" -> ((s, d) =>
+      sparql(s, d, Seq("customer", "orders"),
+        """SELECT ?cname WHERE {
+             ?c <urn:p:customer:c_custkey> ?ck ;
+                <urn:p:customer:c_name> ?cname .
+             MINUS { ?o <urn:p:orders:o_custkey> ?ck ;
+                        <urn:p:orders:o_totalprice> ?tp .
+                     FILTER(?tp > 300000) } }""")
+        .orderBy("cname")),
+
+    // GROUP BY + COUNT/SUM with exact decimal summing (§2.4)
+    "s05_sparql_agg" -> ((s, d) =>
+      sparql(s, d, Seq("customer"),
+        """SELECT ?nk (COUNT(?c) AS ?n) (SUM(?bal) AS ?sumbal) WHERE {
+             ?c <urn:p:customer:c_nationkey> ?nk ;
+                <urn:p:customer:c_acctbal> ?bal }
+           GROUP BY ?nk""")
+        .select(col("nk").cast("int").as("nk"),
+          col("n").cast("long").as("n"),
+          col("sumbal").cast("double").as("sumbal"))
+        .orderBy("nk")),
+
+    // FILTER with REGEX + STR functions (§2.8)
+    "s06_sparql_filter_str" -> ((s, d) =>
+      sparql(s, d, Seq("part"),
+        """SELECT ?pname (UCASE(?pname) AS ?up) WHERE {
+             ?p <urn:p:part:p_name> ?pname .
+             FILTER(REGEX(?pname, "^b") && STRLEN(?pname) > 8) }""")
+        .orderBy("pname")),
+
+    // ORDER BY DESC + LIMIT through the SPARQL total-order sort key
+    "s07_sparql_order_limit" -> ((s, d) =>
+      sparql(s, d, Seq("orders"),
+        """SELECT ?ok ?tp WHERE {
+             ?o <urn:p:orders:o_orderkey> ?ok ;
+                <urn:p:orders:o_totalprice> ?tp }
+           ORDER BY DESC(?tp) ?ok LIMIT 10""")
+        .select(col("ok").cast("long").as("ok"),
+          col("tp").cast("double").as("tp"))),
+
+    // DISTINCT on projected terms (§2.6)
+    "s08_sparql_distinct" -> ((s, d) =>
+      sparql(s, d, Seq("customer"),
+        """SELECT DISTINCT ?seg WHERE {
+             ?c <urn:p:customer:c_mktsegment> ?seg }""")
+        .orderBy("seg")),
+
+    // VALUES inline table join (§2.3 pre-bound cross product)
+    "s09_sparql_values" -> ((s, d) =>
+      sparql(s, d, Seq("customer"),
+        """SELECT ?seg (COUNT(?c) AS ?n) WHERE {
+             ?c <urn:p:customer:c_mktsegment> ?seg .
+             VALUES ?seg { "BUILDING" "MACHINERY" } }
+           GROUP BY ?seg""")
+        .select(col("seg"), col("n").cast("long").as("n"))
+        .orderBy("seg")),
+
+    // BIND computed var (§2.2 BIND/LET)
+    "s10_sparql_bind" -> ((s, d) =>
+      sparql(s, d, Seq("supplier"),
+        """SELECT ?sname ?dbl WHERE {
+             ?x <urn:p:supplier:s_name> ?sname ;
+                <urn:p:supplier:s_acctbal> ?bal .
+             BIND(?bal * 2 AS ?dbl) FILTER(?bal > 5000) }""")
+        .select(col("sname"), col("dbl").cast("double").as("dbl"))
+        .orderBy("sname")),
+
+    // ASK (§2.2 EXISTS-style boolean)
+    "s11_sparql_ask" -> ((s, d) =>
+      sparql(s, d, Seq("region"),
+        """ASK { ?r <urn:p:region:r_name> "REGION_0" }""")),
+
+    // CONSTRUCT template instantiation (§2.1 CONSTRUCT sink)
+    "s12_sparql_construct" -> ((s, d) =>
+      sparql(s, d, Seq("region"),
+        """CONSTRUCT { ?r <urn:knownAs> ?name } WHERE {
+             ?r <urn:p:region:r_name> ?name }""")
+        .orderBy("s", "o")),
+
+    // DESCRIBE (§2.1 DESCRIBE sink)
+    "s13_sparql_describe" -> ((s, d) =>
+      sparql(s, d, Seq("region"),
+        """DESCRIBE <urn:t:region:0>""")
+        .orderBy("p", "o")),
+
+    // GRAPH scoping (named-graph scan, §2.1 graph scan fast path)
+    "s14_sparql_graph" -> ((s, d) =>
+      sparql(s, d, Seq("region", "nation"),
+        """SELECT (COUNT(?s) AS ?n) WHERE {
+             GRAPH <urn:g:region> { ?s ?p ?o } }""")
+        .select(col("n").cast("long").as("n")))
+  )
+
+  private val xsdInt = "http://www.w3.org/2001/XMLSchema#integer"
+
+  val oracles: Map[String, String] = Map(
+    "s01_sparql_bgp_join" ->
+      """SELECT n_name AS nname, r_name AS rname
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |ORDER BY nname, rname""".stripMargin,
+
+    "s02_sparql_optional" ->
+      """SELECT c_name AS cname, o_totalprice AS tp
+        |FROM customer LEFT JOIN orders
+        |  ON o_custkey = c_custkey AND o_totalprice > 300000
+        |ORDER BY cname, tp NULLS FIRST""".stripMargin,
+
+    "s03_sparql_union" ->
+      """SELECT name FROM (
+        |  SELECT c_name AS name FROM customer
+        |  UNION ALL SELECT s_name AS name FROM supplier)
+        |ORDER BY name""".stripMargin,
+
+    "s04_sparql_minus" ->
+      """SELECT c_name AS cname FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+        |ORDER BY cname""".stripMargin,
+
+    "s05_sparql_agg" ->
+      """SELECT c_nationkey AS nk, COUNT(*) AS n,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(28,10))) AS DOUBLE) AS sumbal
+        |FROM customer GROUP BY nk ORDER BY nk""".stripMargin,
+
+    "s06_sparql_filter_str" ->
+      """SELECT p_name AS pname, UPPER(p_name) AS up FROM part
+        |WHERE REGEXP_MATCHES(p_name, '^b') AND LENGTH(p_name) > 8
+        |ORDER BY pname""".stripMargin,
+
+    "s07_sparql_order_limit" ->
+      """SELECT o_orderkey AS ok, o_totalprice AS tp FROM orders
+        |ORDER BY tp DESC, ok LIMIT 10""".stripMargin,
+
+    "s08_sparql_distinct" ->
+      """SELECT DISTINCT c_mktsegment AS seg FROM customer
+        |ORDER BY seg""".stripMargin,
+
+    "s09_sparql_values" ->
+      """SELECT c_mktsegment AS seg, COUNT(*) AS n FROM customer
+        |WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+        |GROUP BY seg ORDER BY seg""".stripMargin,
+
+    "s10_sparql_bind" ->
+      """SELECT s_name AS sname, s_acctbal * 2 AS dbl FROM supplier
+        |WHERE s_acctbal > 5000 ORDER BY sname""".stripMargin,
+
+    "s11_sparql_ask" ->
+      """SELECT (COUNT(*) > 0) AS ask FROM region
+        |WHERE r_name = 'REGION_0'""".stripMargin,
+
+    "s12_sparql_construct" ->
+      """SELECT '<urn:t:region:' || r_regionkey || '>' AS s,
+        |  '<urn:knownAs>' AS p,
+        |  '"' || r_name || '"' AS o
+        |FROM region ORDER BY s, o""".stripMargin,
+
+    "s13_sparql_describe" ->
+      (s"""SELECT '<urn:t:region:0>' AS s, p, o FROM (
+         |  SELECT '<urn:p:region:r_regionkey>' AS p,
+         |    '"' || r_regionkey || '"^^<$xsdInt>' AS o
+         |  FROM region WHERE r_regionkey = 0
+         |  UNION ALL
+         |  SELECT '<urn:p:region:r_name>' AS p, '"' || r_name || '"' AS o
+         |  FROM region WHERE r_regionkey = 0)
+         |ORDER BY p, o""".stripMargin),
+
+    "s14_sparql_graph" ->
+      """SELECT 2 * COUNT(*) AS n FROM region""".stripMargin
+  )
+}

@@ -1,0 +1,268 @@
+package graft.rdf
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Well-known RIDs, precomputed once like the reference's global RID table
+  * (`src/common/hash.c:72-111`). */
+object WellKnown {
+  val defaultGraphUri = "urn:graft:default"
+  val defaultGraph: Long = Rid.uri(defaultGraphUri)
+  val rdfType: Long = Rid.uri(Rdf.typ)
+
+  val xsdAttr: Map[String, Long] =
+    (Xsd.numeric + Xsd.string + Xsd.boolean + Xsd.dateTime + Xsd.date)
+      .map(u => u -> Rid.uri(u)).toMap
+  val numericAttrs: Seq[Long] = Xsd.numeric.toSeq.map(Rid.uri)
+  val integerAttrs: Seq[Long] = Xsd.integerFamily.toSeq.map(Rid.uri)
+  val doubleAttr: Long = Rid.uri(Xsd.double)
+  val decimalAttr: Long = Rid.uri(Xsd.decimal)
+  val floatAttr: Long = Rid.uri(Xsd.float)
+  val booleanAttr: Long = Rid.uri(Xsd.boolean)
+  val dateTimeAttr: Long = Rid.uri(Xsd.dateTime)
+  val dateAttr: Long = Rid.uri(Xsd.date)
+}
+
+/** A quad statement in flat encoded form (kind: 0=literal, 1=uri, 2=bnode)
+  * so Spark tuple/product encoders apply and RID hashing stays columnar. */
+final case class FlatQuad(
+    gLex: String,
+    sKind: Int, sLex: String,
+    pLex: String,
+    oKind: Int, oLex: String, oDt: String, oLang: String)
+
+/** The engine's storage substrate (SURVEY.md §1.5):
+  *
+  *   quads(g, s, p, o)                  all LongType RIDs
+  *   resources(rid, lex, dt, lang)     the term dictionary
+  *
+  * replacing the reference's per-segment ptree indexes + rhash dictionary
+  * (`src/backend/ptree.c`, `src/backend/rhash.c`). Partitioning by subject
+  * RID (the reference's segment routing, `src/frontend/import.c:510`) maps
+  * to Spark shuffle/bucketing on `s`.
+  */
+final case class QuadStore(quads: DataFrame, resources: DataFrame) {
+
+  /** Attach dictionary values for the given RID columns: adds
+    * `<c>__lex` (string), `<c>__dt` (attr rid), `<c>__lang` per column.
+    * This is the reference's `need_val` lazy resolution
+    * (`src/frontend/query-datatypes.h:23`): only columns that feed
+    * filters/output pay the dictionary join.
+    */
+  def resolve(df: DataFrame, cols: Seq[String]): DataFrame =
+    cols.foldLeft(df) { (acc, c) =>
+      val dict = resources.select(
+        col("rid").as(s"${c}__rid"), col("lex").as(s"${c}__lex"),
+        col("dt").as(s"${c}__dt"), col("lang").as(s"${c}__lang"))
+      acc.join(dict, acc(c) === dict(s"${c}__rid"), "left_outer")
+        .drop(s"${c}__rid")
+    }
+
+  def union(other: QuadStore): QuadStore =
+    QuadStore(
+      quads.unionByName(other.quads),
+      resources.unionByName(other.resources).dropDuplicates("rid"))
+
+  /** Repartition quads by subject — the reference's segment layout; makes
+    * subject-subject joins co-partitioned after one shuffle. */
+  def bySubject(n: Int): QuadStore =
+    copy(quads = quads.repartition(n, col("s")))
+}
+
+object QuadStore {
+  import WellKnown._
+
+  val quadCols = Seq("g", "s", "p", "o")
+
+  /** Columnar RID of a flat-encoded term. */
+  private def ridOf(kind: Column, lex: Column, dt: Column, lang: Column) =
+    when(kind === 1, Rid.uriCol(lex))
+      .when(kind === 2, Rid.bnodeCol(lex))
+      .otherwise(Rid.literalCol(lex, Rid.attrCol(dt, lang)))
+
+  /** Build a store from flat statements (any Dataset of FlatQuad rows —
+    * the distributed import path; reference pipeline
+    * `src/frontend/import.c:425-542`). */
+  def fromFlat(spark: SparkSession, flat: DataFrame): QuadStore = {
+    val f = flat.cache()
+    val quads = f.select(
+      when(col("gLex").isNull || col("gLex") === "",
+        lit(defaultGraph)).otherwise(Rid.uriCol(col("gLex"))).as("g"),
+      when(col("sKind") === 1, Rid.uriCol(col("sLex")))
+        .otherwise(Rid.bnodeCol(col("sLex"))).as("s"),
+      Rid.uriCol(col("pLex")).as("p"),
+      ridOf(col("oKind"), col("oLex"), col("oDt"), col("oLang")).as("o"))
+
+    val zero = lit(0L)
+    val emptyS = lit("")
+    def res(rid: Column, lex: Column, dt: Column, lang: Column) =
+      Seq(rid.as("rid"), lex.as("lex"), dt.as("dt"), lang.as("lang"))
+
+    val subjects = f.select(res(
+      when(col("sKind") === 1, Rid.uriCol(col("sLex")))
+        .otherwise(Rid.bnodeCol(col("sLex"))),
+      col("sLex"), zero, emptyS): _*)
+    val preds = f.select(res(
+      Rid.uriCol(col("pLex")), col("pLex"), zero, emptyS): _*)
+    val objs = f.select(res(
+      ridOf(col("oKind"), col("oLex"), col("oDt"), col("oLang")),
+      col("oLex"), Rid.attrCol(col("oDt"), col("oLang")),
+      coalesce(col("oLang"), emptyS)): _*)
+    val graphs = f.select(res(
+      when(col("gLex").isNull || col("gLex") === "", lit(defaultGraph))
+        .otherwise(Rid.uriCol(col("gLex"))),
+      when(col("gLex").isNull || col("gLex") === "",
+        lit(defaultGraphUri)).otherwise(col("gLex")),
+      zero, emptyS): _*)
+    val dts = f.filter(col("oDt") =!= "").select(res(
+      Rid.uriCol(col("oDt")), col("oDt"), zero, emptyS): _*)
+
+    val resources = subjects.unionByName(preds).unionByName(objs)
+      .unionByName(graphs).unionByName(dts)
+      .dropDuplicates("rid")
+    QuadStore(quads, resources)
+  }
+
+  /** Distributed N-Triples / N-Quads reader. */
+  def fromNTriples(spark: SparkSession, path: String,
+                   graph: String = ""): QuadStore = {
+    import spark.implicits._
+    val flat = spark.read.textFile(path).flatMap { line =>
+      NTriples.parseLine(line).map { case (s, p, o, g) =>
+        val (sk, sl) = s match {
+          case Uri(v) => (1, v); case BNode(b) => (2, b)
+          case _ => (0, "")
+        }
+        val pl = p match { case Uri(v) => v; case _ => "" }
+        val (ok, ol, od, og) = o match {
+          case Uri(v) => (1, v, "", "")
+          case BNode(b) => (2, b, "", "")
+          case Lit(lex, dt, lang) => (0, lex, dt, lang)
+        }
+        val gl = g match {
+          case Some(Uri(v)) => v
+          case _ => graph
+        }
+        FlatQuad(gl, sk, sl, pl, ok, ol, od, og)
+      }
+    }.toDF()
+    fromFlat(spark, flat)
+  }
+
+  /** In-memory statements (tests, INSERT DATA). */
+  def fromTerms(spark: SparkSession,
+                stmts: Seq[(Term, Term, Term)],
+                graph: String = ""): QuadStore = {
+    import spark.implicits._
+    val flat = stmts.map { case (s, p, o) =>
+      val (sk, sl) = s match {
+        case Uri(v) => (1, v); case BNode(b) => (2, b); case _ => (0, "")
+      }
+      val pl = p match { case Uri(v) => v; case _ => "" }
+      val (ok, ol, od, og) = o match {
+        case Uri(v) => (1, v, "", "")
+        case BNode(b) => (2, b, "", "")
+        case Lit(lex, dt, lang) => (0, lex, dt, lang)
+      }
+      FlatQuad(graph, sk, sl, pl, ok, ol, od, og)
+    }.toDF()
+    fromFlat(spark, flat)
+  }
+
+  /** Relational table -> RDF ("direct mapping" style): each row becomes a
+    * subject `urn:t:<table>:<key>`, each column a predicate
+    * `urn:p:<table>:<col>` with a typed literal object; the table is one
+    * named graph `urn:g:<table>`. Lets every SPARQL operator be
+    * oracle-checked against plain SQL on the original table.
+    */
+  def rdfize(table: String, df: DataFrame, keyCol: String): QuadStore = {
+    val graphRid = Rid.uri(s"urn:g:$table")
+    val subjPrefix = s"urn:t:$table:"
+
+    // one struct per column: (predicate rid, lexical form, attr rid) —
+    // predicate/datatype RIDs precomputed plan-side, zero per-row hashing
+    val colStructs: Seq[Column] = df.schema.fields.toSeq.map { fld =>
+      val pRid = Rid.uri(s"urn:p:$table:${fld.name}")
+      val (lex, attr) = lexOf(col(fld.name), fld.dataType)
+      struct(lit(pRid).as("p"), lex.as("lex"), lit(attr).as("attr"),
+        lit(pUriOf(table, fld.name)).as("pLex"),
+        lit(dtUriOf(fld.dataType)).as("dtLex"))
+    }
+
+    val subjUri = concat(lit(subjPrefix), col(keyCol).cast("string"))
+    val exploded = df
+      .select(subjUri.as("sLex"),
+        explode(array(colStructs: _*)).as("c"))
+      .select(col("sLex"), col("c.p").as("p"), col("c.lex").as("lex"),
+        col("c.attr").as("attr"), col("c.pLex").as("pLex"),
+        col("c.dtLex").as("dtLex"))
+      .filter(col("lex").isNotNull)
+      .cache()
+
+    val quads = exploded.select(
+      lit(graphRid).as("g"),
+      Rid.uriCol(col("sLex")).as("s"),
+      col("p"),
+      Rid.literalCol(col("lex"), col("attr")).as("o"))
+
+    val subjects = exploded.select(
+      Rid.uriCol(col("sLex")).as("rid"), col("sLex").as("lex"),
+      lit(0L).as("dt"), lit("").as("lang"))
+    val objects = exploded.select(
+      Rid.literalCol(col("lex"), col("attr")).as("rid"),
+      col("lex"), col("attr").as("dt"), lit("").as("lang"))
+    val preds = exploded.select(
+      col("p").as("rid"), col("pLex").as("lex"),
+      lit(0L).as("dt"), lit("").as("lang"))
+    val consts = exploded.sparkSession.createDataFrame(Seq(
+      (graphRid, s"urn:g:$table", 0L, "")) ++
+      df.schema.fields.toSeq.flatMap(f => dtUriOf(f.dataType) match {
+        case "" => None
+        case u => Some((Rid.uri(u), u, 0L, ""))
+      }).distinct).toDF("rid", "lex", "dt", "lang")
+
+    val resources = subjects.unionByName(objects).unionByName(preds)
+      .unionByName(consts).dropDuplicates("rid")
+    QuadStore(quads, resources)
+  }
+
+  private def dtUriOf(t: DataType): String = t match {
+    case ByteType | ShortType | IntegerType | LongType => Xsd.integer
+    case FloatType | DoubleType => Xsd.double
+    case _: DecimalType => Xsd.decimal
+    case BooleanType => Xsd.boolean
+    case TimestampType => Xsd.dateTime
+    case DateType => Xsd.date
+    case _ => "" // string -> plain literal
+  }
+
+  private def pUriOf(table: String, c: String) = s"urn:p:$table:$c"
+
+  /** (lexical form, attr rid) of a relational value. */
+  private def lexOf(c: Column, t: DataType): (Column, Long) = {
+    val dtUri = dtUriOf(t)
+    val attr = if (dtUri.isEmpty) 0L else Rid.uri(dtUri)
+    (c.cast("string"), attr)
+  }
+
+  /** rdfize every driver table under `dir` into one store. */
+  def rdfizeDir(spark: SparkSession, dir: String,
+                tables: Seq[String]): QuadStore = {
+    import graft.core.Tables
+    val keys = Map(
+      "region" -> "r_regionkey", "nation" -> "n_nationkey",
+      "customer" -> "c_custkey", "supplier" -> "s_suppkey",
+      "part" -> "p_partkey", "orders" -> "o_orderkey",
+      "events" -> "event_id", "documents" -> "doc_id",
+      "embeddings" -> "vec_id")
+    tables.map { t =>
+      val df = Tables.t(spark, dir, t)
+      val withKey = if (t == "lineitem")
+        df.withColumn("l_lineid",
+          concat_ws("_", col("l_orderkey"), col("l_linenumber")))
+      else df
+      rdfize(t, withKey, keys.getOrElse(t, withKey.columns.head))
+    }.reduce(_ union _)
+  }
+}

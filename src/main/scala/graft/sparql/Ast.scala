@@ -1,0 +1,61 @@
+package graft.sparql
+
+import graft.rdf.Term
+
+/** SPARQL 1.1 abstract syntax (the subset the reference executes: Rasqal
+  * parse tree -> block tree, `src/frontend/query.c:1305-1437`). */
+object Ast {
+
+  sealed trait PTerm
+  final case class PVar(name: String) extends PTerm
+  final case class PConst(t: Term) extends PTerm
+
+  final case class TriplePat(s: PTerm, p: PTerm, o: PTerm)
+
+  // ---- expressions ----
+  sealed trait Expr
+  final case class EVar(name: String) extends Expr
+  final case class EConst(t: Term) extends Expr
+  /** Operators and builtins normalized to a call: "||","&&","=","<","+",
+    * "!","-u" (unary minus), plus SPARQL function names uppercased. */
+  final case class ECall(fn: String, args: List[Expr]) extends Expr
+  final case class EIn(e: Expr, list: List[Expr], neg: Boolean) extends Expr
+  final case class EExists(p: GP, neg: Boolean) extends Expr
+  final case class EAgg(fn: String, distinct: Boolean, arg: Option[Expr],
+                        sep: String = " ") extends Expr
+
+  // ---- graph patterns ----
+  sealed trait GP
+  final case class BGPat(triples: List[TriplePat]) extends GP
+  /** A `{ ... }` group: ordered elements + group-scoped FILTERs. */
+  final case class GroupGP(elems: List[GP], filters: List[Expr]) extends GP
+  final case class OptionalGP(inner: GP) extends GP
+  final case class UnionGP(alts: List[GP]) extends GP
+  final case class MinusGP(inner: GP) extends GP
+  final case class GraphGP(g: PTerm, inner: GP) extends GP
+  final case class BindGP(expr: Expr, v: String) extends GP
+  final case class ValuesGP(vars: List[String],
+                            rows: List[List[Option[Term]]]) extends GP
+
+  // ---- queries ----
+  final case class SelectItem(expr: Expr, as: Option[String])
+  final case class Modifiers(
+      distinct: Boolean = false,
+      reduced: Boolean = false,
+      groupBy: List[Expr] = Nil,
+      having: List[Expr] = Nil,
+      orderBy: List[(Expr, Boolean)] = Nil, // (expr, ascending)
+      limit: Option[Long] = None,
+      offset: Option[Long] = None)
+
+  sealed trait Query { def where: GP }
+  final case class SelectQ(items: List[SelectItem], // empty = SELECT *
+                           where: GP, mods: Modifiers) extends Query
+  final case class AskQ(where: GP) extends Query
+  final case class ConstructQ(template: List[TriplePat], where: GP,
+                              mods: Modifiers) extends Query
+  final case class DescribeQ(terms: List[PTerm], whereOpt: Option[GP],
+                             mods: Modifiers) extends Query {
+    def where: GP = whereOpt.getOrElse(GroupGP(Nil, Nil))
+  }
+}

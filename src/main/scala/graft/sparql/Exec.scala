@@ -1,0 +1,303 @@
+package graft.sparql
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.rdf._
+import Ast._
+
+/** A binding table: the Spark analog of the reference's columnar
+  * `fs_binding` (`src/frontend/query-datatypes.h:12-28`). One RID column
+  * per variable; optional resolved value columns `<v>__lex/__dt/__lang`
+  * attached lazily (the `need_val` discipline). `certain` tracks vars that
+  * cannot be NULL (not introduced under OPTIONAL/UNION), which decides
+  * between plain equi-joins and SPARQL compatibility joins
+  * (`fs_binding_merge`'s NULL-wildcard semantics,
+  * `query-datatypes.c:476-529`).
+  */
+final case class Bindings(df: DataFrame, varsOrdered: Seq[String],
+                          certain: Set[String], valued: Set[String]) {
+  def vars: Set[String] = varsOrdered.toSet
+}
+
+final class Exec(store: QuadStore, spark: SparkSession) {
+  import WellKnown._
+
+  private def valueCols(v: String) =
+    Seq(s"${v}__lex", s"${v}__dt", s"${v}__lang")
+
+  /** unit table: one empty solution */
+  private def unit: Bindings =
+    Bindings(spark.range(1).drop("id"), Nil, Set.empty, Set.empty)
+
+  /** Attach dictionary values for vars that lack them (reference resolve
+    * path `src/frontend/results.c:945-1011`). */
+  def ensureValues(b: Bindings, needed: Set[String]): Bindings = {
+    val missing = (needed intersect b.vars) diff b.valued
+    if (missing.isEmpty) b
+    else {
+      val df = store.resolve(b.df, missing.toSeq)
+      b.copy(df = df, valued = b.valued ++ missing)
+    }
+  }
+
+  // ---------------------------------------------------------------- BGP
+
+  /** Greedy selectivity ordering of triple patterns, following the
+    * reference's tiering (`src/frontend/optimiser.c:212-399`): more
+    * constant/bound slots bind first; subject > object > predicate
+    * selectivity; bare rdf:type patterns deprioritized.
+    */
+  private def orderPatterns(pats: List[TriplePat]): List[TriplePat] = {
+    def score(tp: TriplePat, bound: Set[String]): Int = {
+      def slot(t: PTerm, w: Int): Int = t match {
+        case PConst(_) => w
+        case PVar(v) if bound(v) => w
+        case _ => 0
+      }
+      val rdfTypePenalty = (tp.p, tp.o) match {
+        case (PConst(Uri(Rdf.typ)), PConst(_)) => -1
+        case _ => 0
+      }
+      slot(tp.s, 8) + slot(tp.o, 4) + slot(tp.p, 2) + rdfTypePenalty
+    }
+    var remaining = pats
+    var bound = Set.empty[String]
+    val out = List.newBuilder[TriplePat]
+    while (remaining.nonEmpty) {
+      val best = remaining.maxBy(score(_, bound))
+      out += best
+      remaining = remaining.filterNot(_ eq best)
+      bound ++= Seq(best.s, best.p, best.o).collect { case PVar(v) => v }
+    }
+    out.result()
+  }
+
+  /** One quad-pattern match: the engine's `fs_bind`
+    * (`src/backend/query-backend.c:155-599`) — constant slots become
+    * pushed-down Long equality filters on the quads scan; variable slots
+    * project out as binding columns; repeated variables add the
+    * `FS_BIND_SAME_*` self-equality filter (`query-backend.c:82-137`).
+    */
+  private def triplePattern(tp: TriplePat, gvar: Option[String],
+                            gRids: Option[Seq[Long]]): Bindings = {
+    var df = store.quads
+    gRids.foreach(rs => df = df.filter(col("g").isin(rs: _*)))
+    val slots = Seq("s" -> tp.s, "p" -> tp.p, "o" -> tp.o)
+    // constant slots -> pushdown filters
+    slots.foreach {
+      case (c, PConst(t)) => df = df.filter(col(c) === Rid.of(t))
+      case _ =>
+    }
+    // variable slots -> projection (dedup repeated vars w/ self-equality)
+    val varSlots = slots.collect { case (c, PVar(v)) => (c, v) } ++
+      gvar.map(v => ("g", v)).toSeq
+    val seen = scala.collection.mutable.LinkedHashMap[String, String]()
+    varSlots.foreach { case (c, v) =>
+      seen.get(v) match {
+        case Some(c0) => df = df.filter(col(c0) === col(c))
+        case None => seen += v -> c
+      }
+    }
+    val proj = seen.toSeq.map { case (v, c) => col(c).as(v) }
+    Bindings(df.select(proj: _*), seen.keys.toSeq, seen.keySet.toSet,
+      Set.empty)
+  }
+
+  // ------------------------------------------------------------- joins
+
+  private def renamedRight(r: Bindings): (DataFrame, String => String) = {
+    val ren = (c: String) => s"__r_$c"
+    val rdf = r.df.columns.foldLeft(r.df)((d, c) => d.withColumnRenamed(c, ren(c)))
+    (rdf, ren)
+  }
+
+  /** SPARQL join: equi on certainly-bound shared vars, compatibility
+    * (NULL = wildcard) on maybe-null shared vars (SURVEY §7.4 hard part 2;
+    * reference row-compare `query-datatypes.c:476-529`).
+    */
+  def join(l: Bindings, r: Bindings, joinType: String = "inner",
+           extraCond: Option[Column] = None): Bindings = {
+    val shared = l.vars intersect r.vars
+    val (rdf, ren) = renamedRight(r)
+    val conds = shared.toSeq.map { v =>
+      if (l.certain(v) && r.certain(v)) col(v) === col(ren(v))
+      else col(v).isNull || col(ren(v)).isNull || col(v) === col(ren(v))
+    } ++ extraCond.toSeq
+    var df =
+      if (conds.isEmpty) {
+        if (joinType == "inner") l.df.crossJoin(rdf)
+        else l.df.join(rdf, lit(true), joinType)
+      } else l.df.join(rdf, conds.reduce(_ && _), joinType)
+
+    var valued = l.valued
+    // merge shared vars (rid + value columns)
+    shared.foreach { v =>
+      df = df.withColumn(v, coalesce(col(v), col(ren(v)))).drop(ren(v))
+      if (l.valued(v) && r.valued(v)) {
+        valueCols(v).foreach(c =>
+          df = df.withColumn(c, coalesce(col(c), col(ren(c)))).drop(ren(c)))
+      } else if (r.valued(v) && !l.valued(v)) {
+        if (joinType == "inner") {
+          valueCols(v).foreach(c => df = df.withColumnRenamed(ren(c), c))
+          valued += v
+        } else {
+          // outer join: right-side values would be NULL on unmatched rows
+          // while the rid is bound -> drop, re-resolve later if needed
+          valueCols(v).foreach(c => df = df.drop(ren(c)))
+        }
+      }
+    }
+    // right-only vars keep their real names
+    val rOnly = r.varsOrdered.filterNot(shared)
+    rOnly.foreach { v =>
+      df = df.withColumnRenamed(ren(v), v)
+      if (r.valued(v)) {
+        valueCols(v).foreach(c => df = df.withColumnRenamed(ren(c), c))
+        valued += v
+      }
+    }
+    df = df.drop(df.columns.filter(_.startsWith("__r_")): _*)
+    val certain =
+      if (joinType == "inner") l.certain ++ r.certain
+      else l.certain // outer join: right vars may be null
+    Bindings(df, l.varsOrdered ++ rOnly, certain, valued)
+  }
+
+  /** MINUS (`fs_binding_minus`, `query-datatypes.c:1120-1229`): remove LHS
+    * rows compatible with some RHS row on shared vars; disjoint domains
+    * keep everything (SPARQL MINUS rule). */
+  def minus(l: Bindings, r: Bindings): Bindings = {
+    val shared = (l.vars intersect r.vars).toSeq
+    if (shared.isEmpty) return l
+    val (rdf, ren) = renamedRight(r)
+    val compat = shared.map(v =>
+      col(v).isNull || col(ren(v)).isNull || col(v) === col(ren(v)))
+      .reduce(_ && _)
+    val overlap = shared.map(v =>
+      col(v).isNotNull && col(ren(v)).isNotNull).reduce(_ || _)
+    l.copy(df = l.df.join(rdf, compat && overlap, "left_anti"))
+  }
+
+  /** UNION (`fs_binding_union`, `query-datatypes.c:646-667`): bag append,
+    * missing vars -> NULL. */
+  def union(bs: Seq[Bindings]): Bindings = {
+    val allVars = bs.flatMap(_.varsOrdered).distinct
+    val aligned = bs.map { b0 =>
+      val b = ensureValues(b0, b0.vars) // full value parity across branches
+      var df = b.df
+      allVars.filterNot(b.vars).foreach { v =>
+        df = df.withColumn(v, lit(null).cast("long"))
+          .withColumn(s"${v}__lex", lit(null).cast("string"))
+          .withColumn(s"${v}__dt", lit(null).cast("long"))
+          .withColumn(s"${v}__lang", lit(null).cast("string"))
+      }
+      df.select(allVars.flatMap(v => col(v) +: valueCols(v).map(col)): _*)
+    }
+    val certain = allVars.filter(v =>
+      bs.forall(b => b.certain(v))).toSet
+    Bindings(aligned.reduce(_ union _), allVars, certain, allVars.toSet)
+  }
+
+  // --------------------------------------------------------- patterns
+
+  def pattern(gp: GP, gvar: Option[String] = None,
+              gRids: Option[Seq[Long]] = None): Bindings = gp match {
+    case BGPat(pats) =>
+      val ordered = orderPatterns(pats)
+      ordered.map(triplePattern(_, gvar, gRids))
+        .reduceLeft((a, b) => join(a, b))
+    case GroupGP(elems, filters) =>
+      var acc: Option[Bindings] = None
+      def fold(b: Bindings): Unit =
+        acc = Some(acc.map(a => join(a, b)).getOrElse(b))
+      elems.foreach {
+        case OptionalGP(inner) =>
+          val left = acc.getOrElse(unit)
+          acc = Some(join(left, pattern(inner, gvar, gRids), "left_outer"))
+        case MinusGP(inner) =>
+          val left = acc.getOrElse(unit)
+          acc = Some(minus(left, pattern(inner, gvar, gRids)))
+        case GraphGP(PVar(v), inner) => fold(pattern(inner, Some(v), None))
+        case GraphGP(PConst(t), inner) =>
+          fold(pattern(inner, None, Some(Seq(Rid.of(t)))))
+        case BindGP(e, v) =>
+          val left = acc.getOrElse(unit)
+          acc = Some(extend(left, v, e))
+        case u: UnionGP => fold(pattern(u, gvar, gRids))
+        case v: ValuesGP => fold(valuesTable(v))
+        case other => fold(pattern(other, gvar, gRids))
+      }
+      val base = acc.getOrElse(unit)
+      filters.foldLeft(base)((b, f) => filter(b, f, gvar, gRids))
+    case UnionGP(alts) => union(alts.map(pattern(_, gvar, gRids)))
+    case OptionalGP(inner) => // top-level OPTIONAL: join with unit
+      join(unit, pattern(inner, gvar, gRids), "left_outer")
+    case MinusGP(_) => unit
+    case GraphGP(PVar(v), inner) => pattern(inner, Some(v), None)
+    case GraphGP(PConst(t), inner) => pattern(inner, None, Some(Seq(Rid.of(t))))
+    case BindGP(e, v) => extend(unit, v, e)
+    case v: ValuesGP => valuesTable(v)
+  }
+
+  def extend(b: Bindings, v: String, e: Expr): Bindings = {
+    val needed = varsOf(e)
+    val eb = ensureValues(b, needed)
+    val value = Compiler.compile(e)
+    val df = eb.df
+      .withColumn(v, value.rid)
+      .withColumn(s"${v}__lex", value.lex)
+      .withColumn(s"${v}__dt", value.dt)
+      .withColumn(s"${v}__lang", coalesce(value.lang, lit("")))
+    Bindings(df, eb.varsOrdered :+ v, eb.certain, eb.valued + v)
+  }
+
+  def filter(b: Bindings, f: Expr, gvar: Option[String],
+             gRids: Option[Seq[Long]]): Bindings = f match {
+    case EExists(p, neg) =>
+      val inner = pattern(p, gvar, gRids)
+      val shared = (b.vars intersect inner.vars).toSeq
+      val (rdf, ren) = renamedRight(inner)
+      val cond =
+        if (shared.isEmpty) lit(true)
+        else shared.map(v => col(v).isNull || col(ren(v)).isNull ||
+          col(v) === col(ren(v))).reduce(_ && _)
+      val jt = if (neg) "left_anti" else "left_semi"
+      b.copy(df = b.df.join(rdf, cond, jt))
+    case ECall("&&", List(a, c)) => // split conjunctions for EXISTS support
+      filter(filter(b, a, gvar, gRids), c, gvar, gRids)
+    case _ =>
+      val eb = ensureValues(b, varsOf(f))
+      eb.copy(df = eb.df.filter(Compiler.compile(f).ebv === true))
+  }
+
+  private def valuesTable(v: ValuesGP): Bindings = {
+    val rows = v.rows.map { row =>
+      org.apache.spark.sql.Row.fromSeq(row.flatMap {
+        case Some(t) =>
+          val (lex, dt, lang) = t match {
+            case Uri(u) => (u, 0L, "")
+            case BNode(bn) => (bn, 0L, "")
+            case Lit(l, d, g) => (l, Rid.attr(d, g), g)
+          }
+          Seq(Rid.of(t), lex, dt, lang)
+        case None => Seq(null, null, null, null)
+      })
+    }
+    val schema = org.apache.spark.sql.types.StructType(v.vars.flatMap { n =>
+      import org.apache.spark.sql.types._
+      Seq(StructField(n, LongType), StructField(s"${n}__lex", StringType),
+        StructField(s"${n}__dt", LongType), StructField(s"${n}__lang", StringType))
+    })
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toSeq), schema)
+    Bindings(df, v.vars, Set.empty, v.vars.toSet)
+  }
+
+  def varsOf(e: Expr): Set[String] = e match {
+    case EVar(v) => Set(v)
+    case ECall(_, args) => args.flatMap(varsOf).toSet
+    case EIn(x, l, _) => varsOf(x) ++ l.flatMap(varsOf)
+    case EAgg(_, _, arg, _) => arg.map(varsOf).getOrElse(Set.empty)
+    case _ => Set.empty
+  }
+}

@@ -1,0 +1,284 @@
+package graft.sparql
+
+import scala.util.parsing.combinator.RegexParsers
+import graft.rdf.{Lit, Rdf, Term, Uri, BNode, Xsd}
+import Ast._
+
+/** SPARQL 1.1 query parser (recursive descent via scala-parser-combinators).
+  *
+  * The reference outsources parsing to the Rasqal library
+  * (`src/frontend/query.c:346-386`); this is our native equivalent covering
+  * the grammar the reference executes: SELECT/ASK/CONSTRUCT/DESCRIBE,
+  * BGPs with `;`/`,` abbreviations, OPTIONAL/UNION/MINUS/GRAPH/FILTER/
+  * BIND/VALUES, full expression precedence, aggregates, solution
+  * modifiers, PREFIX/BASE. (Property paths and subSELECT are not in the
+  * reference's surface — `src/frontend/query.c:1388-1390` rejects
+  * subSELECT — and are likewise unsupported here.)
+  */
+class Parser extends RegexParsers {
+  override val whiteSpace = """(\s|#[^\n]*)+""".r
+
+  private var prefixes = Map[String, String]()
+  private var base = ""
+
+  // ---- terminals ----
+  private def kw(s: String): Parser[String] = ("""(?i)\Q""" + s + """\E\b""").r
+  private def IRIREF: Parser[String] = "<" ~> """[^<>"{}|^`\\\s]*""".r <~ ">" ^^
+    (i => if (base.nonEmpty && !i.contains(":")) base + i else i)
+  private def PNAME: Parser[String] =
+    """[A-Za-z][A-Za-z0-9_-]*:[A-Za-z0-9_][A-Za-z0-9_.-]*|[A-Za-z][A-Za-z0-9_-]*:|:[A-Za-z0-9_][A-Za-z0-9_.-]*|:""".r ^^ { pn =>
+      val i = pn.indexOf(':')
+      val (pfx, local) = (pn.substring(0, i), pn.substring(i + 1))
+      prefixes.getOrElse(pfx,
+        throw new IllegalArgumentException(s"unknown prefix '$pfx:'")) + local
+    }
+  private def VAR: Parser[String] = """[?$]""".r ~> """[A-Za-z0-9_]+""".r
+  private def iri: Parser[String] = IRIREF | PNAME
+
+  private def numericLit: Parser[Term] =
+    """[+-]?(\d+\.\d*|\.\d+)[eE][+-]?\d+|[+-]?\d+[eE][+-]?\d+""".r ^^
+      (s => Lit(s, Xsd.double)) |
+    """[+-]?(\d+\.\d*|\.\d+)""".r ^^ (s => Lit(s, Xsd.decimal)) |
+    """[+-]?\d+""".r ^^ (s => Lit(s, Xsd.integer))
+
+  private def stringLit: Parser[String] =
+    "\"" ~> """([^"\\\n]|\\.)*""".r <~ "\"" ^^ Term.unescape |
+    "'" ~> """([^'\\\n]|\\.)*""".r <~ "'" ^^ Term.unescape
+
+  private def rdfLit: Parser[Term] =
+    stringLit ~ opt("^^" ~> iri | "@" ~> """[A-Za-z]+(-[A-Za-z0-9]+)*""".r ^^
+        ("@" + _)) ^^ {
+      case lex ~ None => Lit(lex)
+      case lex ~ Some(ann) =>
+        if (ann.startsWith("@")) Lit(lex, lang = ann.drop(1).toLowerCase)
+        else Lit(lex, dt = if (ann == Xsd.string) "" else ann)
+    }
+
+  private def boolLit: Parser[Term] =
+    kw("true") ^^^ Lit("true", Xsd.boolean) |
+    kw("false") ^^^ Lit("false", Xsd.boolean)
+
+  private def literal: Parser[Term] = rdfLit | numericLit | boolLit
+
+  private def bnode: Parser[Term] =
+    "_:" ~> """[A-Za-z0-9_]+""".r ^^ BNode.apply |
+    "[" ~ "]" ^^^ BNode(s"anon${BNodeGen.next()}")
+
+  // ---- pattern terms ----
+  private def ptermS: Parser[PTerm] =
+    VAR ^^ PVar.apply | iri ^^ (u => PConst(Uri(u))) | bnode ^^ PConst.apply
+  private def ptermP: Parser[PTerm] =
+    VAR ^^ PVar.apply | kw("a") ^^^ PConst(Uri(Rdf.typ)) |
+    iri ^^ (u => PConst(Uri(u)))
+  private def ptermO: Parser[PTerm] =
+    VAR ^^ PVar.apply | literal ^^ PConst.apply |
+    iri ^^ (u => PConst(Uri(u))) | bnode ^^ PConst.apply
+
+  /** s p o (; p o)* (, o)* — the `;`/`,` abbreviations. */
+  private def triplesSameSubject: Parser[List[TriplePat]] =
+    ptermS ~ propertyList ^^ { case s ~ pos =>
+      pos.map { case (p, o) => TriplePat(s, p, o) }
+    }
+  private def propertyList: Parser[List[(PTerm, PTerm)]] =
+    rep1sep(ptermP ~ rep1sep(ptermO, ","), ";") ^^ (
+      _.flatMap { case p ~ os => os.map(o => (p, o)) })
+
+  private def triplesBlock: Parser[BGPat] =
+    rep1sep(triplesSameSubject, ".") <~ opt(".") ^^ (
+      ts => BGPat(ts.flatten))
+
+  // ---- group graph pattern ----
+  def groupGraphPattern: Parser[GroupGP] =
+    "{" ~> rep(ggpElem) <~ "}" ^^ { elems =>
+      val (filters, pats) = elems.partition(_.isLeft)
+      GroupGP(pats.map(_.toOption.get), filters.flatMap(_.left.toOption))
+    }
+
+  private def ggpElem: Parser[Either[Expr, GP]] =
+    (kw("FILTER") ~> constraint ^^ (Left(_))
+      | kw("OPTIONAL") ~> groupGraphPattern ^^ (g => Right(OptionalGP(g)))
+      | kw("MINUS") ~> groupGraphPattern ^^ (g => Right(MinusGP(g)))
+      | kw("GRAPH") ~> ptermS ~ groupGraphPattern ^^ {
+          case g ~ p => Right(GraphGP(g, p)) }
+      | kw("BIND") ~> ("(" ~> expression ~ (kw("AS") ~> VAR) <~ ")") ^^ {
+          case e ~ v => Right(BindGP(e, v)) }
+      | kw("VALUES") ~> valuesClause ^^ (Right(_))
+      | unionChain ^^ (Right(_))
+      | triplesBlock ^^ (Right(_))
+    ) <~ opt(".")
+
+  private def unionChain: Parser[GP] =
+    groupGraphPattern ~ rep(kw("UNION") ~> groupGraphPattern) ^^ {
+      case g ~ Nil => g
+      case g ~ more => UnionGP(g :: more)
+    }
+
+  private def valuesClause: Parser[ValuesGP] =
+    (VAR ^^ (v => List(v)) | "(" ~> rep1(VAR) <~ ")") ~
+      ("{" ~> rep(valuesRow) <~ "}") ^^ {
+        case vs ~ rows =>
+          val fixed = rows.map {
+            case r if vs.size == 1 && r.size == 1 => r
+            case r => r
+          }
+          ValuesGP(vs, fixed)
+      }
+  private def valuesRow: Parser[List[Option[Term]]] =
+    "(" ~> rep1(valuesTerm) <~ ")" |
+    valuesTerm ^^ (t => List(t))
+  private def valuesTerm: Parser[Option[Term]] =
+    kw("UNDEF") ^^^ None | literal ^^ (Some(_)) |
+    iri ^^ (u => Some(Uri(u)))
+
+  // ---- expressions (precedence climbing) ----
+  def expression: Parser[Expr] = orExpr
+  private def orExpr: Parser[Expr] =
+    rep1sep(andExpr, "||") ^^ (_.reduceLeft((a, b) => ECall("||", List(a, b))))
+  private def andExpr: Parser[Expr] =
+    rep1sep(relExpr, "&&") ^^ (_.reduceLeft((a, b) => ECall("&&", List(a, b))))
+  private def relExpr: Parser[Expr] =
+    addExpr ~ opt(relTail) ^^ { case e ~ t => t.map(_(e)).getOrElse(e) }
+  private def relTail: Parser[Expr => Expr] =
+    ("<=" | ">=" | "!=" | "=" | "<" | ">") ~ addExpr ^^ {
+      case op ~ r => (l: Expr) => ECall(op, List(l, r)) } |
+    kw("NOT") ~> kw("IN") ~> exprList ^^ (
+      lst => (l: Expr) => EIn(l, lst, neg = true)) |
+    kw("IN") ~> exprList ^^ (
+      lst => (l: Expr) => EIn(l, lst, neg = false))
+  private def exprList: Parser[List[Expr]] =
+    "(" ~> repsep(expression, ",") <~ ")"
+  private def addExpr: Parser[Expr] =
+    mulExpr ~ rep(("+" | "-") ~ mulExpr) ^^ { case e ~ ops =>
+      ops.foldLeft(e) { case (acc, op ~ r) => ECall(op, List(acc, r)) }
+    }
+  private def mulExpr: Parser[Expr] =
+    unaryExpr ~ rep(("*" | "/") ~ unaryExpr) ^^ { case e ~ ops =>
+      ops.foldLeft(e) { case (acc, op ~ r) => ECall(op, List(acc, r)) }
+    }
+  private def unaryExpr: Parser[Expr] =
+    "!" ~> unaryExpr ^^ (e => ECall("!", List(e))) |
+    "-" ~> unaryExpr ^^ (e => ECall("-u", List(e))) |
+    "+" ~> unaryExpr |
+    primary
+  private def primary: Parser[Expr] =
+    "(" ~> expression <~ ")" |
+    aggExpr |
+    existsExpr |
+    builtinCall |
+    castCall |
+    literal ^^ EConst.apply |
+    VAR ^^ EVar.apply |
+    iri ^^ (u => EConst(Uri(u)))
+
+  private def existsExpr: Parser[Expr] =
+    kw("NOT") ~> kw("EXISTS") ~> groupGraphPattern ^^ (EExists(_, neg = true)) |
+    kw("EXISTS") ~> groupGraphPattern ^^ (EExists(_, neg = false))
+
+  private val aggNames =
+    List("COUNT", "SUM", "AVG", "MIN", "MAX", "SAMPLE", "GROUP_CONCAT")
+  private def aggExpr: Parser[Expr] =
+    aggNames.map(kw).reduce(_ | _) ~ ("(" ~> opt(kw("DISTINCT"))) ~
+      ("*" ^^^ None | expression ^^ (Some(_))) ~
+      (opt(";" ~> kw("SEPARATOR") ~> "=" ~> stringLit) <~ ")") ^^ {
+      case fn ~ d ~ arg ~ sep =>
+        EAgg(fn.toUpperCase, d.isDefined, arg, sep.getOrElse(" "))
+    }
+
+  private val builtins = List(
+    "BOUND", "ISIRI", "ISURI", "ISBLANK", "ISLITERAL", "ISNUMERIC",
+    "STRLANG", "STRDT", "SAMETERM", "LANGMATCHES", "LANG", "DATATYPE",
+    "STRLEN", "STRSTARTS", "STRENDS", "STRBEFORE", "STRAFTER", "STRUUID",
+    "STR", "IRI", "URI", "BNODE", "ABS", "FLOOR", "CEIL", "ROUND",
+    "UCASE", "LCASE", "ENCODE_FOR_URI", "CONTAINS", "SUBSTR", "REPLACE",
+    "CONCAT", "REGEX", "YEAR", "MONTH", "DAY", "HOURS", "MINUTES",
+    "SECONDS", "TIMEZONE", "TZ", "NOW", "MD5", "SHA1", "SHA256", "SHA384",
+    "SHA512", "RAND", "UUID", "IF", "COALESCE")
+  private def builtinCall: Parser[Expr] =
+    builtins.map(kw).reduce(_ | _) ~ opt("(" ~> repsep(expression, ",") <~ ")") ^^ {
+      case fn ~ args => ECall(fn.toUpperCase, args.getOrElse(Nil))
+    }
+
+  /** xsd constructor casts: the only generic function calls the reference
+    * supports (`src/frontend/results.c:464-472`). */
+  private def castCall: Parser[Expr] =
+    iri ~ ("(" ~> repsep(expression, ",") <~ ")") ^^ {
+      case u ~ args => ECall("CAST:" + u, args)
+    }
+
+  private def constraint: Parser[Expr] =
+    existsExpr | builtinCall | castCall | "(" ~> expression <~ ")"
+
+  // ---- prologue + queries ----
+  private def prologue: Parser[Unit] =
+    rep(kw("PREFIX") ~> """[A-Za-z][A-Za-z0-9_-]*:|:""".r ~ IRIREF ^^ {
+          case p ~ i => prefixes += (p.dropRight(1) -> i)
+        }
+      | kw("BASE") ~> IRIREF ^^ (b => base = b)) ^^^ ()
+
+  private def selectItem: Parser[SelectItem] =
+    VAR ^^ (v => SelectItem(EVar(v), None)) |
+    "(" ~> expression ~ (kw("AS") ~> VAR) <~ ")" ^^ {
+      case e ~ v => SelectItem(e, Some(v))
+    }
+
+  private def solutionMods: Parser[Modifiers] =
+    opt(kw("GROUP") ~> kw("BY") ~> rep1(groupCond)) ~
+    opt(kw("HAVING") ~> rep1(constraint)) ~
+    opt(kw("ORDER") ~> kw("BY") ~> rep1(orderCond)) ~
+    opt(kw("LIMIT") ~> """\d+""".r ^^ (_.toLong)) ~
+    opt(kw("OFFSET") ~> """\d+""".r ^^ (_.toLong)) ~
+    opt(kw("LIMIT") ~> """\d+""".r ^^ (_.toLong)) ^^ {
+      case g ~ h ~ o ~ l1 ~ off ~ l2 =>
+        Modifiers(groupBy = g.getOrElse(Nil), having = h.getOrElse(Nil),
+          orderBy = o.getOrElse(Nil), limit = l1.orElse(l2), offset = off)
+    }
+  private def groupCond: Parser[Expr] =
+    VAR ^^ EVar.apply | builtinCall | "(" ~> expression <~ ")"
+  private def orderCond: Parser[(Expr, Boolean)] =
+    kw("ASC") ~> "(" ~> expression <~ ")" ^^ ((_, true)) |
+    kw("DESC") ~> "(" ~> expression <~ ")" ^^ ((_, false)) |
+    (VAR ^^ EVar.apply | builtinCall | "(" ~> expression <~ ")") ^^ ((_, true))
+
+  def selectQuery: Parser[SelectQ] =
+    kw("SELECT") ~> opt(kw("DISTINCT") ^^^ 1 | kw("REDUCED") ^^^ 2) ~
+      ("*" ^^^ Nil | rep1(selectItem)) ~
+      (opt(kw("WHERE")) ~> groupGraphPattern) ~ solutionMods ^^ {
+      case d ~ items ~ where ~ mods =>
+        SelectQ(items, where,
+          mods.copy(distinct = d.contains(1), reduced = d.contains(2)))
+    }
+
+  def askQuery: Parser[AskQ] =
+    kw("ASK") ~> opt(kw("WHERE")) ~> groupGraphPattern ^^ AskQ.apply
+
+  def constructQuery: Parser[ConstructQ] =
+    kw("CONSTRUCT") ~> ("{" ~> opt(triplesBlock) <~ "}") ~
+      (kw("WHERE") ~> groupGraphPattern) ~ solutionMods ^^ {
+      case t ~ w ~ m => ConstructQ(t.map(_.triples).getOrElse(Nil), w, m)
+    }
+
+  def describeQuery: Parser[DescribeQ] =
+    kw("DESCRIBE") ~> rep1(VAR ^^ PVar.apply | iri ^^ (u => PConst(Uri(u)))) ~
+      opt(opt(kw("WHERE")) ~> groupGraphPattern) ~ solutionMods ^^ {
+      case ts ~ w ~ m => DescribeQ(ts, w, m)
+    }
+
+  def query: Parser[Ast.Query] =
+    prologue ~> (selectQuery | askQuery | constructQuery | describeQuery)
+}
+
+private object BNodeGen {
+  private val c = new java.util.concurrent.atomic.AtomicLong()
+  def next(): Long = c.incrementAndGet()
+}
+
+object Parser {
+  def parse(text: String): Ast.Query = {
+    val p = new Parser
+    p.parseAll(p.query, text) match {
+      case p.Success(q, _) => q
+      case other =>
+        throw new IllegalArgumentException(s"SPARQL parse error: $other")
+    }
+  }
+}

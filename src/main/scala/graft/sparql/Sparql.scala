@@ -1,0 +1,252 @@
+package graft.sparql
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.rdf._
+import Ast._
+
+/** The engine facade: SPARQL text -> DataFrame, mirroring the reference's
+  * query lifecycle (`fs_query_execute`, `src/frontend/query.c:337-697`):
+  * parse -> pattern execution (Exec) -> aggregation -> solution modifiers
+  * -> projection/serialization.
+  *
+  * Output conventions:
+  *  - SELECT: one string column per projected item (lexical form; URIs as
+  *    plain strings). Callers cast to typed columns as needed.
+  *  - ASK: single row, boolean column `ask`.
+  *  - CONSTRUCT / DESCRIBE: columns `s`, `p`, `o` in N-Triples syntax.
+  */
+object Sparql {
+  import WellKnown._
+
+  def run(store: QuadStore, spark: SparkSession, text: String): DataFrame =
+    Parser.parse(text) match {
+      case q: SelectQ    => select(store, spark, q)
+      case q: AskQ       => ask(store, spark, q)
+      case q: ConstructQ => construct(store, spark, q)
+      case q: DescribeQ  => describe(store, spark, q)
+    }
+
+  // ------------------------------------------------------------- SELECT
+
+  private def collectAggs(e: Expr): Seq[EAgg] = e match {
+    case a: EAgg => Seq(a)
+    case ECall(_, args) => args.flatMap(collectAggs)
+    case EIn(x, l, _) => collectAggs(x) ++ l.flatMap(collectAggs)
+    case _ => Nil
+  }
+
+  private def select(store: QuadStore, spark: SparkSession,
+                     q: SelectQ): DataFrame = {
+    val exec = new Exec(store, spark)
+    var b = exec.pattern(q.where)
+
+    val items: List[SelectItem] =
+      if (q.items.nonEmpty) q.items
+      else b.varsOrdered.map(v => SelectItem(EVar(v), None)).toList
+
+    val allAggs = (items.map(_.expr) ++ q.mods.having)
+      .flatMap(collectAggs).distinct
+    val grouped = allAggs.nonEmpty || q.mods.groupBy.nonEmpty
+
+    // vars whose values any expression needs
+    val neededVars =
+      (items.map(_.expr) ++ q.mods.having ++ q.mods.groupBy ++
+        q.mods.orderBy.map(_._1)).flatMap(e => varsOfExpr(e)).toSet
+    b = exec.ensureValues(b, neededVars ++
+      (if (grouped) q.mods.groupBy.flatMap(varsOfExpr).toSet
+       else Set.empty[String]))
+
+    var aggSub = Map.empty[Expr, V]
+    if (grouped) {
+      // group keys: plain vars keep their 4-column term identity
+      val keyCols: Seq[Column] = q.mods.groupBy.flatMap {
+        case EVar(v) => Seq(col(v), col(s"${v}__lex"), col(s"${v}__dt"),
+          col(s"${v}__lang"))
+        case e => Seq(Compiler.compile(e).lex.as(s"__k_${e.hashCode}"))
+      }
+      val aggCols: Seq[Column] = allAggs.zipWithIndex.map {
+        case (a, i) => aggColumn(a).as(s"__agg_$i")
+      }
+      val df =
+        if (keyCols.isEmpty) b.df.agg(aggCols.head, aggCols.tail: _*)
+        else b.df.groupBy(keyCols: _*).agg(aggCols.head, aggCols.tail: _*)
+      aggSub = allAggs.zipWithIndex.map { case (a, i) =>
+        (a: Expr) -> aggResultV(a, col(s"__agg_$i"))
+      }.toMap
+      val groupVars = q.mods.groupBy.collect { case EVar(v) => v }
+      b = Bindings(df, groupVars, groupVars.toSet, groupVars.toSet)
+      // HAVING (`apply_constraints` mask, `src/frontend/results.c`)
+      q.mods.having.foreach { h =>
+        b = b.copy(df = b.df.filter(
+          Compiler.compile(h, aggSub).ebv === true))
+      }
+    }
+
+    // projection values
+    val named: Seq[(String, V)] = items.zipWithIndex.map {
+      case (SelectItem(EVar(v), None), _) => v -> Compiler.compile(EVar(v))
+      case (SelectItem(e, Some(a)), _) => a -> Compiler.compile(e, aggSub)
+      case (SelectItem(e, None), i) => s"expr$i" -> Compiler.compile(e, aggSub)
+    }
+
+    var df = b.df
+    named.foreach { case (n, v) => df = df.withColumn(s"__out_$n", v.anyLex) }
+
+    // ORDER BY keys (SPARQL total order, `src/frontend/order.c:194-270`)
+    val ordNames = q.mods.orderBy.indices.map(i => s"__ord_$i")
+    q.mods.orderBy.zipWithIndex.foreach { case ((e, asc), i) =>
+      val v = e match {
+        case EVar(n) if named.exists(_._1 == n) && !b.vars.contains(n) =>
+          named.find(_._1 == n).get._2
+        case _ => Compiler.compile(e, aggSub)
+      }
+      df = df.withColumn(s"__ord_$i", V.sortKey(v))
+    }
+
+    val outNames = named.map(_._1)
+    var out = df.select((outNames.map(n => col(s"__out_$n").as(n)) ++
+      ordNames.map(col)): _*)
+
+    if (q.mods.distinct || q.mods.reduced) out = out.distinct()
+    if (q.mods.orderBy.nonEmpty) {
+      val sorts = q.mods.orderBy.zipWithIndex.map { case ((_, asc), i) =>
+        if (asc) col(s"__ord_$i").asc else col(s"__ord_$i").desc
+      }
+      out = out.orderBy(sorts: _*)
+    }
+    out = out.drop(ordNames: _*)
+    q.mods.offset.foreach(o => out = out.offset(o.toInt))
+    q.mods.limit.foreach(l => out = out.limit(l.toInt))
+    out
+  }
+
+  private def varsOfExpr(e: Expr): Set[String] = e match {
+    case EVar(v) => Set(v)
+    case ECall(_, args) => args.flatMap(varsOfExpr).toSet
+    case EIn(x, l, _) => varsOfExpr(x) ++ l.flatMap(varsOfExpr)
+    case EAgg(_, _, arg, _) => arg.map(varsOfExpr).getOrElse(Set.empty)
+    case _ => Set.empty
+  }
+
+  /** Aggregate -> Spark aggregate column (SURVEY §2.4). Sums go through
+    * DECIMAL for order-independent exactness at any partitioning. */
+  private def aggColumn(a: EAgg): Column = {
+    val argV = a.arg.map(Compiler.compile(_))
+    def sumExact(c: Column) =
+      sum(c.cast(DecimalType(28, 10))).cast("double")
+    def sumExactD(c: Column) =
+      sum_distinct(c.cast(DecimalType(28, 10))).cast("double")
+    a.fn match {
+      case "COUNT" => (a.arg, a.distinct) match {
+        case (None, _) => count(lit(1))
+        case (Some(EVar(v)), false) => count(col(v))
+        case (Some(EVar(v)), true) => countDistinct(col(v))
+        case (Some(_), false) => count(argV.get.anyLex)
+        case (Some(_), true) => countDistinct(argV.get.anyLex)
+      }
+      case "SUM" =>
+        if (a.distinct) sumExactD(argV.get.num) else sumExact(argV.get.num)
+      case "AVG" =>
+        (if (a.distinct) sumExactD(argV.get.num) else sumExact(argV.get.num)) /
+          (if (a.distinct) countDistinct(argV.get.num)
+           else count(argV.get.num))
+      case "MIN" => min_by(termStruct(argV.get), V.sortKey(argV.get))
+      case "MAX" => max_by(termStruct(argV.get), V.sortKey(argV.get))
+      case "SAMPLE" => min_by(termStruct(argV.get), argV.get.rid)
+      case "GROUP_CONCAT" =>
+        array_join(array_sort(collect_list(argV.get.anyLex)), a.sep)
+    }
+  }
+
+  private def termStruct(v: V): Column =
+    struct(v.rid.as("rid"), v.lex.as("lex"), v.dt.as("dt"), v.lang.as("lang"))
+
+  /** V view over an aggregate's output column. */
+  private def aggResultV(a: EAgg, c: Column): V = a.fn match {
+    case "COUNT" => V.ofNum(c.cast("double"), lit(true))
+    case "SUM" | "AVG" => V.ofNum(c)
+    case "GROUP_CONCAT" => V.ofStr(c)
+    case _ => V(c.getField("rid"), c.getField("lex"), c.getField("dt"),
+      c.getField("lang"))
+  }
+
+  // ---------------------------------------------------------------- ASK
+
+  private def ask(store: QuadStore, spark: SparkSession,
+                  q: AskQ): DataFrame = {
+    val exec = new Exec(store, spark)
+    val b = exec.pattern(q.where)
+    // ASK = any-rows test (`src/frontend/query.c:676-686`)
+    val n = b.df.limit(1).count()
+    import spark.implicits._
+    Seq(n > 0).toDF("ask")
+  }
+
+  // -------------------------------------------------- CONSTRUCT/DESCRIBE
+
+  /** N-Triples serialization of a bound term. */
+  private def ntCol(v: V): Column = {
+    val esc = regexp_replace(regexp_replace(v.lex, "\\\\", "\\\\\\\\"),
+      "\"", "\\\\\"")
+    val dtUri = WellKnown.xsdAttr.foldLeft(lit(null).cast("string")) {
+      case (acc, (u, rid)) => when(v.dt === rid, lit(u)).otherwise(acc)
+    }
+    when(Rid.isUriCol(v.rid), concat(lit("<"), v.lex, lit(">")))
+      .when(Rid.isBNodeCol(v.rid), concat(lit("_:"), v.lex))
+      .otherwise(concat(lit("\""), esc, lit("\""),
+        when(coalesce(v.lang, lit("")) =!= "",
+          concat(lit("@"), v.lang))
+          .when(v.dt =!= 0L && dtUri.isNotNull,
+            concat(lit("^^<"), dtUri, lit(">")))
+          .otherwise(lit(""))))
+  }
+
+  private def construct(store: QuadStore, spark: SparkSession,
+                        q: ConstructQ): DataFrame = {
+    val exec = new Exec(store, spark)
+    var b = exec.pattern(q.where)
+    val vars = q.template.flatMap(t => Seq(t.s, t.p, t.o))
+      .collect { case PVar(v) => v }.toSet
+    b = exec.ensureValues(b, vars)
+    // template instantiation (`src/frontend/results.c:1765-1898`)
+    val rows = q.template.map { t =>
+      def side(pt: PTerm): Column = pt match {
+        case PVar(v) => ntCol(V.ofVar(v))
+        case PConst(term) => lit(term.nt)
+      }
+      struct(side(t.s).as("s"), side(t.p).as("p"), side(t.o).as("o"))
+    }
+    b.df.select(explode(array(rows: _*)).as("t"))
+      .select(col("t.s").as("s"), col("t.p").as("p"), col("t.o").as("o"))
+      .filter(col("s").isNotNull && col("p").isNotNull && col("o").isNotNull)
+      .distinct()
+  }
+
+  private def describe(store: QuadStore, spark: SparkSession,
+                       q: DescribeQ): DataFrame = {
+    val exec = new Exec(store, spark)
+    // rid set to describe: constants + bindings of described vars
+    val constRids = q.terms.collect { case PConst(t) => Rid.of(t) }
+    import spark.implicits._
+    var rids = constRids.toDF("__rid")
+    q.whereOpt.foreach { w =>
+      val b = exec.pattern(w)
+      q.terms.collect { case PVar(v) if b.vars.contains(v) => v }
+        .foreach { v =>
+          rids = rids.unionByName(b.df.select(col(v).as("__rid")))
+        }
+    }
+    val uniq = rids.distinct()
+    // simple DESCRIBE: all triples with the resource as subject
+    // (`src/frontend/results.c:1659-1763`)
+    val matched = store.quads.join(uniq,
+      store.quads("s") === uniq("__rid"), "left_semi")
+    val resolved = store.resolve(matched, Seq("s", "p", "o"))
+    resolved.select(
+      ntCol(V.ofVar("s")).as("s"),
+      ntCol(V.ofVar("p")).as("p"),
+      ntCol(V.ofVar("o")).as("o")).distinct()
+  }
+}

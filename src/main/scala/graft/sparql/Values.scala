@@ -1,0 +1,304 @@
+package graft.sparql
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.rdf._
+import Ast._
+
+/** Runtime value model: the Spark analog of the reference's dynamic
+  * `fs_value` overlay (`src/frontend/filter-datatypes.h:43-52`). A term in
+  * expression position is a bundle of lazily-evaluated typed views; a view
+  * that doesn't apply evaluates to NULL, and NULL propagates like the
+  * reference's type-error contagion (`src/frontend/filter.c` passim):
+  * errors drop FILTER rows and unbind SELECT expressions — exactly SQL
+  * NULL behavior, which is why the mapping is safe.
+  */
+final case class V(rid: Column, lex: Column, dt: Column, lang: Column) {
+  import WellKnown._
+
+  /** numeric view (promotion collapses to double; divergence from the
+    * reference's 20+20-digit fs_decimal is documented in SURVEY §7.4) */
+  def num: Column =
+    when(dt.isin(numericAttrs: _*), lex.cast("double"))
+  def isNum: Column = dt.isin(numericAttrs: _*) && lex.cast("double").isNotNull
+  def isInt: Column = dt.isin(integerAttrs: _*)
+  /** plain-string view (simple literal or xsd:string, no lang) */
+  def str: Column =
+    when(dt === 0L && Rid.isLiteralCol(coalesce(rid, lit(0L))) &&
+      coalesce(lang, lit("")) === "", lex)
+  /** any-lexical view (STR() semantics: works for URIs and all literals) */
+  def anyLex: Column = lex
+  def bool: Column = when(dt === booleanAttr, lex.cast("boolean"))
+  def ts: Column =
+    when(dt === dateTimeAttr || dt === dateAttr, lex.cast("timestamp"))
+
+  /** SPARQL effective boolean value (`fn_ebv`,
+    * `src/frontend/filter.c:1356-1378`): boolean -> itself; numeric ->
+    * != 0; string -> non-empty; else type error (NULL). */
+  def ebv: Column =
+    when(dt === booleanAttr, lex.cast("boolean"))
+      .when(dt.isin(numericAttrs: _*),
+        lex.cast("double") =!= 0.0 && !isnan(lex.cast("double")))
+      .when(dt === 0L && coalesce(lang, lit("")) === "" &&
+        Rid.isLiteralCol(coalesce(rid, lit(0L))), length(lex) > 0)
+      .when(coalesce(lang, lit("")) =!= "", length(lex) > 0)
+      .otherwise(lit(null).cast("boolean"))
+
+  def bound: Column = rid.isNotNull || lex.isNotNull
+}
+
+object V {
+  import WellKnown._
+
+  /** a V whose every view is NULL (the error/unbound value) */
+  val nul: V = V(lit(null).cast("long"), lit(null).cast("string"),
+    lit(null).cast("long"), lit(null).cast("string"))
+
+  def ofVar(name: String): V =
+    V(col(name), col(s"${name}__lex"), col(s"${name}__dt"),
+      col(s"${name}__lang"))
+
+  def ofTerm(t: Term): V = t match {
+    case Uri(u)   => V(lit(Rid.uri(u)), lit(u), lit(0L), lit(""))
+    case BNode(b) => V(lit(Rid.bnode(b)), lit(b), lit(0L), lit(""))
+    case Lit(lex, dt, lang) =>
+      V(lit(Rid.literal(lex, dt, lang)), lit(lex),
+        lit(Rid.attr(dt, lang)), lit(lang))
+  }
+
+  /** computed typed literal: rid derived from (lex, attr) like the
+    * reference's computed-resource registration (`query.c:868-893`) */
+  def typed(lex: Column, attrRid: Column, lang: Column = lit("")): V =
+    V(when(lex.isNotNull, Rid.literalCol(lex, attrRid)), lex,
+      when(lex.isNotNull, attrRid), lang)
+
+  def ofNum(c: Column, intWhen: Column = lit(false)): V = {
+    val attr = when(intWhen, lit(Rid.uri(Xsd.integer)))
+      .otherwise(lit(doubleAttr))
+    val lex = when(intWhen, c.cast("long").cast("string"))
+      .otherwise(c.cast("string"))
+    typed(lex, attr)
+  }
+  def ofStr(c: Column): V = typed(c, lit(0L))
+  def ofBool(c: Column): V =
+    typed(c.cast("string"), lit(booleanAttr))
+  def ofUri(c: Column): V =
+    V(when(c.isNotNull, Rid.uriCol(c)), c, lit(0L), lit(""))
+
+  /** SPARQL total-order sort key (`src/frontend/order.c:66-127`):
+    * unbound < bnodes < URIs < literals; literals numeric-aware with
+    * lexical fallback. One orderable struct column. */
+  def sortKey(v: V): Column = struct(
+    Rid.typeRankCol(coalesce(v.rid,
+      when(v.lex.isNotNull, lit(1L) /*bound computed*/))).as("rank"),
+    coalesce(v.num, v.ts.cast("double")).as("num"),
+    v.anyLex.as("lex"))
+}
+
+/** Expression compiler: AST -> V over a bindings DataFrame. */
+object Compiler {
+  import WellKnown._
+
+  /** @param aggSub aggregate-call substitutions (post-GROUP BY columns) */
+  def compile(e: Expr, aggSub: Map[Expr, V] = Map.empty): V = e match {
+    case a if aggSub.contains(a) => aggSub(a)
+    case EVar(n)   => V.ofVar(n)
+    case EConst(t) => V.ofTerm(t)
+    case EIn(x, list, neg) =>
+      val c = compile(x, aggSub)
+      val tests = list.map(i => eq(c, compile(i, aggSub)))
+      val anyTrue = tests.reduce((a, b) =>
+        when(a === true || b === true, true)
+          .otherwise(when(a.isNull || b.isNull, lit(null).cast("boolean"))
+            .otherwise(false)))
+      V.ofBool(if (neg) !anyTrue else anyTrue)
+    case EExists(_, _) =>
+      throw new IllegalArgumentException(
+        "EXISTS is only supported as a top-level FILTER")
+    case EAgg(_, _, _, _) =>
+      throw new IllegalArgumentException(
+        "aggregate used outside aggregation context")
+    case ECall(fn, args) => call(fn, args.map(compile(_, aggSub)), args)
+  }
+
+  /** value equality with term-identity fallback
+    * (`src/frontend/filter.c:526-610`) */
+  private def eq(a: V, b: V): Column =
+    when(a.num.isNotNull && b.num.isNotNull, a.num === b.num)
+      .when(a.ts.isNotNull && b.ts.isNotNull, a.ts === b.ts)
+      .when(a.bool.isNotNull && b.bool.isNotNull, a.bool === b.bool)
+      .when(a.rid.isNotNull && b.rid.isNotNull,
+        a.rid === b.rid) // same term (covers strings, langs, URIs)
+      .when(a.str.isNotNull && b.str.isNotNull, a.str === b.str)
+      .otherwise(lit(null).cast("boolean"))
+
+  private def cmp(a: V, b: V, f: (Column, Column) => Column): Column =
+    when(a.num.isNotNull && b.num.isNotNull, f(a.num, b.num))
+      .when(a.ts.isNotNull && b.ts.isNotNull, f(a.ts, b.ts))
+      .when(a.str.isNotNull && b.str.isNotNull, f(a.str, b.str))
+      .when(a.bool.isNotNull && b.bool.isNotNull, f(a.bool, b.bool))
+      .otherwise(lit(null).cast("boolean"))
+
+  private def arith(op: String, a: V, b: V): V = {
+    val bothInt = a.isInt && b.isInt && lit(op != "/")
+    val r = op match {
+      case "+" => a.num + b.num
+      case "-" => a.num - b.num
+      case "*" => a.num * b.num
+      case "/" => a.num / b.num
+    }
+    V.ofNum(r, bothInt)
+  }
+
+  private def call(fn: String, vs: List[V], raw: List[Expr]): V = fn match {
+    // logical (Spark AND/OR are already Kleene 3-valued, matching
+    // `src/frontend/filter.c:934-986`)
+    case "&&" => V.ofBool(vs(0).ebv && vs(1).ebv)
+    case "||" => V.ofBool(vs(0).ebv || vs(1).ebv)
+    case "!"  => V.ofBool(!vs(0).ebv)
+    case "=" => V.ofBool(eq(vs(0), vs(1)))
+    case "!=" => V.ofBool(when(eq(vs(0), vs(1)).isNull,
+        lit(null).cast("boolean")).otherwise(!eq(vs(0), vs(1))))
+    case "<"  => V.ofBool(cmp(vs(0), vs(1), _ < _))
+    case ">"  => V.ofBool(cmp(vs(0), vs(1), _ > _))
+    case "<=" => V.ofBool(cmp(vs(0), vs(1), _ <= _))
+    case ">=" => V.ofBool(cmp(vs(0), vs(1), _ >= _))
+    case "+" | "-" | "*" | "/" => arith(fn, vs(0), vs(1))
+    case "-u" => V.ofNum(-vs(0).num, vs(0).isInt)
+
+    // term tests / accessors
+    case "BOUND" => V.ofBool(vs(0).bound)
+    case "ISIRI" | "ISURI" =>
+      V.ofBool(when(vs(0).bound, Rid.isUriCol(vs(0).rid)))
+    case "ISBLANK" =>
+      V.ofBool(when(vs(0).bound, Rid.isBNodeCol(vs(0).rid)))
+    case "ISLITERAL" =>
+      V.ofBool(when(vs(0).bound, Rid.isLiteralCol(vs(0).rid)))
+    case "ISNUMERIC" => V.ofBool(when(vs(0).bound, vs(0).isNum))
+    case "STR" => V.ofStr(vs(0).anyLex)
+    case "IRI" | "URI" => V.ofUri(vs(0).anyLex)
+    case "BNODE" =>
+      V(when(vs(0).anyLex.isNotNull, Rid.bnodeCol(vs(0).anyLex)),
+        vs(0).anyLex, lit(0L), lit(""))
+    case "LANG" => V.ofStr(coalesce(vs(0).lang, lit("")))
+    case "DATATYPE" =>
+      // plain literal -> xsd:string; typed -> its datatype URI (resolved
+      // lazily: we only support well-known datatypes here)
+      val dtUri = when(vs(0).lang =!= "", lit(Rdf.langString))
+        .when(vs(0).dt === 0L, lit(Xsd.string))
+        .otherwise(dtLexOf(vs(0).dt))
+      V.ofUri(dtUri)
+    case "LANGMATCHES" =>
+      val l = lower(vs(0).anyLex); val r = lower(vs(1).anyLex)
+      V.ofBool(when(r === "*", l =!= "")
+        .otherwise(l === r || l.startsWith(concat(r, lit("-")))))
+    case "SAMETERM" => V.ofBool(vs(0).rid === vs(1).rid)
+    case "STRLANG" =>
+      V(Rid.literalCol(vs(0).str,
+          xxhash64(lower(vs(1).str)).bitwiseAND(lit(0x3FFFFFFFFFFFFFFFL))),
+        vs(0).str, lit(0L), lower(vs(1).str))
+    case "STRDT" =>
+      V.typed(vs(0).str, Rid.uriCol(vs(1).anyLex))
+
+    // numeric
+    case "ABS"   => V.ofNum(abs(vs(0).num), vs(0).isInt)
+    case "FLOOR" => V.ofNum(floor(vs(0).num).cast("double"), vs(0).isInt)
+    case "CEIL"  => V.ofNum(ceil(vs(0).num).cast("double"), vs(0).isInt)
+    case "ROUND" => V.ofNum(round(vs(0).num, 0), vs(0).isInt)
+
+    // strings (`src/frontend/filter.c:1380-1680`)
+    case "STRLEN" => V.ofNum(length(vs(0).anyLex).cast("double"), lit(true))
+    case "UCASE" => V.ofStr(upper(vs(0).anyLex))
+    case "LCASE" => V.ofStr(lower(vs(0).anyLex))
+    case "SUBSTR" =>
+      val start = vs(1).num.cast("int")
+      if (vs.size > 2)
+        V.ofStr(vs(0).anyLex.substr(start, vs(2).num.cast("int")))
+      else V.ofStr(vs(0).anyLex.substr(start, length(vs(0).anyLex)))
+    case "STRSTARTS" => V.ofBool(vs(0).anyLex.startsWith(vs(1).anyLex))
+    case "STRENDS"   => V.ofBool(vs(0).anyLex.endsWith(vs(1).anyLex))
+    case "CONTAINS"  => V.ofBool(vs(0).anyLex.contains(vs(1).anyLex))
+    case "STRBEFORE" =>
+      val hay = vs(0).anyLex; val needle = vs(1).anyLex
+      val ix = call_function("instr", hay, needle)
+      V.ofStr(when(ix > 0, hay.substr(lit(1), ix - 1)).otherwise(""))
+    case "STRAFTER" =>
+      val hay = vs(0).anyLex; val needle = vs(1).anyLex
+      val ix = call_function("instr", hay, needle)
+      V.ofStr(when(ix > 0,
+        hay.substr(ix + length(needle), length(hay))).otherwise(""))
+    case "CONCAT" => V.ofStr(concat(vs.map(_.anyLex): _*))
+    case "REPLACE" =>
+      V.ofStr(regexp_replace(vs(0).anyLex, vs(1).anyLex, vs(2).anyLex))
+    case "REGEX" =>
+      val flags = if (vs.size > 2) vs(2).anyLex else lit("")
+      val pat = when(length(flags) > 0,
+        concat(lit("(?"), flags, lit(")"), vs(1).anyLex))
+        .otherwise(vs(1).anyLex)
+      V.ofBool(call_function("rlike", vs(0).anyLex, pat))
+    case "ENCODE_FOR_URI" => V.ofStr(url_encode(vs(0).anyLex))
+
+    // dates (`src/frontend/filter.c:1486-1572`)
+    case "YEAR"    => V.ofNum(year(vs(0).ts).cast("double"), lit(true))
+    case "MONTH"   => V.ofNum(month(vs(0).ts).cast("double"), lit(true))
+    case "DAY"     => V.ofNum(dayofmonth(vs(0).ts).cast("double"), lit(true))
+    case "HOURS"   => V.ofNum(hour(vs(0).ts).cast("double"), lit(true))
+    case "MINUTES" => V.ofNum(minute(vs(0).ts).cast("double"), lit(true))
+    case "SECONDS" => V.ofNum(second(vs(0).ts).cast("double"), lit(true))
+    case "TIMEZONE" | "TZ" => V.ofStr(lit("")) // reference stub, filter.c:1573
+    case "NOW" => V.typed(date_format(current_timestamp(),
+        "yyyy-MM-dd'T'HH:mm:ss"), lit(dateTimeAttr))
+
+    // hashes (`src/frontend/filter.c:1686-1730`)
+    case "MD5"    => V.ofStr(md5(vs(0).anyLex.cast("binary")))
+    case "SHA1"   => V.ofStr(sha1(vs(0).anyLex.cast("binary")))
+    case "SHA256" => V.ofStr(sha2(vs(0).anyLex.cast("binary"), 256))
+    case "SHA384" => V.ofStr(sha2(vs(0).anyLex.cast("binary"), 384))
+    case "SHA512" => V.ofStr(sha2(vs(0).anyLex.cast("binary"), 512))
+    case "RAND" => V.ofNum(rand())
+    case "UUID" => V.ofUri(concat(lit("urn:uuid:"), expr("uuid()")))
+    case "STRUUID" => V.ofStr(expr("uuid()"))
+
+    // control (`results.c:667-678, 907-918`)
+    case "IF" =>
+      val c = vs(0).ebv
+      V(when(c, vs(1).rid).otherwise(when(!c, vs(2).rid)),
+        when(c, vs(1).lex).otherwise(when(!c, vs(2).lex)),
+        when(c, vs(1).dt).otherwise(when(!c, vs(2).dt)),
+        when(c, vs(1).lang).otherwise(when(!c, vs(2).lang)))
+    case "COALESCE" =>
+      vs.reduceLeft { (a, b) =>
+        V(coalesce(a.rid, b.rid), coalesce(a.lex, b.lex),
+          when(a.rid.isNotNull || a.lex.isNotNull, a.dt).otherwise(b.dt),
+          when(a.rid.isNotNull || a.lex.isNotNull, a.lang).otherwise(b.lang))
+      }
+
+    case c if c.startsWith("CAST:") => cast(c.drop(5), vs(0))
+    case other =>
+      throw new IllegalArgumentException(s"unsupported function: $other")
+  }
+
+  /** xsd constructor casts (`fn_cast`, `src/frontend/filter.c:1315-1355`) */
+  private def cast(dtUri: String, v: V): V = dtUri match {
+    case Xsd.integer | Xsd.int | Xsd.long =>
+      V.ofNum(coalesce(v.num,
+        when(v.bool, 1.0).when(!v.bool, 0.0),
+        v.anyLex.cast("double")).cast("long").cast("double"), lit(true))
+    case Xsd.double | Xsd.float | Xsd.decimal =>
+      V.ofNum(coalesce(v.num, v.anyLex.cast("double")))
+    case Xsd.boolean =>
+      V.ofBool(coalesce(v.bool, v.num =!= 0.0, v.anyLex.cast("boolean")))
+    case Xsd.string => V.ofStr(v.anyLex)
+    case Xsd.dateTime => V.typed(v.anyLex, lit(dateTimeAttr))
+    case Xsd.date => V.typed(v.anyLex, lit(dateAttr))
+    case other =>
+      throw new IllegalArgumentException(s"unsupported cast: $other")
+  }
+
+  /** datatype rid -> datatype URI lexical (well-known only) */
+  private def dtLexOf(dt: Column): Column =
+    WellKnown.xsdAttr.foldLeft(lit(null).cast("string")) {
+      case (acc, (u, rid)) => when(dt === rid, lit(u)).otherwise(acc)
+    }
+
+}

@@ -1,0 +1,193 @@
+package graft.sparql
+
+import graft.SparkTestBase
+import graft.rdf._
+
+/** Engine semantics tests modeled on the reference's golden query corpus
+  * (tests/query/scripts): foaf-knows-name (BGP join), null-optional,
+  * foaf-minus, distinct-union, foaf-agg-filter, groupby-count-order,
+  * foaf-disjunctive-filter. */
+class SparqlSpec extends SparkTestBase {
+
+  // FOAF-ish fixture (reference `data/` fixtures in miniature)
+  lazy val store: QuadStore = QuadStore.fromTerms(spark, Seq(
+    (Uri("urn:alice"), Uri(Rdf.typ), Uri("urn:Person")),
+    (Uri("urn:alice"), Uri("urn:name"), Lit("Alice")),
+    (Uri("urn:alice"), Uri("urn:age"), Lit("30", Xsd.integer)),
+    (Uri("urn:alice"), Uri("urn:knows"), Uri("urn:bob")),
+    (Uri("urn:alice"), Uri("urn:knows"), Uri("urn:carol")),
+    (Uri("urn:bob"), Uri(Rdf.typ), Uri("urn:Person")),
+    (Uri("urn:bob"), Uri("urn:name"), Lit("Bob")),
+    (Uri("urn:bob"), Uri("urn:age"), Lit("25", Xsd.integer)),
+    (Uri("urn:bob"), Uri("urn:knows"), Uri("urn:carol")),
+    (Uri("urn:carol"), Uri(Rdf.typ), Uri("urn:Person")),
+    (Uri("urn:carol"), Uri("urn:name"), Lit("Carol")),
+    // carol has no age, knows nobody
+    (Uri("urn:dave"), Uri(Rdf.typ), Uri("urn:Robot"))))
+
+  private def run(q: String) = Sparql.run(store, spark, q)
+  private def rows(q: String): Seq[Seq[String]] =
+    run(q).collect().toSeq.map(r =>
+      (0 until r.length).map(i => Option(r.get(i)).map(_.toString).orNull))
+
+  test("BGP join on shared variable (foaf-knows-name)") {
+    val r = rows("""SELECT ?n1 ?n2 WHERE {
+      ?a <urn:knows> ?b . ?a <urn:name> ?n1 . ?b <urn:name> ?n2 }
+      ORDER BY ?n1 ?n2""")
+    assert(r == Seq(Seq("Alice", "Bob"), Seq("Alice", "Carol"),
+      Seq("Bob", "Carol")))
+  }
+
+  test("OPTIONAL with unbound result (null-optional)") {
+    val r = rows("""SELECT ?n ?age WHERE {
+      ?p a <urn:Person> ; <urn:name> ?n .
+      OPTIONAL { ?p <urn:age> ?age } } ORDER BY ?n""")
+    assert(r == Seq(Seq("Alice", "30"), Seq("Bob", "25"),
+      Seq("Carol", null)))
+  }
+
+  test("FILTER inside OPTIONAL applies before the left join") {
+    val r = rows("""SELECT ?n ?age WHERE {
+      ?p <urn:name> ?n .
+      OPTIONAL { ?p <urn:age> ?age FILTER(?age > 27) } } ORDER BY ?n""")
+    assert(r == Seq(Seq("Alice", "30"), Seq("Bob", null),
+      Seq("Carol", null)))
+  }
+
+  test("UNION (distinct-union)") {
+    val r = rows("""SELECT DISTINCT ?x WHERE {
+      { ?x a <urn:Person> } UNION { ?x a <urn:Robot> } } ORDER BY ?x""")
+    assert(r.map(_.head) ==
+      Seq("urn:alice", "urn:bob", "urn:carol", "urn:dave"))
+  }
+
+  test("MINUS removes compatible rows (foaf-minus)") {
+    val r = rows("""SELECT ?n WHERE {
+      ?p a <urn:Person> ; <urn:name> ?n .
+      MINUS { ?p <urn:knows> <urn:carol> } } ORDER BY ?n""")
+    assert(r.map(_.head) == Seq("Carol"))
+  }
+
+  test("FILTER with numeric comparison and arithmetic") {
+    val r = rows("""SELECT ?n WHERE {
+      ?p <urn:name> ?n ; <urn:age> ?a . FILTER(?a * 2 >= 55) } ORDER BY ?n""")
+    assert(r.map(_.head) == Seq("Alice"))
+  }
+
+  test("disjunctive filter (foaf-disjunctive-filter) and IN") {
+    val r1 = rows("""SELECT ?n WHERE { ?p <urn:name> ?n .
+      FILTER(?n = "Alice" || ?n = "Bob") } ORDER BY ?n""")
+    assert(r1.map(_.head) == Seq("Alice", "Bob"))
+    val r2 = rows("""SELECT ?n WHERE { ?p <urn:name> ?n .
+      FILTER(?n IN ("Alice", "Carol")) } ORDER BY ?n""")
+    assert(r2.map(_.head) == Seq("Alice", "Carol"))
+  }
+
+  test("aggregates with GROUP BY + HAVING (foaf-agg-filter)") {
+    val r = rows("""SELECT ?a (COUNT(?b) AS ?cnt) WHERE {
+      ?a <urn:knows> ?b } GROUP BY ?a HAVING (COUNT(?b) >= 1)
+      ORDER BY DESC(?cnt) ?a""")
+    assert(r == Seq(Seq("urn:alice", "2"), Seq("urn:bob", "1")))
+  }
+
+  test("implicit grouping yields one row; empty input yields one row") {
+    val r = rows("""SELECT (COUNT(?p) AS ?c) (AVG(?age) AS ?avg)
+      (MIN(?age) AS ?mn) (MAX(?age) AS ?mx) (SUM(?age) AS ?sm)
+      WHERE { ?p <urn:age> ?age }""")
+    assert(r == Seq(Seq("2", "27.5", "25", "30", "55.0")))
+    val empty = rows(
+      """SELECT (COUNT(?p) AS ?c) WHERE { ?p <urn:nothere> ?x }""")
+    assert(empty == Seq(Seq("0")))
+  }
+
+  test("GROUP_CONCAT and SAMPLE") {
+    val r = rows("""SELECT (GROUP_CONCAT(?n; SEPARATOR=",") AS ?all)
+      WHERE { ?p a <urn:Person> ; <urn:name> ?n }""")
+    assert(r == Seq(Seq("Alice,Bob,Carol")))
+  }
+
+  test("BIND creates a joinable computed var") {
+    val r = rows("""SELECT ?n ?y WHERE { ?p <urn:age> ?a ;
+      <urn:name> ?n . BIND(?a + 1 AS ?y) } ORDER BY ?n""")
+    assert(r == Seq(Seq("Alice", "31"), Seq("Bob", "26")))
+  }
+
+  test("VALUES joins as an inline table") {
+    val r = rows("""SELECT ?n WHERE { ?p <urn:name> ?n .
+      VALUES ?n { "Alice" "Carol" } } ORDER BY ?n""")
+    assert(r.map(_.head) == Seq("Alice", "Carol"))
+  }
+
+  test("string/functional builtins") {
+    val r = rows("""SELECT ?u (STRLEN(?n) AS ?l) WHERE {
+      <urn:alice> <urn:name> ?n . BIND(UCASE(?n) AS ?u) }""")
+    assert(r == Seq(Seq("ALICE", "5")))
+    val r2 = rows("""SELECT ?n WHERE { ?p <urn:name> ?n .
+      FILTER(REGEX(?n, "^[AC]")) } ORDER BY ?n""")
+    assert(r2.map(_.head) == Seq("Alice", "Carol"))
+  }
+
+  test("term tests: isIRI/isLiteral/BOUND/LANG/DATATYPE") {
+    val r = rows("""SELECT ?n WHERE { ?p <urn:name> ?o .
+      FILTER(ISLITERAL(?o)) BIND(STR(?o) AS ?n) } ORDER BY ?n""")
+    assert(r.map(_.head) == Seq("Alice", "Bob", "Carol"))
+    val r2 = rows("""SELECT ?dt WHERE { <urn:alice> <urn:age> ?a .
+      BIND(DATATYPE(?a) AS ?dt) }""")
+    assert(r2.map(_.head) == Seq(Xsd.integer))
+  }
+
+  test("EXISTS / NOT EXISTS filters") {
+    val r = rows("""SELECT ?n WHERE { ?p a <urn:Person> ; <urn:name> ?n .
+      FILTER NOT EXISTS { ?p <urn:knows> ?x } } ORDER BY ?n""")
+    assert(r.map(_.head) == Seq("Carol"))
+  }
+
+  test("ORDER BY total order puts unbound first, DESC works") {
+    val r = rows("""SELECT ?n ?age WHERE { ?p a <urn:Person> ;
+      <urn:name> ?n . OPTIONAL { ?p <urn:age> ?age } }
+      ORDER BY DESC(?age) ?n""")
+    assert(r == Seq(Seq("Alice", "30"), Seq("Bob", "25"),
+      Seq("Carol", null)))
+  }
+
+  test("LIMIT/OFFSET after ORDER BY") {
+    val r = rows("""SELECT ?n WHERE { ?p <urn:name> ?n }
+      ORDER BY ?n LIMIT 1 OFFSET 1""")
+    assert(r.map(_.head) == Seq("Bob"))
+  }
+
+  test("ASK") {
+    assert(run("""ASK { <urn:alice> <urn:knows> <urn:bob> }""")
+      .collect()(0).getBoolean(0))
+    assert(!run("""ASK { <urn:bob> <urn:knows> <urn:alice> }""")
+      .collect()(0).getBoolean(0))
+  }
+
+  test("CONSTRUCT emits instantiated template triples") {
+    val r = run("""CONSTRUCT { ?b <urn:knownBy> ?a } WHERE {
+      ?a <urn:knows> ?b }""").collect()
+    assert(r.length == 3)
+    assert(r.forall(_.getString(1) == "<urn:knownBy>"))
+  }
+
+  test("DESCRIBE dumps subject triples") {
+    val r = run("""DESCRIBE <urn:carol>""").collect()
+    assert(r.length == 2) // type + name
+  }
+
+  test("GRAPH variable binds and scopes") {
+    val s2 = QuadStore.fromTerms(spark,
+      Seq((Uri("urn:x"), Uri("urn:p"), Lit("in-g2"))), graph = "urn:g2")
+    val merged = store.union(s2)
+    val r = Sparql.run(merged, spark,
+      """SELECT ?g ?o WHERE { GRAPH ?g { ?s <urn:p> ?o } }""").collect()
+    assert(r.length == 1 && r(0).getString(0) == "urn:g2" &&
+      r(0).getString(1) == "in-g2")
+  }
+
+  test("PREFIX and 'a' keyword") {
+    val r = rows("""PREFIX ex: <urn:>
+      SELECT ?n WHERE { ex:alice ex:name ?n }""")
+    assert(r.map(_.head) == Seq("Alice"))
+  }
+}
