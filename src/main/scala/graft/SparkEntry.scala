@@ -16,8 +16,10 @@ object SparkEntry {
     queries("q03_join_customer_nation_region")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.queries ++ SparqlQueries.queries
+    RelationalQueries.queries ++ SparqlQueries.queries ++
+      PipelineQueries.queries
 
   def oracleSql: Map[String, String] =
-    RelationalQueries.oracles ++ SparqlQueries.oracles
+    RelationalQueries.oracles ++ SparqlQueries.oracles ++
+      PipelineQueries.oracles
 }

@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for corpus curation: language ID, quality
+  * scoring, token counting, document fingerprinting. Everything is
+  * codegen'd column expressions — at 100 TB these run as a single
+  * map-only pass over the corpus (no shuffle at all).
+  */
+object TextAnalysis {
+
+  private def words(text: Column): Column =
+    filter(split(lower(text), "\\s+"), w => length(w) > 0)
+
+  // tiny per-language stopword profiles for the n-gram/stopword heuristic
+  private val profiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "that", "it",
+      "for", "was", "on", "are", "with", "as"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein",
+      "eine", "zu", "den", "von", "im", "auf", "für"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "des", "du",
+      "que", "pas", "pour", "dans", "qui", "sur"),
+    "es" -> Seq("el", "la", "los", "las", "y", "es", "un", "una", "de",
+      "que", "no", "en", "por", "para", "con"))
+
+  /** Heuristic language ID: CJK codepoint share first, then the language
+    * with the highest stopword hit ratio, default "en". */
+  def langId(text: Column): Column = {
+    val ws = words(text)
+    val n = greatest(size(ws), lit(1))
+    val scores = profiles.map { case (lang, stops) =>
+      val stopArr = array(stops.map(lit): _*)
+      lang -> size(filter(ws, w => array_contains(stopArr, w)))
+        .cast("double") / n
+    }
+    val cjkShare = (length(text) -
+      length(regexp_replace(text, "[\\u4e00-\\u9fff]", ""))).cast("double") /
+      greatest(length(text), lit(1))
+    val best = scores.toSeq.sortBy(_._1).foldLeft(
+      (lit("en"), lit(0.04))) { case ((bl, bs), (lang, s)) =>
+      (when(s > bs, lit(lang)).otherwise(bl),
+        when(s > bs, s).otherwise(bs))
+    }
+    when(cjkShare > 0.05, "zh").otherwise(best._1)
+  }
+
+  /** Quality signals: length, token stats, punctuation/digit/uppercase
+    * ratios, stopword share, plus a single composite score in [0,1]. */
+  def qualitySignals(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val ws = words(t)
+    val nChars = length(t)
+    val nTokens = size(ws)
+    val avgTok = nChars.cast("double") / greatest(nTokens, lit(1))
+    val punct = (length(t) - length(regexp_replace(t, "[\\p{Punct}]", "")))
+      .cast("double") / greatest(nChars, lit(1))
+    val digits = (length(t) - length(regexp_replace(t, "[0-9]", "")))
+      .cast("double") / greatest(nChars, lit(1))
+    val upper = (length(t) - length(regexp_replace(t, "[A-Z]", "")))
+      .cast("double") / greatest(nChars, lit(1))
+    val enStops = array(profiles("en").map(lit): _*)
+    val stopRatio = size(filter(ws, w => array_contains(enStops, w)))
+      .cast("double") / greatest(nTokens, lit(1))
+    // composite: penalize extreme lengths, high punct/digit share
+    val lenOk = when(nTokens.between(5, 100000), 1.0).otherwise(0.2)
+    val score = lenOk * (lit(1.0) - least(punct * 2, lit(1.0))) *
+      (lit(1.0) - least(digits * 2, lit(1.0)))
+    df.withColumn("n_chars_m", nChars)
+      .withColumn("n_tokens", nTokens)
+      .withColumn("avg_token_len", avgTok)
+      .withColumn("punct_ratio", punct)
+      .withColumn("digit_ratio", digits)
+      .withColumn("upper_ratio", upper)
+      .withColumn("stopword_ratio", stopRatio)
+      .withColumn("quality_score", score)
+  }
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(words(text))
+
+  /** BPE-ish subword count estimate: word-piece regex splits on
+    * alphanumeric-run boundaries, ~1 token per 4 chars of long words (a
+    * common heuristic), exact count for short words. */
+  def subwordCountEstimate(text: Column): Column = {
+    val pieces = filter(
+      split(lower(text), "[^a-z0-9]+"), p => length(p) > 0)
+    aggregate(pieces, lit(0L),
+      (acc, p) => acc + greatest(ceil(length(p) / 4.0), lit(1L)))
+  }
+
+  /** Deterministic document fingerprint: MD5 of the normalized text
+    * (lower-cased, whitespace collapsed) — the exact-dedup key. */
+  def fingerprintMd5(text: Column): Column =
+    md5(trim(regexp_replace(lower(text), "\\s+", " ")).cast("binary"))
+
+  /** 64-bit rolling-hash fingerprint (xxhash64 of normalized text). */
+  def fingerprint64(text: Column): Column =
+    xxhash64(trim(regexp_replace(lower(text), "\\s+", " ")))
+}

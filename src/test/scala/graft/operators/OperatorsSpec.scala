@@ -1,0 +1,103 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class OperatorsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog near the river bank today"
+  private val docs = Seq(
+    (0L, base),
+    (1L, base + " extra"),                       // near-dup of 0
+    (2L, base.replace("quick", "slow")),         // near-dup of 0
+    (3L, "completely different text about spark engines and data systems"),
+    (4L, base),                                  // exact dup of 0
+    (5L, "short text")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps one representative per text") {
+    val out = Dedup.exact(docs, col("text"), col("doc_id"))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(out == Seq(0L, 1L, 2L, 3L, 5L)) // 4 deduped into 0
+  }
+
+  test("minhash LSH finds planted near-dups, not unrelated docs") {
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
+        k = 3, h = 32, bands = 16, threshold = 0.35)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 4L))) // exact dup: jaccard 1
+    assert(pairs.contains((0L, 1L)) || pairs.contains((0L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simhash pairs find near-dups within hamming radius") {
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 8)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 4L)))
+    assert(!pairs.contains((0L, 3L)))
+  }
+
+  test("ngram jaccard is exact") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        k = 3, threshold = 0.99)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(pairs.map(p => (p._1, p._2)) == Set((0L, 4L))) // only exact dup
+  }
+
+  test("brute-force cosine top-k ranks the identical vector first") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(1.0f, 0.01f, 0.0f)),  // nearly parallel to 0
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(0.0f, 0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val res = Similarity.bruteForceTopK(vecs,
+        vecs.filter(col("vec_id") === 0), "vec_id", "embedding", 2)
+      .select("rank", "item_id").as[(Int, Long)].collect().toMap
+    assert(res(1) == 1L) // closest is the nearly-parallel vector
+  }
+
+  test("LSH ANN returns a subset of candidates with correct scoring") {
+    val emb = graft.core.Tables.t(spark, "/root/testdata/sf0.001",
+      "embeddings")
+    val q = emb.filter(col("vec_id") < 3)
+    val brute = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 5)
+      .select("query_id", "item_id").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.lshTopK(emb, q, "vec_id", "embedding",
+        k = 5, dim = 64, nPlanes = 16, bands = 8)
+      .select("query_id", "item_id").as[(Long, Long)].collect().toSet
+    // recall against brute force should be non-trivial
+    val recall = (brute intersect lsh).size.toDouble / brute.size
+    assert(recall > 0.2, s"LSH recall too low: $recall")
+  }
+
+  test("language ID picks out en/zh-ish docs") {
+    val d = Seq(
+      (0L, "the cat and the dog are in the house that is on the hill"),
+      (1L, "der Hund und die Katze sind nicht mit dem Mann im Haus"),
+      (2L, "le chat et le chien sont dans la maison qui est sur les collines"),
+      (3L, "el gato y el perro no son los animales en la casa"),
+      (4L, "中文文本处理测试")
+    ).toDF("doc_id", "text")
+    val preds = d.select(col("doc_id"),
+      TextAnalysis.langId(col("text")).as("p"))
+      .as[(Long, String)].collect().toMap
+    assert(preds(0) == "en"); assert(preds(1) == "de")
+    assert(preds(2) == "fr"); assert(preds(3) == "es")
+    assert(preds(4) == "zh")
+  }
+
+  test("quality signals and fingerprints are deterministic") {
+    val sig = TextAnalysis.qualitySignals(docs, "text")
+      .filter(col("doc_id") === 0)
+      .select("n_tokens", "punct_ratio", "quality_score").collect()(0)
+    assert(sig.getInt(0) == 14)
+    assert(sig.getDouble(1) == 0.0)
+    assert(sig.getDouble(2) == 1.0)
+    val fp = docs.select(TextAnalysis.fingerprintMd5(col("text")).as("f"))
+      .filter(col("f").isNull).count()
+    assert(fp == 0)
+  }
+}
