@@ -1,0 +1,126 @@
+package graft.http
+
+import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+import java.net.{InetSocketAddress, URLDecoder}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.concurrent.atomic.AtomicReference
+import org.apache.spark.sql.SparkSession
+import graft.rdf.QuadStore
+import graft.sinks.Results
+import graft.sparql.{Sparql, Update}
+import graft.streaming.StreamIngest
+
+/** HTTP SPARQL endpoint mirroring the reference's httpd routes
+  * (`src/http/httpd.c:1102-1193`): GET/POST `/sparql/` (params `query`,
+  * `output=`, `callback=`), POST `/update/`, PUT/POST `/data/?graph=g`
+  * (N-Triples payload, Graph Store protocol), GET `/status/`.
+  * Built on the JDK's HttpServer — zero extra dependencies; the heavy
+  * lifting stays in Spark.
+  */
+final class Endpoint(spark: SparkSession, initial: QuadStore, port: Int = 0) {
+
+  private val storeRef = new AtomicReference[QuadStore](initial)
+  def store: QuadStore = storeRef.get()
+
+  private val server = HttpServer.create(new InetSocketAddress(port), 0)
+
+  def boundPort: Int = server.getAddress.getPort
+
+  private def params(query: String): Map[String, String] =
+    Option(query).getOrElse("").split("&").filter(_.contains("="))
+      .map { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        k -> URLDecoder.decode(v, "UTF-8")
+      }.toMap
+
+  private def respond(ex: HttpExchange, code: Int, body: String,
+                      ctype: String = "application/json"): Unit = {
+    val bytes = body.getBytes(UTF_8)
+    ex.getResponseHeaders.set("Content-Type", ctype)
+    ex.sendResponseHeaders(code, bytes.length)
+    ex.getResponseBody.write(bytes)
+    ex.close()
+  }
+
+  private def bodyOf(ex: HttpExchange): String =
+    new String(ex.getRequestBody.readAllBytes(), UTF_8)
+
+  server.createContext("/sparql/", new HttpHandler {
+    def handle(ex: HttpExchange): Unit = try {
+      val p =
+        if (ex.getRequestMethod == "POST") {
+          val b = bodyOf(ex)
+          if (b.trim.startsWith("query=") || b.contains("&query="))
+            params(b)
+          else Map("query" -> b)
+        } else params(ex.getRequestURI.getRawQuery)
+      p.get("query") match {
+        case None => respond(ex, 400, """{"error":"missing query"}""")
+        case Some(q) =>
+          val df = Sparql.run(store, spark, q)
+          p.getOrElse("output", "json") match {
+            case "xml" => respond(ex, 200, Results.toXml(df),
+              "application/sparql-results+xml")
+            case "tsv" | "text" =>
+              val lines = Results.toTsvLines(df).collect()
+                .map(_.getString(0)).mkString("\n")
+              respond(ex, 200, lines, "text/tab-separated-values")
+            case _ => respond(ex, 200,
+              Results.toJson(df, p.getOrElse("callback", "")),
+              "application/sparql-results+json")
+          }
+      }
+    } catch {
+      case e: Exception =>
+        respond(ex, 400, s"""{"error":"${e.getMessage}"}""")
+    }
+  })
+
+  server.createContext("/update/", new HttpHandler {
+    def handle(ex: HttpExchange): Unit = try {
+      val b = bodyOf(ex)
+      val text = if (b.startsWith("update=")) params(b)("update") else b
+      storeRef.updateAndGet(st => Update(st, spark, text))
+      respond(ex, 200, """{"ok":true}""")
+    } catch {
+      case e: Exception =>
+        respond(ex, 400, s"""{"error":"${e.getMessage}"}""")
+    }
+  })
+
+  server.createContext("/data/", new HttpHandler {
+    def handle(ex: HttpExchange): Unit = try {
+      import spark.implicits._
+      val graph = params(ex.getRequestURI.getRawQuery).getOrElse("graph", "")
+      val lines = bodyOf(ex).split("\n").toSeq.toDS()
+      val flat = StreamIngest.parseNtLines(lines)
+        .withColumn("gLex",
+          org.apache.spark.sql.functions.lit(graph))
+      val add = QuadStore.fromFlat(spark, flat)
+      ex.getRequestMethod match {
+        case "PUT" | "POST" =>
+          storeRef.updateAndGet(_.union(add))
+          respond(ex, 201, """{"ok":true}""")
+        case "DELETE" =>
+          storeRef.updateAndGet(st => st.copy(quads = st.quads.filter(
+            org.apache.spark.sql.functions.col("g") =!=
+              graft.rdf.Rid.uri(graph))))
+          respond(ex, 200, """{"ok":true}""")
+        case _ => respond(ex, 405, """{"error":"method"}""")
+      }
+    } catch {
+      case e: Exception =>
+        respond(ex, 400, s"""{"error":"${e.getMessage}"}""")
+    }
+  })
+
+  server.createContext("/status/", new HttpHandler {
+    def handle(ex: HttpExchange): Unit = {
+      val n = store.quads.count()
+      respond(ex, 200, s"""{"quads":$n,"engine":"graft","ok":true}""")
+    }
+  })
+
+  def start(): Endpoint = { server.start(); this }
+  def stop(): Unit = server.stop(0)
+}

@@ -1,0 +1,128 @@
+package graft.sinks
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Result serializers mirroring the reference's output formats
+  * (`src/frontend/results.c`): TSV (`output_text`, :2014), CSV
+  * (`output_csv`, :2143), SPARQL results JSON (`output_json`, :2248),
+  * SPARQL results XML (`output_sparql`, :1900). TSV/CSV scale out via
+  * df.write; JSON/XML build the (driver-side) response document exactly
+  * like the reference's HTTP serializers.
+  */
+object Results {
+
+  /** TSV with `?var` header, reference escaping (`results.c:1468-1527`). */
+  def toTsvLines(df: DataFrame): DataFrame = {
+    val header = df.columns.map("?" + _).mkString("\t")
+    val rowCol = concat_ws("\t", df.columns.map { c =>
+      regexp_replace(regexp_replace(regexp_replace(
+        coalesce(col(c).cast("string"), lit("")),
+        "\\\\", "\\\\\\\\"), "\t", "\\\\t"), "\n", "\\\\n")
+    }: _*)
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq(header).toDF("line").union(df.select(rowCol.as("line")))
+  }
+
+  def writeTsv(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("sep", "\t").option("header", "true")
+      .csv(path)
+
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("header", "true").csv(path)
+
+  private def jsonEscape(s: String): String = s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+
+  /** term type from NT-serialized form (uri/bnode/literal) */
+  private def termJson(v: String): String = {
+    if (v == null) return null
+    if (v.startsWith("<") && v.endsWith(">"))
+      s"""{"type":"uri","value":"${jsonEscape(v.substring(1, v.length - 1))}"}"""
+    else if (v.startsWith("_:"))
+      s"""{"type":"bnode","value":"${jsonEscape(v.drop(2))}"}"""
+    else {
+      val (lex, suffix) =
+        if (v.startsWith("\"")) {
+          val end = v.lastIndexOf('"')
+          (v.substring(1, end), v.substring(end + 1))
+        } else (v, "")
+      val base = s""""type":"literal","value":"${jsonEscape(lex)}""""
+      if (suffix.startsWith("@")) s"""{$base,"xml:lang":"${suffix.drop(1)}"}"""
+      else if (suffix.startsWith("^^<"))
+        s"""{$base,"datatype":"${suffix.substring(3, suffix.length - 1)}"}"""
+      else s"""{$base}"""
+    }
+  }
+
+  /** SPARQL results JSON (`results.c:2248-2395`); `callback` wraps in
+    * JSON-P like the reference's `callback=` parameter. */
+  def toJson(df: DataFrame, callback: String = ""): String = {
+    val vars = df.columns
+    val head = vars.map(v => "\"" + v + "\"").mkString("[", ",", "]")
+    val bindings = df.collect().map { r =>
+      vars.indices.flatMap { i =>
+        Option(r.get(i)).map(v =>
+          s""""${vars(i)}":${termJson(v.toString)}""")
+      }.mkString("{", ",", "}")
+    }.mkString("[", ",", "]")
+    val doc = s"""{"head":{"vars":$head},""" +
+      s""""results":{"bindings":$bindings}}"""
+    if (callback.nonEmpty) s"$callback($doc);" else doc
+  }
+
+  def toAskJson(result: Boolean): String =
+    s"""{"head":{},"boolean":$result}"""
+
+  private def xmlEscape(s: String): String = s.flatMap {
+    case '<' => "&lt;"; case '>' => "&gt;"; case '&' => "&amp;"
+    case '"' => "&quot;"; case c => c.toString
+  }
+
+  /** SPARQL results XML (`results.c:1900-2012`). */
+  def toXml(df: DataFrame): String = {
+    val vars = df.columns
+    val sb = new StringBuilder
+    sb ++= "<?xml version=\"1.0\"?>\n"
+    sb ++= "<sparql xmlns=\"http://www.w3.org/2005/sparql-results#\">\n"
+    sb ++= "  <head>\n"
+    vars.foreach(v => sb ++= s"""    <variable name="$v"/>\n""")
+    sb ++= "  </head>\n  <results>\n"
+    df.collect().foreach { r =>
+      sb ++= "    <result>\n"
+      vars.indices.foreach { i =>
+        Option(r.get(i)).foreach { v =>
+          val s = v.toString
+          val inner =
+            if (s.startsWith("<") && s.endsWith(">"))
+              s"<uri>${xmlEscape(s.substring(1, s.length - 1))}</uri>"
+            else if (s.startsWith("_:"))
+              s"<bnode>${xmlEscape(s.drop(2))}</bnode>"
+            else if (s.startsWith("\"")) {
+              val end = s.lastIndexOf('"')
+              val lex = xmlEscape(s.substring(1, end))
+              val suffix = s.substring(end + 1)
+              if (suffix.startsWith("@"))
+                s"""<literal xml:lang="${suffix.drop(1)}">$lex</literal>"""
+              else if (suffix.startsWith("^^<"))
+                s"""<literal datatype="${
+                  suffix.substring(3, suffix.length - 1)}">$lex</literal>"""
+              else s"<literal>$lex</literal>"
+            } else s"<literal>${xmlEscape(s)}</literal>"
+          sb ++= s"""      <binding name="${vars(i)}">$inner</binding>\n"""
+        }
+      }
+      sb ++= "    </result>\n"
+    }
+    sb ++= "  </results>\n</sparql>\n"
+    sb.toString
+  }
+}

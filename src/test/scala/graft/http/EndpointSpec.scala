@@ -1,0 +1,76 @@
+package graft.http
+
+import graft.SparkTestBase
+import graft.rdf._
+import java.net.{HttpURLConnection, URI}
+import java.nio.charset.StandardCharsets.UTF_8
+
+class EndpointSpec extends SparkTestBase {
+
+  private def req(url: String, method: String = "GET",
+                  body: String = null): (Int, String) = {
+    val conn = URI.create(url).toURL.openConnection()
+      .asInstanceOf[HttpURLConnection]
+    conn.setRequestMethod(method)
+    if (body != null) {
+      conn.setDoOutput(true)
+      conn.getOutputStream.write(body.getBytes(UTF_8))
+    }
+    val code = conn.getResponseCode
+    val is = if (code < 400) conn.getInputStream else conn.getErrorStream
+    val text = new String(is.readAllBytes(), UTF_8)
+    (code, text)
+  }
+
+  test("sparql/update/data/status routes round-trip") {
+    val store = QuadStore.fromTerms(spark, Seq(
+      (Uri("urn:a"), Uri("urn:name"), Lit("Alice"))))
+    val ep = new Endpoint(spark, store, 0).start()
+    try {
+      val base = s"http://localhost:${ep.boundPort}"
+
+      val (c1, b1) = req(s"$base/sparql/?query=" +
+        java.net.URLEncoder.encode(
+          "SELECT ?n WHERE { ?s <urn:name> ?n }", "UTF-8"))
+      assert(c1 == 200 && b1.contains("Alice"))
+
+      val (c2, _) = req(s"$base/update/", "POST",
+        """INSERT DATA { <urn:b> <urn:name> "Bob" }""")
+      assert(c2 == 200)
+      val (_, b3) = req(s"$base/sparql/?query=" +
+        java.net.URLEncoder.encode(
+          "SELECT ?n WHERE { ?s <urn:name> ?n } ORDER BY ?n", "UTF-8") +
+        "&output=tsv")
+      assert(b3.contains("Alice") && b3.contains("Bob"))
+
+      val (c4, _) = req(s"$base/data/?graph=urn:g9", "PUT",
+        "<urn:c> <urn:name> \"Carol\" .")
+      assert(c4 == 201)
+      val (_, b5) = req(s"$base/status/")
+      assert(b5.contains("\"quads\":3"))
+
+      val (c6, b6) = req(s"$base/sparql/?query=bad+syntax")
+      assert(c6 == 400 && b6.contains("error"))
+    } finally ep.stop()
+  }
+
+  test("multimodal stub plumbing: meta/resize/frames/features") {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    val docs = Seq((1L, "hello world of bytes"), (2L, "another payload"))
+      .toDF("doc_id", "text")
+    val media = Multimodal.asMedia(docs, "doc_id", "text", "image/fake")
+    val meta = Multimodal.imageMeta(media).collect()
+    assert(meta.length == 2 && meta.forall(m => m.width >= 64 && m.n_bytes > 0))
+    // determinism
+    val meta2 = Multimodal.imageMeta(media).collect()
+    assert(meta.map(_.sha_prefix).toSet == meta2.map(_.sha_prefix).toSet)
+    val resized = Multimodal.resize(media, 2).collect()
+    assert(resized.forall(r => r.content.length <=
+      media.collect().find(_.media_id == r.media_id).get.content.length))
+    val frames = Multimodal.sampleFrames(media, frameBytes = 4, everyN = 2)
+    assert(frames.count() > 0)
+    val feats = Multimodal.features(media, dim = 8).collect()
+    assert(feats.forall(_.getSeq[Float](1).length == 8))
+  }
+}

@@ -1,0 +1,90 @@
+package graft.sparql
+
+import graft.SparkTestBase
+import graft.rdf._
+import org.apache.spark.sql.functions._
+
+class UpdateSpec extends SparkTestBase {
+
+  private def freshStore = QuadStore.fromTerms(spark, Seq(
+    (Uri("urn:a"), Uri("urn:name"), Lit("Alice")),
+    (Uri("urn:b"), Uri("urn:name"), Lit("Bob")),
+    (Uri("urn:a"), Uri("urn:age"), Lit("30", Xsd.integer))))
+
+  private def askTrue(st: QuadStore, q: String): Boolean =
+    Sparql.run(st, spark, q).collect()(0).getBoolean(0)
+
+  test("INSERT DATA then ASK") {
+    val st = Update(freshStore, spark,
+      """INSERT DATA { <urn:c> <urn:name> "Carol" }""")
+    assert(askTrue(st, """ASK { <urn:c> <urn:name> "Carol" }"""))
+    assert(st.quads.count() == 4)
+  }
+
+  test("DELETE DATA removes exactly the ground quad") {
+    val st = Update(freshStore, spark,
+      """DELETE DATA { <urn:b> <urn:name> "Bob" }""")
+    assert(!askTrue(st, """ASK { <urn:b> <urn:name> "Bob" }"""))
+    assert(st.quads.count() == 2)
+  }
+
+  test("DELETE WHERE with pattern") {
+    val st = Update(freshStore, spark,
+      """DELETE WHERE { ?s <urn:name> ?n }""")
+    assert(st.quads.count() == 1) // only the age triple remains
+  }
+
+  test("DELETE/INSERT WHERE rewrites matched rows") {
+    val st = Update(freshStore, spark,
+      """DELETE { ?s <urn:age> ?a } INSERT { ?s <urn:ageClass> "adult" }
+        WHERE { ?s <urn:age> ?a FILTER(?a >= 18) }""")
+    assert(!askTrue(st, "ASK { ?s <urn:age> ?a }"))
+    assert(askTrue(st, """ASK { <urn:a> <urn:ageClass> "adult" }"""))
+  }
+
+  test("INSERT WHERE derives new triples") {
+    val st = Update(freshStore, spark,
+      """INSERT { ?s <urn:flagged> "yes" } WHERE { ?s <urn:name> ?n }""")
+    assert(st.quads.count() == 5)
+  }
+
+  test("CLEAR GRAPH and CLEAR ALL") {
+    val g2 = QuadStore.fromTerms(spark,
+      Seq((Uri("urn:x"), Uri("urn:p"), Lit("v"))), graph = "urn:g2")
+    val merged = freshStore.union(g2)
+    val cleared = Update(merged, spark, "CLEAR GRAPH <urn:g2>")
+    assert(cleared.quads.count() == 3)
+    val all = Update(merged, spark, "CLEAR ALL")
+    assert(all.quads.count() == 0)
+  }
+
+  test("ADD / COPY / MOVE between graphs") {
+    val g2 = QuadStore.fromTerms(spark,
+      Seq((Uri("urn:x"), Uri("urn:p"), Lit("v"))), graph = "urn:g2")
+    val merged = freshStore.union(g2) // 3 default + 1 in g2
+    val defaultUri = WellKnown.defaultGraphUri
+
+    val added = Update.applyOp(merged, spark,
+      Update.GraphCopy("ADD", Some("urn:g2"), None))
+    assert(added.quads.count() == 5) // x/p/v now ALSO in default graph
+    assert(added.quads.filter(col("g") === WellKnown.defaultGraph)
+      .count() == 4)
+
+    val moved = Update.applyOp(merged, spark,
+      Update.GraphCopy("MOVE", None, Some("urn:g3")))
+    assert(moved.quads.filter(col("g") === WellKnown.defaultGraph)
+      .count() == 0)
+    assert(moved.quads.filter(col("g") === Rid.uri("urn:g3")).count() == 3)
+
+    val copied = Update.applyOp(merged, spark,
+      Update.GraphCopy("COPY", None, Some("urn:g2")))
+    assert(copied.quads.filter(col("g") === Rid.uri("urn:g2")).count() == 3)
+  }
+
+  test("sequential ops separated by ;") {
+    val st = Update(freshStore, spark,
+      """INSERT DATA { <urn:c> <urn:name> "Carol" } ;
+         DELETE DATA { <urn:a> <urn:name> "Alice" }""")
+    assert(st.quads.count() == 3)
+  }
+}

@@ -1,0 +1,93 @@
+package graft.streaming
+
+import graft.SparkTestBase
+import graft.rdf._
+import graft.sinks.Results
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+class StreamingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("NT line stream parses and hashes into quads incrementally") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[String]
+    val quads = StreamIngest.toQuads(StreamIngest.parseNtLines(mem.toDS()))
+    val q = quads.writeStream.format("memory").queryName("qstream")
+      .outputMode("append").start()
+    mem.addData(
+      """<urn:a> <urn:name> "Alice" .""",
+      """<urn:b> <urn:name> "Bob" <urn:g1> .""",
+      "# comment", "garbage")
+    q.processAllAvailable()
+    val got = spark.sql("select * from qstream").collect()
+    assert(got.length == 2)
+    // streamed RIDs identical to batch RIDs
+    assert(got.map(_.getLong(1)).toSet ==
+      Set(Rid.uri("urn:a"), Rid.uri("urn:b")))
+    q.stop()
+  }
+
+  test("windowed event counts with watermark run in streaming mode") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val df = mem.toDS().toDF("ts", "event_type", "value")
+    val agg = StreamIngest.windowedEventCounts(df, "1 hour", "2 hours")
+    val q = agg.writeStream.format("memory").queryName("wstream")
+      .outputMode("append").start()
+    mem.addData(
+      (Timestamp.valueOf("2024-01-01 10:05:00"), "click", 1.0),
+      (Timestamp.valueOf("2024-01-01 10:45:00"), "click", 2.0),
+      (Timestamp.valueOf("2024-01-01 11:10:00"), "view", 5.0))
+    q.processAllAvailable()
+    // advance watermark far enough to close the first windows
+    mem.addData((Timestamp.valueOf("2024-01-02 00:00:00"), "late", 0.0))
+    q.processAllAvailable()
+    val got = spark.sql(
+      "select event_type, n_events, sum_value from wstream").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got.contains(("click", 2L, 3.0)))
+    assert(got.contains(("view", 1L, 5.0)))
+    q.stop()
+  }
+
+  test("full-text derived quads: token/stem/phonetic, searchable") {
+    val flat = Seq(
+      FlatQuad("", 1, "urn:doc1", "urn:title", 0,
+        "Querying Spark Engines", "", ""),
+      FlatQuad("", 1, "urn:doc2", "urn:title", 0, "engine rooms", "", ""),
+      FlatQuad("", 1, "urn:doc3", "urn:other", 0, "not indexed", "", "")
+    ).toDF()
+    val store = FullText.withFullText(spark, flat, Set("urn:title"))
+    // searching a token finds the right subjects
+    val hits = FullText.searchToken(store, "engines")
+      .as[Long].collect().toSet
+    assert(hits == Set(Rid.uri("urn:doc1")))
+    // stem collapses engines/engine
+    val stemHits = store.quads
+      .filter(col("p") === FullText.stemPredRid &&
+        col("o") === Rid.literal("engine"))
+      .select("s").as[Long].collect().toSet
+    assert(stemHits == Set(Rid.uri("urn:doc1"), Rid.uri("urn:doc2")))
+    // non-indexed predicate contributes nothing
+    assert(FullText.searchToken(store, "indexed").count() == 0)
+  }
+
+  test("result sinks: TSV lines, SPARQL JSON and XML") {
+    val df = Seq(("<urn:a>", "\"Alice\"@en"), ("_:b1", "\"5\"^^<urn:int>"))
+      .toDF("s", "o")
+    val tsv = Results.toTsvLines(df).as[String].collect()
+    assert(tsv.head == "?s\t?o")
+    assert(tsv.length == 3)
+    val json = Results.toJson(df)
+    assert(json.contains(""""type":"uri","value":"urn:a""""))
+    assert(json.contains(""""xml:lang":"en""""))
+    assert(json.contains(""""type":"bnode""""))
+    assert(json.contains(""""datatype":"urn:int""""))
+    val xml = Results.toXml(df)
+    assert(xml.contains("<uri>urn:a</uri>"))
+    assert(xml.contains("""<literal xml:lang="en">Alice</literal>"""))
+    assert(Results.toAskJson(true).contains("\"boolean\":true"))
+  }
+}
