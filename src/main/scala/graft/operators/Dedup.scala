@@ -44,10 +44,58 @@ object Dedup {
       (((0x9E3779B97F4A7C15L * (i + 1)) & 0x7FFFFFFFL) | 1L,
         (0x7F4A7C159E3779B9L * (i + 7)) & 0x7FFFFFFFL)
     }
+    // hash each shingle string ONCE; the h permutations are then pure
+    // long arithmetic over the hashed array (h x cheaper than re-hashing
+    // strings per permutation)
+    val hashed = transform(sh, s => pmod(xxhash64(s), lit(p)))
     array(seeds.map { case (a, b) =>
-      array_min(transform(sh,
-        s => pmod(pmod(xxhash64(s), lit(p)) * lit(a) + lit(b), lit(p))))
+      array_min(transform(hashed,
+        x => pmod(x * lit(a) + lit(b), lit(p))))
     }: _*)
+  }
+
+  /** (id, shingle) rows via posexplode + lead windows — whole-stage
+    * codegen, one hash of each shingle, no interpreted array lambdas.
+    * May contain duplicate shingles per doc (callers distinct() if the
+    * semantics need sets). */
+  def shingleRows(df: DataFrame, idCol: String, textCol: String,
+                  k: Int): DataFrame = {
+    val ws = filter(split(lower(col(textCol)), "\\s+"), w => length(w) > 0)
+    val win = Window.partitionBy("id").orderBy("pos")
+    df.select(col(idCol).as("id"), posexplode(ws).as(Seq("pos", "w")))
+      .select(col("id") +:
+        (0 until k).map(j => lead(col("w"), j).over(win).as(s"w$j")): _*)
+      .filter(col(s"w${k - 1}").isNotNull) // full k-word shingles only
+      .select(col("id"), concat_ws(" ",
+        (0 until k).map(j => col(s"w$j")): _*).as("s"))
+  }
+
+  /** MinHash signatures via explode + 32 codegen'd min-aggregates.
+    *
+    * NOT the nested-HOF formulation: array HOF lambdas are interpreted and
+    * Catalyst does not share the common shingle/hash subexpression across
+    * the h permutations, which recomputes string hashing h times per
+    * shingle (measured 115s for 5k docs). Exploding shingle rows hashes
+    * each shingle once in whole-stage codegen, and the h permutations are
+    * h parallel min() aggregates with map-side partial aggregation —
+    * the formulation that scales on a cluster as well.
+    */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        k: Int, h: Int): DataFrame = {
+    val p = 2147483647L
+    val seeds = (0 until h).map { i =>
+      (((0x9E3779B97F4A7C15L * (i + 1)) & 0x7FFFFFFFL) | 1L,
+        (0x7F4A7C159E3779B9L * (i + 7)) & 0x7FFFFFFFL)
+    }
+    // duplicates don't affect min() -> no distinct needed
+    val hashed = shingleRows(df, idCol, textCol, k)
+      .select(col("id"), pmod(xxhash64(col("s")), lit(p)).as("h0"))
+    val aggs = seeds.zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(col("h0") * lit(a) + lit(b), lit(p))).as(s"m$i")
+    }
+    hashed.groupBy("id").agg(aggs.head, aggs.tail: _*)
+      .select(col("id"), array((0 until h).map(i => col(s"m$i")): _*)
+        .as("sig"))
   }
 
   /** Candidate near-duplicate pairs via banded MinHash-LSH:
@@ -59,23 +107,33 @@ object Dedup {
     */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
                    k: Int = 3, h: Int = 32, bands: Int = 16,
-                   threshold: Double = 0.5): DataFrame = {
+                   threshold: Double = 0.5, minBands: Int = 1): DataFrame = {
     val rows = h / bands
-    val sig = df.select(col(idCol).as("id"),
-      minhash(shingles(col(textCol), k), h).as("sig"))
-    val banded = sig.select(col("id"), col("sig"),
+    val sig = minhashSignatures(df, idCol, textCol, k, h).cache()
+    val banded = sig.select(col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(concat_ws(",",
           slice(col("sig"), b * rows + 1, lit(rows))), b))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-    val l = banded.select(col("band"), col("bucket"),
-      col("id").as("id1"), col("sig").as("sig1"))
-    val r = banded.select(col("band"), col("bucket"),
-      col("id").as("id2"), col("sig").as("sig2"))
-    val cand = l.join(r, Seq("band", "bucket"))
+    // dedupe candidates on compact (id1, id2) keys only, then fetch the
+    // two signatures back with joins — signatures never ride the
+    // bucket-join shuffle
+    // minBands > 1 demands collisions in several independent bands before
+    // a pair reaches signature verification — on low-entropy corpora this
+    // prunes the random-collision tail by orders of magnitude while
+    // keeping high-similarity pairs (which collide almost everywhere)
+    val cand = banded.select(col("band"), col("bucket"),
+        col("id").as("id1"))
+      .join(banded.select(col("band"), col("bucket"), col("id").as("id2")),
+        Seq("band", "bucket"))
       .filter(col("id1") < col("id2"))
-      .select("id1", "id2", "sig1", "sig2").distinct()
-    cand.withColumn("est_jaccard",
+      .groupBy("id1", "id2").agg(count(lit(1)).as("nb"))
+      .filter(col("nb") >= minBands)
+      .select("id1", "id2")
+    cand
+      .join(sig.select(col("id").as("id1"), col("sig").as("sig1")), "id1")
+      .join(sig.select(col("id").as("id2"), col("sig").as("sig2")), "id2")
+      .withColumn("est_jaccard",
         size(filter(zip_with(col("sig1"), col("sig2"), _ === _),
           x => x)).cast("double") / h)
       .filter(col("est_jaccard") >= threshold)
@@ -128,10 +186,9 @@ object Dedup {
     * Only pairs sharing >= 1 shingle are ever materialized. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         k: Int = 3, threshold: Double = 0.8): DataFrame = {
-    val sh = df.select(col(idCol).as("id"),
-      shingles(col(textCol), k).as("sh"))
-      .withColumn("nsh", size(col("sh")))
-    val inv = sh.select(col("id"), col("nsh"), explode(col("sh")).as("s"))
+    val distinctSh = shingleRows(df, idCol, textCol, k).distinct()
+    val counts = distinctSh.groupBy("id").agg(count(lit(1)).as("nsh"))
+    val inv = distinctSh.join(counts, "id")
     val l = inv.select(col("s"), col("id").as("id1"), col("nsh").as("n1"))
     val r = inv.select(col("s"), col("id").as("id2"), col("nsh").as("n2"))
     l.join(r, "s").filter(col("id1") < col("id2"))

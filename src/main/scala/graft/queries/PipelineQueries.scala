@@ -32,7 +32,7 @@ object PipelineQueries {
     // MinHash-LSH near-dup candidates (engine-specific seeds: rows-only)
     "p03_minhash_pairs" -> ((s, d) =>
       Dedup.minhashPairs(t(s, d, "documents"), "doc_id", "text",
-          k = 3, h = 32, bands = 16, threshold = 0.35)
+          k = 3, h = 32, bands = 16, threshold = 0.35, minBands = 2)
         .select("id1", "id2")
         .orderBy("id1", "id2")),
 

@@ -13,16 +13,20 @@ import graft.sparql.Sparql
   */
 object SparqlQueries {
 
-  /** Per-JVM store cache so Verify/Bench don't re-rdfize per query. */
+  /** Per-JVM per-table store cache so Verify/Bench rdfize each table at
+    * most once; multi-table queries union the cached single-table stores
+    * (a cheap plan-level union of cached RDDs). */
   private val cache =
-    scala.collection.concurrent.TrieMap[(String, Set[String]), QuadStore]()
+    scala.collection.concurrent.TrieMap[(String, String), QuadStore]()
 
   private def store(s: SparkSession, dir: String,
                     tables: String*): QuadStore =
-    cache.getOrElseUpdate((dir, tables.toSet), {
-      val st = QuadStore.rdfizeDir(s, dir, tables)
-      QuadStore(st.quads.cache(), st.resources.cache())
-    })
+    tables.map { t =>
+      cache.getOrElseUpdate((dir, t), {
+        val st = QuadStore.rdfizeDir(s, dir, Seq(t))
+        QuadStore(st.quads.cache(), st.resources.cache())
+      })
+    }.reduce(_ union _)
 
   private def sparql(s: SparkSession, dir: String, tables: Seq[String],
                      q: String): DataFrame =

@@ -170,12 +170,23 @@ final class Exec(store: QuadStore, spark: SparkSession) {
     val shared = (l.vars intersect r.vars).toSeq
     if (shared.isEmpty) return l
     val (rdf, ren) = renamedRight(r)
-    val compat = shared.map(v =>
-      col(v).isNull || col(ren(v)).isNull || col(v) === col(ren(v)))
-      .reduce(_ && _)
-    val overlap = shared.map(v =>
-      col(v).isNotNull && col(ren(v)).isNotNull).reduce(_ || _)
-    l.copy(df = l.df.join(rdf, compat && overlap, "left_anti"))
+    val certain = shared.filter(v => l.certain(v) && r.certain(v))
+    if (certain.nonEmpty) {
+      // both-certain shared vars: compat+overlap degenerate to plain
+      // equality -> hash-partitioned anti equi-join (no nested loop)
+      val cond = shared.map { v =>
+        if (l.certain(v) && r.certain(v)) col(v) === col(ren(v))
+        else col(v).isNull || col(ren(v)).isNull || col(v) === col(ren(v))
+      }.reduce(_ && _)
+      l.copy(df = l.df.join(rdf, cond, "left_anti"))
+    } else {
+      val compat = shared.map(v =>
+        col(v).isNull || col(ren(v)).isNull || col(v) === col(ren(v)))
+        .reduce(_ && _)
+      val overlap = shared.map(v =>
+        col(v).isNotNull && col(ren(v)).isNotNull).reduce(_ || _)
+      l.copy(df = l.df.join(rdf, compat && overlap, "left_anti"))
+    }
   }
 
   /** UNION (`fs_binding_union`, `query-datatypes.c:646-667`): bag append,
