@@ -68,12 +68,33 @@ final case class QuadStore(quads: DataFrame, resources: DataFrame) {
     * subject-subject joins co-partitioned after one shuffle. */
   def bySubject(n: Int): QuadStore =
     copy(quads = quads.repartition(n, col("s")))
+
+  /** Persist as bucketed tables (`<name>_quads` bucketed by subject,
+    * `<name>_resources` bucketed by rid). The durable form of the
+    * reference's subject-hash segmentation (`src/frontend/import.c:510`):
+    * subject-keyed joins and dictionary resolves over saved stores run
+    * without an Exchange, exactly like the reference's co-located
+    * reverse-bind (`src/backend/query-backend.c:601-749`).
+    */
+  def saveBucketed(name: String, buckets: Int = 32): Unit = {
+    quads.write.mode("overwrite")
+      .bucketBy(buckets, "s").sortBy("s")
+      .format("parquet").saveAsTable(s"${name}_quads")
+    resources.write.mode("overwrite")
+      .bucketBy(buckets, "rid").sortBy("rid")
+      .format("parquet").saveAsTable(s"${name}_resources")
+  }
 }
 
 object QuadStore {
   import WellKnown._
 
   val quadCols = Seq("g", "s", "p", "o")
+
+  /** Load a store persisted by [[QuadStore.saveBucketed]]. */
+  def loadBucketed(spark: SparkSession, name: String): QuadStore =
+    QuadStore(spark.table(s"${name}_quads"),
+      spark.table(s"${name}_resources"))
 
   /** Columnar RID of a flat-encoded term. */
   private def ridOf(kind: Column, lex: Column, dt: Column, lang: Column) =

@@ -1,0 +1,107 @@
+package graft
+
+import graft.queries.RelationalQueries
+import graft.operators.Dedup
+import graft.rdf._
+import org.apache.spark.sql.functions._
+
+/** Physical-plan regression tests: the properties that keep the engine
+  * fast at scale must be visible in `explain` output, not assumed.
+  */
+class PlanSpec extends SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Final physical plan (runs the query so AQE finalizes its subplans). */
+  private def planOf(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("filters and projection push down to the parquet scan") {
+    val plan = planOf(
+      RelationalQueries.queries("q01_scan_filter_project")(spark, sf))
+    assert(plan.contains("PushedFilters:") &&
+      plan.contains("l_quantity"), s"no pushdown in:\n$plan")
+    // projection pruning: scan must not read all 11 lineitem columns
+    assert(plan.contains("ReadSchema"), plan)
+    assert(!plan.contains("l_tax"), "scan reads pruned column l_tax")
+  }
+
+  test("small dimension joins broadcast") {
+    val plan = planOf(
+      RelationalQueries.queries("q03_join_customer_nation_region")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), "dims should broadcast:\n" + plan)
+  }
+
+  test("constant SPARQL pattern slots become Long equality pushdown") {
+    val store = QuadStore.rdfize("region",
+      graft.core.Tables.t(spark, sf, "region"), "r_regionkey")
+    val df = graft.sparql.Sparql.run(store, spark,
+      """SELECT ?n WHERE { ?r <urn:p:region:r_name> ?n }""")
+    val pRid = Rid.uri("urn:p:region:r_name")
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(plan.contains(pRid.toString),
+      s"predicate RID $pRid not pushed into plan:\n$plan")
+  }
+
+  test("whole-stage codegen covers the hot paths") {
+    // AQE's pre-execution wrapper reports no codegen subtrees; plan
+    // without it for this probe
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = RelationalQueries.queries("q02_agg_pricing_summary")(spark, sf)
+      val codegen = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
+      assert(codegen.contains("WholeStageCodegen subtrees") &&
+        !codegen.startsWith("Found 0"), codegen.take(400))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("LSH candidate generation never plans a nested-loop or cartesian join") {
+    val docs = graft.core.Tables.t(spark, sf, "documents")
+    val plan = planOf(Dedup.minhashPairs(docs, "doc_id", "text",
+      minBands = 2))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    val plan2 = planOf(Dedup.ngramJaccardPairs(docs, "doc_id", "text"))
+    assert(!plan2.contains("CartesianProduct"), plan2)
+  }
+
+  test("bucketed store: subject-subject join plans without an Exchange") {
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    Seq("t_nation_quads", "t_nation_resources").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir")
+          .stripPrefix("file:"), t)
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(rm)
+        f.delete()
+      }
+      if (loc.exists) rm(loc)
+    }
+    val store = QuadStore.rdfize("nation",
+      graft.core.Tables.t(spark, sf, "nation"), "n_nationkey")
+    store.saveBucketed("t_nation", buckets = 4)
+    val loaded = QuadStore.loadBucketed(spark, "t_nation")
+    // force a shuffle-candidate join (broadcast would bypass bucketing on
+    // a table this small)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val a = loaded.quads
+        .filter(col("p") === Rid.uri("urn:p:nation:n_name"))
+        .select(col("s"), col("o").as("name"))
+      val b = loaded.quads
+        .filter(col("p") === Rid.uri("urn:p:nation:n_regionkey"))
+        .select(col("s"), col("o").as("rk"))
+      val joined = a.join(b, "s")
+      val plan = planOf(joined)
+      assert(!plan.contains("Exchange"),
+        s"bucketed subject join should not shuffle:\n$plan")
+      assert(joined.count() == 25)
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+  }
+}
