@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev-only profiling harness: runs named queries twice, printing cold vs
+  * warm timings, to separate one-time store materialization from steady
+  * state. Not part of the driver contract.
+  */
+object Scratch {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val names = if (args.nonEmpty) args.toSeq
+                else SparkEntry.queries.keys.toSeq.sorted
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val stages = new java.util.concurrent.atomic.AtomicInteger
+    val tasks = new java.util.concurrent.atomic.AtomicInteger
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobs.incrementAndGet()
+        override def onStageCompleted(
+            s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          stages.incrementAndGet()
+          tasks.addAndGet(s.stageInfo.numTasks)
+        }
+      })
+    for (name <- names) {
+      val fn = SparkEntry.queries(name)
+      def run(): (Double, Int, Int, Int) = {
+        val (j0, s0, t0n) = (jobs.get, stages.get, tasks.get)
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).count()
+        ((System.nanoTime() - t0) / 1e9,
+          jobs.get - j0, stages.get - s0, tasks.get - t0n)
+      }
+      val cold = run(); val warm = run()
+      println(f"SCRATCH $name%-36s cold=${cold._1}%6.2f warm=${warm._1}%6.2f " +
+        f"warmJobs=${warm._2}%3d warmStages=${warm._3}%3d warmTasks=${warm._4}%5d")
+    }
+    spark.stop()
+  }
+}

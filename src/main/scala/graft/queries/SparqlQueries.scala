@@ -32,6 +32,17 @@ object SparqlQueries {
                      q: String): DataFrame =
     Sparql.run(store(s, dir, tables: _*), s, q)
 
+  /** Materialize the per-table store caches (the import phase). Bench calls
+    * this during warm-up so per-query timings measure query execution, not
+    * one-time rdfize+cache — mirroring the reference benchmark, which loads
+    * the KB before timing queries (`tests/benchmark/run.pl:40-80`). */
+  def warm(s: SparkSession, dir: String): Unit =
+    Seq("region", "nation", "customer", "supplier", "part", "orders")
+      .foreach { t =>
+        val st = store(s, dir, t)
+        st.quads.count(); st.resources.count()
+      }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // BGP chain join over two rdfized tables (fs_bind + fs_binding_merge)
     "s01_sparql_bgp_join" -> ((s, d) =>
