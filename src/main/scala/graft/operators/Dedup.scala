@@ -26,13 +26,22 @@ object Dedup {
   private def words(text: Column): Column =
     filter(split(lower(text), "\\s+"), w => length(w) > 0)
 
-  /** k-word shingles of a text column (distinct). */
-  def shingles(text: Column, k: Int): Column = {
-    val ws = words(text)
-    array_distinct(
-      transform(sequence(lit(0), greatest(size(ws) - k, lit(0))),
-        i => concat_ws(" ", slice(ws, i + 1, lit(k)))))
-  }
+  /** k-word shingle array from a MATERIALIZED word-array column (distinct,
+    * full k-word windows only: fewer than k words -> no shingles).
+    *
+    * `ws` must be an attribute reference, not an expression: HOF lambdas
+    * are interpreted, and an embedded expression would be re-evaluated per
+    * array element (the 55x minhash regression, commit 8cb6d50). */
+  def shingleArray(ws: Column, k: Int): Column =
+    when(size(ws) < k, array().cast("array<string>"))
+      .otherwise(array_distinct(
+        transform(sequence(lit(0), size(ws) - k),
+          i => concat_ws(" ", slice(ws, i + 1, lit(k))))))
+
+  /** k-word shingles of a text column. Convenience for small/test inputs;
+    * the scaling path is [[shingleRows]], which materializes the word
+    * array behind a shuffle barrier first. */
+  def shingles(text: Column, k: Int): Column = shingleArray(words(text), k)
 
   /** MinHash signature: H minimums of independent permutations
     * h_i(x) = (a_i * xxhash64(x) + b_i) mod p over the shingle set.
@@ -54,20 +63,23 @@ object Dedup {
     }: _*)
   }
 
-  /** (id, shingle) rows via posexplode + lead windows — whole-stage
-    * codegen, one hash of each shingle, no interpreted array lambdas.
-    * May contain duplicate shingles per doc (callers distinct() if the
-    * semantics need sets). */
+  /** (id, shingle) rows: materialize the word array, repartition (a tiny
+    * shuffle of the raw docs that both blocks Catalyst from inlining the
+    * word-array expression into the interpreted shingle lambda and spreads
+    * single-file inputs over all cores), then shingle + explode in-row.
+    * Shingles are distinct per document (set semantics). */
   def shingleRows(df: DataFrame, idCol: String, textCol: String,
                   k: Int): DataFrame = {
-    val ws = filter(split(lower(col(textCol)), "\\s+"), w => length(w) > 0)
-    val win = Window.partitionBy("id").orderBy("pos")
-    df.select(col(idCol).as("id"), posexplode(ws).as(Seq("pos", "w")))
-      .select(col("id") +:
-        (0 until k).map(j => lead(col("w"), j).over(win).as(s"w$j")): _*)
-      .filter(col(s"w${k - 1}").isNotNull) // full k-word shingles only
-      .select(col("id"), concat_ws(" ",
-        (0 until k).map(j => col(s"w$j")): _*).as("s"))
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    // explode_outer, NOT explode: InferFiltersFromGenerate would turn a
+    // plain explode into a `size(shingles) > 0` scan filter whose
+    // interpreted HOF re-evaluates split() per array element — O(words^2)
+    // per document (observed 7x slowdown). Outer explode infers nothing;
+    // the cheap IS NOT NULL below drops shingle-less docs instead.
+    df.select(col(idCol).as("id"), words(col(textCol)).as("ws"))
+      .repartition(par)
+      .select(col("id"), explode_outer(shingleArray(col("ws"), k)).as("s"))
+      .filter(col("s").isNotNull)
   }
 
   /** MinHash signatures via explode + 32 codegen'd min-aggregates.
@@ -183,15 +195,29 @@ object Dedup {
   /** Exact n-gram Jaccard similarity join via inverted index:
     * explode distinct shingles, self-join on shingle (the index), count
     * common shingles per pair, Jaccard = common / (|A| + |B| - common).
-    * Only pairs sharing >= 1 shingle are ever materialized. */
+    * Only pairs sharing >= 1 shingle are ever materialized.
+    *
+    * Shuffle-minimal shape: the distinct shingle set AND its size are
+    * computed in-row (array HOF, one pass per document — no window sort,
+    * no distinct shuffle, no counts join), and shingles are collapsed to
+    * 64-bit hashes so the single real shuffle (the inverted-index
+    * self-join) moves longs, not strings. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         k: Int = 3, threshold: Double = 0.8): DataFrame = {
-    val distinctSh = shingleRows(df, idCol, textCol, k).distinct()
-    val counts = distinctSh.groupBy("id").agg(count(lit(1)).as("nsh"))
-    val inv = distinctSh.join(counts, "id")
-    val l = inv.select(col("s"), col("id").as("id1"), col("nsh").as("n1"))
-    val r = inv.select(col("s"), col("id").as("id2"), col("nsh").as("n2"))
-    l.join(r, "s").filter(col("id1") < col("id2"))
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    // explode_outer for the same InferFiltersFromGenerate reason as
+    // shingleRows; empty-shingle docs can't reach the join anyway
+    val inv = df
+      .select(col(idCol).as("id"), words(col(textCol)).as("ws"))
+      .repartition(par)
+      .select(col("id"), shingleArray(col("ws"), k).as("sh"))
+      .select(col("id"), size(col("sh")).as("nsh"),
+        explode_outer(col("sh")).as("s"))
+      .filter(col("s").isNotNull)
+      .select(col("id"), col("nsh"), xxhash64(col("s")).as("h"))
+    val l = inv.select(col("h"), col("id").as("id1"), col("nsh").as("n1"))
+    val r = inv.select(col("h"), col("id").as("id2"), col("nsh").as("n2"))
+    l.join(r, "h").filter(col("id1") < col("id2"))
       .groupBy("id1", "id2", "n1", "n2")
       .agg(count(lit(1)).as("common"))
       .withColumn("jaccard", col("common").cast("double") /
