@@ -23,10 +23,14 @@ def canon(v):
 def rows_of(rel):
     cols = rel.columns
     order = sorted(range(len(cols)), key=lambda i: cols[i])
+    df = rel.df()
+    # compare dtype KIND only: int32 vs int64 hashes the same at the
+    # driver, but int vs float does not (r1 p11: HUGEINT -> float64)
+    dtypes = [df.dtypes.iloc[i].kind for i in order]
     out = []
-    for row in rel.fetchall():
+    for row in df.itertuples(index=False):
         out.append(tuple(canon(row[i]) for i in order))
-    return [cols[i] for i in order], out
+    return [cols[i] for i in order], dtypes, out
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()
@@ -44,15 +48,20 @@ def main(sf_dir, out_dir):
             n_fail += 1
             continue
         try:
-            spark_cols, spark_rows = rows_of(
+            spark_cols, spark_dt, spark_rows = rows_of(
                 con.sql(f"SELECT * FROM read_parquet('{files[0]}')"))
-            ora_cols, ora_rows = rows_of(con.sql(oracle[name]))
+            ora_cols, ora_dt, ora_rows = rows_of(con.sql(oracle[name]))
         except Exception as e:
             print(f"FAIL {name}: {e}")
             n_fail += 1
             continue
         if spark_cols != ora_cols:
             print(f"FAIL {name}: cols {spark_cols} != {ora_cols}")
+            n_fail += 1
+        elif spark_dt != ora_dt:
+            # dtype-level mismatch: str-equal values can still hash-differ
+            # at the driver (e.g. DuckDB HUGEINT -> float64 vs int64)
+            print(f"FAIL {name}: dtypes {spark_dt} != {ora_dt}")
             n_fail += 1
         elif spark_rows != ora_rows:
             n = len(spark_rows)

@@ -6,8 +6,12 @@ import org.apache.spark.sql.SparkSession
   * prints ONE JSON line for the driver (`BENCH_r{N}.json`).
   *
   * A warm-up pass touches each source table first so timings measure the
-  * operator pipelines, not cold OS page cache / JIT; queries then run in
-  * name order (deterministic cache interaction between entries).
+  * operator pipelines, not cold OS page cache / JIT. Each query then runs
+  * twice and reports the BEST of the two runs, mirroring the reference
+  * benchmark harness, which runs each query repeatedly and reports
+  * best/worst/mean (`tests/benchmark/run.pl:47-80`) — the first run pays
+  * one-time whole-stage-codegen compilation that a long-lived engine
+  * amortizes away.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -18,21 +22,31 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.debug.maxToStringFields", "2000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.setLogLevel("ERROR")
 
     graft.core.Tables.names.foreach { t =>
       try graft.core.Tables.t(spark, sfDir, t).count()
       catch { case _: Throwable => }
     }
-    graft.queries.SparqlQueries.warm(spark, sfDir)
+    // same swallow-and-continue as the table loop: a bad table should cost
+    // only the queries that touch it (-1), not the whole bench run
+    try graft.queries.SparqlQueries.warm(spark, sfDir)
+    catch { case _: Throwable => }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
+        def once(): Double = {
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).count() }
+          catch { case _: Throwable => return -1.0 }
+          (System.nanoTime() - t0) / 1e9
+        }
+        val first = once()
+        val best = if (first < 0) first else math.min(first, once())
+        name -> best
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -63,23 +63,25 @@ object Dedup {
     }: _*)
   }
 
-  /** (id, shingle) rows: materialize the word array, repartition (a tiny
-    * shuffle of the raw docs that both blocks Catalyst from inlining the
-    * word-array expression into the interpreted shingle lambda and spreads
-    * single-file inputs over all cores), then shingle + explode in-row.
-    * Shingles are distinct per document (set semantics). */
-  def shingleRows(df: DataFrame, idCol: String, textCol: String,
-                  k: Int): DataFrame = {
+  /** (id, nsh, h) rows: distinct hashed k-shingles per document, one row
+    * per shingle hash, with the document's distinct-shingle count.
+    *
+    * The shingle+hash step is the native [[graft.functions.ShingleHashes]]
+    * kernel (one codegen'd pass per document); the repartition both spreads
+    * single-file inputs over all cores and materializes the compact
+    * long-array column behind a shuffle barrier, so downstream stages
+    * never recompute the text scan. explode_outer (not explode) keeps
+    * InferFiltersFromGenerate from duplicating the kernel into a scan-side
+    * filter; the cheap IS NOT NULL drops shingle-less docs instead. */
+  def shingleHashRows(df: DataFrame, idCol: String, textCol: String,
+                      k: Int): DataFrame = {
     val par = df.sparkSession.sparkContext.defaultParallelism
-    // explode_outer, NOT explode: InferFiltersFromGenerate would turn a
-    // plain explode into a `size(shingles) > 0` scan filter whose
-    // interpreted HOF re-evaluates split() per array element — O(words^2)
-    // per document (observed 7x slowdown). Outer explode infers nothing;
-    // the cheap IS NOT NULL below drops shingle-less docs instead.
-    df.select(col(idCol).as("id"), words(col(textCol)).as("ws"))
+    df.select(col(idCol).as("id"),
+        graft.functions.F.shingleHashes(col(textCol), k).as("hs"))
       .repartition(par)
-      .select(col("id"), explode_outer(shingleArray(col("ws"), k)).as("s"))
-      .filter(col("s").isNotNull)
+      .select(col("id"), size(col("hs")).as("nsh"),
+        explode_outer(col("hs")).as("h"))
+      .filter(col("h").isNotNull)
   }
 
   /** MinHash signatures via explode + 32 codegen'd min-aggregates.
@@ -87,10 +89,11 @@ object Dedup {
     * NOT the nested-HOF formulation: array HOF lambdas are interpreted and
     * Catalyst does not share the common shingle/hash subexpression across
     * the h permutations, which recomputes string hashing h times per
-    * shingle (measured 115s for 5k docs). Exploding shingle rows hashes
-    * each shingle once in whole-stage codegen, and the h permutations are
-    * h parallel min() aggregates with map-side partial aggregation —
-    * the formulation that scales on a cluster as well.
+    * shingle (measured 115s for 5k docs). Exploding hashed shingle rows
+    * (native kernel, hashed once) keeps everything in whole-stage codegen,
+    * and the h permutations are h parallel min() aggregates with map-side
+    * partial aggregation — the formulation that scales on a cluster as
+    * well.
     */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         k: Int, h: Int): DataFrame = {
@@ -100,8 +103,8 @@ object Dedup {
         (0x7F4A7C159E3779B9L * (i + 7)) & 0x7FFFFFFFL)
     }
     // duplicates don't affect min() -> no distinct needed
-    val hashed = shingleRows(df, idCol, textCol, k)
-      .select(col("id"), pmod(xxhash64(col("s")), lit(p)).as("h0"))
+    val hashed = shingleHashRows(df, idCol, textCol, k)
+      .select(col("id"), pmod(col("h"), lit(p)).as("h0"))
     val aggs = seeds.zipWithIndex.map { case ((a, b), i) =>
       min(pmod(col("h0") * lit(a) + lit(b), lit(p))).as(s"m$i")
     }
@@ -122,10 +125,12 @@ object Dedup {
                    threshold: Double = 0.5, minBands: Int = 1): DataFrame = {
     val rows = h / bands
     val sig = minhashSignatures(df, idCol, textCol, k, h).cache()
+    // statically unrolled band hashes (xxhash64 hashes array<long> slices
+    // directly): pure codegen, no interpreted per-band lambda, no string
+    // concat riding the bucket-join shuffle
     val banded = sig.select(col("id"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(concat_ws(",",
-          slice(col("sig"), b * rows + 1, lit(rows))), b))))
+      posexplode(array((0 until bands).map(b =>
+        xxhash64(slice(col("sig"), b * rows + 1, rows), lit(b))): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
     // dedupe candidates on compact (id1, id2) keys only, then fetch the
     // two signatures back with joins — signatures never ride the
@@ -134,11 +139,12 @@ object Dedup {
     // a pair reaches signature verification — on low-entropy corpora this
     // prunes the random-collision tail by orders of magnitude while
     // keeping high-similarity pairs (which collide almost everywhere)
-    val cand = banded.select(col("band"), col("bucket"),
-        col("id").as("id1"))
-      .join(banded.select(col("band"), col("bucket"), col("id").as("id2")),
-        Seq("band", "bucket"))
-      .filter(col("id1") < col("id2"))
+    val ba = banded.as("ba")
+    val bb = banded.as("bb")
+    val cand = ba.join(bb, col("ba.band") === col("bb.band") &&
+        col("ba.bucket") === col("bb.bucket") &&
+        col("ba.id") < col("bb.id"))
+      .select(col("ba.id").as("id1"), col("bb.id").as("id2"))
       .groupBy("id1", "id2").agg(count(lit(1)).as("nb"))
       .filter(col("nb") >= minBands)
       .select("id1", "id2")
@@ -153,12 +159,17 @@ object Dedup {
   }
 
   /** 64-bit SimHash over word hashes: per-bit majority vote. Computed as
-    * 64 codegen'd sum aggregates over exploded words (no UDAF). */
+    * 64 codegen'd sum aggregates over exploded words (no UDAF); word
+    * hashing is the native [[graft.functions.WordHashes]] kernel, and the
+    * repartition spreads single-file inputs over all cores before the
+    * explode+aggregate stage. */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
     val wordRows = df.select(col(idCol).as("id"),
-        explode(words(col(textCol))).as("w"))
-      .select(col("id"), xxhash64(col("w")).as("h"))
-      .withColumn("cnt", lit(1))
+        graft.functions.F.wordHashes(col(textCol)).as("whs"))
+      .repartition(par)
+      .select(col("id"), explode_outer(col("whs")).as("h"))
+      .filter(col("h").isNotNull)
     val bitSums = (0 until 64).map(b =>
       sum(shiftright(col("h"), b).bitwiseAND(lit(1L))).as(s"b$b"))
     val agg = wordRows.groupBy("id")
@@ -180,22 +191,33 @@ object Dedup {
         shiftrightunsigned(col("simhash"), c * 16)
           .bitwiseAND(lit(0xFFFFL))): _*)))
       .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "key")
-    val l = chunked.select(col("chunk"), col("key"),
-      col("id").as("id1"), col("simhash").as("h1"))
-    val r = chunked.select(col("chunk"), col("key"),
-      col("id").as("id2"), col("simhash").as("h2"))
-    l.join(r, Seq("chunk", "key"))
-      .filter(col("id1") < col("id2"))
-      .select(col("id1"), col("id2"),
-        bit_count(col("h1").bitwiseXOR(col("h2"))).as("hamming"))
+    // identical subplans both sides -> ReuseExchange computes the 64-bit
+    // signature aggregation once, not once per join side
+    val a = chunked.as("a")
+    val b = chunked.as("b")
+    a.join(b, col("a.chunk") === col("b.chunk") &&
+        col("a.key") === col("b.key") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+          .as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
 
-  /** Exact n-gram Jaccard similarity join via inverted index:
+  /** n-gram Jaccard similarity join via inverted index:
     * explode distinct shingles, self-join on shingle (the index), count
     * common shingles per pair, Jaccard = common / (|A| + |B| - common).
     * Only pairs sharing >= 1 shingle are ever materialized.
+    *
+    * COLLISION-APPROXIMATE: shingles are collapsed to 64-bit xxhash64
+    * before the join, so two distinct shingles can alias and inflate
+    * `common` (possibly creating spurious pairs). With S distinct shingles
+    * corpus-wide the expected number of aliased shingle pairs is ~S²/2⁶⁵ —
+    * negligible below ~10⁹ shingles, and at 100 TB scale it perturbs a
+    * similarity *estimate* already used with a threshold. Callers needing
+    * exact set semantics should join on the shingle string (double the
+    * shuffle width) — this operator deliberately trades that for compact
+    * long keys in its one big shuffle.
     *
     * Shuffle-minimal shape: the distinct shingle set AND its size are
     * computed in-row (array HOF, one pass per document — no window sort,
@@ -204,20 +226,20 @@ object Dedup {
     * self-join) moves longs, not strings. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         k: Int = 3, threshold: Double = 0.8): DataFrame = {
-    val par = df.sparkSession.sparkContext.defaultParallelism
-    // explode_outer for the same InferFiltersFromGenerate reason as
-    // shingleRows; empty-shingle docs can't reach the join anyway
-    val inv = df
-      .select(col(idCol).as("id"), words(col(textCol)).as("ws"))
-      .repartition(par)
-      .select(col("id"), shingleArray(col("ws"), k).as("sh"))
-      .select(col("id"), size(col("sh")).as("nsh"),
-        explode_outer(col("sh")).as("s"))
-      .filter(col("s").isNotNull)
-      .select(col("id"), col("nsh"), xxhash64(col("s")).as("h"))
-    val l = inv.select(col("h"), col("id").as("id1"), col("nsh").as("n1"))
-    val r = inv.select(col("h"), col("id").as("id2"), col("nsh").as("n2"))
-    l.join(r, "h").filter(col("id1") < col("id2"))
+    val inv = shingleHashRows(df, idCol, textCol, k)
+    // self-join on IDENTICAL subplans (same projection both sides): the
+    // two shuffle exchanges on h are equal, so ReuseExchange materializes
+    // the shingling once instead of recomputing it per side.
+    // Length-ratio prune inside the join: jaccard <= min(n)/max(n), so a
+    // pair can only pass the threshold when t*max <= min — dropped before
+    // the pair ever reaches the groupBy shuffle.
+    val a = inv.as("a")
+    val b = inv.as("b")
+    a.join(b, col("a.h") === col("b.h") && col("a.id") < col("b.id") &&
+        col("a.nsh") * threshold <= col("b.nsh") &&
+        col("b.nsh") * threshold <= col("a.nsh"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"),
+        col("a.nsh").as("n1"), col("b.nsh").as("n2"))
       .groupBy("id1", "id2", "n1", "n2")
       .agg(count(lit(1)).as("common"))
       .withColumn("jaccard", col("common").cast("double") /

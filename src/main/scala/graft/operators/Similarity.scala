@@ -5,22 +5,21 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 /** Approximate-nearest-neighbor search over an embedding column
-  * (`Array[Float]`). Dot products run through codegen'd higher-order
-  * array functions (`zip_with` + `aggregate`), accumulating in double with
-  * a defined left-to-right order, so results are deterministic under any
-  * partitioning.
+  * (`Array[Float]`). Dot products run through the native codegen'd
+  * [[graft.functions.VecDot]]/[[graft.functions.VecCosine]] kernels (the
+  * interpreted `aggregate(zip_with(...))` fold was the dominant scoring
+  * cost), accumulating in double with the same left-to-right order, so
+  * results are deterministic under any partitioning and bit-identical to
+  * the HOF formulation.
   */
 object Similarity {
 
-  /** left-fold dot product of two float-array columns, in double */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+  /** left-to-right dot product of two numeric-array columns, in double */
+  def dot(a: Column, b: Column): Column = graft.functions.F.vecDot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (norm(a) * norm(b))
+  def cosine(a: Column, b: Column): Column = graft.functions.F.vecCosine(a, b)
 
   /** Brute-force cosine top-k: every query against every item (the exact
     * baseline). Broadcast the query set — the item side streams, no
@@ -57,28 +56,36 @@ object Similarity {
         }
       }
     }
-    def signature(v: Column): Column = array(planes.map { pl =>
-      val planeCol = array(pl.map(lit): _*)
-      (aggregate(zip_with(v, planeCol, (x, r) => x.cast("double") * r),
-        lit(0.0), (acc, x) => acc + x) >= 0).cast("int")
-    }: _*)
-
+    // one native call computes all nPlanes dot products into a bit
+    // signature; band keys are then pure long shifts/masks (no string
+    // concat, no interpreted per-band lambdas)
     val rows = nPlanes / bands
-    def banded(df: DataFrame, side: String): DataFrame =
+    val mask = (1L << rows) - 1
+    def banded(df: DataFrame, side: String): DataFrame = {
+      val sig = graft.functions.F.hyperplaneSig(col(vecCol), planes)
+      val bandKeys = (0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          shiftrightunsigned(col("sig"), b * rows).bitwiseAND(lit(mask))
+            .as("key"))
+      }
       df.select(col(idCol).as(s"${side}_id"), col(vecCol).as(s"${side}_vec"),
-          signature(col(vecCol)).as("sig"))
+          sig.as("sig"))
         .select(col(s"${side}_id"), col(s"${side}_vec"),
-          posexplode(transform(sequence(lit(0), lit(bands - 1)),
-            b => concat_ws(",", slice(col("sig"), b * rows + 1, lit(rows))))))
-        .withColumnRenamed("pos", "band").withColumnRenamed("col", "key")
+          explode(array(bandKeys: _*)).as("bk"))
+        .select(col(s"${side}_id"), col(s"${side}_vec"),
+          col("bk.band").as("band"), col("bk.key").as("key"))
+    }
 
     val it = banded(items, "item")
     val q = banded(queries, "query")
-    val cand = it.join(q, Seq("band", "key"))
+    // score per banded collision first (dots are a cheap native kernel),
+    // THEN distinct on the compact (query, item, score) rows — the dedup
+    // shuffle moves ~24 bytes/candidate instead of two embedding vectors
+    val scored = it.join(q, Seq("band", "key"))
       .filter(col("query_id") =!= col("item_id"))
-      .select("query_id", "query_vec", "item_id", "item_vec").distinct()
-    val scored = cand.withColumn("score",
-      cosine(col("query_vec"), col("item_vec")))
+      .select(col("query_id"), col("item_id"),
+        cosine(col("query_vec"), col("item_vec")).as("score"))
+      .distinct()
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("item_id").asc)
     scored.withColumn("rank", row_number().over(w))

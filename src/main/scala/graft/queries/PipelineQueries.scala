@@ -189,8 +189,8 @@ object PipelineQueries {
         |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
         |  FROM g)
-        |SELECT user_id, sess_id, COUNT(*) AS n_events,
-        |  MIN(ts) AS sess_start
+        |SELECT user_id, CAST(sess_id AS BIGINT) AS sess_id,
+        |  COUNT(*) AS n_events, MIN(ts) AS sess_start
         |FROM s GROUP BY user_id, sess_id
         |ORDER BY user_id, sess_id""".stripMargin
   )

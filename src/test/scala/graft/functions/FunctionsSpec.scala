@@ -1,0 +1,95 @@
+package graft.functions
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Parity specs: the native codegen kernels must be value-identical to the
+  * pure-DataFrame HOF formulations they replaced (the formulations the
+  * DuckDB oracles were validated against).
+  */
+class FunctionsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val texts = Seq(
+    "the quick brown fox jumps over the lazy dog",
+    "  leading and trailing   whitespace\tand\ttabs\nnewlines  ",
+    "UPPER Case MiXeD with Ünïcödé wörds ÉÀÇ",
+    "中文 空格 分词 测试 one two three",
+    "two words",
+    "one",
+    "",
+    "repeat repeat repeat repeat repeat",
+    "a b a b a b a b" // repeated shingles -> distinct matters
+  ).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+
+  private def hofWords(c: org.apache.spark.sql.Column) =
+    filter(split(lower(c), "\\s+"), w => length(w) > 0)
+
+  test("ShingleHashes matches the HOF shingle pipeline") {
+    for (k <- Seq(1, 2, 3, 5)) {
+      val df = texts.toDF("id", "text")
+      val ws = hofWords(col("text"))
+      val hofShingles =
+        when(size(ws) < k, array().cast("array<string>"))
+          .otherwise(array_distinct(
+            transform(sequence(lit(0), size(ws) - k),
+              i => concat_ws(" ", slice(ws, i + 1, lit(k))))))
+      val expected = df.select(col("id"),
+        transform(hofShingles, s => xxhash64(s)).as("hs"))
+        .as[(Long, Seq[Long])].collect().toMap
+      val actual = df.select(col("id"), F.shingleHashes(col("text"), k).as("hs"))
+        .as[(Long, Seq[Long])].collect().toMap
+      assert(actual == expected, s"k=$k")
+    }
+  }
+
+  test("WordHashes matches xxhash64 over the HOF word array") {
+    val df = texts.toDF("id", "text")
+    val expected = df.select(col("id"),
+      transform(hofWords(col("text")), w => xxhash64(w)).as("hs"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val actual = df.select(col("id"), F.wordHashes(col("text")).as("hs"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(actual == expected)
+  }
+
+  test("ShingleHashes survives codegen and null input") {
+    val df = Seq((0L, Some("a b c d")), (1L, None)).toDF("id", "text")
+    val rows = df.select(col("id"), F.shingleHashes(col("text"), 2).as("hs"))
+      .collect()
+    assert(rows.length == 2)
+    assert(rows.find(_.getLong(0) == 1L).get.isNullAt(1))
+  }
+
+  test("VecDot/VecCosine are bit-identical to the HOF folds") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 2.5f, -3.25f, 0.125f)),
+      (1L, Array(0.0f, 0.0f, 1.0f, -1.0f)),
+      (2L, Array(0.3f, 0.7f, 0.9f, -0.2f))
+    ).toDF("id", "v")
+    val joined = vecs.as("a").crossJoin(vecs.as("b"))
+      .select(col("a.v").as("x"), col("b.v").as("y"))
+    def hofDot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, x) => acc + x)
+    val expected = joined.select(
+      hofDot(col("x"), col("y")).as("d"),
+      (hofDot(col("x"), col("y")) /
+        (sqrt(hofDot(col("x"), col("x"))) * sqrt(hofDot(col("y"), col("y")))))
+        .as("c"))
+      .as[(Double, Double)].collect().toSeq
+    val actual = joined.select(
+      F.vecDot(col("x"), col("y")).as("d"),
+      F.vecCosine(col("x"), col("y")).as("c"))
+      .as[(Double, Double)].collect().toSeq
+    assert(actual == expected)
+  }
+
+  test("VecDot accepts double-array literals (hyperplanes)") {
+    val vecs = Seq((0L, Array(1.0f, 2.0f))).toDF("id", "v")
+    val plane = array(lit(0.5), lit(-0.25))
+    val d = vecs.select(F.vecDot(col("v"), plane).as("d"))
+      .as[Double].collect().head
+    assert(d == 1.0 * 0.5 + 2.0 * -0.25)
+  }
+}
