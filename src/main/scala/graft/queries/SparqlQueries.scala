@@ -24,7 +24,12 @@ object SparqlQueries {
     tables.map { t =>
       cache.getOrElseUpdate((dir, t), {
         val st = QuadStore.rdfizeDir(s, dir, Seq(t))
-        QuadStore(st.quads.cache(), st.resources.cache())
+        // cache the VALUED (wide) form once; the narrow quads view is a
+        // projection over the same cached relation (columnar cache prunes
+        // the value columns for RID-only scans)
+        val v = st.valued.get.cache()
+        QuadStore(v.select(QuadStore.quadCols.map(col): _*),
+          st.resources.cache(), Some(v))
       })
     }.reduce(_ union _)
 

@@ -36,13 +36,25 @@ final case class FlatQuad(
   *
   *   quads(g, s, p, o)                  all LongType RIDs
   *   resources(rid, lex, dt, lang)     the term dictionary
+  *   valued (optional)                  quads + inline lexical columns
+  *                                      (gLex,sLex,pLex,oLex,oDt,oLang)
   *
   * replacing the reference's per-segment ptree indexes + rhash dictionary
   * (`src/backend/ptree.c`, `src/backend/rhash.c`). Partitioning by subject
   * RID (the reference's segment routing, `src/frontend/import.c:510`) maps
   * to Spark shuffle/bucketing on `s`.
+  *
+  * `valued` is the Spark analog of the reference's LOCAL rhash lookup:
+  * the backend resolves RIDs against a per-segment hash file with no
+  * network hop (`src/backend/rhash.c`), and here a pattern scan picks the
+  * term's lexical form off the very row it matched — no dictionary
+  * shuffle-join. Columnar storage prunes the value columns away for scans
+  * that only need RIDs, so the narrow fast path stays narrow. Update
+  * operations drop `valued` (they splice in rows without value columns);
+  * execution then falls back to dictionary-join resolution.
   */
-final case class QuadStore(quads: DataFrame, resources: DataFrame) {
+final case class QuadStore(quads: DataFrame, resources: DataFrame,
+                           valued: Option[DataFrame] = None) {
 
   /** Attach dictionary values for the given RID columns: adds
     * `<c>__lex` (string), `<c>__dt` (attr rid), `<c>__lang` per column.
@@ -62,7 +74,8 @@ final case class QuadStore(quads: DataFrame, resources: DataFrame) {
   def union(other: QuadStore): QuadStore =
     QuadStore(
       quads.unionByName(other.quads),
-      resources.unionByName(other.resources).dropDuplicates("rid"))
+      resources.unionByName(other.resources).dropDuplicates("rid"),
+      for (a <- valued; b <- other.valued) yield a.unionByName(b))
 
   /** Repartition quads by subject — the reference's segment layout; makes
     * subject-subject joins co-partitioned after one shuffle. */
@@ -107,13 +120,23 @@ object QuadStore {
     * `src/frontend/import.c:425-542`). */
   def fromFlat(spark: SparkSession, flat: DataFrame): QuadStore = {
     val f = flat.cache()
-    val quads = f.select(
+    val valued = f.select(
       when(col("gLex").isNull || col("gLex") === "",
         lit(defaultGraph)).otherwise(Rid.uriCol(col("gLex"))).as("g"),
       when(col("sKind") === 1, Rid.uriCol(col("sLex")))
         .otherwise(Rid.bnodeCol(col("sLex"))).as("s"),
       Rid.uriCol(col("pLex")).as("p"),
-      ridOf(col("oKind"), col("oLex"), col("oDt"), col("oLang")).as("o"))
+      ridOf(col("oKind"), col("oLex"), col("oDt"), col("oLang")).as("o"),
+      when(col("gLex").isNull || col("gLex") === "",
+        lit(defaultGraphUri)).otherwise(col("gLex")).as("gLex"),
+      col("sLex").as("sLex"),
+      col("pLex").as("pLex"),
+      col("oLex").as("oLex"),
+      when(col("oKind") === 0, Rid.attrCol(col("oDt"), col("oLang")))
+        .otherwise(lit(0L)).as("oDt"),
+      when(col("oKind") === 0, coalesce(col("oLang"), lit("")))
+        .otherwise(lit("")).as("oLang"))
+    val quads = valued.select(quadCols.map(col): _*)
 
     val zero = lit(0L)
     val emptyS = lit("")
@@ -142,7 +165,7 @@ object QuadStore {
     val resources = subjects.unionByName(preds).unionByName(objs)
       .unionByName(graphs).unionByName(dts)
       .dropDuplicates("rid")
-    QuadStore(quads, resources)
+    QuadStore(quads, resources, Some(valued))
   }
 
   /** Distributed N-Triples / N-Quads reader. */
@@ -221,11 +244,18 @@ object QuadStore {
       .filter(col("lex").isNotNull)
       .cache()
 
-    val quads = exploded.select(
+    val valued = exploded.select(
       lit(graphRid).as("g"),
       Rid.uriCol(col("sLex")).as("s"),
       col("p"),
-      Rid.literalCol(col("lex"), col("attr")).as("o"))
+      Rid.literalCol(col("lex"), col("attr")).as("o"),
+      lit(s"urn:g:$table").as("gLex"),
+      col("sLex").as("sLex"),
+      col("pLex").as("pLex"),
+      col("lex").as("oLex"),
+      col("attr").as("oDt"),
+      lit("").as("oLang"))
+    val quads = valued.select(quadCols.map(col): _*)
 
     val subjects = exploded.select(
       Rid.uriCol(col("sLex")).as("rid"), col("sLex").as("lex"),
@@ -245,7 +275,7 @@ object QuadStore {
 
     val resources = subjects.unionByName(objects).unionByName(preds)
       .unionByName(consts).dropDuplicates("rid")
-    QuadStore(quads, resources)
+    QuadStore(quads, resources, Some(valued))
   }
 
   private def dtUriOf(t: DataType): String = t match {

@@ -77,10 +77,20 @@ final class Exec(store: QuadStore, spark: SparkSession) {
     * pushed-down Long equality filters on the quads scan; variable slots
     * project out as binding columns; repeated variables add the
     * `FS_BIND_SAME_*` self-equality filter (`query-backend.c:82-137`).
+    *
+    * Vars the query will need VALUES for (`need`) resolve AT THE SCAN from
+    * the store's inline value columns when available — the analog of the
+    * reference backend's local rhash lookup (no network hop,
+    * `src/backend/rhash.c`); Spark's columnar cache prunes those columns
+    * for RID-only scans, so narrow patterns pay nothing.
     */
   private def triplePattern(tp: TriplePat, gvar: Option[String],
-                            gRids: Option[Seq[Long]]): Bindings = {
-    var df = store.quads
+                            gRids: Option[Seq[Long]],
+                            need: String => Boolean): Bindings = {
+    val useValued = store.valued.isDefined &&
+      (Seq(tp.s, tp.p, tp.o).collect { case PVar(v) => v } ++ gvar)
+        .exists(need)
+    var df = if (useValued) store.valued.get else store.quads
     gRids.foreach(rs => df = df.filter(col("g").isin(rs: _*)))
     val slots = Seq("s" -> tp.s, "p" -> tp.p, "o" -> tp.o)
     // constant slots -> pushdown filters
@@ -98,9 +108,21 @@ final class Exec(store: QuadStore, spark: SparkSession) {
         case None => seen += v -> c
       }
     }
-    val proj = seen.toSeq.map { case (v, c) => col(c).as(v) }
+    val proj = seen.toSeq.flatMap { case (v, c) =>
+      if (useValued && need(v)) {
+        val (lexC, dtC, langC) = c match {
+          case "o" => (col("oLex"), col("oDt"), col("oLang"))
+          case "s" => (col("sLex"), lit(0L), lit(""))
+          case "p" => (col("pLex"), lit(0L), lit(""))
+          case "g" => (col("gLex"), lit(0L), lit(""))
+        }
+        Seq(col(c).as(v), lexC.as(s"${v}__lex"), dtC.as(s"${v}__dt"),
+          langC.as(s"${v}__lang"))
+      } else Seq(col(c).as(v))
+    }
+    val valued = seen.keys.filter(v => useValued && need(v)).toSet
     Bindings(df.select(proj: _*), seen.keys.toSeq, seen.keySet.toSet,
-      Set.empty)
+      valued)
   }
 
   // ------------------------------------------------------------- joins
@@ -212,40 +234,52 @@ final class Exec(store: QuadStore, spark: SparkSession) {
   // --------------------------------------------------------- patterns
 
   def pattern(gp: GP, gvar: Option[String] = None,
-              gRids: Option[Seq[Long]] = None): Bindings = gp match {
+              gRids: Option[Seq[Long]] = None,
+              need: String => Boolean = _ => false): Bindings = gp match {
     case BGPat(pats) =>
       val ordered = orderPatterns(pats)
-      ordered.map(triplePattern(_, gvar, gRids))
+      ordered.map(triplePattern(_, gvar, gRids, need))
         .reduceLeft((a, b) => join(a, b))
     case GroupGP(elems, filters) =>
+      // this group's filters and BIND inputs consume values too — resolve
+      // them at the scan along with whatever the caller needs
+      val localVars = (filters.flatMap(varsOf) ++
+        elems.collect { case BindGP(e, _) => varsOf(e) }.flatten).toSet
+      val needHere: String => Boolean = v => need(v) || localVars(v)
       var acc: Option[Bindings] = None
       def fold(b: Bindings): Unit =
         acc = Some(acc.map(a => join(a, b)).getOrElse(b))
       elems.foreach {
         case OptionalGP(inner) =>
           val left = acc.getOrElse(unit)
-          acc = Some(join(left, pattern(inner, gvar, gRids), "left_outer"))
+          acc = Some(join(left, pattern(inner, gvar, gRids, needHere),
+            "left_outer"))
         case MinusGP(inner) =>
           val left = acc.getOrElse(unit)
           acc = Some(minus(left, pattern(inner, gvar, gRids)))
-        case GraphGP(PVar(v), inner) => fold(pattern(inner, Some(v), None))
+        case GraphGP(PVar(v), inner) =>
+          fold(pattern(inner, Some(v), None, needHere))
         case GraphGP(PConst(t), inner) =>
-          fold(pattern(inner, None, Some(Seq(Rid.of(t)))))
+          fold(pattern(inner, None, Some(Seq(Rid.of(t))), needHere))
         case BindGP(e, v) =>
           val left = acc.getOrElse(unit)
           acc = Some(extend(left, v, e))
-        case u: UnionGP => fold(pattern(u, gvar, gRids))
+        case u: UnionGP => fold(pattern(u, gvar, gRids, needHere))
         case v: ValuesGP => fold(valuesTable(v))
-        case other => fold(pattern(other, gvar, gRids))
+        case other => fold(pattern(other, gvar, gRids, needHere))
       }
       val base = acc.getOrElse(unit)
       filters.foldLeft(base)((b, f) => filter(b, f, gvar, gRids))
-    case UnionGP(alts) => union(alts.map(pattern(_, gvar, gRids)))
+    case UnionGP(alts) =>
+      // union() aligns value columns across every branch var, so resolve
+      // all of them at the scan (cheaper than per-var dictionary joins)
+      union(alts.map(pattern(_, gvar, gRids, _ => true)))
     case OptionalGP(inner) => // top-level OPTIONAL: join with unit
-      join(unit, pattern(inner, gvar, gRids), "left_outer")
+      join(unit, pattern(inner, gvar, gRids, need), "left_outer")
     case MinusGP(_) => unit
-    case GraphGP(PVar(v), inner) => pattern(inner, Some(v), None)
-    case GraphGP(PConst(t), inner) => pattern(inner, None, Some(Seq(Rid.of(t))))
+    case GraphGP(PVar(v), inner) => pattern(inner, Some(v), None, need)
+    case GraphGP(PConst(t), inner) =>
+      pattern(inner, None, Some(Seq(Rid.of(t))), need)
     case BindGP(e, v) => extend(unit, v, e)
     case v: ValuesGP => valuesTable(v)
   }

@@ -40,7 +40,15 @@ object Sparql {
   private def select(store: QuadStore, spark: SparkSession,
                      q: SelectQ): DataFrame = {
     val exec = new Exec(store, spark)
-    var b = exec.pattern(q.where)
+    // vars whose values any output expression needs — resolved at the
+    // pattern scan when the store carries inline values (SELECT * needs
+    // every var)
+    val topNeeded =
+      (q.items.map(_.expr) ++ q.mods.having ++ q.mods.groupBy ++
+        q.mods.orderBy.map(_._1)).flatMap(e => varsOfExpr(e)).toSet
+    val needFn: String => Boolean =
+      if (q.items.isEmpty) _ => true else topNeeded
+    var b = exec.pattern(q.where, need = needFn)
 
     val items: List[SelectItem] =
       if (q.items.nonEmpty) q.items
@@ -206,9 +214,9 @@ object Sparql {
   private def construct(store: QuadStore, spark: SparkSession,
                         q: ConstructQ): DataFrame = {
     val exec = new Exec(store, spark)
-    var b = exec.pattern(q.where)
     val vars = q.template.flatMap(t => Seq(t.s, t.p, t.o))
       .collect { case PVar(v) => v }.toSet
+    var b = exec.pattern(q.where, need = vars)
     b = exec.ensureValues(b, vars)
     // template instantiation (`src/frontend/results.c:1765-1898`)
     val rows = q.template.map { t =>

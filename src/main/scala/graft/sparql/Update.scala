@@ -140,13 +140,17 @@ object Update {
             .dropDuplicates(quadKey),
           store.resources.unionByName(resourcesOf(spark, terms))
             .dropDuplicates("rid"))
+      // mutations drop the inline-value scan (`valued`): spliced rows have
+      // no value columns; execution falls back to dictionary resolution
       case DeleteData(quads) =>
         store.copy(quads = store.quads.join(constQuadsDF(spark, quads),
-          quadKey, "left_anti"))
-      case Clear(None) => store.copy(quads = store.quads.limit(0))
+          quadKey, "left_anti"), valued = None)
+      case Clear(None) =>
+        store.copy(quads = store.quads.limit(0), valued = None)
       case Clear(Some("")) => store // CREATE: no-op (update.c:225-226)
       case Clear(Some(g)) =>
-        store.copy(quads = store.quads.filter(col("g") =!= Rid.uri(g)))
+        store.copy(quads = store.quads.filter(col("g") =!= Rid.uri(g)),
+          valued = None)
       case GraphCopy(kind, from, to) =>
         val fromRid = from.map(Rid.uri).getOrElse(WellKnown.defaultGraph)
         val toRid = to.map(Rid.uri).getOrElse(WellKnown.defaultGraph)
