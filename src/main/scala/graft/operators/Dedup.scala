@@ -204,6 +204,46 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Embedding-cosine near-duplicate pairs (the dedup family's embedding
+    * variant). With `planes` empty this is the exact all-pairs
+    * verification path (oracle-checkable; pair space is O(N²) — use it on
+    * bounded sets). With hyperplane LSH `planes`, banded candidate
+    * generation prunes the quadratic pair space before the exact cosine
+    * verify — the 100 TB path (recall < 1, tunable via planes/bands).
+    * Cosine runs through the native [[graft.functions.VecCosine]] kernel.
+    */
+  def embedNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                        threshold: Double,
+                        planes: Seq[Seq[Double]] = Nil,
+                        bands: Int = 4): DataFrame = {
+    import graft.functions.F
+    val a = df.select(col(idCol).as("id1"), col(vecCol).as("v1"))
+    val b = df.select(col(idCol).as("id2"), col(vecCol).as("v2"))
+    val cand =
+      if (planes.isEmpty) a.join(b, col("id1") < col("id2"))
+      else {
+        val rows = planes.size / bands
+        val mask = (1L << rows) - 1
+        def banded(side: DataFrame, sig: Column) = side
+          .withColumn("sig", sig)
+          .select(col("*"), explode(array((0 until bands).map(bi =>
+            struct(lit(bi).as("band"),
+              shiftrightunsigned(col("sig"), bi * rows)
+                .bitwiseAND(lit(mask)).as("key"))): _*)).as("bk"))
+          .select(col("bk.band").as("band"), col("bk.key").as("key"),
+            col(side.columns(0)), col(side.columns(1)))
+        banded(a, F.hyperplaneSig(col("v1"), planes))
+          .join(banded(b, F.hyperplaneSig(col("v2"), planes)),
+            Seq("band", "key"))
+          .filter(col("id1") < col("id2"))
+          .select("id1", "v1", "id2", "v2")
+      }
+    val scored = cand.select(col("id1"), col("id2"),
+        F.vecCosine(col("v1"), col("v2")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+    if (planes.isEmpty) scored else scored.distinct()
+  }
+
   /** n-gram Jaccard similarity join via inverted index:
     * explode distinct shingles, self-join on shingle (the index), count
     * common shingles per pair, Jaccard = common / (|A| + |B| - common).

@@ -18,7 +18,7 @@ object Multimodal {
   final case class MediaRow(media_id: Long, mime: String,
                             content: Array[Byte])
   final case class ImageMeta(media_id: Long, width: Int, height: Int,
-                             channels: Int, n_bytes: Long, sha_prefix: String)
+                             channels: Int, n_bytes: Long, fp_prefix: String)
   final case class Frame(media_id: Long, frame_no: Int,
                          frame: Array[Byte])
 
@@ -33,13 +33,15 @@ object Multimodal {
       .as[MediaRow]
   }
 
-  /** STUB decode: deterministic pseudo metadata from content bytes.
-    * A real deployment swaps this one function for an actual codec. */
-  private def fakeDecode(bytes: Array[Byte]): (Int, Int, Int) = {
-    val h = java.util.Arrays.hashCode(bytes)
-    val w = 64 + math.abs(h % 1024)
-    val ht = 64 + math.abs((h >> 10) % 1024)
-    (w, ht, 3)
+  /** STUB decode: deterministic pseudo metadata from the content's MD5
+    * digest (little-endian byte reads, so a SQL oracle can replicate it
+    * from `md5_number`). A real deployment swaps this one function for an
+    * actual codec. */
+  private def fakeDecode(digest: Array[Byte]): (Int, Int, Int) = {
+    def b(i: Int): Int = digest(i) & 0xFF
+    val w = 64 + b(0) + 256 * (b(1) & 0x3)
+    val h = 64 + b(2) + 256 * (b(3) & 0x3)
+    (w, h, 3)
   }
 
   /** Batched metadata extraction: processes rows in fixed-size batches per
@@ -50,12 +52,13 @@ object Multimodal {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
       it.grouped(batchSize).flatMap { batch =>
         batch.map { m =>
-          val (w, h, c) = fakeDecode(m.content)
-          val sha = java.security.MessageDigest.getInstance("SHA-256")
-            .digest(m.content).take(4).map("%02x".format(_)).mkString
-          ImageMeta(m.media_id, w, h, c, m.content.length.toLong, sha)
+          val digest = md.digest(m.content)
+          val (w, h, c) = fakeDecode(digest)
+          val fp = digest.take(4).map("%02x".format(_)).mkString
+          ImageMeta(m.media_id, w, h, c, m.content.length.toLong, fp)
         }
       }
     }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.core.Tables
-import graft.operators.{Dedup, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
 
 /** Training-data pipeline operators over the documents/embeddings/events
   * tables: dedup family, similarity search, text analysis, sessionization.
@@ -57,7 +57,8 @@ object PipelineQueries {
           "quality_score")
         .orderBy("doc_id")),
 
-    // language ID heuristic (rows-only; accuracy asserted in spec)
+    // language ID heuristic (stopword-ratio fold + CJK share; the DuckDB
+    // oracle replicates the fold in sorted-language order)
     "p07_langid" -> ((s, d) =>
       t(s, d, "documents").select(col("doc_id"),
         TextAnalysis.langId(col("text")).as("lang_pred"))
@@ -87,6 +88,24 @@ object PipelineQueries {
         .select("query_id", "rank", "item_id")
         .orderBy("query_id", "rank")
     }),
+
+    // multimodal plumbing: opaque binary media column -> typed metadata
+    // via batched per-partition decode (STUB codec, real Spark shape)
+    "p12_multimodal_meta" -> ((s, d) => {
+      val media = Multimodal.asMedia(t(s, d, "documents"),
+        "doc_id", "text", "image/fake")
+      Multimodal.imageMeta(media).toDF()
+        .select("media_id", "width", "height", "channels", "n_bytes",
+          "fp_prefix")
+        .orderBy("media_id")
+    }),
+
+    // embedding-cosine near-dup pairs (exact verification path)
+    "p13_embed_neardup" -> ((s, d) =>
+      Dedup.embedNearDupPairs(t(s, d, "embeddings"), "vec_id", "embedding",
+          threshold = 0.4)
+        .select(col("id1"), col("id2"), round(col("cosine"), 6).as("cos6"))
+        .orderBy("id1", "id2")),
 
     // sessionization: 30-min-gap sessions per user over the event stream
     "p11_events_sessionize" -> ((s, d) => {
@@ -157,6 +176,37 @@ object PipelineQueries {
         |    AS quality_score
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    "p07_langid" ->
+      """WITH w AS (
+        |  SELECT doc_id, text,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |      x -> len(x) > 0) AS ws
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, text,
+        |    len(list_filter(ws, x -> list_contains(['der','die','das','und','ist','nicht','mit','ein','eine','zu','den','von','im','auf','für'], x)))::DOUBLE / greatest(len(ws),1) AS r_de,
+        |    len(list_filter(ws, x -> list_contains(['the','and','of','to','a','in','is','that','it','for','was','on','are','with','as'], x)))::DOUBLE / greatest(len(ws),1) AS r_en,
+        |    len(list_filter(ws, x -> list_contains(['el','la','los','las','y','es','un','una','de','que','no','en','por','para','con'], x)))::DOUBLE / greatest(len(ws),1) AS r_es,
+        |    len(list_filter(ws, x -> list_contains(['le','la','les','et','est','un','une','des','du','que','pas','pour','dans','qui','sur'], x)))::DOUBLE / greatest(len(ws),1) AS r_fr,
+        |    (len(text) - len(regexp_replace(text, '[\x{4e00}-\x{9fff}]', '', 'g')))::DOUBLE / greatest(len(text),1) AS cjk
+        |  FROM w),
+        |f AS (
+        |  SELECT doc_id, cjk,
+        |    CASE WHEN r_de > 0.04 THEN r_de ELSE 0.04 END AS s1,
+        |    CASE WHEN r_de > 0.04 THEN 'de' ELSE 'en' END AS l1,
+        |    r_en, r_es, r_fr FROM r),
+        |f2 AS (SELECT doc_id, cjk, r_es, r_fr,
+        |    CASE WHEN r_en > s1 THEN r_en ELSE s1 END AS s2,
+        |    CASE WHEN r_en > s1 THEN 'en' ELSE l1 END AS l2 FROM f),
+        |f3 AS (SELECT doc_id, cjk, r_fr,
+        |    CASE WHEN r_es > s2 THEN r_es ELSE s2 END AS s3,
+        |    CASE WHEN r_es > s2 THEN 'es' ELSE l2 END AS l3 FROM f2),
+        |f4 AS (SELECT doc_id, cjk,
+        |    CASE WHEN r_fr > s3 THEN 'fr' ELSE l3 END AS l4 FROM f3)
+        |SELECT doc_id, CASE WHEN cjk > 0.05 THEN 'zh' ELSE l4 END
+        |  AS lang_pred
+        |FROM f4 ORDER BY doc_id""".stripMargin,
+
     "p08_subword_count" ->
       """SELECT doc_id, CAST(list_sum(list_transform(
         |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
@@ -177,6 +227,31 @@ object PipelineQueries {
         |  FROM scored)
         |SELECT query_id, rank, item_id FROM ranked WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
+
+    "p12_multimodal_meta" ->
+      """WITH m AS (SELECT doc_id, text, md5(text) AS h FROM documents)
+        |SELECT doc_id AS media_id,
+        |  CAST(64 + ('0x'||substr(h,1,2))::BIGINT
+        |    + 256 * (('0x'||substr(h,3,2))::BIGINT % 4) AS BIGINT) AS width,
+        |  CAST(64 + ('0x'||substr(h,5,2))::BIGINT
+        |    + 256 * (('0x'||substr(h,7,2))::BIGINT % 4) AS BIGINT) AS height,
+        |  3 AS channels,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  substr(h, 1, 8) AS fp_prefix
+        |FROM m ORDER BY media_id""".stripMargin,
+
+    "p13_embed_neardup" ->
+      """WITH d AS (SELECT vec_id,
+        |    list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings)
+        |SELECT a.vec_id AS id1, b.vec_id AS id2,
+        |  round(list_inner_product(a.v, b.v) /
+        |    (sqrt(list_inner_product(a.v, a.v)) *
+        |     sqrt(list_inner_product(b.v, b.v))), 6) AS cos6
+        |FROM d a JOIN d b ON a.vec_id < b.vec_id
+        |WHERE list_inner_product(a.v, b.v) /
+        |  (sqrt(list_inner_product(a.v, a.v)) *
+        |   sqrt(list_inner_product(b.v, b.v))) >= 0.4
+        |ORDER BY id1, id2""".stripMargin,
 
     "p11_events_sessionize" ->
       """WITH g AS (SELECT user_id, event_id, ts,

@@ -3,8 +3,8 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.rdf.QuadStore
-import graft.sparql.Sparql
+import graft.rdf.{FullText, QuadStore}
+import graft.sparql.{Sparql, Update}
 
 /** SPARQL-engine coverage for the correctness gate: each entry rdfizes the
   * needed driver tables (direct-mapping, QuadStore.rdfize), runs a SPARQL
@@ -37,6 +37,26 @@ object SparqlQueries {
                      q: String): DataFrame =
     Sparql.run(store(s, dir, tables: _*), s, q)
 
+  /** documents store with full-text derived quads (token/stem/phonetic),
+    * cached per (dir) like the rdfize stores. */
+  private def ftStore(s: SparkSession, dir: String): QuadStore =
+    cache.getOrElseUpdate((dir, "__fulltext_documents"), {
+      import org.apache.spark.sql.functions.{col, concat, lit}
+      val flat = Tables.t(s, dir, "documents").select(
+        lit("urn:g:documents").as("gLex"),
+        lit(1).as("sKind"),
+        concat(lit("urn:t:documents:"), col("doc_id")).as("sLex"),
+        lit("urn:p:documents:text").as("pLex"),
+        lit(0).as("oKind"),
+        col("text").as("oLex"),
+        lit("").as("oDt"),
+        lit("").as("oLang"))
+      val st = FullText.withFullText(s, flat, Set("urn:p:documents:text"))
+      val v = st.valued.get.cache()
+      QuadStore(v.select(QuadStore.quadCols.map(col): _*),
+        st.resources.cache(), Some(v))
+    })
+
   /** One query definition: the declared table set is the single source of
     * truth for both execution and [[warm]] (so adding a query over a new
     * table can't silently leave its rdfize+cache cost in bench timings). */
@@ -53,13 +73,18 @@ object SparqlQueries {
     * mirroring the reference benchmark, which loads the KB before timing
     * queries (`tests/benchmark/run.pl:40-80`). Per-table failures are
     * swallowed: a bad table should only affect its own queries. */
-  def warm(s: SparkSession, dir: String): Unit =
+  def warm(s: SparkSession, dir: String): Unit = {
     defs.flatMap(_.tables).distinct.foreach { t =>
       try {
         val st = store(s, dir, t)
         st.quads.count(); st.resources.count()
       } catch { case _: Throwable => }
     }
+    try {
+      val ft = ftStore(s, dir)
+      ft.quads.count(); ft.resources.count()
+    } catch { case _: Throwable => }
+  }
 
   private lazy val defs: Seq[QDef] = Seq(
     // BGP chain join over two rdfized tables (fs_bind + fs_binding_merge)
@@ -183,7 +208,28 @@ object SparqlQueries {
       sparql(s, d, ts,
         """SELECT (COUNT(?s) AS ?n) WHERE {
              GRAPH <urn:g:region> { ?s ?p ?o } }""")
-        .select(col("n").cast("long").as("n")))
+        .select(col("n").cast("long").as("n"))),
+
+    // full-text token index (§2.1 full-text sink): derived fs:token quads
+    // queried through the normal SPARQL path
+    mk("s15_sparql_fulltext")((s, d, _) =>
+      Sparql.run(ftStore(s, d), s,
+        s"""SELECT ?s WHERE {
+              ?s <${FullText.tokenPred}> "data" }""")
+        .orderBy("s")),
+
+    // SPARQL 1.1 Update (§2.11): INSERT..WHERE on an immutable store
+    // snapshot, then query the updated store
+    mk("s16_sparql_update", "region")((s, d, ts) => {
+      val updated = Update(store(s, d, ts: _*), s,
+        """INSERT { ?r <urn:flag> "big" } WHERE {
+             ?r <urn:p:region:r_regionkey> ?k . FILTER(?k >= 2) }""")
+      Sparql.run(updated, s,
+        """SELECT ?name WHERE {
+             ?r <urn:flag> "big" ;
+                <urn:p:region:r_name> ?name }""")
+        .orderBy("name")
+    })
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
@@ -263,6 +309,17 @@ object SparqlQueries {
          |ORDER BY p, o""".stripMargin),
 
     "s14_sparql_graph" ->
-      """SELECT 2 * COUNT(*) AS n FROM region""".stripMargin
+      """SELECT 2 * COUNT(*) AS n FROM region""".stripMargin,
+
+    "s15_sparql_fulltext" ->
+      """SELECT 'urn:t:documents:' || doc_id AS s FROM documents
+        |WHERE list_contains(list_filter(
+        |  regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |  x -> len(x) > 0), 'data')
+        |ORDER BY s""".stripMargin,
+
+    "s16_sparql_update" ->
+      """SELECT r_name AS name FROM region WHERE r_regionkey >= 2
+        |ORDER BY name""".stripMargin
   )
 }

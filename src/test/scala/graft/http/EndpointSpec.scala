@@ -64,7 +64,7 @@ class EndpointSpec extends SparkTestBase {
     assert(meta.length == 2 && meta.forall(m => m.width >= 64 && m.n_bytes > 0))
     // determinism
     val meta2 = Multimodal.imageMeta(media).collect()
-    assert(meta.map(_.sha_prefix).toSet == meta2.map(_.sha_prefix).toSet)
+    assert(meta.map(_.fp_prefix).toSet == meta2.map(_.fp_prefix).toSet)
     val resized = Multimodal.resize(media, 2).collect()
     assert(resized.forall(r => r.content.length <=
       media.collect().find(_.media_id == r.media_id).get.content.length))
