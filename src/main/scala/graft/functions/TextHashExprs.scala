@@ -57,9 +57,30 @@ object TextHash {
   private def hash(s: String): Long =
     XXH64.hashUTF8String(UTF8String.fromString(s), 42L)
 
-  /** Distinct xxhash64 values of the k-word shingles of `text`,
-    * first-occurrence order. */
-  def shingleHashes(text: UTF8String, k: Int): ArrayData = {
+  private val md5Local =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
+
+  /** PORTABLE 64-bit hash: big-endian read of the first 8 MD5 digest
+    * bytes. Reproducible in any SQL engine for cross-engine verification —
+    * DuckDB: `('0x' || substr(md5(s), 1, 16))::UBIGINT` (same bit
+    * pattern; signedness is irrelevant to bitwise use). */
+  def md5be64(s: String): Long = {
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var h = 0L
+    var i = 0
+    while (i < 8) { h = (h << 8) | (d(i) & 0xFFL); i += 1 }
+    h
+  }
+
+  private def hashOf(s: String, md5: Boolean): Long =
+    if (md5) md5be64(s) else hash(s)
+
+  /** Distinct hashed k-word shingles of `text`, first-occurrence order.
+    * `md5` selects the portable hash over xxhash64(seed 42). */
+  def shingleHashes(text: UTF8String, k: Int, md5: Boolean): ArrayData = {
     val ws = words(text)
     val n = ws.length
     if (n < k) return new GenericArrayData(Array.emptyLongArray)
@@ -75,26 +96,28 @@ object TextHash {
         sb.append(ws(i + j))
         j += 1
       }
-      val h = hash(sb.toString)
+      val h = hashOf(sb.toString, md5)
       if (seen.add(h)) { out(m) = h; m += 1 }
       i += 1
     }
     new GenericArrayData(java.util.Arrays.copyOf(out, m))
   }
 
-  /** xxhash64 of every word occurrence of `text` (multiplicity kept —
+  /** Hash of every word occurrence of `text` (multiplicity kept —
     * SimHash's majority vote weighs repeated words). */
-  def wordHashes(text: UTF8String): ArrayData = {
+  def wordHashes(text: UTF8String, md5: Boolean): ArrayData = {
     val ws = words(text)
     val out = new Array[Long](ws.length)
     var i = 0
-    while (i < ws.length) { out(i) = hash(ws(i)); i += 1 }
+    while (i < ws.length) { out(i) = hashOf(ws(i), md5); i += 1 }
     new GenericArrayData(out)
   }
 }
 
-/** `shingle_hashes(text, k)`: array<long> of distinct hashed k-shingles. */
-final case class ShingleHashes(child: Expression, k: Int)
+/** `shingle_hashes(text, k)`: array<long> of distinct hashed k-shingles.
+  * `md5` selects the portable (SQL-reproducible) hash. */
+final case class ShingleHashes(child: Expression, k: Int,
+                               md5: Boolean = false)
     extends UnaryExpression {
   require(k >= 1, s"shingle size must be >= 1, got $k")
   override def checkInputDataTypes(): TypeCheckResult =
@@ -104,15 +127,16 @@ final case class ShingleHashes(child: Expression, k: Int)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "shingle_hashes"
   override protected def nullSafeEval(input: Any): Any =
-    TextHash.shingleHashes(input.asInstanceOf[UTF8String], k)
+    TextHash.shingleHashes(input.asInstanceOf[UTF8String], k, md5)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.shingleHashes($c, $k)")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextHash.shingleHashes($c, $k, $md5)")
   override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
     copy(child = newChild)
 }
 
 /** `word_hashes(text)`: array<long> of hashed word occurrences. */
-final case class WordHashes(child: Expression)
+final case class WordHashes(child: Expression, md5: Boolean = false)
     extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType.isInstanceOf[StringType]) TypeCheckResult.TypeCheckSuccess
@@ -121,9 +145,10 @@ final case class WordHashes(child: Expression)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "word_hashes"
   override protected def nullSafeEval(input: Any): Any =
-    TextHash.wordHashes(input.asInstanceOf[UTF8String])
+    TextHash.wordHashes(input.asInstanceOf[UTF8String], md5)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.wordHashes($c)")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextHash.wordHashes($c, $md5)")
   override protected def withNewChildInternal(newChild: Expression): WordHashes =
     copy(child = newChild)
 }

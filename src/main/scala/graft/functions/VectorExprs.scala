@@ -151,8 +151,10 @@ object F {
   private def c(e: Expression): Column = ColumnBridge.column(e)
   private def e(col: Column): Expression = ColumnBridge.expression(col)
 
-  def shingleHashes(text: Column, k: Int): Column = c(ShingleHashes(e(text), k))
-  def wordHashes(text: Column): Column = c(WordHashes(e(text)))
+  def shingleHashes(text: Column, k: Int, md5: Boolean = false): Column =
+    c(ShingleHashes(e(text), k, md5))
+  def wordHashes(text: Column, md5: Boolean = false): Column =
+    c(WordHashes(e(text), md5))
   def vecDot(a: Column, b: Column): Column = c(VecDot(e(a), e(b)))
   def vecCosine(a: Column, b: Column): Column = c(VecCosine(e(a), e(b)))
   def hyperplaneSig(v: Column, planes: Seq[Seq[Double]]): Column =

@@ -74,10 +74,11 @@ object Dedup {
     * InferFiltersFromGenerate from duplicating the kernel into a scan-side
     * filter; the cheap IS NOT NULL drops shingle-less docs instead. */
   def shingleHashRows(df: DataFrame, idCol: String, textCol: String,
-                      k: Int): DataFrame = {
+                      k: Int, portableHash: Boolean = false): DataFrame = {
     val par = df.sparkSession.sparkContext.defaultParallelism
     df.select(col(idCol).as("id"),
-        graft.functions.F.shingleHashes(col(textCol), k).as("hs"))
+        graft.functions.F.shingleHashes(col(textCol), k, portableHash)
+          .as("hs"))
       .repartition(par)
       .select(col("id"), size(col("hs")).as("nsh"),
         explode_outer(col("hs")).as("h"))
@@ -95,16 +96,25 @@ object Dedup {
     * partial aggregation — the formulation that scales on a cluster as
     * well.
     */
+  /** MinHash permutation modulus and seeds — shared with the DuckDB
+    * oracle generator so both engines apply identical permutations. */
+  val minhashP = 2147483647L // 2^31 - 1 (Mersenne prime)
+  def minhashSeeds(h: Int): Seq[(Long, Long)] = (0 until h).map { i =>
+    (((0x9E3779B97F4A7C15L * (i + 1)) & 0x7FFFFFFFL) | 1L,
+      (0x7F4A7C159E3779B9L * (i + 7)) & 0x7FFFFFFFL)
+  }
+
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
-                        k: Int, h: Int): DataFrame = {
-    val p = 2147483647L
-    val seeds = (0 until h).map { i =>
-      (((0x9E3779B97F4A7C15L * (i + 1)) & 0x7FFFFFFFL) | 1L,
-        (0x7F4A7C159E3779B9L * (i + 7)) & 0x7FFFFFFFL)
-    }
-    // duplicates don't affect min() -> no distinct needed
-    val hashed = shingleHashRows(df, idCol, textCol, k)
-      .select(col("id"), pmod(col("h"), lit(p)).as("h0"))
+                        k: Int, h: Int,
+                        portableHash: Boolean = false): DataFrame = {
+    val p = minhashP
+    val seeds = minhashSeeds(h)
+    // duplicates don't affect min() -> no distinct needed; the 63-bit mask
+    // makes signed-Long and unsigned-SQL reads of the same hash bits agree
+    // before the modulus
+    val hashed = shingleHashRows(df, idCol, textCol, k, portableHash)
+      .select(col("id"),
+        pmod(col("h").bitwiseAND(lit(Long.MaxValue)), lit(p)).as("h0"))
     val aggs = seeds.zipWithIndex.map { case ((a, b), i) =>
       min(pmod(col("h0") * lit(a) + lit(b), lit(p))).as(s"m$i")
     }
@@ -122,9 +132,11 @@ object Dedup {
     */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
                    k: Int = 3, h: Int = 32, bands: Int = 16,
-                   threshold: Double = 0.5, minBands: Int = 1): DataFrame = {
+                   threshold: Double = 0.5, minBands: Int = 1,
+                   portableHash: Boolean = false): DataFrame = {
     val rows = h / bands
-    val sig = minhashSignatures(df, idCol, textCol, k, h).cache()
+    val sig =
+      minhashSignatures(df, idCol, textCol, k, h, portableHash).cache()
     // statically unrolled band hashes (xxhash64 hashes array<long> slices
     // directly): pure codegen, no interpreted per-band lambda, no string
     // concat riding the bucket-join shuffle
@@ -163,10 +175,11 @@ object Dedup {
     * hashing is the native [[graft.functions.WordHashes]] kernel, and the
     * repartition spreads single-file inputs over all cores before the
     * explode+aggregate stage. */
-  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def simhash(df: DataFrame, idCol: String, textCol: String,
+              portableHash: Boolean = false): DataFrame = {
     val par = df.sparkSession.sparkContext.defaultParallelism
     val wordRows = df.select(col(idCol).as("id"),
-        graft.functions.F.wordHashes(col(textCol)).as("whs"))
+        graft.functions.F.wordHashes(col(textCol), portableHash).as("whs"))
       .repartition(par)
       .select(col("id"), explode_outer(col("whs")).as("h"))
       .filter(col("h").isNotNull)
@@ -184,8 +197,9 @@ object Dedup {
     * Hamming distance <= maxHamming shares at least one chunk when
     * maxHamming < 4), verified with bit_count(xor). */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 6): DataFrame = {
-    val sh = simhash(df, idCol, textCol)
+                   maxHamming: Int = 6,
+                   portableHash: Boolean = false): DataFrame = {
+    val sh = simhash(df, idCol, textCol, portableHash)
     val chunked = sh.select(col("id"), col("simhash"),
       posexplode(array((0 until 4).map(c =>
         shiftrightunsigned(col("simhash"), c * 16)

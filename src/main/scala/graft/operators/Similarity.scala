@@ -43,19 +43,22 @@ object Similarity {
     * sign(v . r_i) over `nPlanes` deterministic pseudo-random hyperplanes
     * gives a bit signature; candidates share a signature band. Recall is
     * tunable with bands/planes; the corpus never cross-joins. */
+  /** Deterministic pseudo-random hyperplanes (xorshift on indices); every
+    * component is an exact binary fraction k/1024 - 1, so SQL oracles can
+    * embed the planes as literal arrays with no FP representation loss. */
+  def hyperplanes(nPlanes: Int, dim: Int): Seq[Seq[Double]] =
+    (0 until nPlanes).map { p =>
+      (0 until dim).map { d =>
+        val x = (p.toLong * 2654435761L + d * 40503L + 0x9E3779B9L)
+        val m = (x ^ (x >>> 13)) * 0x5DEECE66DL
+        ((m >>> 11) % 2048).toDouble / 1024.0 - 1.0
+      }
+    }
+
   def lshTopK(items: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, dim: Int, nPlanes: Int = 16,
               bands: Int = 4): DataFrame = {
-    val planes: Seq[Seq[Double]] = {
-      // deterministic pseudo-random hyperplanes (xorshift on indices)
-      (0 until nPlanes).map { p =>
-        (0 until dim).map { d =>
-          val x = (p.toLong * 2654435761L + d * 40503L + 0x9E3779B9L)
-          val m = (x ^ (x >>> 13)) * 0x5DEECE66DL
-          ((m >>> 11) % 2048).toDouble / 1024.0 - 1.0
-        }
-      }
-    }
+    val planes = hyperplanes(nPlanes, dim)
     // one native call computes all nPlanes dot products into a bit
     // signature; band keys are then pure long shifts/masks (no string
     // concat, no interpreted per-band lambdas)

@@ -29,17 +29,19 @@ object PipelineQueries {
           k = 3, threshold = 0.5)
         .orderBy("id1", "id2")),
 
-    // MinHash-LSH near-dup candidates (engine-specific seeds: rows-only)
+    // MinHash-LSH near-dup candidates. portableHash (MD5-derived) lets a
+    // generated DuckDB oracle replicate the exact permutations + banding.
     "p03_minhash_pairs" -> ((s, d) =>
       Dedup.minhashPairs(t(s, d, "documents"), "doc_id", "text",
-          k = 3, h = 32, bands = 16, threshold = 0.35, minBands = 2)
+          k = 3, h = 32, bands = 16, threshold = 0.35, minBands = 2,
+          portableHash = true)
         .select("id1", "id2")
         .orderBy("id1", "id2")),
 
-    // SimHash near-dup candidates (rows-only)
+    // SimHash near-dup candidates (portable hash -> oracle-checked)
     "p04_simhash_pairs" -> ((s, d) =>
       Dedup.simhashPairs(t(s, d, "documents"), "doc_id", "text",
-          maxHamming = 8)
+          maxHamming = 8, portableHash = true)
         .orderBy("id1", "id2")),
 
     // document fingerprint + token counts
@@ -126,7 +128,128 @@ object PipelineQueries {
     })
   )
 
+  /** DuckDB analog of the portable 64-bit hash (TextHash.md5be64):
+    * big-endian first 8 MD5 digest bytes, masked to 63 bits so signed
+    * (Spark Long) and unsigned (UBIGINT) reads agree, mod the MinHash
+    * modulus. */
+  private def duckShingleHash(p: Long): String =
+    s"((('0x'||substr(md5(s),1,16))::UBIGINT & " +
+      s"9223372036854775807::UBIGINT)::BIGINT) % $p"
+
+  /** Generated MinHash oracle: identical permutations + band structure as
+    * Dedup.minhashPairs(k=3, h=32, bands=16, threshold=0.35, minBands=2,
+    * portableHash=true). */
+  private lazy val p03Oracle: String = {
+    val p = Dedup.minhashP
+    val seeds = Dedup.minhashSeeds(32)
+    val mins = seeds.zipWithIndex.map { case ((a, b), i) =>
+      s"list_min(list_transform(hs, x -> ($a * x + $b) % $p)) AS m$i"
+    }.mkString(",\n    ")
+    val eqSum = (0 until 32).map(i => s"(a.m$i = b.m$i)::INT")
+      .mkString(" + ")
+    val bandJoins = (0 until 16).map { bi =>
+      s"""SELECT a.doc_id AS id1, b.doc_id AS id2, $eqSum AS eqc
+         |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         |    AND a.m${2 * bi} = b.m${2 * bi}
+         |    AND a.m${2 * bi + 1} = b.m${2 * bi + 1}""".stripMargin
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH ws AS (SELECT doc_id,
+       |    list_filter(regexp_split_to_array(lower(text), '\\s+'),
+       |      x -> len(x) > 0) AS ws
+       |  FROM documents),
+       |sh0 AS (SELECT doc_id, list_distinct(list_transform(
+       |    range(1, len(ws)-1), i -> ws[i]||' '||ws[i+1]||' '||ws[i+2]))
+       |    AS shingles FROM ws),
+       |hs0 AS (SELECT doc_id, list_transform(shingles,
+       |    s -> ${duckShingleHash(p)}) AS hs
+       |  FROM sh0 WHERE len(shingles) > 0),
+       |sig AS (SELECT doc_id,
+       |    $mins
+       |  FROM hs0),
+       |cand AS (
+       |  $bandJoins),
+       |agg AS (SELECT id1, id2, count(*) AS nb, max(eqc) AS eqc
+       |  FROM cand GROUP BY id1, id2)
+       |SELECT id1, id2 FROM agg
+       |WHERE nb >= 2 AND eqc / 32.0 >= 0.35
+       |ORDER BY id1, id2""".stripMargin
+  }
+
+  /** Generated SimHash oracle: identical bit votes, 16-bit chunk LSH and
+    * hamming verify as Dedup.simhashPairs(maxHamming=8, portableHash). */
+  private lazy val p04Oracle: String = {
+    val sums = (0 until 64).map(i =>
+      s"sum(((h >> $i) & 1::UBIGINT)::BIGINT) AS b$i").mkString(",\n    ")
+    // literal powers of two: DuckDB's << evaluates in signed space and
+    // overflows at bit 63
+    val asm = (0 until 64).map(i =>
+      s"(CASE WHEN b$i * 2 > n THEN ${BigInt(1) << i}::UBIGINT " +
+        "ELSE 0::UBIGINT END)").mkString(" +\n    ")
+    s"""WITH w AS (SELECT doc_id,
+       |    unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+       |      x -> len(x) > 0)) AS w
+       |  FROM documents),
+       |h AS (SELECT doc_id, ('0x'||substr(md5(w),1,16))::UBIGINT AS h
+       |  FROM w),
+       |bits AS (SELECT doc_id, count(*) AS n,
+       |    $sums
+       |  FROM h GROUP BY doc_id),
+       |sim AS (SELECT doc_id,
+       |    $asm AS sh
+       |  FROM bits),
+       |chunks AS (SELECT doc_id, sh, b AS chunk,
+       |    (sh >> (b * 16)) & 65535::UBIGINT AS key
+       |  FROM sim, unnest([0,1,2,3]) AS t(b)),
+       |pairs AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
+       |    bit_count(xor(a.sh, b.sh)) AS hamming
+       |  FROM chunks a JOIN chunks b ON a.chunk = b.chunk
+       |    AND a.key = b.key AND a.doc_id < b.doc_id)
+       |SELECT id1, id2, hamming FROM pairs WHERE hamming <= 8
+       |ORDER BY id1, id2""".stripMargin
+  }
+
+  /** Generated LSH-ANN oracle: the hyperplane components are exact binary
+    * fractions, embedded as SQL literals; signature bits, 2-bit band keys
+    * and the cosine rank replicate Similarity.lshTopK(k=5, dim=64,
+    * nPlanes=16, bands=8) over queries vec_id < 5. */
+  private lazy val p10Oracle: String = {
+    val planes = Similarity.hyperplanes(16, 64)
+    def lits(pl: Seq[Double]): String =
+      pl.map(d => java.math.BigDecimal.valueOf(d).toPlainString)
+        .mkString("[", ", ", "]")
+    val sigs = planes.zipWithIndex.map { case (pl, i) =>
+      s"(CASE WHEN list_inner_product(v, ${lits(pl)}) >= 0 " +
+        s"THEN 1 ELSE 0 END) AS s$i"
+    }.mkString(",\n    ")
+    val keyCase = (0 until 8).map(b =>
+      s"WHEN $b THEN s${2 * b} + 2 * s${2 * b + 1}").mkString(" ")
+    s"""WITH e AS (SELECT vec_id,
+       |    list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+       |sig AS (SELECT vec_id, v,
+       |    $sigs
+       |  FROM e),
+       |banded AS (SELECT vec_id, v, b AS band,
+       |    CASE b $keyCase END AS key
+       |  FROM sig, unnest([0,1,2,3,4,5,6,7]) AS t(b)),
+       |cand AS (SELECT DISTINCT q.vec_id AS query_id, i.vec_id AS item_id,
+       |    list_inner_product(q.v, i.v) /
+       |      (sqrt(list_inner_product(q.v, q.v)) *
+       |       sqrt(list_inner_product(i.v, i.v))) AS score
+       |  FROM banded i JOIN banded q
+       |    ON i.band = q.band AND i.key = q.key
+       |    AND q.vec_id < 5 AND q.vec_id <> i.vec_id),
+       |ranked AS (SELECT query_id, item_id,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC, item_id ASC) AS rank
+       |  FROM cand)
+       |SELECT query_id, rank, item_id FROM ranked WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "p03_minhash_pairs" -> p03Oracle,
+    "p04_simhash_pairs" -> p04Oracle,
+    "p10_embed_lsh" -> p10Oracle,
     "p01_dedup_exact" ->
       """SELECT doc_id, n_chars FROM (
         |  SELECT doc_id, n_chars,
