@@ -82,6 +82,47 @@ final case class QuadStore(quads: DataFrame, resources: DataFrame,
   def bySubject(n: Int): QuadStore =
     copy(quads = quads.repartition(n, col("s")))
 
+  /** Serialize the store as N-Quads lines (the reference's dump,
+    * `src/frontend/dump.c` — TriX there, N-Quads here; `restore` =
+    * [[QuadStore.fromNTriples]], which accepts the 4-term form). Terms
+    * resolve through the dictionary; graph is omitted for the default
+    * graph so a dump of default-graph data round-trips as N-Triples. */
+  def toNQuadLines: DataFrame = {
+    val r = resolve(quads, Seq("g", "s", "p", "o"))
+    def term(c: String): Column = {
+      val rid = col(c)
+      val lex = col(s"${c}__lex"); val dt = col(s"${c}__dt")
+      val lang = col(s"${c}__lang")
+      val esc = regexp_replace(regexp_replace(regexp_replace(
+        regexp_replace(regexp_replace(lex,
+          "\\\\", "\\\\\\\\"), "\"", "\\\\\""),
+        "\n", "\\\\n"), "\r", "\\\\r"), "\t", "\\\\t")
+      when(Rid.isUriCol(rid), concat(lit("<"), lex, lit(">")))
+        .when(Rid.isBNodeCol(rid), concat(lit("_:"), lex))
+        .otherwise(concat(lit("\""), esc, lit("\""),
+          when(coalesce(lang, lit("")) =!= "", concat(lit("@"), lang))
+            .otherwise(lit(""))))
+    }
+    val dict = resources.select(col("rid").as("__dtRid"),
+      col("lex").as("__dtUri"))
+    val withDt = r.join(dict, col("o__dt") === col("__dtRid"), "left_outer")
+    val objTerm =
+      when(Rid.isLiteralCol(col("o")) && col("o__dt") =!= 0L &&
+          coalesce(col("o__lang"), lit("")) === "" &&
+          col("__dtUri").isNotNull,
+        concat(term("o"), lit("^^<"), col("__dtUri"), lit(">")))
+        .otherwise(term("o"))
+    val gPart = when(col("g") === WellKnown.defaultGraph, lit(""))
+      .otherwise(concat(lit(" "), term("g")))
+    withDt.select(concat(term("s"), lit(" "), term("p"), lit(" "),
+      objTerm, gPart, lit(" .")).as("line"))
+  }
+
+  /** Dump to an N-Quads text file tree (restore with
+    * [[QuadStore.fromNTriples]]). */
+  def dumpNQuads(path: String): Unit =
+    toNQuadLines.write.mode("overwrite").text(path)
+
   /** Persist as bucketed tables (`<name>_quads` bucketed by subject,
     * `<name>_resources` bucketed by rid). The durable form of the
     * reference's subject-hash segmentation (`src/frontend/import.c:510`):

@@ -74,4 +74,27 @@ class RidSpec extends SparkTestBase {
     assert(st.quads.select("g").distinct().as[Long].head() ==
       WellKnown.defaultGraph)
   }
+
+  test("dump to N-Quads and restore round-trips quads and values") {
+    val st = QuadStore.fromTerms(spark, Seq(
+      (Uri("urn:a"), Uri("urn:name"), Lit("Ali\"ce\nX")),
+      (Uri("urn:a"), Uri("urn:age"), Lit("42", dt = Xsd.integer)),
+      (Uri("urn:b"), Uri("urn:name"), Lit("Bob", lang = "en")),
+      (BNode("n1"), Uri("urn:p"), Uri("urn:o"))))
+    val dir = java.nio.file.Files.createTempDirectory("dump").toString
+    st.dumpNQuads(dir)
+    val restored = QuadStore.fromNTriples(spark, dir)
+    assert(restored.quads.count() == 4)
+    // identical quad RID sets (term identity survives the round trip)
+    val a = st.quads.select("g", "s", "p", "o")
+    val b = restored.quads.select("g", "s", "p", "o")
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+    // typed literal restored with its datatype attr
+    val age = restored.quads
+      .filter(col("p") === Rid.uri("urn:age"))
+      .join(restored.resources, col("o") === col("rid"))
+      .select("lex", "dt").collect().head
+    assert(age.getString(0) == "42")
+    assert(age.getLong(1) == Rid.uri(Xsd.integer))
+  }
 }
