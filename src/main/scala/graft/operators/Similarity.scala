@@ -43,6 +43,57 @@ object Similarity {
     * sign(v . r_i) over `nPlanes` deterministic pseudo-random hyperplanes
     * gives a bit signature; candidates share a signature band. Recall is
     * tunable with bands/planes; the corpus never cross-joins. */
+  /** IVF (inverted-file) ANN — the second scale path beside LSH: a coarse
+    * quantizer assigns every item to its nearest centroid cell (one
+    * broadcast join against the tiny centroid set + per-item argmax, a
+    * single map-side pass over the corpus); a query probes only its
+    * `nProbe` closest cells, so the scored candidate set is
+    * |corpus| * nProbe / nCells instead of |corpus|.
+    *
+    * The quantizer is pluggable: pass trained centroids (e.g. k-means) via
+    * `centroids`; the default takes the `nCells` lowest-id items — a
+    * deterministic choice that keeps the whole operator reproducible in a
+    * plain-SQL oracle (cell quality is the quantizer's job, the inverted
+    * index mechanics are this operator's).
+    */
+  def ivfTopK(items: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, nCells: Int = 16, nProbe: Int = 4,
+              centroids: Option[DataFrame] = None): DataFrame = {
+    val cent = centroids.getOrElse(
+        items.orderBy(col(idCol)).limit(nCells))
+      .select(col(idCol).as("cell_id"), col(vecCol).as("cvec"))
+    val it = items.select(col(idCol).as("item_id"), col(vecCol).as("ivec"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+
+    // assignment: argmax cosine over the broadcast centroid set
+    val wItem = Window.partitionBy("item_id")
+      .orderBy(col("csim").desc, col("cell_id").asc)
+    val cells = it.crossJoin(broadcast(cent))
+      .withColumn("csim", cosine(col("ivec"), col("cvec")))
+      .withColumn("rn", row_number().over(wItem))
+      .filter(col("rn") === 1)
+      .select("cell_id", "item_id", "ivec")
+
+    // probe list: nProbe closest cells per query
+    val wQuery = Window.partitionBy("query_id")
+      .orderBy(col("csim").desc, col("cell_id").asc)
+    val probes = q.crossJoin(broadcast(cent))
+      .withColumn("csim", cosine(col("qvec"), col("cvec")))
+      .withColumn("rn", row_number().over(wQuery))
+      .filter(col("rn") <= nProbe)
+      .select("query_id", "qvec", "cell_id")
+
+    val wRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("item_id").asc)
+    probes.join(cells, "cell_id")
+      .filter(col("query_id") =!= col("item_id"))
+      .select(col("query_id"), col("item_id"),
+        cosine(col("qvec"), col("ivec")).as("score"))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "item_id", "score")
+  }
+
   /** Deterministic pseudo-random hyperplanes (xorshift on indices); every
     * component is an exact binary fraction k/1024 - 1, so SQL oracles can
     * embed the planes as literal arrays with no FP representation loss. */

@@ -109,6 +109,17 @@ object PipelineQueries {
         .select(col("id1"), col("id2"), round(col("cosine"), 6).as("cos6"))
         .orderBy("id1", "id2")),
 
+    // IVF ANN: coarse-quantizer cells + nProbe probing (the second scale
+    // path beside LSH; deterministic quantizer -> oracle-checkable)
+    "p14_embed_ivf" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val queries = emb.filter(col("vec_id") < 5)
+      Similarity.ivfTopK(emb, queries, "vec_id", "embedding",
+          k = 5, nCells = 16, nProbe = 4)
+        .select("query_id", "rank", "item_id")
+        .orderBy("query_id", "rank")
+    }),
+
     // sessionization: 30-min-gap sessions per user over the event stream
     "p11_events_sessionize" -> ((s, d) => {
       val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -246,10 +257,44 @@ object PipelineQueries {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  /** IVF oracle: same deterministic quantizer (16 lowest-id centroids),
+    * assignment argmax, 4-cell probe and cosine rank as
+    * Similarity.ivfTopK(k=5, nCells=16, nProbe=4). */
+  private lazy val p14Oracle: String = {
+    def cos(a: String, b: String): String =
+      s"list_inner_product($a, $b) / (sqrt(list_inner_product($a, $a)) * " +
+        s"sqrt(list_inner_product($b, $b)))"
+    s"""WITH e AS (SELECT vec_id,
+       |    list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+       |cent AS (SELECT vec_id AS cell_id, v AS cvec FROM e
+       |  ORDER BY vec_id LIMIT 16),
+       |cells AS (SELECT cell_id, item_id, ivec FROM (
+       |  SELECT c.cell_id, i.vec_id AS item_id, i.v AS ivec,
+       |    ROW_NUMBER() OVER (PARTITION BY i.vec_id
+       |      ORDER BY ${cos("i.v", "c.cvec")} DESC, c.cell_id ASC) AS rn
+       |  FROM e i CROSS JOIN cent c) WHERE rn = 1),
+       |probes AS (SELECT query_id, qvec, cell_id FROM (
+       |  SELECT q.vec_id AS query_id, q.v AS qvec, c.cell_id,
+       |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |      ORDER BY ${cos("q.v", "c.cvec")} DESC, c.cell_id ASC) AS rn
+       |  FROM e q CROSS JOIN cent c WHERE q.vec_id < 5) WHERE rn <= 4),
+       |scored AS (SELECT p.query_id, s.item_id,
+       |    ${cos("p.qvec", "s.ivec")} AS score
+       |  FROM probes p JOIN cells s ON p.cell_id = s.cell_id
+       |  WHERE p.query_id <> s.item_id),
+       |ranked AS (SELECT query_id, item_id,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC, item_id ASC) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, item_id FROM ranked WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "p03_minhash_pairs" -> p03Oracle,
     "p04_simhash_pairs" -> p04Oracle,
     "p10_embed_lsh" -> p10Oracle,
+    "p14_embed_ivf" -> p14Oracle,
     "p01_dedup_exact" ->
       """SELECT doc_id, n_chars FROM (
         |  SELECT doc_id, n_chars,

@@ -192,7 +192,8 @@ class Parser extends RegexParsers {
     "UCASE", "LCASE", "ENCODE_FOR_URI", "CONTAINS", "SUBSTR", "REPLACE",
     "CONCAT", "REGEX", "YEAR", "MONTH", "DAY", "HOURS", "MINUTES",
     "SECONDS", "TIMEZONE", "TZ", "NOW", "MD5", "SHA1", "SHA256", "SHA384",
-    "SHA512", "RAND", "UUID", "IF", "COALESCE")
+    "SHA512", "RAND", "UUID", "IF", "COALESCE",
+    "FROM_UNIXTIME", "TO_UNIXTIME") // LAQRS extensions, results.c:631-650
   private def builtinCall: Parser[Expr] =
     builtins.map(kw).reduce(_ | _) ~ opt("(" ~> repsep(expression, ",") <~ ")") ^^ {
       case fn ~ args => ECall(fn.toUpperCase, args.getOrElse(Nil))

@@ -248,6 +248,12 @@ object Compiler {
     case "TIMEZONE" | "TZ" => V.ofStr(lit("")) // reference stub, filter.c:1573
     case "NOW" => V.typed(date_format(current_timestamp(),
         "yyyy-MM-dd'T'HH:mm:ss"), lit(dateTimeAttr))
+    // LAQRS extensions (`results.c:631-650`)
+    case "FROM_UNIXTIME" => V.typed(
+      date_format(from_unixtime(vs(0).num.cast("long")),
+        "yyyy-MM-dd'T'HH:mm:ss"), lit(dateTimeAttr))
+    case "TO_UNIXTIME" =>
+      V.ofNum(unix_timestamp(vs(0).ts).cast("double"), lit(true))
 
     // hashes (`src/frontend/filter.c:1686-1730`)
     case "MD5"    => V.ofStr(md5(vs(0).anyLex.cast("binary")))

@@ -73,6 +73,34 @@ class OperatorsSpec extends SparkTestBase {
     assert(recall > 0.2, s"LSH recall too low: $recall")
   }
 
+  test("IVF ANN recalls most brute-force neighbors with partial probing") {
+    val emb = graft.core.Tables.t(spark, "/root/testdata/sf0.001",
+      "embeddings")
+    val q = emb.filter(col("vec_id") < 3)
+    val brute = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 5)
+      .select("query_id", "item_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(emb, q, "vec_id", "embedding",
+        k = 5, nCells = 16, nProbe = 8)
+      .select("query_id", "item_id").as[(Long, Long)].collect().toSet
+    val recall = (brute intersect ivf).size.toDouble / brute.size
+    assert(recall > 0.3, s"IVF recall too low: $recall")
+    // probing fewer cells can only shrink the candidate set
+    assert(ivf.size <= 15)
+  }
+
+  test("salted join equals plain join on a skewed key") {
+    val fact = (1 to 500).map(i => (if (i % 10 == 0) 7L else i.toLong, i))
+      .toDF("k", "v") // key 7 is hot
+    val dim = Seq((7L, "hot"), (1L, "one"), (2L, "two")).toDF("k", "name")
+    val plain = fact.join(dim, "k").select("k", "v", "name")
+      .collect().map(_.toString).sorted.toSeq
+    val salted = Skew.saltedJoin(fact, dim, "k", salts = 8)
+      .select("k", "v", "name").collect().map(_.toString).sorted.toSeq
+    assert(salted == plain)
+    val hist = Skew.keyHistogram(fact, "k", 1).collect().head
+    assert(hist.getLong(0) == 7L)
+  }
+
   test("language ID picks out en/zh-ish docs") {
     val d = Seq(
       (0L, "the cat and the dog are in the house that is on the hill"),

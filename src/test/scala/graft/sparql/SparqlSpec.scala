@@ -136,6 +136,15 @@ class SparqlSpec extends SparkTestBase {
     assert(r2.map(_.head) == Seq(Xsd.integer))
   }
 
+  test("FROM_UNIXTIME / TO_UNIXTIME (LAQRS extensions)") {
+    val r = rows("""SELECT ?t ?u WHERE {
+      ?p <urn:age> ?age .
+      BIND(FROM_UNIXTIME(0) AS ?t)
+      BIND(TO_UNIXTIME(FROM_UNIXTIME(86400)) AS ?u)
+      FILTER(?age = 30) }""")
+    assert(r == Seq(Seq("1970-01-01T00:00:00", "86400")))
+  }
+
   test("EXISTS / NOT EXISTS filters") {
     val r = rows("""SELECT ?n WHERE { ?p a <urn:Person> ; <urn:name> ?n .
       FILTER NOT EXISTS { ?p <urn:knows> ?x } } ORDER BY ?n""")
