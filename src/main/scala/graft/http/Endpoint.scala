@@ -57,7 +57,11 @@ final class Endpoint(spark: SparkSession, initial: QuadStore, port: Int = 0) {
       p.get("query") match {
         case None => respond(ex, 400, """{"error":"missing query"}""")
         case Some(q) =>
-          val df = Sparql.run(store, spark, q)
+          var df = Sparql.run(store, spark, q)
+          // complexity throttle (`soft-limit=`, httpd.c:1133-1139):
+          // row cap on the result, like the reference's restricted mode
+          p.get("soft-limit").map(_.toInt).filter(_ > 0)
+            .foreach(n => df = df.limit(n))
           p.getOrElse("output", "json") match {
             case "xml" => respond(ex, 200, Results.toXml(df),
               "application/sparql-results+xml")
@@ -65,6 +69,16 @@ final class Endpoint(spark: SparkSession, initial: QuadStore, port: Int = 0) {
               val lines = Results.toTsvLines(df).collect()
                 .map(_.getString(0)).mkString("\n")
               respond(ex, 200, lines, "text/tab-separated-values")
+            case "csv" =>
+              val header = df.columns.mkString(",")
+              val rows = df.collect().map(r =>
+                (0 until r.length).map { i =>
+                  val v = if (r.isNullAt(i)) "" else r.get(i).toString
+                  if (v.exists(",\"\n".contains(_)))
+                    "\"" + v.replace("\"", "\"\"") + "\""
+                  else v
+                }.mkString(",")).mkString("\n")
+              respond(ex, 200, header + "\n" + rows, "text/csv")
             case _ => respond(ex, 200,
               Results.toJson(df, p.getOrElse("callback", "")),
               "application/sparql-results+json")
@@ -102,9 +116,11 @@ final class Endpoint(spark: SparkSession, initial: QuadStore, port: Int = 0) {
           storeRef.updateAndGet(_.union(add))
           respond(ex, 201, """{"ok":true}""")
         case "DELETE" =>
+          // drop the inline-value scan form too: it would retain the
+          // deleted graph's rows
           storeRef.updateAndGet(st => st.copy(quads = st.quads.filter(
             org.apache.spark.sql.functions.col("g") =!=
-              graft.rdf.Rid.uri(graph))))
+              graft.rdf.Rid.uri(graph)), valued = None))
           respond(ex, 200, """{"ok":true}""")
         case _ => respond(ex, 405, """{"error":"method"}""")
       }
@@ -116,8 +132,19 @@ final class Endpoint(spark: SparkSession, initial: QuadStore, port: Int = 0) {
 
   server.createContext("/status/", new HttpHandler {
     def handle(ex: HttpExchange): Unit = {
-      val n = store.quads.count()
-      respond(ex, 200, s"""{"quads":$n,"engine":"graft","ok":true}""")
+      if (ex.getRequestURI.getPath.startsWith("/status/size")) {
+        // per-graph quad counts (the reference's /status/size/ + 4s-size)
+        import org.apache.spark.sql.functions._
+        val rows = store.resolve(
+            store.quads.groupBy("g").agg(count(lit(1)).as("n")), Seq("g"))
+          .select(col("g__lex"), col("n")).collect()
+          .map(r => s""""${r.getString(0)}":${r.getLong(1)}""")
+          .mkString("{", ",", "}")
+        respond(ex, 200, s"""{"graphs":$rows,"ok":true}""")
+      } else {
+        val n = store.quads.count()
+        respond(ex, 200, s"""{"quads":$n,"engine":"graft","ok":true}""")
+      }
     }
   })
 

@@ -69,6 +69,37 @@ class PlanSpec extends SparkTestBase {
     assert(!plan2.contains("CartesianProduct"), plan2)
   }
 
+  test("scan-time value resolution plans zero dictionary joins") {
+    // a SELECT whose outputs need lexical values: with the valued store
+    // form, values ride the pattern scan; the plan must contain exactly
+    // the one pattern-pattern join and no join against `resources`
+    val store = QuadStore.rdfize("nation",
+      graft.core.Tables.t(spark, sf, "nation"), "n_nationkey")
+    val df = graft.sparql.Sparql.run(store, spark,
+      """SELECT ?n ?rk WHERE {
+           ?x <urn:p:nation:n_name> ?n ;
+              <urn:p:nation:n_regionkey> ?rk }""")
+    val joins = "(?i)join".r.findAllIn(planOf(df)).size
+    assert(joins <= 2, // one BGP join (HashJoin lines mention 'join' twice)
+      s"expected only the BGP join, got $joins join mentions:\n${planOf(df)}")
+  }
+
+  test("native kernels stay inside whole-stage codegen") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val docs = graft.core.Tables.t(spark, sf, "documents")
+      val df = docs.select(
+        graft.functions.F.shingleHashes(col("text"), 3).as("hs"),
+        graft.functions.F.vecDot(
+          array(lit(1.0f), lit(2.0f)), array(lit(0.5), lit(0.5))).as("d"))
+      val codegen = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
+      assert(!codegen.startsWith("Found 0"), codegen.take(300))
+      assert(codegen.contains("graft.functions.TextHash.shingleHashes"),
+        "shingle kernel not in generated code:\n" + codegen.take(600))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("bucketed store: subject-subject join plans without an Exchange") {
     spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
     Seq("t_nation_quads", "t_nation_resources").foreach { t =>

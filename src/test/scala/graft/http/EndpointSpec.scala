@@ -51,6 +51,22 @@ class EndpointSpec extends SparkTestBase {
 
       val (c6, b6) = req(s"$base/sparql/?query=bad+syntax")
       assert(c6 == 400 && b6.contains("error"))
+
+      // soft-limit caps the result rows (httpd.c:1133-1139)
+      val q = java.net.URLEncoder.encode(
+        "SELECT ?n WHERE { ?s <urn:name> ?n }", "UTF-8")
+      val (_, b7) = req(s"$base/sparql/?query=$q&output=csv&soft-limit=1")
+      assert(b7.linesIterator.size == 2) // header + 1 row
+
+      // per-graph size report
+      val (_, b8) = req(s"$base/status/size/")
+      assert(b8.contains("urn:g9") && b8.contains("\"ok\":true"))
+
+      // graph delete drops the graph's quads
+      val (c9, _) = req(s"$base/data/?graph=urn:g9", "DELETE")
+      assert(c9 == 200)
+      val (_, b10) = req(s"$base/status/")
+      assert(b10.contains("\"quads\":2"))
     } finally ep.stop()
   }
 
