@@ -6,10 +6,13 @@ import org.apache.spark.sql.expressions.Window
 
 /** Deduplication operators for large-scale text corpora.
   *
-  * All variants are pure DataFrame programs (codegen'd higher-order array
-  * functions, no UDFs) and scale by construction: the only shuffles are the
-  * final groupBy/join on compact keys; candidate generation is LSH-style
-  * (band buckets), never an all-pairs product.
+  * All variants are DataFrame programs whose per-document text work runs
+  * through the native whole-stage-codegen kernels in `graft.functions`
+  * (no UDFs, no interpreted array lambdas) and scale by construction: the
+  * only shuffles are the final groupBy/join on compact keys; candidate
+  * generation is LSH-style (band buckets), never an all-pairs product —
+  * except the explicitly-exact verification paths, which bound their own
+  * pair space.
   */
 object Dedup {
 
@@ -20,47 +23,6 @@ object Dedup {
     val w = Window.partitionBy(on).orderBy(keep)
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
-  }
-
-  /** Lower-cased word array of a text column. */
-  private def words(text: Column): Column =
-    filter(split(lower(text), "\\s+"), w => length(w) > 0)
-
-  /** k-word shingle array from a MATERIALIZED word-array column (distinct,
-    * full k-word windows only: fewer than k words -> no shingles).
-    *
-    * `ws` must be an attribute reference, not an expression: HOF lambdas
-    * are interpreted, and an embedded expression would be re-evaluated per
-    * array element (the 55x minhash regression, commit 8cb6d50). */
-  def shingleArray(ws: Column, k: Int): Column =
-    when(size(ws) < k, array().cast("array<string>"))
-      .otherwise(array_distinct(
-        transform(sequence(lit(0), size(ws) - k),
-          i => concat_ws(" ", slice(ws, i + 1, lit(k))))))
-
-  /** k-word shingles of a text column. Convenience for small/test inputs;
-    * the scaling path is [[shingleRows]], which materializes the word
-    * array behind a shuffle barrier first. */
-  def shingles(text: Column, k: Int): Column = shingleArray(words(text), k)
-
-  /** MinHash signature: H minimums of independent permutations
-    * h_i(x) = (a_i * xxhash64(x) + b_i) mod p over the shingle set.
-    * Deterministic seeds; array-typed column, fully codegen. */
-  def minhash(sh: Column, h: Int): Column = {
-    // 31-bit modulus keeps a*h+b within a long under ANSI arithmetic
-    val p = 2147483647L // 2^31 - 1 (Mersenne prime)
-    val seeds = (0 until h).map { i =>
-      (((0x9E3779B97F4A7C15L * (i + 1)) & 0x7FFFFFFFL) | 1L,
-        (0x7F4A7C159E3779B9L * (i + 7)) & 0x7FFFFFFFL)
-    }
-    // hash each shingle string ONCE; the h permutations are then pure
-    // long arithmetic over the hashed array (h x cheaper than re-hashing
-    // strings per permutation)
-    val hashed = transform(sh, s => pmod(xxhash64(s), lit(p)))
-    array(seeds.map { case (a, b) =>
-      array_min(transform(hashed,
-        x => pmod(x * lit(a) + lit(b), lit(p))))
-    }: _*)
   }
 
   /** (id, nsh, h) rows: distinct hashed k-shingles per document, one row
@@ -231,7 +193,11 @@ object Dedup {
                         planes: Seq[Seq[Double]] = Nil,
                         bands: Int = 4): DataFrame = {
     import graft.functions.F
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    // spread the streamed side of the (broadcast) pair join over all
+    // cores — single-file corpora otherwise score on 1-2 partitions
     val a = df.select(col(idCol).as("id1"), col(vecCol).as("v1"))
+      .repartition(par)
     val b = df.select(col(idCol).as("id2"), col(vecCol).as("v2"))
     val cand =
       if (planes.isEmpty) a.join(b, col("id1") < col("id2"))
