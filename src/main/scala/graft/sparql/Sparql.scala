@@ -68,11 +68,20 @@ object Sparql {
 
     var aggSub = Map.empty[Expr, V]
     if (grouped) {
-      // group keys: plain vars keep their 4-column term identity
-      val keyCols: Seq[Column] = q.mods.groupBy.flatMap {
-        case EVar(v) => Seq(col(v), col(s"${v}__lex"), col(s"${v}__dt"),
-          col(s"${v}__lang"))
-        case e => Seq(Compiler.compile(e).lex.as(s"__k_${e.hashCode}"))
+      // group keys: plain vars AND computed expressions keep their
+      // 4-column term identity; expression keys get substituted back
+      // into projection/HAVING/ORDER BY like aggregate results
+      val keyCols: Seq[Column] = q.mods.groupBy.zipWithIndex.flatMap {
+        case (EVar(v), _) => Seq(col(v), col(s"${v}__lex"),
+          col(s"${v}__dt"), col(s"${v}__lang"))
+        case (e, i) =>
+          val kv = Compiler.compile(e)
+          val kn = s"__k_$i"
+          aggSub += (e: Expr) -> V(col(kn), col(s"${kn}__lex"),
+            col(s"${kn}__dt"), col(s"${kn}__lang"))
+          Seq(kv.rid.as(kn), kv.lex.as(s"${kn}__lex"),
+            kv.dt.as(s"${kn}__dt"),
+            coalesce(kv.lang, lit("")).as(s"${kn}__lang"))
       }
       val aggCols: Seq[Column] = allAggs.zipWithIndex.map {
         case (a, i) => aggColumn(a).as(s"__agg_$i")
@@ -80,9 +89,9 @@ object Sparql {
       val df =
         if (keyCols.isEmpty) b.df.agg(aggCols.head, aggCols.tail: _*)
         else b.df.groupBy(keyCols: _*).agg(aggCols.head, aggCols.tail: _*)
-      aggSub = allAggs.zipWithIndex.map { case (a, i) =>
+      aggSub ++= allAggs.zipWithIndex.map { case (a, i) =>
         (a: Expr) -> aggResultV(a, col(s"__agg_$i"))
-      }.toMap
+      }
       val groupVars = q.mods.groupBy.collect { case EVar(v) => v }
       b = Bindings(df, groupVars, groupVars.toSet, groupVars.toSet)
       // HAVING (`apply_constraints` mask, `src/frontend/results.c`)

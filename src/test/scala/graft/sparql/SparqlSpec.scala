@@ -106,6 +106,35 @@ class SparqlSpec extends SparkTestBase {
     assert(r == Seq(Seq("Alice,Bob,Carol")))
   }
 
+  test("GROUP BY an expression, projected and HAVING-filtered") {
+    val r = rows("""SELECT (STRLEN(?n) AS ?l) (COUNT(?p) AS ?c) WHERE {
+      ?p <urn:name> ?n } GROUP BY STRLEN(?n)
+      HAVING(COUNT(?p) > 1) ORDER BY ?l""")
+    assert(r == Seq(Seq("5", "2"))) // Alice+Carol len 5; Bob len 3 filtered
+  }
+
+  test("ASK over UNION (union-ask)") {
+    val yes = rows("""ASK { { <urn:alice> <urn:age> ?x }
+      UNION { <urn:nobody> <urn:age> ?x } }""")
+    assert(yes == Seq(Seq("true")))
+    val no = rows("""ASK { { <urn:nobody1> <urn:age> ?x }
+      UNION { <urn:nobody2> <urn:age> ?x } }""")
+    assert(no == Seq(Seq("false")))
+  }
+
+  test("nested OPTIONAL keeps outer bindings intact") {
+    val r = rows("""SELECT ?n ?fn ?fa WHERE {
+      ?p <urn:name> ?n .
+      OPTIONAL { ?p <urn:knows> ?f . ?f <urn:name> ?fn
+                 OPTIONAL { ?f <urn:age> ?fa } } }
+      ORDER BY ?n ?fn""")
+    // carol knows nobody -> (Carol, null, null); bob knows carol who has
+    // no age -> (Bob, Carol, null)
+    assert(r.contains(Seq("Carol", null, null)))
+    assert(r.contains(Seq("Bob", "Carol", null)))
+    assert(r.contains(Seq("Alice", "Bob", "25")))
+  }
+
   test("BIND creates a joinable computed var") {
     val r = rows("""SELECT ?n ?y WHERE { ?p <urn:age> ?a ;
       <urn:name> ?n . BIND(?a + 1 AS ?y) } ORDER BY ?n""")
