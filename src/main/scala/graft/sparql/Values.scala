@@ -20,6 +20,13 @@ final case class V(rid: Column, lex: Column, dt: Column, lang: Column) {
     * reference's 20+20-digit fs_decimal is documented in SURVEY §7.4) */
   def num: Column =
     when(dt.isin(numericAttrs: _*), lex.cast("double"))
+  /** exact-numeric view: integers and xsd:decimal as DECIMAL(38,18)
+    * (reference fs_decimal is 20+20 base-10 digits,
+    * `src/frontend/decimal.h:5-19`; Spark's max precision is 38 — we keep
+    * 20 integer digits and give up 2 fractional ones). */
+  def dec: Column =
+    when(dt.isin((integerAttrs :+ decimalAttr): _*),
+      lex.cast(org.apache.spark.sql.types.DecimalType(38, 18)))
   def isNum: Column = dt.isin(numericAttrs: _*) && lex.cast("double").isNotNull
   def isInt: Column = dt.isin(integerAttrs: _*)
   /** plain-string view (simple literal or xsd:string, no lang) */
@@ -139,15 +146,45 @@ object Compiler {
       .when(a.bool.isNotNull && b.bool.isNotNull, f(a.bool, b.bool))
       .otherwise(lit(null).cast("boolean"))
 
+  /** SPARQL numeric promotion (`fs_value_promote`,
+    * `filter-datatypes.c:286`): int op int stays integer (except
+    * division), exact (integer/decimal) operands compute in DECIMAL —
+    * including int/int division, whose divide-by-zero yields a type error
+    * (NULL), matching the reference's decimal divide — and anything
+    * involving float/double computes in double (where /0 is ±Inf, per
+    * XSD float semantics). */
   private def arith(op: String, a: V, b: V): V = {
-    val bothInt = a.isInt && b.isInt && lit(op != "/")
-    val r = op match {
-      case "+" => a.num + b.num
-      case "-" => a.num - b.num
-      case "*" => a.num * b.num
-      case "/" => a.num / b.num
+    val longCase = a.isInt && b.isInt && lit(op != "/")
+    val exactCase = (a.isInt || a.dt === decimalAttr) &&
+      (b.isInt || b.dt === decimalAttr)
+    // ANSI-safe division: try_divide gives NULL on /0 (the SPARQL
+    // type-error value, right for the exact path); the double path
+    // restores IEEE ±Inf/NaN explicitly, since ANSI Divide would throw
+    def f(x: Column, y: Column, dec: Boolean): Column = op match {
+      case "+" => x + y
+      case "-" => x - y
+      case "*" => x * y
+      case "/" =>
+        if (dec) try_divide(x, y)
+        else when(y === 0 && x.isNotNull,
+          when(x > 0, lit(Double.PositiveInfinity))
+            .when(x < 0, lit(Double.NegativeInfinity))
+            .otherwise(lit(Double.NaN)))
+          .otherwise(try_divide(x, y))
     }
-    V.ofNum(r, bothInt)
+    val dblR = f(a.num, b.num, dec = false)
+    // canonical-ish decimal lexical form: strip trailing fraction zeros
+    val decCanon = regexp_replace(regexp_replace(
+      f(a.dec, b.dec, dec = true).cast("string"),
+      "(\\.\\d*?)0+$", "$1"), "\\.$", "")
+    val lex = when(longCase, dblR.cast("long").cast("string"))
+      .when(exactCase, decCanon)
+      .otherwise(dblR.cast("string"))
+    val dt = when(longCase, lit(Rid.uri(Xsd.integer)))
+      .when(exactCase, lit(decimalAttr))
+      .otherwise(lit(doubleAttr))
+    V(when(lex.isNotNull, Rid.literalCol(lex, dt)), lex,
+      when(lex.isNotNull, dt), lit(""))
   }
 
   private def call(fn: String, vs: List[V], raw: List[Expr]): V = fn match {

@@ -165,6 +165,27 @@ class SparqlSpec extends SparkTestBase {
     assert(r2.map(_.head) == Seq(Xsd.integer))
   }
 
+  test("decimal arithmetic is exact; int/0 is a type error") {
+    val decStore = QuadStore.fromTerms(spark, Seq(
+      (Uri("urn:x"), Uri("urn:a"), Lit("0.1", Xsd.decimal)),
+      (Uri("urn:x"), Uri("urn:b"), Lit("0.2", Xsd.decimal))))
+    def rws(q: String) = Sparql.run(decStore, spark, q).collect().toSeq
+      .map(r => (0 until r.length).map(i =>
+        Option(r.get(i)).map(_.toString).orNull))
+    // double would give 0.30000000000000004; fs_decimal gives 0.3
+    val r = rws("""SELECT ?s WHERE { ?x <urn:a> ?a ; <urn:b> ?b .
+      BIND(?a + ?b AS ?s) }""")
+    assert(r == Seq(Seq("0.3")))
+    // integer division is decimal; division by zero -> error -> unbound
+    val d = rws("""SELECT ?q ?z WHERE { ?x <urn:a> ?a .
+      BIND(1/2 AS ?q) BIND(1/0 AS ?z) }""")
+    assert(d == Seq(Seq("0.5", null)))
+    // double division by zero stays IEEE (Infinity), per XSD semantics
+    val inf = rws("""SELECT ?i WHERE { ?x <urn:a> ?a .
+      BIND(1.0e0/0 AS ?i) }""")
+    assert(inf == Seq(Seq("Infinity")))
+  }
+
   test("FROM_UNIXTIME / TO_UNIXTIME (LAQRS extensions)") {
     val r = rows("""SELECT ?t ?u WHERE {
       ?p <urn:age> ?age .
