@@ -112,6 +112,57 @@ object TextHash {
     while (i < ws.length) { out(i) = hashOf(ws(i), md5); i += 1 }
     new GenericArrayData(out)
   }
+
+  /** MinHash signature over a hash array: h mins of (a_i*x0+b_i) mod p
+    * with x0 = (x & Long.MaxValue) mod p. Null for empty input (no
+    * shingles -> no signature). One in-row pass — the whole signature
+    * stage is map-only, no explode/groupBy shuffle. */
+  def minhashSig(hs: ArrayData, seedsA: Array[Long], seedsB: Array[Long],
+                 p: Long): ArrayData = {
+    val n = hs.numElements()
+    if (n == 0) return null
+    val h = seedsA.length
+    val sig = new Array[Long](h)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val x0 = (hs.getLong(i) & Long.MaxValue) % p
+      var j = 0
+      while (j < h) {
+        val v = (seedsA(j) * x0 + seedsB(j)) % p
+        if (v < sig(j)) sig(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  /** 64-bit SimHash over a word-hash array: bit b set iff more than half
+    * the words have bit b set. Null for empty input. One in-row pass. */
+  def simhash64(hs: ArrayData): Any = {
+    val n = hs.numElements()
+    if (n == 0) return null
+    val counts = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      var x = hs.getLong(i)
+      var b = 0
+      while (x != 0L) {
+        if ((x & 1L) != 0L) counts(b) += 1
+        x >>>= 1
+        b += 1
+      }
+      i += 1
+    }
+    var sim = 0L
+    var b = 0
+    while (b < 64) {
+      if (counts(b) * 2 > n) sim |= (1L << b)
+      b += 1
+    }
+    sim
+  }
 }
 
 /** `shingle_hashes(text, k)`: array<long> of distinct hashed k-shingles.
@@ -132,6 +183,56 @@ final case class ShingleHashes(child: Expression, k: Int,
     defineCodeGen(ctx, ev, c =>
       s"graft.functions.TextHash.shingleHashes($c, $k, $md5)")
   override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+}
+
+/** `minhash_sig(hashArray)`: h-length MinHash signature (null if the
+  * input array is empty). Seeds/modulus are constructor constants. */
+final case class MinHashSig(child: Expression, seeds: Seq[(Long, Long)],
+                            p: Long)
+    extends UnaryExpression {
+  private lazy val sa: Array[Long] = seeds.map(_._1).toArray
+  private lazy val sb: Array[Long] = seeds.map(_._2).toArray
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<long>, got $t")
+  }
+  override def nullable: Boolean = true
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.minhashSig(input.asInstanceOf[ArrayData], sa, sb, p)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ra = ctx.addReferenceObj("seedsA", sa, "long[]")
+    val rb = ctx.addReferenceObj("seedsB", sb, "long[]")
+    val code = nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.TextHash.minhashSig($c, $ra, $rb, ${p}L);
+      if (${ev.value} == null) { ${ev.isNull} = true; }""")
+    code
+  }
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+/** `simhash64(hashArray)`: 64-bit majority-vote SimHash (null if empty). */
+final case class SimHash64(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<long>, got $t")
+  }
+  override def nullable: Boolean = true
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.simhash64(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      Object r = graft.functions.TextHash.simhash64($c);
+      if (r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ((Long) r).longValue(); }""")
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
     copy(child = newChild)
 }
 

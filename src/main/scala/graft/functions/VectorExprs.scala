@@ -155,6 +155,9 @@ object F {
     c(ShingleHashes(e(text), k, md5))
   def wordHashes(text: Column, md5: Boolean = false): Column =
     c(WordHashes(e(text), md5))
+  def minhashSig(hs: Column, seeds: Seq[(Long, Long)], p: Long): Column =
+    c(MinHashSig(e(hs), seeds, p))
+  def simhash64(hs: Column): Column = c(SimHash64(e(hs)))
   def vecDot(a: Column, b: Column): Column = c(VecDot(e(a), e(b)))
   def vecCosine(a: Column, b: Column): Column = c(VecCosine(e(a), e(b)))
   def hyperplaneSig(v: Column, planes: Seq[Seq[Double]]): Column =

@@ -69,20 +69,19 @@ object Dedup {
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         k: Int, h: Int,
                         portableHash: Boolean = false): DataFrame = {
-    val p = minhashP
-    val seeds = minhashSeeds(h)
-    // duplicates don't affect min() -> no distinct needed; the 63-bit mask
-    // makes signed-Long and unsigned-SQL reads of the same hash bits agree
-    // before the modulus
-    val hashed = shingleHashRows(df, idCol, textCol, k, portableHash)
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    // the whole signature is ONE in-row kernel pass over the shingle-hash
+    // array (graft.functions.MinHashSig): map-only, no explode/groupBy
+    // shuffle anywhere in the signature stage. The 63-bit mask inside the
+    // kernel makes signed-Long and unsigned-SQL reads of the hash agree.
+    df.select(col(idCol).as("id"),
+        graft.functions.F.shingleHashes(col(textCol), k, portableHash)
+          .as("hs"))
+      .repartition(par)
       .select(col("id"),
-        pmod(col("h").bitwiseAND(lit(Long.MaxValue)), lit(p)).as("h0"))
-    val aggs = seeds.zipWithIndex.map { case ((a, b), i) =>
-      min(pmod(col("h0") * lit(a) + lit(b), lit(p))).as(s"m$i")
-    }
-    hashed.groupBy("id").agg(aggs.head, aggs.tail: _*)
-      .select(col("id"), array((0 until h).map(i => col(s"m$i")): _*)
-        .as("sig"))
+        graft.functions.F.minhashSig(col("hs"), minhashSeeds(h), minhashP)
+          .as("sig"))
+      .filter(col("sig").isNotNull)
   }
 
   /** Candidate near-duplicate pairs via banded MinHash-LSH:
@@ -132,27 +131,19 @@ object Dedup {
       .select("id1", "id2", "est_jaccard")
   }
 
-  /** 64-bit SimHash over word hashes: per-bit majority vote. Computed as
-    * 64 codegen'd sum aggregates over exploded words (no UDAF); word
-    * hashing is the native [[graft.functions.WordHashes]] kernel, and the
-    * repartition spreads single-file inputs over all cores before the
-    * explode+aggregate stage. */
+  /** 64-bit SimHash over word hashes: per-bit majority vote, computed as
+    * ONE in-row kernel pass over the word-hash array
+    * ([[graft.functions.SimHash64]]) — map-only, no explode/groupBy
+    * shuffle; the repartition spreads single-file inputs over all cores. */
   def simhash(df: DataFrame, idCol: String, textCol: String,
               portableHash: Boolean = false): DataFrame = {
     val par = df.sparkSession.sparkContext.defaultParallelism
-    val wordRows = df.select(col(idCol).as("id"),
+    df.select(col(idCol).as("id"),
         graft.functions.F.wordHashes(col(textCol), portableHash).as("whs"))
       .repartition(par)
-      .select(col("id"), explode_outer(col("whs")).as("h"))
-      .filter(col("h").isNotNull)
-    val bitSums = (0 until 64).map(b =>
-      sum(shiftright(col("h"), b).bitwiseAND(lit(1L))).as(s"b$b"))
-    val agg = wordRows.groupBy("id")
-      .agg(count(lit(1)).as("n"), bitSums: _*)
-    val sim = (0 until 64).map { b =>
-      when(col(s"b$b") * 2 > col("n"), shiftleft(lit(1L), b)).otherwise(0L)
-    }.reduce((a, b) => a.bitwiseOR(b))
-    agg.select(col("id"), sim.as("simhash"))
+      .select(col("id"), graft.functions.F.simhash64(col("whs"))
+        .as("simhash"))
+      .filter(col("simhash").isNotNull)
   }
 
   /** Near-dup pairs by SimHash: LSH on 4 16-bit chunks (a pair within

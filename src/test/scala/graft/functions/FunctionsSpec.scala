@@ -61,6 +61,48 @@ class FunctionsSpec extends SparkTestBase {
     assert(rows.find(_.getLong(0) == 1L).get.isNullAt(1))
   }
 
+  test("MinHashSig matches the explode+min-aggregate formulation") {
+    import graft.operators.Dedup
+    val df = texts.toDF("id", "text")
+    val p = Dedup.minhashP
+    val seeds = Dedup.minhashSeeds(8)
+    val hashed = df.select(col("id"),
+        explode(F.shingleHashes(col("text"), 3)).as("h"))
+      .select(col("id"),
+        pmod(col("h").bitwiseAND(lit(Long.MaxValue)), lit(p)).as("h0"))
+    val aggs = seeds.zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(col("h0") * lit(a) + lit(b), lit(p))).as(s"m$i")
+    }
+    val expected = hashed.groupBy("id").agg(aggs.head, aggs.tail: _*)
+      .select(col("id"), array((0 until 8).map(i => col(s"m$i")): _*)
+        .as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val actual = df.select(col("id"),
+        F.minhashSig(F.shingleHashes(col("text"), 3), seeds, p).as("sig"))
+      .filter(col("sig").isNotNull)
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(actual == expected)
+  }
+
+  test("SimHash64 matches the explode+bit-sum formulation") {
+    val df = texts.toDF("id", "text")
+    val wordRows = df.select(col("id"),
+        explode(F.wordHashes(col("text"))).as("h"))
+    val bitSums = (0 until 64).map(b =>
+      sum(shiftright(col("h"), b).bitwiseAND(lit(1L))).as(s"b$b"))
+    val agg = wordRows.groupBy("id").agg(count(lit(1)).as("n"), bitSums: _*)
+    val sim = (0 until 64).map { b =>
+      when(col(s"b$b") * 2 > col("n"), shiftleft(lit(1L), b)).otherwise(0L)
+    }.reduce((a, b) => a.bitwiseOR(b))
+    val expected = agg.select(col("id"), sim.as("s"))
+      .as[(Long, Long)].collect().toMap
+    val actual = df.select(col("id"),
+        F.simhash64(F.wordHashes(col("text"))).as("s"))
+      .filter(col("s").isNotNull)
+      .as[(Long, Long)].collect().toMap
+    assert(actual == expected)
+  }
+
   test("VecDot/VecCosine are bit-identical to the HOF folds") {
     val vecs = Seq(
       (0L, Array(1.0f, 2.5f, -3.25f, 0.125f)),
