@@ -16,13 +16,15 @@ import org.apache.spark.sql.expressions.Window
   */
 object Dedup {
 
-  /** Exact dedup: keep one representative (min of `keep`) per identical
-    * value of `on`. One hash-shuffle; at 100 TB this is the cheapest
-    * possible full-corpus pass. */
+  /** Exact dedup: keep one representative (the row with the minimum
+    * `keep` value) per identical value of `on`. groupBy + min_by, NOT a
+    * window sort: partial aggregation collapses duplicates map-side, so
+    * the one shuffle moves (key, current representative) per map
+    * partition instead of every duplicate row — at 100 TB this is the
+    * cheapest possible full-corpus pass. */
   def exact(df: DataFrame, on: Column, keep: Column): DataFrame = {
-    val w = Window.partitionBy(on).orderBy(keep)
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).drop("__rn")
+    val rep = min_by(struct(df.columns.map(col): _*), keep)
+    df.groupBy(on).agg(rep.as("__rep")).select(col("__rep.*"))
   }
 
   /** (id, nsh, h) rows: distinct hashed k-shingles per document, one row
