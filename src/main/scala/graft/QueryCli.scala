@@ -73,16 +73,7 @@ object QueryCli {
   private def emit(df: DataFrame, format: String): Unit = format match {
     case "json" => println(Results.toJson(df))
     case "xml"  => println(Results.toXml(df))
-    case "csv" =>
-      println(df.columns.mkString(","))
-      df.collect().foreach { r =>
-        println((0 until r.length).map { i =>
-          val v = if (r.isNullAt(i)) "" else r.get(i).toString
-          if (v.contains(",") || v.contains("\""))
-            "\"" + v.replace("\"", "\"\"") + "\""
-          else v
-        }.mkString(","))
-      }
+    case "csv" => Results.toCsvLines(df).foreach(println)
     case "ascii" => // the reference test harness format (FORMAT=ascii)
       df.collect().foreach(r => println((0 until r.length).map(i =>
         if (r.isNullAt(i)) "" else r.get(i).toString).mkString(" ")))

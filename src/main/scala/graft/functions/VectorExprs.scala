@@ -25,9 +25,22 @@ object VectorOps {
   private def get(a: ArrayData, i: Int, isFloat: Boolean): Double =
     if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
 
-  /** Left-to-right dot product in double precision. Stops at the shorter
-    * length (zip_with would null-pad; dot of a padded tail is undefined —
-    * callers use equal-length vectors). */
+  /** NULL propagation parity with the HOF fold this kernel replaced:
+    * `aggregate(zip_with(a,b,_*_),0,+)` yields NULL when the lengths
+    * differ (zip_with null-pads) or any element is NULL. */
+  def badPair(a: ArrayData, b: ArrayData): Boolean = {
+    if (a.numElements() != b.numElements()) return true
+    var i = 0
+    val n = a.numElements()
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return true
+      i += 1
+    }
+    false
+  }
+
+  /** Left-to-right dot product in double precision (callers null-check
+    * with [[badPair]] first). */
   def dot(a: ArrayData, aFloat: Boolean, b: ArrayData, bFloat: Boolean): Double = {
     val n = math.min(a.numElements(), b.numElements())
     var acc = 0.0
@@ -52,6 +65,16 @@ object VectorOps {
       i += 1
     }
     d / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  def hasNullElement(a: ArrayData): Boolean = {
+    var i = 0
+    val n = a.numElements()
+    while (i < n) {
+      if (a.isNullAt(i)) return true
+      i += 1
+    }
+    false
   }
 
   /** Bit p set iff dot(v, planes(p)) >= 0; up to 64 planes. Dot runs
@@ -88,28 +111,40 @@ private[functions] trait VectorBinary extends BinaryExpression {
     e.dataType.asInstanceOf[ArrayType].elementType == FloatType
 }
 
-/** `vec_dot(a, b)`: double dot product of two numeric arrays. */
+/** `vec_dot(a, b)`: double dot product of two numeric arrays. NULL on
+  * length mismatch or any NULL element (HOF-fold parity). */
 final case class VecDot(left: Expression, right: Expression) extends VectorBinary {
   override def prettyName: String = "vec_dot"
-  override protected def nullSafeEval(a: Any, b: Any): Any =
-    VectorOps.dot(a.asInstanceOf[ArrayData], isFloat(left),
-      b.asInstanceOf[ArrayData], isFloat(right))
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    if (VectorOps.badPair(x, y)) null
+    else VectorOps.dot(x, isFloat(left), y, isFloat(right))
+  }
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) =>
-      s"graft.functions.VectorOps.dot($a, ${isFloat(left)}, $b, ${isFloat(right)})")
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      if (graft.functions.VectorOps.badPair($a, $b)) { ${ev.isNull} = true; }
+      else { ${ev.value} = graft.functions.VectorOps.dot(
+        $a, ${isFloat(left)}, $b, ${isFloat(right)}); }""")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): VecDot =
     copy(left = l, right = r)
 }
 
-/** `vec_cosine(a, b)`: double cosine similarity of two numeric arrays. */
+/** `vec_cosine(a, b)`: double cosine similarity of two numeric arrays.
+  * NULL on length mismatch or any NULL element (HOF-fold parity). */
 final case class VecCosine(left: Expression, right: Expression) extends VectorBinary {
   override def prettyName: String = "vec_cosine"
-  override protected def nullSafeEval(a: Any, b: Any): Any =
-    VectorOps.cosine(a.asInstanceOf[ArrayData], isFloat(left),
-      b.asInstanceOf[ArrayData], isFloat(right))
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    if (VectorOps.badPair(x, y)) null
+    else VectorOps.cosine(x, isFloat(left), y, isFloat(right))
+  }
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) =>
-      s"graft.functions.VectorOps.cosine($a, ${isFloat(left)}, $b, ${isFloat(right)})")
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      if (graft.functions.VectorOps.badPair($a, $b)) { ${ev.isNull} = true; }
+      else { ${ev.value} = graft.functions.VectorOps.cosine(
+        $a, ${isFloat(left)}, $b, ${isFloat(right)}); }""")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): VecCosine =
     copy(left = l, right = r)
 }
@@ -132,15 +167,21 @@ final case class HyperplaneSignature(child: Expression,
       s"$prettyName requires array<float|double>, got $t")
   }
   override def dataType: DataType = LongType
+  override def nullable: Boolean = true
   override def prettyName: String = "hyperplane_sig"
   private def isFloat: Boolean =
     child.dataType.asInstanceOf[ArrayType].elementType == FloatType
-  override protected def nullSafeEval(input: Any): Any =
-    VectorOps.hyperplaneSig(input.asInstanceOf[ArrayData], isFloat, matrix)
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    if (VectorOps.hasNullElement(v)) null
+    else VectorOps.hyperplaneSig(v, isFloat, matrix)
+  }
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("planes", matrix, "double[][]")
-    defineCodeGen(ctx, ev, c =>
-      s"graft.functions.VectorOps.hyperplaneSig($c, $isFloat, $ref)")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      if (graft.functions.VectorOps.hasNullElement($c)) { ${ev.isNull} = true; }
+      else { ${ev.value} =
+        graft.functions.VectorOps.hyperplaneSig($c, $isFloat, $ref); }""")
   }
   override protected def withNewChildInternal(newChild: Expression): HyperplaneSignature =
     copy(child = newChild)

@@ -70,15 +70,8 @@ final class Endpoint(spark: SparkSession, initial: QuadStore, port: Int = 0) {
                 .map(_.getString(0)).mkString("\n")
               respond(ex, 200, lines, "text/tab-separated-values")
             case "csv" =>
-              val header = df.columns.mkString(",")
-              val rows = df.collect().map(r =>
-                (0 until r.length).map { i =>
-                  val v = if (r.isNullAt(i)) "" else r.get(i).toString
-                  if (v.exists(",\"\n".contains(_)))
-                    "\"" + v.replace("\"", "\"\"") + "\""
-                  else v
-                }.mkString(",")).mkString("\n")
-              respond(ex, 200, header + "\n" + rows, "text/csv")
+              respond(ex, 200, Results.toCsvLines(df).mkString("\n"),
+                "text/csv")
             case _ => respond(ex, 200,
               Results.toJson(df, p.getOrElse("callback", "")),
               "application/sparql-results+json")
@@ -131,7 +124,7 @@ final class Endpoint(spark: SparkSession, initial: QuadStore, port: Int = 0) {
   })
 
   server.createContext("/status/", new HttpHandler {
-    def handle(ex: HttpExchange): Unit = {
+    def handle(ex: HttpExchange): Unit = try {
       if (ex.getRequestURI.getPath.startsWith("/status/size")) {
         // per-graph quad counts (the reference's /status/size/ + 4s-size)
         import org.apache.spark.sql.functions._
@@ -145,6 +138,9 @@ final class Endpoint(spark: SparkSession, initial: QuadStore, port: Int = 0) {
         val n = store.quads.count()
         respond(ex, 200, s"""{"quads":$n,"engine":"graft","ok":true}""")
       }
+    } catch {
+      case e: Exception =>
+        respond(ex, 400, s"""{"error":"${e.getMessage}"}""")
     }
   })
 

@@ -21,7 +21,11 @@ object Dedup {
     * window sort: partial aggregation collapses duplicates map-side, so
     * the one shuffle moves (key, current representative) per map
     * partition instead of every duplicate row — at 100 TB this is the
-    * cheapest possible full-corpus pass. */
+    * cheapest possible full-corpus pass.
+    *
+    * PRECONDITION: `keep` must be non-null on every row (use a row id) —
+    * min_by skips null ordering values, so an all-null group would yield
+    * a null representative. */
   def exact(df: DataFrame, on: Column, keep: Column): DataFrame = {
     val rep = min_by(struct(df.columns.map(col): _*), keep)
     df.groupBy(on).agg(rep.as("__rep")).select(col("__rep.*"))

@@ -18,12 +18,17 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
-  /** Inner equi-join of `probe` and `build` on `key`, salted `salts`
-    * ways. `build` (the smaller/replicable side) is exploded once per
-    * salt; `probe` rows pick a deterministic pseudo-random salt. */
+  /** Equi-join of `probe` and `build` on `key`, salted `salts` ways.
+    * `build` (the smaller/replicable side) is exploded once per salt;
+    * `probe` rows pick a deterministic pseudo-random salt. Only inner and
+    * left-side join types are allowed: an unmatched BUILD row exists once
+    * per salt copy, so right/full outer joins would duplicate it. */
   def saltedJoin(probe: DataFrame, build: DataFrame, key: String,
                  salts: Int, joinType: String = "inner"): DataFrame = {
     require(salts >= 1, s"salts must be >= 1, got $salts")
+    require(Set("inner", "left", "leftouter", "leftsemi", "leftanti")
+      .contains(joinType.toLowerCase.replace("_", "")),
+      s"saltedJoin supports inner/left join types only, got $joinType")
     val p = probe.withColumn("__salt",
       pmod(xxhash64(col(key), monotonically_increasing_id()), lit(salts))
         .cast("int"))

@@ -32,6 +32,21 @@ object Results {
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").option("header", "true").csv(path)
 
+  /** Driver-side CSV lines (header + rows) with RFC-4180 quoting — the
+    * one shared implementation for the CLI and HTTP emitters
+    * (`output_csv`, `results.c:2143`). */
+  def toCsvLines(df: DataFrame): Seq[String] = {
+    def cell(v: String): String =
+      if (v == null) ""
+      else if (v.exists(c => c == ',' || c == '"' || c == '\n' || c == '\r'))
+        "\"" + v.replace("\"", "\"\"") + "\""
+      else v
+    df.columns.mkString(",") +: df.collect().toSeq.map(r =>
+      (0 until r.length).map(i =>
+        cell(if (r.isNullAt(i)) null else r.get(i).toString))
+        .mkString(","))
+  }
+
   private def jsonEscape(s: String): String = s.flatMap {
     case '"' => "\\\""
     case '\\' => "\\\\"

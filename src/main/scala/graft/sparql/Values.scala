@@ -23,10 +23,11 @@ final case class V(rid: Column, lex: Column, dt: Column, lang: Column) {
   /** exact-numeric view: integers and xsd:decimal as DECIMAL(38,18)
     * (reference fs_decimal is 20+20 base-10 digits,
     * `src/frontend/decimal.h:5-19`; Spark's max precision is 38 — we keep
-    * 20 integer digits and give up 2 fractional ones). */
+    * 20 integer digits and give up 2 fractional ones). try_cast: a lexical
+    * beyond 20 integer digits is a type error (NULL), not an ANSI throw. */
   def dec: Column =
     when(dt.isin((integerAttrs :+ decimalAttr): _*),
-      lex.cast(org.apache.spark.sql.types.DecimalType(38, 18)))
+      lex.try_cast(org.apache.spark.sql.types.DecimalType(38, 18)))
   def isNum: Column = dt.isin(numericAttrs: _*) && lex.cast("double").isNotNull
   def isInt: Column = dt.isin(integerAttrs: _*)
   /** plain-string view (simple literal or xsd:string, no lang) */
@@ -157,13 +158,13 @@ object Compiler {
     val longCase = a.isInt && b.isInt && lit(op != "/")
     val exactCase = (a.isInt || a.dt === decimalAttr) &&
       (b.isInt || b.dt === decimalAttr)
-    // ANSI-safe division: try_divide gives NULL on /0 (the SPARQL
-    // type-error value, right for the exact path); the double path
+    // ANSI-safe exact ops: try_* give NULL on /0 and overflow (the SPARQL
+    // type-error value) instead of throwing; the double division path
     // restores IEEE ±Inf/NaN explicitly, since ANSI Divide would throw
     def f(x: Column, y: Column, dec: Boolean): Column = op match {
-      case "+" => x + y
-      case "-" => x - y
-      case "*" => x * y
+      case "+" => if (dec) try_add(x, y) else x + y
+      case "-" => if (dec) try_subtract(x, y) else x - y
+      case "*" => if (dec) try_multiply(x, y) else x * y
       case "/" =>
         if (dec) try_divide(x, y)
         else when(y === 0 && x.isNotNull,
@@ -173,12 +174,13 @@ object Compiler {
           .otherwise(try_divide(x, y))
     }
     val dblR = f(a.num, b.num, dec = false)
+    val decR = f(a.dec, b.dec, dec = true)
     // canonical-ish decimal lexical form: strip trailing fraction zeros
     val decCanon = regexp_replace(regexp_replace(
-      f(a.dec, b.dec, dec = true).cast("string"),
-      "(\\.\\d*?)0+$", "$1"), "\\.$", "")
-    val lex = when(longCase, dblR.cast("long").cast("string"))
-      .when(exactCase, decCanon)
+      decR.cast("string"), "(\\.\\d*?)0+$", "$1"), "\\.$", "")
+    // integer results come off the EXACT (decimal) path too: computing
+    // them via double would round above 2^53
+    val lex = when(longCase || exactCase, decCanon)
       .otherwise(dblR.cast("string"))
     val dt = when(longCase, lit(Rid.uri(Xsd.integer)))
       .when(exactCase, lit(decimalAttr))

@@ -127,6 +127,20 @@ class FunctionsSpec extends SparkTestBase {
     assert(actual == expected)
   }
 
+  test("VecDot/VecCosine null-propagate like the HOF fold") {
+    val df = spark.sql(
+      """SELECT array(CAST(1.0 AS FLOAT), CAST(NULL AS FLOAT)) AS withNull,
+                array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)) AS full2,
+                array(CAST(3.0 AS FLOAT)) AS full1""")
+    val r = df.select(
+      F.vecDot(col("withNull"), col("full2")).as("d1"),   // null element
+      F.vecDot(col("full1"), col("full2")).as("d2"),      // length mismatch
+      F.vecCosine(col("withNull"), col("full2")).as("c1"),
+      F.vecDot(col("full2"), col("full2")).as("ok")).collect().head
+    assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2))
+    assert(r.getDouble(3) == 5.0)
+  }
+
   test("VecDot accepts double-array literals (hyperplanes)") {
     val vecs = Seq((0L, Array(1.0f, 2.0f))).toDF("id", "v")
     val plane = array(lit(0.5), lit(-0.25))

@@ -184,6 +184,12 @@ class SparqlSpec extends SparkTestBase {
     val inf = rws("""SELECT ?i WHERE { ?x <urn:a> ?a .
       BIND(1.0e0/0 AS ?i) }""")
     assert(inf == Seq(Seq("Infinity")))
+    // integer arithmetic is exact beyond 2^53 (computed in decimal, not
+    // double), and >20-integer-digit overflow is an error, not a crash
+    val big = rws("""SELECT ?x ?o WHERE { ?s <urn:a> ?a .
+      BIND(9007199254740993 + 1 AS ?x)
+      BIND(100000000000000000000 * 10 AS ?o) }""")
+    assert(big == Seq(Seq("9007199254740994", null)))
   }
 
   test("FROM_UNIXTIME / TO_UNIXTIME (LAQRS extensions)") {
