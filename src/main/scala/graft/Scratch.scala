@@ -12,7 +12,8 @@ object Scratch {
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -43,8 +44,19 @@ object Scratch {
           jobs.get - j0, stages.get - s0, tasks.get - t0n)
       }
       val cold = run(); val warm = run()
+      // phase split: DataFrame build (parse+analyze) / plan / execute
+      val tb0 = System.nanoTime()
+      val df = fn(spark, sfDir)
+      val tBuild = (System.nanoTime() - tb0) / 1e9
+      val tp0 = System.nanoTime()
+      df.queryExecution.executedPlan
+      val tPlan = (System.nanoTime() - tp0) / 1e9
+      val te0 = System.nanoTime()
+      df.count()
+      val tExec = (System.nanoTime() - te0) / 1e9
       println(f"SCRATCH $name%-36s cold=${cold._1}%6.2f warm=${warm._1}%6.2f " +
-        f"warmJobs=${warm._2}%3d warmStages=${warm._3}%3d warmTasks=${warm._4}%5d")
+        f"warmJobs=${warm._2}%3d warmStages=${warm._3}%3d warmTasks=${warm._4}%5d " +
+        f"build=$tBuild%5.2f plan=$tPlan%5.2f exec=$tExec%5.2f")
     }
     spark.stop()
   }

@@ -29,7 +29,7 @@ object SparqlQueries {
         // the value columns for RID-only scans)
         val v = st.valued.get.cache()
         QuadStore(v.select(QuadStore.quadCols.map(col): _*),
-          st.resources.cache(), Some(v))
+          st.resources.cache(), Some(v), st.predRids, st.graphRids)
       })
     }.reduce(_ union _)
 

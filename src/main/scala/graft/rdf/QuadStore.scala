@@ -54,7 +54,22 @@ final case class FlatQuad(
   * execution then falls back to dictionary-join resolution.
   */
 final case class QuadStore(quads: DataFrame, resources: DataFrame,
-                           valued: Option[DataFrame] = None) {
+                           valued: Option[DataFrame] = None,
+                           predRids: Option[Set[Long]] = None,
+                           graphRids: Option[Set[Long]] = None,
+                           segments: Seq[QuadStore] = Nil) {
+
+  /** The scannable parts of this store. A union store keeps its input
+    * stores as `segments`, each declaring (a superset of) the predicate
+    * and graph RIDs it contains — the Spark analog of the reference's
+    * per-predicate ptree index (`src/backend/ptree.c`: one ptree pair per
+    * predicate, so a constant-predicate bind opens exactly one index).
+    * A constant-p / constant-g pattern scan then plans only the matching
+    * segment(s) instead of a Union over every part — at 100 TB this is
+    * partition pruning; here it also keeps plans small enough that
+    * Catalyst/AQE latency stays interactive. */
+  def leaves: Seq[QuadStore] =
+    if (segments.nonEmpty) segments else Seq(this)
 
   /** Attach dictionary values for the given RID columns: adds
     * `<c>__lex` (string), `<c>__dt` (attr rid), `<c>__lang` per column.
@@ -75,7 +90,10 @@ final case class QuadStore(quads: DataFrame, resources: DataFrame,
     QuadStore(
       quads.unionByName(other.quads),
       resources.unionByName(other.resources).dropDuplicates("rid"),
-      for (a <- valued; b <- other.valued) yield a.unionByName(b))
+      for (a <- valued; b <- other.valued) yield a.unionByName(b),
+      for (a <- predRids; b <- other.predRids) yield a ++ b,
+      for (a <- graphRids; b <- other.graphRids) yield a ++ b,
+      leaves ++ other.leaves)
 
   /** Repartition quads by subject — the reference's segment layout; makes
     * subject-subject joins co-partitioned after one shuffle. */
@@ -316,7 +334,12 @@ object QuadStore {
 
     val resources = subjects.unionByName(objects).unionByName(preds)
       .unionByName(consts).dropDuplicates("rid")
-    QuadStore(quads, resources, Some(valued))
+    // a direct-mapped table's predicate/graph sets are known statically —
+    // they drive segment pruning for constant-slot patterns
+    val pRids = df.schema.fields.toSeq
+      .map(f => Rid.uri(s"urn:p:$table:${f.name}")).toSet
+    QuadStore(quads, resources, Some(valued),
+      Some(pRids), Some(Set(graphRid)))
   }
 
   private def dtUriOf(t: DataType): String = t match {

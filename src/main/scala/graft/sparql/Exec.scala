@@ -90,7 +90,23 @@ final class Exec(store: QuadStore, spark: SparkSession) {
     val useValued = store.valued.isDefined &&
       (Seq(tp.s, tp.p, tp.o).collect { case PVar(v) => v } ++ gvar)
         .exists(need)
-    var df = if (useValued) store.valued.get else store.quads
+    // segment pruning: a constant predicate / graph selects only the
+    // store leaves that can contain it (reference: per-predicate ptree
+    // index + model index, `src/backend/ptree.c`, `query-backend.c:291`)
+    val pConst = tp.p match {
+      case PConst(t) => Some(Rid.of(t)); case _ => None
+    }
+    val live = store.leaves.filter { seg =>
+      pConst.forall(r => seg.predRids.forall(_.contains(r))) &&
+        gRids.forall(gs => seg.graphRids.forall(sg => gs.exists(sg)))
+    }
+    var df = live match {
+      case Nil => // no segment can match -> statically empty scan
+        (if (useValued) store.valued.get else store.quads).limit(0)
+      case segs =>
+        segs.map(sg => if (useValued) sg.valued.get else sg.quads)
+          .reduce(_ unionByName _)
+    }
     gRids.foreach(rs => df = df.filter(col("g").isin(rs: _*)))
     val slots = Seq("s" -> tp.s, "p" -> tp.p, "o" -> tp.o)
     // constant slots -> pushdown filters
@@ -129,7 +145,10 @@ final class Exec(store: QuadStore, spark: SparkSession) {
 
   private def renamedRight(r: Bindings): (DataFrame, String => String) = {
     val ren = (c: String) => s"__r_$c"
-    val rdf = r.df.columns.foldLeft(r.df)((d, c) => d.withColumnRenamed(c, ren(c)))
+    // one select, not a withColumnRenamed fold: every withColumn* call is a
+    // full analysis pass over an ever-growing plan — with 4 value columns
+    // per var the O(cols²) analysis cost dominated small-query latency
+    val rdf = r.df.select(r.df.columns.map(c => col(c).as(ren(c))): _*)
     (rdf, ren)
   }
 
@@ -145,40 +164,49 @@ final class Exec(store: QuadStore, spark: SparkSession) {
       if (l.certain(v) && r.certain(v)) col(v) === col(ren(v))
       else col(v).isNull || col(ren(v)).isNull || col(v) === col(ren(v))
     } ++ extraCond.toSeq
-    var df =
+    val joined =
       if (conds.isEmpty) {
         if (joinType == "inner") l.df.crossJoin(rdf)
         else l.df.join(rdf, lit(true), joinType)
       } else l.df.join(rdf, conds.reduce(_ && _), joinType)
 
+    // single output projection (NOT a withColumn/rename/drop churn loop —
+    // each of those is a separate analysis pass and small-query latency
+    // was dominated by Catalyst, not by data)
     var valued = l.valued
-    // merge shared vars (rid + value columns)
-    shared.foreach { v =>
-      df = df.withColumn(v, coalesce(col(v), col(ren(v)))).drop(ren(v))
-      if (l.valued(v) && r.valued(v)) {
-        valueCols(v).foreach(c =>
-          df = df.withColumn(c, coalesce(col(c), col(ren(c)))).drop(ren(c)))
-      } else if (r.valued(v) && !l.valued(v)) {
-        if (joinType == "inner") {
-          valueCols(v).foreach(c => df = df.withColumnRenamed(ren(c), c))
-          valued += v
-        } else {
+    val rOnly = r.varsOrdered.filterNot(shared)
+    val proj = Seq.newBuilder[Column]
+    l.varsOrdered.foreach { v =>
+      if (shared(v)) {
+        // a certain left var is never NULL -> its rid is authoritative
+        val rid = if (l.certain(v)) col(v) else coalesce(col(v), col(ren(v)))
+        proj += rid.as(v)
+        if (l.valued(v) && r.valued(v))
+          valueCols(v).foreach(c =>
+            proj += coalesce(col(c), col(ren(c))).as(c))
+        else if (l.valued(v))
+          valueCols(v).foreach(c => proj += col(c))
+        else if (r.valued(v)) {
+          if (joinType == "inner") {
+            valueCols(v).foreach(c => proj += col(ren(c)).as(c))
+            valued += v
+          }
           // outer join: right-side values would be NULL on unmatched rows
           // while the rid is bound -> drop, re-resolve later if needed
-          valueCols(v).foreach(c => df = df.drop(ren(c)))
         }
+      } else {
+        proj += col(v)
+        if (l.valued(v)) valueCols(v).foreach(c => proj += col(c))
       }
     }
-    // right-only vars keep their real names
-    val rOnly = r.varsOrdered.filterNot(shared)
     rOnly.foreach { v =>
-      df = df.withColumnRenamed(ren(v), v)
+      proj += col(ren(v)).as(v)
       if (r.valued(v)) {
-        valueCols(v).foreach(c => df = df.withColumnRenamed(ren(c), c))
+        valueCols(v).foreach(c => proj += col(ren(c)).as(c))
         valued += v
       }
     }
-    df = df.drop(df.columns.filter(_.startsWith("__r_")): _*)
+    val df = joined.select(proj.result(): _*)
     val certain =
       if (joinType == "inner") l.certain ++ r.certain
       else l.certain // outer join: right vars may be null
@@ -217,14 +245,15 @@ final class Exec(store: QuadStore, spark: SparkSession) {
     val allVars = bs.flatMap(_.varsOrdered).distinct
     val aligned = bs.map { b0 =>
       val b = ensureValues(b0, b0.vars) // full value parity across branches
-      var df = b.df
-      allVars.filterNot(b.vars).foreach { v =>
-        df = df.withColumn(v, lit(null).cast("long"))
-          .withColumn(s"${v}__lex", lit(null).cast("string"))
-          .withColumn(s"${v}__dt", lit(null).cast("long"))
-          .withColumn(s"${v}__lang", lit(null).cast("string"))
-      }
-      df.select(allVars.flatMap(v => col(v) +: valueCols(v).map(col)): _*)
+      // one select per branch: present vars pass through, absent vars are
+      // typed NULL literals (no per-column withColumn analysis passes)
+      b.df.select(allVars.flatMap { v =>
+        if (b.vars(v)) col(v) +: valueCols(v).map(col)
+        else Seq(lit(null).cast("long").as(v),
+          lit(null).cast("string").as(s"${v}__lex"),
+          lit(null).cast("long").as(s"${v}__dt"),
+          lit(null).cast("string").as(s"${v}__lang"))
+      }: _*)
     }
     val certain = allVars.filter(v =>
       bs.forall(b => b.certain(v))).toSet
@@ -288,11 +317,10 @@ final class Exec(store: QuadStore, spark: SparkSession) {
     val needed = varsOf(e)
     val eb = ensureValues(b, needed)
     val value = Compiler.compile(e)
-    val df = eb.df
-      .withColumn(v, value.rid)
-      .withColumn(s"${v}__lex", value.lex)
-      .withColumn(s"${v}__dt", value.dt)
-      .withColumn(s"${v}__lang", coalesce(value.lang, lit("")))
+    val df = eb.df.select(eb.df.columns.map(col) ++ Seq(
+      value.rid.as(v), value.lex.as(s"${v}__lex"),
+      value.dt.as(s"${v}__dt"),
+      coalesce(value.lang, lit("")).as(s"${v}__lang")): _*)
     Bindings(df, eb.varsOrdered :+ v, eb.certain, eb.valued + v)
   }
 

@@ -108,23 +108,21 @@ object Sparql {
       case (SelectItem(e, None), i) => s"expr$i" -> Compiler.compile(e, aggSub)
     }
 
-    var df = b.df
-    named.foreach { case (n, v) => df = df.withColumn(s"__out_$n", v.anyLex) }
-
-    // ORDER BY keys (SPARQL total order, `src/frontend/order.c:194-270`)
+    // one projection for outputs AND order keys (a withColumn per item
+    // re-analyzes the whole plan; SPARQL bindings carry 4 columns per var
+    // so small-query latency was all Catalyst)
+    // ORDER BY keys use SPARQL total order (`src/frontend/order.c:194-270`)
     val ordNames = q.mods.orderBy.indices.map(i => s"__ord_$i")
-    q.mods.orderBy.zipWithIndex.foreach { case ((e, asc), i) =>
+    val ordCols = q.mods.orderBy.zipWithIndex.map { case ((e, _), i) =>
       val v = e match {
         case EVar(n) if named.exists(_._1 == n) && !b.vars.contains(n) =>
           named.find(_._1 == n).get._2
         case _ => Compiler.compile(e, aggSub)
       }
-      df = df.withColumn(s"__ord_$i", V.sortKey(v))
+      V.sortKey(v).as(s"__ord_$i")
     }
-
-    val outNames = named.map(_._1)
-    var out = df.select((outNames.map(n => col(s"__out_$n").as(n)) ++
-      ordNames.map(col)): _*)
+    var out = b.df.select(
+      named.map { case (n, v) => v.anyLex.as(n) } ++ ordCols: _*)
 
     if (q.mods.distinct || q.mods.reduced) out = out.distinct()
     if (q.mods.orderBy.nonEmpty) {

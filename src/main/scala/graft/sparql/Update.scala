@@ -141,16 +141,19 @@ object Update {
           store.resources.unionByName(resourcesOf(spark, terms))
             .dropDuplicates("rid"))
       // mutations drop the inline-value scan (`valued`): spliced rows have
-      // no value columns; execution falls back to dictionary resolution
+      // no value columns; execution falls back to dictionary resolution.
+      // They also drop `segments` — segment frames reference pre-mutation
+      // quads (pred/graph RID sets stay valid: deletes only shrink them)
       case DeleteData(quads) =>
         store.copy(quads = store.quads.join(constQuadsDF(spark, quads),
-          quadKey, "left_anti"), valued = None)
+          quadKey, "left_anti"), valued = None, segments = Nil)
       case Clear(None) =>
-        store.copy(quads = store.quads.limit(0), valued = None)
+        store.copy(quads = store.quads.limit(0), valued = None,
+          segments = Nil)
       case Clear(Some("")) => store // CREATE: no-op (update.c:225-226)
       case Clear(Some(g)) =>
         store.copy(quads = store.quads.filter(col("g") =!= Rid.uri(g)),
-          valued = None)
+          valued = None, segments = Nil)
       case GraphCopy(kind, from, to) =>
         val fromRid = from.map(Rid.uri).getOrElse(WellKnown.defaultGraph)
         val toRid = to.map(Rid.uri).getOrElse(WellKnown.defaultGraph)
