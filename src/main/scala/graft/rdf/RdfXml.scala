@@ -1,0 +1,148 @@
+package graft.rdf
+
+import javax.xml.stream.{XMLInputFactory, XMLStreamConstants, XMLStreamReader}
+
+/** RDF/XML reader (the reference's primary import syntax — its importer
+  * auto-detects RDF/XML via Raptor, `src/frontend/import.c:333-423`).
+  *
+  * Covers the RDF/XML subset the reference's own test corpus uses
+  * (`/root/reference/data/swh.xrdf`, `tiger` rdfs): node elements
+  * (`rdf:Description` and typed), `rdf:about`/`rdf:ID`/`rdf:nodeID`/
+  * `rdf:resource`, `rdf:datatype`, property attributes, nested node
+  * elements, `xml:lang` inheritance, relative-URI resolution against a
+  * base. Parsing is a single sequential stream (StAX) — inherently
+  * serial, like the reference's Raptor pass; the DISTRIBUTED import path
+  * is N-Triples/N-Quads ([[QuadStore.fromNTriples]]). Convert once,
+  * ingest in parallel.
+  */
+object RdfXml {
+  private val XmlNs = "http://www.w3.org/XML/1998/namespace"
+
+  def parseFile(path: String, baseUri: String): List[(Term, Term, Term)] = {
+    val in = new java.io.FileInputStream(path)
+    try parse(in, baseUri) finally in.close()
+  }
+
+  def parse(in: java.io.InputStream,
+            baseUri: String): List[(Term, Term, Term)] = {
+    val f = XMLInputFactory.newInstance()
+    f.setProperty(XMLInputFactory.IS_COALESCING, java.lang.Boolean.TRUE)
+    f.setProperty(XMLInputFactory.SUPPORT_DTD, java.lang.Boolean.FALSE)
+    f.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES,
+      java.lang.Boolean.FALSE)
+    val r = f.createXMLStreamReader(in)
+    val out = List.newBuilder[(Term, Term, Term)]
+    var bn = 0L
+    def freshBNode(): BNode = { bn += 1; BNode(s"genid$bn") }
+
+    def resolve(u: String): String =
+      if (u.isEmpty) baseUri // RFC 3986 §5.2: empty reference = base
+        // (java.net.URI.resolve("") wrongly drops the last path segment)
+      else try new java.net.URI(baseUri).resolve(u).toString
+      catch { case _: Exception => u }
+
+    def nsOf: String = Option(r.getNamespaceURI).getOrElse("")
+
+    /** cursor on a node element's START; consumes through its END;
+      * returns the node's subject term. */
+    def parseNode(lang0: String): Term = {
+      val ns = nsOf
+      val ln = r.getLocalName
+      var subj: Term = null
+      var lang = lang0
+      val propAttrs = List.newBuilder[(String, String)]
+      for (i <- 0 until r.getAttributeCount) {
+        val ans = Option(r.getAttributeNamespace(i)).getOrElse("")
+        val aln = r.getAttributeLocalName(i)
+        val v = r.getAttributeValue(i)
+        (ans, aln) match {
+          case (Rdf.ns, "about")  => subj = Uri(resolve(v))
+          case (Rdf.ns, "ID")     => subj = Uri(resolve("#" + v))
+          case (Rdf.ns, "nodeID") => subj = BNode(v)
+          case (XmlNs, "lang")    => lang = v
+          case (Rdf.ns, _)        => // other rdf:* control attrs ignored
+          case ("", _)            => // non-namespaced attrs ignored
+          case _                  => propAttrs += ((ans + aln, v))
+        }
+      }
+      if (subj == null) subj = freshBNode()
+      if (!(ns == Rdf.ns && ln == "Description"))
+        out += ((subj, Uri(Rdf.typ), Uri(ns + ln)))
+      propAttrs.result().foreach { case (p, v) =>
+        out += ((subj, Uri(p), Lit(v, lang = lang.toLowerCase)))
+      }
+      var done = false
+      while (!done && r.hasNext) {
+        r.next() match {
+          case XMLStreamConstants.START_ELEMENT => parseProperty(subj, lang)
+          case XMLStreamConstants.END_ELEMENT => done = true
+          case _ => ()
+        }
+      }
+      subj
+    }
+
+    /** cursor on a property element's START; consumes through its END. */
+    def parseProperty(subj: Term, lang0: String): Unit = {
+      val pred = Uri(nsOf + r.getLocalName)
+      var lang = lang0
+      var obj: Term = null
+      var dt: String = null
+      for (i <- 0 until r.getAttributeCount) {
+        val ans = Option(r.getAttributeNamespace(i)).getOrElse("")
+        val aln = r.getAttributeLocalName(i)
+        val v = r.getAttributeValue(i)
+        (ans, aln) match {
+          case (Rdf.ns, "resource") => obj = Uri(resolve(v))
+          case (Rdf.ns, "nodeID")   => obj = BNode(v)
+          case (Rdf.ns, "datatype") => dt = v
+          case (XmlNs, "lang")      => lang = v
+          case _                    => ()
+        }
+      }
+      val text = new StringBuilder
+      var done = false
+      while (!done && r.hasNext) {
+        r.next() match {
+          case XMLStreamConstants.START_ELEMENT =>
+            obj = parseNode(lang) // nested node element = resource object
+          case XMLStreamConstants.CHARACTERS |
+               XMLStreamConstants.CDATA => text.append(r.getText)
+          case XMLStreamConstants.END_ELEMENT => done = true
+          case _ => ()
+        }
+      }
+      if (obj == null)
+        obj =
+          if (dt != null) Lit(text.toString,
+            dt = if (dt == Xsd.string) "" else dt)
+          else Lit(text.toString, lang = lang.toLowerCase)
+      out += ((subj, pred, obj))
+    }
+
+    // document level: find rdf:RDF, parse its node-element children
+    var rdfLang = ""
+    try {
+      var inRdf = false
+      while (r.hasNext) {
+        r.next() match {
+          case XMLStreamConstants.START_ELEMENT =>
+            if (!inRdf) {
+              if (nsOf == Rdf.ns && r.getLocalName == "RDF") {
+                inRdf = true
+                for (i <- 0 until r.getAttributeCount)
+                  if (Option(r.getAttributeNamespace(i)).contains(XmlNs) &&
+                      r.getAttributeLocalName(i) == "lang")
+                    rdfLang = r.getAttributeValue(i)
+              } else { // document with a single top-level node element
+                inRdf = true
+                parseNode(rdfLang)
+              }
+            } else parseNode(rdfLang)
+          case _ => ()
+        }
+      }
+    } finally r.close()
+    out.result()
+  }
+}

@@ -78,6 +78,11 @@ object Rid {
         uriCol(dt))
       .otherwise(lit(0L))
 
+  // ---- driver-side tag tests (formatters, result post-processing) ----
+  def isUri(rid: Long): Boolean = (rid & TagUri) == TagUri
+  def isBNode(rid: Long): Boolean = (rid & TagUri) == TagBNode
+  def isLiteral(rid: Long): Boolean = (rid & TagBNode) == 0L
+
   // ---- tag tests (pure Long ops, reference `src/common/4s-hash.h`) ----
   def isUriCol(rid: Column): Column =
     rid.bitwiseAND(lit(TagUri)) === lit(TagUri)

@@ -265,10 +265,26 @@ final class Exec(store: QuadStore, spark: SparkSession) {
   def pattern(gp: GP, gvar: Option[String] = None,
               gRids: Option[Seq[Long]] = None,
               need: String => Boolean = _ => false): Bindings = gp match {
-    case BGPat(pats) =>
+    case BGPat(pats0) =>
+      // bnode labels in a query pattern are variables that cannot be
+      // projected (SPARQL 1.1 §4.1.4; rasqal does the same rewrite for
+      // the reference). The __bn_ prefix keeps them out of SELECT *.
+      val pats = pats0.map { tp =>
+        def rw(t: PTerm): PTerm = t match {
+          case PConst(BNode(l)) => PVar(s"__bn_$l")
+          case other => other
+        }
+        TriplePat(rw(tp.s), tp.p, rw(tp.o))
+      }
       val ordered = orderPatterns(pats)
-      ordered.map(triplePattern(_, gvar, gRids, need))
+      val joined = ordered.map(triplePattern(_, gvar, gRids, need))
         .reduceLeft((a, b) => join(a, b))
+      // SELECT * expands vars in query-text appearance order (GRAPH var
+      // first), not in the optimizer's execution order
+      val appearance = (gvar.toSeq ++ pats.flatMap(tp =>
+        Seq(tp.s, tp.p, tp.o).collect { case PVar(v) => v })).distinct
+      joined.copy(varsOrdered = appearance.filter(joined.vars) ++
+        joined.varsOrdered.filterNot(appearance.contains))
     case GroupGP(elems, filters) =>
       // this group's filters and BIND inputs consume values too — resolve
       // them at the scan along with whatever the caller needs
@@ -278,7 +294,16 @@ final class Exec(store: QuadStore, spark: SparkSession) {
       var acc: Option[Bindings] = None
       def fold(b: Bindings): Unit =
         acc = Some(acc.map(a => join(a, b)).getOrElse(b))
-      elems.foreach {
+      // the reference executes a group's mandatory patterns before its
+      // OPTIONAL/MINUS blocks regardless of syntactic position (block
+      // scheduling in `fs_query_process_pattern`; golden test
+      // foaf-optional-order: `{ OPTIONAL {...} ?x foaf:knows ?p }` keeps
+      // knows-rows the OPTIONAL doesn't cover)
+      val (aug, main) = elems.partition {
+        case _: OptionalGP | _: MinusGP => true
+        case _ => false
+      }
+      (main ++ aug).foreach {
         case OptionalGP(inner) =>
           val left = acc.getOrElse(unit)
           acc = Some(join(left, pattern(inner, gvar, gRids, needHere),
@@ -340,7 +365,13 @@ final class Exec(store: QuadStore, spark: SparkSession) {
       filter(filter(b, a, gvar, gRids), c, gvar, gRids)
     case _ =>
       val eb = ensureValues(b, varsOf(f))
-      eb.copy(df = eb.df.filter(Compiler.compile(f).ebv === true))
+      // a filter var the group never binds is the unbound value: the
+      // expression becomes a type error and drops the row (reference
+      // behavior — `fs_binding_apply_filters` passes FS_RID_NULL)
+      val unboundSub: Map[Expr, V] = (varsOf(f) diff eb.vars)
+        .map(v => (EVar(v): Expr) -> V.nul).toMap
+      eb.copy(df = eb.df.filter(
+        Compiler.compile(f, unboundSub).ebv === true))
   }
 
   private def valuesTable(v: ValuesGP): Bindings = {

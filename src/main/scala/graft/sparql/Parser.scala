@@ -242,7 +242,9 @@ class Parser extends RegexParsers {
 
   def selectQuery: Parser[SelectQ] =
     kw("SELECT") ~> opt(kw("DISTINCT") ^^^ 1 | kw("REDUCED") ^^^ 2) ~
-      ("*" ^^^ Nil | rep1(selectItem)) ~
+      // optional commas between items: LAQRS tolerance, as the reference's
+      // parser accepts `SELECT ?x, (count(?y) as ?c)`
+      ("*" ^^^ Nil | rep1sep(selectItem, opt(","))) ~
       (opt(kw("WHERE")) ~> groupGraphPattern) ~ solutionMods ^^ {
       case d ~ items ~ where ~ mods =>
         SelectQ(items, where,

@@ -28,6 +28,21 @@ object Sparql {
       case q: DescribeQ  => describe(store, spark, q)
     }
 
+  /** Like [[run]], but SELECT projects each item as a full term struct
+    * `(rid, lex, dt, lang)` instead of a lexical string — the form result
+    * serializers need (term kind + datatype + language survive to the
+    * sink, reference `fs_resource` rows reaching `output_*`,
+    * `src/frontend/results.c:1468+`). DISTINCT in this mode is exact
+    * term-distinct. ASK/CONSTRUCT/DESCRIBE are unchanged. */
+  def runTerms(store: QuadStore, spark: SparkSession,
+               text: String): DataFrame =
+    Parser.parse(text) match {
+      case q: SelectQ    => select(store, spark, q, terms = true)
+      case q: AskQ       => ask(store, spark, q)
+      case q: ConstructQ => construct(store, spark, q)
+      case q: DescribeQ  => describe(store, spark, q)
+    }
+
   // ------------------------------------------------------------- SELECT
 
   private def collectAggs(e: Expr): Seq[EAgg] = e match {
@@ -38,7 +53,7 @@ object Sparql {
   }
 
   private def select(store: QuadStore, spark: SparkSession,
-                     q: SelectQ): DataFrame = {
+                     q: SelectQ, terms: Boolean = false): DataFrame = {
     val exec = new Exec(store, spark)
     // vars whose values any output expression needs — resolved at the
     // pattern scan when the store carries inline values (SELECT * needs
@@ -52,7 +67,8 @@ object Sparql {
 
     val items: List[SelectItem] =
       if (q.items.nonEmpty) q.items
-      else b.varsOrdered.map(v => SelectItem(EVar(v), None)).toList
+      else b.varsOrdered.filterNot(_.startsWith("__bn_")) // query bnodes
+        .map(v => SelectItem(EVar(v), None)).toList
 
     val allAggs = (items.map(_.expr) ++ q.mods.having)
       .flatMap(collectAggs).distinct
@@ -101,19 +117,24 @@ object Sparql {
       }
     }
 
-    // projection values
+    // projection values; a projected var the pattern never binds (legal
+    // SPARQL, reference warns "selected but is unused") is the unbound V
+    def compileOrNull(e: Expr): V = e match {
+      case EVar(v) if !b.df.columns.contains(v) && !aggSub.contains(e) =>
+        V.nul
+      case _ => Compiler.compile(e, aggSub)
+    }
     val named: Seq[(String, V)] = items.zipWithIndex.map {
-      case (SelectItem(EVar(v), None), _) => v -> Compiler.compile(EVar(v))
-      case (SelectItem(e, Some(a)), _) => a -> Compiler.compile(e, aggSub)
-      case (SelectItem(e, None), i) => s"expr$i" -> Compiler.compile(e, aggSub)
+      case (SelectItem(EVar(v), None), _) => v -> compileOrNull(EVar(v))
+      case (SelectItem(e, Some(a)), _) => a -> compileOrNull(e)
+      case (SelectItem(e, None), i) => s"expr$i" -> compileOrNull(e)
     }
 
     // one projection for outputs AND order keys (a withColumn per item
     // re-analyzes the whole plan; SPARQL bindings carry 4 columns per var
     // so small-query latency was all Catalyst)
     // ORDER BY keys use SPARQL total order (`src/frontend/order.c:194-270`)
-    val ordNames = q.mods.orderBy.indices.map(i => s"__ord_$i")
-    val ordCols = q.mods.orderBy.zipWithIndex.map { case ((e, _), i) =>
+    val explicitOrd = q.mods.orderBy.zipWithIndex.map { case ((e, _), i) =>
       val v = e match {
         case EVar(n) if named.exists(_._1 == n) && !b.vars.contains(n) =>
           named.find(_._1 == n).get._2
@@ -121,12 +142,30 @@ object Sparql {
       }
       V.sortKey(v).as(s"__ord_$i")
     }
+    // OFFSET with no ORDER BY: impose a deterministic row order (the
+    // reference pages over its internally RID-sorted binding table;
+    // since RID hashes are engine-specific we use the SPARQL total
+    // order over the projected terms instead — deterministic,
+    // engine-independent, and it reproduces the reference's golden
+    // pagination output, foaf-pagination-filter)
+    val ridOrd =
+      if (q.mods.orderBy.isEmpty && q.mods.offset.isDefined)
+        named.zipWithIndex.map { case ((_, v), i) =>
+          V.sortKey(v).as(s"__ord_$i") }
+      else Nil
+    val ordCols = explicitOrd ++ ridOrd
+    val ordNames = ordCols.indices.map(i => s"__ord_$i")
+    def outCol(v: V): Column =
+      if (terms) struct(v.rid.as("rid"), v.lex.as("lex"), v.dt.as("dt"),
+        coalesce(v.lang, lit("")).as("lang"))
+      else v.anyLex
     var out = b.df.select(
-      named.map { case (n, v) => v.anyLex.as(n) } ++ ordCols: _*)
+      named.map { case (n, v) => outCol(v).as(n) } ++ ordCols: _*)
 
     if (q.mods.distinct || q.mods.reduced) out = out.distinct()
-    if (q.mods.orderBy.nonEmpty) {
-      val sorts = q.mods.orderBy.zipWithIndex.map { case ((_, asc), i) =>
+    if (ordCols.nonEmpty) {
+      val ascFlags = q.mods.orderBy.map(_._2) ++ ridOrd.map(_ => true)
+      val sorts = ascFlags.zipWithIndex.map { case (asc, i) =>
         if (asc) col(s"__ord_$i").asc else col(s"__ord_$i").desc
       }
       out = out.orderBy(sorts: _*)
@@ -149,10 +188,16 @@ object Sparql {
     * DECIMAL for order-independent exactness at any partitioning. */
   private def aggColumn(a: EAgg): Column = {
     val argV = a.arg.map(Compiler.compile(_))
+    // Sum({}) = 0 per SPARQL 1.1 (and the reference,
+    // `tests/query/exemplar/aggregates-empty-cases`); a non-empty group
+    // whose values are all type errors stays NULL (error), so the default
+    // applies only when the group has zero rows
     def sumExact(c: Column) =
-      sum(c.cast(DecimalType(28, 10))).cast("double")
+      coalesce(sum(c.cast(DecimalType(28, 10))).cast("double"),
+        when(count(lit(1)) === 0, lit(0.0)))
     def sumExactD(c: Column) =
-      sum_distinct(c.cast(DecimalType(28, 10))).cast("double")
+      coalesce(sum_distinct(c.cast(DecimalType(28, 10))).cast("double"),
+        when(count(lit(1)) === 0, lit(0.0)))
     a.fn match {
       case "COUNT" => (a.arg, a.distinct) match {
         case (None, _) => count(lit(1))
@@ -164,9 +209,12 @@ object Sparql {
       case "SUM" =>
         if (a.distinct) sumExactD(argV.get.num) else sumExact(argV.get.num)
       case "AVG" =>
-        (if (a.distinct) sumExactD(argV.get.num) else sumExact(argV.get.num)) /
-          (if (a.distinct) countDistinct(argV.get.num)
-           else count(argV.get.num))
+        // try_divide: Avg({}) is a type error (NULL -> unbound output),
+        // not an ANSI divide-by-zero throw on the 0-count group
+        try_divide(
+          if (a.distinct) sumExactD(argV.get.num) else sumExact(argV.get.num),
+          if (a.distinct) countDistinct(argV.get.num)
+          else count(argV.get.num))
       case "MIN" => min_by(termStruct(argV.get), V.sortKey(argV.get))
       case "MAX" => max_by(termStruct(argV.get), V.sortKey(argV.get))
       case "SAMPLE" => min_by(termStruct(argV.get), argV.get.rid)

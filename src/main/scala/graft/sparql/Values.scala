@@ -95,12 +95,24 @@ object V {
 
   /** SPARQL total-order sort key (`src/frontend/order.c:66-127`):
     * unbound < bnodes < URIs < literals; literals numeric-aware with
-    * lexical fallback. One orderable struct column. */
-  def sortKey(v: V): Column = struct(
-    Rid.typeRankCol(coalesce(v.rid,
-      when(v.lex.isNotNull, lit(1L) /*bound computed*/))).as("rank"),
-    coalesce(v.num, v.ts.cast("double")).as("num"),
-    v.anyLex.as("lex"))
+    * lexical fallback. One orderable struct column.
+    *
+    * Within the literal rank, numeric/dateTime values order before
+    * non-numeric lexicals (the reference compares decoded values first
+    * and falls back to lexical, so un-decodable literals sort after all
+    * numbers — verified against `tests/query/exemplar/add-and-delete`).
+    * A non-finite parse (e.g. an overflowing float lexical) is NOT a
+    * number, matching the reference's failed BCD decode. */
+  def sortKey(v: V): Column = {
+    val n = coalesce(v.num, v.ts.cast("double"))
+    val finite = when(!isnan(n) && n =!= Double.PositiveInfinity &&
+      n =!= Double.NegativeInfinity, n)
+    struct(
+      Rid.typeRankCol(coalesce(v.rid,
+        when(v.lex.isNotNull, lit(1L) /*bound computed*/))).as("rank"),
+      coalesce(finite, lit(Double.PositiveInfinity)).as("num"),
+      v.anyLex.as("lex"))
+  }
 }
 
 /** Expression compiler: AST -> V over a bindings DataFrame. */
