@@ -253,6 +253,28 @@ object QuadStore {
     fromFlat(spark, flat)
   }
 
+  /** Import with format auto-detection (the reference's Raptor importer
+    * guesses the syntax, `src/frontend/import.c:333-423`): RDF/XML and
+    * Turtle parse driver-side ([[RdfXml]], [[Turtle]]) — inherently
+    * sequential syntaxes; N-Triples/N-Quads stream distributed. */
+  def fromFile(spark: SparkSession, path: String,
+               graph: String = ""): QuadStore = {
+    val lower = path.toLowerCase
+    def sniff(): String = {
+      val src = scala.io.Source.fromFile(path, "UTF-8")
+      try src.take(4096).mkString finally src.close()
+    }
+    if (lower.endsWith(".rdf") || lower.endsWith(".xrdf") ||
+        lower.endsWith(".owl") ||
+        (!lower.endsWith(".nt") && !lower.endsWith(".nq") &&
+          !lower.endsWith(".ttl") && sniff().contains("<rdf:RDF")))
+      fromTerms(spark, RdfXml.parseFile(path,
+        if (graph.nonEmpty) graph else s"file://$path"), graph)
+    else if (lower.endsWith(".ttl") || lower.endsWith(".n3"))
+      fromTerms(spark, Turtle.parseFile(path), graph)
+    else fromNTriples(spark, path, graph)
+  }
+
   /** In-memory statements (tests, INSERT DATA). */
   def fromTerms(spark: SparkSession,
                 stmts: Seq[(Term, Term, Term)],

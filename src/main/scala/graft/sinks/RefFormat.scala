@@ -151,4 +151,41 @@ object RefFormat {
   def ntLines(df: DataFrame): Seq[String] =
     df.collect().toSeq.map(r => s"${r.getString(0)} ${r.getString(1)} ${
       r.getString(2)} .")
+
+  /** CONSTRUCT results as Raptor-style RDF/XML (the reference serializes
+    * CONSTRUCT graphs through Raptor, `results.c:1765-1898`): one
+    * `rdf:Description` element per triple, subjects relativized against
+    * `xml:base`, predicate namespaces split at the last `#`/`/`/`:`. */
+  def rdfXmlLines(ntDf: DataFrame, base: String): Seq[String] = {
+    import graft.rdf.{NTriples, Uri, BNode, Lit, Rdf}
+    val triples = ntDf.collect().toSeq.flatMap { r =>
+      NTriples.parseLine(
+        s"${r.getString(0)} ${r.getString(1)} ${r.getString(2)} .")
+    }
+    def rel(u: String) =
+      if (u.startsWith(base)) u.substring(base.length) else u
+    val header = Seq(
+      """<?xml version="1.0" encoding="utf-8"?>""",
+      s"""<rdf:RDF xmlns:rdf="${Rdf.ns}" xml:base="$base">""")
+    val blocks = triples.flatMap { case (s, p, o, _) =>
+      val open = s match {
+        case Uri(u) => s"""  <rdf:Description rdf:about="${rel(u)}">"""
+        case BNode(b) => s"""  <rdf:Description rdf:nodeID="$b">"""
+        case _ => return Nil
+      }
+      val pu = p match { case Uri(u) => u; case _ => return Nil }
+      val i = pu.lastIndexWhere(c => c == '#' || c == '/' || c == ':')
+      val (ns, local) = (pu.substring(0, i + 1), pu.substring(i + 1))
+      val prop = o match {
+        case Lit(lex, _, _) =>
+          s"""    <ns0:$local xmlns:ns0="$ns">${xmlEscape(lex)}</ns0:$local>"""
+        case Uri(u) =>
+          s"""    <ns0:$local xmlns:ns0="$ns" rdf:resource="${rel(u)}"/>"""
+        case BNode(b) =>
+          s"""    <ns0:$local xmlns:ns0="$ns" rdf:nodeID="$b"/>"""
+      }
+      Seq(open, prop, "  </rdf:Description>")
+    }
+    header ++ blocks ++ Seq("</rdf:RDF>")
+  }
 }

@@ -386,6 +386,83 @@ object RefParity {
 class RefParitySpec extends SparkTestBase {
   import RefParity._
 
+  test("reference test 'add-and-delete' matches its exemplar") {
+    import graft.rdf.{Turtle, Rid, Lit}
+    import graft.sparql.{Sparql, Update}
+    import graft.sinks.RefFormat
+    val (swh, dtUris0) = store(spark)
+    val nastyGraph = "http://example.com/nasty.ttl"
+    val nasty = Turtle.parseFile("/root/reference/data/nasty.ttl")
+    val dtUris = dtUris0 ++ nasty.collect {
+      case (_, _, Lit(_, dt, "")) if dt.nonEmpty => Rid.uri(dt) -> dt
+    }.toMap
+    val withNasty = swh.union(
+      graft.rdf.QuadStore.fromTerms(spark, nasty.distinct, nastyGraph))
+    // 4s-delete-model == CLEAR GRAPH (src/frontend/delete-model.c)
+    val deleted = Update.applyOp(withNasty, spark,
+      Update.Clear(Some(nastyGraph)))
+    val fooA = "SELECT ?p ?o WHERE { <foo:a> ?p ?o }"
+    def text(st: graft.rdf.QuadStore, q: String, sort: Boolean) = {
+      val ls = RefFormat.textLines(Sparql.runTerms(st, spark, q), dtUris)
+      if (sort) ls.sorted else ls
+    }
+    val out =
+      Seq("# before insert") ++ text(swh, fooA, sort = true) ++
+      Seq("# BCD test") ++ text(withNasty, fooA, sort = true) ++
+      text(withNasty,
+        "SELECT ?o WHERE { ?z <test:bcd> ?o } ORDER BY ?o", sort = false) ++
+      Seq("# after insert", "# after delete") ++
+      text(deleted, fooA, sort = true)
+    assert(out == expected("add-and-delete"))
+  }
+
+  test("import format auto-detection (RDF/XML, Turtle, N-Triples)") {
+    import graft.rdf.QuadStore
+    val xml = QuadStore.fromFile(spark, "/root/reference/data/swh.xrdf",
+      swhGraph)
+    assert(xml.quads.count() > 50)
+    val ttl = QuadStore.fromFile(spark, "/root/reference/data/nasty.ttl",
+      "http://example.com/nasty.ttl")
+    assert(ttl.quads.count() > 40)
+    val dir = java.nio.file.Files.createTempDirectory("ntauto")
+    val f = dir.resolve("x.nt")
+    java.nio.file.Files.write(f,
+      "<urn:a> <urn:p> \"v\" .\n".getBytes("UTF-8"))
+    val nt = QuadStore.fromFile(spark, f.toString)
+    assert(nt.quads.count() == 1)
+  }
+
+  test("reference test 'construct-union' matches its exemplar") {
+    import graft.sparql.Sparql
+    import graft.sinks.RefFormat
+    val (swh, _) = store(spark)
+    // 4s-query's default query base (4s-query.c:74) resolves the
+    // template's relative IRIs <y>/<z>
+    def doc(q: String): Seq[String] =
+      RefFormat.rdfXmlLines(
+        Sparql.run(swh, spark, "BASE <local:>\n" + q), "local:") :+
+        "<!-- EOR -->"
+    val act = doc(
+      "CONSTRUCT { ?s <y> ?a. ?s <y> ?b . } WHERE { { ?s <http://xmlns.com/foaf/0.1/name> ?a } UNION { ?s <http://xmlns.com/foaf/0.1/nick> ?b } }") ++
+      doc("CONSTRUCT { ?s <y> ?a. ?s <y> ?b . ?s <z> ?c } WHERE { { ?s <http://xmlns.com/foaf/0.1/name> ?a } UNION { ?s <http://xmlns.com/foaf/0.1/nick> ?b } UNION { ?s <http://xmlns.com/foaf/0.1/family_name> ?c } }")
+    // triple order inside a document is the reference's internal hash
+    // order — normalize by sorting the 3-line Description blocks
+    def normalize(lines: Seq[String]): Seq[String] = {
+      def splitDocs(ls: Seq[String]): Seq[Seq[String]] = {
+        val i = ls.indexOf("<!-- EOR -->")
+        if (i < 0) Seq(ls)
+        else ls.take(i + 1) +: splitDocs(ls.drop(i + 1))
+      }
+      splitDocs(lines).filter(_.nonEmpty).flatMap { d =>
+        val body = d.drop(2).dropRight(2)
+        d.take(2) ++
+          body.grouped(3).toSeq.sortBy(_.mkString("\n")).flatten ++
+          d.takeRight(2)
+      }
+    }
+    assert(normalize(act) == normalize(expected("construct-union")))
+  }
+
   tests.foreach { t =>
     test(s"reference test '${t.name}' matches its exemplar") {
       val exp0 = expected(t.name)
