@@ -35,11 +35,7 @@ object RdfXml {
     var bn = 0L
     def freshBNode(): BNode = { bn += 1; BNode(s"genid$bn") }
 
-    def resolve(u: String): String =
-      if (u.isEmpty) baseUri // RFC 3986 §5.2: empty reference = base
-        // (java.net.URI.resolve("") wrongly drops the last path segment)
-      else try new java.net.URI(baseUri).resolve(u).toString
-      catch { case _: Exception => u }
+    def resolve(u: String): String = Iri.resolve(baseUri, u)
 
     def nsOf: String = Option(r.getNamespaceURI).getOrElse("")
 

@@ -13,23 +13,24 @@ import scala.util.parsing.combinator.RegexParsers
   */
 object Turtle {
 
-  def parse(text: String): List[(Term, Term, Term)] =
-    new TtlParser().run(text)
+  def parse(text: String, base: String = ""): List[(Term, Term, Term)] =
+    new TtlParser(base).run(text)
 
-  def parseFile(path: String): List[(Term, Term, Term)] = {
+  /** @param base base IRI for relative references (the reference's HTTP
+    *   PUT resolves them against the target graph URI) */
+  def parseFile(path: String, base: String = ""): List[(Term, Term, Term)] = {
     val src = scala.io.Source.fromFile(path, "UTF-8")
-    try parse(src.mkString) finally src.close()
+    try parse(src.mkString, base) finally src.close()
   }
 
-  private final class TtlParser extends RegexParsers {
+  private final class TtlParser(base0: String) extends RegexParsers {
     override val whiteSpace = """(\s|#[^\n]*)+""".r
 
     private var prefixes = Map[String, String]()
-    private var base = ""
+    private var base = base0
 
     private def iriRef: Parser[String] =
-      "<" ~> """[^<>"{}|^`\\\s]*""".r <~ ">" ^^ (
-        i => if (base.nonEmpty && !i.contains(":")) base + i else i)
+      "<" ~> """[^<>"{}|^`\\\s]*""".r <~ ">" ^^ (Iri.resolve(base, _))
 
     // prefixed name; the local part must not end with '.' (statement dot)
     private def pname: Parser[String] =
@@ -75,7 +76,8 @@ object Turtle {
       literal | iri ^^ Uri.apply | bnode
 
     private def statement: Parser[List[(Term, Term, Term)]] =
-      subject ~ rep1sep(verb ~ rep1sep(obj, ","), ";") <~ "." ^^ {
+      subject ~ rep1sep(verb ~ rep1sep(obj, ","), ";") <~
+        opt(";") <~ "." ^^ { // Turtle allows a trailing ';'
         case s ~ pol =>
           pol.flatMap { case p ~ os => os.map(o => (s, p, o)) }
       }

@@ -46,12 +46,16 @@ object Ast {
       having: List[Expr] = Nil,
       orderBy: List[(Expr, Boolean)] = Nil, // (expr, ascending)
       limit: Option[Long] = None,
-      offset: Option[Long] = None)
+      offset: Option[Long] = None,
+      /** FROM / FROM NAMED graph IRIs: restricts the queried dataset
+        * (reference: Rasqal data-graph list passed to the query) */
+      dataset: List[String] = Nil)
 
   sealed trait Query { def where: GP }
   final case class SelectQ(items: List[SelectItem], // empty = SELECT *
                            where: GP, mods: Modifiers) extends Query
-  final case class AskQ(where: GP) extends Query
+  final case class AskQ(where: GP,
+                        dataset: List[String] = Nil) extends Query
   final case class ConstructQ(template: List[TriplePat], where: GP,
                               mods: Modifiers) extends Query
   final case class DescribeQ(terms: List[PTerm], whereOpt: Option[GP],

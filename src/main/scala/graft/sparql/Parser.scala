@@ -24,7 +24,7 @@ class Parser extends RegexParsers {
   // ---- terminals ----
   private def kw(s: String): Parser[String] = ("""(?i)\Q""" + s + """\E\b""").r
   private def IRIREF: Parser[String] = "<" ~> """[^<>"{}|^`\\\s]*""".r <~ ">" ^^
-    (i => if (base.nonEmpty && !i.contains(":")) base + i else i)
+    (i => graft.rdf.Iri.resolve(base, i))
   private def PNAME: Parser[String] =
     """[A-Za-z][A-Za-z0-9_-]*:[A-Za-z0-9_][A-Za-z0-9_.-]*|[A-Za-z][A-Za-z0-9_-]*:|:[A-Za-z0-9_][A-Za-z0-9_.-]*|:""".r ^^ { pn =>
       val i = pn.indexOf(':')
@@ -240,30 +240,40 @@ class Parser extends RegexParsers {
     kw("DESC") ~> "(" ~> expression <~ ")" ^^ ((_, false)) |
     (VAR ^^ EVar.apply | builtinCall | "(" ~> expression <~ ")") ^^ ((_, true))
 
+  /** FROM / FROM NAMED graphs (restricts the queried dataset) */
+  private def datasetClause: Parser[List[String]] =
+    rep(kw("FROM") ~> opt(kw("NAMED")) ~> iri)
+
   def selectQuery: Parser[SelectQ] =
     kw("SELECT") ~> opt(kw("DISTINCT") ^^^ 1 | kw("REDUCED") ^^^ 2) ~
       // optional commas between items: LAQRS tolerance, as the reference's
       // parser accepts `SELECT ?x, (count(?y) as ?c)`
-      ("*" ^^^ Nil | rep1sep(selectItem, opt(","))) ~
+      ("*" ^^^ Nil | rep1sep(selectItem, opt(","))) ~ datasetClause ~
       (opt(kw("WHERE")) ~> groupGraphPattern) ~ solutionMods ^^ {
-      case d ~ items ~ where ~ mods =>
+      case d ~ items ~ ds ~ where ~ mods =>
         SelectQ(items, where,
-          mods.copy(distinct = d.contains(1), reduced = d.contains(2)))
+          mods.copy(distinct = d.contains(1), reduced = d.contains(2),
+            dataset = ds))
     }
 
   def askQuery: Parser[AskQ] =
-    kw("ASK") ~> opt(kw("WHERE")) ~> groupGraphPattern ^^ AskQ.apply
+    kw("ASK") ~> datasetClause ~ (opt(kw("WHERE")) ~> groupGraphPattern) ^^ {
+      case ds ~ w => AskQ(w, ds)
+    }
 
   def constructQuery: Parser[ConstructQ] =
-    kw("CONSTRUCT") ~> ("{" ~> opt(triplesBlock) <~ "}") ~
+    kw("CONSTRUCT") ~> ("{" ~> opt(triplesBlock) <~ "}") ~ datasetClause ~
       (kw("WHERE") ~> groupGraphPattern) ~ solutionMods ^^ {
-      case t ~ w ~ m => ConstructQ(t.map(_.triples).getOrElse(Nil), w, m)
+      case t ~ ds ~ w ~ m =>
+        ConstructQ(t.map(_.triples).getOrElse(Nil), w,
+          m.copy(dataset = ds))
     }
 
   def describeQuery: Parser[DescribeQ] =
     kw("DESCRIBE") ~> rep1(VAR ^^ PVar.apply | iri ^^ (u => PConst(Uri(u)))) ~
-      opt(opt(kw("WHERE")) ~> groupGraphPattern) ~ solutionMods ^^ {
-      case ts ~ w ~ m => DescribeQ(ts, w, m)
+      datasetClause ~ opt(opt(kw("WHERE")) ~> groupGraphPattern) ~
+      solutionMods ^^ {
+      case ts ~ ds ~ w ~ m => DescribeQ(ts, w, m.copy(dataset = ds))
     }
 
   def query: Parser[Ast.Query] =

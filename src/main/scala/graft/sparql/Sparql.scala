@@ -63,7 +63,9 @@ object Sparql {
         q.mods.orderBy.map(_._1)).flatMap(e => varsOfExpr(e)).toSet
     val needFn: String => Boolean =
       if (q.items.isEmpty) _ => true else topNeeded
-    var b = exec.pattern(q.where, need = needFn)
+    val dsRids = if (q.mods.dataset.nonEmpty)
+      Some(q.mods.dataset.map(u => Rid.uri(u))) else None
+    var b = exec.pattern(q.where, gRids = dsRids, need = needFn)
 
     val items: List[SelectItem] =
       if (q.items.nonEmpty) q.items
@@ -134,13 +136,13 @@ object Sparql {
     // re-analyzes the whole plan; SPARQL bindings carry 4 columns per var
     // so small-query latency was all Catalyst)
     // ORDER BY keys use SPARQL total order (`src/frontend/order.c:194-270`)
+    // SELECT aliases are in scope for ORDER BY (also inside expressions,
+    // e.g. `ORDER BY DESC(xsd:integer(?c))` over alias ?c)
+    val aliasSub: Map[Expr, V] = named.collect {
+      case (n, v) if !b.vars.contains(n) => (EVar(n): Expr) -> v
+    }.toMap
     val explicitOrd = q.mods.orderBy.zipWithIndex.map { case ((e, _), i) =>
-      val v = e match {
-        case EVar(n) if named.exists(_._1 == n) && !b.vars.contains(n) =>
-          named.find(_._1 == n).get._2
-        case _ => Compiler.compile(e, aggSub)
-      }
-      V.sortKey(v).as(s"__ord_$i")
+      V.sortKey(Compiler.compile(e, aggSub ++ aliasSub)).as(s"__ord_$i")
     }
     // OFFSET with no ORDER BY: impose a deterministic row order (the
     // reference pages over its internally RID-sorted binding table;
@@ -185,19 +187,28 @@ object Sparql {
   }
 
   /** Aggregate -> Spark aggregate column (SURVEY §2.4). Sums go through
-    * DECIMAL for order-independent exactness at any partitioning. */
+    * DECIMAL for order-independent exactness at any partitioning, and
+    * SUM/AVG carry the reference's numeric type promotion
+    * (`fs_value_promote`): all-integer -> integer, +decimal -> decimal,
+    * +float/double -> double. The aggregate emits a struct
+    * `(d: exact decimal sum, f: double sum, t: promoted rank,
+    *   n: value count)`; [[aggResultV]] finalizes lex/type (and the AVG
+    * division) from it. */
   private def aggColumn(a: EAgg): Column = {
     val argV = a.arg.map(Compiler.compile(_))
-    // Sum({}) = 0 per SPARQL 1.1 (and the reference,
-    // `tests/query/exemplar/aggregates-empty-cases`); a non-empty group
-    // whose values are all type errors stays NULL (error), so the default
-    // applies only when the group has zero rows
-    def sumExact(c: Column) =
-      coalesce(sum(c.cast(DecimalType(28, 10))).cast("double"),
-        when(count(lit(1)) === 0, lit(0.0)))
-    def sumExactD(c: Column) =
-      coalesce(sum_distinct(c.cast(DecimalType(28, 10))).cast("double"),
-        when(count(lit(1)) === 0, lit(0.0)))
+    def numStruct(v: V): Column = {
+      // ONE decimal accumulator for every rank: double inputs also sum
+      // through DECIMAL(38,10) so the result is exact and independent of
+      // partition/merge order (an IEEE running sum is neither); the rank
+      // only decides the RESULT type/lexical form
+      val exact = coalesce(v.dec, v.num.cast(DecimalType(38, 10)))
+      val rank = when(v.isInt, 0)
+        .when(v.dt === WellKnown.decimalAttr, 1).otherwise(2)
+      struct(
+        (if (a.distinct) sum_distinct(exact) else sum(exact)).as("d"),
+        max(rank).as("t"),
+        (if (a.distinct) countDistinct(exact) else count(exact)).as("n"))
+    }
     a.fn match {
       case "COUNT" => (a.arg, a.distinct) match {
         case (None, _) => count(lit(1))
@@ -206,15 +217,7 @@ object Sparql {
         case (Some(_), false) => count(argV.get.anyLex)
         case (Some(_), true) => countDistinct(argV.get.anyLex)
       }
-      case "SUM" =>
-        if (a.distinct) sumExactD(argV.get.num) else sumExact(argV.get.num)
-      case "AVG" =>
-        // try_divide: Avg({}) is a type error (NULL -> unbound output),
-        // not an ANSI divide-by-zero throw on the 0-count group
-        try_divide(
-          if (a.distinct) sumExactD(argV.get.num) else sumExact(argV.get.num),
-          if (a.distinct) countDistinct(argV.get.num)
-          else count(argV.get.num))
+      case "SUM" | "AVG" => numStruct(argV.get)
       case "MIN" => min_by(termStruct(argV.get), V.sortKey(argV.get))
       case "MAX" => max_by(termStruct(argV.get), V.sortKey(argV.get))
       case "SAMPLE" => min_by(termStruct(argV.get), argV.get.rid)
@@ -229,7 +232,27 @@ object Sparql {
   /** V view over an aggregate's output column. */
   private def aggResultV(a: EAgg, c: Column): V = a.fn match {
     case "COUNT" => V.ofNum(c.cast("double"), lit(true))
-    case "SUM" | "AVG" => V.ofNum(c)
+    case "SUM" | "AVG" =>
+      val t = coalesce(c.getField("t"), lit(0)) // empty group -> integer
+      val n = c.getField("n")
+      val isAvg = a.fn == "AVG"
+      // Sum({}) = 0 per SPARQL 1.1; Avg({}) is a type error (NULL).
+      // try_divide: no ANSI divide-by-zero throw on the 0-count group
+      val dec =
+        if (isAvg) try_divide(c.getField("d"), n)
+        else coalesce(c.getField("d"),
+          when(n === 0, lit(0).cast(DecimalType(38, 10))))
+      val decCanon = regexp_replace(regexp_replace(
+        dec.cast("string"), "(\\.\\d*?)0+$", "$1"), "\\.$", "")
+      // double-ranked results print through double (shortest IEEE form)
+      val lex = when(t === 2, dec.cast("double").cast("string"))
+        .otherwise(decCanon)
+      // AVG of exact operands divides in decimal -> at least decimal rank
+      val dt = when(t === 2, lit(WellKnown.doubleAttr))
+        .when(t === 1 || lit(isAvg), lit(WellKnown.decimalAttr))
+        .otherwise(lit(Rid.uri(Xsd.integer)))
+      V(when(lex.isNotNull, Rid.literalCol(lex, dt)), lex,
+        when(lex.isNotNull, dt), lit(""))
     case "GROUP_CONCAT" => V.ofStr(c)
     case _ => V(c.getField("rid"), c.getField("lex"), c.getField("dt"),
       c.getField("lang"))
@@ -240,7 +263,9 @@ object Sparql {
   private def ask(store: QuadStore, spark: SparkSession,
                   q: AskQ): DataFrame = {
     val exec = new Exec(store, spark)
-    val b = exec.pattern(q.where)
+    val dsRids = if (q.dataset.nonEmpty)
+      Some(q.dataset.map(u => Rid.uri(u))) else None
+    val b = exec.pattern(q.where, gRids = dsRids)
     // ASK = any-rows test (`src/frontend/query.c:676-686`)
     val n = b.df.limit(1).count()
     import spark.implicits._
@@ -271,7 +296,9 @@ object Sparql {
     val exec = new Exec(store, spark)
     val vars = q.template.flatMap(t => Seq(t.s, t.p, t.o))
       .collect { case PVar(v) => v }.toSet
-    var b = exec.pattern(q.where, need = vars)
+    val dsRids = if (q.mods.dataset.nonEmpty)
+      Some(q.mods.dataset.map(u => Rid.uri(u))) else None
+    var b = exec.pattern(q.where, gRids = dsRids, need = vars)
     b = exec.ensureValues(b, vars)
     // template instantiation (`src/frontend/results.c:1765-1898`)
     val rows = q.template.map { t =>
@@ -295,7 +322,9 @@ object Sparql {
     import spark.implicits._
     var rids = constRids.toDF("__rid")
     q.whereOpt.foreach { w =>
-      val b = exec.pattern(w)
+      val dsRids = if (q.mods.dataset.nonEmpty)
+        Some(q.mods.dataset.map(u => Rid.uri(u))) else None
+      val b = exec.pattern(w, gRids = dsRids)
       q.terms.collect { case PVar(v) if b.vars.contains(v) => v }
         .foreach { v =>
           rids = rids.unionByName(b.df.select(col(v).as("__rid")))

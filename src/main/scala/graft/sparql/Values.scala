@@ -201,6 +201,20 @@ object Compiler {
       when(lex.isNotNull, dt), lit(""))
   }
 
+  /** exact unary numeric op: integer/decimal operands compute in
+    * DECIMAL and keep their exact type; float/double via double */
+  private def numUnary(v: V, fDec: Column => Column,
+                       fDbl: Column => Column): V = {
+    val exact = v.isInt || v.dt === decimalAttr
+    val decCanon = regexp_replace(regexp_replace(
+      fDec(v.dec).cast("string"), "(\\.\\d*?)0+$", "$1"), "\\.$", "")
+    val lex = when(exact, decCanon).otherwise(fDbl(v.num).cast("string"))
+    val dt = when(v.isInt, lit(Rid.uri(Xsd.integer)))
+      .when(exact, lit(decimalAttr)).otherwise(lit(doubleAttr))
+    V(when(lex.isNotNull, Rid.literalCol(lex, dt)), lex,
+      when(lex.isNotNull, dt), lit(""))
+  }
+
   private def call(fn: String, vs: List[V], raw: List[Expr]): V = fn match {
     // logical (Spark AND/OR are already Kleene 3-valued, matching
     // `src/frontend/filter.c:934-986`)
@@ -251,11 +265,13 @@ object Compiler {
     case "STRDT" =>
       V.typed(vs(0).str, Rid.uriCol(vs(1).anyLex))
 
-    // numeric
-    case "ABS"   => V.ofNum(abs(vs(0).num), vs(0).isInt)
-    case "FLOOR" => V.ofNum(floor(vs(0).num).cast("double"), vs(0).isInt)
-    case "CEIL"  => V.ofNum(ceil(vs(0).num).cast("double"), vs(0).isInt)
-    case "ROUND" => V.ofNum(round(vs(0).num, 0), vs(0).isInt)
+    // numeric — exact (decimal) path for integer/decimal operands, like
+    // the reference's fs_decimal ops (`src/frontend/decimal.c`); a double
+    // detour would round e.g. ABS("1234567890.23239300"^^xsd:decimal)
+    case "ABS"   => numUnary(vs(0), abs, abs)
+    case "FLOOR" => numUnary(vs(0), floor, c => floor(c).cast("double"))
+    case "CEIL"  => numUnary(vs(0), ceil, c => ceil(c).cast("double"))
+    case "ROUND" => numUnary(vs(0), c => round(c, 0), c => round(c, 0))
 
     // strings (`src/frontend/filter.c:1380-1680`)
     case "STRLEN" => V.ofNum(length(vs(0).anyLex).cast("double"), lit(true))

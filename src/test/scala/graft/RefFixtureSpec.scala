@@ -1,0 +1,141 @@
+package graft
+
+import graft.rdf.{QuadStore, Turtle}
+import graft.sparql.{Sparql, Update}
+
+/** Semantic parity over the reference's remaining shipped fixtures
+  * (`data/dates.ttl`, `data/numbers.ttl`, `data/group-by.ttl`) — the
+  * queries its HTTP golden suite (`tests/httpd/scripts`) runs against
+  * them, asserted at the VALUE level. Byte-level output parity is not
+  * the target here: those goldens encode C printf float formatting
+  * (`2.500000e0`, `1.23457e+19`) and the reference's decimal-division
+  * artifacts (`avg = 2.9999999999999999985` where the exact answer is
+  * 3), which we deliberately do not reproduce.
+  */
+class RefFixtureSpec extends SparkTestBase {
+
+  // base = graph URI, as the reference's HTTP PUT resolves relative
+  // subjects (`<a>` in dates.ttl -> http://example.com/a)
+  private lazy val dates = QuadStore.fromTerms(spark,
+    Turtle.parseFile("/root/reference/data/dates.ttl",
+      "http://example.com/dates.ttl"),
+    "http://example.com/dates.ttl")
+  private lazy val numbers = QuadStore.fromTerms(spark,
+    Turtle.parseFile("/root/reference/data/numbers.ttl",
+      "http://example.com/numbers.ttl"),
+    "http://example.com/numbers.ttl")
+  private lazy val groupBy = QuadStore.fromTerms(spark,
+    Turtle.parseFile("/root/reference/data/group-by.ttl",
+      "http://example.com/group-by.ttl"),
+    "http://example.com/group-by.ttl")
+
+  // ---- tests/httpd/scripts/date-comparison ----
+
+  test("date-comparison: ORDER BY over mixed date/dateTime lexicals") {
+    val rows = Sparql.run(dates, spark,
+      """SELECT ?o ?v WHERE { GRAPH <http://example.com/dates.ttl>
+        |{ ?o <test:date> ?v }} ORDER BY ?v""".stripMargin)
+      .collect().map(_.getString(0).stripPrefix("http://example.com/"))
+      .toSeq
+    // the reference's golden order (date-only lexicals sort at midnight)
+    assert(rows == Seq("a", "b", "c", "d", "e", "f", "h", "g", "i"))
+  }
+
+  test("date-comparison: <, =, <= filters and constant comparison") {
+    def one(q: String) = Sparql.run(dates, spark, q).collect()
+    assert(one(
+      """BASE <http://example.com/> SELECT * WHERE {
+        |  GRAPH <http://example.com/dates.ttl> {
+        |    <a> <test:date> ?date1 . <h> <test:date> ?date2 .
+        |    FILTER ( ?date1 < ?date2 ) }}""".stripMargin).length == 1)
+    assert(one(
+      """BASE <http://example.com/> ASK WHERE {
+        |  GRAPH <http://example.com/dates.ttl> {
+        |    <g> <test:date> ?date1. <h> <test:date> ?date2.
+        |    FILTER ( ?date1 = ?date2 ) .}}""".stripMargin)(0)
+      .getBoolean(0) == false)
+    assert(one(
+      """BASE <http://example.com/> ASK WHERE {
+        |  GRAPH <http://example.com/dates.ttl> {
+        |    <a> <test:date> ?date1. <h> <test:date> ?date2.
+        |    FILTER ( ?date1 <= ?date2 ) .}}""".stripMargin)(0)
+      .getBoolean(0) == true)
+    assert(one(
+      """BASE <http://example.com/>
+        |PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+        |SELECT * WHERE { GRAPH <http://example.com/dates.ttl> {
+        |  <a> <test:date> ?date1 .
+        |  FILTER (?date1 < "2010-03-09T00:00:01Z"^^xsd:dateTime) } }"""
+        .stripMargin).length == 1)
+  }
+
+  // ---- tests/httpd/scripts/count-sum-avg-distinct ----
+
+  test("count/sum/avg DISTINCT over inserted numeric graph") {
+    val empty = QuadStore.fromTerms(spark, Nil)
+    val st = Update(empty, spark,
+      """INSERT DATA { GRAPH <g> {
+        |<r> <y> 1 . <t> <y> 2 . <z> <y> 3 .
+        |<r1> <y> 4 . <t1> <y> 5 . <z1> <y> 1 .
+        |<r2> <y> 2 . <t2> <y> 3 . <z3> <y> 4 .
+        |} }""".stripMargin)
+    def scalar(q: String): String =
+      Sparql.run(st, spark, q).collect()(0).getString(0)
+    assert(scalar("SELECT (count(DISTINCT ?o) as ?c) WHERE { ?s <y> ?o }")
+      == "5")
+    assert(scalar("SELECT (sum(DISTINCT ?o) as ?c) WHERE { ?s <y> ?o }")
+      == "15")
+    // exact decimal average: 15/5 (the reference's fs_decimal division
+    // prints 2.9999999999999999985 — we are exact)
+    assert(scalar("SELECT (avg(DISTINCT ?o) as ?c) WHERE { ?s <y> ?o }")
+      .toDouble == 3.0)
+    assert(scalar("SELECT (count(?o) as ?c) WHERE { ?s <y> ?o }") == "9")
+    assert(scalar(
+      """SELECT (COUNT(DISTINCT ?o) as ?c) WHERE {
+        |  ?s <y> ?o . FILTER( ?o > 2) }""".stripMargin) == "3")
+  }
+
+  // ---- tests/httpd/scripts/groupby-order-limit ----
+
+  test("groupby-order-limit: FROM dataset + OPTIONAL count + order") {
+    val rows = Sparql.run(groupBy, spark,
+      """PREFIX owl: <http://www.w3.org/2002/07/owl#>
+        |PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#>
+        |PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+        |SELECT DISTINCT ?child (COUNT(?sub_child) as ?c)
+        |FROM <http://example.com/group-by.ttl>
+        |WHERE {
+        |       ?child a owl:Class .
+        |       ?child rdfs:subClassOf <http://foaf.qdos.com/0> .
+        |       OPTIONAL { ?sub_child rdfs:subClassOf ?child . }
+        |} GROUP BY ?child ORDER BY DESC(xsd:integer(?c)) LIMIT 2"""
+        .stripMargin)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(rows == Seq(("http://foaf.qdos.com/1", "3"),
+      ("http://foaf.qdos.com/2", "1")))
+  }
+
+  test("FROM restricts the default graph") {
+    val both = dates.union(numbers)
+    val all = Sparql.run(both, spark,
+      "SELECT ?s WHERE { ?s ?p ?o }").count()
+    val only = Sparql.run(both, spark,
+      """SELECT ?s FROM <http://example.com/dates.ttl>
+        |WHERE { ?s ?p ?o }""".stripMargin).count()
+    assert(only == 9 && all > only)
+  }
+
+  // ---- tests/httpd/scripts/functions-abs over data/numbers.ttl ----
+
+  test("ABS is decimal-exact (no double rounding)") {
+    def absOf(subj: String): String = Sparql.run(numbers, spark,
+      s"""BASE <http://example.com/>
+         |SELECT (ABS(?d) AS ?a) WHERE { <$subj> <test:num> ?d }"""
+        .stripMargin).collect()(0).getString(0)
+    assert(absOf("k") == "1234567890.232393") // decimal, not 1.23456789E9
+    assert(absOf("h") == "1234567890123456789") // 19-digit integer exact
+    assert(absOf("e") == "1234")
+    assert(absOf("y") == "0.0004999")
+    assert(absOf("za") == "2.0005")
+  }
+}

@@ -94,7 +94,9 @@ class SparqlSpec extends SparkTestBase {
     val r = rows("""SELECT (COUNT(?p) AS ?c) (AVG(?age) AS ?avg)
       (MIN(?age) AS ?mn) (MAX(?age) AS ?mx) (SUM(?age) AS ?sm)
       WHERE { ?p <urn:age> ?age }""")
-    assert(r == Seq(Seq("2", "27.5", "25", "30", "55.0")))
+    // SUM of integers is integer-typed ("55", not double "55.0") per the
+    // reference's numeric promotion
+    assert(r == Seq(Seq("2", "27.5", "25", "30", "55")))
     val empty = rows(
       """SELECT (COUNT(?p) AS ?c) WHERE { ?p <urn:nothere> ?x }""")
     assert(empty == Seq(Seq("0")))
