@@ -158,14 +158,16 @@ object Dedup {
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 6,
                    portableHash: Boolean = false): DataFrame = {
+    // cache: the LSH self-join reads the chunked signatures on both
+    // sides, and AQE's broadcast conversion defeats ReuseExchange — the
+    // signature kernel would run twice per row otherwise
     val sh = simhash(df, idCol, textCol, portableHash)
     val chunked = sh.select(col("id"), col("simhash"),
       posexplode(array((0 until 4).map(c =>
         shiftrightunsigned(col("simhash"), c * 16)
           .bitwiseAND(lit(0xFFFFL))): _*)))
       .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "key")
-    // identical subplans both sides -> ReuseExchange computes the 64-bit
-    // signature aggregation once, not once per join side
+      .cache()
     val a = chunked.as("a")
     val b = chunked.as("b")
     a.join(b, col("a.chunk") === col("b.chunk") &&
@@ -243,10 +245,15 @@ object Dedup {
     * self-join) moves longs, not strings. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         k: Int = 3, threshold: Double = 0.8): DataFrame = {
-    val inv = shingleHashRows(df, idCol, textCol, k)
-    // self-join on IDENTICAL subplans (same projection both sides): the
-    // two shuffle exchanges on h are equal, so ReuseExchange materializes
-    // the shingling once instead of recomputing it per side.
+    // cache the inverted index: the self-join needs it on BOTH sides, and
+    // neither ReuseExchange (defeated by AQE broadcast conversion) nor
+    // the repartition barrier (filters infer through exchanges: the join's
+    // null-intolerant nsh condition pushes isnotnull(size(shingles)) into
+    // the scan) keeps the shingling kernel single-pass otherwise —
+    // measured 4 evaluations per row without the cache. The cached index
+    // is compact (id, nsh, h) longs; at cluster scale this is the
+    // materialized inverted index any similarity join would build.
+    val inv = shingleHashRows(df, idCol, textCol, k).cache()
     // Length-ratio prune inside the join: jaccard <= min(n)/max(n), so a
     // pair can only pass the threshold when t*max <= min — dropped before
     // the pair ever reaches the groupBy shuffle.
