@@ -30,7 +30,8 @@ object Turtle {
     private var base = base0
 
     private def iriRef: Parser[String] =
-      "<" ~> """[^<>"{}|^`\\\s]*""".r <~ ">" ^^ (Iri.resolve(base, _))
+      "<" ~> """([^<>"{}|^`\\\s]|\\[uU][0-9a-fA-F]+)*""".r <~ ">" ^^ (
+        i => Iri.resolve(base, Term.unescapeUchar(i)))
 
     // prefixed name; the local part must not end with '.' (statement dot)
     private def pname: Parser[String] =

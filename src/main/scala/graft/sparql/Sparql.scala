@@ -311,6 +311,11 @@ object Sparql {
     b.df.select(explode(array(rows: _*)).as("t"))
       .select(col("t.s").as("s"), col("t.p").as("p"), col("t.o").as("o"))
       .filter(col("s").isNotNull && col("p").isNotNull && col("o").isNotNull)
+      // bad-slot triples are dropped, as the reference does when a
+      // template var binds a literal into the subject or a non-IRI into
+      // the predicate slot (golden test badslot-construct: the swapped
+      // CONSTRUCT { ?o ?s ?p } emits only resource-object rows)
+      .filter(!col("s").startsWith("\"") && col("p").startsWith("<"))
       .distinct()
   }
 

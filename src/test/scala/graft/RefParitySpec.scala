@@ -463,6 +463,26 @@ class RefParitySpec extends SparkTestBase {
     assert(normalize(act) == normalize(expected("construct-union")))
   }
 
+  test("reference httpd test 'badslot-construct' matches its exemplar") {
+    import graft.rdf.{QuadStore, RdfXml}
+    import graft.sparql.Sparql
+    import graft.sinks.RefFormat
+    // the httpd suite PUTs swh.xrdf at graph http://example.org/foaf;
+    // relative references resolve against the graph URI
+    val g = "http://example.org/foaf"
+    val st = QuadStore.fromTerms(spark,
+      RdfXml.parseFile("/root/reference/data/swh.xrdf", g).distinct, g)
+    val lines = RefFormat.ntLines(Sparql.run(st, spark,
+      "CONSTRUCT { ?o ?s ?p } WHERE { ?s ?p ?o } ORDER BY ?o ?s ?p"))
+      .sorted
+    val src = scala.io.Source.fromFile(
+      "/root/reference/tests/httpd/exemplar/badslot-construct", "UTF-8")
+    val exp = try src.getLines().toList finally src.close()
+    val expNt = exp
+      .filter(l => l.startsWith("<") || l.startsWith("_:")).sorted
+    assert(lines == expNt)
+  }
+
   tests.foreach { t =>
     test(s"reference test '${t.name}' matches its exemplar") {
       val exp0 = expected(t.name)
