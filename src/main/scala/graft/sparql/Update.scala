@@ -115,6 +115,27 @@ object Update {
     }.toDF("g", "s", "p", "o")
   }
 
+  /** valued-form rows (quads + inline lexical columns) for ground quads —
+    * updates maintain the inline-value scan exactly like the reference
+    * updates its per-segment rhash alongside the quad indexes. */
+  private def constValuedDF(spark: SparkSession,
+      quads: List[(Term, Term, Term, Option[Term])]): DataFrame = {
+    import spark.implicits._
+    def lexOf(t: Term): String = t match {
+      case Uri(u) => u; case BNode(b) => b; case Lit(l, _, _) => l
+    }
+    quads.map { case (s, p, o, g) =>
+      val gT: Term = g.getOrElse(Uri(WellKnown.defaultGraphUri))
+      val (oDt, oLang) = o match {
+        case Lit(_, dt, lang) => (Rid.attr(dt, lang), lang)
+        case _ => (0L, "")
+      }
+      (Rid.of(gT), Rid.of(s), Rid.of(p), Rid.of(o),
+        lexOf(gT), lexOf(s), lexOf(p), lexOf(o), oDt, oLang)
+    }.toDF("g", "s", "p", "o", "gLex", "sLex", "pLex", "oLex",
+      "oDt", "oLang")
+  }
+
   private def resourcesOf(spark: SparkSession, terms: Seq[Term]): DataFrame = {
     import spark.implicits._
     terms.distinct.map {
@@ -139,72 +160,129 @@ object Update {
           store.quads.unionByName(constQuadsDF(spark, quads))
             .dropDuplicates(quadKey),
           store.resources.unionByName(resourcesOf(spark, terms))
-            .dropDuplicates("rid"))
-      // mutations drop the inline-value scan (`valued`): spliced rows have
-      // no value columns; execution falls back to dictionary resolution.
-      // They also drop `segments` — segment frames reference pre-mutation
-      // quads (pred/graph RID sets stay valid: deletes only shrink them)
+            .dropDuplicates("rid"),
+          store.valued.map(_.unionByName(constValuedDF(spark, quads))
+            .dropDuplicates(quadKey)))
+      // mutations maintain the inline-value scan (`valued`) alongside the
+      // RID quads — the reference likewise updates rhash + indexes
+      // together. They drop `segments`: segment frames reference
+      // pre-mutation quads (pred/graph RID sets stay valid as supersets)
       case DeleteData(quads) =>
-        store.copy(quads = store.quads.join(constQuadsDF(spark, quads),
-          quadKey, "left_anti"), valued = None, segments = Nil)
-      case Clear(None) =>
-        store.copy(quads = store.quads.limit(0), valued = None,
+        store.copy(
+          quads = store.quads.join(constQuadsDF(spark, quads),
+            quadKey, "left_anti"),
+          valued = store.valued.map(_.join(constQuadsDF(spark, quads),
+            quadKey, "left_anti")),
           segments = Nil)
+      case Clear(None) =>
+        store.copy(quads = store.quads.limit(0),
+          valued = store.valued.map(_.limit(0)), segments = Nil)
       case Clear(Some("")) => store // CREATE: no-op (update.c:225-226)
       case Clear(Some(g)) =>
         store.copy(quads = store.quads.filter(col("g") =!= Rid.uri(g)),
-          valued = None, segments = Nil)
+          valued = store.valued.map(_.filter(col("g") =!= Rid.uri(g))),
+          segments = Nil)
       case GraphCopy(kind, from, to) =>
         val fromRid = from.map(Rid.uri).getOrElse(WellKnown.defaultGraph)
         val toRid = to.map(Rid.uri).getOrElse(WellKnown.defaultGraph)
-        val moved = store.quads.filter(col("g") === fromRid)
-          .withColumn("g", lit(toRid))
-        val base = kind match {
-          case "ADD" => store.quads // keep target content
-          case "COPY" => store.quads.filter(col("g") =!= toRid)
-          case "MOVE" => store.quads.filter(col("g") =!= toRid &&
-            col("g") =!= fromRid)
+        val toLex = to.getOrElse(WellKnown.defaultGraphUri)
+        def graphMove(df: DataFrame, withLex: Boolean): DataFrame = {
+          var moved = df.filter(col("g") === fromRid)
+            .withColumn("g", lit(toRid))
+          if (withLex) moved = moved.withColumn("gLex", lit(toLex))
+          val base = kind match {
+            case "ADD" => df // keep target content
+            case "COPY" => df.filter(col("g") =!= toRid)
+            case "MOVE" => df.filter(col("g") =!= toRid &&
+              col("g") =!= fromRid)
+          }
+          base.unionByName(moved).dropDuplicates(quadKey)
         }
         val gRes = resourcesOf(spark,
           to.map(Uri.apply).toSeq ++ from.map(Uri.apply).toSeq)
-        QuadStore(base.unionByName(moved).dropDuplicates(quadKey),
-          store.resources.unionByName(gRes).dropDuplicates("rid"))
+        QuadStore(graphMove(store.quads, withLex = false),
+          store.resources.unionByName(gRes).dropDuplicates("rid"),
+          store.valued.map(graphMove(_, withLex = true)))
       case Modify(delT, insT, where, _) =>
         val exec = new Exec(store, spark)
-        val b = exec.pattern(where)
-        def instantiate(tmpl: List[TriplePat]): DataFrame = {
+        val tmplVars = (delT ++ insT).flatMap(t => Seq(t.s, t.p, t.o))
+          .collect { case PVar(v) => v }.toSet
+        // resolve template vars at the scan so inserted valued rows carry
+        // their lexical forms without a dictionary join
+        val withValues = store.valued.isDefined
+        val b0 = exec.pattern(where,
+          need = if (withValues) tmplVars else (_ => false))
+        val b = if (withValues) exec.ensureValues(b0, tmplVars) else b0
+        def instantiate(tmpl: List[TriplePat],
+                        valuedForm: Boolean): DataFrame = {
           val rows = tmpl.map { t =>
-            def side(pt: PTerm): Column = pt match {
+            def rid(pt: PTerm): Column = pt match {
               case PVar(v) => col(v)
               case PConst(term) => lit(Rid.of(term))
             }
-            struct(lit(WellKnown.defaultGraph).as("g"), side(t.s).as("s"),
-              side(t.p).as("p"), side(t.o).as("o"))
+            def lex(pt: PTerm): Column = pt match {
+              case PVar(v) => col(s"${v}__lex")
+              case PConst(Uri(u)) => lit(u)
+              case PConst(BNode(bn)) => lit(bn)
+              case PConst(Lit(l, _, _)) => lit(l)
+            }
+            def oAttr(pt: PTerm): Column = pt match {
+              case PVar(v) => coalesce(col(s"${v}__dt"), lit(0L))
+              case PConst(Lit(_, dt, lang)) => lit(Rid.attr(dt, lang))
+              case _ => lit(0L)
+            }
+            def oLang(pt: PTerm): Column = pt match {
+              case PVar(v) => coalesce(col(s"${v}__lang"), lit(""))
+              case PConst(Lit(_, _, lang)) => lit(lang)
+              case _ => lit("")
+            }
+            val base = Seq(lit(WellKnown.defaultGraph).as("g"),
+              rid(t.s).as("s"), rid(t.p).as("p"), rid(t.o).as("o"))
+            val value =
+              if (valuedForm) Seq(
+                lit(WellKnown.defaultGraphUri).as("gLex"),
+                lex(t.s).as("sLex"), lex(t.p).as("pLex"),
+                lex(t.o).as("oLex"), oAttr(t.o).as("oDt"),
+                oLang(t.o).as("oLang"))
+              else Nil
+            struct(base ++ value: _*)
           }
+          val cols = quadKey ++ (if (valuedForm)
+            Seq("gLex", "sLex", "pLex", "oLex", "oDt", "oLang") else Nil)
           b.df.select(explode(array(rows: _*)).as("q"))
-            .select(col("q.g").as("g"), col("q.s").as("s"),
-              col("q.p").as("p"), col("q.o").as("o"))
+            .select(cols.map(c => col(s"q.$c").as(c)): _*)
             .filter(col("s").isNotNull && col("p").isNotNull &&
               col("o").isNotNull)
+            // bad-slot rows dropped as in CONSTRUCT (literal subject /
+            // non-IRI predicate)
+            .filter(Rid.isUriCol(col("p")) && !Rid.isLiteralCol(col("s")))
             .distinct()
         }
         var quads = store.quads
+        var valued = store.valued
         if (delT.nonEmpty) {
           // deletes match any graph (as the reference batch-deletes by
           // (model=any, s, p, o), update.c:349-365)
-          quads = quads.join(instantiate(delT).drop("g"),
-            Seq("s", "p", "o"), "left_anti")
+          val del = instantiate(delT, valuedForm = false).drop("g")
+          quads = quads.join(del, Seq("s", "p", "o"), "left_anti")
+          valued = valued.map(_.join(del, Seq("s", "p", "o"), "left_anti"))
         }
         var resources = store.resources
         if (insT.nonEmpty) {
-          quads = quads.unionByName(instantiate(insT))
+          // one instantiation pass: the RID-only quads are a projection
+          // of the valued rows when the store carries values
+          val insRows = instantiate(insT, valuedForm = withValues)
+          quads = quads.unionByName(
+              insRows.select(quadKey.map(col): _*))
             .dropDuplicates(quadKey)
+          valued = valued.map(_.unionByName(insRows)
+            .dropDuplicates(quadKey))
           val consts = insT.flatMap(t =>
             Seq(t.s, t.p, t.o).collect { case PConst(term) => term }) :+
             Uri(WellKnown.defaultGraphUri)
           resources = resources.unionByName(resourcesOf(spark, consts))
             .dropDuplicates("rid")
         }
-        QuadStore(quads, resources)
+        QuadStore(quads, resources, valued)
     }
 }
