@@ -27,6 +27,10 @@ object Update {
   final case class Clear(graph: Option[String]) extends Op // None = ALL
   final case class GraphCopy(kind: String, from: Option[String],
                              to: Option[String]) extends Op // ADD/MOVE/COPY
+  /** LOAD <doc> [INTO GRAPH <g>] (reference `fs_load`, `update.c:596`:
+    * fetch + import; here `file:` URIs / local paths — the import side
+    * is [[graft.rdf.QuadStore.fromFile]] with format auto-detection). */
+  final case class Load(source: String, graph: Option[String]) extends Op
 
   // ----------------------------------------------------------- parsing
 
@@ -90,6 +94,10 @@ object Update {
       (kwU("ADD") | kwU("MOVE") | kwU("COPY")) ~ (opt(kwU("SILENT")) ~>
         graphRef) ~ (kwU("TO") ~> graphRef) ^^ { case k ~ f ~ t =>
           GraphCopy(k.toUpperCase, f, t)
+        } |
+      kwU("LOAD") ~> opt(kwU("SILENT")) ~> iriU ~
+        opt(kwU("INTO") ~> opt(kwU("GRAPH")) ~> iriU) ^^ { case src ~ g =>
+          Load(src, g)
         }
 
     def updateParse(text: String): List[Op] =
@@ -203,6 +211,14 @@ object Update {
         QuadStore(graphMove(store.quads, withLex = false),
           store.resources.unionByName(gRes).dropDuplicates("rid"),
           store.valued.map(graphMove(_, withLex = true)))
+      case Load(source, graph) =>
+        val path = source.stripPrefix("file://")
+        val loaded = QuadStore.fromFile(spark, path,
+          graph.getOrElse(""))
+        // merge; the loaded store keeps its valued form, so the union
+        // store stays inline-value-scannable when both sides are
+        store.union(loaded)
+
       case Modify(delT, insT, where, _) =>
         val exec = new Exec(store, spark)
         val tmplVars = (delT ++ insT).flatMap(t => Seq(t.s, t.p, t.o))

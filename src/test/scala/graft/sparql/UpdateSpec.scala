@@ -87,4 +87,15 @@ class UpdateSpec extends SparkTestBase {
          DELETE DATA { <urn:a> <urn:name> "Alice" }""")
     assert(st.quads.count() == 3)
   }
+
+  test("LOAD <file> INTO GRAPH imports with format auto-detection") {
+    val g = "http://example.com/nasty.ttl"
+    val st = Update(freshStore, spark,
+      s"LOAD <file:///root/reference/data/nasty.ttl> INTO GRAPH <$g>")
+    assert(st.quads.filter(col("g") === Rid.uri(g)).count() > 40)
+    // loaded quads are queryable alongside the existing store
+    val r = graft.sparql.Sparql.run(st, spark,
+      """SELECT ?o WHERE { <foo:a> <foo:p> ?o }""").collect()
+    assert(r.map(_.getString(0)).toSeq == Seq("p1"))
+  }
 }
