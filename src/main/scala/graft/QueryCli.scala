@@ -1,9 +1,10 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 import graft.rdf.QuadStore
-import graft.sinks.Results
-import graft.sparql.{Sparql, Update}
+import graft.sinks.{RefFormat, Results}
+import graft.sparql.{Ast, Parser, Sparql, Update}
 
 /** CLI query tool mirroring the reference's `4s-query`
   * (`src/frontend/4s-query.c:60-140`): run SPARQL against a KB from the
@@ -13,13 +14,15 @@ import graft.sparql.{Sparql, Update}
   * Usage:
   *   QueryCli <data> [format] <query | ->
   *
-  *   data    .nt/.nq file -> N-Triples/N-Quads import;
-  *           directory    -> driver parquet tables, direct-mapped to RDF
-  *   format  text (TSV, default) | csv | json | xml | ascii
+  *   data    RDF file (N-Triples/N-Quads/Turtle/RDF-XML, auto-detected
+  *           like the reference importer) or a directory of driver
+  *           parquet tables (direct-mapped to RDF)
+  *   format  text (default; byte-compatible with 4s-query's output_text)
+  *           | csv | json | xml (SPARQL results XML) | ascii
   *   query   SPARQL text, or "-" to read stdin queries separated by #EOQ
   *
-  * SPARQL Update texts (INSERT/DELETE/...) are detected and applied to the
-  * in-session store snapshot, like `4s-update`.
+  * SPARQL Update texts (INSERT/DELETE/LOAD/...) are detected and applied
+  * to the in-session store snapshot, like `4s-update`.
   */
 object QueryCli {
 
@@ -44,22 +47,58 @@ object QueryCli {
     spark.sparkContext.setLogLevel("ERROR")
 
     var store =
-      if (data.endsWith(".nt") || data.endsWith(".nq"))
-        QuadStore.fromNTriples(spark, data)
-      else {
+      if (new java.io.File(data).isDirectory) {
         val dir = new java.io.File(data)
         val tables = graft.core.Tables.names.filter(t =>
           new java.io.File(dir, s"$t.parquet").exists())
         QuadStore.rdfizeDir(spark, data, tables)
-      }
+      } else QuadStore.fromFile(spark, data)
+
+    /** datatype rid -> URI for the text sink (custom datatypes resolve
+      * through the dictionary; languages have no dictionary entry and
+      * need none — the formatter prints them from the lang column) */
+    def dtUris(): Map[Long, String] = {
+      val dts = store.resources.filter(col("dt") =!= 0L)
+        .select(col("dt")).distinct()
+      RefFormat.xsdDtUris ++ dts
+        .join(store.resources, dts("dt") === store.resources("rid"))
+        .select(col("rid"), col("lex")).collect()
+        .map(r => r.getLong(0) -> r.getString(1))
+    }
 
     val updateRe =
-      "(?is)^\\s*(INSERT|DELETE|CLEAR|DROP|CREATE|ADD|MOVE|COPY)\\b".r
+      "(?is)^\\s*(PREFIX[^{]*?)?(INSERT|DELETE|CLEAR|DROP|CREATE|ADD|MOVE|COPY|LOAD)\\b".r
     def runOne(q: String): Unit =
       if (updateRe.findFirstIn(q).isDefined) {
         store = Update(store, spark, q)
         println("# ok")
-      } else emit(Sparql.run(store, spark, q), format)
+      } else Parser.parse(q) match {
+        case _: Ast.AskQ =>
+          val r = Sparql.run(store, spark, q).collect()(0).getBoolean(0)
+          format match {
+            case "xml" => print(RefFormat.askXml(r))
+            case "json" => println(Results.toAskJson(r))
+            case _ => println(r)
+          }
+        case _: Ast.ConstructQ | _: Ast.DescribeQ =>
+          RefFormat.ntLines(Sparql.run(store, spark, q)).foreach(println)
+        case _: Ast.SelectQ => format match {
+          case "text" =>
+            RefFormat.textLines(Sparql.runTerms(store, spark, q), dtUris())
+              .foreach(println)
+          case "xml" =>
+            print(RefFormat.sparqlXml(Sparql.runTerms(store, spark, q),
+              dtUris()))
+          case "json" => println(Results.toJson(Sparql.run(store, spark, q)))
+          case "csv" =>
+            Results.toCsvLines(Sparql.run(store, spark, q)).foreach(println)
+          case _ => // ascii: the reference test harness format
+            Sparql.run(store, spark, q).collect().foreach(r =>
+              println((0 until r.length).map(i =>
+                if (r.isNullAt(i)) "" else r.get(i).toString)
+                .mkString(" ")))
+        }
+      }
 
     val queries: Seq[String] =
       if (queryArg == "-")
@@ -68,16 +107,5 @@ object QueryCli {
       else Seq(queryArg)
     queries.foreach(runOne)
     spark.stop()
-  }
-
-  private def emit(df: DataFrame, format: String): Unit = format match {
-    case "json" => println(Results.toJson(df))
-    case "xml"  => println(Results.toXml(df))
-    case "csv" => Results.toCsvLines(df).foreach(println)
-    case "ascii" => // the reference test harness format (FORMAT=ascii)
-      df.collect().foreach(r => println((0 until r.length).map(i =>
-        if (r.isNullAt(i)) "" else r.get(i).toString).mkString(" ")))
-    case _ => // text: TSV with ?var header (output_text)
-      Results.toTsvLines(df).collect().foreach(r => println(r.getString(0)))
   }
 }
