@@ -156,6 +156,21 @@ final case class QuadStore(quads: DataFrame, resources: DataFrame,
       .bucketBy(buckets, "rid").sortBy("rid")
       .format("parquet").saveAsTable(s"${name}_resources")
   }
+
+  /** Persist quads PARTITIONED BY PREDICATE — the durable form of the
+    * reference's per-predicate ptree indexes (`src/backend/backend.h:45`:
+    * two ptrees per predicate; a constant-predicate bind opens exactly
+    * one). A constant-p pattern scan over the saved table is a partition
+    * filter: at 100 TB it reads only that predicate's files. Predicate
+    * cardinality is low in practice (the reference caps segments at 256
+    * and real vocabularies have tens to thousands of predicates), so the
+    * directory fan-out stays sane; within each predicate partition the
+    * data is bucketed by subject for co-located subject joins. */
+  def savePredicatePartitioned(name: String, buckets: Int = 32): Unit =
+    quads.write.mode("overwrite")
+      .partitionBy("p")
+      .bucketBy(buckets, "s").sortBy("s")
+      .format("parquet").saveAsTable(s"${name}_quads_byp")
 }
 
 object QuadStore {
