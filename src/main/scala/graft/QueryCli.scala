@@ -56,21 +56,30 @@ object QueryCli {
 
     /** datatype rid -> URI for the text sink (custom datatypes resolve
       * through the dictionary; languages have no dictionary entry and
-      * need none — the formatter prints them from the lang column) */
-    def dtUris(): Map[Long, String] = {
+      * need none — the formatter prints them from the lang column).
+      * Computed once per store snapshot, invalidated by updates. */
+    var dtCache: Option[Map[Long, String]] = None
+    def dtUris(): Map[Long, String] = dtCache.getOrElse {
       val dts = store.resources.filter(col("dt") =!= 0L)
         .select(col("dt")).distinct()
-      RefFormat.xsdDtUris ++ dts
+      val m = RefFormat.xsdDtUris ++ dts
         .join(store.resources, dts("dt") === store.resources("rid"))
         .select(col("rid"), col("lex")).collect()
         .map(r => r.getLong(0) -> r.getString(1))
+      dtCache = Some(m)
+      m
     }
 
+    // an update verb must be the first token after the prologue
+    // (PREFIX/BASE declarations) — a SELECT mentioning `load`/`add`
+    // inside an IRI or variable name is NOT an update
     val updateRe =
-      "(?is)^\\s*(PREFIX[^{]*?)?(INSERT|DELETE|CLEAR|DROP|CREATE|ADD|MOVE|COPY|LOAD)\\b".r
+      ("(?is)^\\s*(?:(?:PREFIX\\s+[^\\s<]*\\s*<[^>]*>|BASE\\s*<[^>]*>)\\s*)*" +
+        "(INSERT|DELETE|CLEAR|DROP|CREATE|ADD|MOVE|COPY|LOAD)\\b").r
     def runOne(q: String): Unit =
       if (updateRe.findFirstIn(q).isDefined) {
         store = Update(store, spark, q)
+        dtCache = None // new terms may carry new datatypes
         println("# ok")
       } else Parser.parse(q) match {
         case _: Ast.AskQ =>

@@ -59,7 +59,9 @@ object Turtle {
           else Lit(lex,
             dt = if (ann.drop(1) == Xsd.string) "" else ann.drop(1))
       } |
-      """[+-]?(\d+\.\d*|\.\d+)([eE][+-]?\d+)?|[+-]?\d+[eE][+-]?\d+""".r ^^ (
+      // DECIMAL requires digits after the '.' (so `:s :p 1.` lexes as
+      // integer 1 + statement dot, per the Turtle grammar)
+      """[+-]?(\d+\.\d+|\.\d+)([eE][+-]?\d+)?|[+-]?\d+(\.\d*)?[eE][+-]?\d+""".r ^^ (
         s => Lit(s, if (s.exists(c => c == 'e' || c == 'E')) Xsd.double
                     else Xsd.decimal)) |
       """[+-]?\d+""".r ^^ (s => Lit(s, Xsd.integer)) |

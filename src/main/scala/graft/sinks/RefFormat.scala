@@ -168,23 +168,32 @@ object RefFormat {
       """<?xml version="1.0" encoding="utf-8"?>""",
       s"""<rdf:RDF xmlns:rdf="${Rdf.ns}" xml:base="$base">""")
     val blocks = triples.flatMap { case (s, p, o, _) =>
-      val open = s match {
-        case Uri(u) => s"""  <rdf:Description rdf:about="${rel(u)}">"""
-        case BNode(b) => s"""  <rdf:Description rdf:nodeID="$b">"""
-        case _ => return Nil
-      }
-      val pu = p match { case Uri(u) => u; case _ => return Nil }
-      val i = pu.lastIndexWhere(c => c == '#' || c == '/' || c == ':')
-      val (ns, local) = (pu.substring(0, i + 1), pu.substring(i + 1))
-      val prop = o match {
-        case Lit(lex, _, _) =>
-          s"""    <ns0:$local xmlns:ns0="$ns">${xmlEscape(lex)}</ns0:$local>"""
+      // bad-slot triples skip THIS block only (no non-local return —
+      // that would abort the whole document)
+      val openOpt = s match {
         case Uri(u) =>
-          s"""    <ns0:$local xmlns:ns0="$ns" rdf:resource="${rel(u)}"/>"""
-        case BNode(b) =>
-          s"""    <ns0:$local xmlns:ns0="$ns" rdf:nodeID="$b"/>"""
+          Some(s"""  <rdf:Description rdf:about="${rel(u)}">""")
+        case BNode(b) => Some(s"""  <rdf:Description rdf:nodeID="$b">""")
+        case _ => None
       }
-      Seq(open, prop, "  </rdf:Description>")
+      val puOpt = p match { case Uri(u) => Some(u); case _ => None }
+      (openOpt, puOpt) match {
+        case (Some(open), Some(pu)) =>
+          val i = pu.lastIndexWhere(c => c == '#' || c == '/' || c == ':')
+          val (ns, local) = (pu.substring(0, i + 1), pu.substring(i + 1))
+          val prop = o match {
+            case Lit(lex, _, _) =>
+              s"""    <ns0:$local xmlns:ns0="$ns">${
+                xmlEscape(lex)}</ns0:$local>"""
+            case Uri(u) =>
+              s"""    <ns0:$local xmlns:ns0="$ns" rdf:resource="${
+                rel(u)}"/>"""
+            case BNode(b) =>
+              s"""    <ns0:$local xmlns:ns0="$ns" rdf:nodeID="$b"/>"""
+          }
+          Seq(open, prop, "  </rdf:Description>")
+        case _ => Nil
+      }
     }
     header ++ blocks ++ Seq("</rdf:RDF>")
   }

@@ -47,15 +47,18 @@ object Ast {
       orderBy: List[(Expr, Boolean)] = Nil, // (expr, ascending)
       limit: Option[Long] = None,
       offset: Option[Long] = None,
-      /** FROM / FROM NAMED graph IRIs: restricts the queried dataset
+      /** FROM graph IRIs: the query's default graph is their merge
         * (reference: Rasqal data-graph list passed to the query) */
-      dataset: List[String] = Nil)
+      dataset: List[String] = Nil,
+      /** FROM NAMED graph IRIs: the graphs GRAPH patterns range over */
+      datasetNamed: List[String] = Nil)
 
   sealed trait Query { def where: GP }
   final case class SelectQ(items: List[SelectItem], // empty = SELECT *
                            where: GP, mods: Modifiers) extends Query
   final case class AskQ(where: GP,
-                        dataset: List[String] = Nil) extends Query
+                        dataset: List[String] = Nil,
+                        datasetNamed: List[String] = Nil) extends Query
   final case class ConstructQ(template: List[TriplePat], where: GP,
                               mods: Modifiers) extends Query
   final case class DescribeQ(terms: List[PTerm], whereOpt: Option[GP],

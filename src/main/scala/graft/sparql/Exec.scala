@@ -107,7 +107,9 @@ final class Exec(store: QuadStore, spark: SparkSession) {
         segs.map(sg => if (useValued) sg.valued.get else sg.quads)
           .reduce(_ unionByName _)
     }
-    gRids.foreach(rs => df = df.filter(col("g").isin(rs: _*)))
+    gRids.foreach(rs => df =
+      if (rs.isEmpty) df.filter(lit(false))
+      else df.filter(col("g").isin(rs: _*)))
     val slots = Seq("s" -> tp.s, "p" -> tp.p, "o" -> tp.o)
     // constant slots -> pushdown filters
     slots.foreach {
@@ -262,9 +264,12 @@ final class Exec(store: QuadStore, spark: SparkSession) {
 
   // --------------------------------------------------------- patterns
 
+  /** @param namedGRids the FROM NAMED set: the graphs GRAPH patterns
+    *   range over (None = every named graph) */
   def pattern(gp: GP, gvar: Option[String] = None,
               gRids: Option[Seq[Long]] = None,
-              need: String => Boolean = _ => false): Bindings = gp match {
+              need: String => Boolean = _ => false,
+              namedGRids: Option[Seq[Long]] = None): Bindings = gp match {
     case BGPat(pats0) =>
       // bnode labels in a query pattern are variables that cannot be
       // projected (SPARQL 1.1 §4.1.4; rasqal does the same rewrite for
@@ -294,46 +299,69 @@ final class Exec(store: QuadStore, spark: SparkSession) {
       var acc: Option[Bindings] = None
       def fold(b: Bindings): Unit =
         acc = Some(acc.map(a => join(a, b)).getOrElse(b))
-      // the reference executes a group's mandatory patterns before its
-      // OPTIONAL/MINUS blocks regardless of syntactic position (block
-      // scheduling in `fs_query_process_pattern`; golden test
-      // foaf-optional-order: `{ OPTIONAL {...} ?x foaf:knows ?p }` keeps
-      // knows-rows the OPTIONAL doesn't cover)
-      val (aug, main) = elems.partition {
+      // the reference executes a group's mandatory patterns before a
+      // LEADING OPTIONAL/MINUS (block scheduling in
+      // `fs_query_process_pattern`; golden test foaf-optional-order:
+      // `{ OPTIONAL {...} ?x foaf:knows ?p }` keeps knows-rows the
+      // OPTIONAL doesn't cover). Only the leading run moves — an
+      // OPTIONAL/MINUS after other elements stays in place so BIND/
+      // VALUES that follow it still see its variables.
+      val (lead, rest) = elems.span {
         case _: OptionalGP | _: MinusGP => true
         case _ => false
       }
-      (main ++ aug).foreach {
+      // the deferred leading run re-enters before any BIND/VALUES so
+      // expressions that reference its variables still see them
+      val (pats, tail) = rest.span {
+        case _: BindGP | _: ValuesGP => false
+        case _ => true
+      }
+      // a constant GRAPH outside the FROM NAMED set matches nothing
+      def constGraph(t: Term): Seq[Long] = {
+        val rid = Rid.of(t)
+        if (namedGRids.forall(_.contains(rid))) Seq(rid) else Nil
+      }
+      (pats ++ lead ++ tail).foreach {
         case OptionalGP(inner) =>
           val left = acc.getOrElse(unit)
-          acc = Some(join(left, pattern(inner, gvar, gRids, needHere),
+          acc = Some(join(left,
+            pattern(inner, gvar, gRids, needHere, namedGRids),
             "left_outer"))
         case MinusGP(inner) =>
           val left = acc.getOrElse(unit)
-          acc = Some(minus(left, pattern(inner, gvar, gRids)))
+          acc = Some(minus(left,
+            pattern(inner, gvar, gRids, namedGRids = namedGRids)))
         case GraphGP(PVar(v), inner) =>
-          fold(pattern(inner, Some(v), None, needHere))
+          fold(pattern(inner, Some(v), namedGRids, needHere, namedGRids))
         case GraphGP(PConst(t), inner) =>
-          fold(pattern(inner, None, Some(Seq(Rid.of(t))), needHere))
+          fold(pattern(inner, None, Some(constGraph(t)), needHere,
+            namedGRids))
         case BindGP(e, v) =>
           val left = acc.getOrElse(unit)
           acc = Some(extend(left, v, e))
-        case u: UnionGP => fold(pattern(u, gvar, gRids, needHere))
+        case u: UnionGP =>
+          fold(pattern(u, gvar, gRids, needHere, namedGRids))
         case v: ValuesGP => fold(valuesTable(v))
-        case other => fold(pattern(other, gvar, gRids, needHere))
+        case other =>
+          fold(pattern(other, gvar, gRids, needHere, namedGRids))
       }
       val base = acc.getOrElse(unit)
       filters.foldLeft(base)((b, f) => filter(b, f, gvar, gRids))
     case UnionGP(alts) =>
       // union() aligns value columns across every branch var, so resolve
       // all of them at the scan (cheaper than per-var dictionary joins)
-      union(alts.map(pattern(_, gvar, gRids, _ => true)))
+      union(alts.map(pattern(_, gvar, gRids, _ => true, namedGRids)))
     case OptionalGP(inner) => // top-level OPTIONAL: join with unit
-      join(unit, pattern(inner, gvar, gRids, need), "left_outer")
+      join(unit, pattern(inner, gvar, gRids, need, namedGRids),
+        "left_outer")
     case MinusGP(_) => unit
-    case GraphGP(PVar(v), inner) => pattern(inner, Some(v), None, need)
+    case GraphGP(PVar(v), inner) =>
+      pattern(inner, Some(v), namedGRids, need, namedGRids)
     case GraphGP(PConst(t), inner) =>
-      pattern(inner, None, Some(Seq(Rid.of(t))), need)
+      val rid = Rid.of(t)
+      val allowed =
+        if (namedGRids.forall(_.contains(rid))) Seq(rid) else Nil
+      pattern(inner, None, Some(allowed), need, namedGRids)
     case BindGP(e, v) => extend(unit, v, e)
     case v: ValuesGP => valuesTable(v)
   }

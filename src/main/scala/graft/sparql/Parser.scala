@@ -38,7 +38,8 @@ class Parser extends RegexParsers {
   private def numericLit: Parser[Term] =
     """[+-]?(\d+\.\d*|\.\d+)[eE][+-]?\d+|[+-]?\d+[eE][+-]?\d+""".r ^^
       (s => Lit(s, Xsd.double)) |
-    """[+-]?(\d+\.\d*|\.\d+)""".r ^^ (s => Lit(s, Xsd.decimal)) |
+    // DECIMAL needs digits after '.' (`1.` = integer + group dot)
+    """[+-]?(\d+\.\d+|\.\d+)""".r ^^ (s => Lit(s, Xsd.decimal)) |
     """[+-]?\d+""".r ^^ (s => Lit(s, Xsd.integer))
 
   private def stringLit: Parser[String] =
@@ -240,9 +241,12 @@ class Parser extends RegexParsers {
     kw("DESC") ~> "(" ~> expression <~ ")" ^^ ((_, false)) |
     (VAR ^^ EVar.apply | builtinCall | "(" ~> expression <~ ")") ^^ ((_, true))
 
-  /** FROM / FROM NAMED graphs (restricts the queried dataset) */
-  private def datasetClause: Parser[List[String]] =
-    rep(kw("FROM") ~> opt(kw("NAMED")) ~> iri)
+  /** FROM / FROM NAMED graphs: (default graphs, named graphs) */
+  private def datasetClause: Parser[(List[String], List[String])] =
+    rep(kw("FROM") ~> (kw("NAMED") ~> iri ^^ (Right(_)) |
+        iri ^^ (Left(_)))) ^^ { ds =>
+      (ds.collect { case Left(u) => u }, ds.collect { case Right(u) => u })
+    }
 
   def selectQuery: Parser[SelectQ] =
     kw("SELECT") ~> opt(kw("DISTINCT") ^^^ 1 | kw("REDUCED") ^^^ 2) ~
@@ -253,12 +257,12 @@ class Parser extends RegexParsers {
       case d ~ items ~ ds ~ where ~ mods =>
         SelectQ(items, where,
           mods.copy(distinct = d.contains(1), reduced = d.contains(2),
-            dataset = ds))
+            dataset = ds._1, datasetNamed = ds._2))
     }
 
   def askQuery: Parser[AskQ] =
     kw("ASK") ~> datasetClause ~ (opt(kw("WHERE")) ~> groupGraphPattern) ^^ {
-      case ds ~ w => AskQ(w, ds)
+      case ds ~ w => AskQ(w, ds._1, ds._2)
     }
 
   def constructQuery: Parser[ConstructQ] =
@@ -266,14 +270,15 @@ class Parser extends RegexParsers {
       (kw("WHERE") ~> groupGraphPattern) ~ solutionMods ^^ {
       case t ~ ds ~ w ~ m =>
         ConstructQ(t.map(_.triples).getOrElse(Nil), w,
-          m.copy(dataset = ds))
+          m.copy(dataset = ds._1, datasetNamed = ds._2))
     }
 
   def describeQuery: Parser[DescribeQ] =
     kw("DESCRIBE") ~> rep1(VAR ^^ PVar.apply | iri ^^ (u => PConst(Uri(u)))) ~
       datasetClause ~ opt(opt(kw("WHERE")) ~> groupGraphPattern) ~
       solutionMods ^^ {
-      case ts ~ ds ~ w ~ m => DescribeQ(ts, w, m.copy(dataset = ds))
+      case ts ~ ds ~ w ~ m =>
+        DescribeQ(ts, w, m.copy(dataset = ds._1, datasetNamed = ds._2))
     }
 
   def query: Parser[Ast.Query] =

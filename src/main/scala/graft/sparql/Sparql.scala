@@ -43,6 +43,18 @@ object Sparql {
       case q: DescribeQ  => describe(store, spark, q)
     }
 
+  /** FROM / FROM NAMED -> (default-scope graph RIDs, named-scope graph
+    * RIDs). A dataset clause defines BOTH scopes (SPARQL 1.1 §13.2):
+    * FROM-only means GRAPH patterns range over an empty named set. */
+  private def datasetRidsOf(ds: List[String], named: List[String])
+      : (Option[Seq[Long]], Option[Seq[Long]]) =
+    if (ds.isEmpty && named.isEmpty) (None, None)
+    else (Some(ds.map(u => Rid.uri(u))), Some(named.map(u => Rid.uri(u))))
+
+  private def datasetRids(m: Modifiers)
+      : (Option[Seq[Long]], Option[Seq[Long]]) =
+    datasetRidsOf(m.dataset, m.datasetNamed)
+
   // ------------------------------------------------------------- SELECT
 
   private def collectAggs(e: Expr): Seq[EAgg] = e match {
@@ -63,9 +75,9 @@ object Sparql {
         q.mods.orderBy.map(_._1)).flatMap(e => varsOfExpr(e)).toSet
     val needFn: String => Boolean =
       if (q.items.isEmpty) _ => true else topNeeded
-    val dsRids = if (q.mods.dataset.nonEmpty)
-      Some(q.mods.dataset.map(u => Rid.uri(u))) else None
-    var b = exec.pattern(q.where, gRids = dsRids, need = needFn)
+    val (dsRids, namedRids) = datasetRids(q.mods)
+    var b = exec.pattern(q.where, gRids = dsRids, need = needFn,
+      namedGRids = namedRids)
 
     val items: List[SelectItem] =
       if (q.items.nonEmpty) q.items
@@ -144,35 +156,38 @@ object Sparql {
     val explicitOrd = q.mods.orderBy.zipWithIndex.map { case ((e, _), i) =>
       V.sortKey(Compiler.compile(e, aggSub ++ aliasSub)).as(s"__ord_$i")
     }
-    // OFFSET with no ORDER BY: impose a deterministic row order (the
-    // reference pages over its internally RID-sorted binding table;
-    // since RID hashes are engine-specific we use the SPARQL total
-    // order over the projected terms instead — deterministic,
-    // engine-independent, and it reproduces the reference's golden
-    // pagination output, foaf-pagination-filter)
-    val ridOrd =
-      if (q.mods.orderBy.isEmpty && q.mods.offset.isDefined)
-        named.zipWithIndex.map { case ((_, v), i) =>
-          V.sortKey(v).as(s"__ord_$i") }
-      else Nil
-    val ordCols = explicitOrd ++ ridOrd
-    val ordNames = ordCols.indices.map(i => s"__ord_$i")
+    val ordNames = explicitOrd.indices.map(i => s"__ord_$i")
     def outCol(v: V): Column =
       if (terms) struct(v.rid.as("rid"), v.lex.as("lex"), v.dt.as("dt"),
         coalesce(v.lang, lit("")).as("lang"))
       else v.anyLex
     var out = b.df.select(
-      named.map { case (n, v) => outCol(v).as(n) } ++ ordCols: _*)
+      named.map { case (n, v) => outCol(v).as(n) } ++ explicitOrd: _*)
 
     if (q.mods.distinct || q.mods.reduced) out = out.distinct()
-    if (ordCols.nonEmpty) {
-      val ascFlags = q.mods.orderBy.map(_._2) ++ ridOrd.map(_ => true)
-      val sorts = ascFlags.zipWithIndex.map { case (asc, i) =>
-        if (asc) col(s"__ord_$i").asc else col(s"__ord_$i").desc
+    if (explicitOrd.nonEmpty) {
+      val sorts = q.mods.orderBy.map(_._2).zipWithIndex.map {
+        case (asc, i) =>
+          if (asc) col(s"__ord_$i").asc else col(s"__ord_$i").desc
       }
       out = out.orderBy(sorts: _*)
     }
     out = out.drop(ordNames: _*)
+    // OFFSET with no ORDER BY: impose a deterministic row order (the
+    // reference pages over its internally RID-sorted binding table;
+    // since RID hashes are engine-specific we use the SPARQL total
+    // order over the OUTPUT terms instead — applied AFTER distinct so
+    // pagination dedups exactly like the unpaginated query, and it
+    // reproduces the reference's golden foaf-pagination-filter)
+    if (q.mods.orderBy.isEmpty && q.mods.offset.isDefined) {
+      val sorts = named.map { case (n, _) =>
+        if (terms)
+          V.sortKey(V(col(n).getField("rid"), col(n).getField("lex"),
+            col(n).getField("dt"), col(n).getField("lang"))).asc
+        else col(n).asc
+      }
+      out = out.orderBy(sorts: _*)
+    }
     q.mods.offset.foreach(o => out = out.offset(o.toInt))
     q.mods.limit.foreach(l => out = out.limit(l.toInt))
     out
@@ -202,8 +217,11 @@ object Sparql {
       // partition/merge order (an IEEE running sum is neither); the rank
       // only decides the RESULT type/lexical form
       val exact = coalesce(v.dec, v.num.cast(DecimalType(38, 10)))
+      // rank only over actual numeric values: unbound/error rows must
+      // not poison an all-integer sum to double (max() skips NULL)
       val rank = when(v.isInt, 0)
-        .when(v.dt === WellKnown.decimalAttr, 1).otherwise(2)
+        .when(v.dt === WellKnown.decimalAttr, 1)
+        .when(v.num.isNotNull, 2)
       struct(
         (if (a.distinct) sum_distinct(exact) else sum(exact)).as("d"),
         max(rank).as("t"),
@@ -263,9 +281,8 @@ object Sparql {
   private def ask(store: QuadStore, spark: SparkSession,
                   q: AskQ): DataFrame = {
     val exec = new Exec(store, spark)
-    val dsRids = if (q.dataset.nonEmpty)
-      Some(q.dataset.map(u => Rid.uri(u))) else None
-    val b = exec.pattern(q.where, gRids = dsRids)
+    val (dsRids, namedRids) = datasetRidsOf(q.dataset, q.datasetNamed)
+    val b = exec.pattern(q.where, gRids = dsRids, namedGRids = namedRids)
     // ASK = any-rows test (`src/frontend/query.c:676-686`)
     val n = b.df.limit(1).count()
     import spark.implicits._
@@ -296,9 +313,9 @@ object Sparql {
     val exec = new Exec(store, spark)
     val vars = q.template.flatMap(t => Seq(t.s, t.p, t.o))
       .collect { case PVar(v) => v }.toSet
-    val dsRids = if (q.mods.dataset.nonEmpty)
-      Some(q.mods.dataset.map(u => Rid.uri(u))) else None
-    var b = exec.pattern(q.where, gRids = dsRids, need = vars)
+    val (dsRids, namedRids) = datasetRids(q.mods)
+    var b = exec.pattern(q.where, gRids = dsRids, need = vars,
+      namedGRids = namedRids)
     b = exec.ensureValues(b, vars)
     // template instantiation (`src/frontend/results.c:1765-1898`)
     val rows = q.template.map { t =>
@@ -327,9 +344,8 @@ object Sparql {
     import spark.implicits._
     var rids = constRids.toDF("__rid")
     q.whereOpt.foreach { w =>
-      val dsRids = if (q.mods.dataset.nonEmpty)
-        Some(q.mods.dataset.map(u => Rid.uri(u))) else None
-      val b = exec.pattern(w, gRids = dsRids)
+      val (dsRids, namedRids) = datasetRids(q.mods)
+      val b = exec.pattern(w, gRids = dsRids, namedGRids = namedRids)
       q.terms.collect { case PVar(v) if b.vars.contains(v) => v }
         .foreach { v =>
           rids = rids.unionByName(b.df.select(col(v).as("__rid")))

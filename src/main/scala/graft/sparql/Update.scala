@@ -29,8 +29,10 @@ object Update {
                              to: Option[String]) extends Op // ADD/MOVE/COPY
   /** LOAD <doc> [INTO GRAPH <g>] (reference `fs_load`, `update.c:596`:
     * fetch + import; here `file:` URIs / local paths — the import side
-    * is [[graft.rdf.QuadStore.fromFile]] with format auto-detection). */
-  final case class Load(source: String, graph: Option[String]) extends Op
+    * is [[graft.rdf.QuadStore.fromFile]] with format auto-detection).
+    * `silent`: SPARQL 1.1 LOAD SILENT — a failed load is a no-op. */
+  final case class Load(source: String, graph: Option[String],
+                        silent: Boolean = false) extends Op
 
   // ----------------------------------------------------------- parsing
 
@@ -95,9 +97,9 @@ object Update {
         graphRef) ~ (kwU("TO") ~> graphRef) ^^ { case k ~ f ~ t =>
           GraphCopy(k.toUpperCase, f, t)
         } |
-      kwU("LOAD") ~> opt(kwU("SILENT")) ~> iriU ~
-        opt(kwU("INTO") ~> opt(kwU("GRAPH")) ~> iriU) ^^ { case src ~ g =>
-          Load(src, g)
+      kwU("LOAD") ~> opt(kwU("SILENT")) ~ iriU ~
+        opt(kwU("INTO") ~> opt(kwU("GRAPH")) ~> iriU) ^^ {
+          case sil ~ src ~ g => Load(src, g, silent = sil.isDefined)
         }
 
     def updateParse(text: String): List[Op] =
@@ -211,13 +213,22 @@ object Update {
         QuadStore(graphMove(store.quads, withLex = false),
           store.resources.unionByName(gRes).dropDuplicates("rid"),
           store.valued.map(graphMove(_, withLex = true)))
-      case Load(source, graph) =>
-        val path = source.stripPrefix("file://")
-        val loaded = QuadStore.fromFile(spark, path,
-          graph.getOrElse(""))
-        // merge; the loaded store keeps its valued form, so the union
-        // store stays inline-value-scannable when both sides are
-        store.union(loaded)
+      case Load(source, graph, silent) =>
+        // file:///p, file:/p, or a bare path all resolve to the path
+        val path =
+          if (source.startsWith("file:"))
+            try new java.net.URI(source).getPath
+            catch { case _: Exception => source.stripPrefix("file://") }
+          else source
+        try {
+          val loaded = QuadStore.fromFile(spark, path, graph.getOrElse(""))
+          // merge; the loaded store keeps its valued form, so the union
+          // store stays inline-value-scannable when both sides are
+          store.union(loaded)
+        } catch {
+          // LOAD SILENT: failure is a no-op (SPARQL 1.1 §3.1.4)
+          case e: Exception if silent => store
+        }
 
       case Modify(delT, insT, where, _) =>
         val exec = new Exec(store, spark)

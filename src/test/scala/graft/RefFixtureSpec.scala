@@ -125,6 +125,47 @@ class RefFixtureSpec extends SparkTestBase {
     assert(only == 9 && all > only)
   }
 
+  test("FROM NAMED scopes GRAPH patterns; FROM-only empties them") {
+    val both = dates.union(numbers)
+    // FROM NAMED: GRAPH ?g ranges over exactly the named set
+    val named = Sparql.run(both, spark,
+      """SELECT ?s FROM NAMED <http://example.com/dates.ttl>
+        |WHERE { GRAPH ?g { ?s ?p ?o } }""".stripMargin).count()
+    assert(named == 9)
+    // FROM only: the named-graph scope is empty (SPARQL 1.1 §13.2)
+    val fromOnly = Sparql.run(both, spark,
+      """SELECT ?s FROM <http://example.com/dates.ttl>
+        |WHERE { GRAPH ?g { ?s ?p ?o } }""".stripMargin).count()
+    assert(fromOnly == 0)
+    // a constant GRAPH outside FROM NAMED matches nothing
+    val outside = Sparql.run(both, spark,
+      """SELECT ?s FROM NAMED <http://example.com/dates.ttl>
+        |WHERE { GRAPH <http://example.com/numbers.ttl> { ?s ?p ?o } }"""
+        .stripMargin).count()
+    assert(outside == 0)
+  }
+
+  test("BIND after OPTIONAL sees the optional variable") {
+    val st = dates // any store; vars come from the pattern
+    val rows = Sparql.run(st, spark,
+      """BASE <http://example.com/>
+        |SELECT ?z WHERE {
+        |  <a> <test:date> ?d
+        |  OPTIONAL { <a> <test:missing> ?y }
+        |  BIND(COALESCE(?y, ?d) AS ?z)
+        |}""".stripMargin).collect()
+    assert(rows.length == 1 && rows(0).getString(0) == "2010-03-09")
+  }
+
+  test("Turtle lexes integer+statement-dot and decimals correctly") {
+    val ts = Turtle.parse("@prefix : <urn:x:> .\n:s :p 1 .\n:q :r 2.5 .")
+    val objs = ts.map { case (_, _, o) => o }
+    assert(objs.contains(graft.rdf.Lit("1",
+      "http://www.w3.org/2001/XMLSchema#integer")))
+    assert(objs.contains(graft.rdf.Lit("2.5",
+      "http://www.w3.org/2001/XMLSchema#decimal")))
+  }
+
   // ---- tests/import/scripts/lengthy over data/lengthy.nt ----
 
   test("lengthy.nt: long multi-line and empty literals round-trip") {

@@ -88,6 +88,16 @@ class UpdateSpec extends SparkTestBase {
     assert(st.quads.count() == 3)
   }
 
+  test("LOAD SILENT on a missing file is a no-op") {
+    val st = Update(freshStore, spark,
+      "LOAD SILENT <file:///no/such/file.nt> INTO GRAPH <urn:gx>")
+    assert(st.quads.count() == freshStore.quads.count())
+    intercept[Exception] {
+      Update(freshStore, spark,
+        "LOAD <file:///no/such/file.nt>").quads.count()
+    }
+  }
+
   test("LOAD <file> INTO GRAPH imports with format auto-detection") {
     val g = "http://example.com/nasty.ttl"
     val st = Update(freshStore, spark,
