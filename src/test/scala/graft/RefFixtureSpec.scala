@@ -220,6 +220,22 @@ class RefFixtureSpec extends SparkTestBase {
     }
   }
 
+  // ---- tests/httpd/scripts/union-logic ----
+
+  test("union-logic: BIND inside UNION branches tags each branch") {
+    val st = Update(QuadStore.fromTerms(spark, Nil), spark,
+      "INSERT DATA { GRAPH <a> { <x> <y> <z> . <a> <b> <c> . } }")
+    val rows = Sparql.run(st, spark,
+      """SELECT DISTINCT * WHERE {
+        |{ ?s <b> ?o BIND(1 as ?union) . }
+        |UNION
+        |{ ?s <b> ?o BIND(2 as ?union) . }
+        |} ORDER BY ?s""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      .sortBy(_._3)
+    assert(rows.toSeq == Seq(("a", "c", "1"), ("a", "c", "2")))
+  }
+
   // ---- tests/httpd/scripts/functions-abs over data/numbers.ttl ----
 
   test("ABS is decimal-exact (no double rounding)") {
