@@ -26,8 +26,11 @@ object SparqlQueries {
         val st = QuadStore.rdfizeDir(s, dir, Seq(t))
         // cache the VALUED (wide) form once; the narrow quads view is a
         // projection over the same cached relation (columnar cache prunes
-        // the value columns for RID-only scans)
-        val v = st.valued.get.cache()
+        // the value columns for RID-only scans). Sorting within partitions
+        // by predicate clusters each predicate into few cached batches, so
+        // the cache's per-batch min/max stats skip the rest on constant-p
+        // scans — the in-memory analog of the per-predicate ptree index
+        val v = st.valued.get.sortWithinPartitions("p").cache()
         QuadStore(v.select(QuadStore.quadCols.map(col): _*),
           st.resources.cache(), Some(v), st.predRids, st.graphRids)
       })
