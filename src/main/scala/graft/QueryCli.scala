@@ -32,7 +32,8 @@ object QueryCli {
       sys.exit(2)
     }
     val data = args(0)
-    val formats = Set("text", "csv", "json", "xml", "ascii")
+    // "explain" mirrors 4s-query --explain (prints the plan, no rows)
+    val formats = Set("text", "csv", "json", "xml", "ascii", "explain")
     val (format, queryArg) =
       if (args.length >= 3 && formats(args(1))) (args(1), args(2))
       else ("text", args(1))
@@ -81,6 +82,8 @@ object QueryCli {
         store = Update(store, spark, q)
         dtCache = None // new terms may carry new datatypes
         println("# ok")
+      } else if (format == "explain") {
+        Sparql.run(store, spark, q).explain("formatted")
       } else Parser.parse(q) match {
         case _: Ast.AskQ =>
           val r = Sparql.run(store, spark, q).collect()(0).getBoolean(0)
