@@ -220,6 +220,46 @@ class RefFixtureSpec extends SparkTestBase {
     }
   }
 
+  // ---- tests/httpd/scripts/number-comparison ----
+
+  test("number-comparison: mixed integer/decimal/float/double filters") {
+    // counts derived from data/numbers.ttl (39 values; the overflowing
+    // float lexicals decode to +/-inf and compare numerically)
+    def n(filter: String): Long = Sparql.run(numbers, spark,
+      s"""BASE <http://example.com/>
+         |SELECT ?o WHERE { GRAPH <http://example.com/numbers.ttl> {
+         |  ?s <test:num> ?o . $filter }}""".stripMargin).count()
+    assert(n("FILTER (?o < -2)") == 15)
+    assert(n("FILTER (?o > -2)") == 24)
+    assert(n("FILTER (?o < -2.5)") == 8)
+    assert(n("FILTER (?o > -2.5)") == 28)
+    assert(n("FILTER (?o > -2.51) . FILTER (?o < -2.49)") == 9)
+  }
+
+  // ---- tests/httpd/scripts/groupby-multiple-joins ----
+
+  test("groupby-multiple-joins: full ascending group ordering") {
+    val rows = Sparql.run(groupBy, spark,
+      """PREFIX owl: <http://www.w3.org/2002/07/owl#>
+        |PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#>
+        |PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+        |SELECT DISTINCT ?child (COUNT(?sub_child) as ?c)
+        |FROM <http://example.com/group-by.ttl>
+        |WHERE {
+        |       ?child a owl:Class .
+        |       ?child rdfs:subClassOf <http://foaf.qdos.com/0> .
+        |       OPTIONAL { ?sub_child rdfs:subClassOf ?child . }
+        |} GROUP BY ?child ORDER BY ASC(xsd:integer(?c)) ?child"""
+        .stripMargin)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    // matches tests/httpd/exemplar/groupby-multiple-joins exactly:
+    // class 3 has no subclasses -> COUNT over its unmatched OPTIONAL = 0
+    assert(rows == Seq(
+      ("http://foaf.qdos.com/3", "0"),
+      ("http://foaf.qdos.com/2", "1"),
+      ("http://foaf.qdos.com/1", "3")))
+  }
+
   // ---- tests/httpd/scripts/union-logic ----
 
   test("union-logic: BIND inside UNION branches tags each branch") {
