@@ -25,8 +25,11 @@ class Parser extends RegexParsers {
   private def kw(s: String): Parser[String] = ("""(?i)\Q""" + s + """\E\b""").r
   private def IRIREF: Parser[String] = "<" ~> """[^<>"{}|^`\\\s]*""".r <~ ">" ^^
     (i => graft.rdf.Iri.resolve(base, i))
+  // PN_LOCAL may contain but not END with '.' (`foaf:knows.` = name +
+  // statement dot, per the SPARQL grammar)
+  private val pnLocal = """(?:[A-Za-z0-9_.-]*[A-Za-z0-9_-]|[A-Za-z0-9_])"""
   private def PNAME: Parser[String] =
-    """[A-Za-z][A-Za-z0-9_-]*:[A-Za-z0-9_][A-Za-z0-9_.-]*|[A-Za-z][A-Za-z0-9_-]*:|:[A-Za-z0-9_][A-Za-z0-9_.-]*|:""".r ^^ { pn =>
+    (s"""[A-Za-z][A-Za-z0-9_-]*:$pnLocal|[A-Za-z][A-Za-z0-9_-]*:|:$pnLocal|:""").r ^^ { pn =>
       val i = pn.indexOf(':')
       val (pfx, local) = (pn.substring(0, i), pn.substring(i + 1))
       prefixes.getOrElse(pfx,

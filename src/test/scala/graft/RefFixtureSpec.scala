@@ -157,6 +157,14 @@ class RefFixtureSpec extends SparkTestBase {
     assert(rows.length == 1 && rows(0).getString(0) == "2010-03-09")
   }
 
+  test("PNAME followed by statement dot lexes as name + terminator") {
+    val rows = Sparql.run(dates, spark,
+      """PREFIX t: <test:>
+        |BASE <http://example.com/>
+        |SELECT ?v WHERE { <a> t:date ?v. }""".stripMargin).collect()
+    assert(rows.length == 1 && rows(0).getString(0) == "2010-03-09")
+  }
+
   test("Turtle lexes integer+statement-dot and decimals correctly") {
     val ts = Turtle.parse("@prefix : <urn:x:> .\n:s :p 1 .\n:q :r 2.5 .")
     val objs = ts.map { case (_, _, o) => o }
