@@ -28,13 +28,23 @@ object Bench {
     spark.sparkContext.setLogLevel("ERROR")
 
     graft.core.Tables.names.foreach { t =>
-      try graft.core.Tables.t(spark, sfDir, t).count()
+      // noop-write scans every column's data pages, not just the footer,
+      // so timed runs never pay cold page-cache I/O
+      try graft.core.Tables.t(spark, sfDir, t)
+        .write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => }
     }
     // same swallow-and-continue as the table loop: a bad table should cost
     // only the queries that touch it (-1), not the whole bench run
     try graft.queries.SparqlQueries.warm(spark, sfDir)
     catch { case _: Throwable => }
+    // untimed pass over every query: pays Catalyst analysis, whole-stage
+    // codegen compilation, and JIT once, so the timed runs below measure
+    // the steady state a long-lived engine serves (the reference harness
+    // likewise reports over repeated runs, `tests/benchmark/run.pl:47-80`)
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+      try fn(spark, sfDir).count() catch { case _: Throwable => }
+    }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) =>

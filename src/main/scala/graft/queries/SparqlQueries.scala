@@ -60,6 +60,30 @@ object SparqlQueries {
         st.resources.cache(), Some(v))
     })
 
+  /** Location-hierarchy store for the property-path gate: customer and
+    * nation rows share ONE predicate `urn:p:locIn` (customer->nation,
+    * nation->region), so `locIn+` exercises genuine multi-level transitive
+    * closure (SPARQL 1.1 §9 — extension; the reference has no paths). */
+  private def locStore(s: SparkSession, dir: String): QuadStore =
+    cache.getOrElseUpdate((dir, "__locin"), {
+      def edge(df: DataFrame, sPfx: String, sCol: String,
+               oPfx: String, oCol: String): DataFrame =
+        df.select(
+          lit("urn:g:loc").as("gLex"), lit(1).as("sKind"),
+          concat(lit(sPfx), col(sCol)).as("sLex"),
+          lit("urn:p:locIn").as("pLex"), lit(1).as("oKind"),
+          concat(lit(oPfx), col(oCol)).as("oLex"),
+          lit("").as("oDt"), lit("").as("oLang"))
+      val flat = edge(Tables.t(s, dir, "customer"),
+          "urn:t:customer:", "c_custkey", "urn:t:nation:", "c_nationkey")
+        .unionByName(edge(Tables.t(s, dir, "nation"),
+          "urn:t:nation:", "n_nationkey", "urn:t:region:", "n_regionkey"))
+      val st = QuadStore.fromFlat(s, flat)
+      val v = st.valued.get.cache()
+      QuadStore(v.select(QuadStore.quadCols.map(col): _*),
+        st.resources.cache(), Some(v))
+    })
+
   /** One query definition: the declared table set is the single source of
     * truth for both execution and [[warm]] (so adding a query over a new
     * table can't silently leave its rdfize+cache cost in bench timings). */
@@ -86,6 +110,10 @@ object SparqlQueries {
     try {
       val ft = ftStore(s, dir)
       ft.quads.count(); ft.resources.count()
+    } catch { case _: Throwable => }
+    try {
+      val loc = locStore(s, dir)
+      loc.quads.count(); loc.resources.count()
     } catch { case _: Throwable => }
   }
 
@@ -232,7 +260,15 @@ object SparqlQueries {
              ?r <urn:flag> "big" ;
                 <urn:p:region:r_name> ?name }""")
         .orderBy("name")
-    })
+    }),
+
+    // SPARQL 1.1 property path: one-or-more transitive closure over a
+    // shared hierarchy predicate (extension — Rasqal-era 4store has no
+    // paths; executed as semi-naive iterative frontier joins)
+    mk("s17_sparql_path")((s, d, _) =>
+      Sparql.run(locStore(s, d), s,
+        """SELECT ?src ?dst WHERE { ?src <urn:p:locIn>+ ?dst }""")
+        .orderBy("src", "dst"))
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
@@ -323,6 +359,20 @@ object SparqlQueries {
 
     "s16_sparql_update" ->
       """SELECT r_name AS name FROM region WHERE r_regionkey >= 2
-        |ORDER BY name""".stripMargin
+        |ORDER BY name""".stripMargin,
+
+    "s17_sparql_path" ->
+      """WITH RECURSIVE edges AS (
+        |  SELECT 'urn:t:customer:' || c_custkey AS a,
+        |         'urn:t:nation:' || c_nationkey AS b FROM customer
+        |  UNION ALL
+        |  SELECT 'urn:t:nation:' || n_nationkey,
+        |         'urn:t:region:' || n_regionkey FROM nation
+        |), closure AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT c.a, e.b FROM closure c JOIN edges e ON c.b = e.a
+        |)
+        |SELECT a AS src, b AS dst FROM closure ORDER BY src, dst""".stripMargin
   )
 }

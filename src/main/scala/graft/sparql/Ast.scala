@@ -12,6 +12,24 @@ object Ast {
 
   final case class TriplePat(s: PTerm, p: PTerm, o: PTerm)
 
+  // ---- property paths (SPARQL 1.1 §9 — an EXTENSION over the reference:
+  // Rasqal-era 4store has no path support; `src/frontend/query.c` only ever
+  // sees plain predicates) ----
+  sealed trait Path
+  /** direct predicate link */
+  final case class PLink(iri: String) extends Path
+  /** `^p` inverse */
+  final case class PInv(p: Path) extends Path
+  /** `a/b` sequence */
+  final case class PSeq(a: Path, b: Path) extends Path
+  /** `a|b` alternative */
+  final case class PAlt(a: Path, b: Path) extends Path
+  /** `p*` / `p+` / `p?` closures (set semantics per the spec's ALP) */
+  final case class PClosure(p: Path, minZero: Boolean, many: Boolean)
+      extends Path
+  /** `!(iri|^iri|...)` negated property set: (iri, inverted) members */
+  final case class PNeg(fwd: List[String], inv: List[String]) extends Path
+
   // ---- expressions ----
   sealed trait Expr
   final case class EVar(name: String) extends Expr
@@ -36,6 +54,9 @@ object Ast {
   final case class BindGP(expr: Expr, v: String) extends GP
   final case class ValuesGP(vars: List[String],
                             rows: List[List[Option[Term]]]) extends GP
+  /** One path triple `s path o` (non-trivial paths only; a plain-IRI path
+    * parses to an ordinary [[TriplePat]] inside a [[BGPat]]). */
+  final case class PathGP(s: PTerm, path: Path, o: PTerm) extends GP
 
   // ---- queries ----
   final case class SelectItem(expr: Expr, as: Option[String])

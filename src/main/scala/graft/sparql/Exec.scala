@@ -143,6 +143,204 @@ final class Exec(store: QuadStore, spark: SparkSession) {
       valued)
   }
 
+  // ---------------------------------------------------- property paths
+
+  /** Pruned quads scan shared by [[triplePattern]]-style lookups and path
+    * evaluation: constant-predicate / graph segment pruning plus the
+    * FROM/GRAPH restriction filter. */
+  private def prunedScan(pRid: Option[Long],
+                         gRids: Option[Seq[Long]]): DataFrame = {
+    val live = store.leaves.filter { seg =>
+      pRid.forall(r => seg.predRids.forall(_.contains(r))) &&
+        gRids.forall(gs => seg.graphRids.forall(sg => gs.exists(sg)))
+    }
+    var df = live match {
+      case Nil => store.quads.limit(0)
+      case segs => segs.map(_.quads).reduce(_ unionByName _)
+    }
+    gRids.foreach(rs => df =
+      if (rs.isEmpty) df.filter(lit(false))
+      else df.filter(col("g").isin(rs: _*)))
+    df
+  }
+
+  /** Path pair evaluation (SPARQL 1.1 §9.3 — extension, no reference
+    * counterpart). Returns `(g?, a, b)` pairs; `withG` keeps the graph
+    * column so closures stay scoped per named graph under `GRAPH ?g`.
+    * Non-closure operators keep bag semantics (spec: translation to
+    * joins); closures are set-semantic (ALP). */
+  private def pathEdges(p: Path, withG: Boolean,
+                        gRids: Option[Seq[Long]]): DataFrame = {
+    val keys = if (withG) Seq("g") else Nil
+    def pairsOf(scan: DataFrame, inv: Boolean): DataFrame =
+      scan.select((keys.map(col) ++ (
+        if (inv) Seq(col("o").as("a"), col("s").as("b"))
+        else Seq(col("s").as("a"), col("o").as("b")))): _*)
+    p match {
+      case PLink(u) =>
+        val rid = Rid.of(Uri(u))
+        pairsOf(prunedScan(Some(rid), gRids).filter(col("p") === rid),
+          inv = false)
+      case PNeg(fwd, inv) =>
+        def excl(rids: Seq[Long], invDir: Boolean) = {
+          var scan = prunedScan(None, gRids)
+          if (rids.nonEmpty)
+            scan = scan.filter(!col("p").isin(rids: _*))
+          pairsOf(scan, invDir)
+        }
+        val parts =
+          (if (fwd.nonEmpty || inv.isEmpty)
+             Seq(excl(fwd.map(u => Rid.of(Uri(u))), invDir = false))
+           else Nil) ++
+          (if (inv.nonEmpty)
+             Seq(excl(inv.map(u => Rid.of(Uri(u))), invDir = true))
+           else Nil)
+        parts.reduce(_ unionByName _)
+      case PInv(inner) =>
+        pathEdges(inner, withG, gRids).select(
+          (keys.map(col) ++ Seq(col("b").as("a"), col("a").as("b"))): _*)
+      case PSeq(l, r) =>
+        val lf = pathEdges(l, withG, gRids)
+          .select(keys.map(col) ++ Seq(col("a"), col("b").as("__m")): _*)
+        val rf = pathEdges(r, withG, gRids)
+          .select(keys.map(col) ++ Seq(col("a").as("__m"), col("b")): _*)
+        lf.join(rf, keys :+ "__m")
+          .select(keys.map(col) ++ Seq(col("a"), col("b")): _*)
+      case PAlt(l, r) =>
+        pathEdges(l, withG, gRids) unionByName pathEdges(r, withG, gRids)
+      case PClosure(inner, minZero, many) =>
+        val base = pathEdges(inner, withG, gRids).distinct()
+        val closed = if (many) closure(base, None, keys) else base
+        if (minZero) closed.unionByName(zeroPairs(withG, gRids)).distinct()
+        else closed
+    }
+  }
+
+  /** Zero-length path pairs: every term in the active graph relates to
+    * itself (spec ZeroLengthPath over graph nodes, literals included). */
+  private def zeroPairs(withG: Boolean,
+                        gRids: Option[Seq[Long]]): DataFrame = {
+    val keys = if (withG) Seq("g") else Nil
+    val scan = prunedScan(None, gRids)
+    val nodes = scan.select((keys.map(col) :+ col("s").as("n")): _*)
+      .unionByName(scan.select((keys.map(col) :+ col("o").as("n")): _*))
+      .distinct()
+    nodes.select((keys.map(col) ++ Seq(col("n").as("a"), col("n").as("b"))): _*)
+  }
+
+  /** Semi-naive transitive closure of an edge set: the frontier joins the
+    * (small, reusable) edge relation each round; `localCheckpoint`
+    * truncates the growing lineage so round N doesn't replan rounds 1..N-1
+    * (on a cluster this would be a reliable checkpoint). `seed` restricts
+    * the start set — the directed-BFS fast path when the path's subject
+    * side is already bound, so `<c> p+ ?x` never materializes the whole
+    * graph's closure. */
+  private def closure(edges0: DataFrame, seed: Option[Column],
+                      keys: Seq[String]): DataFrame = {
+    val cols = (keys :+ "a" :+ "b").map(col)
+    val edges = edges0.select(cols: _*).localCheckpoint()
+    var frontier = seed.map(edges.filter).getOrElse(edges)
+    var acc = frontier
+    var rounds = 0
+    // 62 rounds = paths of length 2^62: a diameter bound, not a row bound
+    // (each round squares nothing — frontier advances one edge-step; the
+    // bound only guards against cyclic stores that somehow defeat the
+    // left_anti novelty check)
+    while (rounds < 62 && !frontier.isEmpty) {
+      rounds += 1
+      val f = frontier.select(
+        keys.map(col) ++ Seq(col("a"), col("b").as("__m")): _*)
+      val e = edges.select(
+        keys.map(col) ++ Seq(col("a").as("__m"), col("b")): _*)
+      val stepped = f.join(e, keys :+ "__m")
+        .select(cols: _*).distinct()
+      frontier = stepped.join(acc, keys :+ "a" :+ "b", "left_anti")
+        .localCheckpoint()
+      if (!frontier.isEmpty) acc = acc.unionByName(frontier).localCheckpoint()
+    }
+    acc
+  }
+
+  /** Execute one `s path o` element to a binding table. */
+  private def pathPattern(pg: PathGP, gvar: Option[String],
+                          gRids: Option[Seq[Long]]): Bindings = {
+    val withG = gvar.isDefined
+    val keys = if (withG) Seq("g") else Nil
+    // directed fast path: a one-or-more closure with a constant endpoint
+    // seeds the BFS at that node instead of closing the whole relation
+    val pairs = (pg.path, pg.s, pg.o) match {
+      case (PClosure(inner, minZero, true), PConst(t), _) =>
+        val base = pathEdges(inner, withG, gRids).distinct()
+        val cl = closure(base, Some(col("a") === Rid.of(t)), keys)
+        if (minZero) cl.unionByName(zeroPairs(withG, gRids)).distinct()
+        else cl
+      case (PClosure(inner, minZero, true), _, PConst(t)) =>
+        val base = pathEdges(inner, withG, gRids).distinct()
+          .select((keys.map(col) ++
+            Seq(col("b").as("a"), col("a").as("b"))): _*)
+        val cl = closure(base, Some(col("a") === Rid.of(t)), keys)
+          .select((keys.map(col) ++
+            Seq(col("b").as("a"), col("a").as("b"))): _*)
+        if (minZero) cl.unionByName(zeroPairs(withG, gRids)).distinct()
+        else cl
+      case _ => pathEdges(pg.path, withG, gRids)
+    }
+    var df = pairs
+    val slots = Seq("a" -> pg.s, "b" -> pg.o)
+    slots.foreach {
+      case (c, PConst(t)) => df = df.filter(col(c) === Rid.of(t))
+      case _ =>
+    }
+    val varSlots = slots.collect { case (c, PVar(v)) => (c, v) } ++
+      gvar.map(v => ("g", v)).toSeq
+    val seen = scala.collection.mutable.LinkedHashMap[String, String]()
+    varSlots.foreach { case (c, v) =>
+      seen.get(v) match {
+        case Some(c0) => df = df.filter(col(c0) === col(c))
+        case None => seen += v -> c
+      }
+    }
+    val proj = seen.toSeq.map { case (v, c) => col(c).as(v) }
+    val b0 = Bindings(df.select(proj: _*), seen.keys.toSeq,
+      seen.keySet.toSet, Set.empty)
+    // a zero-length-capable path relates a constant endpoint to itself
+    // even when the term is absent from the graph (spec ZeroLengthPath):
+    // the node-universe zero pairs can't cover it, and the dictionary has
+    // no entry for it, so inject a fully-valued self row. Under GRAPH ?g
+    // the self pair would need a graph binding — corner not applicable.
+    val zeroConst = pg.path match {
+      case PClosure(_, true, _) if keys.isEmpty =>
+        (pg.s, pg.o) match {
+          case (PConst(a), PConst(b)) =>
+            if (Rid.of(a) == Rid.of(b)) Some(a) else None
+          case (PConst(t), _) => Some(t)
+          case (_, PConst(t)) => Some(t)
+          case _ => None
+        }
+      case _ => None
+    }
+    zeroConst match {
+      case Some(_) if b0.varsOrdered.isEmpty =>
+        // both endpoints are the same constant: zero-length always
+        // matches, and closure set semantics cap it at one solution
+        b0.copy(df = spark.range(1).drop("id"))
+      case Some(t) =>
+        val rid = Rid.of(t)
+        val bv = ensureValues(b0, b0.vars)
+        val (lex, dt, lang) = t match {
+          case Uri(u) => (u, 0L, "")
+          case BNode(bn) => (bn, 0L, "")
+          case Lit(l, d, g) => (l, Rid.attr(d, g), g)
+        }
+        val selfDf = spark.range(1).select(b0.varsOrdered.flatMap(v =>
+          Seq(lit(rid).as(v), lit(lex).as(s"${v}__lex"),
+            lit(dt).as(s"${v}__dt"), lit(lang).as(s"${v}__lang"))): _*)
+        bv.copy(df = bv.df.unionByName(selfDf)
+          .dropDuplicates(b0.varsOrdered))
+      case None => b0
+    }
+  }
+
   // ------------------------------------------------------------- joins
 
   private def renamedRight(r: Bindings): (DataFrame, String => String) = {
@@ -364,6 +562,7 @@ final class Exec(store: QuadStore, spark: SparkSession) {
       pattern(inner, None, Some(allowed), need, namedGRids)
     case BindGP(e, v) => extend(unit, v, e)
     case v: ValuesGP => valuesTable(v)
+    case p: PathGP => pathPattern(p, gvar, gRids)
   }
 
   def extend(b: Bindings, v: String, e: Expr): Bindings = {

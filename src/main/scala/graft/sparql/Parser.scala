@@ -78,18 +78,71 @@ class Parser extends RegexParsers {
     VAR ^^ PVar.apply | literal ^^ PConst.apply |
     iri ^^ (u => PConst(Uri(u))) | bnode ^^ PConst.apply
 
-  /** s p o (; p o)* (, o)* — the `;`/`,` abbreviations. */
-  private def triplesSameSubject: Parser[List[TriplePat]] =
-    ptermS ~ propertyList ^^ { case s ~ pos =>
-      pos.map { case (p, o) => TriplePat(s, p, o) }
+  // ---- property paths (SPARQL 1.1 §9; extension — the reference's
+  // Rasqal-era parser has no paths). Precedence: | < / < ^ < mod. ----
+  /** `?`/`*`/`+` modifier; `?` must not swallow the start of a `?var` */
+  private def pathMod: Parser[String] =
+    """\*|\+|\?(?![A-Za-z0-9_$])""".r
+  def path: Parser[Path] =
+    rep1sep(pathSeq, "|") ^^ (_.reduceLeft(PAlt.apply))
+  private def pathSeq: Parser[Path] =
+    rep1sep(pathEltOrInv, "/") ^^ (_.reduceLeft(PSeq.apply))
+  private def pathEltOrInv: Parser[Path] =
+    "^" ~> pathElt ^^ PInv.apply | pathElt
+  private def pathElt: Parser[Path] =
+    pathPrimary ~ opt(pathMod) ^^ {
+      case p ~ None => p
+      case p ~ Some("*") => PClosure(p, minZero = true, many = true)
+      case p ~ Some("+") => PClosure(p, minZero = false, many = true)
+      case p ~ Some(_) => PClosure(p, minZero = true, many = false)
     }
-  private def propertyList: Parser[List[(PTerm, PTerm)]] =
-    rep1sep(ptermP ~ rep1sep(ptermO, ","), ";") ^^ (
+  private def pathIri: Parser[String] = kw("a") ^^^ Rdf.typ | iri
+  private def pathPrimary: Parser[Path] =
+    pathIri ^^ PLink.apply |
+    "!" ~> pathNegated |
+    "(" ~> path <~ ")"
+  private def pathNegated: Parser[Path] =
+    "(" ~> repsep(pathOneInNeg, "|") <~ ")" ^^ mkNeg |
+    pathOneInNeg ^^ (e => mkNeg(List(e)))
+  private def pathOneInNeg: Parser[(String, Boolean)] =
+    "^" ~> pathIri ^^ ((_, true)) | pathIri ^^ ((_, false))
+  private def mkNeg(es: List[(String, Boolean)]): Path =
+    PNeg(es.collect { case (u, false) => u },
+      es.collect { case (u, true) => u })
+
+  /** s p o (; p o)* (, o)* — the `;`/`,` abbreviations. A verb is a var or
+    * a path; a trivial path (plain IRI) stays an ordinary triple. */
+  private def triplesSameSubject: Parser[List[Either[TriplePat, PathGP]]] =
+    ptermS ~ propertyList ^^ { case s ~ pos =>
+      pos.map {
+        case (Left(v), o) => Left(TriplePat(s, v, o))
+        case (Right(PLink(u)), o) => Left(TriplePat(s, PConst(Uri(u)), o))
+        case (Right(p), o) => Right(PathGP(s, p, o))
+      }
+    }
+  private def verb: Parser[Either[PTerm, Path]] =
+    VAR ^^ (v => Left(PVar(v))) | path ^^ (Right(_))
+  private def propertyList: Parser[List[(Either[PTerm, Path], PTerm)]] =
+    rep1sep(verb ~ rep1sep(ptermO, ","), ";") ^^ (
       _.flatMap { case p ~ os => os.map(o => (p, o)) })
 
-  private def triplesBlock: Parser[BGPat] =
-    rep1sep(triplesSameSubject, ".") <~ opt(".") ^^ (
-      ts => BGPat(ts.flatten))
+  private def triplesBlock: Parser[GP] =
+    rep1sep(triplesSameSubject, ".") <~ opt(".") ^^ { ts =>
+      val all = ts.flatten
+      val plain = all.collect { case Left(t) => t }
+      val paths = all.collect { case Right(p) => p }
+      (plain, paths) match {
+        case (ps, Nil) => BGPat(ps)
+        case (Nil, List(one)) => one
+        case (Nil, many) => GroupGP(many, Nil)
+        case (ps, many) => GroupGP(BGPat(ps) :: many, Nil)
+      }
+    }
+
+  /** template triples (CONSTRUCT / update templates): plain verbs only */
+  private[sparql] def plainTriplesBlock: Parser[BGPat] =
+    triplesBlock ^? ({ case b: BGPat => b },
+      _ => "property paths are not allowed in templates")
 
   // ---- group graph pattern ----
   def groupGraphPattern: Parser[GroupGP] =
@@ -269,7 +322,7 @@ class Parser extends RegexParsers {
     }
 
   def constructQuery: Parser[ConstructQ] =
-    kw("CONSTRUCT") ~> ("{" ~> opt(triplesBlock) <~ "}") ~ datasetClause ~
+    kw("CONSTRUCT") ~> ("{" ~> opt(plainTriplesBlock) <~ "}") ~ datasetClause ~
       (kw("WHERE") ~> groupGraphPattern) ~ solutionMods ^^ {
       case t ~ ds ~ w ~ m =>
         ConstructQ(t.map(_.triples).getOrElse(Nil), w,

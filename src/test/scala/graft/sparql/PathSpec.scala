@@ -1,0 +1,122 @@
+package graft.sparql
+
+import graft.SparkTestBase
+import graft.rdf._
+
+/** SPARQL 1.1 property paths (§9) — an extension over the reference
+  * (Rasqal-era 4store rejects paths); semantics follow the W3C spec:
+  * bag semantics for link/inverse/sequence/alternative, set semantics
+  * (ALP) for `*`/`+`/`?`, zero-length paths relate terms to themselves.
+  */
+class PathSpec extends SparkTestBase {
+
+  lazy val store: QuadStore = QuadStore.fromTerms(spark, Seq(
+    (Uri("urn:alice"), Uri("urn:knows"), Uri("urn:bob")),
+    (Uri("urn:bob"), Uri("urn:knows"), Uri("urn:carol")),
+    (Uri("urn:carol"), Uri("urn:knows"), Uri("urn:dave")),
+    (Uri("urn:alice"), Uri("urn:name"), Lit("Alice")),
+    (Uri("urn:bob"), Uri("urn:name"), Lit("Bob")),
+    (Uri("urn:carol"), Uri("urn:name"), Lit("Carol")),
+    (Uri("urn:dave"), Uri("urn:name"), Lit("Dave")),
+    (Uri("urn:alice"), Uri(Rdf.typ), Uri("urn:Person"))))
+
+  private def rows(q: String): Seq[Seq[String]] =
+    Sparql.run(store, spark, q).collect().toSeq.map(r =>
+      (0 until r.length).map(i => Option(r.get(i)).map(_.toString).orNull))
+
+  test("one-or-more closure: knows+") {
+    val r = rows("""SELECT ?x ?y WHERE { ?x <urn:knows>+ ?y }
+      ORDER BY ?x ?y""").map(_.mkString(">"))
+    assert(r == Seq(
+      "urn:alice>urn:bob", "urn:alice>urn:carol", "urn:alice>urn:dave",
+      "urn:bob>urn:carol", "urn:bob>urn:dave",
+      "urn:carol>urn:dave"))
+  }
+
+  test("seeded closure from a constant subject: <bob> knows+ ?y") {
+    val r = rows("""SELECT ?y WHERE { <urn:bob> <urn:knows>+ ?y }
+      ORDER BY ?y""").map(_.head)
+    assert(r == Seq("urn:carol", "urn:dave"))
+  }
+
+  test("zero-or-more includes the zero-length self pair") {
+    val r = rows("""SELECT ?y WHERE { <urn:bob> <urn:knows>* ?y }
+      ORDER BY ?y""").map(_.head)
+    assert(r == Seq("urn:bob", "urn:carol", "urn:dave"))
+  }
+
+  test("zero-or-more with a term absent from the graph matches itself") {
+    val r = rows("""SELECT ?y WHERE { <urn:nobody> <urn:knows>* ?y }""")
+      .map(_.head)
+    assert(r == Seq("urn:nobody"))
+  }
+
+  test("sequence: knows/name") {
+    val r = rows("""SELECT ?n WHERE { <urn:alice> <urn:knows>/<urn:name> ?n }""")
+      .map(_.head)
+    assert(r == Seq("Bob"))
+  }
+
+  test("sequence with closure: knows+/name") {
+    val r = rows("""SELECT ?n WHERE { <urn:alice> <urn:knows>+/<urn:name> ?n }
+      ORDER BY ?n""").map(_.head)
+    assert(r == Seq("Bob", "Carol", "Dave"))
+  }
+
+  test("inverse: ^knows") {
+    val r = rows("""SELECT ?x WHERE { <urn:carol> ^<urn:knows> ?x }""")
+      .map(_.head)
+    assert(r == Seq("urn:bob"))
+  }
+
+  test("alternative: name|type edges from alice") {
+    val r = rows("""SELECT ?v WHERE { <urn:alice> (<urn:name>|a) ?v }
+      ORDER BY ?v""").map(_.head)
+    assert(r == Seq("urn:Person", "Alice"))
+  }
+
+  test("zero-or-one: knows?") {
+    val r = rows("""SELECT ?y WHERE { <urn:bob> <urn:knows>? ?y }
+      ORDER BY ?y""").map(_.head)
+    assert(r == Seq("urn:bob", "urn:carol"))
+  }
+
+  test("negated property set: !(knows|a)") {
+    val r = rows("""SELECT ?v WHERE {
+        <urn:alice> !(<urn:knows>|a) ?v }""").map(_.head)
+    assert(r == Seq("Alice"))
+  }
+
+  test("negated property set, inverse member only: !(^knows)") {
+    // reverse edges whose predicate is not knows: name/type literals have
+    // no outgoing edges, so only ^name / ^type style reversals qualify —
+    // from bob the only non-knows reverse edge is none
+    val r = rows("""SELECT ?v WHERE { <urn:bob> !(^<urn:knows>) ?v }
+      ORDER BY ?v""").map(_.head)
+    assert(r == Seq())
+  }
+
+  test("closure terminates on cycles and includes back-pairs") {
+    val cyc = QuadStore.fromTerms(spark, Seq(
+      (Uri("urn:x"), Uri("urn:next"), Uri("urn:y")),
+      (Uri("urn:y"), Uri("urn:next"), Uri("urn:x"))))
+    val r = Sparql.run(cyc, spark,
+      """SELECT ?a ?b WHERE { ?a <urn:next>+ ?b } ORDER BY ?a ?b""")
+      .collect().toSeq.map(x => s"${x.get(0)}>${x.get(1)}")
+    assert(r == Seq("urn:x>urn:x", "urn:x>urn:y",
+      "urn:y>urn:x", "urn:y>urn:y"))
+  }
+
+  test("path joins with surrounding BGP") {
+    val r = rows("""SELECT ?n WHERE {
+        ?p a <urn:Person> . ?p <urn:knows>+/<urn:name> ?n }
+      ORDER BY ?n""").map(_.head)
+    assert(r == Seq("Bob", "Carol", "Dave"))
+  }
+
+  test("plain predicates still parse as ordinary triples") {
+    val r = rows("""SELECT ?n WHERE { ?x <urn:name> ?n . } ORDER BY ?n""")
+      .map(_.head)
+    assert(r == Seq("Alice", "Bob", "Carol", "Dave"))
+  }
+}
