@@ -268,7 +268,21 @@ object SparqlQueries {
     mk("s17_sparql_path")((s, d, _) =>
       Sparql.run(locStore(s, d), s,
         """SELECT ?src ?dst WHERE { ?src <urn:p:locIn>+ ?dst }""")
-        .orderBy("src", "dst"))
+        .orderBy("src", "dst")),
+
+    // SPARQL 1.1 subquery (§12; extension — the reference rejects
+    // subSELECT, `src/frontend/query.c:1388-1390`): aggregate-in-subquery
+    // joined against the outer BGP
+    mk("s18_sparql_subselect", "customer", "orders")((s, d, ts) =>
+      sparql(s, d, ts,
+        """SELECT ?cname ?cnt WHERE {
+             ?c <urn:p:customer:c_name> ?cname ;
+                <urn:p:customer:c_custkey> ?ck .
+             { SELECT ?ck (COUNT(?o) AS ?cnt) WHERE {
+                 ?o <urn:p:orders:o_custkey> ?ck } GROUP BY ?ck }
+           }""")
+        .select(col("cname"), col("cnt").cast("long").as("cnt"))
+        .orderBy("cname"))
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
@@ -373,6 +387,13 @@ object SparqlQueries {
         |  UNION
         |  SELECT c.a, e.b FROM closure c JOIN edges e ON c.b = e.a
         |)
-        |SELECT a AS src, b AS dst FROM closure ORDER BY src, dst""".stripMargin
+        |SELECT a AS src, b AS dst FROM closure ORDER BY src, dst""".stripMargin,
+
+    "s18_sparql_subselect" ->
+      """SELECT c_name AS cname, CAST(n AS BIGINT) AS cnt
+        |FROM customer JOIN (
+        |  SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY o_custkey
+        |) t ON t.o_custkey = c_custkey
+        |ORDER BY cname""".stripMargin
   )
 }

@@ -57,6 +57,9 @@ object Ast {
   /** One path triple `s path o` (non-trivial paths only; a plain-IRI path
     * parses to an ordinary [[TriplePat]] inside a [[BGPat]]). */
   final case class PathGP(s: PTerm, path: Path, o: PTerm) extends GP
+  /** `{ SELECT ... }` subquery (SPARQL 1.1 §12 — extension: the reference
+    * rejects subSELECT, `src/frontend/query.c:1388-1390`). */
+  final case class SubSelectGP(q: SelectQ) extends GP
 
   // ---- queries ----
   final case class SelectItem(expr: Expr, as: Option[String])

@@ -563,6 +563,10 @@ final class Exec(store: QuadStore, spark: SparkSession) {
     case BindGP(e, v) => extend(unit, v, e)
     case v: ValuesGP => valuesTable(v)
     case p: PathGP => pathPattern(p, gvar, gRids)
+    // subquery: evaluate bottom-up against the same dataset scope and
+    // join its projected bindings into the outer pattern (SPARQL 1.1 §12)
+    case s: SubSelectGP =>
+      Sparql.selectBindings(store, spark, s.q, gRids, namedGRids)
   }
 
   def extend(b: Bindings, v: String, e: Expr): Bindings = {

@@ -146,7 +146,15 @@ class Parser extends RegexParsers {
 
   // ---- group graph pattern ----
   def groupGraphPattern: Parser[GroupGP] =
-    "{" ~> rep(ggpElem) <~ "}" ^^ { elems =>
+    "{" ~> (subSelectGroup | groupGraphPatternSub) <~ "}"
+
+  /** `{ SELECT ... }` — SPARQL 1.1 §12 subquery (extension; the reference
+    * rejects subSELECT, `src/frontend/query.c:1388-1390`). */
+  private def subSelectGroup: Parser[GroupGP] =
+    selectQuery ^^ (q => GroupGP(List(SubSelectGP(q)), Nil))
+
+  private def groupGraphPatternSub: Parser[GroupGP] =
+    rep(ggpElem) ^^ { elems =>
       val (filters, pats) = elems.partition(_.isLeft)
       GroupGP(pats.map(_.toOption.get), filters.flatMap(_.left.toOption))
     }

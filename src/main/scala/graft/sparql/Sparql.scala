@@ -66,6 +66,26 @@ object Sparql {
 
   private def select(store: QuadStore, spark: SparkSession,
                      q: SelectQ, terms: Boolean = false): DataFrame = {
+    val (dsRids, namedRids) = datasetRids(q.mods)
+    val sb = selectBindings(store, spark, q, dsRids, namedRids)
+    val cols = sb.varsOrdered.map { n =>
+      val v = V.ofVar(n)
+      (if (terms) struct(v.rid.as("rid"), v.lex.as("lex"), v.dt.as("dt"),
+        coalesce(v.lang, lit("")).as("lang"))
+       else v.anyLex).as(n)
+    }
+    sb.df.select(cols: _*)
+  }
+
+  /** SELECT to a binding table (rid + value columns per projected var):
+    * the whole SELECT pipeline — pattern, aggregation, HAVING, projection,
+    * DISTINCT (term identity, like the reference's RID sort+uniq), ORDER,
+    * OFFSET/LIMIT — reusable both by [[select]] output formatting and as a
+    * `{ SELECT ... }` subquery inside an outer pattern (SPARQL 1.1 §12,
+    * which the reference rejects at `src/frontend/query.c:1388-1390`). */
+  private[sparql] def selectBindings(
+      store: QuadStore, spark: SparkSession, q: SelectQ,
+      dsRids: Option[Seq[Long]], namedRids: Option[Seq[Long]]): Bindings = {
     val exec = new Exec(store, spark)
     // vars whose values any output expression needs — resolved at the
     // pattern scan when the store carries inline values (SELECT * needs
@@ -75,9 +95,9 @@ object Sparql {
         q.mods.orderBy.map(_._1)).flatMap(e => varsOfExpr(e)).toSet
     val needFn: String => Boolean =
       if (q.items.isEmpty) _ => true else topNeeded
-    val (dsRids, namedRids) = datasetRids(q.mods)
     var b = exec.pattern(q.where, gRids = dsRids, need = needFn,
       namedGRids = namedRids)
+    val certainBefore = b.certain
 
     val items: List[SelectItem] =
       if (q.items.nonEmpty) q.items
@@ -157,14 +177,16 @@ object Sparql {
       V.sortKey(Compiler.compile(e, aggSub ++ aliasSub)).as(s"__ord_$i")
     }
     val ordNames = explicitOrd.indices.map(i => s"__ord_$i")
-    def outCol(v: V): Column =
-      if (terms) struct(v.rid.as("rid"), v.lex.as("lex"), v.dt.as("dt"),
-        coalesce(v.lang, lit("")).as("lang"))
-      else v.anyLex
     var out = b.df.select(
-      named.map { case (n, v) => outCol(v).as(n) } ++ explicitOrd: _*)
+      named.flatMap { case (n, v) =>
+        Seq(v.rid.as(n), v.lex.as(s"${n}__lex"), v.dt.as(s"${n}__dt"),
+          coalesce(v.lang, lit("")).as(s"${n}__lang"))
+      } ++ explicitOrd: _*)
 
-    if (q.mods.distinct || q.mods.reduced) out = out.distinct()
+    // DISTINCT over term identity (the reference's RID-level sort+uniq,
+    // `src/frontend/query.c:589-604`; value columns are functions of rid)
+    if (q.mods.distinct || q.mods.reduced)
+      out = out.dropDuplicates(named.map(_._1))
     if (explicitOrd.nonEmpty) {
       val sorts = q.mods.orderBy.map(_._2).zipWithIndex.map {
         case (asc, i) =>
@@ -179,18 +201,19 @@ object Sparql {
     // order over the OUTPUT terms instead — applied AFTER distinct so
     // pagination dedups exactly like the unpaginated query, and it
     // reproduces the reference's golden foaf-pagination-filter)
-    if (q.mods.orderBy.isEmpty && q.mods.offset.isDefined) {
-      val sorts = named.map { case (n, _) =>
-        if (terms)
-          V.sortKey(V(col(n).getField("rid"), col(n).getField("lex"),
-            col(n).getField("dt"), col(n).getField("lang"))).asc
-        else col(n).asc
-      }
-      out = out.orderBy(sorts: _*)
-    }
+    if (q.mods.orderBy.isEmpty && q.mods.offset.isDefined)
+      out = out.orderBy(
+        named.map { case (n, _) => V.sortKey(V.ofVar(n)).asc }: _*)
     q.mods.offset.foreach(o => out = out.offset(o.toInt))
     q.mods.limit.foreach(l => out = out.limit(l.toInt))
-    out
+
+    val pvars = named.map(_._1)
+    // plain projected vars keep their pre-aggregation certainty; computed
+    // aliases may evaluate to error/NULL -> never certain
+    val certain = items.collect {
+      case SelectItem(EVar(v), None) if certainBefore(v) => v
+    }.toSet
+    Bindings(out, pvars, certain, pvars.toSet)
   }
 
   private def varsOfExpr(e: Expr): Set[String] = e match {
