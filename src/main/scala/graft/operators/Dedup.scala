@@ -324,4 +324,66 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("id1", "id2", "jaccard")
   }
+
+  /** Near-duplicate CLUSTERING: connected components over a similarity
+    * pair graph, labeling every id with the minimum id reachable from it
+    * (singletons label themselves). Iterative min-label propagation on
+    * DataFrames: each round is one shuffle (neighbor-min aggregation) and
+    * `localCheckpoint` truncates lineage, so round N never replans rounds
+    * 1..N-1 — on a cluster this is a reliable checkpoint. Rounds needed =
+    * graph diameter; near-dup graphs are clouds of small cliques, so this
+    * converges in 2-4 rounds at any corpus size (the same observation
+    * that makes alternating large-star/small-star overkill here).
+    *
+    * `ids`: one column `id` (the full population — members with no pairs
+    * still get labeled); `pairs`: columns `id1`, `id2`.
+    */
+  def connectedComponents(ids: DataFrame, pairs: DataFrame,
+                          maxRounds: Int = 30): DataFrame = {
+    val sym = pairs.select(col("id1").as("a"), col("id2").as("b"))
+      .unionByName(pairs.select(col("id2").as("a"), col("id1").as("b")))
+      .distinct().localCheckpoint()
+    var labels = ids.select(col("id"), col("id").as("comp"))
+      .localCheckpoint()
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      round += 1
+      val nbrMin = sym.join(labels, sym("b") === labels("id"))
+        .groupBy(sym("a").as("id")).agg(min("comp").as("__nc"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("__nc"), col("comp")))
+            .as("comp"))
+        .localCheckpoint()
+      converged = next.as("n")
+        .join(labels.as("o"), col("n.id") === col("o.id"))
+        .filter(col("n.comp") =!= col("o.comp"))
+        .isEmpty
+      labels = next
+    }
+    labels
+  }
+
+  /** GraphX variant of [[connectedComponents]] for Long ids — the RDD
+    * Pregel implementation (`org.apache.spark.graphx.lib
+    * .ConnectedComponents`). Same labels (lowest member id). The
+    * DataFrame variant is preferred in pipelines (stays columnar /
+    * codegen, no RDD serialization); this one exists for graph-shaped
+    * workloads already in GraphX land. */
+  def connectedComponentsGraphX(ids: DataFrame,
+                                pairs: DataFrame): DataFrame = {
+    import org.apache.spark.graphx.{Edge, Graph}
+    val spark = ids.sparkSession
+    val verts = ids.select(col("id").cast("long")).rdd
+      .map(r => (r.getLong(0), r.getLong(0)))
+    val edges = pairs.select(col("id1").cast("long"),
+        col("id2").cast("long")).rdd
+      .map(r => Edge(r.getLong(0), r.getLong(1), ()))
+    val g = Graph(verts, edges)
+    val cc = org.apache.spark.graphx.lib.ConnectedComponents.run(g)
+    spark.createDataFrame(cc.vertices.map { case (id, comp) =>
+      (id, comp)
+    }).toDF("id", "comp")
+  }
 }

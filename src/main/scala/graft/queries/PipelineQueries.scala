@@ -136,6 +136,35 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_events"),
           min(col("ts")).as("sess_start"))
         .orderBy("user_id", "sess_id")
+    }),
+
+    // near-dup CLUSTERING: connected components over the exact n-gram
+    // Jaccard pair graph — every doc labeled with its component's min id
+    "p15_neardup_components" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        k = 3, threshold = 0.5)
+      Dedup.connectedComponents(
+          docs.select(col("doc_id").as("id")),
+          pairs.select("id1", "id2"))
+        .select(col("id").as("doc_id"), col("comp").as("component"))
+        .orderBy("doc_id")
+    }),
+
+    // as-of join: each purchase event picks up the latest view event at
+    // or before it for the same user (union+window, no range join)
+    "p16_events_asof" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("user_id", "event_id", "ts")
+      val views = ev.filter(col("event_type") === "view")
+      graft.operators.AsOf.backward(purchases, views,
+          keyCol = "user_id", tsCol = "ts",
+          payload = col("event_id"), asofCol = "view_id",
+          tiebreak = col("event_id"))
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          col("view_id"))
+        .orderBy("purchase_id")
     })
   )
 
@@ -291,6 +320,46 @@ object PipelineQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "p15_neardup_components" ->
+      """WITH RECURSIVE ws AS (SELECT doc_id,
+        |    list_filter(string_split(lower(text),' '), x -> len(x)>0) AS ws
+        |  FROM documents),
+        |sh0 AS (SELECT doc_id, list_distinct(list_transform(
+        |    range(1, len(ws)-1), i -> ws[i]||' '||ws[i+1]||' '||ws[i+2]))
+        |    AS shingles FROM ws),
+        |sh AS (SELECT doc_id, len(shingles) AS nsh, unnest(shingles) AS s
+        |  FROM sh0),
+        |pairs AS (SELECT a.doc_id id1, b.doc_id id2, a.nsh n1, b.nsh n2,
+        |    count(*) AS common
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1,2,3,4),
+        |good AS (SELECT id1, id2 FROM pairs
+        |  WHERE common::DOUBLE/(n1+n2-common) >= 0.5),
+        |sym AS (SELECT id1 AS a, id2 AS b FROM good
+        |  UNION ALL SELECT id2, id1 FROM good),
+        |reach AS (SELECT a, b FROM sym
+        |  UNION SELECT r.a, s2.b FROM reach r JOIN sym s2 ON r.b = s2.a)
+        |SELECT d.doc_id,
+        |  CAST(LEAST(d.doc_id, COALESCE(MIN(r.b), d.doc_id)) AS BIGINT)
+        |    AS component
+        |FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
+
+    "p16_events_asof" ->
+      """WITH u AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN event_type='view' THEN 0 ELSE 1 END AS src,
+        |    CASE WHEN event_type='view' THEN event_id END AS vid
+        |  FROM events WHERE event_type IN ('view','purchase')),
+        |w AS (SELECT user_id, ts, event_id, src,
+        |    LAST_VALUE(vid IGNORE NULLS) OVER (PARTITION BY user_id
+        |      ORDER BY ts, src, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS view_id
+        |  FROM u)
+        |SELECT user_id, event_id AS purchase_id,
+        |  CAST(view_id AS BIGINT) AS view_id
+        |FROM w WHERE src = 1 ORDER BY purchase_id""".stripMargin,
+
     "p03_minhash_pairs" -> p03Oracle,
     "p04_simhash_pairs" -> p04Oracle,
     "p10_embed_lsh" -> p10Oracle,

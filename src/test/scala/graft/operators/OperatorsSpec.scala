@@ -140,4 +140,49 @@ class OperatorsSpec extends SparkTestBase {
       .filter(col("f").isNull).count()
     assert(fp == 0)
   }
+
+  test("connected components label near-dup clusters by min id") {
+    val pairs = Seq((0L, 1L), (1L, 2L), (7L, 8L)).toDF("id1", "id2")
+    val ids = Seq(0L, 1L, 2L, 3L, 7L, 8L).toDF("id")
+    val cc = graft.operators.Dedup.connectedComponents(ids, pairs)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(cc.toSeq == Seq((0L, 0L), (1L, 0L), (2L, 0L), (3L, 3L),
+      (7L, 7L), (8L, 7L)))
+  }
+
+  test("connected components converge on a long chain and a cycle") {
+    val pairs = ((0L until 9L).map(i => (i, i + 1)) :+ (9L, 0L))
+      .toDF("id1", "id2")
+    val ids = (0L until 10L).toDF("id")
+    val cc = graft.operators.Dedup.connectedComponents(ids, pairs)
+      .collect().map(r => r.getLong(1)).distinct
+    assert(cc.toSeq == Seq(0L))
+  }
+
+  test("GraphX connected components agree with the DataFrame variant") {
+    val pairs = Seq((0L, 1L), (1L, 2L), (7L, 8L), (5L, 5L))
+      .toDF("id1", "id2")
+    val ids = Seq(0L, 1L, 2L, 3L, 5L, 7L, 8L).toDF("id")
+    val df = graft.operators.Dedup.connectedComponents(ids, pairs)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val gx = graft.operators.Dedup.connectedComponentsGraphX(ids, pairs)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(df.toSeq == gx.toSeq)
+  }
+
+  test("as-of join picks the latest right row at or before each left ts") {
+    val purchases = Seq((1L, 100L, 10L), (1L, 101L, 20L), (2L, 102L, 5L))
+      .toDF("user", "pid", "ts")
+    val views = Seq((1L, 200L, 10L), (1L, 201L, 15L), (3L, 202L, 1L))
+      .toDF("user", "vid", "ts")
+    val r = graft.operators.AsOf.backward(purchases, views,
+        keyCol = "user", tsCol = "ts",
+        payload = col("vid"), asofCol = "view_id",
+        tiebreak = col("vid"))
+      .orderBy("pid").collect()
+      .map(x => (x.getLong(1), Option(x.get(3)).map(_.toString).orNull))
+    // pid 100 at ts=10 matches the same-instant view 200; pid 101 at
+    // ts=20 takes the latest (201); user 2 has no views -> NULL
+    assert(r.toSeq == Seq((100L, "200"), (101L, "201"), (102L, null)))
+  }
 }
