@@ -343,7 +343,13 @@ object Dedup {
     val sym = pairs.select(col("id1").as("a"), col("id2").as("b"))
       .unionByName(pairs.select(col("id2").as("a"), col("id1").as("b")))
       .distinct().localCheckpoint()
-    var labels = ids.select(col("id"), col("id").as("comp"))
+    // seed with min(id, direct neighbors): folds the first propagation
+    // round into initialization at the same cost (one join + aggregate)
+    val seedMin = sym.groupBy(col("a").as("id")).agg(min("b").as("__nb"))
+    var labels = ids.select(col("id"))
+      .join(seedMin, Seq("id"), "left")
+      .select(col("id"),
+        least(col("id"), coalesce(col("__nb"), col("id"))).as("comp"))
       .localCheckpoint()
     var round = 0
     var converged = false
@@ -351,16 +357,17 @@ object Dedup {
       round += 1
       val nbrMin = sym.join(labels, sym("b") === labels("id"))
         .groupBy(sym("a").as("id")).agg(min("comp").as("__nc"))
+      // change flag computed in the same pass: convergence needs no
+      // second join against the previous labels
       val next = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           least(col("comp"), coalesce(col("__nc"), col("comp")))
-            .as("comp"))
+            .as("comp"),
+          (col("__nc").isNotNull && col("__nc") < col("comp"))
+            .as("__ch"))
         .localCheckpoint()
-      converged = next.as("n")
-        .join(labels.as("o"), col("n.id") === col("o.id"))
-        .filter(col("n.comp") =!= col("o.comp"))
-        .isEmpty
-      labels = next
+      converged = next.filter(col("__ch")).isEmpty
+      labels = next.drop("__ch")
     }
     labels
   }
