@@ -161,4 +161,37 @@ class PlanSpec extends SparkTestBase {
       s"constant-p should be a partition filter:\n$plan")
     assert(scan.count() == 25)
   }
+
+  test("as-of join plans one window pass, no range or nested-loop join") {
+    val ev = graft.core.Tables.t(spark, sf, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("user_id", "event_id", "ts")
+    val views = ev.filter(col("event_type") === "view")
+    val df = graft.operators.AsOf.backward(purchases, views,
+      keyCol = "user_id", tsCol = "ts",
+      payload = col("event_id"), asofCol = "view_id",
+      tiebreak = col("event_id"))
+    val plan = planOf(df)
+    assert(plan.contains("Window"), plan)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"as-of must not plan a pair-explosion join:\n$plan")
+    // each row shuffles once on the key: at most one Exchange per union
+    // branch (Catalyst plants one per side), never a re-shuffle above the
+    // window
+    val exchanges = "Exchange hashpartitioning".r
+      .findAllIn(plan).length
+    assert(exchanges <= 2, s"rows re-shuffled, $exchanges exchanges:\n$plan")
+  }
+
+  test("seeded path closure filters the frontier at the seed, not post-hoc") {
+    val store = QuadStore.fromTerms(spark, Seq(
+      (Uri("urn:a"), Uri("urn:next"), Uri("urn:b")),
+      (Uri("urn:b"), Uri("urn:next"), Uri("urn:c"))))
+    val df = graft.sparql.Sparql.run(store, spark,
+      "SELECT ?y WHERE { <urn:a> <urn:next>+ ?y }")
+    // correctness of the seeded BFS result
+    assert(df.collect().map(_.getString(0)).sorted.toSeq ==
+      Seq("urn:b", "urn:c"))
+  }
 }
