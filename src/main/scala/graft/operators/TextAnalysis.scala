@@ -89,6 +89,24 @@ object TextAnalysis {
       (acc, p) => acc + greatest(ceil(length(p) / 4.0), lit(1L)))
   }
 
+  /** Gopher-style duplicate n-gram fraction: 1 − distinct/total word
+    * n-grams per document (0 for documents shorter than n words). High
+    * values flag boilerplate/templated text in pretraining corpora.
+    * Map-only single pass: total from the [[tokenCount]] kernel, distinct
+    * from the native ShingleHashes kernel — no shuffle, full codegen. */
+  def ngramRepetition(df: DataFrame, idCol: String, textCol: String,
+                      n: Int = 2): DataFrame = {
+    val total = greatest(tokenCount(col(textCol)) - (n - 1), lit(0))
+      .cast("long")
+    val dist = size(graft.functions.F.shingleHashes(col(textCol), n))
+      .cast("long")
+    df.select(col(idCol),
+      total.as("n_ngrams"),
+      when(total > 0,
+        lit(1.0) - dist.cast("double") / total.cast("double"))
+        .otherwise(lit(0.0)).as("dup_frac"))
+  }
+
   /** Deterministic document fingerprint: MD5 of the normalized text
     * (lower-cased, whitespace collapsed) — the exact-dedup key. */
   def fingerprintMd5(text: Column): Column =

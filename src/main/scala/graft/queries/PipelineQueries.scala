@@ -151,6 +151,13 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // duplicate-bigram fraction (Gopher repetition rule): map-only pass
+    // through the native tokenCount + ShingleHashes kernels
+    "p17_ngram_repetition" -> ((s, d) =>
+      TextAnalysis.ngramRepetition(t(s, d, "documents"), "doc_id", "text",
+          n = 2)
+        .orderBy("doc_id")),
+
     // as-of join: each purchase event picks up the latest view event at
     // or before it for the same user (union+window, no range join)
     "p16_events_asof" -> ((s, d) => {
@@ -344,6 +351,18 @@ object PipelineQueries {
         |    AS component
         |FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
+
+    "p17_ngram_repetition" ->
+      """WITH ws AS (SELECT doc_id,
+        |    list_filter(string_split(lower(text),' '), x -> len(x)>0) AS ws
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(greatest(len(ws)-1, 0) AS BIGINT) AS n_ngrams,
+        |  CASE WHEN len(ws) > 1 THEN
+        |    1.0 - len(list_distinct(list_transform(range(1, len(ws)),
+        |      i -> ws[i]||' '||ws[i+1])))::DOUBLE / (len(ws)-1)
+        |  ELSE 0.0 END AS dup_frac
+        |FROM ws ORDER BY doc_id""".stripMargin,
 
     "p16_events_asof" ->
       """WITH u AS (

@@ -60,6 +60,18 @@ object StreamIngest {
       .start()
   }
 
+  /** Streaming exact dedup on the ingest path: drop quads (or any keyed
+    * rows) already seen within the watermark horizon. State is bounded by
+    * the horizon — the streaming analog of the batch `Dedup.exact` pass;
+    * `dropDuplicatesWithinWatermark` keys state by the dedup columns only,
+    * so re-imports of the same statements inside the horizon are no-ops
+    * (the reference backend's insert path likewise discards exact
+    * duplicate quads, `src/backend/import-backend.c`). */
+  def dedupWithinWatermark(rows: DataFrame, tsCol: String,
+                           horizon: String, keys: Seq[String]): DataFrame =
+    rows.withWatermark(tsCol, horizon)
+      .dropDuplicatesWithinWatermark(keys)
+
   /** Event-time tumbling-window counts with a watermark for late data. */
   def windowedEventCounts(events: DataFrame, windowLen: String = "1 hour",
                           watermark: String = "2 hours"): DataFrame =

@@ -52,6 +52,28 @@ class StreamingSpec extends SparkTestBase {
     q.stop()
   }
 
+  test("streaming dedup within watermark drops re-imported statements") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, Long, Long, Long)]
+    val df = mem.toDS().toDF("ts", "g", "s", "p", "o")
+    val deduped = StreamIngest.dedupWithinWatermark(df, "ts", "1 hour",
+      Seq("g", "s", "p", "o"))
+    val q = deduped.writeStream.format("memory").queryName("dedupstream")
+      .outputMode("append").start()
+    mem.addData(
+      (Timestamp.valueOf("2024-01-01 10:00:00"), 1L, 10L, 20L, 30L),
+      (Timestamp.valueOf("2024-01-01 10:00:05"), 1L, 10L, 20L, 30L), // dup
+      (Timestamp.valueOf("2024-01-01 10:00:10"), 1L, 11L, 20L, 30L))
+    q.processAllAvailable()
+    mem.addData( // second micro-batch: same quad again inside horizon
+      (Timestamp.valueOf("2024-01-01 10:30:00"), 1L, 10L, 20L, 30L))
+    q.processAllAvailable()
+    val got = spark.sql("select s from dedupstream").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(got == Seq(10L, 11L), s"expected 2 unique quads, got $got")
+    q.stop()
+  }
+
   test("full-text derived quads: token/stem/phonetic, searchable") {
     val flat = Seq(
       FlatQuad("", 1, "urn:doc1", "urn:title", 0,
