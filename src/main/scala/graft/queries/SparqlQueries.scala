@@ -29,7 +29,12 @@ object SparqlQueries {
         // the value columns for RID-only scans). Sorting within partitions
         // by predicate clusters each predicate into few cached batches, so
         // the cache's per-batch min/max stats skip the rest on constant-p
-        // scans — the in-memory analog of the per-predicate ptree index
+        // scans — the in-memory analog of the per-predicate ptree index.
+        // (Subject-hash partitioning the cache was measured and NOT kept:
+        // at gate scale these queries are driver-latency-bound and the
+        // extra scan partitions cost more than the avoided exchanges; the
+        // durable bucketed store provides co-located subject joins where
+        // it matters — see PlanSpec "bucketed store".)
         val v = st.valued.get.sortWithinPartitions("p").cache()
         QuadStore(v.select(QuadStore.quadCols.map(col): _*),
           st.resources.cache(), Some(v), st.predRids, st.graphRids)
