@@ -52,6 +52,17 @@ class EndpointSpec extends SparkTestBase {
       val (c6, b6) = req(s"$base/sparql/?query=bad+syntax")
       assert(c6 == 400 && b6.contains("error"))
 
+      // property paths and subqueries flow through the same endpoint
+      val (cP, bP) = req(s"$base/sparql/?query=" +
+        java.net.URLEncoder.encode(
+          "SELECT ?n WHERE { ?s (<urn:nope>|<urn:name>) ?n }", "UTF-8"))
+      assert(cP == 200 && bP.contains("Alice"), bP)
+      val (cS, bS) = req(s"$base/sparql/?query=" +
+        java.net.URLEncoder.encode(
+          "SELECT ?n WHERE { { SELECT ?n WHERE { ?s <urn:name> ?n } LIMIT 1 } }",
+          "UTF-8"))
+      assert(cS == 200 && bS.contains("Alice"), bS)
+
       // soft-limit caps the result rows (httpd.c:1133-1139)
       val q = java.net.URLEncoder.encode(
         "SELECT ?n WHERE { ?s <urn:name> ?n }", "UTF-8")

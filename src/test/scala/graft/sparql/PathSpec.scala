@@ -114,6 +114,22 @@ class PathSpec extends SparkTestBase {
     assert(r == Seq("Bob", "Carol", "Dave"))
   }
 
+  test("closure under GRAPH ?g stays scoped per named graph") {
+    // two graphs with disjoint chains: closure must not hop across
+    val gstore = QuadStore.fromTerms(spark, Seq(
+      (Uri("urn:a"), Uri("urn:next"), Uri("urn:b")),
+      (Uri("urn:b"), Uri("urn:next"), Uri("urn:c"))), graph = "urn:g1")
+      .union(QuadStore.fromTerms(spark, Seq(
+        (Uri("urn:c"), Uri("urn:next"), Uri("urn:d"))), graph = "urn:g2"))
+    val r = Sparql.run(gstore, spark,
+      """SELECT ?g ?x ?y WHERE { GRAPH ?g { ?x <urn:next>+ ?y } }
+         ORDER BY ?g ?x ?y""")
+      .collect().toSeq.map(x => s"${x.get(0)}|${x.get(1)}>${x.get(2)}")
+    assert(r == Seq(
+      "urn:g1|urn:a>urn:b", "urn:g1|urn:a>urn:c", "urn:g1|urn:b>urn:c",
+      "urn:g2|urn:c>urn:d"))
+  }
+
   test("plain predicates still parse as ordinary triples") {
     val r = rows("""SELECT ?n WHERE { ?x <urn:name> ?n . } ORDER BY ?n""")
       .map(_.head)
