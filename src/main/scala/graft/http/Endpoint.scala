@@ -12,12 +12,21 @@ import graft.streaming.StreamIngest
 
 /** HTTP SPARQL endpoint mirroring the reference's httpd routes
   * (`src/http/httpd.c:1102-1193`): GET/POST `/sparql/` (params `query`,
-  * `output=`, `callback=`), POST `/update/`, PUT/POST `/data/?graph=g`
-  * (N-Triples payload, Graph Store protocol), GET `/status/`.
-  * Built on the JDK's HttpServer — zero extra dependencies; the heavy
-  * lifting stays in Spark.
+  * `output=`, `callback=`, `apikey=`), POST `/update/`, PUT/POST
+  * `/data/?graph=g` (N-Triples payload, Graph Store protocol), GET
+  * `/status/`. Built on the JDK's HttpServer — zero extra dependencies;
+  * the heavy lifting stays in Spark.
+  *
+  * `acl`: graph-level access control by apikey (the reference's
+  * `fsp_acl_*` surface, `src/common/4store.h:91-99`, enforced at results
+  * time in `src/frontend/query-cache.c:375-423`). Empty map = ACL off
+  * (every request sees everything). Non-empty: `/sparql/` requests must
+  * carry a known `apikey=`; the query then runs against a store filtered
+  * to that key's graphs (plus the default graph), so disallowed graphs
+  * are invisible to BGPs, GRAPH patterns, and paths alike.
   */
-final class Endpoint(spark: SparkSession, initial: QuadStore, port: Int = 0) {
+final class Endpoint(spark: SparkSession, initial: QuadStore, port: Int = 0,
+                     acl: Map[String, Seq[String]] = Map.empty) {
 
   private val storeRef = new AtomicReference[QuadStore](initial)
   def store: QuadStore = storeRef.get()
@@ -56,8 +65,16 @@ final class Endpoint(spark: SparkSession, initial: QuadStore, port: Int = 0) {
         } else params(ex.getRequestURI.getRawQuery)
       p.get("query") match {
         case None => respond(ex, 400, """{"error":"missing query"}""")
+        case Some(_) if acl.nonEmpty &&
+            !p.get("apikey").exists(acl.contains) =>
+          respond(ex, 403, """{"error":"unknown or missing apikey"}""")
         case Some(q) =>
-          var df = Sparql.run(store, spark, q)
+          val visible =
+            if (acl.isEmpty) store
+            else store.restrictGraphs(
+              acl(p("apikey")).map(graft.rdf.Rid.uri) :+
+                graft.rdf.WellKnown.defaultGraph)
+          var df = Sparql.run(visible, spark, q)
           // complexity throttle (`soft-limit=`, httpd.c:1133-1139):
           // row cap on the result, like the reference's restricted mode
           p.get("soft-limit").map(_.toInt).filter(_ > 0)

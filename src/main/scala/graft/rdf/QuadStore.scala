@@ -86,6 +86,18 @@ final case class QuadStore(quads: DataFrame, resources: DataFrame,
         .drop(s"${c}__rid")
     }
 
+  /** Visibility restriction to a graph set (graph-level ACL,
+    * reference `fsp_acl_*` / `query-cache.c:375-423`): filters every
+    * scannable part — segments included, so segment-pruned plans can't
+    * leak disallowed graphs — and tightens the per-segment graph-RID
+    * metadata so fully-hidden segments prune away entirely. */
+  def restrictGraphs(rids: Seq[Long]): QuadStore = {
+    val keep = col("g").isin(rids: _*)
+    QuadStore(quads.filter(keep), resources, valued.map(_.filter(keep)),
+      predRids, Some(graphRids.getOrElse(rids.toSet).intersect(rids.toSet)),
+      segments.map(_.restrictGraphs(rids)))
+  }
+
   def union(other: QuadStore): QuadStore =
     QuadStore(
       quads.unionByName(other.quads),

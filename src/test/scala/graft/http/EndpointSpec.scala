@@ -81,6 +81,29 @@ class EndpointSpec extends SparkTestBase {
     } finally ep.stop()
   }
 
+  test("graph-level ACL by apikey hides disallowed graphs") {
+    val store = QuadStore.fromTerms(spark, Seq(
+        (Uri("urn:a"), Uri("urn:name"), Lit("Public"))), graph = "urn:open")
+      .union(QuadStore.fromTerms(spark, Seq(
+        (Uri("urn:b"), Uri("urn:name"), Lit("Secret"))), graph = "urn:sec"))
+    val ep = new Endpoint(spark, store, 0,
+      acl = Map("k1" -> Seq("urn:open"), "k2" -> Seq("urn:open", "urn:sec")))
+      .start()
+    try {
+      val base = s"http://localhost:${ep.boundPort}"
+      val q = java.net.URLEncoder.encode(
+        "SELECT ?n WHERE { ?s <urn:name> ?n } ORDER BY ?n", "UTF-8")
+      val (c0, _) = req(s"$base/sparql/?query=$q") // no key
+      assert(c0 == 403)
+      val (c1, b1) = req(s"$base/sparql/?query=$q&apikey=k1")
+      assert(c1 == 200 && b1.contains("Public") && !b1.contains("Secret"))
+      val (c2, b2) = req(s"$base/sparql/?query=$q&apikey=k2")
+      assert(c2 == 200 && b2.contains("Public") && b2.contains("Secret"))
+      val (c3, _) = req(s"$base/sparql/?query=$q&apikey=nope")
+      assert(c3 == 403)
+    } finally ep.stop()
+  }
+
   test("multimodal stub plumbing: meta/resize/frames/features") {
     import spark.implicits._
     import graft.operators.Multimodal
