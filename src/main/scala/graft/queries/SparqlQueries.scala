@@ -21,7 +21,13 @@ object SparqlQueries {
 
   private def store(s: SparkSession, dir: String,
                     tables: String*): QuadStore =
-    tables.map { t =>
+    // memoize the UNIONED store too: a stable instance per table set is
+    // what lets Sparql's prepared-plan cache hit on repeated runs
+    cache.getOrElseUpdate((dir, tables.mkString("+")),
+      tables.map(t => singleStore(s, dir, t)).reduce(_ union _))
+
+  private def singleStore(s: SparkSession, dir: String,
+                          t: String): QuadStore =
       cache.getOrElseUpdate((dir, t), {
         val st = QuadStore.rdfizeDir(s, dir, Seq(t))
         // cache the VALUED (wide) form once; the narrow quads view is a
@@ -39,7 +45,6 @@ object SparqlQueries {
         QuadStore(v.select(QuadStore.quadCols.map(col): _*),
           st.resources.cache(), Some(v), st.predRids, st.graphRids)
       })
-    }.reduce(_ union _)
 
   private def sparql(s: SparkSession, dir: String, tables: Seq[String],
                      q: String): DataFrame =

@@ -20,13 +20,47 @@ import Ast._
 object Sparql {
   import WellKnown._
 
-  def run(store: QuadStore, spark: SparkSession, text: String): DataFrame =
-    Parser.parse(text) match {
-      case q: SelectQ    => select(store, spark, q)
-      case q: AskQ       => ask(store, spark, q)
-      case q: ConstructQ => construct(store, spark, q)
-      case q: DescribeQ  => describe(store, spark, q)
+  /** Prepared-plan cache — the engine's analog of the reference's query
+    * cache (`src/frontend/query-cache.c:39-51`, 1024 entries): repeated
+    * runs of the same query text against the same store instance reuse
+    * the analyzed DataFrame, skipping parse + algebra + Catalyst
+    * analysis. Execution still happens per run (a DataFrame is a plan,
+    * not a result); a mutated store is a new instance, so updates
+    * naturally invalidate. ASK is not cached (it executes eagerly). */
+  /** Cache key: store compared by REFERENCE (a mutated store is a new
+    * instance and must never hit), text by value. */
+  private final class PlanKey(val store: QuadStore, val text: String) {
+    override def hashCode: Int =
+      System.identityHashCode(store) * 31 + text.hashCode
+    override def equals(o: Any): Boolean = o match {
+      case k: PlanKey => (k.store eq store) && k.text == text
+      case _ => false
     }
+  }
+  private val planCache =
+    new java.util.concurrent.ConcurrentHashMap[PlanKey, DataFrame]()
+  private def cachedOrBuild(store: QuadStore, key: String, spark: SparkSession,
+                            text: String, terms: Boolean): DataFrame = {
+    val k = new PlanKey(store, key)
+    val hit = planCache.get(k)
+    if (hit != null) return hit
+    Parser.parse(text) match {
+      case q: AskQ => ask(store, spark, q) // eager any-rows test, uncached
+      case q =>
+        val df = q match {
+          case s: SelectQ    => select(store, spark, s, terms)
+          case c: ConstructQ => construct(store, spark, c)
+          case d: DescribeQ  => describe(store, spark, d)
+          case _: AskQ       => throw new IllegalStateException
+        }
+        if (planCache.size > 1024) planCache.clear()
+        planCache.put(k, df)
+        df
+    }
+  }
+
+  def run(store: QuadStore, spark: SparkSession, text: String): DataFrame =
+    cachedOrBuild(store, "run:" + text, spark, text, terms = false)
 
   /** Like [[run]], but SELECT projects each item as a full term struct
     * `(rid, lex, dt, lang)` instead of a lexical string — the form result
@@ -36,12 +70,7 @@ object Sparql {
     * term-distinct. ASK/CONSTRUCT/DESCRIBE are unchanged. */
   def runTerms(store: QuadStore, spark: SparkSession,
                text: String): DataFrame =
-    Parser.parse(text) match {
-      case q: SelectQ    => select(store, spark, q, terms = true)
-      case q: AskQ       => ask(store, spark, q)
-      case q: ConstructQ => construct(store, spark, q)
-      case q: DescribeQ  => describe(store, spark, q)
-    }
+    cachedOrBuild(store, "terms:" + text, spark, text, terms = true)
 
   /** FROM / FROM NAMED -> (default-scope graph RIDs, named-scope graph
     * RIDs). A dataset clause defines BOTH scopes (SPARQL 1.1 §13.2):
