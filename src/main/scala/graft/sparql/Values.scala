@@ -278,22 +278,44 @@ object Compiler {
     case "UCASE" => V.ofStr(upper(vs(0).anyLex))
     case "LCASE" => V.ofStr(lower(vs(0).anyLex))
     case "SUBSTR" =>
-      val start = vs(1).num.cast("int")
-      if (vs.size > 2)
-        V.ofStr(vs(0).anyLex.substr(start, vs(2).num.cast("int")))
-      else V.ofStr(vs(0).anyLex.substr(start, length(vs(0).anyLex)))
+      // fn:substring semantics (XPath, which the reference inherits from
+      // Rasqal: exemplar functions-substr pins SUBSTR(?o,0) = whole
+      // string and fractional args rounding): args round half toward
+      // +infinity; characters at 1-based positions p with
+      // round(start) <= p < round(start)+round(len); result keeps arg1's
+      // kind (language tag / xsd:string)
+      def rnd(c: Column) = floor(c.cast("double") + 0.5).cast("int")
+      val hay = vs(0).anyLex
+      val startR = rnd(vs(1).num)
+      val from = greatest(startR, lit(1))
+      val take =
+        if (vs.size > 2) greatest(startR + rnd(vs(2).num) - from, lit(0))
+        else length(hay)
+      V.typed(hay.substr(from, take), coalesce(vs(0).dt, lit(0L)),
+        coalesce(vs(0).lang, lit("")))
     case "STRSTARTS" => V.ofBool(vs(0).anyLex.startsWith(vs(1).anyLex))
     case "STRENDS"   => V.ofBool(vs(0).anyLex.endsWith(vs(1).anyLex))
     case "CONTAINS"  => V.ofBool(vs(0).anyLex.contains(vs(1).anyLex))
-    case "STRBEFORE" =>
+    case "STRBEFORE" | "STRAFTER" =>
+      // SPARQL 1.1 §17.4.3.4-5: arg2 must be language-compatible with
+      // arg1 (simple, or same tag) else error; a found match keeps
+      // arg1's kind; no match returns the empty SIMPLE literal (the
+      // reference returns ""@lang there — spec-nonconformant, not kept)
       val hay = vs(0).anyLex; val needle = vs(1).anyLex
+      val l0 = coalesce(vs(0).lang, lit(""))
+      val l1 = coalesce(vs(1).lang, lit(""))
+      val compat = l1 === "" || l0 === l1
       val ix = call_function("instr", hay, needle)
-      V.ofStr(when(ix > 0, hay.substr(lit(1), ix - 1)).otherwise(""))
-    case "STRAFTER" =>
-      val hay = vs(0).anyLex; val needle = vs(1).anyLex
-      val ix = call_function("instr", hay, needle)
-      V.ofStr(when(ix > 0,
-        hay.substr(ix + length(needle), length(hay))).otherwise(""))
+      val found = ix > 0
+      val piece =
+        if (fn == "STRBEFORE") hay.substr(lit(1), ix - 1)
+        else hay.substr(ix + length(needle), length(hay))
+      val lex = when(compat && hay.isNotNull && needle.isNotNull,
+        when(found, piece).otherwise(lit("")))
+      val dt = when(found, coalesce(vs(0).dt, lit(0L))).otherwise(lit(0L))
+      val lang = when(found, l0).otherwise(lit(""))
+      V(when(lex.isNotNull, Rid.literalCol(lex, dt)), lex,
+        when(lex.isNotNull, dt), when(lex.isNotNull, lang))
     case "CONCAT" => V.ofStr(concat(vs.map(_.anyLex): _*))
     case "REPLACE" =>
       V.ofStr(regexp_replace(vs(0).anyLex, vs(1).anyLex, vs(2).anyLex))

@@ -297,4 +297,52 @@ class RefFixtureSpec extends SparkTestBase {
     assert(absOf("y") == "0.0004999")
     assert(absOf("za") == "2.0005")
   }
+
+  // ---- tests/httpd/scripts/functions-substr over data/nasty.ttl's
+  // <test:data> <test:bcd> plain strings (the exemplar's typed-literal
+  // rows document 4store DROPPING rows whose projection expression
+  // errors — we follow the spec instead: error -> unbound) ----
+
+  private lazy val nasty = QuadStore.fromTerms(spark,
+    Turtle.parseFile("/root/reference/data/nasty.ttl",
+      "http://example.com/nasty.ttl"))
+
+  test("SUBSTR follows fn:substring: 0 start, fractional rounding, window") {
+    def ss(args: String, in: String): String = Sparql.run(nasty, spark,
+      s"""SELECT (SUBSTR("$in"$args) AS ?ss) WHERE {}""")
+      .collect()(0).getString(0)
+    // exemplar functions-substr rows (plain-literal subset)
+    assert(ss(", 0", "0123............3210") == "0123............3210")
+    assert(ss(", 2", "-1234567890.23239300") == "1234567890.23239300")
+    assert(ss(", 10, 2", "0123456789.0123456789012345678") == "9.")
+    assert(ss(", 15.4, 2.3", "-1234567890.23239300") == "23")
+    assert(ss(", 15, 100", "0123............3210") == "..3210")
+    // fn:substring window: start 0 with length counts position 0
+    assert(ss(", 0, 3", "abcde") == "ab")
+    assert(ss(", -1, 4", "abcde") == "ab")
+  }
+
+  test("STRBEFORE/STRAFTER: exemplar rows, kind preservation, lang rules") {
+    def one(q: String): (String, String) = {
+      val r = Sparql.runTerms(nasty, spark, q).collect()(0).getStruct(0)
+      (r.getAs[String]("lex"), r.getAs[String]("lang"))
+    }
+    // exemplar functions-substr STRBEFORE/STRAFTER rows
+    assert(one("""SELECT (STRBEFORE("-1234567890.23239300", "789") AS ?b)
+      WHERE {}""")._1 == "-123456")
+    assert(one("""SELECT (STRAFTER("0123456789.0123456789012345678", "789")
+      AS ?b) WHERE {}""")._1 == ".0123456789012345678")
+    assert(one("""SELECT (STRBEFORE(".-+e.-+e", "789") AS ?b)
+      WHERE {}""") == (("", "")))
+    // found match keeps arg1's language (exemplar's STRLANG variant)
+    assert(one("""SELECT (STRBEFORE(STRLANG("0123456789", "en-GB"), "89")
+      AS ?b) WHERE {}""") == (("01234567", "en-gb")))
+    // no match -> empty SIMPLE literal (spec; the reference emits
+    // ""@en-GB here, documented nonconformance)
+    assert(one("""SELECT (STRAFTER(STRLANG("abc", "en-GB"), "z") AS ?b)
+      WHERE {}""") == (("", "")))
+    // incompatible language tags -> error (unbound)
+    assert(one("""SELECT (STRBEFORE(STRLANG("abc", "en"),
+      STRLANG("b", "cy")) AS ?b) WHERE {}""")._1 == null)
+  }
 }
