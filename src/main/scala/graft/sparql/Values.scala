@@ -215,6 +215,15 @@ object Compiler {
       when(lex.isNotNull, dt), lit(""))
   }
 
+  /** Double-side rounding family wrapper: Spark's floor/ceil return
+    * LONG (a non-finite double would overflow to Long.MaxValue); pass
+    * NaN/±inf through unchanged like fn:floor/ceiling/round require. */
+  private def dblSafe(f: Column => Column)(c: Column): Column = {
+    val nonFinite = isnan(c) || c === Double.PositiveInfinity ||
+      c === Double.NegativeInfinity
+    when(nonFinite, c).otherwise(f(c).cast("double"))
+  }
+
   private def call(fn: String, vs: List[V], raw: List[Expr]): V = fn match {
     // logical (Spark AND/OR are already Kleene 3-valued, matching
     // `src/frontend/filter.c:934-986`)
@@ -229,7 +238,9 @@ object Compiler {
     case "<=" => V.ofBool(cmp(vs(0), vs(1), _ <= _))
     case ">=" => V.ofBool(cmp(vs(0), vs(1), _ >= _))
     case "+" | "-" | "*" | "/" => arith(fn, vs(0), vs(1))
-    case "-u" => V.ofNum(-vs(0).num, vs(0).isInt)
+    // exact like the binary ops: negating a decimal/integer must not
+    // detour through double (rank AND precision both survive)
+    case "-u" => numUnary(vs(0), d => -d, c => -c)
 
     // term tests / accessors
     case "BOUND" => V.ofBool(vs(0).bound)
@@ -269,9 +280,13 @@ object Compiler {
     // the reference's fs_decimal ops (`src/frontend/decimal.c`); a double
     // detour would round e.g. ABS("1234567890.23239300"^^xsd:decimal)
     case "ABS"   => numUnary(vs(0), abs, abs)
-    case "FLOOR" => numUnary(vs(0), floor, c => floor(c).cast("double"))
-    case "CEIL"  => numUnary(vs(0), ceil, c => ceil(c).cast("double"))
-    case "ROUND" => numUnary(vs(0), c => round(c, 0), c => round(c, 0))
+    case "FLOOR" => numUnary(vs(0), floor, dblSafe(floor))
+    case "CEIL"  => numUnary(vs(0), ceil, dblSafe(ceil))
+    // fn:round rounds half toward POSITIVE infinity (-2.5 -> -2), not
+    // HALF_UP away from zero (what Spark round() does)
+    case "ROUND" => numUnary(vs(0),
+      d => floor(d + lit(new java.math.BigDecimal("0.5"))), // stays decimal
+      dblSafe(c => floor(c + lit(0.5))))
 
     // strings (`src/frontend/filter.c:1380-1680`)
     case "STRLEN" => V.ofNum(length(vs(0).anyLex).cast("double"), lit(true))

@@ -298,6 +298,25 @@ class RefFixtureSpec extends SparkTestBase {
     assert(absOf("za") == "2.0005")
   }
 
+  // ---- tests/httpd/scripts/functions-round over data/numbers.ttl ----
+
+  test("ROUND rounds half toward +infinity, decimal-exact, inf-safe") {
+    def roundOf(subj: String): String = Sparql.run(numbers, spark,
+      s"""BASE <http://example.com/>
+         |SELECT (ROUND(?d) AS ?r) WHERE { <$subj> <test:num> ?d }"""
+        .stripMargin).collect()(0).getString(0)
+    // exemplar functions-round rows j/k: ±1234567890.23239300
+    assert(roundOf("j") == "1234567890")
+    assert(roundOf("k") == "-1234567890") // toward +inf, not away from 0
+    assert(roundOf("g") == "1234567890123456789") // integer identity
+    def expr(e: String): String = Sparql.run(numbers, spark,
+      s"SELECT ($e AS ?r) WHERE {}").collect()(0).getString(0)
+    assert(expr("ROUND(2.5)") == "3")
+    assert(expr("ROUND(-2.5)") == "-2")
+    assert(expr("FLOOR(-2.5)") == "-3")
+    assert(expr("CEIL(-2.5)") == "-2")
+  }
+
   // ---- tests/httpd/scripts/functions-substr over data/nasty.ttl's
   // <test:data> <test:bcd> plain strings (the exemplar's typed-literal
   // rows document 4store DROPPING rows whose projection expression
