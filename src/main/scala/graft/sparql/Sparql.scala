@@ -292,7 +292,10 @@ object Sparql {
       case "MAX" => max_by(termStruct(argV.get), V.sortKey(argV.get))
       case "SAMPLE" => min_by(termStruct(argV.get), argV.get.rid)
       case "GROUP_CONCAT" =>
-        array_join(array_sort(collect_list(argV.get.anyLex)), a.sep)
+        val vals =
+          if (a.distinct) collect_set(argV.get.anyLex)
+          else collect_list(argV.get.anyLex)
+        array_join(array_sort(vals), a.sep)
     }
   }
 
@@ -369,15 +372,28 @@ object Sparql {
     var b = exec.pattern(q.where, gRids = dsRids, need = vars,
       namedGRids = namedRids)
     b = exec.ensureValues(b, vars)
-    // template instantiation (`src/frontend/results.c:1765-1898`)
+    // template instantiation (`src/frontend/results.c:1765-1898`).
+    // A template bnode is scoped to ONE solution (SPARQL 1.1 §16.2.1):
+    // every result row instantiates a fresh label, shared across the
+    // row's template triples.
+    val hasBnode = q.template.exists(t =>
+      Seq(t.s, t.p, t.o).exists {
+        case PConst(BNode(_)) => true; case _ => false })
+    val df0 =
+      if (hasBnode)
+        b.df.select(b.df.columns.map(col) :+
+          monotonically_increasing_id().as("__row"): _*)
+      else b.df
     val rows = q.template.map { t =>
       def side(pt: PTerm): Column = pt match {
         case PVar(v) => ntCol(V.ofVar(v))
+        case PConst(BNode(l)) =>
+          concat(lit(s"_:${l}_r"), col("__row"))
         case PConst(term) => lit(term.nt)
       }
       struct(side(t.s).as("s"), side(t.p).as("p"), side(t.o).as("o"))
     }
-    b.df.select(explode(array(rows: _*)).as("t"))
+    df0.select(explode(array(rows: _*)).as("t"))
       .select(col("t.s").as("s"), col("t.p").as("p"), col("t.o").as("o"))
       .filter(col("s").isNotNull && col("p").isNotNull && col("o").isNotNull)
       // bad-slot triples are dropped, as the reference does when a

@@ -237,6 +237,24 @@ class SparqlSpec extends SparkTestBase {
     assert(r.forall(_.getString(1) == "<urn:knownBy>"))
   }
 
+  test("CONSTRUCT template bnodes are fresh per solution row") {
+    // one template bnode shared across the row's triples, distinct
+    // across rows (SPARQL 1.1 §16.2.1)
+    val r = run("""CONSTRUCT { _:x <urn:knew> ?a . _:x <urn:kn> ?b }
+      WHERE { ?a <urn:knows> ?b }""").collect()
+    assert(r.length == 6) // 3 solutions x 2 triples
+    val bySubj = r.groupBy(_.getString(0))
+    assert(bySubj.size == 3, s"expected 3 distinct bnodes: $bySubj")
+    assert(bySubj.values.forall(_.length == 2))
+    assert(r.forall(_.getString(0).startsWith("_:")))
+  }
+
+  test("GROUP_CONCAT DISTINCT collapses duplicate values") {
+    val r = rows("""SELECT (GROUP_CONCAT(DISTINCT ?t ; SEPARATOR=",")
+        AS ?ts) WHERE { ?p a ?t }""")
+    assert(r == Seq(Seq("urn:Person,urn:Robot")))
+  }
+
   test("DESCRIBE dumps subject triples") {
     val r = run("""DESCRIBE <urn:carol>""").collect()
     assert(r.length == 2) // type + name
