@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over similarity/relation graphs (extension — the
+  * reference has no graph-analytic operators; its only traversal is the
+  * per-pattern bind). Complements [[Dedup.connectedComponents]]: degrees
+  * and triangle counts are the standard local-structure signals for
+  * near-dup graph quality (a high-triangle cluster is a true clique of
+  * variants; a high-degree low-triangle node is a hub false-positive).
+  */
+object GraphAnalytics {
+
+  /** Per-node degree over an undirected pair list `(id1, id2)` — plain
+    * DataFrame aggregation (one shuffle), no GraphX needed. */
+  def degrees(ids: DataFrame, pairs: DataFrame): DataFrame = {
+    val sym = pairs.select(col("id1").as("id"))
+      .unionByName(pairs.select(col("id2").as("id")))
+    ids.join(sym.groupBy("id").agg(count(lit(1)).as("__d")), Seq("id"),
+        "left")
+      .select(col("id"), coalesce(col("__d"), lit(0L)).as("degree"))
+  }
+
+  /** Per-node triangle counts via GraphX's TriangleCount (Pregel-land
+    * analytics on Long ids — the "SPARQL patterns to GraphX analytics"
+    * bridge). Nodes in `ids` absent from the pair graph count 0.
+    * For the DataFrame-native path at 100 TB, the same count is a
+    * 3-way self-join on the canonical (id1 < id2) edge list; GraphX is
+    * used here because triangle counting is genuinely graph-shaped and
+    * its edge-partitioned implementation avoids materializing the
+    * 2-hop candidate explosion a naive SQL join plans. */
+  def triangleCounts(ids: DataFrame, pairs: DataFrame): DataFrame = {
+    import org.apache.spark.graphx.{Edge, Graph, PartitionStrategy}
+    val spark = ids.sparkSession
+    val verts = ids.select(col("id").cast("long")).rdd
+      .map(r => (r.getLong(0), 0))
+    val edges = pairs
+      .select(col("id1").cast("long"), col("id2").cast("long"))
+      .filter(col("id1") =!= col("id2")).distinct().rdd
+      .map(r => Edge(r.getLong(0), r.getLong(1), ()))
+    val g = Graph(verts, edges)
+      .partitionBy(PartitionStrategy.RandomVertexCut)
+    val tc = org.apache.spark.graphx.lib.TriangleCount.run(g)
+    spark.createDataFrame(tc.vertices.map { case (id, n) => (id, n.toLong) })
+      .toDF("id", "triangles")
+  }
+}

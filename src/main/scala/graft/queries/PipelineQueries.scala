@@ -158,6 +158,18 @@ object PipelineQueries {
           n = 2)
         .orderBy("doc_id")),
 
+    // graph analytics on the near-dup pair graph: GraphX triangle counts
+    // (a true variant-clique has triangles; a hub false-positive doesn't)
+    "p18_graph_triangles" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        k = 3, threshold = 0.5)
+      graft.operators.GraphAnalytics.triangleCounts(
+          docs.select(col("doc_id").as("id")), pairs.select("id1", "id2"))
+        .select(col("id").as("doc_id"), col("triangles"))
+        .orderBy("doc_id")
+    }),
+
     // as-of join: each purchase event picks up the latest view event at
     // or before it for the same user (union+window, no range join)
     "p16_events_asof" -> ((s, d) => {
@@ -363,6 +375,31 @@ object PipelineQueries {
         |      i -> ws[i]||' '||ws[i+1])))::DOUBLE / (len(ws)-1)
         |  ELSE 0.0 END AS dup_frac
         |FROM ws ORDER BY doc_id""".stripMargin,
+
+    "p18_graph_triangles" ->
+      """WITH ws AS (SELECT doc_id,
+        |    list_filter(string_split(lower(text),' '), x -> len(x)>0) AS ws
+        |  FROM documents),
+        |sh0 AS (SELECT doc_id, list_distinct(list_transform(
+        |    range(1, len(ws)-1), i -> ws[i]||' '||ws[i+1]||' '||ws[i+2]))
+        |    AS shingles FROM ws),
+        |sh AS (SELECT doc_id, len(shingles) AS nsh, unnest(shingles) AS s
+        |  FROM sh0),
+        |cand AS (SELECT a.doc_id id1, b.doc_id id2, a.nsh n1, b.nsh n2,
+        |    count(*) AS common
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1,2,3,4),
+        |pairs AS (SELECT id1, id2 FROM cand
+        |  WHERE common::DOUBLE/(n1+n2-common) >= 0.5),
+        |sym AS (SELECT id1 AS a, id2 AS b FROM pairs
+        |  UNION ALL SELECT id2, id1 FROM pairs),
+        |tri AS (SELECT s1.a AS v, COUNT(*) AS t
+        |  FROM sym s1 JOIN sym s2 ON s1.a = s2.a AND s1.b < s2.b
+        |  JOIN pairs e ON e.id1 = s1.b AND e.id2 = s2.b
+        |  GROUP BY s1.a)
+        |SELECT d.doc_id, CAST(COALESCE(t.t, 0) AS BIGINT) AS triangles
+        |FROM documents d LEFT JOIN tri t ON t.v = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     "p16_events_asof" ->
       """WITH u AS (

@@ -185,4 +185,19 @@ class OperatorsSpec extends SparkTestBase {
     // ts=20 takes the latest (201); user 2 has no views -> NULL
     assert(r.toSeq == Seq((100L, "200"), (101L, "201"), (102L, null)))
   }
+
+  test("graph analytics: degrees and GraphX triangle counts") {
+    // triangle 1-2-3 plus pendant 4 and isolate 9
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+      .toDF("id1", "id2")
+    val ids = Seq(1L, 2L, 3L, 4L, 9L).toDF("id")
+    val deg = graft.operators.GraphAnalytics.degrees(ids, pairs)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(deg.toSeq == Seq((1L, 2L), (2L, 2L), (3L, 3L), (4L, 1L),
+      (9L, 0L)))
+    val tri = graft.operators.GraphAnalytics.triangleCounts(ids, pairs)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(tri.toSeq == Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 0L),
+      (9L, 0L)))
+  }
 }
