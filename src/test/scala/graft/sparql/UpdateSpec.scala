@@ -81,6 +81,25 @@ class UpdateSpec extends SparkTestBase {
     assert(copied.quads.filter(col("g") === Rid.uri("urn:g2")).count() == 3)
   }
 
+  test("INSERT WHERE with a property path in the WHERE clause") {
+    val chain = QuadStore.fromTerms(spark, Seq(
+      (Uri("urn:x"), Uri("urn:next"), Uri("urn:y")),
+      (Uri("urn:y"), Uri("urn:next"), Uri("urn:z"))))
+    val st = Update(chain, spark,
+      """INSERT { ?a <urn:reaches> ?b } WHERE { ?a <urn:next>+ ?b }""")
+    assert(askTrue(st, """ASK { <urn:x> <urn:reaches> <urn:z> }"""))
+    assert(st.quads.count() == 5) // 2 next + 3 closure pairs
+  }
+
+  test("DELETE WHERE with a subquery in the WHERE clause") {
+    val st = Update(freshStore, spark,
+      """DELETE { ?p <urn:name> ?n } WHERE {
+           ?p <urn:name> ?n .
+           { SELECT ?p WHERE { ?p <urn:age> ?a . FILTER(?a > 20) } } }""")
+    assert(!askTrue(st, """ASK { <urn:a> <urn:name> ?n }"""))
+    assert(askTrue(st, """ASK { <urn:b> <urn:name> "Bob" }"""))
+  }
+
   test("sequential ops separated by ;") {
     val st = Update(freshStore, spark,
       """INSERT DATA { <urn:c> <urn:name> "Carol" } ;
