@@ -130,6 +130,39 @@ class PathSpec extends SparkTestBase {
       "urn:g2|urn:c>urn:d"))
   }
 
+  test("inverse inside a sequence: name of who knows carol") {
+    val r = rows("""SELECT ?n WHERE {
+        <urn:carol> ^<urn:knows>/<urn:name> ?n }""").map(_.head)
+    assert(r == Seq("Bob"))
+  }
+
+  test("mixed negated property set: !(name|^knows)") {
+    // forward edges not named `name` from alice: knows + rdf:type
+    // reverse edges not `knows` into alice: none
+    val r = rows("""SELECT ?v WHERE { <urn:alice> !(<urn:name>|^<urn:knows>) ?v }
+      ORDER BY ?v""").map(_.head)
+    assert(r == Seq("urn:Person", "urn:bob"))
+  }
+
+  test("parenthesized alternation under closure: (knows|name)+") {
+    val r = rows("""SELECT ?v WHERE { <urn:carol> (<urn:knows>|<urn:name>)+ ?v }
+      ORDER BY ?v""").map(_.head)
+    // carol knows dave; dave has a name; carol has a name
+    assert(r == Seq("urn:dave", "Carol", "Dave"))
+  }
+
+  test("FROM dataset restriction scopes path edges") {
+    val g1 = QuadStore.fromTerms(spark, Seq(
+      (Uri("urn:a"), Uri("urn:next"), Uri("urn:b"))), graph = "urn:g1")
+    val g2 = QuadStore.fromTerms(spark, Seq(
+      (Uri("urn:b"), Uri("urn:next"), Uri("urn:c"))), graph = "urn:g2")
+    val both = g1.union(g2)
+    val r = Sparql.run(both, spark,
+      """SELECT ?y FROM <urn:g1> WHERE { <urn:a> <urn:next>+ ?y }""")
+      .collect().map(_.getString(0)).toSeq
+    assert(r == Seq("urn:b")) // g2's hop b->c is outside the dataset
+  }
+
   test("plain predicates still parse as ordinary triples") {
     val r = rows("""SELECT ?n WHERE { ?x <urn:name> ?n . } ORDER BY ?n""")
       .map(_.head)
