@@ -242,15 +242,27 @@ final class Exec(store: QuadStore, spark: SparkSession) {
     var frontier = seed.map(edges.filter).getOrElse(edges)
     var acc = frontier
     var rounds = 0
-    // 62 rounds = paths of length 2^62: a diameter bound, not a row bound
-    // (each round squares nothing — frontier advances one edge-step; the
-    // bound only guards against cyclic stores that somehow defeat the
-    // left_anti novelty check)
+    // Round structure: the first rounds are plain semi-naive BFS (frontier
+    // joins the edge relation — one hop per round, cheap joins, converges
+    // in diameter rounds for the hierarchy/clique graphs RDF stores
+    // actually hold). If a pathological high-diameter graph (a long
+    // chain) hasn't converged by then, switch the join's right side to
+    // the ACCUMULATED pairs: the frontier then extends by up to its own
+    // longest length per round ("smart doubling"), so 62 total rounds
+    // cover diameters beyond 2^45 — a true bound, at the price of bigger
+    // joins only on graphs that need it.
     while (rounds < 62 && !frontier.isEmpty) {
       rounds += 1
+      if (seed.isDefined && rounds == 17) {
+        // seeded walks can't double (accumulated pairs are all
+        // seed-rooted); past BFS depth 16 the doubled FULL closure
+        // filtered to the seed beats thousands of BFS rounds
+        return closure(edges0, None, keys).filter(seed.get)
+      }
+      val rel = if (seed.isEmpty && rounds > 16) acc else edges
       val f = frontier.select(
         keys.map(col) ++ Seq(col("a"), col("b").as("__m")): _*)
-      val e = edges.select(
+      val e = rel.select(
         keys.map(col) ++ Seq(col("a").as("__m"), col("b")): _*)
       val stepped = f.join(e, keys :+ "__m")
         .select(cols: _*).distinct()

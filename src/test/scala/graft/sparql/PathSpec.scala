@@ -163,6 +163,22 @@ class PathSpec extends SparkTestBase {
     assert(r == Seq("urn:b")) // g2's hop b->c is outside the dataset
   }
 
+  test("closure covers chains far beyond the BFS round budget") {
+    // a 100-hop chain forces the doubling phase (BFS alone would need
+    // 100 rounds); pair count of a full chain closure = n*(n+1)/2
+    val n = 100
+    val chain = QuadStore.fromTerms(spark,
+      (0 until n).map(i =>
+        (Uri(s"urn:n$i"), Uri("urn:next"), Uri(s"urn:n${i + 1}"))))
+    val all = Sparql.run(chain, spark,
+      "SELECT ?a ?b WHERE { ?a <urn:next>+ ?b }")
+    assert(all.count() == n.toLong * (n + 1) / 2)
+    // seeded walk past depth 16 falls back to filtered full closure
+    val fromHead = Sparql.run(chain, spark,
+      "SELECT ?b WHERE { <urn:n0> <urn:next>+ ?b }")
+    assert(fromHead.count() == n.toLong)
+  }
+
   test("plain predicates still parse as ordinary triples") {
     val r = rows("""SELECT ?n WHERE { ?x <urn:name> ?n . } ORDER BY ?n""")
       .map(_.head)
