@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination for training-data pipelines: flag every
+  * training document that shares at least one k-word-gram with a held-out
+  * evaluation set (the standard n-gram-overlap decontamination rule used
+  * for LLM pretraining corpora).
+  *
+  * Scale shape (the 100 TB path): the evaluation side is tiny relative to
+  * the corpus (benchmark suites are at most millions of n-grams), so its
+  * distinct gram-hash set is BROADCAST and the corpus side is a map-only
+  * hash-join probe — the 100 TB train side is never shuffled; the only
+  * shuffle is the per-document hit-count aggregation, which is partial
+  * (map-side combined) on the already-exploded rows.
+  *
+  * Gram hashing is the native [[graft.functions.ShingleHashes]] codegen
+  * kernel (one pass per document, distinct 64-bit hashes); a hash
+  * collision across engines is the only approximation (~2^-64 per pair).
+  */
+object Decontaminate {
+
+  /** Per-training-document contamination report: `(id, n_hits,
+    * contaminated)` where `n_hits` counts the document's DISTINCT k-grams
+    * that appear anywhere in `eval`, and `contaminated = n_hits > 0`.
+    * Documents with fewer than k words have no grams and report 0.
+    */
+  def flag(train: DataFrame, eval: DataFrame, idCol: String,
+           textCol: String, k: Int = 8,
+           portableHash: Boolean = false): DataFrame = {
+    val evalGrams = Dedup
+      .shingleHashRows(eval, idCol, textCol, k, portableHash)
+      .select("h").distinct()
+    val hits = Dedup.shingleHashRows(train, idCol, textCol, k, portableHash)
+      .join(broadcast(evalGrams), "h")
+      // shingleHashRows emits each (id, h) once, so a plain count IS the
+      // distinct-gram hit count — no count_distinct shuffle needed
+      .groupBy("id").agg(count(lit(1)).as("n_hits"))
+    train.select(col(idCol).as("id"))
+      .join(hits, Seq("id"), "left_outer")
+      .select(col("id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
+  }
+}

@@ -170,6 +170,18 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // benchmark decontamination: training docs sharing any 5-gram with
+    // the held-out eval slice (doc_id % 10 == 0); eval grams broadcast
+    "p19_decontaminate" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      graft.operators.Decontaminate.flag(
+          docs.filter(col("doc_id") % 10 =!= 0),
+          docs.filter(col("doc_id") % 10 === 0),
+          "doc_id", "text", k = 5, portableHash = true)
+        .select(col("id").as("doc_id"), col("n_hits"), col("contaminated"))
+        .orderBy("doc_id")
+    }),
+
     // as-of join: each purchase event picks up the latest view event at
     // or before it for the same user (union+window, no range join)
     "p16_events_asof" -> ((s, d) => {
@@ -415,6 +427,27 @@ object PipelineQueries {
         |SELECT user_id, event_id AS purchase_id,
         |  CAST(view_id AS BIGINT) AS view_id
         |FROM w WHERE src = 1 ORDER BY purchase_id""".stripMargin,
+
+    "p19_decontaminate" ->
+      """WITH ws AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |      x -> len(x) > 0) AS ws
+        |  FROM documents),
+        |g0 AS (SELECT doc_id, list_distinct(list_transform(
+        |    range(1, len(ws)-3),
+        |    i -> ('0x'||substr(md5(ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '
+        |      ||ws[i+3]||' '||ws[i+4]),1,16))::UBIGINT)) AS gs
+        |  FROM ws),
+        |ev AS (SELECT DISTINCT unnest(gs) AS h FROM g0
+        |  WHERE doc_id % 10 = 0),
+        |tr AS (SELECT doc_id, unnest(gs) AS h FROM g0
+        |  WHERE doc_id % 10 <> 0),
+        |hits AS (SELECT tr.doc_id, count(*) AS n_hits
+        |  FROM tr JOIN ev USING (h) GROUP BY tr.doc_id)
+        |SELECT d.doc_id, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+        |  COALESCE(h.n_hits, 0) > 0 AS contaminated
+        |FROM documents d LEFT JOIN hits h USING (doc_id)
+        |WHERE d.doc_id % 10 <> 0 ORDER BY d.doc_id""".stripMargin,
 
     "p03_minhash_pairs" -> p03Oracle,
     "p04_simhash_pairs" -> p04Oracle,

@@ -141,6 +141,24 @@ class OperatorsSpec extends SparkTestBase {
     assert(fp == 0)
   }
 
+  test("decontamination flags train docs overlapping the eval set") {
+    // eval doc 10 is a near-copy of train doc 0 (shares 5-grams); train
+    // docs 3 and 5 share nothing with eval; doc 5 is too short for grams
+    val eval = Seq((10L, base + " tail"), (11L, "held out benchmark prose"))
+      .toDF("doc_id", "text")
+    val train = docs.filter(col("doc_id") =!= 4L)
+    val out = Decontaminate.flag(train, eval, "doc_id", "text", k = 5)
+      .select("id", "n_hits", "contaminated")
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    assert(out.map(_._1) == Seq(0L, 1L, 2L, 3L, 5L))
+    val byId = out.map(t => t._1 -> t).toMap
+    assert(byId(0L)._3 && byId(0L)._2 > 0)  // full 5-gram overlap
+    assert(byId(1L)._3)                     // shares base's grams
+    assert(byId(2L)._2 < byId(0L)._2)       // "slow" breaks some grams
+    assert(!byId(3L)._3 && byId(3L)._2 == 0)
+    assert(!byId(5L)._3 && byId(5L)._2 == 0) // < 5 words: no grams
+  }
+
   test("connected components label near-dup clusters by min id") {
     val pairs = Seq((0L, 1L), (1L, 2L), (7L, 8L)).toDF("id1", "id2")
     val ids = Seq(0L, 1L, 2L, 3L, 7L, 8L).toDF("id")
