@@ -66,7 +66,60 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val ingest = ingestBench(spark, sfDir)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,$ingest"sf":"$sfDir"}""")
     spark.stop()
   }
+
+  /** Bulk-import throughput against BASELINE's headline number (120 kT/s
+    * cluster-wide, ~100 kT/s/node "easily achievable",
+    * `website/about/index.html:30`). N-Triples text is generated untimed
+    * from the driver's lineitem table (3 triples/row); the TIMED section
+    * is the reference's full import pipeline re-expressed: streaming
+    * parse -> term RID-hashing -> dictionary build -> durable
+    * subject-bucketed store (the Spark form of import.c's subject-hash
+    * segment routing + index write). Reported as extra top-level JSON
+    * fields; not part of the query total. */
+  private def ingestBench(spark: SparkSession, sfDir: String): String =
+    try {
+      import org.apache.spark.sql.functions._
+      val dir = java.nio.file.Files.createTempDirectory("graft_ingest")
+      dir.toFile.deleteOnExit()
+      val ntPath = dir.resolve("lineitem_nt").toString
+      val subj = concat(lit("<urn:li/"), col("l_orderkey"), lit("/"),
+        col("l_linenumber"), lit(">"))
+      graft.core.Tables.t(spark, sfDir, "lineitem")
+        .select(concat(
+          subj, lit(" <urn:p/part> <urn:part/"), col("l_partkey"),
+          lit("> .\n"),
+          subj, lit(" <urn:p/qty> \""), col("l_quantity"),
+          lit("\"^^<http://www.w3.org/2001/XMLSchema#decimal> .\n"),
+          subj, lit(" <urn:p/flag> \""), col("l_returnflag"),
+          lit("\" .").as("line")))
+        .write.mode("overwrite").text(ntPath)
+      // a prior JVM's managed-table location survives in spark-warehouse/
+      // while the table itself is gone from this session's in-memory
+      // catalog — clear both or saveAsTable refuses the location
+      val wh = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"))
+      Seq("bench_ingest_quads", "bench_ingest_resources").foreach { tn =>
+        spark.sql(s"DROP TABLE IF EXISTS $tn")
+        val loc = new java.io.File(wh, tn)
+        if (loc.exists()) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(loc.toPath).iterator().asScala.toSeq
+            .reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+        }
+      }
+      val t0 = System.nanoTime()
+      val st = graft.rdf.QuadStore.fromNTriples(spark, ntPath, "urn:g/bench")
+      st.saveBucketed("bench_ingest")
+      val n = spark.table("bench_ingest_quads").count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      f""""ingest_triples":$n,"ingest_sec":$sec%.3f,"ingest_tps":${n / sec}%.0f,"""
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] ingest bench failed: $e")
+        ""
+    }
 }
