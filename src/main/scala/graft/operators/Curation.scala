@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators for training-data pipelines: sequence
+  * packing (concat-and-chunk), per-group token-budget sampling, and
+  * deterministic seeded sharding. All are built from windowed scans —
+  * no joins beyond a broadcast of per-chunk prefix sums — so they run
+  * as one shuffle (or none) at 100 TB.
+  */
+object Curation {
+
+  /** Concat-and-chunk sequence packing: documents are laid out in
+    * `idCol` order on a single virtual token tape, which is then cut
+    * into fixed-`capacity` bins — exactly how pretraining pipelines
+    * pack documents into context windows. Emits each document's bin id
+    * and offset within the bin's tape segment.
+    *
+    * The global running sum is computed scalably in two passes: a
+    * partition-local cumulative sum per id-chunk, plus a broadcast
+    * prefix over the (tiny: one row per `chunkSize` ids) chunk totals.
+    * No single-partition window ever sees the full corpus, so the
+    * operator holds at 1000 executors; the only global barrier is the
+    * chunk-totals aggregate (#chunks rows).
+    *
+    * `idCol` must be non-negative and numeric (the chunk key is
+    * `id / chunkSize`); ids need not be dense.
+    */
+  def packSequences(df: DataFrame, idCol: String, lenCol: String,
+                    capacity: Long, chunkSize: Long = 1 << 16): DataFrame = {
+    val chunk = (col(idCol) / lit(chunkSize)).cast("long")
+    val local = df.withColumn("_chunk", chunk)
+      .withColumn("_local_cum",
+        sum(col(lenCol)).over(Window.partitionBy("_chunk").orderBy(idCol)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val prefixes = df.groupBy(chunk.as("_chunk"))
+      .agg(sum(col(lenCol)).as("_tot"))
+      .withColumn("_prefix",
+        coalesce(sum(col("_tot")).over(Window.orderBy("_chunk")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("_chunk", "_prefix")
+    val start = (col("_prefix") + col("_local_cum") - col(lenCol))
+      .cast("long")
+    local.join(broadcast(prefixes), "_chunk")
+      .withColumn("bin_id", floor(start / lit(capacity)).cast("long"))
+      .withColumn("bin_offset", (start % lit(capacity)).cast("long"))
+      .drop("_chunk", "_local_cum", "_prefix")
+  }
+
+  /** Token-budget mixture sampling: within each `groupCol` (language,
+    * source, domain …) take documents in a deterministic seeded-random
+    * order until the group's cumulative `lenCol` reaches `budget` —
+    * whole documents only. This is how a training mix is drawn to hit
+    * per-domain token quotas. One shuffle (by group); the per-group
+    * window streams, state is a single running sum.
+    */
+  def budgetSample(df: DataFrame, groupCol: String, idCol: String,
+                   lenCol: String, budget: Long, seed: Int = 42): DataFrame = {
+    val key = shuffleKey(col(idCol), seed)
+    val cum = sum(col(lenCol)).over(
+      Window.partitionBy(groupCol).orderBy(key)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    df.withColumn("_cum", cum.cast("long"))
+      .filter(col("_cum") <= budget)
+      .drop("_cum")
+  }
+
+  /** Deterministic seeded shuffle into `shards` output shards with a
+    * stable position inside each shard — the "shuffle then write shard
+    * files" step of a training pipeline, reproducible across runs and
+    * engines. Shard = 60 bits of md5(id:seed) mod `shards`; position =
+    * rank of the full digest within the shard. Windows are partitioned
+    * by shard (at 100 TB use shards ≈ executors×10; no global sort).
+    */
+  def seededShuffle(df: DataFrame, idCol: String, shards: Int,
+                    seed: Int = 42): DataFrame = {
+    val hex = shuffleKey(col(idCol), seed)
+    // first 15 hex chars = 60 bits: fits a signed long in both Spark
+    // (conv) and the DuckDB oracle (::UBIGINT::BIGINT)
+    val shard = (conv(substring(hex, 1, 15), 16, 10).cast("long")
+      % shards).cast("int")
+    df.withColumn("shard", shard)
+      .withColumn("pos", row_number().over(
+        Window.partitionBy("shard").orderBy(hex)).cast("long"))
+  }
+
+  /** md5 hex of "id:seed" — the portable ordering key shared with the
+    * DuckDB oracle (md5(id::VARCHAR || ':seed')). */
+  def shuffleKey(id: Column, seed: Int): Column =
+    md5(concat(id.cast("string"), lit(":" + seed)).cast("binary"))
+
+  /** PII redaction: mask email addresses and long digit runs (ids,
+    * phone-like numbers). Pure map-side regex pass — codegen'd, no
+    * shuffle. Patterns are deliberately RE2-compatible so the same
+    * redaction runs in other engines.
+    */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val numRe = "[0-9]{4,}"
+
+  def redactPii(text: Column): Column =
+    regexp_replace(regexp_replace(text, emailRe, "<EMAIL>"),
+      numRe, "<NUM>")
+
+  /** Count of PII spans that [[redactPii]] would mask (emails counted
+    * before digit runs so overlaps are not double-counted). */
+  def piiCount(text: Column): Column = {
+    val noEmail = regexp_replace(text, emailRe, " ")
+    (size(regexp_extract_all(text, lit(emailRe), lit(0))) +
+      size(regexp_extract_all(noEmail, lit(numRe), lit(0)))).cast("long")
+  }
+}

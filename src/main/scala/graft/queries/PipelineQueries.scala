@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.core.Tables
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Curation, Dedup, Multimodal, Similarity, TextAnalysis}
 
 /** Training-data pipeline operators over the documents/embeddings/events
   * tables: dedup family, similarity search, text analysis, sessionization.
@@ -196,8 +196,56 @@ object PipelineQueries {
         .select(col("user_id"), col("event_id").as("purchase_id"),
           col("view_id"))
         .orderBy("purchase_id")
-    })
+    }),
+
+    // concat-and-chunk sequence packing into 2048-token context bins
+    "p20_pack_sequences" -> ((s, d) => {
+      val toks = t(s, d, "documents").select(col("doc_id"),
+        TextAnalysis.subwordCountEstimate(col("text")).as("n_tok"))
+      Curation.packSequences(toks, "doc_id", "n_tok", capacity = 2048)
+        .select("doc_id", "n_tok", "bin_id", "bin_offset")
+        .orderBy("doc_id")
+    }),
+
+    // per-language token-budget mixture draw (seeded order, whole docs)
+    "p21_mix_budget" -> ((s, d) => {
+      val toks = t(s, d, "documents").select(col("doc_id"), col("lang"),
+        TextAnalysis.subwordCountEstimate(col("text")).as("n_tok"))
+      Curation.budgetSample(toks, "lang", "doc_id", "n_tok",
+          budget = 3000, seed = 42)
+        .orderBy("doc_id")
+    }),
+
+    // PII redaction. The driver corpus carries no PII, so deterministic
+    // synthetic contact lines derived from doc_id are appended — by this
+    // query and the oracle identically — before masking; planted-string
+    // semantics are tested in OperatorsSpec.
+    "p22_pii_redact" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        concat(col("text"), lit(" contact user"), col("doc_id"),
+          lit("@example.com or call "),
+          (col("doc_id") * 7919 + 10000000L).cast("long")).as("text"))
+        .select(col("doc_id"),
+          Curation.piiCount(col("text")).as("n_pii"),
+          Curation.redactPii(col("text")).as("redacted"))
+        .orderBy("doc_id")),
+
+    // deterministic seeded shuffle into 32 shards with stable positions
+    "p23_seeded_shuffle" -> ((s, d) =>
+      Curation.seededShuffle(t(s, d, "documents").select("doc_id"),
+          "doc_id", shards = 32, seed = 42)
+        .select("doc_id", "shard", "pos")
+        .orderBy("doc_id"))
   )
+
+  /** DuckDB analog of TextAnalysis.subwordCountEstimate (same expression
+    * the p08 oracle uses), shared by the packing/budget oracles. */
+  private val duckSubwordTok: String =
+    """CAST(list_sum(list_transform(
+      |      list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+      |        p -> len(p) > 0),
+      |      p -> greatest(CAST(ceil(len(p)/4.0) AS BIGINT), 1)))
+      |    AS BIGINT)""".stripMargin
 
   /** DuckDB analog of the portable 64-bit hash (TextHash.md5be64):
     * big-endian first 8 MD5 digest bytes, masked to 63 bits so signed
@@ -448,6 +496,56 @@ object PipelineQueries {
         |  COALESCE(h.n_hits, 0) > 0 AS contaminated
         |FROM documents d LEFT JOIN hits h USING (doc_id)
         |WHERE d.doc_id % 10 <> 0 ORDER BY d.doc_id""".stripMargin,
+
+    "p20_pack_sequences" ->
+      s"""WITH tok AS (SELECT doc_id, $duckSubwordTok AS n_tok
+         |    FROM documents),
+         |c AS (SELECT doc_id, n_tok,
+         |    CAST(SUM(n_tok) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS BIGINT) - n_tok AS strt
+         |  FROM tok)
+         |SELECT doc_id, n_tok, strt // 2048 AS bin_id,
+         |  strt % 2048 AS bin_offset
+         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "p21_mix_budget" ->
+      s"""WITH tok AS (SELECT doc_id, lang, $duckSubwordTok AS n_tok
+         |    FROM documents),
+         |c AS (SELECT doc_id, lang, n_tok,
+         |    CAST(SUM(n_tok) OVER (PARTITION BY lang
+         |      ORDER BY md5(doc_id::VARCHAR || ':42')
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS BIGINT) AS cum
+         |  FROM tok)
+         |SELECT doc_id, lang, n_tok FROM c WHERE cum <= 3000
+         |ORDER BY doc_id""".stripMargin,
+
+    "p22_pii_redact" ->
+      s"""WITH p AS (SELECT doc_id,
+         |    text || ' contact user' || doc_id || '@example.com or call '
+         |      || (doc_id*7919+10000000) AS text
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '${Curation.emailRe}'))
+         |    + len(regexp_extract_all(
+         |        regexp_replace(text, '${Curation.emailRe}', ' ', 'g'),
+         |        '${Curation.numRe}')) AS BIGINT) AS n_pii,
+         |  regexp_replace(regexp_replace(text,
+         |      '${Curation.emailRe}', '<EMAIL>', 'g'),
+         |    '${Curation.numRe}', '<NUM>', 'g') AS redacted
+         |FROM p ORDER BY doc_id""".stripMargin,
+
+    "p23_seeded_shuffle" ->
+      """WITH h AS (SELECT doc_id, md5(doc_id::VARCHAR || ':42') AS hex
+        |  FROM documents),
+        |s AS (SELECT doc_id, hex,
+        |    CAST((('0x'||substr(hex,1,15))::UBIGINT % 32) AS INT) AS shard
+        |  FROM h)
+        |SELECT doc_id, shard,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY hex)
+        |    AS BIGINT) AS pos
+        |FROM s ORDER BY doc_id""".stripMargin,
 
     "p03_minhash_pairs" -> p03Oracle,
     "p04_simhash_pairs" -> p04Oracle,

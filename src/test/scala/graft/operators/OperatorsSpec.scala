@@ -218,4 +218,78 @@ class OperatorsSpec extends SparkTestBase {
     assert(tri.toSeq == Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 0L),
       (9L, 0L)))
   }
+
+  test("sequence packing: concat-and-chunk bins, sparse ids, tiny chunks") {
+    // in id order (2,5,7,1000) lengths 60+40 fill bin 0 exactly (cap
+    // 100) -> doc 7 opens bin 1; sparse id 1000 lands in its own chunk
+    val d = Seq((2L, 60L), (7L, 50L), (5L, 40L), (1000L, 30L))
+      .toDF("id", "len")
+    val out = Curation.packSequences(d, "id", "len", capacity = 100L,
+        chunkSize = 2)
+      .select("id", "bin_id", "bin_offset")
+      .orderBy("id").collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((2L, 0L, 0L), (5L, 0L, 60L), (7L, 1L, 0L),
+      (1000L, 1L, 50L)))
+    // equivalent to the naive single-window cumulative sum
+    val naive = d.orderBy("id").collect()
+      .scanLeft(0L) { case (acc, r) => acc + r.getLong(1) }.init
+    assert(out.map(_._2).toSeq == naive.map(_ / 100).toSeq)
+  }
+
+  test("budget sample keeps exactly the seeded prefix of each group") {
+    val d = Seq.tabulate(20)(i => (i.toLong, if (i < 10) "a" else "b", 30L))
+      .toDF("id", "grp", "len")
+    val kept = Curation.budgetSample(d, "grp", "id", "len", budget = 100L)
+      .collect()
+    // 30-token docs into a 100 budget -> exactly 3 whole docs per group
+    assert(kept.groupBy(_.getString(1)).view.mapValues(_.length).toMap ==
+      Map("a" -> 3, "b" -> 3))
+    // and they are the first 3 of each group in seeded-hash order
+    val expectA = (0 until 10).map(_.toLong)
+      .sortBy(i => java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$i:42".getBytes("UTF-8")).map("%02x".format(_)).mkString)
+      .take(3).toSet
+    assert(kept.filter(_.getString(1) == "a").map(_.getLong(0)).toSet ==
+      expectA)
+  }
+
+  test("seeded shuffle is deterministic, seed-sensitive, dense per shard") {
+    val d = Seq.tabulate(100)(i => Tuple1(i.toLong)).toDF("id")
+    val a = Curation.seededShuffle(d, "id", shards = 4, seed = 1)
+      .select("id", "shard", "pos").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sortBy(_._1)
+    val b = Curation.seededShuffle(d, "id", shards = 4, seed = 1)
+      .select("id", "shard", "pos").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sortBy(_._1)
+    assert(a.toSeq == b.toSeq) // reproducible
+    val c = Curation.seededShuffle(d, "id", shards = 4, seed = 2)
+      .select("id", "shard", "pos").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sortBy(_._1)
+    assert(a.toSeq != c.toSeq) // the seed matters
+    // positions are 1..n within every shard
+    a.groupBy(_._2).values.foreach { s =>
+      assert(s.map(_._3).sorted.toSeq == (1L to s.length).toSeq)
+    }
+  }
+
+  test("pii redaction masks emails and digit runs, counts spans once") {
+    val d = Seq(
+      (1L, "mail bob.smith+x@example.co.uk now"),
+      (2L, "call 0123456789 or 555-123-4567 ext 123"),
+      (3L, "id a1b2c3 stays; 123 stays; 20245 goes"),
+      (4L, "clean text only")
+    ).toDF("id", "text")
+    val out = d.select(col("id"),
+        Curation.redactPii(col("text")).as("r"),
+        Curation.piiCount(col("text")).as("n"))
+      .orderBy("id").collect()
+      .map(r => (r.getString(1), r.getLong(2)))
+    assert(out(0) == ("mail <EMAIL> now", 1L))
+    // 0123456789 and the 4567 tail of 555-123-4567 are >=4-digit runs
+    assert(out(1)._1 == "call <NUM> or 555-123-<NUM> ext 123")
+    assert(out(1)._2 == 2L)
+    assert(out(2)._1.contains("<NUM> goes") && out(2)._1.contains("a1b2c3"))
+    assert(out(3) == ("clean text only", 0L))
+  }
 }
