@@ -194,4 +194,36 @@ class PlanSpec extends SparkTestBase {
     assert(df.collect().map(_.getString(0)).sorted.toSeq ==
       Seq("urn:b", "urn:c"))
   }
+
+  test("sequence packing broadcasts chunk prefixes, no global window") {
+    val docs = graft.core.Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), col("n_chars").cast("long").as("len"))
+    val plan = planOf(graft.operators.Curation.packSequences(
+      docs, "doc_id", "len", capacity = 2048))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"chunk prefixes must broadcast:\n$plan")
+    // the corpus-wide cumulative sum must run in per-chunk windows; only
+    // the aggregated chunk-totals frame (one row per 64Ki ids) may pass
+    // through a single-partition window, and that subtree must sit above
+    // an aggregate, never directly over the corpus scan
+    assert(plan.contains("Exchange hashpartitioning(_chunk"),
+      s"corpus window not partitioned by chunk:\n$plan")
+    val single = plan.indexOf("Exchange SinglePartition")
+    if (single >= 0) {
+      val below = plan.substring(single)
+      assert(below.indexOf("HashAggregate") >= 0 &&
+        below.indexOf("HashAggregate") < below.indexOf("FileScan"),
+        s"single-partition window fed by a raw scan:\n$plan")
+    }
+  }
+
+  test("seeded shuffle plans per-shard windows, not a global sort") {
+    val docs = graft.core.Tables.t(spark, sf, "documents").select("doc_id")
+    val plan = planOf(graft.operators.Curation.seededShuffle(
+      docs, "doc_id", shards = 32))
+    assert(plan.contains("Exchange hashpartitioning(shard"),
+      s"must repartition by shard:\n$plan")
+    assert(!plan.contains("Exchange rangepartitioning"),
+      s"global sort crept in:\n$plan")
+  }
 }
