@@ -364,32 +364,122 @@ final class Exec(store: QuadStore, spark: SparkSession) {
     (rdf, ren)
   }
 
+  /** All subsets of `vs` (2^|vs| of them) — the null-mask enumeration for
+    * compatibility-join decomposition. */
+  private def subsets(vs: Seq[String]): Seq[Set[String]] =
+    vs.foldLeft(Seq(Set.empty[String]))((acc, v) => acc ++ acc.map(_ + v))
+
+  /** Compatibility join decomposed into a union of EQUI-joins.
+    *
+    * SPARQL compatibility (`fs_binding_merge` NULL-wildcard,
+    * `query-datatypes.c:476-529`) as a single join condition is
+    * `l.v IS NULL OR r.v IS NULL OR l.v = r.v` — an OR with no equi-key,
+    * which Spark can only plan as BroadcastNestedLoopJoin: O(n·m) at
+    * scale. Instead, partition each side by its null-mask over the
+    * maybe-null shared vars: within a (leftMask, rightMask) branch every
+    * var outside the masks is bound on BOTH sides, so the branch condition
+    * is a plain conjunction of equalities → hash join. Branches partition
+    * the pair space disjointly, so the union is exact bag semantics.
+    * A branch whose equi set is empty is a genuine wildcard×wildcard
+    * cross product — required by the semantics, and bounded by the
+    * (typically tiny) null-row subsets.
+    */
+  private def compatBranches(ldf: DataFrame, rdf: DataFrame,
+                             ren: String => String, shared: Seq[String],
+                             lMaybe: Seq[String], rMaybe: Seq[String],
+                             extraCond: Option[Column],
+                             joinType: String): DataFrame = {
+    val branches = for {
+      a <- subsets(lMaybe)
+      b <- subsets(rMaybe)
+    } yield {
+      val lb =
+        if (lMaybe.isEmpty) ldf
+        else ldf.filter(lMaybe.map(v =>
+          if (a(v)) col(v).isNull else col(v).isNotNull).reduce(_ && _))
+      val rb =
+        if (rMaybe.isEmpty) rdf
+        else rdf.filter(rMaybe.map(v =>
+          if (b(v)) col(ren(v)).isNull else col(ren(v)).isNotNull)
+          .reduce(_ && _))
+      val conds = shared.filterNot(v => a(v) || b(v))
+        .map(v => col(v) === col(ren(v))) ++ extraCond.toSeq
+      if (conds.isEmpty) {
+        if (joinType == "inner") lb.crossJoin(rb)
+        else lb.join(rb, lit(true), joinType)
+      } else lb.join(rb, conds.reduce(_ && _), joinType)
+    }
+    branches.reduce(_ unionByName _)
+  }
+
   /** SPARQL join: equi on certainly-bound shared vars, compatibility
     * (NULL = wildcard) on maybe-null shared vars (SURVEY §7.4 hard part 2;
-    * reference row-compare `query-datatypes.c:476-529`).
+    * reference row-compare `query-datatypes.c:476-529`). The compat case
+    * is decomposed into a union of equi-joins (see [[compatBranches]]) so
+    * OPTIONAL/UNION-introduced vars rejoining later patterns still hash
+    * join instead of nested-looping.
     */
   def join(l: Bindings, r: Bindings, joinType: String = "inner",
            extraCond: Option[Column] = None): Bindings = {
-    val shared = l.vars intersect r.vars
+    val shared = (l.vars intersect r.vars).toSeq.sorted
     val (rdf, ren) = renamedRight(r)
-    val conds = shared.toSeq.map { v =>
-      if (l.certain(v) && r.certain(v)) col(v) === col(ren(v))
-      else col(v).isNull || col(ren(v)).isNull || col(v) === col(ren(v))
-    } ++ extraCond.toSeq
+    val lMaybe = shared.filterNot(l.certain)
+    val rMaybe = shared.filterNot(r.certain)
+    // branch-count cap: 2^(|lMaybe|+|rMaybe|) unions; past 3 maybe-null
+    // shared vars (8 branches) fall back to the single OR condition —
+    // queries with 4+ OPTIONAL-introduced vars rejoining at once are
+    // vanishingly rare and the plan blowup would cost more than BNLJ
+    val decomposable = lMaybe.size + rMaybe.size <= 3 &&
+      (joinType == "inner" || joinType == "left_outer")
     val joined =
-      if (conds.isEmpty) {
-        if (joinType == "inner") l.df.crossJoin(rdf)
-        else l.df.join(rdf, lit(true), joinType)
-      } else l.df.join(rdf, conds.reduce(_ && _), joinType)
+      if (lMaybe.isEmpty && rMaybe.isEmpty) {
+        val conds = shared.map(v => col(v) === col(ren(v))) ++
+          extraCond.toSeq
+        if (conds.isEmpty) {
+          if (joinType == "inner") l.df.crossJoin(rdf)
+          else l.df.join(rdf, lit(true), joinType)
+        } else l.df.join(rdf, conds.reduce(_ && _), joinType)
+      } else if (decomposable && (joinType == "inner" || rMaybe.isEmpty)) {
+        // inner: (leftMask × rightMask) branches partition the pair space.
+        // left_outer with an all-certain right side: branches partition
+        // the LEFT rows disjointly, so per-branch left-outer unions are
+        // exact (each left row is preserved in exactly one branch).
+        compatBranches(l.df, rdf, ren, shared, lMaybe, rMaybe, extraCond,
+          joinType)
+      } else if (decomposable) {
+        // left_outer with a maybe-null right side: branches split the
+        // right rows too, so per-branch outer joins would duplicate
+        // unmatched left rows. Decompose the INNER match instead, then
+        // add back left rows with no match in any branch via a row id.
+        // localCheckpoint pins the ids (monotonically_increasing_id is
+        // order-dependent) so both uses see identical values.
+        val lw = l.df.withColumn("__lid", monotonically_increasing_id())
+          .localCheckpoint()
+        val inner = compatBranches(lw, rdf, ren, shared, lMaybe, rMaybe,
+          extraCond, "inner")
+        val unmatched = lw.join(
+          inner.select(col("__lid")).distinct(), Seq("__lid"), "left_anti")
+        val nulled = unmatched.select(unmatched.columns.map(col) ++
+          rdf.schema.fields.map(f =>
+            lit(null).cast(f.dataType).as(f.name)): _*)
+        inner.unionByName(nulled).drop("__lid")
+      } else {
+        val conds = shared.map { v =>
+          if (l.certain(v) && r.certain(v)) col(v) === col(ren(v))
+          else col(v).isNull || col(ren(v)).isNull || col(v) === col(ren(v))
+        } ++ extraCond.toSeq
+        l.df.join(rdf, conds.reduce(_ && _), joinType)
+      }
 
     // single output projection (NOT a withColumn/rename/drop churn loop —
     // each of those is a separate analysis pass and small-query latency
     // was dominated by Catalyst, not by data)
+    val sharedSet = shared.toSet
     var valued = l.valued
-    val rOnly = r.varsOrdered.filterNot(shared)
+    val rOnly = r.varsOrdered.filterNot(sharedSet)
     val proj = Seq.newBuilder[Column]
     l.varsOrdered.foreach { v =>
-      if (shared(v)) {
+      if (sharedSet(v)) {
         // a certain left var is never NULL -> its rid is authoritative
         val rid = if (l.certain(v)) col(v) else coalesce(col(v), col(ren(v)))
         proj += rid.as(v)
@@ -425,22 +515,65 @@ final class Exec(store: QuadStore, spark: SparkSession) {
     Bindings(df, l.varsOrdered ++ rOnly, certain, valued)
   }
 
+  /** Remove from `ldf` every row that has a compatible (and, for MINUS,
+    * overlapping) row in `rdf` — the compat-anti counterpart of
+    * [[compatBranches]]. Left rows are partitioned disjointly by their
+    * null-mask; within a partition the right side is split by ITS
+    * null-mask and the partition is anti-joined against each right branch
+    * in sequence (a row survives only if no branch matches — exactly the
+    * chained left_anti semantics). Every anti join keys on the vars bound
+    * on both sides → hash anti join, no nested loop. An all-wildcard
+    * branch (empty equi set) removes everything when the branch is
+    * non-empty: `limit(1)` makes that probe O(1). */
+  private def compatRemove(ldf: DataFrame, rdf: DataFrame,
+                           ren: String => String, shared: Seq[String],
+                           lMaybe: Seq[String], rMaybe: Seq[String],
+                           requireOverlap: Boolean): DataFrame = {
+    val parts = subsets(lMaybe).map { a =>
+      val lb =
+        if (lMaybe.isEmpty) ldf
+        else ldf.filter(lMaybe.map(v =>
+          if (a(v)) col(v).isNull else col(v).isNotNull).reduce(_ && _))
+      subsets(rMaybe).foldLeft(lb) { (acc, b) =>
+        val equi = shared.filterNot(v => a(v) || b(v))
+        if (equi.isEmpty && requireOverlap) acc // MINUS: disjoint pairs keep
+        else {
+          val rb =
+            if (rMaybe.isEmpty) rdf
+            else rdf.filter(rMaybe.map(v =>
+              if (b(v)) col(ren(v)).isNull else col(ren(v)).isNotNull)
+              .reduce(_ && _))
+          if (equi.isEmpty) acc.join(rb.limit(1), lit(true), "left_anti")
+          else acc.join(rb,
+            equi.map(v => col(v) === col(ren(v))).reduce(_ && _),
+            "left_anti")
+        }
+      }
+    }
+    parts.reduce(_ unionByName _)
+  }
+
   /** MINUS (`fs_binding_minus`, `query-datatypes.c:1120-1229`): remove LHS
     * rows compatible with some RHS row on shared vars; disjoint domains
     * keep everything (SPARQL MINUS rule). */
   def minus(l: Bindings, r: Bindings): Bindings = {
-    val shared = (l.vars intersect r.vars).toSeq
+    val shared = (l.vars intersect r.vars).toSeq.sorted
     if (shared.isEmpty) return l
     val (rdf, ren) = renamedRight(r)
-    val certain = shared.filter(v => l.certain(v) && r.certain(v))
-    if (certain.nonEmpty) {
-      // both-certain shared vars: compat+overlap degenerate to plain
-      // equality -> hash-partitioned anti equi-join (no nested loop)
+    val lMaybe = shared.filterNot(l.certain)
+    val rMaybe = shared.filterNot(r.certain)
+    val bothCertain = shared.filter(v => l.certain(v) && r.certain(v))
+    if (bothCertain.nonEmpty) {
+      // both-certain shared vars give the anti join a hash key; remaining
+      // compat ORs ride along as a post-join condition (no nested loop)
       val cond = shared.map { v =>
         if (l.certain(v) && r.certain(v)) col(v) === col(ren(v))
         else col(v).isNull || col(ren(v)).isNull || col(v) === col(ren(v))
       }.reduce(_ && _)
       l.copy(df = l.df.join(rdf, cond, "left_anti"))
+    } else if (lMaybe.size + rMaybe.size <= 3) {
+      l.copy(df = compatRemove(l.df, rdf, ren, shared, lMaybe, rMaybe,
+        requireOverlap = true))
     } else {
       val compat = shared.map(v =>
         col(v).isNull || col(ren(v)).isNull || col(v) === col(ren(v)))
@@ -596,14 +729,42 @@ final class Exec(store: QuadStore, spark: SparkSession) {
              gRids: Option[Seq[Long]]): Bindings = f match {
     case EExists(p, neg) =>
       val inner = pattern(p, gvar, gRids)
-      val shared = (b.vars intersect inner.vars).toSeq
+      val shared = (b.vars intersect inner.vars).toSeq.sorted
       val (rdf, ren) = renamedRight(inner)
-      val cond =
-        if (shared.isEmpty) lit(true)
-        else shared.map(v => col(v).isNull || col(ren(v)).isNull ||
-          col(v) === col(ren(v))).reduce(_ && _)
       val jt = if (neg) "left_anti" else "left_semi"
-      b.copy(df = b.df.join(rdf, cond, jt))
+      val lMaybe = shared.filterNot(b.certain)
+      val rMaybe = shared.filterNot(inner.certain)
+      val bothCertain = shared.filter(v => b.certain(v) && inner.certain(v))
+      if (shared.isEmpty)
+        // EXISTS over a disjoint pattern only probes non-emptiness:
+        // limit(1) keeps the degenerate cross-probe O(1)
+        b.copy(df = b.df.join(rdf.limit(1), lit(true), jt))
+      else if (bothCertain.nonEmpty) {
+        // equi keys on both-certain vars; compat ORs as join residual
+        val cond = shared.map { v =>
+          if (b.certain(v) && inner.certain(v)) col(v) === col(ren(v))
+          else col(v).isNull || col(ren(v)).isNull || col(v) === col(ren(v))
+        }.reduce(_ && _)
+        b.copy(df = b.df.join(rdf, cond, jt))
+      } else if (lMaybe.size + rMaybe.size <= 3) {
+        if (neg)
+          b.copy(df = compatRemove(b.df, rdf, ren, shared, lMaybe, rMaybe,
+            requireOverlap = false))
+        else {
+          // EXISTS = NOT(NOT EXISTS): remove the non-matching rows via a
+          // pinned row id (bag semantics preserved, every join keyed)
+          val lw = b.df.withColumn("__lid", monotonically_increasing_id())
+            .localCheckpoint()
+          val nonMatching = compatRemove(lw, rdf, ren, shared, lMaybe,
+            rMaybe, requireOverlap = false)
+          b.copy(df = lw.join(nonMatching.select(col("__lid")),
+            Seq("__lid"), "left_anti").drop("__lid"))
+        }
+      } else {
+        val cond = shared.map(v => col(v).isNull || col(ren(v)).isNull ||
+          col(v) === col(ren(v))).reduce(_ && _)
+        b.copy(df = b.df.join(rdf, cond, jt))
+      }
     case ECall("&&", List(a, c)) => // split conjunctions for EXISTS support
       filter(filter(b, a, gvar, gRids), c, gvar, gRids)
     case _ =>

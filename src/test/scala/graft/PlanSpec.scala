@@ -217,6 +217,37 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("OPTIONAL-introduced vars rejoin with hash joins, never nested-loop") {
+    // a leading OPTIONAL's var (?n, maybe-null) rejoins a later mandatory
+    // pattern: the compatibility join (NULL = wildcard) must decompose
+    // into a union of equi-joins, not plan a BroadcastNestedLoopJoin
+    val store = QuadStore.rdfize("nation",
+      graft.core.Tables.t(spark, sf, "nation"), "n_nationkey")
+    val df = graft.sparql.Sparql.run(store, spark,
+      """SELECT ?x ?n ?rk WHERE {
+           OPTIONAL { ?x <urn:p:nation:n_name> ?n }
+           ?y <urn:p:nation:n_name> ?n .
+           ?y <urn:p:nation:n_regionkey> ?rk }""")
+    val plan = planOf(df)
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"compat join planned a nested loop:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"compat join planned a cartesian product:\n$plan")
+  }
+
+  test("MINUS with no both-certain shared var still anti-joins on keys") {
+    val store = QuadStore.rdfize("nation",
+      graft.core.Tables.t(spark, sf, "nation"), "n_nationkey")
+    val df = graft.sparql.Sparql.run(store, spark,
+      """SELECT ?x ?n WHERE {
+           ?x <urn:p:nation:n_name> ?n0 .
+           OPTIONAL { ?x <urn:p:nation:n_comment> ?n }
+           MINUS { ?z <urn:p:nation:n_name> ?n } }""")
+    val plan = planOf(df)
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"compat MINUS planned a nested loop:\n$plan")
+  }
+
   test("seeded shuffle plans per-shard windows, not a global sort") {
     val docs = graft.core.Tables.t(spark, sf, "documents").select("doc_id")
     val plan = planOf(graft.operators.Curation.seededShuffle(
