@@ -23,6 +23,8 @@ object Scratch {
     val jobs = new java.util.concurrent.atomic.AtomicInteger
     val stages = new java.util.concurrent.atomic.AtomicInteger
     val tasks = new java.util.concurrent.atomic.AtomicInteger
+    val stageLog =
+      new java.util.concurrent.ConcurrentLinkedQueue[String]()
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
         override def onJobStart(
@@ -32,6 +34,12 @@ object Scratch {
             s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
           stages.incrementAndGet()
           tasks.addAndGet(s.stageInfo.numTasks)
+          val i = s.stageInfo
+          val dur = for {
+            a <- i.completionTime; b <- i.submissionTime
+          } yield a - b
+          stageLog.add(f"    stage ${i.stageId}%4d ${i.numTasks}%4d tasks " +
+            f"${dur.getOrElse(-1L)}%5d ms  ${i.name.takeWhile(_ != '\n')}")
         }
       })
     for (name <- names) {
@@ -43,7 +51,17 @@ object Scratch {
         ((System.nanoTime() - t0) / 1e9,
           jobs.get - j0, stages.get - s0, tasks.get - t0n)
       }
-      val cold = run(); val warm = run()
+      val cold = run()
+      val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "1").toInt
+      (1 until reps).foreach { i =>
+        val t = run(); println(f"SCRATCH $name rep$i%-2d ${t._1}%6.3f s")
+      }
+      stageLog.clear()
+      val warm = run()
+      if (sys.env.contains("SPARK_GRAFT_STAGES")) {
+        println(s"SCRATCH $name warm-run stages:")
+        stageLog.forEach(println(_))
+      }
       // phase split: DataFrame build (parse+analyze) / plan / execute
       val tb0 = System.nanoTime()
       val df = fn(spark, sfDir)

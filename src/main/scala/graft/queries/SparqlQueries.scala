@@ -22,28 +22,55 @@ object SparqlQueries {
   private def store(s: SparkSession, dir: String,
                     tables: String*): QuadStore =
     // memoize the UNIONED store too: a stable instance per table set is
-    // what lets Sparql's prepared-plan cache hit on repeated runs
-    cache.getOrElseUpdate((dir, tables.mkString("+")),
-      tables.map(t => singleStore(s, dir, t)).reduce(_ union _))
+    // what lets Sparql's prepared-plan cache hit on repeated runs.
+    // Single-table stores take the compact (one-segment) layout — see
+    // [[arrange]]; multi-table stores keep each table's partitioning so a
+    // small table joined against a big one can never drag the big side
+    // into one partition (a SinglePartition child satisfies the join's
+    // clustering requirement, forcing the OTHER side to co-locate).
+    cache.getOrElseUpdate((dir, tables.mkString("+")), {
+      val onePart = tables.size == 1
+      tables.map(t => singleStore(s, dir, t, onePart)).reduce(_ union _)
+    })
 
-  private def singleStore(s: SparkSession, dir: String,
-                          t: String): QuadStore =
-      cache.getOrElseUpdate((dir, t), {
+  /** Below this quad count a store used ALONE by a query caches as ONE
+    * partition. The reference sizes segment count to the KB
+    * (`4s-backend-setup --segments`): a small KB runs few segments so
+    * queries skip fan-out entirely. The Spark analog: a SinglePartition
+    * cached relation satisfies every clustering requirement, so Catalyst
+    * plans ZERO exchanges — tiny-store queries run as one stage instead
+    * of paying per-stage scheduling on data that fits in one task. 4M
+    * quads ≈ a few hundred MB valued — still one comfortable task for the
+    * scan/sort/aggregate shapes single-table queries take. */
+  private val onePartitionMaxQuads = 4L * 1000 * 1000
+
+  private def arrange(valued: DataFrame,
+                      onePart: Boolean): (DataFrame, Boolean) = {
+    // sorting within partitions by predicate clusters each predicate into
+    // few cached batches, so the cache's per-batch min/max stats skip the
+    // rest on constant-p scans — the in-memory analog of the per-predicate
+    // ptree index. (Subject-hash partitioning the cache was measured and
+    // NOT kept: at gate scale these queries are driver-latency-bound and
+    // the extra scan partitions cost more than the avoided exchanges; the
+    // durable bucketed store provides co-located subject joins where it
+    // matters — see PlanSpec "bucketed store".)
+    val small = onePart && valued.count() <= onePartitionMaxQuads
+    val sized = if (small) valued.coalesce(1) else valued
+    (sized.sortWithinPartitions("p").cache(), small)
+  }
+
+  private def singleStore(s: SparkSession, dir: String, t: String,
+                          onePart: Boolean): QuadStore =
+      cache.getOrElseUpdate((dir, t + (if (onePart) "@1" else "")), {
         val st = QuadStore.rdfizeDir(s, dir, Seq(t))
         // cache the VALUED (wide) form once; the narrow quads view is a
         // projection over the same cached relation (columnar cache prunes
-        // the value columns for RID-only scans). Sorting within partitions
-        // by predicate clusters each predicate into few cached batches, so
-        // the cache's per-batch min/max stats skip the rest on constant-p
-        // scans — the in-memory analog of the per-predicate ptree index.
-        // (Subject-hash partitioning the cache was measured and NOT kept:
-        // at gate scale these queries are driver-latency-bound and the
-        // extra scan partitions cost more than the avoided exchanges; the
-        // durable bucketed store provides co-located subject joins where
-        // it matters — see PlanSpec "bucketed store".)
-        val v = st.valued.get.sortWithinPartitions("p").cache()
+        // the value columns for RID-only scans)
+        val (v, small) = arrange(st.valued.get, onePart)
+        val res =
+          (if (small) st.resources.coalesce(1) else st.resources).cache()
         QuadStore(v.select(QuadStore.quadCols.map(col): _*),
-          st.resources.cache(), Some(v), st.predRids, st.graphRids)
+          res, Some(v), st.predRids, st.graphRids)
       })
 
   private def sparql(s: SparkSession, dir: String, tables: Seq[String],
@@ -65,9 +92,10 @@ object SparqlQueries {
         lit("").as("oDt"),
         lit("").as("oLang"))
       val st = FullText.withFullText(s, flat, Set("urn:p:documents:text"))
-      val v = st.valued.get.cache()
-      QuadStore(v.select(QuadStore.quadCols.map(col): _*),
-        st.resources.cache(), Some(v))
+      val (v, small) = arrange(st.valued.get, onePart = true)
+      val res =
+        (if (small) st.resources.coalesce(1) else st.resources).cache()
+      QuadStore(v.select(QuadStore.quadCols.map(col): _*), res, Some(v))
     })
 
   /** Location-hierarchy store for the property-path gate: customer and
@@ -89,9 +117,10 @@ object SparqlQueries {
         .unionByName(edge(Tables.t(s, dir, "nation"),
           "urn:t:nation:", "n_nationkey", "urn:t:region:", "n_regionkey"))
       val st = QuadStore.fromFlat(s, flat)
-      val v = st.valued.get.cache()
-      QuadStore(v.select(QuadStore.quadCols.map(col): _*),
-        st.resources.cache(), Some(v))
+      val (v, small) = arrange(st.valued.get, onePart = true)
+      val res =
+        (if (small) st.resources.coalesce(1) else st.resources).cache()
+      QuadStore(v.select(QuadStore.quadCols.map(col): _*), res, Some(v))
     })
 
   /** One query definition: the declared table set is the single source of
@@ -111,9 +140,11 @@ object SparqlQueries {
     * queries (`tests/benchmark/run.pl:40-80`). Per-table failures are
     * swallowed: a bad table should only affect its own queries. */
   def warm(s: SparkSession, dir: String): Unit = {
-    defs.flatMap(_.tables).distinct.foreach { t =>
+    // warm the exact store INSTANCES queries use (single-table compact
+    // variants and multi-table unions cache separately)
+    defs.map(_.tables).filter(_.nonEmpty).distinct.foreach { ts =>
       try {
-        val st = store(s, dir, t)
+        val st = store(s, dir, ts: _*)
         st.quads.count(); st.resources.count()
       } catch { case _: Throwable => }
     }

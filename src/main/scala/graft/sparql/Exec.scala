@@ -796,9 +796,18 @@ final class Exec(store: QuadStore, spark: SparkSession) {
       Seq(StructField(n, LongType), StructField(s"${n}__lex", StringType),
         StructField(s"${n}__dt", LongType), StructField(s"${n}__lang", StringType))
     })
-    val df = spark.createDataFrame(
-      spark.sparkContext.parallelize(rows.toSeq), schema)
-    Bindings(df, v.vars, Set.empty, v.vars.toSet)
+    // LocalRelation, not parallelize: a local-collection DataFrame carries
+    // exact size stats (guaranteed broadcast), costs no RDD job, and is
+    // visible to constant folding — the inline-table analog of the
+    // reference's pre-bound rid vectors (`fs_query_bind_first`)
+    import scala.jdk.CollectionConverters._
+    val df = spark.createDataFrame(rows.toList.asJava, schema)
+    // a var bound in EVERY row is certain: only UNDEF introduces NULLs
+    // (keeps joins against fully-bound VALUES on the plain equi-join path)
+    val certain = v.vars.zipWithIndex.filter { case (_, i) =>
+      v.rows.forall(_(i).isDefined)
+    }.map(_._1).toSet
+    Bindings(df, v.vars, certain, v.vars.toSet)
   }
 
   def varsOf(e: Expr): Set[String] = e match {

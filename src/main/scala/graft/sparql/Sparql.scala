@@ -25,8 +25,12 @@ object Sparql {
     * runs of the same query text against the same store instance reuse
     * the analyzed DataFrame, skipping parse + algebra + Catalyst
     * analysis. Execution still happens per run (a DataFrame is a plan,
-    * not a result); a mutated store is a new instance, so updates
-    * naturally invalidate. ASK is not cached (it executes eagerly). */
+    * not a result). ASK executes its any-rows probe eagerly, so for ASK
+    * the cached object IS the result — sound because a QuadStore is an
+    * immutable snapshot (updates build a new instance, which misses the
+    * reference-keyed cache), and the same shape as the reference's bind
+    * cache, which keys on the bound pattern and caches the result rid
+    * vectors (`fs_bind_cache.res`). */
   /** Cache key: store compared by REFERENCE (a mutated store is a new
     * instance and must never hit), text by value. */
   private final class PlanKey(val store: QuadStore, val text: String) {
@@ -44,19 +48,15 @@ object Sparql {
     val k = new PlanKey(store, key)
     val hit = planCache.get(k)
     if (hit != null) return hit
-    Parser.parse(text) match {
-      case q: AskQ => ask(store, spark, q) // eager any-rows test, uncached
-      case q =>
-        val df = q match {
-          case s: SelectQ    => select(store, spark, s, terms)
-          case c: ConstructQ => construct(store, spark, c)
-          case d: DescribeQ  => describe(store, spark, d)
-          case _: AskQ       => throw new IllegalStateException
-        }
-        if (planCache.size > 1024) planCache.clear()
-        planCache.put(k, df)
-        df
+    val df = Parser.parse(text) match {
+      case s: SelectQ    => select(store, spark, s, terms)
+      case a: AskQ       => ask(store, spark, a)
+      case c: ConstructQ => construct(store, spark, c)
+      case d: DescribeQ  => describe(store, spark, d)
     }
+    if (planCache.size > 1024) planCache.clear()
+    planCache.put(k, df)
+    df
   }
 
   def run(store: QuadStore, spark: SparkSession, text: String): DataFrame =
