@@ -53,18 +53,35 @@ object Curation {
     * source, domain …) take documents in a deterministic seeded-random
     * order until the group's cumulative `lenCol` reaches `budget` —
     * whole documents only. This is how a training mix is drawn to hit
-    * per-domain token quotas. One shuffle (by group); the per-group
-    * window streams, state is a single running sum.
+    * per-domain token quotas.
+    *
+    * The per-group running sum uses the same two-pass shape as
+    * [[packSequences]], NOT a `Window.partitionBy(group)` over the raw
+    * corpus — that would put one giant domain ("web" at 80% of a 100 TB
+    * mix) on ONE task. The seeded order key is an md5 hex string, so its
+    * leading 3 hex chars are an order-preserving 4096-way chunking:
+    * sorting by (chunk, key) equals sorting by key. Pass 1 cumsums
+    * within (group, chunk); pass 2 prefixes the per-(group, chunk)
+    * totals — ≤4096 rows per group — and broadcasts them back.
     */
   def budgetSample(df: DataFrame, groupCol: String, idCol: String,
                    lenCol: String, budget: Long, seed: Int = 42): DataFrame = {
     val key = shuffleKey(col(idCol), seed)
-    val cum = sum(col(lenCol)).over(
-      Window.partitionBy(groupCol).orderBy(key)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    df.withColumn("_cum", cum.cast("long"))
-      .filter(col("_cum") <= budget)
-      .drop("_cum")
+    val chunkC = substring(key, 1, 3)
+    val local = df.withColumn("_key", key).withColumn("_kchunk", chunkC)
+      .withColumn("_local_cum", sum(col(lenCol)).over(
+        Window.partitionBy(groupCol, "_kchunk").orderBy("_key")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val prefixes = df.withColumn("_kchunk", chunkC)
+      .groupBy(groupCol, "_kchunk").agg(sum(col(lenCol)).as("_tot"))
+      .withColumn("_prefix", coalesce(sum(col("_tot")).over(
+        Window.partitionBy(groupCol).orderBy("_kchunk")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col(groupCol).as("_pg"), col("_kchunk"), col("_prefix"))
+    local.join(broadcast(prefixes),
+        col(groupCol) === col("_pg") && local("_kchunk") === prefixes("_kchunk"))
+      .filter((col("_prefix") + col("_local_cum")).cast("long") <= budget)
+      .drop("_key", "_kchunk", "_local_cum", "_pg", "_prefix")
   }
 
   /** Deterministic seeded shuffle into `shards` output shards with a

@@ -248,6 +248,28 @@ class PlanSpec extends SparkTestBase {
       s"compat MINUS planned a nested loop:\n$plan")
   }
 
+  test("budget sampling cumsums in key chunks, no one-task-per-group window") {
+    val docs = graft.core.Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), col("lang"),
+        col("n_chars").cast("long").as("len"))
+    val plan = planOf(graft.operators.Curation.budgetSample(
+      docs, "lang", "doc_id", "len", budget = 3000))
+    // the corpus-wide running sum must window on (group, key-chunk);
+    // a group-only partitioning may appear only above the chunk-totals
+    // aggregate (≤4096 rows per group), never over the raw corpus
+    assert(plan.contains("_kchunk"),
+      s"corpus window not chunked:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"chunk prefixes must broadcast:\n$plan")
+    val groupOnly = "Exchange hashpartitioning\\(lang#\\d+, \\d+\\)".r
+    for (m <- groupOnly.findAllIn(plan)) {
+      val below = plan.substring(plan.indexOf(m))
+      assert(below.indexOf("HashAggregate") >= 0 &&
+        below.indexOf("HashAggregate") < below.indexOf("FileScan"),
+        s"group-only window fed by a raw scan:\n$plan")
+    }
+  }
+
   test("seeded shuffle plans per-shard windows, not a global sort") {
     val docs = graft.core.Tables.t(spark, sf, "documents").select("doc_id")
     val plan = planOf(graft.operators.Curation.seededShuffle(
