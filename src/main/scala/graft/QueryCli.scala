@@ -90,11 +90,19 @@ object QueryCli {
           format match {
             case "xml" => print(RefFormat.askXml(r))
             case "json" => println(Results.toAskJson(r))
+            case "testcase" =>
+              RefFormat.testcaseAskLines(r).foreach(println)
             case _ => println(r)
           }
         case _: Ast.ConstructQ | _: Ast.DescribeQ =>
           RefFormat.ntLines(Sparql.run(store, spark, q)).foreach(println)
-        case _: Ast.SelectQ => format match {
+        case sq: Ast.SelectQ => format match {
+          case "testcase" =>
+            // the reference's DAWG-harness format (`output_testcase`,
+            // `results.c:2397`): rs:index only under an explicit order
+            RefFormat.testcaseLines(Sparql.runTerms(store, spark, q),
+              dtUris(), ordered = sq.mods.orderBy.nonEmpty)
+              .foreach(println)
           case "text" =>
             RefFormat.textLines(Sparql.runTerms(store, spark, q), dtUris())
               .foreach(println)

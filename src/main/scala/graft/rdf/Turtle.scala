@@ -71,18 +71,63 @@ object Turtle {
     private def bnode: Parser[Term] =
       "_:" ~> """[A-Za-z0-9_]+""".r ^^ BNode.apply
 
+    // parser-generated bnodes (blankNodePropertyList / collection / []),
+    // labeled like Raptor's genid sequence (the reference's parser,
+    // `src/frontend/import.c`); a document using literal `_:genidN`
+    // labels alongside `[...]` would collide, as it would under Raptor
+    private var genId = 0
+    private def freshBNode(): Term = { genId += 1; BNode(s"genid$genId") }
+
+    // triples emitted from inside nested [ ... ] / ( ... ) terms; drained
+    // per-document by `run` (triple order is irrelevant to the store)
+    private val nested =
+      scala.collection.mutable.ListBuffer[(Term, Term, Term)]()
+
+    /** `[ p1 o1 ; p2 o2 ]` — fresh bnode carrying the inner triples;
+      * bare `[]` is an anonymous bnode (Turtle ANON). */
+    private def bnodePropList: Parser[Term] =
+      "[" ~> opt(predObjList) <~ opt(";") <~ "]" ^^ { pol =>
+        val b = freshBNode()
+        pol.getOrElse(Nil).foreach { case p ~ os =>
+          os.foreach(o => nested += ((b, p, o))) }
+        b
+      }
+
+    /** `( o1 o2 ... )` — RDF collection: rdf:first/rdf:rest chain,
+      * empty list = rdf:nil. */
+    private def collection: Parser[Term] =
+      "(" ~> rep(obj) <~ ")" ^^ { os =>
+        val nil: Term = Uri(Rdf.nil)
+        os.foldRight(nil) { (o, tail) =>
+          val cell = freshBNode()
+          nested += ((cell, Uri(Rdf.first), o))
+          nested += ((cell, Uri(Rdf.rest), tail))
+          cell
+        }
+      }
+
     private def subject: Parser[Term] =
-      iri ^^ Uri.apply | bnode
+      iri ^^ Uri.apply | bnode | collection
     private def verb: Parser[Term] =
       "a\\b".r ^^^ Uri(Rdf.typ) | iri ^^ Uri.apply
     private def obj: Parser[Term] =
-      literal | iri ^^ Uri.apply | bnode
+      literal | iri ^^ Uri.apply | bnode | bnodePropList | collection
+
+    private def predObjList: Parser[List[Term ~ List[Term]]] =
+      rep1sep(verb ~ rep1sep(obj, ","), rep1(";")) // ;; is legal
 
     private def statement: Parser[List[(Term, Term, Term)]] =
-      subject ~ rep1sep(verb ~ rep1sep(obj, ","), ";") <~
-        opt(";") <~ "." ^^ { // Turtle allows a trailing ';'
+      subject ~ predObjList <~ opt(";") <~ "." ^^ {
+        // Turtle allows a trailing ';'
         case s ~ pol =>
           pol.flatMap { case p ~ os => os.map(o => (s, p, o)) }
+      } |
+      // blankNodePropertyList as subject, with optional further
+      // predicate-object list: `[ :p :o ] :q :r .`
+      bnodePropList ~ opt(predObjList) <~ opt(";") <~ "." ^^ {
+        case b ~ pol =>
+          pol.getOrElse(Nil).flatMap { case p ~ os =>
+            os.map(o => (b, p, o)) }
       }
 
     private def directive: Parser[List[(Term, Term, Term)]] =
@@ -99,7 +144,7 @@ object Turtle {
 
     def run(text: String): List[(Term, Term, Term)] =
       parseAll(doc, text) match {
-        case Success(ts, _) => ts
+        case Success(ts, _) => ts ++ nested.toList
         case other =>
           throw new IllegalArgumentException(s"turtle parse error: $other")
       }

@@ -94,6 +94,65 @@ object RefFormat {
 
   def askText(result: Boolean): Seq[String] = Seq(result.toString)
 
+  // ---------------------------------------------------- DAWG testcase
+
+  private val testcasePrologue = Seq(
+    "@prefix rs: <http://www.w3.org/2001/sw/DataAccess/tests/result-set#> .",
+    "@prefix rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#> .",
+    "@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .",
+    "")
+
+  private def turtleTerm(s: Row, dtUris: Map[Long, String]): String = {
+    val lex = if (s.isNullAt(1)) "" else s.getString(1)
+    if (!s.isNullAt(0) && Rid.isUri(s.getLong(0))) s"<$lex>"
+    else if (!s.isNullAt(0) && Rid.isBNode(s.getLong(0))) s"_:$lex"
+    else {
+      val lang = if (s.isNullAt(3)) "" else s.getString(3)
+      val dtv = if (s.isNullAt(2)) 0L else s.getLong(2)
+      val q = "\"" + escape(lex) + "\""
+      if (lang.nonEmpty) s"$q@$lang"
+      else if (dtv != 0L && dtUris.contains(dtv))
+        s"""$q^^<${dtUris(dtv)}>"""
+      else q
+    }
+  }
+
+  /** DAWG "testcase" result format (`output_testcase`,
+    * `src/frontend/results.c:2397-2496`): the W3C result-set vocabulary
+    * in Turtle — `[] rdf:type rs:ResultSet ; rs:resultVariable "v", ... ;
+    * rs:solution [ rs:binding [ rs:variable "v" ; rs:value ... ] ] .`
+    * `ordered=true` adds `rs:index` per solution like the reference does
+    * for ORDER BY queries, so a result-set diff can check order. */
+  def testcaseLines(df: DataFrame,
+                    dtUris: Map[Long, String] = xsdDtUris,
+                    ordered: Boolean = false): Seq[String] = {
+    val (vars, rows) = cells(df)
+    val out = scala.collection.mutable.ListBuffer[String]()
+    out ++= testcasePrologue
+    out += "[] rdf:type rs:ResultSet ;"
+    out += "   rs:resultVariable " +
+      vars.map("\"" + _ + "\"").mkString(", ")
+    rows.zipWithIndex.foreach { case (r, idx) =>
+      out += " ;\n   rs:solution ["
+      if (ordered) out += s"      rs:index ${idx + 1} ;"
+      val bindings = vars.indices.flatMap { i =>
+        val s = r(i)
+        if (s == null || (s.isNullAt(0) && s.isNullAt(1))) None
+        else Some(s"""      rs:binding [ rs:variable "${vars(i)}" ;""" +
+          s"\n                   rs:value ${turtleTerm(s, dtUris)} ]")
+      }
+      out += bindings.mkString(" ;\n")
+      out += "   ]"
+    }
+    out += " ."
+    out.toSeq
+  }
+
+  /** ASK in testcase format (`output_testcase` boolean branch). */
+  def testcaseAskLines(result: Boolean): Seq[String] =
+    testcasePrologue ++ Seq("[] rdf:type rs:ResultSet ;",
+      s"""   rs:boolean "$result"^^xsd:boolean .""")
+
   private def xmlEscape(s: String): String = s.flatMap {
     case '<' => "&lt;"; case '>' => "&gt;"; case '&' => "&amp;"
     case c => c.toString
