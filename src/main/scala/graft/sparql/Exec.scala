@@ -717,7 +717,11 @@ final class Exec(store: QuadStore, spark: SparkSession) {
   def extend(b: Bindings, v: String, e: Expr): Bindings = {
     val needed = varsOf(e)
     val eb = ensureValues(b, needed)
-    val value = Compiler.compile(e)
+    // a BIND input var the group never binds is the unbound value (so
+    // e.g. COALESCE(?never, "x") binds "x", not an analysis error)
+    val unboundSub: Map[Expr, V] = (needed diff eb.vars)
+      .map(x => (EVar(x): Expr) -> V.nul).toMap
+    val value = Compiler.compile(e, unboundSub)
     val df = eb.df.select(eb.df.columns.map(col) ++ Seq(
       value.rid.as(v), value.lex.as(s"${v}__lex"),
       value.dt.as(s"${v}__dt"),

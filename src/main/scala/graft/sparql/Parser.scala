@@ -45,9 +45,18 @@ class Parser extends RegexParsers {
     """[+-]?(\d+\.\d+|\.\d+)""".r ^^ (s => Lit(s, Xsd.decimal)) |
     """[+-]?\d+""".r ^^ (s => Lit(s, Xsd.integer))
 
+  // one regex per form INCLUDING the quotes — token-split quoting lets
+  // skipWhitespace eat leading whitespace inside the literal (`" "`
+  // would parse as `""`); long (triple-quoted) forms per the grammar
   private def stringLit: Parser[String] =
-    "\"" ~> """([^"\\\n]|\\.)*""".r <~ "\"" ^^ Term.unescape |
-    "'" ~> """([^'\\\n]|\\.)*""".r <~ "'" ^^ Term.unescape
+    """(?s)"{3}(?:(?!"{3}).)*"{3}""".r ^^ (
+      s => Term.unescape(s.substring(3, s.length - 3))) |
+    """(?s)'{3}(?:(?!'{3}).)*'{3}""".r ^^ (
+      s => Term.unescape(s.substring(3, s.length - 3))) |
+    """"(?:[^"\\\n]|\\.)*"""".r ^^ (
+      s => Term.unescape(s.substring(1, s.length - 1))) |
+    """'(?:[^'\\\n]|\\.)*'""".r ^^ (
+      s => Term.unescape(s.substring(1, s.length - 1)))
 
   private def rdfLit: Parser[Term] =
     stringLit ~ opt("^^" ~> iri | "@" ~> """[A-Za-z]+(-[A-Za-z0-9]+)*""".r ^^
@@ -317,9 +326,13 @@ class Parser extends RegexParsers {
       // optional commas between items: LAQRS tolerance, as the reference's
       // parser accepts `SELECT ?x, (count(?y) as ?c)`
       ("*" ^^^ Nil | rep1sep(selectItem, opt(","))) ~ datasetClause ~
-      (opt(kw("WHERE")) ~> groupGraphPattern) ~ solutionMods ^^ {
-      case d ~ items ~ ds ~ where ~ mods =>
-        SelectQ(items, where,
+      (opt(kw("WHERE")) ~> groupGraphPattern) ~ solutionMods ~
+      // trailing ValuesClause (SPARQL 1.1 grammar [28]): joins the
+      // WHERE pattern like an in-group VALUES
+      opt(kw("VALUES") ~> valuesClause) ^^ {
+      case d ~ items ~ ds ~ where ~ mods ~ vals =>
+        val w = vals.map(v => GroupGP(List(where, v), Nil)).getOrElse(where)
+        SelectQ(items, w,
           mods.copy(distinct = d.contains(1), reduced = d.contains(2),
             dataset = ds._1, datasetNamed = ds._2))
     }

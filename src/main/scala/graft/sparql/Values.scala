@@ -142,15 +142,24 @@ object Compiler {
   }
 
   /** value equality with term-identity fallback
-    * (`src/frontend/filter.c:526-610`) */
-  private def eq(a: V, b: V): Column =
+    * (`src/frontend/filter.c:526-610`). After the value-comparable rows
+    * (numeric, dateTime, boolean, string), RDFterm-equal applies
+    * (SPARQL 1.1 §17.4.1.7): same term -> true; two distinct literals
+    * that no value row could compare -> type error (NULL), NOT false —
+    * `"1" != 1` must drop the row, not keep it; anything else (a URI or
+    * bnode on either side) -> false. */
+  private def eq(a: V, b: V): Column = {
+    val bothLit = Rid.isLiteralCol(a.rid) && Rid.isLiteralCol(b.rid)
     when(a.num.isNotNull && b.num.isNotNull, a.num === b.num)
       .when(a.ts.isNotNull && b.ts.isNotNull, a.ts === b.ts)
       .when(a.bool.isNotNull && b.bool.isNotNull, a.bool === b.bool)
-      .when(a.rid.isNotNull && b.rid.isNotNull,
-        a.rid === b.rid) // same term (covers strings, langs, URIs)
       .when(a.str.isNotNull && b.str.isNotNull, a.str === b.str)
+      .when(a.rid.isNotNull && b.rid.isNotNull && a.rid === b.rid, true)
+      .when(a.rid.isNotNull && b.rid.isNotNull && bothLit,
+        lit(null).cast("boolean"))
+      .when(a.rid.isNotNull && b.rid.isNotNull, false)
       .otherwise(lit(null).cast("boolean"))
+  }
 
   private def cmp(a: V, b: V, f: (Column, Column) => Column): Column =
     when(a.num.isNotNull && b.num.isNotNull, f(a.num, b.num))
@@ -259,10 +268,14 @@ object Compiler {
     case "LANG" => V.ofStr(coalesce(vs(0).lang, lit("")))
     case "DATATYPE" =>
       // plain literal -> xsd:string; typed -> its datatype URI (resolved
-      // lazily: we only support well-known datatypes here)
-      val dtUri = when(vs(0).lang =!= "", lit(Rdf.langString))
-        .when(vs(0).dt === 0L, lit(Xsd.string))
-        .otherwise(dtLexOf(vs(0).dt))
+      // lazily: we only support well-known datatypes here). URIs, bnodes
+      // and unbound are a type error (SPARQL 1.1 §17.4.2.7's argument
+      // type is `literal`), like the reference's fn_datatype
+      val dtUri = when(
+        vs(0).rid.isNotNull && Rid.isLiteralCol(vs(0).rid),
+        when(vs(0).lang =!= "", lit(Rdf.langString))
+          .when(vs(0).dt === 0L, lit(Xsd.string))
+          .otherwise(dtLexOf(vs(0).dt)))
       V.ofUri(dtUri)
     case "LANGMATCHES" =>
       val l = lower(vs(0).anyLex); val r = lower(vs(1).anyLex)
@@ -340,7 +353,13 @@ object Compiler {
         concat(lit("(?"), flags, lit(")"), vs(1).anyLex))
         .otherwise(vs(1).anyLex)
       V.ofBool(call_function("rlike", vs(0).anyLex, pat))
-    case "ENCODE_FOR_URI" => V.ofStr(url_encode(vs(0).anyLex))
+    case "ENCODE_FOR_URI" =>
+      // fn:encode-for-uri percent-encodes with unreserved A-Za-z0-9-_.~;
+      // url_encode is form-encoding — patch its three divergences
+      // (space -> '+', '*' kept, '~' escaped)
+      V.ofStr(regexp_replace(regexp_replace(regexp_replace(
+        url_encode(vs(0).anyLex), "\\+", "%20"), "\\*", "%2A"),
+        "%7E", "~"))
 
     // dates (`src/frontend/filter.c:1486-1572`)
     case "YEAR"    => V.ofNum(year(vs(0).ts).cast("double"), lit(true))

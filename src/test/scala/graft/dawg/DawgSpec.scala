@@ -139,7 +139,11 @@ class DawgSpec extends SparkTestBase {
               else {
                 val dtv = if (s.isNullAt(2)) 0L else s.getLong(2)
                 val lang = if (s.isNullAt(3)) "" else s.getString(3)
-                NLit(lex, if (dtv == 0L) "" else dtm.getOrElse(dtv, s"?$dtv"),
+                // a lang literal's attr rid is its language tag (the
+                // reference's lang-as-attribute model), not a datatype
+                NLit(lex,
+                  if (dtv == 0L || lang.nonEmpty) ""
+                  else dtm.getOrElse(dtv, s"?$dtv"),
                   lang.toLowerCase)
               }
             Some(vars(i) -> nt)
