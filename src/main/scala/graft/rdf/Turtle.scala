@@ -45,10 +45,16 @@ object Turtle {
 
     private def iri: Parser[String] = iriRef | pname
 
+    // each form is ONE regex including the quotes: splitting into
+    // open-quote ~> body tokens lets RegexParsers' skipWhitespace eat
+    // leading whitespace INSIDE the literal (`" "` parsed as `""`)
     private def stringLit: Parser[String] =
-      "\"\"\"" ~> """(?s)((?!\"\"\").)*""".r <~ "\"\"\"" ^^ Term.unescape |
-      "\"" ~> """([^"\\\n]|\\.)*""".r <~ "\"" ^^ Term.unescape |
-      "'" ~> """([^'\\\n]|\\.)*""".r <~ "'" ^^ Term.unescape
+      """(?s)"{3}(?:(?!"{3}).)*"{3}""".r ^^ (
+        s => Term.unescape(s.substring(3, s.length - 3))) |
+      """"(?:[^"\\\n]|\\.)*"""".r ^^ (
+        s => Term.unescape(s.substring(1, s.length - 1))) |
+      """'(?:[^'\\\n]|\\.)*'""".r ^^ (
+        s => Term.unescape(s.substring(1, s.length - 1)))
 
     private def literal: Parser[Term] =
       stringLit ~ opt("^^" ~> iri ^^ ("^" + _) |

@@ -9,6 +9,10 @@ object Ast {
   sealed trait PTerm
   final case class PVar(name: String) extends PTerm
   final case class PConst(t: Term) extends PTerm
+  /** a concrete stored-bnode reference (`<bnode:LABEL>`, the reference's
+    * 4s-query addressing extension, `tests/query/scripts/select-bnodes`)
+    * — unlike a query `_:` bnode it is NOT an existential variable */
+  final case class PBnodeConst(label: String) extends PTerm
 
   final case class TriplePat(s: PTerm, p: PTerm, o: PTerm)
 

@@ -620,6 +620,7 @@ final class Exec(store: QuadStore, spark: SparkSession) {
       val pats = pats0.map { tp =>
         def rw(t: PTerm): PTerm = t match {
           case PConst(BNode(l)) => PVar(s"__bn_$l")
+          case PBnodeConst(l) => PConst(BNode(l)) // `<bnode:L>`: concrete
           case other => other
         }
         TriplePat(rw(tp.s), tp.p, rw(tp.o))

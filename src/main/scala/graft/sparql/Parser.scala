@@ -78,14 +78,25 @@ class Parser extends RegexParsers {
     "[" ~ "]" ^^^ BNode(s"anon${BNodeGen.next()}")
 
   // ---- pattern terms ----
+  /** the reference's `<bnode:LABEL>` IRI extension addresses a stored
+    * bnode directly (4s-query bnode scheme, tests/query/scripts/
+    * select-bnodes) — it denotes the bnode term, not a URI */
+  private def termOfIri(u: String): graft.rdf.Term =
+    if (u.startsWith("bnode:")) graft.rdf.BNode(u.substring(6)) else Uri(u)
+  /** pattern-slot form: a `bnode:` ref is a CONCRETE bnode term (not an
+    * existential like a `_:` query bnode) */
+  private def ptermOfIri(u: String): PTerm =
+    if (u.startsWith("bnode:")) PBnodeConst(u.substring(6))
+    else PConst(Uri(u))
+
   private def ptermS: Parser[PTerm] =
-    VAR ^^ PVar.apply | iri ^^ (u => PConst(Uri(u))) | bnode ^^ PConst.apply
+    VAR ^^ PVar.apply | iri ^^ ptermOfIri | bnode ^^ PConst.apply
   private def ptermP: Parser[PTerm] =
     VAR ^^ PVar.apply | kw("a") ^^^ PConst(Uri(Rdf.typ)) |
     iri ^^ (u => PConst(Uri(u)))
   private def ptermO: Parser[PTerm] =
     VAR ^^ PVar.apply | literal ^^ PConst.apply |
-    iri ^^ (u => PConst(Uri(u))) | bnode ^^ PConst.apply
+    iri ^^ ptermOfIri | bnode ^^ PConst.apply
 
   // ---- property paths (SPARQL 1.1 §9; extension — the reference's
   // Rasqal-era parser has no paths). Precedence: | < / < ^ < mod. ----
@@ -242,7 +253,7 @@ class Parser extends RegexParsers {
     castCall |
     literal ^^ EConst.apply |
     VAR ^^ EVar.apply |
-    iri ^^ (u => EConst(Uri(u)))
+    iri ^^ (u => EConst(termOfIri(u)))
 
   private def existsExpr: Parser[Expr] =
     kw("NOT") ~> kw("EXISTS") ~> groupGraphPattern ^^ (EExists(_, neg = true)) |
