@@ -51,6 +51,18 @@ final class Endpoint(spark: SparkSession, initial: QuadStore, port: Int = 0,
     ex.close()
   }
 
+  /** chunked streaming response — result rows go out as they arrive
+    * from `toLocalIterator` (the reference serializes row-at-a-time,
+    * `results.c:2598+`); a huge CONSTRUCT/SELECT never materializes in
+    * driver memory */
+  private def respondStream(ex: HttpExchange, ctype: String)(
+      write: java.io.Writer => Unit): Unit = {
+    ex.getResponseHeaders.set("Content-Type", ctype)
+    ex.sendResponseHeaders(200, 0) // length 0 = chunked transfer
+    val w = new java.io.OutputStreamWriter(ex.getResponseBody, UTF_8)
+    try { write(w); w.flush() } finally ex.close()
+  }
+
   private def bodyOf(ex: HttpExchange): String =
     new String(ex.getRequestBody.readAllBytes(), UTF_8)
 
@@ -79,19 +91,50 @@ final class Endpoint(spark: SparkSession, initial: QuadStore, port: Int = 0,
           // row cap on the result, like the reference's restricted mode
           p.get("soft-limit").map(_.toInt).filter(_ > 0)
             .foreach(n => df = df.limit(n))
-          p.getOrElse("output", "json") match {
-            case "xml" => respond(ex, 200, Results.toXml(df),
-              "application/sparql-results+xml")
-            case "tsv" | "text" =>
-              val lines = Results.toTsvLines(df).collect()
-                .map(_.getString(0)).mkString("\n")
-              respond(ex, 200, lines, "text/tab-separated-values")
+          // explicit `output=` wins; otherwise the Accept header picks
+          // the format, in the reference's precedence order
+          // (`http_answer_query`, httpd.c:404-444)
+          val accept =
+            Option(ex.getRequestHeaders.getFirst("Accept")).getOrElse("")
+          val isGraph = graft.sparql.Parser.parse(q) match {
+            case _: graft.sparql.Ast.ConstructQ |
+                 _: graft.sparql.Ast.DescribeQ => true
+            case _ => false
+          }
+          val fmt = p.get("output").getOrElse {
+            if (isGraph && accept.contains("text/turtle")) "turtle"
+            else if (isGraph && accept.contains("application/rdf+xml")) "xml"
+            else if (accept.contains("application/sparql-results+xml")) "xml"
+            else if (accept.contains("application/sparql-results+json"))
+              "json"
+            else if (accept.contains("application/json")) "json"
+            else if (accept.contains("text/tab-separated-values")) "tsv"
+            else if (accept.contains("application/n-triples")) "ntriples"
+            else if (accept.contains("text/csv")) "csv"
+            else if (accept.contains("text/plain")) "tsv"
+            else "json"
+          }
+          def writeNt(w: java.io.Writer): Unit = {
+            val it = df.toLocalIterator()
+            while (it.hasNext) {
+              val r = it.next()
+              w.write(s"${r.getString(0)} ${r.getString(1)} ${
+                r.getString(2)} .\n")
+            }
+          }
+          fmt match {
+            case "xml" => respondStream(ex,
+              "application/sparql-results+xml")(Results.writeXml(df, _))
+            case "tsv" | "text" => respondStream(ex,
+              "text/tab-separated-values")(Results.writeTsv(df, _))
             case "csv" =>
-              respond(ex, 200, Results.toCsvLines(df).mkString("\n"),
-                "text/csv")
-            case _ => respond(ex, 200,
-              Results.toJson(df, p.getOrElse("callback", "")),
-              "application/sparql-results+json")
+              respondStream(ex, "text/csv")(Results.writeCsv(df, _))
+            case "turtle" => // N-Triples is valid Turtle, as the
+              respondStream(ex, "text/turtle")(writeNt) // reference emits
+            case "ntriples" =>
+              respondStream(ex, "application/n-triples")(writeNt)
+            case _ => respondStream(ex, "application/sparql-results+json")(
+              Results.writeJson(df, _, p.getOrElse("callback", "")))
           }
       }
     } catch {
@@ -155,6 +198,50 @@ final class Endpoint(spark: SparkSession, initial: QuadStore, port: Int = 0,
         val n = store.quads.count()
         respond(ex, 200, s"""{"quads":$n,"engine":"graft","ok":true}""")
       }
+    } catch {
+      case e: Exception =>
+        respond(ex, 400, s"""{"error":"${e.getMessage}"}""")
+    }
+  })
+
+  /** service description (`http_service_description`,
+    * `src/http/httpd.c:1003-1070`): the reference's Turtle document —
+    * query language, result formats, store size — with live counts. */
+  server.createContext("/description/", new HttpHandler {
+    def handle(ex: HttpExchange): Unit = try {
+      val st = store
+      val body =
+        """@prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .
+          |@prefix sd: <http://darq.sf.net/dose/0.1#> .
+          |@prefix saddle: <http://www.w3.org/2005/03/saddle/#> .
+          |@prefix void: <http://rdfs.org/ns/void#> .
+          |[] a sd:Service ;
+          |  saddle:queryLanguage [
+          |    rdfs:label "SPARQL" ;
+          |    saddle:spec <http://www.w3.org/TR/rdf-sparql-query/>
+          |  ] ;
+          |  saddle:resultFormat [
+          |    rdfs:label "SPARQL Query Results XML" ;
+          |    saddle:mediaType "application/sparql-results+xml" ;
+          |    saddle:spec <http://www.w3.org/TR/rdf-sparql-XMLres/>
+          |  ] ;
+          |  saddle:resultFormat [
+          |    rdfs:label "SPARQL Query Results JSON" ;
+          |    saddle:mediaType "application/sparql-results+json" ;
+          |    saddle:spec <http://www.w3.org/TR/rdf-sparql-json-res/>
+          |  ] ;
+          |  saddle:resultFormat [
+          |    rdfs:label "SPARQL Query Results UTF-8 text" ;
+          |    saddle:mediaType "text/plain" ;
+          |    saddle:spec <http://example.org/sparql/text-format/>
+          |  ] ;
+          |""".stripMargin +
+          s"""  rdfs:label "graft SPARQL Endpoint" ;
+             |  sd:totalTriples ${st.quads.count()} ;
+             |  sd:totalResources ${st.resources.count()} ;
+             |.
+             |""".stripMargin
+      respond(ex, 200, body, "text/turtle; charset=utf-8")
     } catch {
       case e: Exception =>
         respond(ex, 400, s"""{"error":"${e.getMessage}"}""")

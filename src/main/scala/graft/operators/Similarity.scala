@@ -94,6 +94,33 @@ object Similarity {
       .select("query_id", "rank", "item_id", "score")
   }
 
+  /** Train IVF centroids with sampled k-means (Spark ML `KMeans`, i.e.
+    * kmeans|| init) — the quality path for [[ivfTopK]]'s pluggable
+    * quantizer. At 100 TB: fit on a sample (`sampleFraction`), never the
+    * corpus; the model is tiny (nCells × dim) and the result broadcasts
+    * into the same assignment join as the default quantizer. Returns
+    * `(idCol: cell id, vecCol: float centroid)` shaped for `centroids=`.
+    */
+  def trainCentroids(items: DataFrame, idCol: String, vecCol: String,
+                     nCells: Int, maxIter: Int = 10,
+                     sampleFraction: Double = 1.0,
+                     seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val sampled =
+      if (sampleFraction < 1.0) items.sample(sampleFraction, seed)
+      else items
+    val data = sampled.select(
+      array_to_vector(col(vecCol).cast("array<double>")).as("features"))
+    val model = new KMeans().setK(nCells).setMaxIter(maxIter)
+      .setSeed(seed).setFeaturesCol("features").fit(data)
+    val spark = items.sparkSession
+    import spark.implicits._
+    model.clusterCenters.zipWithIndex.toSeq
+      .map { case (v, i) => (i.toLong, v.toArray.map(_.toFloat)) }
+      .toDF(idCol, vecCol)
+  }
+
   /** Deterministic pseudo-random hyperplanes (xorshift on indices); every
     * component is an exact binary fraction k/1024 - 1, so SQL oracles can
     * embed the planes as literal arrays with no FP representation loss. */

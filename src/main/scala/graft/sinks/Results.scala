@@ -47,6 +47,94 @@ object Results {
         .mkString(","))
   }
 
+  // ------------------------------------------------- streaming writers
+  //
+  // The HTTP emitters below stream row-at-a-time over
+  // `df.toLocalIterator` (one partition in driver memory at a time) —
+  // the reference likewise serializes a row per fetch
+  // (`results.c:2598+`). A CONSTRUCT dump of a big store then never
+  // materializes on the driver; the response goes out chunked.
+
+  /** CSV to a Writer: header + rows, RFC-4180 quoting. */
+  def writeCsv(df: DataFrame, out: java.io.Writer): Unit = {
+    def cell(v: String): String =
+      if (v == null) ""
+      else if (v.exists(c => c == ',' || c == '"' || c == '\n' || c == '\r'))
+        "\"" + v.replace("\"", "\"\"") + "\""
+      else v
+    out.write(df.columns.mkString(","))
+    val it = df.toLocalIterator()
+    while (it.hasNext) {
+      val r = it.next()
+      out.write("\n")
+      out.write((0 until r.length).map(i =>
+        cell(if (r.isNullAt(i)) null else r.get(i).toString))
+        .mkString(","))
+    }
+  }
+
+  /** TSV with `?var` header to a Writer (reference `output_text`). */
+  def writeTsv(df: DataFrame, out: java.io.Writer): Unit = {
+    def cell(v: String): String =
+      if (v == null) ""
+      else v.replace("\\", "\\\\").replace("\t", "\\t").replace("\n", "\\n")
+    out.write(df.columns.map("?" + _).mkString("\t"))
+    val it = df.toLocalIterator()
+    while (it.hasNext) {
+      val r = it.next()
+      out.write("\n")
+      out.write((0 until r.length).map(i =>
+        cell(if (r.isNullAt(i)) null else r.get(i).toString))
+        .mkString("\t"))
+    }
+  }
+
+  /** SPARQL results JSON to a Writer (streamed `toJson`). */
+  def writeJson(df: DataFrame, out: java.io.Writer,
+                callback: String = ""): Unit = {
+    val vars = df.columns
+    if (callback.nonEmpty) out.write(callback + "(")
+    out.write("""{"head":{"vars":""" +
+      vars.map(v => "\"" + v + "\"").mkString("[", ",", "]") +
+      """},"results":{"bindings":[""")
+    val it = df.toLocalIterator()
+    var first = true
+    while (it.hasNext) {
+      val r = it.next()
+      if (!first) out.write(",")
+      first = false
+      out.write(vars.indices.flatMap { i =>
+        Option(r.get(i)).map(v =>
+          s""""${vars(i)}":${termJson(v.toString)}""")
+      }.mkString("{", ",", "}"))
+    }
+    out.write("]}}")
+    if (callback.nonEmpty) out.write(");")
+  }
+
+  /** SPARQL results XML to a Writer (streamed `toXml`). */
+  def writeXml(df: DataFrame, out: java.io.Writer): Unit = {
+    val vars = df.columns
+    out.write("<?xml version=\"1.0\"?>\n")
+    out.write("<sparql xmlns=\"http://www.w3.org/2005/sparql-results#\">\n")
+    out.write("  <head>\n")
+    vars.foreach(v => out.write(s"""    <variable name="$v"/>\n"""))
+    out.write("  </head>\n  <results>\n")
+    val it = df.toLocalIterator()
+    while (it.hasNext) {
+      val r = it.next()
+      out.write("    <result>\n")
+      vars.indices.foreach { i =>
+        Option(r.get(i)).foreach { v =>
+          out.write(s"""      <binding name="${vars(i)}">${
+            xmlBinding(v.toString)}</binding>\n""")
+        }
+      }
+      out.write("    </result>\n")
+    }
+    out.write("  </results>\n</sparql>\n")
+  }
+
   private def jsonEscape(s: String): String = s.flatMap {
     case '"' => "\\\""
     case '\\' => "\\\\"
@@ -81,17 +169,9 @@ object Results {
   /** SPARQL results JSON (`results.c:2248-2395`); `callback` wraps in
     * JSON-P like the reference's `callback=` parameter. */
   def toJson(df: DataFrame, callback: String = ""): String = {
-    val vars = df.columns
-    val head = vars.map(v => "\"" + v + "\"").mkString("[", ",", "]")
-    val bindings = df.collect().map { r =>
-      vars.indices.flatMap { i =>
-        Option(r.get(i)).map(v =>
-          s""""${vars(i)}":${termJson(v.toString)}""")
-      }.mkString("{", ",", "}")
-    }.mkString("[", ",", "]")
-    val doc = s"""{"head":{"vars":$head},""" +
-      s""""results":{"bindings":$bindings}}"""
-    if (callback.nonEmpty) s"$callback($doc);" else doc
+    val w = new java.io.StringWriter()
+    writeJson(df, w, callback)
+    w.toString
   }
 
   def toAskJson(result: Boolean): String =
@@ -102,42 +182,28 @@ object Results {
     case '"' => "&quot;"; case c => c.toString
   }
 
+  /** one `<binding>` body from an NT-serialized term */
+  private def xmlBinding(s: String): String =
+    if (s.startsWith("<") && s.endsWith(">"))
+      s"<uri>${xmlEscape(s.substring(1, s.length - 1))}</uri>"
+    else if (s.startsWith("_:"))
+      s"<bnode>${xmlEscape(s.drop(2))}</bnode>"
+    else if (s.startsWith("\"")) {
+      val end = s.lastIndexOf('"')
+      val lex = xmlEscape(s.substring(1, end))
+      val suffix = s.substring(end + 1)
+      if (suffix.startsWith("@"))
+        s"""<literal xml:lang="${suffix.drop(1)}">$lex</literal>"""
+      else if (suffix.startsWith("^^<"))
+        s"""<literal datatype="${
+          suffix.substring(3, suffix.length - 1)}">$lex</literal>"""
+      else s"<literal>$lex</literal>"
+    } else s"<literal>${xmlEscape(s)}</literal>"
+
   /** SPARQL results XML (`results.c:1900-2012`). */
   def toXml(df: DataFrame): String = {
-    val vars = df.columns
-    val sb = new StringBuilder
-    sb ++= "<?xml version=\"1.0\"?>\n"
-    sb ++= "<sparql xmlns=\"http://www.w3.org/2005/sparql-results#\">\n"
-    sb ++= "  <head>\n"
-    vars.foreach(v => sb ++= s"""    <variable name="$v"/>\n""")
-    sb ++= "  </head>\n  <results>\n"
-    df.collect().foreach { r =>
-      sb ++= "    <result>\n"
-      vars.indices.foreach { i =>
-        Option(r.get(i)).foreach { v =>
-          val s = v.toString
-          val inner =
-            if (s.startsWith("<") && s.endsWith(">"))
-              s"<uri>${xmlEscape(s.substring(1, s.length - 1))}</uri>"
-            else if (s.startsWith("_:"))
-              s"<bnode>${xmlEscape(s.drop(2))}</bnode>"
-            else if (s.startsWith("\"")) {
-              val end = s.lastIndexOf('"')
-              val lex = xmlEscape(s.substring(1, end))
-              val suffix = s.substring(end + 1)
-              if (suffix.startsWith("@"))
-                s"""<literal xml:lang="${suffix.drop(1)}">$lex</literal>"""
-              else if (suffix.startsWith("^^<"))
-                s"""<literal datatype="${
-                  suffix.substring(3, suffix.length - 1)}">$lex</literal>"""
-              else s"<literal>$lex</literal>"
-            } else s"<literal>${xmlEscape(s)}</literal>"
-          sb ++= s"""      <binding name="${vars(i)}">$inner</binding>\n"""
-        }
-      }
-      sb ++= "    </result>\n"
-    }
-    sb ++= "  </results>\n</sparql>\n"
-    sb.toString
+    val w = new java.io.StringWriter()
+    writeXml(df, w)
+    w.toString
   }
 }

@@ -312,4 +312,69 @@ object Update {
         }
         QuadStore(quads, resources, valued)
     }
+
+  // ---------------------------------------------------- durable updates
+
+  /** Apply a SPARQL Update to a store persisted by
+    * [[graft.rdf.QuadStore.saveBucketed]] and write the result back —
+    * the durable path of the reference's backend writes
+    * (`src/backend/import-backend.c`: imports append to the ptree/rhash
+    * indexes; deletes rewrite them).
+    *
+    *  - INSERT-only updates (INSERT DATA / LOAD) append ONLY the delta
+    *    rows as new files in the bucketed tables — no rewrite, the
+    *    parquet analog of the reference's incremental import. At 100 TB
+    *    an insert costs O(delta), not O(store); compaction is left to
+    *    the table format.
+    *  - anything that deletes (DELETE DATA/WHERE, Modify, CLEAR, DROP,
+    *    MOVE...) rewrites through a staging table and swaps it in with
+    *    catalog renames, so a concurrent reader sees the old store or
+    *    the new one, never a torn one.
+    *
+    * Returns the reloaded (post-update) store.
+    */
+  def durable(spark: SparkSession, name: String, text: String): QuadStore = {
+    val ops = parse(text)
+    val before = QuadStore.loadBucketed(spark, name)
+    val after = ops.foldLeft(before)((st, op) => applyOp(st, spark, op))
+    val insertOnly = ops.forall {
+      case _: InsertData | _: Load => true
+      case _ => false
+    }
+    if (insertOnly) {
+      val dq = after.quads.join(before.quads, quadKey, "left_anti")
+        .dropDuplicates(quadKey)
+      val dr = after.resources.join(before.resources, Seq("rid"),
+        "left_anti").dropDuplicates("rid")
+      dq.write.mode("append").format("parquet")
+        .bucketBy(32, "s").sortBy("s").saveAsTable(s"${name}_quads")
+      dr.write.mode("append").format("parquet")
+        .bucketBy(32, "rid").sortBy("rid").saveAsTable(s"${name}_resources")
+    } else {
+      def swapIn(df: DataFrame, table: String, bucketCol: String): Unit = {
+        // the staging write READS the live table — only the post-write
+        // renames retire it
+        df.write.mode("overwrite").format("parquet")
+          .bucketBy(32, bucketCol).sortBy(bucketCol)
+          .saveAsTable(s"${table}__stage")
+        spark.sql(s"DROP TABLE IF EXISTS ${table}__old")
+        spark.sql(s"ALTER TABLE $table RENAME TO ${table}__old")
+        spark.sql(s"ALTER TABLE ${table}__stage RENAME TO $table")
+        spark.sql(s"DROP TABLE ${table}__old")
+      }
+      swapIn(after.quads, s"${name}_quads", "s")
+      // deletes leave the dictionary alone (the reference keeps rhash
+      // entries for deleted resources too); only rewrite it when the
+      // update could add terms
+      val touchesResources = ops.exists {
+        case _: DeleteData | _: Clear => false
+        case _ => true
+      }
+      if (touchesResources)
+        swapIn(after.resources, s"${name}_resources", "rid")
+    }
+    spark.catalog.refreshTable(s"${name}_quads")
+    spark.catalog.refreshTable(s"${name}_resources")
+    QuadStore.loadBucketed(spark, name)
+  }
 }

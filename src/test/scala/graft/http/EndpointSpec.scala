@@ -123,4 +123,77 @@ class EndpointSpec extends SparkTestBase {
     val feats = Multimodal.features(media, dim = 8).collect()
     assert(feats.forall(_.getSeq[Float](1).length == 8))
   }
+  // ---- round-5 surface: streaming serialization, content negotiation,
+  // service description
+
+  private def reqFull(url: String, accept: String = null)
+      : (Int, String, java.util.Map[String, java.util.List[String]]) = {
+    val conn = URI.create(url).toURL.openConnection()
+      .asInstanceOf[HttpURLConnection]
+    if (accept != null) conn.setRequestProperty("Accept", accept)
+    val code = conn.getResponseCode
+    val is = if (code < 400) conn.getInputStream else conn.getErrorStream
+    val text = new String(is.readAllBytes(), UTF_8)
+    (code, text, conn.getHeaderFields)
+  }
+
+  test("large results stream chunked, not collected") {
+    val n = 100000
+    val store = QuadStore.fromTerms(spark,
+      Seq.tabulate(n)(i => (Uri(s"urn:s$i"), Uri("urn:p"), Lit(s"v$i"))))
+    val ep = new Endpoint(spark, store, 0).start()
+    try {
+      val base = s"http://localhost:${ep.boundPort}"
+      val (code, bodyText, headers) = reqFull(s"$base/sparql/?query=" +
+        java.net.URLEncoder.encode(
+          "SELECT ?s ?v WHERE { ?s <urn:p> ?v }", "UTF-8") + "&output=tsv")
+      assert(code == 200)
+      // chunked transfer = rows left the driver incrementally
+      // (toLocalIterator), with no Content-Length materialization
+      assert(headers.containsKey("Transfer-encoding") &&
+        headers.get("Transfer-encoding").get(0) == "chunked", headers)
+      assert(bodyText.linesIterator.size == n + 1) // header + rows
+    } finally ep.stop()
+  }
+
+  test("Accept header picks the format when output= is absent") {
+    val store = QuadStore.fromTerms(spark, Seq(
+      (Uri("urn:a"), Uri("urn:name"), Lit("Alice"))))
+    val ep = new Endpoint(spark, store, 0).start()
+    try {
+      val base = s"http://localhost:${ep.boundPort}"
+      val sel = s"$base/sparql/?query=" + java.net.URLEncoder.encode(
+        "SELECT ?n WHERE { ?s <urn:name> ?n }", "UTF-8")
+      val (_, csvBody, csvHdr) = reqFull(sel, accept = "text/csv")
+      assert(csvHdr.get("Content-type").get(0).startsWith("text/csv"))
+      assert(csvBody.linesIterator.toSeq == Seq("n", "Alice"))
+      val (_, xmlBody, _) = reqFull(sel,
+        accept = "application/sparql-results+xml")
+      assert(xmlBody.contains("<sparql xmlns"))
+      // CONSTRUCT + text/turtle -> triples (N-Triples, valid Turtle)
+      val cons = s"$base/sparql/?query=" + java.net.URLEncoder.encode(
+        "CONSTRUCT { ?s <urn:label> ?n } WHERE { ?s <urn:name> ?n }",
+        "UTF-8")
+      val (_, ttlBody, ttlHdr) = reqFull(cons, accept = "text/turtle")
+      assert(ttlHdr.get("Content-type").get(0).startsWith("text/turtle"))
+      assert(ttlBody.trim ==
+        "<urn:a> <urn:label> \"Alice\" .")
+    } finally ep.stop()
+  }
+
+  test("/description/ serves the service document with live sizes") {
+    val store = QuadStore.fromTerms(spark, Seq(
+      (Uri("urn:a"), Uri("urn:name"), Lit("Alice"))))
+    val ep = new Endpoint(spark, store, 0).start()
+    try {
+      val base = s"http://localhost:${ep.boundPort}"
+      val (code, body, hdr) = reqFull(s"$base/description/")
+      assert(code == 200)
+      assert(hdr.get("Content-type").get(0).startsWith("text/turtle"))
+      assert(body.contains("a sd:Service"))
+      assert(body.contains("sd:totalTriples 1"))
+      assert(body.contains("saddle:mediaType \"application/sparql-results+json\""))
+    } finally ep.stop()
+  }
+
 }

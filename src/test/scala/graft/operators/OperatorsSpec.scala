@@ -100,6 +100,43 @@ class OperatorsSpec extends SparkTestBase {
     assert(ivf.size <= 15)
   }
 
+  test("trained IVF centroids beat the default quantizer on skewed data") {
+    // four tight clusters along distinct axes of an 8-dim space; item
+    // ids ordered so the DEFAULT quantizer (lowest-id items) draws all
+    // its centroids from cluster 0 — worst case for untrained IVF
+    def vec(cluster: Int, jitterSeed: Int): Array[Float] = {
+      val v = Array.fill(8)(0.0f)
+      v(cluster * 2) = 1.0f
+      val r = new scala.util.Random(jitterSeed)
+      (0 until 8).foreach(i => v(i) += (r.nextFloat() - 0.5f) * 0.1f)
+      v
+    }
+    val items = (0 until 200).map { i =>
+      val cluster = i / 50 // ids 0-49 cluster 0, 50-99 cluster 1, ...
+      (i.toLong, vec(cluster, i))
+    }.toDF("vec_id", "embedding")
+    val q = items.filter(col("vec_id").isin(10L, 60L, 110L, 160L))
+    val truth = Similarity.bruteForceTopK(items, q, "vec_id", "embedding", 5)
+      .select("query_id", "item_id").as[(Long, Long)].collect().toSet
+
+    def recallOf(cent: Option[org.apache.spark.sql.DataFrame]): Double = {
+      val got = Similarity.ivfTopK(items, q, "vec_id", "embedding",
+          k = 5, nCells = 4, nProbe = 1, centroids = cent)
+        .select("query_id", "item_id").as[(Long, Long)].collect().toSet
+      (truth intersect got).size.toDouble / truth.size
+    }
+    val trained = Similarity.trainCentroids(items, "vec_id", "embedding",
+      nCells = 4, maxIter = 5)
+    val rTrained = recallOf(Some(trained))
+    val rDefault = recallOf(None)
+    // k-means centers recover the four clusters; every query probes its
+    // own cell -> near-perfect recall. The default quantizer's cells all
+    // sit in cluster 0, so off-cluster queries lose their neighborhoods.
+    assert(rTrained >= rDefault,
+      s"trained recall $rTrained < default $rDefault")
+    assert(rTrained > 0.9, s"trained recall too low: $rTrained")
+  }
+
   test("salted join equals plain join on a skewed key") {
     val fact = (1 to 500).map(i => (if (i % 10 == 0) 7L else i.toLong, i))
       .toDF("k", "v") // key 7 is hot

@@ -14,6 +14,26 @@ class UpdateSpec extends SparkTestBase {
   private def askTrue(st: QuadStore, q: String): Boolean =
     Sparql.run(st, spark, q).collect()(0).getBoolean(0)
 
+  /** Drop a durable store's tables AND their warehouse directories — a
+    * crashed prior run can leave a location with no catalog entry, which
+    * blocks the next `saveAsTable`. */
+  private def dropDurable(name: String): Unit = {
+    val wh = java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"))
+    for (base <- Seq(s"${name}_quads", s"${name}_resources");
+         t <- Seq(base, s"${base}__stage", s"${base}__old")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val dir = wh.resolve(t).toFile
+      if (dir.exists) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles.foreach(rm)
+          f.delete()
+        }
+        rm(dir)
+      }
+    }
+  }
+
   test("INSERT DATA then ASK") {
     val st = Update(freshStore, spark,
       """INSERT DATA { <urn:c> <urn:name> "Carol" }""")
@@ -127,4 +147,50 @@ class UpdateSpec extends SparkTestBase {
       """SELECT ?o WHERE { <foo:a> <foo:p> ?o }""").collect()
     assert(r.map(_.getString(0)).toSeq == Seq("p1"))
   }
+  // ---- durable updates (reference backend writes,
+  // src/backend/import-backend.c): update -> save -> reload round-trip
+
+  test("durable INSERT appends to a saved store and survives reload") {
+    dropDurable("durt1")
+    freshStore.saveBucketed("durt1")
+    Update.durable(spark, "durt1",
+      """INSERT DATA { <urn:c> <urn:name> "Carol" }""")
+    // a fresh load (new reader session) must see the insert
+    val st = QuadStore.loadBucketed(spark, "durt1")
+    val names = Sparql.run(st, spark,
+      "SELECT ?n WHERE { ?s <urn:name> ?n } ORDER BY ?n")
+      .collect().map(_.getString(0)).toSeq
+    assert(names == Seq("Alice", "Bob", "Carol"))
+  }
+
+  test("durable DELETE/Modify rewrite via staging swap and survive reload") {
+    dropDurable("durt2")
+    freshStore.saveBucketed("durt2")
+    Update.durable(spark, "durt2",
+      """DELETE DATA { <urn:b> <urn:name> "Bob" }""")
+    Update.durable(spark, "durt2",
+      """INSERT { ?s <urn:greeting> ?n } WHERE { ?s <urn:name> ?n }""")
+    val st = QuadStore.loadBucketed(spark, "durt2")
+    assert(!askTrue(st, """ASK { <urn:b> <urn:name> "Bob" }"""))
+    assert(askTrue(st, """ASK { <urn:a> <urn:greeting> "Alice" }"""))
+    // deletes keep the dictionary (reference rhash behavior); the
+    // resources table still resolves the remaining terms
+    val rows = Sparql.run(st, spark,
+      "SELECT ?p ?o WHERE { <urn:a> ?p ?o } ORDER BY ?p ?o")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(rows == Seq(("urn:age", "30"), ("urn:greeting", "Alice"),
+      ("urn:name", "Alice")))
+  }
+
+  test("durable CLEAR GRAPH drops only that graph durably") {
+    dropDurable("durt3")
+    val st0 = Update(freshStore, spark,
+      """INSERT DATA { GRAPH <urn:g1> { <urn:x> <urn:name> "Xu" } }""")
+    st0.saveBucketed("durt3")
+    Update.durable(spark, "durt3", "CLEAR GRAPH <urn:g1>")
+    val st = QuadStore.loadBucketed(spark, "durt3")
+    assert(!askTrue(st, """ASK { GRAPH <urn:g1> { ?s ?p ?o } }"""))
+    assert(askTrue(st, """ASK { <urn:a> <urn:name> "Alice" }"""))
+  }
+
 }
