@@ -39,10 +39,11 @@ object SparqlQueries {
     * queries skip fan-out entirely. The Spark analog: a SinglePartition
     * cached relation satisfies every clustering requirement, so Catalyst
     * plans ZERO exchanges — tiny-store queries run as one stage instead
-    * of paying per-stage scheduling on data that fits in one task. 4M
-    * quads ≈ a few hundred MB valued — still one comfortable task for the
-    * scan/sort/aggregate shapes single-table queries take. */
-  private val onePartitionMaxQuads = 4L * 1000 * 1000
+    * of paying per-stage scheduling on data that fits in one task. Above
+    * ~half a million quads the arithmetic flips: one task scanning that
+    * many wide rows costs more than the exchange it avoids (measured:
+    * s07 over the 900k-quad orders store runs ~2× faster parallel). */
+  private val onePartitionMaxQuads = 512L * 1000
 
   private def arrange(valued: DataFrame,
                       onePart: Boolean): (DataFrame, Boolean) = {
@@ -55,7 +56,14 @@ object SparqlQueries {
     // durable bucketed store provides co-located subject joins where it
     // matters — see PlanSpec "bucketed store".)
     val small = onePart && valued.count() <= onePartitionMaxQuads
-    val sized = if (small) valued.coalesce(1) else valued
+    // over the compact threshold, fan the cache out explicitly: the
+    // upstream parquet is often ONE split (small files), and a cache
+    // inherits it — a 1.35M-quad store would otherwise run every scan,
+    // join, and sort in a single task no matter the cluster size
+    val sized =
+      if (small) valued.coalesce(1)
+      else if (valued.rdd.getNumPartitions < 8) valued.repartition(32, col("s"))
+      else valued
     (sized.sortWithinPartitions("p").cache(), small)
   }
 
