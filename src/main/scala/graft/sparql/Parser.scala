@@ -295,7 +295,7 @@ class Parser extends RegexParsers {
     existsExpr | builtinCall | castCall | "(" ~> expression <~ ")"
 
   // ---- prologue + queries ----
-  private def prologue: Parser[Unit] =
+  protected def prologue: Parser[Unit] =
     rep(kw("PREFIX") ~> """[A-Za-z][A-Za-z0-9_-]*:|:""".r ~ IRIREF ^^ {
           case p ~ i => prefixes += (p.dropRight(1) -> i)
         }

@@ -20,11 +20,19 @@ object Update {
       extends Op
   /** DELETE {tmpl} INSERT {tmpl} WHERE {p}; either template may be empty.
     * DELETE WHERE {p} = delete template := the WHERE pattern itself
-    * (explicitly unsupported in the reference, `update.c:257-274`). */
-  final case class Modify(deleteTmpl: List[TriplePat],
-                          insertTmpl: List[TriplePat],
-                          where: GP, graph: Option[String]) extends Op
+    * (explicitly unsupported in the reference, `update.c:257-274`).
+    * Template triples carry their `GRAPH <g>` box (None = default graph /
+    * the WITH graph). `withGraph` (SPARQL 1.1 §3.1.3) scopes un-boxed
+    * templates AND the WHERE pattern; `using`/`usingNamed` (§3.1.3.2)
+    * override the WHERE dataset like FROM / FROM NAMED. */
+  final case class Modify(deleteTmpl: List[(TriplePat, Option[String])],
+                          insertTmpl: List[(TriplePat, Option[String])],
+                          where: GP, withGraph: Option[String] = None,
+                          using: List[String] = Nil,
+                          usingNamed: List[String] = Nil) extends Op
   final case class Clear(graph: Option[String]) extends Op // None = ALL
+  /** CLEAR/DROP NAMED: empty every named graph, keep the default */
+  case object ClearNamed extends Op
   final case class GraphCopy(kind: String, from: Option[String],
                              to: Option[String]) extends Op // ADD/MOVE/COPY
   /** LOAD <doc> [INTO GRAPH <g>] (reference `fs_load`, `update.c:596`:
@@ -46,11 +54,14 @@ object Update {
       opt(kwU("GRAPH")) ~> iriU ^^ (Some(_)) |
       kwU("DEFAULT") ^^^ None | kwU("NAMED") ^^^ None | kwU("ALL") ^^^ None
 
-    /** flatten a parsed group into triple templates (GRAPH boxes noted) */
-    private def tmplOf(g: GroupGP): List[TriplePat] =
+    /** flatten a parsed group into triple templates; a `GRAPH <g>` box
+      * annotates its triples with the target/source graph */
+    private def tmplOf(g: GroupGP): List[(TriplePat, Option[String])] =
       g.elems.flatMap {
-        case BGPat(ts) => ts
+        case BGPat(ts) => ts.map((_, None))
         case inner: GroupGP => tmplOf(inner)
+        case GraphGP(PConst(Uri(u)), inner: GroupGP) =>
+          tmplOf(inner).map { case (t, _) => (t, Some(u)) }
         case GraphGP(_, inner: GroupGP) => tmplOf(inner)
         case other =>
           throw new IllegalArgumentException(s"bad template element: $other")
@@ -66,31 +77,46 @@ object Update {
       g.elems.flatMap {
         case BGPat(ts) => ts.map(ground(_, None))
         case GraphGP(PConst(u), inner: GroupGP) =>
-          tmplOf(inner).map(ground(_, Some(u)))
+          tmplOf(inner).map { case (t, _) => ground(t, Some(u)) }
         case inner: GroupGP => groundOf(inner)
         case other =>
           throw new IllegalArgumentException(s"bad data element: $other")
       }
     }
 
+    /** `USING [NAMED] <iri>` clauses between templates and WHERE */
+    private def usings: Parser[(List[String], List[String])] =
+      rep(kwU("USING") ~> opt(kwU("NAMED")) ~ iriU) ^^ { us =>
+        val (named, dflt) = us.partition(_._1.isDefined)
+        (dflt.map(_._2), named.map(_._2))
+      }
+
     def op: Parser[Op] =
       kwU("INSERT") ~> kwU("DATA") ~> groupGraphPattern ^^ (
         g => InsertData(groundOf(g))) |
       kwU("DELETE") ~> kwU("DATA") ~> groupGraphPattern ^^ (
         g => DeleteData(groundOf(g))) |
-      kwU("DELETE") ~> kwU("WHERE") ~> groupGraphPattern ^^ (
-        g => Modify(tmplOf(g), Nil, g, None)) |
-      kwU("DELETE") ~> groupGraphPattern ~
-        opt(kwU("INSERT") ~> groupGraphPattern) ~
-        (kwU("WHERE") ~> groupGraphPattern) ^^ { case d ~ i ~ w =>
-          Modify(tmplOf(d), i.map(tmplOf).getOrElse(Nil), w, None)
+      opt(kwU("WITH") ~> iriU) ~ (kwU("DELETE") ~> kwU("WHERE") ~>
+        groupGraphPattern) ^^ { case wg ~ g =>
+          Modify(tmplOf(g), Nil, g, wg)
         } |
-      kwU("INSERT") ~> groupGraphPattern ~
-        (kwU("WHERE") ~> groupGraphPattern) ^^ { case i ~ w =>
-          Modify(Nil, tmplOf(i), w, None)
+      opt(kwU("WITH") ~> iriU) ~ (kwU("DELETE") ~> groupGraphPattern) ~
+        opt(kwU("INSERT") ~> groupGraphPattern) ~ usings ~
+        (kwU("WHERE") ~> groupGraphPattern) ^^ { case wg ~ d ~ i ~ u ~ w =>
+          Modify(tmplOf(d), i.map(tmplOf).getOrElse(Nil), w, wg, u._1, u._2)
         } |
-      (kwU("CLEAR") | kwU("DROP")) ~> opt(kwU("SILENT")) ~> graphRef ^^
-        Clear.apply |
+      opt(kwU("WITH") ~> iriU) ~ (kwU("INSERT") ~> groupGraphPattern) ~
+        usings ~ (kwU("WHERE") ~> groupGraphPattern) ^^ {
+          case wg ~ i ~ u ~ w => Modify(Nil, tmplOf(i), w, wg, u._1, u._2)
+        } |
+      // CLEAR/DROP scopes (SPARQL 1.1 §3.2.2-3.2.3; graphs with no quads
+      // don't exist in this model, so DROP ≡ CLEAR): DEFAULT empties
+      // exactly the default graph, NAMED empties every named graph
+      (kwU("CLEAR") | kwU("DROP")) ~> opt(kwU("SILENT")) ~> (
+        kwU("ALL") ^^^ (Clear(None): Op) |
+        kwU("DEFAULT") ^^^ (Clear(Some(WellKnown.defaultGraphUri)): Op) |
+        kwU("NAMED") ^^^ (ClearNamed: Op) |
+        opt(kwU("GRAPH")) ~> iriU ^^ (u => Clear(Some(u)): Op)) |
       kwU("CREATE") ~> opt(kwU("SILENT")) ~> graphRef ^^ (
         _ => Clear(Some(""))) |
       (kwU("ADD") | kwU("MOVE") | kwU("COPY")) ~ (opt(kwU("SILENT")) ~>
@@ -103,7 +129,7 @@ object Update {
         }
 
     def updateParse(text: String): List[Op] =
-      parseAll(rep1sep(op, ";") <~ opt(";"), text) match {
+      parseAll(prologue ~> rep1sep(op, ";") <~ opt(";"), text) match {
         case Success(ops, _) => ops
         case other =>
           throw new IllegalArgumentException(s"update parse error: $other")
@@ -192,6 +218,13 @@ object Update {
         store.copy(quads = store.quads.filter(col("g") =!= Rid.uri(g)),
           valued = store.valued.map(_.filter(col("g") =!= Rid.uri(g))),
           segments = Nil)
+      case ClearNamed =>
+        store.copy(
+          quads = store.quads.filter(
+            col("g") === WellKnown.defaultGraph),
+          valued = store.valued.map(_.filter(
+            col("g") === WellKnown.defaultGraph)),
+          segments = Nil)
       case GraphCopy(kind, from, to) =>
         val fromRid = from.map(Rid.uri).getOrElse(WellKnown.defaultGraph)
         val toRid = to.map(Rid.uri).getOrElse(WellKnown.defaultGraph)
@@ -230,19 +263,30 @@ object Update {
           case e: Exception if silent => store
         }
 
-      case Modify(delT, insT, where, _) =>
+      case Modify(delT, insT, where, withGraph, usingG, usingNamed) =>
         val exec = new Exec(store, spark)
-        val tmplVars = (delT ++ insT).flatMap(t => Seq(t.s, t.p, t.o))
-          .collect { case PVar(v) => v }.toSet
+        val tmplVars = (delT ++ insT).map(_._1).flatMap(t =>
+          Seq(t.s, t.p, t.o)).collect { case PVar(v) => v }.toSet
+        // WHERE dataset scope (SPARQL 1.1 §3.1.3): USING wins over WITH;
+        // with neither, match the whole store (the reference's
+        // model-agnostic bind)
+        val gRids =
+          if (usingG.nonEmpty) Some(usingG.map(Rid.uri))
+          else withGraph.map(g => Seq(Rid.uri(g)))
+        val namedGRids =
+          if (usingNamed.nonEmpty) Some(usingNamed.map(Rid.uri)) else None
         // resolve template vars at the scan so inserted valued rows carry
         // their lexical forms without a dictionary join
         val withValues = store.valued.isDefined
-        val b0 = exec.pattern(where,
+        val b0 = exec.pattern(where, gRids = gRids, namedGRids = namedGRids,
           need = if (withValues) tmplVars else (_ => false))
         val b = if (withValues) exec.ensureValues(b0, tmplVars) else b0
-        def instantiate(tmpl: List[TriplePat],
+        def instantiate(tmpl: List[(TriplePat, Option[String])],
                         valuedForm: Boolean): DataFrame = {
-          val rows = tmpl.map { t =>
+          val rows = tmpl.map { case (t, tGraph) =>
+            // a template triple's target graph: its GRAPH box, else the
+            // WITH graph, else the default graph
+            val gUri = tGraph.orElse(withGraph)
             def rid(pt: PTerm): Column = pt match {
               case PVar(v) => col(v)
               case PConst(term) => lit(Rid.of(term))
@@ -263,11 +307,13 @@ object Update {
               case PConst(Lit(_, _, lang)) => lit(lang)
               case _ => lit("")
             }
-            val base = Seq(lit(WellKnown.defaultGraph).as("g"),
+            val base = Seq(
+              lit(gUri.map(Rid.uri).getOrElse(WellKnown.defaultGraph))
+                .as("g"),
               rid(t.s).as("s"), rid(t.p).as("p"), rid(t.o).as("o"))
             val value =
               if (valuedForm) Seq(
-                lit(WellKnown.defaultGraphUri).as("gLex"),
+                lit(gUri.getOrElse(WellKnown.defaultGraphUri)).as("gLex"),
                 lex(t.s).as("sLex"), lex(t.p).as("pLex"),
                 lex(t.o).as("oLex"), oAttr(t.o).as("oDt"),
                 oLang(t.o).as("oLang"))
@@ -288,11 +334,25 @@ object Update {
         var quads = store.quads
         var valued = store.valued
         if (delT.nonEmpty) {
-          // deletes match any graph (as the reference batch-deletes by
-          // (model=any, s, p, o), update.c:349-365)
-          val del = instantiate(delT, valuedForm = false).drop("g")
-          quads = quads.join(del, Seq("s", "p", "o"), "left_anti")
-          valued = valued.map(_.join(del, Seq("s", "p", "o"), "left_anti"))
+          // a GRAPH-boxed (or WITH-scoped) delete removes the exact quad;
+          // a bare delete matches any graph (the reference batch-deletes
+          // by (model=any, s, p, o), update.c:349-365 — a documented
+          // divergence from SPARQL 1.1's default-graph-only rule, see
+          // the DAWG excuses ledger)
+          val (boxed, bare) = delT.partition {
+            case (_, tg) => tg.orElse(withGraph).isDefined
+          }
+          if (boxed.nonEmpty) {
+            val del = instantiate(boxed, valuedForm = false)
+            quads = quads.join(del, quadKey, "left_anti")
+            valued = valued.map(_.join(del, quadKey, "left_anti"))
+          }
+          if (bare.nonEmpty) {
+            val del = instantiate(bare, valuedForm = false).drop("g")
+            quads = quads.join(del, Seq("s", "p", "o"), "left_anti")
+            valued = valued.map(_.join(del, Seq("s", "p", "o"),
+              "left_anti"))
+          }
         }
         var resources = store.resources
         if (insT.nonEmpty) {
@@ -304,8 +364,9 @@ object Update {
             .dropDuplicates(quadKey)
           valued = valued.map(_.unionByName(insRows)
             .dropDuplicates(quadKey))
-          val consts = insT.flatMap(t =>
-            Seq(t.s, t.p, t.o).collect { case PConst(term) => term }) :+
+          val consts = insT.flatMap { case (t, _) =>
+            Seq(t.s, t.p, t.o).collect { case PConst(term) => term } } ++
+            insT.flatMap(_._2).map(Uri.apply) ++ withGraph.map(Uri.apply) :+
             Uri(WellKnown.defaultGraphUri)
           resources = resources.unionByName(resourcesOf(spark, consts))
             .dropDuplicates("rid")
@@ -367,7 +428,7 @@ object Update {
       // entries for deleted resources too); only rewrite it when the
       // update could add terms
       val touchesResources = ops.exists {
-        case _: DeleteData | _: Clear => false
+        case _: DeleteData | _: Clear | ClearNamed => false
         case _ => true
       }
       if (touchesResources)

@@ -28,6 +28,7 @@ class DawgSpec extends SparkTestBase {
   private val QT = "http://www.w3.org/2001/sw/DataAccess/tests/test-query#"
   private val RS = "http://www.w3.org/2001/sw/DataAccess/tests/result-set#"
   private val RDFS = "http://www.w3.org/2000/01/rdf-schema#"
+  private val UT = "http://www.w3.org/2009/sparql/tests/test-update#"
 
   /** tiny in-memory triple index over a parsed Turtle file */
   private final case class G(ts: List[(Term, Term, Term)]) {
@@ -222,6 +223,62 @@ class DawgSpec extends SparkTestBase {
     }
   }
 
+  // -------------------------------------------------------- update tests
+
+  /** the post-update store's contents, grouped per graph (None = default),
+    * as 3-var solutions so the query matcher's bnode-bijection compare
+    * applies per graph */
+  private def graphsOf(st: QuadStore)
+      : Map[Option[String], List[Map[String, NT]]] =
+    st.toNQuadLines.collect().toList
+      .flatMap(r => NTriples.parseLine(r.getString(0)))
+      .groupBy(_._4.collect { case Uri(u) => u })
+      .map { case (g, qs) =>
+        g -> tripleSols(qs.map(q => (q._1, q._2, q._3))) }
+
+  /** `mf:UpdateEvaluationTest` (W3C SPARQL 1.1 `ut:` vocabulary — the
+    * harness analog of `runtest.pl`'s update branch): load the action
+    * dataset, apply the `ut:request`, and require every graph of the
+    * result dataset — default and named — to be isomorphic to the
+    * expected state, with no extra non-empty graphs. */
+  private def runUpdateTest(requestPath: String, data: List[String],
+                            named: List[(String, String)],
+                            g: G, resultNode: Term): Option[String] = {
+    val request = {
+      val src = scala.io.Source.fromFile(requestPath, "UTF-8")
+      try src.mkString finally src.close()
+    }
+    val st1 = graft.sparql.Update(loadStore(data, named), spark, request)
+    val got = graphsOf(st1).filter(_._2.nonEmpty)
+
+    def slurp(f: String): List[Map[String, NT]] =
+      tripleSols(Turtle.parseFile(f, "file://" + f))
+    val expDefault = g.objs(resultNode, UT + "data")
+      .collect { case Uri(u) => pathOf(u) }.flatMap(slurp)
+    val expNamed: List[(String, List[Map[String, NT]])] =
+      g.objs(resultNode, UT + "graphData").flatMap { b =>
+        for {
+          f <- g.obj(b, UT + "graph").collect { case Uri(u) => pathOf(u) }
+          l <- g.obj(b, RDFS + "label").collect { case Lit(l, _, _) => l }
+        } yield l -> slurp(f)
+      }
+    val exp: Map[Option[String], List[Map[String, NT]]] =
+      ((Option.empty[String] -> expDefault) ::
+        expNamed.map { case (l, ts) => (Some(l): Option[String]) -> ts })
+        .filter(_._2.nonEmpty).toMap
+
+    if (got.keySet != exp.keySet)
+      return Some(s"graph set mismatch: expected ${exp.keySet}, " +
+        s"got ${got.keySet}")
+    val bad = exp.keys.filterNot { k =>
+      exp(k).size == got(k).size && matchBag(exp(k), got(k), Map.empty)
+    }
+    if (bad.isEmpty) None
+    else Some(bad.map(k => s"graph $k mismatch:" +
+      s"\n  expected (${exp(k).size}): ${exp(k)}" +
+      s"\n  got (${got(k).size}): ${got(k)}").mkString("\n"))
+  }
+
   // ------------------------------------------------------- registration
 
   private val root = new File("src/test/resources/dawg")
@@ -258,24 +315,41 @@ class DawgSpec extends SparkTestBase {
       val name = g.obj(e, MF + "name")
         .collect { case Lit(l, _, _) => l }.getOrElse(e.toString)
       val action = g.obj(e, MF + "action").get
-      val queryPath = g.obj(action, QT + "query")
-        .collect { case Uri(u) => pathOf(u) }.get
-      val data = g.objs(action, QT + "data")
-        .collect { case Uri(u) => pathOf(u) }
-      val named = g.objs(action, QT + "graphData").flatMap {
-        case Uri(u) => Some(pathOf(u) -> u)
-        case b => // labeled form: [ qt:graph <f.ttl> ; rdfs:label "uri" ]
-          for {
-            f <- g.obj(b, QT + "graph").collect { case Uri(u) => pathOf(u) }
-            l <- g.obj(b, RDFS + "label").collect { case Lit(l, _, _) => l }
-          } yield f -> l
-      }
-      val resultPath = g.obj(e, MF + "result")
-        .collect { case Uri(u) => pathOf(u) }.get
       val label = s"${dir.getName}/$name"
+      val updateRequest = g.obj(action, UT + "request")
+        .collect { case Uri(u) => pathOf(u) }
+      val run: () => Option[String] = updateRequest match {
+        case Some(req) => // mf:UpdateEvaluationTest
+          val data = g.objs(action, UT + "data")
+            .collect { case Uri(u) => pathOf(u) }
+          val named = g.objs(action, UT + "graphData").flatMap { b =>
+            for {
+              f <- g.obj(b, UT + "graph").collect { case Uri(u) => pathOf(u) }
+              l <- g.obj(b, RDFS + "label").collect { case Lit(l, _, _) => l }
+            } yield f -> l
+          }
+          val resultNode = g.obj(e, MF + "result").get
+          () => runUpdateTest(req, data, named, g, resultNode)
+        case None => // mf:QueryEvaluationTest
+          val queryPath = g.obj(action, QT + "query")
+            .collect { case Uri(u) => pathOf(u) }.get
+          val data = g.objs(action, QT + "data")
+            .collect { case Uri(u) => pathOf(u) }
+          val named = g.objs(action, QT + "graphData").flatMap {
+            case Uri(u) => Some(pathOf(u) -> u)
+            case b => // labeled form: [ qt:graph <f.ttl> ; rdfs:label "uri" ]
+              for {
+                f <- g.obj(b, QT + "graph").collect { case Uri(u) => pathOf(u) }
+                l <- g.obj(b, RDFS + "label").collect { case Lit(l, _, _) => l }
+              } yield f -> l
+          }
+          val resultPath = g.obj(e, MF + "result")
+            .collect { case Uri(u) => pathOf(u) }.get
+          () => runTest(queryPath, data, named, resultPath)
+      }
       registered += 1
       test(s"dawg $label") {
-        (runTest(queryPath, data, named, resultPath), excuses.get(label)) match {
+        (run(), excuses.get(label)) match {
           case (None, None) => // pass
           case (None, Some(_)) =>
             fail(s"excused test now passes — remove '$label' from excuses.txt")

@@ -147,6 +147,51 @@ class UpdateSpec extends SparkTestBase {
       """SELECT ?o WHERE { <foo:a> <foo:p> ?o }""").collect()
     assert(r.map(_.getString(0)).toSeq == Seq("p1"))
   }
+  test("INSERT with GRAPH template targets that graph") {
+    val st = Update(freshStore, spark,
+      """INSERT { GRAPH <urn:g9> { ?s <urn:copyOf> ?n } }
+         WHERE { ?s <urn:name> ?n }""")
+    assert(askTrue(st, """ASK { GRAPH <urn:g9> { <urn:a> <urn:copyOf> "Alice" } }"""))
+    // nothing landed in the default graph
+    assert(st.quads.filter(col("g") === WellKnown.defaultGraph &&
+      col("p") === Rid.uri("urn:copyOf")).count() == 0)
+  }
+
+  test("WITH scopes bare templates and the WHERE pattern") {
+    val g2 = QuadStore.fromTerms(spark, Seq(
+      (Uri("urn:x"), Uri("urn:name"), Lit("Xu")),
+      (Uri("urn:x"), Uri("urn:tag"), Lit("keep"))), graph = "urn:g2")
+    val st = Update(freshStore.union(g2), spark,
+      """WITH <urn:g2> DELETE { ?s <urn:name> ?n }
+         INSERT { ?s <urn:renamed> ?n } WHERE { ?s <urn:name> ?n }""")
+    // only g2's name triple was rewritten; the default graph kept its names
+    assert(!askTrue(st, """ASK { GRAPH <urn:g2> { ?s <urn:name> ?n } }"""))
+    assert(askTrue(st, """ASK { GRAPH <urn:g2> { <urn:x> <urn:renamed> "Xu" } }"""))
+    assert(askTrue(st, """ASK { <urn:a> <urn:name> "Alice" }"""))
+    assert(st.quads.filter(col("g") === WellKnown.defaultGraph &&
+      col("p") === Rid.uri("urn:renamed")).count() == 0)
+  }
+
+  test("USING restricts the WHERE dataset like FROM") {
+    val g2 = QuadStore.fromTerms(spark, Seq(
+      (Uri("urn:x"), Uri("urn:name"), Lit("Xu"))), graph = "urn:g2")
+    val st = Update(freshStore.union(g2), spark,
+      """INSERT { ?s <urn:seen> "yes" } USING <urn:g2>
+         WHERE { ?s <urn:name> ?n }""")
+    // only g2 subjects matched; default-graph names were out of scope
+    assert(askTrue(st, """ASK { <urn:x> <urn:seen> "yes" }"""))
+    assert(!askTrue(st, """ASK { <urn:a> <urn:seen> "yes" }"""))
+  }
+
+  test("DELETE WHERE with a GRAPH box deletes only from that graph") {
+    val g2 = QuadStore.fromTerms(spark, Seq(
+      (Uri("urn:a"), Uri("urn:name"), Lit("Alice"))), graph = "urn:g2")
+    val st = Update(freshStore.union(g2), spark,
+      """DELETE WHERE { GRAPH <urn:g2> { ?s <urn:name> ?n } }""")
+    assert(!askTrue(st, """ASK { GRAPH <urn:g2> { ?s ?p ?o } }"""))
+    assert(askTrue(st, """ASK { <urn:a> <urn:name> "Alice" }"""))
+  }
+
   // ---- durable updates (reference backend writes,
   // src/backend/import-backend.c): update -> save -> reload round-trip
 
