@@ -26,7 +26,14 @@ import graft.streaming.StreamIngest
   * are invisible to BGPs, GRAPH patterns, and paths alike.
   */
 final class Endpoint(spark: SparkSession, initial: QuadStore, port: Int = 0,
-                     acl: Map[String, Seq[String]] = Map.empty) {
+                     acl: Map[String, Seq[String]] = Map.empty,
+                     /** when set, `/update/` and `/data/` mutations write
+                       * through to the `saveBucketed` tables of this name
+                       * (the reference's persistent backend,
+                       * `import-backend.c`) — a restarted endpoint
+                       * resumes from the last committed state via
+                       * `QuadStore.loadBucketed` */
+                     durableName: Option[String] = None) {
 
   private val storeRef = new AtomicReference[QuadStore](initial)
   def store: QuadStore = storeRef.get()
@@ -147,7 +154,12 @@ final class Endpoint(spark: SparkSession, initial: QuadStore, port: Int = 0,
     def handle(ex: HttpExchange): Unit = try {
       val b = bodyOf(ex)
       val text = if (b.startsWith("update=")) params(b)("update") else b
-      storeRef.updateAndGet(st => Update(st, spark, text))
+      durableName match {
+        case Some(n) => // write-through: commit, then serve the reload
+          storeRef.set(Update.durable(spark, n, text))
+        case None =>
+          storeRef.updateAndGet(st => Update(st, spark, text))
+      }
       respond(ex, 200, """{"ok":true}""")
     } catch {
       case e: Exception =>
@@ -166,14 +178,26 @@ final class Endpoint(spark: SparkSession, initial: QuadStore, port: Int = 0,
       val add = QuadStore.fromFlat(spark, flat)
       ex.getRequestMethod match {
         case "PUT" | "POST" =>
-          storeRef.updateAndGet(_.union(add))
+          durableName match {
+            case Some(n) => // graph-store import: append-only delta
+              val before = store
+              Update.appendDelta(spark, n, before, before.union(add))
+              storeRef.set(Update.reload(spark, n))
+            case None => storeRef.updateAndGet(_.union(add))
+          }
           respond(ex, 201, """{"ok":true}""")
         case "DELETE" =>
           // drop the inline-value scan form too: it would retain the
           // deleted graph's rows
-          storeRef.updateAndGet(st => st.copy(quads = st.quads.filter(
-            org.apache.spark.sql.functions.col("g") =!=
-              graft.rdf.Rid.uri(graph)), valued = None))
+          val dropped = storeRef.updateAndGet(st =>
+            st.copy(quads = st.quads.filter(
+              org.apache.spark.sql.functions.col("g") =!=
+                graft.rdf.Rid.uri(graph)), valued = None))
+          durableName.foreach { n =>
+            Update.rewriteTables(spark, n, dropped,
+              touchesResources = false)
+            storeRef.set(Update.reload(spark, n))
+          }
           respond(ex, 200, """{"ok":true}""")
         case _ => respond(ex, 405, """{"error":"method"}""")
       }

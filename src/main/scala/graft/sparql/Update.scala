@@ -402,28 +402,8 @@ object Update {
       case _: InsertData | _: Load => true
       case _ => false
     }
-    if (insertOnly) {
-      val dq = after.quads.join(before.quads, quadKey, "left_anti")
-        .dropDuplicates(quadKey)
-      val dr = after.resources.join(before.resources, Seq("rid"),
-        "left_anti").dropDuplicates("rid")
-      dq.write.mode("append").format("parquet")
-        .bucketBy(32, "s").sortBy("s").saveAsTable(s"${name}_quads")
-      dr.write.mode("append").format("parquet")
-        .bucketBy(32, "rid").sortBy("rid").saveAsTable(s"${name}_resources")
-    } else {
-      def swapIn(df: DataFrame, table: String, bucketCol: String): Unit = {
-        // the staging write READS the live table — only the post-write
-        // renames retire it
-        df.write.mode("overwrite").format("parquet")
-          .bucketBy(32, bucketCol).sortBy(bucketCol)
-          .saveAsTable(s"${table}__stage")
-        spark.sql(s"DROP TABLE IF EXISTS ${table}__old")
-        spark.sql(s"ALTER TABLE $table RENAME TO ${table}__old")
-        spark.sql(s"ALTER TABLE ${table}__stage RENAME TO $table")
-        spark.sql(s"DROP TABLE ${table}__old")
-      }
-      swapIn(after.quads, s"${name}_quads", "s")
+    if (insertOnly) appendDelta(spark, name, before, after)
+    else {
       // deletes leave the dictionary alone (the reference keeps rhash
       // entries for deleted resources too); only rewrite it when the
       // update could add terms
@@ -431,9 +411,50 @@ object Update {
         case _: DeleteData | _: Clear | ClearNamed => false
         case _ => true
       }
-      if (touchesResources)
-        swapIn(after.resources, s"${name}_resources", "rid")
+      rewriteTables(spark, name, after, touchesResources)
     }
+    reload(spark, name)
+  }
+
+  /** Append only the delta rows (`after` minus `before`) as new files in
+    * the bucketed tables — O(delta), never O(store). The parquet analog
+    * of the reference's incremental import (`import-backend.c`). */
+  private[graft] def appendDelta(spark: SparkSession, name: String,
+                                 before: QuadStore,
+                                 after: QuadStore): Unit = {
+    val dq = after.quads.join(before.quads, quadKey, "left_anti")
+      .dropDuplicates(quadKey)
+    val dr = after.resources.join(before.resources, Seq("rid"),
+      "left_anti").dropDuplicates("rid")
+    dq.write.mode("append").format("parquet")
+      .bucketBy(32, "s").sortBy("s").saveAsTable(s"${name}_quads")
+    dr.write.mode("append").format("parquet")
+      .bucketBy(32, "rid").sortBy("rid").saveAsTable(s"${name}_resources")
+  }
+
+  /** Rewrite the saved tables to `after`'s contents through a staging
+    * table + catalog renames: a concurrent reader sees the old store or
+    * the new one, never a torn one. */
+  private[graft] def rewriteTables(spark: SparkSession, name: String,
+                                   after: QuadStore,
+                                   touchesResources: Boolean): Unit = {
+    def swapIn(df: DataFrame, table: String, bucketCol: String): Unit = {
+      // the staging write READS the live table — only the post-write
+      // renames retire it
+      df.write.mode("overwrite").format("parquet")
+        .bucketBy(32, bucketCol).sortBy(bucketCol)
+        .saveAsTable(s"${table}__stage")
+      spark.sql(s"DROP TABLE IF EXISTS ${table}__old")
+      spark.sql(s"ALTER TABLE $table RENAME TO ${table}__old")
+      spark.sql(s"ALTER TABLE ${table}__stage RENAME TO $table")
+      spark.sql(s"DROP TABLE ${table}__old")
+    }
+    swapIn(after.quads, s"${name}_quads", "s")
+    if (touchesResources)
+      swapIn(after.resources, s"${name}_resources", "rid")
+  }
+
+  private[graft] def reload(spark: SparkSession, name: String): QuadStore = {
     spark.catalog.refreshTable(s"${name}_quads")
     spark.catalog.refreshTable(s"${name}_resources")
     QuadStore.loadBucketed(spark, name)

@@ -196,4 +196,48 @@ class EndpointSpec extends SparkTestBase {
     } finally ep.stop()
   }
 
+  test("durable endpoint: updates survive a restart") {
+    val name = "ep_dur1"
+    val wh = java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"))
+    for (base <- Seq(s"${name}_quads", s"${name}_resources");
+         t <- Seq(base, s"${base}__stage", s"${base}__old")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(rm); f.delete()
+      }
+      rm(wh.resolve(t).toFile)
+    }
+    QuadStore.fromTerms(spark, Seq(
+      (Uri("urn:a"), Uri("urn:name"), Lit("Alice")))).saveBucketed(name)
+
+    val ep = new Endpoint(spark, QuadStore.loadBucketed(spark, name), 0,
+      durableName = Some(name)).start()
+    try {
+      val base = s"http://localhost:${ep.boundPort}"
+      val (c1, _) = req(s"$base/update/", "POST",
+        """INSERT DATA { <urn:b> <urn:name> "Bob" }""")
+      assert(c1 == 200)
+      val (c2, _) = req(s"$base/data/?graph=urn:g1", "PUT",
+        "<urn:c> <urn:name> \"Carol\" .")
+      assert(c2 == 201)
+      val (c3, _) = req(s"$base/update/", "POST",
+        """DELETE DATA { <urn:a> <urn:name> "Alice" }""")
+      assert(c3 == 200)
+    } finally ep.stop()
+
+    // "restart": a fresh endpoint over a fresh load of the saved tables
+    val ep2 = new Endpoint(spark, QuadStore.loadBucketed(spark, name), 0,
+      durableName = Some(name)).start()
+    try {
+      val base = s"http://localhost:${ep2.boundPort}"
+      val (_, b) = req(s"$base/sparql/?query=" +
+        java.net.URLEncoder.encode(
+          "SELECT ?n WHERE { ?s <urn:name> ?n } ORDER BY ?n", "UTF-8") +
+        "&output=tsv")
+      assert(!b.contains("Alice") && b.contains("Bob") &&
+        b.contains("Carol"), b)
+    } finally ep2.stop()
+  }
+
 }
