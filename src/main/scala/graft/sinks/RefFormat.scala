@@ -29,7 +29,11 @@ object RefFormat {
   private val doubleRid = Rid.uri(Xsd.double)
 
   /** well-known attr rid -> datatype URI; extend with corpus datatypes */
-  val xsdDtUris: Map[Long, String] = WellKnown.xsdAttr.map(_.swap)
+  val xsdDtUris: Map[Long, String] = WellKnown.xsdAttr.map(_.swap) +
+    // computed-only datatypes (no data literal carries them, so the store
+    // dictionary can't resolve the rid): TIMEZONE() emits durations
+    (graft.rdf.Rid.uri(graft.rdf.Xsd.ns + "dayTimeDuration") ->
+      (graft.rdf.Xsd.ns + "dayTimeDuration"))
 
   private def escape(s: String): String = s.flatMap {
     case '\\' => "\\\\"

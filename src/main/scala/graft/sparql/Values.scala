@@ -18,8 +18,8 @@ final case class V(rid: Column, lex: Column, dt: Column, lang: Column) {
 
   /** numeric view (promotion collapses to double; divergence from the
     * reference's 20+20-digit fs_decimal is documented in SURVEY §7.4) */
-  def num: Column =
-    when(dt.isin(numericAttrs: _*), lex.cast("double"))
+  def num: Column = // try_cast: a malformed numeral is a type error (NULL)
+    when(dt.isin(numericAttrs: _*), lex.try_cast("double"))
   /** exact-numeric view: integers and xsd:decimal as DECIMAL(38,18)
     * (reference fs_decimal is 20+20 base-10 digits,
     * `src/frontend/decimal.h:5-19`; Spark's max precision is 38 — we keep
@@ -28,7 +28,8 @@ final case class V(rid: Column, lex: Column, dt: Column, lang: Column) {
   def dec: Column =
     when(dt.isin((integerAttrs :+ decimalAttr): _*),
       lex.try_cast(org.apache.spark.sql.types.DecimalType(38, 18)))
-  def isNum: Column = dt.isin(numericAttrs: _*) && lex.cast("double").isNotNull
+  def isNum: Column =
+    dt.isin(numericAttrs: _*) && lex.try_cast("double").isNotNull
   def isInt: Column = dt.isin(integerAttrs: _*)
   /** plain-string view (simple literal or xsd:string, no lang) */
   def str: Column =
@@ -36,17 +37,17 @@ final case class V(rid: Column, lex: Column, dt: Column, lang: Column) {
       coalesce(lang, lit("")) === "", lex)
   /** any-lexical view (STR() semantics: works for URIs and all literals) */
   def anyLex: Column = lex
-  def bool: Column = when(dt === booleanAttr, lex.cast("boolean"))
+  def bool: Column = when(dt === booleanAttr, lex.try_cast("boolean"))
   def ts: Column =
-    when(dt === dateTimeAttr || dt === dateAttr, lex.cast("timestamp"))
+    when(dt === dateTimeAttr || dt === dateAttr, lex.try_cast("timestamp"))
 
   /** SPARQL effective boolean value (`fn_ebv`,
     * `src/frontend/filter.c:1356-1378`): boolean -> itself; numeric ->
     * != 0; string -> non-empty; else type error (NULL). */
   def ebv: Column =
-    when(dt === booleanAttr, lex.cast("boolean"))
+    when(dt === booleanAttr, lex.try_cast("boolean"))
       .when(dt.isin(numericAttrs: _*),
-        lex.cast("double") =!= 0.0 && !isnan(lex.cast("double")))
+        lex.try_cast("double") =!= 0.0 && !isnan(lex.try_cast("double")))
       .when(dt === 0L && coalesce(lang, lit("")) === "" &&
         Rid.isLiteralCol(coalesce(rid, lit(0L))), length(lex) > 0)
       .when(coalesce(lang, lit("")) =!= "", length(lex) > 0)
@@ -362,13 +363,41 @@ object Compiler {
         "%7E", "~"))
 
     // dates (`src/frontend/filter.c:1486-1572`)
-    case "YEAR"    => V.ofNum(year(vs(0).ts).cast("double"), lit(true))
-    case "MONTH"   => V.ofNum(month(vs(0).ts).cast("double"), lit(true))
-    case "DAY"     => V.ofNum(dayofmonth(vs(0).ts).cast("double"), lit(true))
-    case "HOURS"   => V.ofNum(hour(vs(0).ts).cast("double"), lit(true))
-    case "MINUTES" => V.ofNum(minute(vs(0).ts).cast("double"), lit(true))
-    case "SECONDS" => V.ofNum(second(vs(0).ts).cast("double"), lit(true))
-    case "TIMEZONE" | "TZ" => V.ofStr(lit("")) // reference stub, filter.c:1573
+    // date/time component accessors (SPARQL 1.1 §17.4.5): components of
+    // the literal AS WRITTEN — "…T15:38:02-08:00" has HOURS 15 whatever
+    // the session timezone, so extract from the lexical form, not from a
+    // session-normalized timestamp. `ts.isNotNull` guards the kind: a
+    // non-dateTime argument is an error (NULL), as is a missing part.
+    case "YEAR"    => dtPart(vs(0), "^(-?[0-9]{4,})-")
+    case "MONTH"   => dtPart(vs(0), "^-?[0-9]{4,}-([0-9]{2})")
+    case "DAY"     => dtPart(vs(0), "^-?[0-9]{4,}-[0-9]{2}-([0-9]{2})")
+    case "HOURS"   => dtPart(vs(0), "T([0-9]{2}):")
+    case "MINUTES" => dtPart(vs(0), "T[0-9]{2}:([0-9]{2}):")
+    case "SECONDS" => // xsd:decimal — the fraction survives
+      val lex = when(vs(0).ts.isNotNull, regexp_extract(vs(0).anyLex,
+        "T[0-9]{2}:[0-9]{2}:([0-9]{2}(?:\\.[0-9]+)?)", 1))
+      val n = lex.cast("double")
+      V.ofNum(n, n === n.cast("long").cast("double"))
+    // TZ/TIMEZONE (SPARQL 1.1 §17.4.5.8-9; the reference stubs both to
+    // "", filter.c:1573 — here the full semantics): TZ gives the literal
+    // timezone designator ("" when absent); TIMEZONE gives it as an
+    // xsd:dayTimeDuration and errors when absent
+    case "TZ" =>
+      V.ofStr(when(vs(0).ts.isNotNull,
+        regexp_extract(vs(0).anyLex, "(Z|[+-][0-9]{2}:[0-9]{2})$", 1)))
+    case "TIMEZONE" =>
+      val tz = when(vs(0).ts.isNotNull,
+        regexp_extract(vs(0).anyLex, "(Z|[+-][0-9]{2}:[0-9]{2})$", 1))
+      val h = regexp_extract(tz, "0*([0-9]+):", 1).try_cast("int")
+      val m = regexp_extract(tz, ":0*([0-9]+)", 1).try_cast("int")
+      val sign = when(tz.startsWith("-"), lit("-")).otherwise(lit(""))
+      val dur = when(tz === "Z" || (h === 0 && m === 0), lit("PT0S"))
+        .when(tz =!= "", concat(sign, lit("PT"),
+          when(h =!= 0, concat(h.cast("string"), lit("H")))
+            .otherwise(lit("")),
+          when(m =!= 0, concat(m.cast("string"), lit("M")))
+            .otherwise(lit(""))))
+      V.typed(dur, lit(Rid.uri(Xsd.ns + "dayTimeDuration")))
     case "NOW" => V.typed(date_format(current_timestamp(),
         "yyyy-MM-dd'T'HH:mm:ss"), lit(dateTimeAttr))
     // LAQRS extensions (`results.c:631-650`)
@@ -408,15 +437,27 @@ object Compiler {
   }
 
   /** xsd constructor casts (`fn_cast`, `src/frontend/filter.c:1315-1355`) */
+  /** integer date/time component off the lexical form (NULL = error) */
+  private def dtPart(v: V, pattern: String): V =
+    V.ofNum(when(v.ts.isNotNull,
+      regexp_extract(v.anyLex, pattern, 1)).try_cast("int").cast("double"),
+      lit(true))
+
   private def cast(dtUri: String, v: V): V = dtUri match {
     case Xsd.integer | Xsd.int | Xsd.long =>
+      // from a string source the lexical must BE an integer (XPath
+      // casting §17.1: xsd:integer("1.5") is an error, not a truncation);
+      // numeric sources truncate toward zero, booleans map to 1/0
       V.ofNum(coalesce(v.num,
         when(v.bool, 1.0).when(!v.bool, 0.0),
-        v.anyLex.cast("double")).cast("long").cast("double"), lit(true))
+        when(trim(v.anyLex).rlike("^[+-]?[0-9]+$"),
+          v.anyLex.try_cast("double"))).cast("long").cast("double"),
+        lit(true))
     case Xsd.double | Xsd.float | Xsd.decimal =>
-      V.ofNum(coalesce(v.num, v.anyLex.cast("double")))
+      V.ofNum(coalesce(v.num, v.anyLex.try_cast("double")))
     case Xsd.boolean =>
-      V.ofBool(coalesce(v.bool, v.num =!= 0.0, v.anyLex.cast("boolean")))
+      V.ofBool(coalesce(v.bool, v.num =!= 0.0,
+        v.anyLex.try_cast("boolean")))
     case Xsd.string => V.ofStr(v.anyLex)
     case Xsd.dateTime => V.typed(v.anyLex, lit(dateTimeAttr))
     case Xsd.date => V.typed(v.anyLex, lit(dateAttr))
