@@ -58,11 +58,15 @@ object SparqlQueries {
     val small = onePart && valued.count() <= onePartitionMaxQuads
     // over the compact threshold, fan the cache out explicitly: the
     // upstream parquet is often ONE split (small files), and a cache
-    // inherits it — a 1.35M-quad store would otherwise run every scan,
-    // join, and sort in a single task no matter the cluster size
+    // inherits it — a 900k-quad store would otherwise run every scan,
+    // join, and sort of s07 in a single task no matter the cluster size.
+    // ONLY for the single-table (onePart) case: fanning out the small
+    // sides of multi-table stores costs two 32-task stages per join on
+    // data one task scans faster (measured: s02/s04 +60%)
     val sized =
       if (small) valued.coalesce(1)
-      else if (valued.rdd.getNumPartitions < 8) valued.repartition(32, col("s"))
+      else if (onePart && valued.rdd.getNumPartitions < 8)
+        valued.repartition(32, col("s"))
       else valued
     (sized.sortWithinPartitions("p").cache(), small)
   }
