@@ -189,13 +189,17 @@ final class Endpoint(spark: SparkSession, initial: QuadStore, port: Int = 0,
         case "DELETE" =>
           // drop the inline-value scan form too: it would retain the
           // deleted graph's rows
-          val dropped = storeRef.updateAndGet(st =>
+          storeRef.updateAndGet(st =>
             st.copy(quads = st.quads.filter(
               org.apache.spark.sql.functions.col("g") =!=
                 graft.rdf.Rid.uri(graph)), valued = None))
           durableName.foreach { n =>
-            Update.rewriteTables(spark, n, dropped,
-              touchesResources = false)
+            // graph tombstones: O(graph) append, never a store rewrite
+            spark.table(s"${n}_quads")
+              .filter(org.apache.spark.sql.functions.col("g") ===
+                graft.rdf.Rid.uri(graph))
+              .write.mode("append").format("parquet")
+              .saveAsTable(s"${n}_dels")
             storeRef.set(Update.reload(spark, n))
           }
           respond(ex, 200, """{"ok":true}""")

@@ -191,9 +191,18 @@ object QuadStore {
   val quadCols = Seq("g", "s", "p", "o")
 
   /** Load a store persisted by [[QuadStore.saveBucketed]]. */
-  def loadBucketed(spark: SparkSession, name: String): QuadStore =
-    QuadStore(spark.table(s"${name}_quads"),
-      spark.table(s"${name}_resources"))
+  def loadBucketed(spark: SparkSession, name: String): QuadStore = {
+    val raw = spark.table(s"${name}_quads")
+    // durable deletes are tombstones (`graft.sparql.Update.durable`):
+    // broadcast anti-join keeps the scan map-side and bucket-preserving;
+    // compaction bounds the tombstone table at ~10% of the store
+    val quads =
+      if (spark.catalog.tableExists(s"${name}_dels"))
+        raw.join(broadcast(spark.table(s"${name}_dels")),
+          Seq("g", "s", "p", "o"), "left_anti")
+      else raw
+    QuadStore(quads, spark.table(s"${name}_resources"))
+  }
 
   /** Columnar RID of a flat-encoded term. */
   private def ridOf(kind: Column, lex: Column, dt: Column, lang: Column) =

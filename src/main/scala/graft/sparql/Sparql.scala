@@ -41,8 +41,15 @@ object Sparql {
       case _ => false
     }
   }
+  // access-ordered LRU under a lock: an endpoint serving many distinct
+  // query texts evicts the coldest plan, not the whole cache
   private val planCache =
-    new java.util.concurrent.ConcurrentHashMap[PlanKey, DataFrame]()
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[PlanKey, DataFrame](64, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[PlanKey, DataFrame]): Boolean =
+          size() > 1024
+      })
   private def cachedOrBuild(store: QuadStore, key: String, spark: SparkSession,
                             text: String, terms: Boolean): DataFrame = {
     val k = new PlanKey(store, key)
@@ -54,7 +61,6 @@ object Sparql {
       case c: ConstructQ => construct(store, spark, c)
       case d: DescribeQ  => describe(store, spark, d)
     }
-    if (planCache.size > 1024) planCache.clear()
     planCache.put(k, df)
     df
   }

@@ -398,22 +398,77 @@ object Update {
     val ops = parse(text)
     val before = QuadStore.loadBucketed(spark, name)
     val after = ops.foldLeft(before)((st, op) => applyOp(st, spark, op))
-    val insertOnly = ops.forall {
-      case _: InsertData | _: Load => true
-      case _ => false
-    }
-    if (insertOnly) appendDelta(spark, name, before, after)
-    else {
-      // deletes leave the dictionary alone (the reference keeps rhash
-      // entries for deleted resources too); only rewrite it when the
-      // update could add terms
-      val touchesResources = ops.exists {
-        case _: DeleteData | _: Clear | ClearNamed => false
-        case _ => true
-      }
-      rewriteTables(spark, name, after, touchesResources)
+
+    val raw = spark.table(s"${name}_quads")
+    val delsT = s"${name}_dels"
+    val hasDels = spark.catalog.tableExists(delsT)
+    val oldDels =
+      if (hasDels) spark.table(delsT)
+      else raw.select(quadKey.map(col): _*).limit(0)
+
+    // visible inserts (revivals of tombstoned quads included) and
+    // visible deletes, as diffs of the op fold. For the common ground
+    // ops these plans prune to the delta; a Modify costs one
+    // distributed diff scan — never a store rewrite.
+    val insAll = after.quads.join(before.quads, quadKey, "left_anti")
+      .dropDuplicates(quadKey).localCheckpoint()
+    val delsNew = before.quads.join(after.quads, quadKey, "left_anti")
+      .dropDuplicates(quadKey).localCheckpoint()
+
+    // 1. append genuinely-new rows (not present even tombstoned — a
+    //    revived quad must not re-append or the tombstone drop below
+    //    would make it visible twice) — O(delta) write, one anti scan
+    insAll.join(raw, quadKey, "left_anti").write.mode("append")
+      .format("parquet").bucketBy(32, "s").sortBy("s")
+      .saveAsTable(s"${name}_quads")
+    after.resources
+      .join(spark.table(s"${name}_resources"), Seq("rid"), "left_anti")
+      .dropDuplicates("rid").write.mode("append").format("parquet")
+      .bucketBy(32, "rid").sortBy("rid")
+      .saveAsTable(s"${name}_resources")
+    // 2. tombstones: drop revived ones, add the new deletes — a rewrite
+    //    of the SMALL dels table only (compaction bounds its size); the
+    //    quads table itself is never rewritten on delete
+    if (!delsNew.isEmpty || (hasDels && !insAll.isEmpty)) {
+      val nextDels = oldDels.join(insAll, quadKey, "left_anti")
+        .unionByName(delsNew).dropDuplicates(quadKey).localCheckpoint()
+      if (hasDels) {
+        nextDels.write.mode("overwrite").format("parquet")
+          .saveAsTable(s"${delsT}__stage")
+        spark.sql(s"DROP TABLE IF EXISTS ${delsT}__old")
+        spark.sql(s"ALTER TABLE $delsT RENAME TO ${delsT}__old")
+        spark.sql(s"ALTER TABLE ${delsT}__stage RENAME TO $delsT")
+        spark.sql(s"DROP TABLE ${delsT}__old")
+      } else nextDels.write.mode("overwrite").format("parquet")
+        .saveAsTable(delsT)
+      spark.catalog.refreshTable(delsT)
+      maybeCompact(spark, name)
     }
     reload(spark, name)
+  }
+
+  /** Fold the tombstones back into the quads table when they exceed
+    * `frac` of it (the parquet analog of the reference's periodic index
+    * rewrite). Explicitly callable for ops-driven compaction. */
+  def compact(spark: SparkSession, name: String): Unit = {
+    val delsT = s"${name}_dels"
+    if (!spark.catalog.tableExists(delsT)) return
+    val live = spark.table(s"${name}_quads")
+      .join(broadcast(spark.table(delsT)), quadKey, "left_anti")
+    rewriteTables(spark, name,
+      QuadStore(live, spark.table(s"${name}_resources")),
+      touchesResources = false)
+    spark.sql(s"DROP TABLE $delsT")
+  }
+
+  private def maybeCompact(spark: SparkSession, name: String,
+                           frac: Double = 0.1): Unit = {
+    val delsT = s"${name}_dels"
+    if (!spark.catalog.tableExists(delsT)) return
+    val nDels = spark.table(delsT).count()
+    if (nDels > 0 &&
+        nDels >= frac * spark.table(s"${name}_quads").count())
+      compact(spark, name)
   }
 
   /** Append only the delta rows (`after` minus `before`) as new files in
@@ -457,6 +512,8 @@ object Update {
   private[graft] def reload(spark: SparkSession, name: String): QuadStore = {
     spark.catalog.refreshTable(s"${name}_quads")
     spark.catalog.refreshTable(s"${name}_resources")
+    if (spark.catalog.tableExists(s"${name}_dels"))
+      spark.catalog.refreshTable(s"${name}_dels")
     QuadStore.loadBucketed(spark, name)
   }
 }

@@ -200,7 +200,8 @@ class EndpointSpec extends SparkTestBase {
     val name = "ep_dur1"
     val wh = java.nio.file.Paths.get(
       spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"))
-    for (base <- Seq(s"${name}_quads", s"${name}_resources");
+    for (base <- Seq(s"${name}_quads", s"${name}_resources",
+                     s"${name}_dels");
          t <- Seq(base, s"${base}__stage", s"${base}__old")) {
       spark.sql(s"DROP TABLE IF EXISTS $t")
       def rm(f: java.io.File): Unit = {

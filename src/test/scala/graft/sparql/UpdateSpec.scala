@@ -20,7 +20,8 @@ class UpdateSpec extends SparkTestBase {
   private def dropDurable(name: String): Unit = {
     val wh = java.nio.file.Paths.get(
       spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"))
-    for (base <- Seq(s"${name}_quads", s"${name}_resources");
+    for (base <- Seq(s"${name}_quads", s"${name}_resources",
+                     s"${name}_dels");
          t <- Seq(base, s"${base}__stage", s"${base}__old")) {
       spark.sql(s"DROP TABLE IF EXISTS $t")
       val dir = wh.resolve(t).toFile
@@ -225,6 +226,44 @@ class UpdateSpec extends SparkTestBase {
       .collect().map(r => (r.getString(0), r.getString(1))).toSeq
     assert(rows == Seq(("urn:age", "30"), ("urn:greeting", "Alice"),
       ("urn:name", "Alice")))
+  }
+
+  test("durable deletes tombstone, never rewrite; re-insert revives") {
+    dropDurable("durt4")
+    // big enough that one tombstone stays under the compaction threshold
+    QuadStore.fromTerms(spark,
+      (Uri("urn:b"), Uri("urn:name"), Lit("Bob")) +:
+        Seq.tabulate(29)(i =>
+          (Uri(s"urn:s$i"), Uri("urn:v"), Lit(i.toString, Xsd.integer))))
+      .saveBucketed("durt4")
+    val rawBefore = spark.table("durt4_quads").count()
+    Update.durable(spark, "durt4",
+      """DELETE DATA { <urn:b> <urn:name> "Bob" }""")
+    // the quads table was NOT rewritten — the delete is a tombstone
+    assert(spark.table("durt4_quads").count() == rawBefore)
+    assert(spark.table("durt4_dels").count() == 1)
+    assert(!askTrue(QuadStore.loadBucketed(spark, "durt4"),
+      """ASK { <urn:b> <urn:name> "Bob" }"""))
+    // re-inserting the tombstoned quad revives it (tombstone dropped,
+    // no duplicate row appended)
+    Update.durable(spark, "durt4",
+      """INSERT DATA { <urn:b> <urn:name> "Bob" }""")
+    assert(spark.table("durt4_quads").count() == rawBefore)
+    assert(spark.table("durt4_dels").count() == 0)
+    assert(askTrue(QuadStore.loadBucketed(spark, "durt4"),
+      """ASK { <urn:b> <urn:name> "Bob" }"""))
+  }
+
+  test("compaction folds tombstones back into the quads table") {
+    dropDurable("durt5")
+    freshStore.saveBucketed("durt5")
+    Update.durable(spark, "durt5",
+      """DELETE DATA { <urn:b> <urn:name> "Bob" }""")
+    // 1 tombstone / 3 rows > 10% -> maybeCompact already folded it in
+    assert(!spark.catalog.tableExists("durt5_dels"))
+    assert(spark.table("durt5_quads").count() == 2)
+    assert(!askTrue(QuadStore.loadBucketed(spark, "durt5"),
+      """ASK { <urn:b> <urn:name> "Bob" }"""))
   }
 
   test("durable CLEAR GRAPH drops only that graph durably") {
