@@ -398,7 +398,37 @@ object Update {
     val ops = parse(text)
     val before = QuadStore.loadBucketed(spark, name)
     val after = ops.foldLeft(before)((st, op) => applyOp(st, spark, op))
+    commitDelta(spark, name, before, after)
+    reload(spark, name)
+  }
 
+  /** Transaction bracketing over a durable store (the reference's
+    * `4s-transaction begin|rollback|commit`, `fsp_transaction_*`):
+    * updates apply to an in-memory working snapshot; `commit` persists
+    * ONE delta for the whole batch (the reference's bulk-import use
+    * case — per-update commit overhead amortized away); `rollback`
+    * discards the snapshot. Immutable snapshots make isolation free:
+    * concurrent readers keep the pre-transaction store. */
+  final class Transaction(spark: SparkSession, name: String) {
+    private val base = QuadStore.loadBucketed(spark, name)
+    private var work = base
+    def store: QuadStore = work
+    def update(text: String): Transaction = {
+      work = Update(work, spark, text); this
+    }
+    def rollback(): Transaction = { work = base; this }
+    def commit(): QuadStore = {
+      commitDelta(spark, name, base, work)
+      reload(spark, name)
+    }
+  }
+  def begin(spark: SparkSession, name: String): Transaction =
+    new Transaction(spark, name)
+
+  /** Persist the `before -> after` difference of a durable store:
+    * inserts as O(delta) file appends, deletes as tombstones. */
+  private def commitDelta(spark: SparkSession, name: String,
+                          before: QuadStore, after: QuadStore): Unit = {
     val raw = spark.table(s"${name}_quads")
     val delsT = s"${name}_dels"
     val hasDels = spark.catalog.tableExists(delsT)
@@ -444,7 +474,6 @@ object Update {
       spark.catalog.refreshTable(delsT)
       maybeCompact(spark, name)
     }
-    reload(spark, name)
   }
 
   /** Fold the tombstones back into the quads table when they exceed

@@ -266,6 +266,28 @@ class UpdateSpec extends SparkTestBase {
       """ASK { <urn:b> <urn:name> "Bob" }"""))
   }
 
+  test("transaction brackets updates; rollback discards, commit persists") {
+    dropDurable("durt6")
+    freshStore.saveBucketed("durt6")
+    // rollback: nothing persists
+    Update.begin(spark, "durt6")
+      .update("""INSERT DATA { <urn:x> <urn:name> "Nope" }""")
+      .rollback()
+    assert(!askTrue(QuadStore.loadBucketed(spark, "durt6"),
+      """ASK { <urn:x> <urn:name> "Nope" }"""))
+    // batch of updates commits as ONE delta
+    val tx = Update.begin(spark, "durt6")
+      .update("""INSERT DATA { <urn:c> <urn:name> "Carol" }""")
+      .update("""DELETE DATA { <urn:b> <urn:name> "Bob" }""")
+    // uncommitted work is invisible to other readers
+    assert(askTrue(QuadStore.loadBucketed(spark, "durt6"),
+      """ASK { <urn:b> <urn:name> "Bob" }"""))
+    tx.commit()
+    val st = QuadStore.loadBucketed(spark, "durt6")
+    assert(askTrue(st, """ASK { <urn:c> <urn:name> "Carol" }"""))
+    assert(!askTrue(st, """ASK { <urn:b> <urn:name> "Bob" }"""))
+  }
+
   test("durable CLEAR GRAPH drops only that graph durably") {
     dropDurable("durt3")
     val st0 = Update(freshStore, spark,
