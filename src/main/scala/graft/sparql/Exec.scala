@@ -682,7 +682,7 @@ final class Exec(store: QuadStore, spark: SparkSession) {
             namedGRids))
         case BindGP(e, v) =>
           val left = acc.getOrElse(unit)
-          acc = Some(extend(left, v, e))
+          acc = Some(extend(left, v, e, gvar, gRids))
         case u: UnionGP =>
           fold(pattern(u, gvar, gRids, needHere, namedGRids))
         case v: ValuesGP => fold(valuesTable(v))
@@ -715,15 +715,21 @@ final class Exec(store: QuadStore, spark: SparkSession) {
       Sparql.selectBindings(store, spark, s.q, gRids, namedGRids)
   }
 
-  def extend(b: Bindings, v: String, e: Expr): Bindings = {
+  def extend(b: Bindings, v: String, e: Expr,
+             gvar: Option[String] = None,
+             gRids: Option[Seq[Long]] = None): Bindings = {
     val needed = varsOf(e)
-    val eb = ensureValues(b, needed)
+    // BIND(EXISTS{..} AS ?f) and friends: flags first (§17.4.1.4)
+    val (xb, exSub) = resolveExists(b, e, gvar, gRids)
+    val eb = ensureValues(xb, needed)
     // a BIND input var the group never binds is the unbound value (so
     // e.g. COALESCE(?never, "x") binds "x", not an analysis error)
     val unboundSub: Map[Expr, V] = (needed diff eb.vars)
       .map(x => (EVar(x): Expr) -> V.nul).toMap
-    val value = Compiler.compile(e, unboundSub)
-    val df = eb.df.select(eb.df.columns.map(col) ++ Seq(
+    val value = Compiler.compile(e, unboundSub ++ exSub)
+    val keep = eb.df.columns.filterNot(c =>
+      c == "__eid" || c.startsWith("__ex_"))
+    val df = eb.df.select(keep.map(col) ++ Seq(
       value.rid.as(v), value.lex.as(s"${v}__lex"),
       value.dt.as(s"${v}__dt"),
       coalesce(value.lang, lit("")).as(s"${v}__lang")): _*)
@@ -773,14 +779,50 @@ final class Exec(store: QuadStore, spark: SparkSession) {
     case ECall("&&", List(a, c)) => // split conjunctions for EXISTS support
       filter(filter(b, a, gvar, gRids), c, gvar, gRids)
     case _ =>
-      val eb = ensureValues(b, varsOf(f))
+      val (xb, exSub) = resolveExists(b, f, gvar, gRids)
+      val eb = ensureValues(xb, varsOf(f))
       // a filter var the group never binds is the unbound value: the
       // expression becomes a type error and drops the row (reference
       // behavior — `fs_binding_apply_filters` passes FS_RID_NULL)
       val unboundSub: Map[Expr, V] = (varsOf(f) diff eb.vars)
         .map(v => (EVar(v): Expr) -> V.nul).toMap
-      eb.copy(df = eb.df.filter(
-        Compiler.compile(f, unboundSub).ebv === true))
+      val out = eb.df.filter(
+        Compiler.compile(f, unboundSub ++ exSub).ebv === true)
+      eb.copy(df = out.drop(out.columns.filter(c =>
+        c == "__eid" || c.startsWith("__ex_")): _*))
+  }
+
+  /** EXISTS nested inside a larger expression (`EXISTS{..} || ?p`,
+    * `IF(EXISTS{..}, ..)`, BIND): SPARQL 1.1 §17.4.1.4 makes it a
+    * per-solution boolean. Compute each one with the SAME semi-join
+    * machinery as a top-level FILTER EXISTS — against a row id, so bag
+    * semantics survive — and hand the compiler a node -> boolean-column
+    * substitution. No correlated subquery, no per-row re-evaluation:
+    * one distributed join per EXISTS whatever the row count. */
+  private def existsSubterms(e: Expr): List[Expr] = e match {
+    case x: EExists => List(x)
+    case ECall(_, args) => args.flatMap(existsSubterms)
+    case EIn(x, list, _) => (x :: list).flatMap(existsSubterms)
+    case _ => Nil
+  }
+
+  private def resolveExists(b: Bindings, e: Expr, gvar: Option[String],
+      gRids: Option[Seq[Long]]): (Bindings, Map[Expr, V]) = {
+    val exs = existsSubterms(e).distinct
+    if (exs.isEmpty) return (b, Map.empty)
+    var cur = b.copy(df = b.df.withColumn("__eid",
+      monotonically_increasing_id()).localCheckpoint())
+    var sub = Map.empty[Expr, V]
+    exs.zipWithIndex.foreach { case (ex, i) =>
+      // the top-level-EExists branch of [[filter]] keeps exactly the
+      // rows where `ex` holds; their ids become the true-flag set
+      val kept = filter(cur, ex, gvar, gRids)
+      val ids = kept.df.select(col("__eid")).distinct()
+        .withColumn(s"__ex_$i", lit(true))
+      cur = cur.copy(df = cur.df.join(ids, Seq("__eid"), "left"))
+      sub += (ex -> V.ofBool(coalesce(col(s"__ex_$i"), lit(false))))
+    }
+    (cur, sub)
   }
 
   private def valuesTable(v: ValuesGP): Bindings = {

@@ -275,4 +275,29 @@ class SparqlSpec extends SparkTestBase {
       SELECT ?n WHERE { ex:alice ex:name ?n }""")
     assert(r.map(_.head) == Seq("Alice"))
   }
+
+  // EXISTS in expression position (SPARQL 1.1 §17.4.1.4): not just a
+  // top-level FILTER — inside ||, IF, and BIND
+
+  test("EXISTS under || in a FILTER") {
+    val r = rows("""SELECT ?n WHERE { ?p <urn:name> ?n .
+      FILTER(EXISTS { ?p <urn:knows> <urn:bob> } || ?n = "Carol") }
+      ORDER BY ?n""")
+    assert(r.map(_.head) == Seq("Alice", "Carol"))
+  }
+
+  test("BIND(EXISTS AS ?flag) binds a boolean per solution") {
+    val r = rows("""SELECT ?n ?f WHERE { ?p <urn:name> ?n .
+      BIND(EXISTS { ?p <urn:knows> ?x } AS ?f) } ORDER BY ?n""")
+    assert(r.map(x => (x(0), x(1))) ==
+      Seq(("Alice", "true"), ("Bob", "true"), ("Carol", "false")))
+  }
+
+  test("IF(NOT EXISTS ...) selects per row") {
+    val r = rows("""SELECT ?n ?tag WHERE { ?p <urn:name> ?n .
+      BIND(IF(NOT EXISTS { ?p <urn:knows> ?x }, "loner", "social") AS ?tag) }
+      ORDER BY ?n""")
+    assert(r.map(x => (x(0), x(1))) == Seq(("Alice", "social"),
+      ("Bob", "social"), ("Carol", "loner")))
+  }
 }
