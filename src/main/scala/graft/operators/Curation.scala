@@ -108,6 +108,33 @@ object Curation {
   def shuffleKey(id: Column, seed: Int): Column =
     md5(concat(id.cast("string"), lit(":" + seed)).cast("binary"))
 
+  /** Leakage-safe train/val/test split: every row of a group lands in
+    * the SAME split, so near-identical documents sharing a group key
+    * (source domain, or a near-dup component id from
+    * [[Dedup.connectedComponents]]) can never straddle train and eval.
+    * Assignment is a pure function of the group key — md5 bucket in
+    * millionths against cumulative weight thresholds — so the pass is
+    * map-only codegen: no shuffle, no join, no state; at 100 TB the
+    * split costs one projection over the corpus, and adding data later
+    * never reassigns an existing group. */
+  def leakageSafeSplit(df: DataFrame, groupCol: String,
+                       weights: Seq[(String, Double)],
+                       seed: Int = 42): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0),
+      "weights must be positive")
+    val total = weights.map(_._2).sum
+    val bucket = conv(substring(shuffleKey(col(groupCol), seed), 1, 15),
+      16, 10).cast("long") % 1000000L
+    var acc = 0.0
+    val cuts = weights.init.map { case (name, w) =>
+      acc += w / total; (name, (acc * 1e6).toLong)
+    }
+    val split = cuts.foldRight(lit(weights.last._1): Column) {
+      case ((name, cut), rest) => when(bucket < cut, name).otherwise(rest)
+    }
+    df.withColumn("split", split)
+  }
+
   /** PII redaction: mask email addresses and long digit runs (ids,
     * phone-like numbers). Pure map-side regex pass — codegen'd, no
     * shuffle. Patterns are deliberately RE2-compatible so the same

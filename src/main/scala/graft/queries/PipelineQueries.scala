@@ -235,6 +235,14 @@ object PipelineQueries {
       Curation.seededShuffle(t(s, d, "documents").select("doc_id"),
           "doc_id", shards = 32, seed = 42)
         .select("doc_id", "shard", "pos")
+        .orderBy("doc_id")),
+
+    // leakage-safe split: whole source domains assigned to one split
+    "p24_leakage_split" -> ((s, d) =>
+      Curation.leakageSafeSplit(
+          t(s, d, "documents").select("doc_id", "source"), "source",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), seed = 42)
+        .select("doc_id", "source", "split")
         .orderBy("doc_id"))
   )
 
@@ -546,6 +554,17 @@ object PipelineQueries {
         |  CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY hex)
         |    AS BIGINT) AS pos
         |FROM s ORDER BY doc_id""".stripMargin,
+
+    "p24_leakage_split" ->
+      """WITH b AS (SELECT doc_id, source,
+        |    ('0x'||substr(md5(source || ':42'),1,15))::UBIGINT % 1000000
+        |      AS bucket
+        |  FROM documents)
+        |SELECT doc_id, source,
+        |  CASE WHEN bucket < 800000 THEN 'train'
+        |       WHEN bucket < 900000 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM b ORDER BY doc_id""".stripMargin,
 
     "p03_minhash_pairs" -> p03Oracle,
     "p04_simhash_pairs" -> p04Oracle,

@@ -329,4 +329,25 @@ class OperatorsSpec extends SparkTestBase {
     assert(out(2)._1.contains("<NUM> goes") && out(2)._1.contains("a1b2c3"))
     assert(out(3) == ("clean text only", 0L))
   }
+
+  test("leakageSafeSplit keeps groups whole and is deterministic") {
+    import spark.implicits._
+    val docs = (1 to 300).map(i => (i.toLong, s"site${i % 30}"))
+      .toDF("doc_id", "source")
+    val split = graft.operators.Curation.leakageSafeSplit(
+      docs, "source", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    // group atomicity: every source maps to exactly one split
+    assert(split.groupBy("source")
+      .agg(countDistinct("split").as("n"))
+      .filter(col("n") > 1).count() == 0)
+    val bySplit = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySplit.keySet.subsetOf(Set("train", "val", "test")))
+    assert(bySplit("train") > bySplit.getOrElse("val", 0L) &&
+      bySplit("train") > bySplit.getOrElse("test", 0L))
+    // pure function of the group key: re-running reassigns nothing
+    val again = graft.operators.Curation.leakageSafeSplit(
+      docs, "source", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    assert(split.except(again).count() == 0)
+  }
 }
