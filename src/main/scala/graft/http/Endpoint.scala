@@ -200,6 +200,8 @@ final class Endpoint(spark: SparkSession, initial: QuadStore, port: Int = 0,
                 graft.rdf.Rid.uri(graph))
               .write.mode("append").format("parquet")
               .saveAsTable(s"${n}_dels")
+            spark.catalog.refreshTable(s"${n}_dels")
+            Update.maybeCompact(spark, n)
             storeRef.set(Update.reload(spark, n))
           }
           respond(ex, 200, """{"ok":true}""")

@@ -490,7 +490,7 @@ object Update {
     spark.sql(s"DROP TABLE $delsT")
   }
 
-  private def maybeCompact(spark: SparkSession, name: String,
+  private[graft] def maybeCompact(spark: SparkSession, name: String,
                            frac: Double = 0.1): Unit = {
     val delsT = s"${name}_dels"
     if (!spark.catalog.tableExists(delsT)) return
