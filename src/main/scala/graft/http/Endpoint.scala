@@ -278,6 +278,36 @@ final class Endpoint(spark: SparkSession, initial: QuadStore, port: Int = 0,
     }
   })
 
+  /** test-query widget (`http_query_widget`, `httpd.c:1070-1100`): a
+    * plain HTML form posting to `/sparql/` — same textarea defaults,
+    * soft-limit field, and output selector as the reference. */
+  server.createContext("/test/", new HttpHandler {
+    def handle(ex: HttpExchange): Unit =
+      respond(ex, 200,
+        """<!DOCTYPE html>
+          |<html><head><title>SPARQL httpd test query</title></head>
+          |<body><h1>graft SPARQL endpoint test query</h1>
+          |<form action="../sparql/" method="post">
+          |<textarea name="query" cols="80" rows="18">
+          |PREFIX rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#>
+          |PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#>
+          |
+          |SELECT * WHERE {
+          | ?s ?p ?o
+          |} LIMIT 10
+          |</textarea><br>
+          |<em>Soft limit</em> <input type="text" name="soft-limit">
+          |<select name="output">
+          |<option>xml</option>
+          |<option>json</option>
+          |<option>text</option>
+          |</select>
+          |<input type="submit" value="Execute"><input type="reset">
+          |</form>
+          |</body></html>
+          |""".stripMargin, "text/html; charset=UTF-8")
+  })
+
   def start(): Endpoint = { server.start(); this }
   def stop(): Unit = server.stop(0)
 }

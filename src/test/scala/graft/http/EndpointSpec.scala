@@ -196,6 +196,24 @@ class EndpointSpec extends SparkTestBase {
     } finally ep.stop()
   }
 
+  test("/test/ serves the query widget; its form posts execute") {
+    val store = QuadStore.fromTerms(spark, Seq(
+      (Uri("urn:a"), Uri("urn:name"), Lit("Alice"))))
+    val ep = new Endpoint(spark, store, 0).start()
+    try {
+      val base = s"http://localhost:${ep.boundPort}"
+      val (c1, b1) = req(s"$base/test/")
+      assert(c1 == 200 && b1.contains("<form action=\"../sparql/\"") &&
+        b1.contains("soft-limit"))
+      // what the widget's form submits: urlencoded query + output
+      val (c2, b2) = req(s"$base/sparql/", "POST",
+        "query=" + java.net.URLEncoder.encode(
+          "SELECT * WHERE { ?s ?p ?o } LIMIT 10", "UTF-8") +
+        "&output=text&soft-limit=5")
+      assert(c2 == 200 && b2.contains("Alice"), b2)
+    } finally ep.stop()
+  }
+
   test("durable endpoint: updates survive a restart") {
     val name = "ep_dur1"
     val wh = java.nio.file.Paths.get(
