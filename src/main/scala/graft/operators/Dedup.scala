@@ -359,14 +359,18 @@ object Dedup {
         .groupBy(sym("a").as("id")).agg(min("comp").as("__nc"))
       // change flag computed in the same pass: convergence needs no
       // second join against the previous labels
+      // lazy checkpoint + full count = ONE job per round: the count scans
+      // every partition, which completes the checkpoint materialization
+      // AND yields the change total (eager checkpoint + isEmpty probe was
+      // two jobs per round for the same information)
       val next = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           least(col("comp"), coalesce(col("__nc"), col("comp")))
             .as("comp"),
           (col("__nc").isNotNull && col("__nc") < col("comp"))
             .as("__ch"))
-        .localCheckpoint()
-      converged = next.filter(col("__ch")).isEmpty
+        .localCheckpoint(false)
+      converged = next.filter(col("__ch")).count() == 0
       labels = next.drop("__ch")
     }
     labels
