@@ -111,6 +111,11 @@ object Bench {
             .reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
         }
       }
+      // quiesce before timing: the query pass above leaves every gate
+      // store cached in the 8g heap; import throughput should measure
+      // the ingest pipeline, not old-gen GC against unrelated caches
+      spark.catalog.clearCache()
+      System.gc()
       val t0 = System.nanoTime()
       val st = graft.rdf.QuadStore.fromNTriples(spark, ntPath, "urn:g/bench")
       st.saveBucketed("bench_ingest")

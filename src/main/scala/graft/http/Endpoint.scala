@@ -93,7 +93,9 @@ final class Endpoint(spark: SparkSession, initial: QuadStore, port: Int = 0,
             else store.restrictGraphs(
               acl(p("apikey")).map(graft.rdf.Rid.uri) :+
                 graft.rdf.WellKnown.defaultGraph)
-          var df = Sparql.run(visible, spark, q)
+          // NT-serialized SELECT terms: kind/datatype/lang survive to
+          // the XML/JSON/TSV serializers (and to SERVICE peers)
+          var df = Sparql.runNt(visible, spark, q)
           // complexity throttle (`soft-limit=`, httpd.c:1133-1139):
           // row cap on the result, like the reference's restricted mode
           p.get("soft-limit").map(_.toInt).filter(_ > 0)

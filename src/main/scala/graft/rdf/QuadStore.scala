@@ -86,6 +86,19 @@ final case class QuadStore(quads: DataFrame, resources: DataFrame,
         .drop(s"${c}__rid")
     }
 
+  /** Datatype attr-RID -> datatype URI for every datatype present in
+    * the store (plus the XSD well-knowns) — the small driver-side map
+    * term serializers need to render `^^<dt>`. Lazy and cached: a store
+    * is an immutable snapshot, and real stores carry a handful of
+    * datatypes. */
+  lazy val dtUriMap: Map[Long, String] = {
+    val dts = resources.filter(col("dt") =!= 0L).select(col("dt")).distinct()
+    val found = dts.join(resources, dts("dt") === resources("rid"))
+      .select(col("rid"), col("lex")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    WellKnown.xsdAttr.map(_.swap) ++ found
+  }
+
   /** Visibility restriction to a graph set (graph-level ACL,
     * reference `fsp_acl_*` / `query-cache.c:375-423`): filters every
     * scannable part — segments included, so segment-pruned plans can't
@@ -290,9 +303,10 @@ object QuadStore {
   }
 
   /** Import with format auto-detection (the reference's Raptor importer
-    * guesses the syntax, `src/frontend/import.c:333-423`): RDF/XML and
-    * Turtle parse driver-side ([[RdfXml]], [[Turtle]]) — inherently
-    * sequential syntaxes; N-Triples/N-Quads stream distributed. */
+    * guesses the syntax, `src/frontend/import.c:333-423`): RDF/XML,
+    * Turtle and TriG parse driver-side ([[RdfXml]], [[Turtle]]) —
+    * inherently sequential syntaxes; N-Triples/N-Quads stream
+    * distributed. */
   def fromFile(spark: SparkSession, path: String,
                graph: String = ""): QuadStore = {
     val lower = path.toLowerCase
@@ -306,6 +320,8 @@ object QuadStore {
           !lower.endsWith(".ttl") && sniff().contains("<rdf:RDF")))
       fromTerms(spark, RdfXml.parseFile(path,
         if (graph.nonEmpty) graph else s"file://$path"), graph)
+    else if (lower.endsWith(".trig"))
+      fromQuadTerms(spark, Turtle.parseQuadsFile(path), graph)
     else if (lower.endsWith(".ttl") || lower.endsWith(".n3"))
       fromTerms(spark, Turtle.parseFile(path), graph)
     else fromNTriples(spark, path, graph)
@@ -314,9 +330,17 @@ object QuadStore {
   /** In-memory statements (tests, INSERT DATA). */
   def fromTerms(spark: SparkSession,
                 stmts: Seq[(Term, Term, Term)],
-                graph: String = ""): QuadStore = {
+                graph: String = ""): QuadStore =
+    fromQuadTerms(spark, stmts.map { case (s, p, o) => (s, p, o, None) },
+      graph)
+
+  /** In-memory quad statements (TriG import); per-statement graph
+    * overrides `graph` (the unlabeled-block / top-level default). */
+  def fromQuadTerms(spark: SparkSession,
+                    stmts: Seq[(Term, Term, Term, Option[String])],
+                    graph: String = ""): QuadStore = {
     import spark.implicits._
-    val flat = stmts.map { case (s, p, o) =>
+    val flat = stmts.map { case (s, p, o, g) =>
       val (sk, sl) = s match {
         case Uri(v) => (1, v); case BNode(b) => (2, b); case _ => (0, "")
       }
@@ -326,7 +350,7 @@ object QuadStore {
         case BNode(b) => (2, b, "", "")
         case Lit(lex, dt, lang) => (0, lex, dt, lang)
       }
-      FlatQuad(graph, sk, sl, pl, ok, ol, od, og)
+      FlatQuad(g.getOrElse(graph), sk, sl, pl, ok, ol, od, og)
     }.toDF()
     fromFlat(spark, flat)
   }

@@ -23,6 +23,20 @@ object Turtle {
     try parse(src.mkString, base) finally src.close()
   }
 
+  /** TriG reader (Turtle + named graph blocks): `GRAPH <g> { ... }`,
+    * label-only `<g> { ... }`, unlabeled `{ ... }` and plain top-level
+    * Turtle statements (both default graph). Graph = None for the
+    * default graph; bnode labels render as `_:label`. */
+  def parseQuads(text: String, base: String = "")
+      : List[(Term, Term, Term, Option[String])] =
+    new TtlParser(base).runQuads(text)
+
+  def parseQuadsFile(path: String, base: String = "")
+      : List[(Term, Term, Term, Option[String])] = {
+    val src = scala.io.Source.fromFile(path, "UTF-8")
+    try parseQuads(src.mkString, base) finally src.close()
+  }
+
   private final class TtlParser(base0: String) extends RegexParsers {
     override val whiteSpace = """(\s|#[^\n]*)+""".r
 
@@ -122,19 +136,24 @@ object Turtle {
     private def predObjList: Parser[List[Term ~ List[Term]]] =
       rep1sep(verb ~ rep1sep(obj, ","), rep1(";")) // ;; is legal
 
-    private def statement: Parser[List[(Term, Term, Term)]] =
-      subject ~ predObjList <~ opt(";") <~ "." ^^ {
-        // Turtle allows a trailing ';'
+    /** triples without the terminating '.' (TriG allows the final
+      * triples of a `{ ... }` block to omit it); a trailing ';' is
+      * tolerated as in Turtle */
+    private def triplesNoDot: Parser[List[(Term, Term, Term)]] =
+      subject ~ predObjList <~ opt(";") ^^ {
         case s ~ pol =>
           pol.flatMap { case p ~ os => os.map(o => (s, p, o)) }
       } |
       // blankNodePropertyList as subject, with optional further
       // predicate-object list: `[ :p :o ] :q :r .`
-      bnodePropList ~ opt(predObjList) <~ opt(";") <~ "." ^^ {
+      bnodePropList ~ opt(predObjList) <~ opt(";") ^^ {
         case b ~ pol =>
           pol.getOrElse(Nil).flatMap { case p ~ os =>
             os.map(o => (b, p, o)) }
       }
+
+    private def statement: Parser[List[(Term, Term, Term)]] =
+      triplesNoDot <~ "."
 
     private def directive: Parser[List[(Term, Term, Term)]] =
       ("@prefix" | "(?i)PREFIX".r) ~>
@@ -153,6 +172,40 @@ object Turtle {
         case Success(ts, _) => ts ++ nested.toList
         case other =>
           throw new IllegalArgumentException(s"turtle parse error: $other")
+      }
+
+    // ------------------------------------------------------ TriG blocks
+
+    /** drain triples emitted from nested [ ... ] / ( ... ) terms so they
+      * land in the graph of the enclosing block */
+    private def drain(): List[(Term, Term, Term)] = {
+      val l = nested.toList; nested.clear(); l
+    }
+
+    private def graphLabel: Parser[String] =
+      iri | "_:" ~> """[A-Za-z0-9_]+""".r ^^ ("_:" + _)
+
+    /** `{ t1 . t2 . t3 }` — dots between triples, optional after the
+      * last (lenient: every dot is optional on read) */
+    private def wrapped: Parser[List[(Term, Term, Term)]] =
+      "{" ~> rep(triplesNoDot <~ opt(".")) <~ "}" ^^ (_.flatten)
+
+    private def qitem
+        : Parser[List[(Term, Term, Term, Option[String])]] =
+      directive ^^ (_ => Nil) |
+      opt("(?i)GRAPH\\b".r) ~> graphLabel ~ wrapped ^^ { case g ~ ts =>
+        (ts ++ drain()).map { case (s, p, o) => (s, p, o, Some(g)) } } |
+      wrapped ^^ (ts =>
+        (ts ++ drain()).map { case (s, p, o) => (s, p, o, None) }) |
+      statement ^^ (ts =>
+        (ts ++ drain()).map { case (s, p, o) => (s, p, o, None) })
+
+    def runQuads(text: String)
+        : List[(Term, Term, Term, Option[String])] =
+      parseAll(rep(qitem) ^^ (_.flatten), text) match {
+        case Success(qs, _) => qs
+        case other =>
+          throw new IllegalArgumentException(s"trig parse error: $other")
       }
   }
 }

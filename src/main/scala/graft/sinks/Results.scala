@@ -32,6 +32,20 @@ object Results {
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").option("header", "true").csv(path)
 
+  /** SPARQL 1.1 CSV results reduce a term to its plain form: IRIs bare
+    * (no `<>`), bnodes as `_:label`, literals as the unescaped lexical —
+    * unlike TSV, which keeps full NT syntax. Cells that don't look
+    * NT-serialized pass through unchanged (relational results). */
+  private def ntPlain(v: String): String =
+    if (v == null) v
+    else if (v.startsWith("<") && v.endsWith(">")) v.substring(1, v.length - 1)
+    else if (v.startsWith("\"")) {
+      val end = v.lastIndexOf('"')
+      if (end <= 0) v
+      else v.substring(1, end).replace("\\\"", "\"").replace("\\t", "\t")
+        .replace("\\n", "\n").replace("\\\\", "\\")
+    } else v
+
   /** Driver-side CSV lines (header + rows) with RFC-4180 quoting — the
     * one shared implementation for the CLI and HTTP emitters
     * (`output_csv`, `results.c:2143`). */
@@ -43,7 +57,8 @@ object Results {
       else v
     df.columns.mkString(",") +: df.collect().toSeq.map(r =>
       (0 until r.length).map(i =>
-        cell(if (r.isNullAt(i)) null else r.get(i).toString))
+        cell(if (r.isNullAt(i)) null
+             else ntPlain(r.get(i).toString)))
         .mkString(","))
   }
 
@@ -68,7 +83,7 @@ object Results {
       val r = it.next()
       out.write("\n")
       out.write((0 until r.length).map(i =>
-        cell(if (r.isNullAt(i)) null else r.get(i).toString))
+        cell(if (r.isNullAt(i)) null else ntPlain(r.get(i).toString)))
         .mkString(","))
     }
   }

@@ -64,6 +64,14 @@ object Ast {
   /** `{ SELECT ... }` subquery (SPARQL 1.1 §12 — extension: the reference
     * rejects subSELECT, `src/frontend/query.c:1388-1390`). */
   final case class SubSelectGP(q: SelectQ) extends GP
+  /** `SERVICE [SILENT] <iri> { ... }` (SPARQL 1.1 Federated Query §2 —
+    * extension: the reference has no federation). `raw` is the inner
+    * group's source text (braces included) and `prologue` the PREFIX/
+    * BASE declarations in scope, so the sub-pattern ships to the remote
+    * endpoint verbatim; `inner` stays parsed for local introspection. */
+  final case class ServiceGP(silent: Boolean, endpoint: PTerm,
+                             inner: GP, raw: String,
+                             prologue: String) extends GP
 
   // ---- queries ----
   final case class SelectItem(expr: Expr, as: Option[String])

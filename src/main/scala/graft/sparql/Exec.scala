@@ -713,6 +713,7 @@ final class Exec(store: QuadStore, spark: SparkSession) {
     // join its projected bindings into the outer pattern (SPARQL 1.1 §12)
     case s: SubSelectGP =>
       Sparql.selectBindings(store, spark, s.q, gRids, namedGRids)
+    case sv: ServiceGP => serviceBindings(sv)
   }
 
   def extend(b: Bindings, v: String, e: Expr,
@@ -824,6 +825,76 @@ final class Exec(store: QuadStore, spark: SparkSession) {
     }
     (cur, sub)
   }
+
+  // ------------------------------------------------------------ SERVICE
+
+  /** Inverse of `Results.writeTsv` cell escaping. */
+  private def tsvUnescape(s: String): String = {
+    if (!s.contains('\\')) return s
+    val b = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 't' => b += '\t'; i += 2
+          case 'n' => b += '\n'; i += 2
+          case '\\' => b += '\\'; i += 2
+          case o => b += c; b += o; i += 2
+        }
+      } else { b += c; i += 1 }
+    }
+    b.toString
+  }
+
+  /** SPARQL 1.1 Federated Query (§2 — extension; the reference has no
+    * federation): ship the sub-pattern to the remote endpoint as a
+    * standalone `SELECT *`, parse the TSV result (NT-serialized cells)
+    * back into terms, and expose them as an inline binding table — the
+    * same shape VALUES takes, so compatibility-join semantics apply
+    * unchanged. SILENT turns transport/remote errors into the empty
+    * (unit) binding, per §4. */
+  private def serviceBindings(sv: ServiceGP): Bindings =
+    try {
+      val url = sv.endpoint match {
+        case PConst(Uri(u)) => u
+        case _ => throw new IllegalArgumentException(
+          "SERVICE endpoint must be a constant IRI")
+      }
+      val q = (if (sv.prologue.nonEmpty) sv.prologue + "\n" else "") +
+        "SELECT * WHERE " + sv.raw
+      val conn = new java.net.URI(url).toURL.openConnection()
+        .asInstanceOf[java.net.HttpURLConnection]
+      conn.setRequestMethod("POST")
+      conn.setConnectTimeout(10000)
+      conn.setReadTimeout(120000)
+      conn.setRequestProperty("Content-Type",
+        "application/x-www-form-urlencoded")
+      conn.setRequestProperty("Accept", "text/tab-separated-values")
+      conn.setDoOutput(true)
+      conn.getOutputStream.write(("query=" +
+        java.net.URLEncoder.encode(q, "UTF-8")).getBytes("UTF-8"))
+      val code = conn.getResponseCode
+      if (code >= 400)
+        throw new java.io.IOException(s"SERVICE $url: HTTP $code")
+      val body = new String(conn.getInputStream.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8)
+      val lines = body.split("\n", -1)
+      val vars = lines.head.split("\t").toList
+        .filter(_.nonEmpty).map(_.stripPrefix("?"))
+      val rows = lines.tail.filter(_.nonEmpty).toList.map { l =>
+        val cells = l.split("\t", -1).toList.padTo(vars.size, "")
+        cells.take(vars.size).map { c =>
+          if (c.isEmpty) None
+          else NTriples.parseTerm(tsvUnescape(c))
+        }
+      }
+      valuesTable(ValuesGP(vars, rows))
+    } catch {
+      case e: Exception =>
+        if (sv.silent) unit
+        else throw new RuntimeException(s"SERVICE failed: ${e.getMessage}", e)
+    }
 
   private def valuesTable(v: ValuesGP): Bindings = {
     val rows = v.rows.map { row =>

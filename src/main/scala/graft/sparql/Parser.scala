@@ -188,9 +188,32 @@ class Parser extends RegexParsers {
       | kw("BIND") ~> ("(" ~> expression ~ (kw("AS") ~> VAR) <~ ")") ^^ {
           case e ~ v => Right(BindGP(e, v)) }
       | kw("VALUES") ~> valuesClause ^^ (Right(_))
+      | kw("SERVICE") ~> opt(kw("SILENT")) ~
+          (VAR ^^ PVar.apply | iri ^^ (u => PConst(Uri(u)))) ~ rawGroup ^^ {
+          case sil ~ ep ~ ((g, raw)) =>
+            Right(ServiceGP(sil.isDefined, ep, g, raw, prologueText)) }
       | unionChain ^^ (Right(_))
       | triplesBlock ^^ (Right(_))
     ) <~ opt(".")
+
+  /** groupGraphPattern that also captures its raw source text (braces
+    * included) — the SERVICE sub-pattern is shipped to the remote
+    * endpoint verbatim */
+  private def rawGroup: Parser[(GroupGP, String)] = Parser { in =>
+    groupGraphPattern(in) match {
+      case Success(g, rest) =>
+        Success((g, in.source.subSequence(in.offset, rest.offset)
+          .toString), rest)
+      case f: Failure => f
+      case e: Error => e
+    }
+  }
+
+  /** the PREFIX/BASE declarations currently in scope, re-rendered — a
+    * SERVICE sub-query must parse standalone at the remote end */
+  private def prologueText: String =
+    (if (base.nonEmpty) s"BASE <$base>\n" else "") +
+      prefixes.map { case (p, u) => s"PREFIX $p: <$u>" }.mkString("\n")
 
   private def unionChain: Parser[GP] =
     groupGraphPattern ~ rep(kw("UNION") ~> groupGraphPattern) ^^ {

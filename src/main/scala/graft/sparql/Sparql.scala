@@ -78,6 +78,25 @@ object Sparql {
                text: String): DataFrame =
     cachedOrBuild(store, "terms:" + text, spark, text, terms = true)
 
+  /** Like [[run]], but SELECT columns carry N-Triples-serialized term
+    * strings (`<u>`, `"lit"@lang`, `"5"^^<dt>`, `_:b`) so term kind,
+    * datatype and language survive the wire — what the HTTP result
+    * serializers sniff ([[graft.sinks.Results]] `termJson`/`xmlBinding`)
+    * and what SERVICE peers parse back. ASK/CONSTRUCT/DESCRIBE are
+    * [[run]] unchanged. */
+  def runNt(store: QuadStore, spark: SparkSession, text: String): DataFrame =
+    Parser.parse(text) match {
+      case _: SelectQ =>
+        val df = runTerms(store, spark, text)
+        val dtm = store.dtUriMap
+        df.select(df.columns.map { c =>
+          val st = col(c)
+          ntTermCol(V(st.getField("rid"), st.getField("lex"),
+            st.getField("dt"), st.getField("lang")), dtm).as(c)
+        }: _*)
+      case _ => run(store, spark, text)
+    }
+
   /** FROM / FROM NAMED -> (default-scope graph RIDs, named-scope graph
     * RIDs). A dataset clause defines BOTH scopes (SPARQL 1.1 §13.2):
     * FROM-only means GRAPH patterns range over an empty named set. */
@@ -352,14 +371,17 @@ object Sparql {
 
   // -------------------------------------------------- CONSTRUCT/DESCRIBE
 
-  /** N-Triples serialization of a bound term. */
-  private def ntCol(v: V): Column = {
+  /** N-Triples serialization of a bound term; `dtUris` maps datatype
+    * attr-RIDs to datatype URIs (pass `store.dtUriMap` to cover stored
+    * datatypes beyond the XSD well-knowns). NULL for an unbound term. */
+  def ntTermCol(v: V, dtUris: Map[Long, String]): Column = {
     val esc = regexp_replace(regexp_replace(v.lex, "\\\\", "\\\\\\\\"),
       "\"", "\\\\\"")
-    val dtUri = WellKnown.xsdAttr.foldLeft(lit(null).cast("string")) {
-      case (acc, (u, rid)) => when(v.dt === rid, lit(u)).otherwise(acc)
+    val dtUri = dtUris.foldLeft(lit(null).cast("string")) {
+      case (acc, (rid, u)) => when(v.dt === rid, lit(u)).otherwise(acc)
     }
-    when(Rid.isUriCol(v.rid), concat(lit("<"), v.lex, lit(">")))
+    when(v.rid.isNull && v.lex.isNull, lit(null).cast("string"))
+      .when(Rid.isUriCol(v.rid), concat(lit("<"), v.lex, lit(">")))
       .when(Rid.isBNodeCol(v.rid), concat(lit("_:"), v.lex))
       .otherwise(concat(lit("\""), esc, lit("\""),
         when(coalesce(v.lang, lit("")) =!= "",
@@ -368,6 +390,9 @@ object Sparql {
             concat(lit("^^<"), dtUri, lit(">")))
           .otherwise(lit(""))))
   }
+
+  private def ntCol(v: V): Column =
+    ntTermCol(v, WellKnown.xsdAttr.map(_.swap))
 
   private def construct(store: QuadStore, spark: SparkSession,
                         q: ConstructQ): DataFrame = {

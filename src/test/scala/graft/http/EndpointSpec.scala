@@ -104,6 +104,58 @@ class EndpointSpec extends SparkTestBase {
     } finally ep.stop()
   }
 
+  test("SERVICE federation: remote pattern joins local bindings") {
+    import graft.sparql.Sparql
+    // remote endpoint holds ages (one typed, one lang-tagged label)
+    val remote = QuadStore.fromTerms(spark, Seq(
+      (Uri("urn:a"), Uri("urn:age"), Lit("42", dt = Xsd.integer)),
+      (Uri("urn:b"), Uri("urn:age"), Lit("35", dt = Xsd.integer)),
+      (Uri("urn:b"), Uri("urn:label"), Lit("bê", lang = "fr"))))
+    val ep = new Endpoint(spark, remote, 0).start()
+    try {
+      val url = s"http://localhost:${ep.boundPort}/sparql/"
+      // local store holds names; Carol has no remote age row
+      val local = QuadStore.fromTerms(spark, Seq(
+        (Uri("urn:a"), Uri("urn:name"), Lit("Alice")),
+        (Uri("urn:b"), Uri("urn:name"), Lit("Bob")),
+        (Uri("urn:c"), Uri("urn:name"), Lit("Carol"))))
+      val rows = Sparql.run(local, spark,
+        s"""PREFIX p: <urn:>
+           |SELECT ?name ?age WHERE {
+           |  ?s p:name ?name .
+           |  SERVICE <$url> { ?s p:age ?age }
+           |} ORDER BY ?name""".stripMargin).collect()
+      assert(rows.map(r => (r.getString(0), r.getString(1))).toSeq ==
+        Seq(("Alice", "42"), ("Bob", "35")))
+
+      // term kinds survive the wire: lang literal stays lang-tagged
+      val lbl = Sparql.runTerms(local, spark,
+        s"""SELECT ?l WHERE {
+           |  SERVICE <$url> { ?x <urn:label> ?l }
+           |}""".stripMargin).collect()
+      assert(lbl.length == 1)
+      val st = lbl(0).getStruct(0)
+      assert(st.getString(1) == "bê" && st.getString(3) == "fr")
+
+      // SILENT: unreachable endpoint degrades to the empty binding
+      val silent = Sparql.run(local, spark,
+        """SELECT ?name WHERE {
+          |  ?s <urn:name> ?name .
+          |  SERVICE SILENT <http://localhost:9/sparql/> { ?s <urn:age> ?a }
+          |} ORDER BY ?name""".stripMargin).collect()
+      assert(silent.map(_.getString(0)).toSeq ==
+        Seq("Alice", "Bob", "Carol"))
+
+      // non-SILENT failure raises
+      intercept[Exception] {
+        Sparql.run(local, spark,
+          """SELECT ?name WHERE {
+            |  SERVICE <http://localhost:9/sparql/> { ?s <urn:age> ?a }
+            |}""".stripMargin).collect()
+      }
+    } finally ep.stop()
+  }
+
   test("multimodal stub plumbing: meta/resize/frames/features") {
     import spark.implicits._
     import graft.operators.Multimodal

@@ -75,6 +75,52 @@ class RidSpec extends SparkTestBase {
       WellKnown.defaultGraph)
   }
 
+  test("TriG: graph blocks, label-only blocks, default graph, nesting") {
+    val doc =
+      """@prefix : <urn:x:> .
+        |:s0 :p0 "top" .
+        |{ :s1 :p1 :o1 . :s1 :p1b :o1b }
+        |GRAPH :g1 { :s2 :p2 :o2 . :s2 :p2 :o2b . }
+        |:g2 { :s3 :p3 [ :inner "v" ] }
+        |GRAPH _:gb { :s4 :p4 :o4 }
+        |""".stripMargin
+    val qs = Turtle.parseQuads(doc)
+    def graphOf(s: String): Set[Option[String]] =
+      qs.collect { case (Uri(u), _, _, g) if u == s"urn:x:$s" => g }.toSet
+    assert(graphOf("s0") == Set(None))
+    assert(graphOf("s1") == Set(None))
+    assert(graphOf("s2") == Set(Some("urn:x:g1")))
+    assert(graphOf("s3") == Set(Some("urn:x:g2")))
+    assert(graphOf("s4") == Set(Some("_:gb")))
+    // the nested [ :inner "v" ] bnode triples land in :g2 too
+    val innerG = qs.collect {
+      case (_, Uri("urn:x:inner"), _, g) => g }.toSet
+    assert(innerG == Set(Some("urn:x:g2")))
+    assert(qs.size == 8)
+
+    // store construction: per-quad graphs override the default
+    val st = QuadStore.fromQuadTerms(spark, qs)
+    val gs = st.quads.select("g").distinct().as[Long].collect().toSet
+    assert(gs == Set(WellKnown.defaultGraph, Rid.uri("urn:x:g1"),
+      Rid.uri("urn:x:g2"), Rid.uri("_:gb")))
+    assert(st.quads.filter(col("g") === Rid.uri("urn:x:g1")).count() == 2)
+  }
+
+  test("TriG: fromFile auto-detects .trig and keeps block graphs") {
+    val f = java.nio.file.Files.createTempFile("graft", ".trig")
+    java.nio.file.Files.writeString(f,
+      """@prefix ex: <http://ex.org/> .
+        |ex:d ex:p "default" .
+        |GRAPH ex:g { ex:s ex:q 42 }
+        |""".stripMargin)
+    val st = QuadStore.fromFile(spark, f.toString)
+    assert(st.quads.count() == 2)
+    assert(st.quads.filter(col("g") === Rid.uri("http://ex.org/g"))
+      .count() == 1)
+    assert(st.quads.filter(col("g") === WellKnown.defaultGraph)
+      .count() == 1)
+  }
+
   test("dump to N-Quads and restore round-trips quads and values") {
     val st = QuadStore.fromTerms(spark, Seq(
       (Uri("urn:a"), Uri("urn:name"), Lit("Ali\"ce\nX")),
