@@ -4,7 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.core.Tables
-import graft.operators.{Curation, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Chunking, Curation, Dedup, Multimodal, Similarity,
+  TextAnalysis}
 
 /** Training-data pipeline operators over the documents/embeddings/events
   * tables: dedup family, similarity search, text analysis, sessionization.
@@ -243,7 +244,20 @@ object PipelineQueries {
           t(s, d, "documents").select("doc_id", "source"), "source",
           Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), seed = 42)
         .select("doc_id", "source", "split")
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // context-window chunking: 64-token tiles, map-only
+    "p25_chunk_documents" -> ((s, d) =>
+      Chunking.chunk(t(s, d, "documents").select("doc_id", "text"),
+          "doc_id", "text", window = 64, stride = 64)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id", "chunk_id")),
+
+    // verbatim duplicated 14-token spans between documents
+    "p26_duplicated_spans" -> ((s, d) =>
+      Chunking.duplicatedSpans(t(s, d, "documents"), "doc_id", "text",
+          k = 14, maxDocs = 50, portableHash = true)
+        .orderBy("id1", "id2"))
   )
 
   /** DuckDB analog of TextAnalysis.subwordCountEstimate (same expression
@@ -565,6 +579,36 @@ object PipelineQueries {
         |       WHEN bucket < 900000 THEN 'val'
         |       ELSE 'test' END AS split
         |FROM b ORDER BY doc_id""".stripMargin,
+
+    "p25_chunk_documents" ->
+      """WITH w AS (SELECT doc_id, string_split(text, chr(32)) AS ws
+        |  FROM documents),
+        |g AS (SELECT doc_id, unnest(list_transform(
+        |    range(0, greatest((len(ws)+63)//64, 1)),
+        |    c -> struct_pack(chunk_id := c,
+        |      chunk_text := array_to_string(ws[c*64+1:c*64+64], chr(32)),
+        |      n_tokens := len(ws[c*64+1:c*64+64])))) AS ch FROM w)
+        |SELECT doc_id, CAST(ch.chunk_id AS BIGINT) AS chunk_id,
+        |  ch.chunk_text AS chunk_text, CAST(ch.n_tokens AS BIGINT)
+        |    AS n_tokens
+        |FROM g ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "p26_duplicated_spans" ->
+      """WITH ws AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |      x -> len(x) > 0) AS ws
+        |  FROM documents),
+        |g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, greatest(len(ws)-12, 1)),
+        |    i -> ('0x'||substr(md5(array_to_string(ws[i:i+13], chr(32))),
+        |      1,16))::UBIGINT))) AS h
+        |  FROM ws),
+        |b AS (SELECT h FROM g GROUP BY h
+        |  HAVING count(*) BETWEEN 2 AND 50)
+        |SELECT a.doc_id AS id1, c.doc_id AS id2, count(*) AS n_shared
+        |FROM g a JOIN b USING (h) JOIN g c USING (h)
+        |WHERE a.doc_id < c.doc_id
+        |GROUP BY 1, 2 ORDER BY id1, id2""".stripMargin,
 
     "p03_minhash_pairs" -> p03Oracle,
     "p04_simhash_pairs" -> p04Oracle,

@@ -350,4 +350,58 @@ class OperatorsSpec extends SparkTestBase {
       docs, "source", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
     assert(split.except(again).count() == 0)
   }
+
+  test("chunk tiles documents; stride<window overlaps; empty doc survives") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 tokens
+      (2L, "a b c"),                                  // shorter than window
+      (3L, "")                                        // empty
+    ).toDF("doc_id", "text")
+
+    val tiled = Chunking.chunk(df, "doc_id", "text", window = 4, stride = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3))).sortBy(t => (t._1, t._2))
+    assert(tiled.filter(_._1 == 1L).map(_._3).toSeq ==
+      Seq("w1 w2 w3 w4", "w5 w6 w7 w8", "w9 w10"))
+    assert(tiled.filter(_._1 == 1L).map(_._4).toSeq == Seq(4L, 4L, 2L))
+    assert(tiled.filter(_._1 == 2L).toSeq == Seq((2L, 0L, "a b c", 3L)))
+    // empty text -> split yields [""] -> one 1-token empty chunk
+    assert(tiled.filter(_._1 == 3L).toSeq == Seq((3L, 0L, "", 1L)))
+
+    // overlapping windows: stride 2, window 4 -> starts 0,2,4,...
+    val lap = Chunking.chunk(df.filter(col("doc_id") === 1L),
+        "doc_id", "text", window = 4, stride = 2)
+      .orderBy("chunk_id").collect().map(_.getString(2))
+    assert(lap.take(3).toSeq ==
+      Seq("w1 w2 w3 w4", "w3 w4 w5 w6", "w5 w6 w7 w8"))
+    assert(lap.length == 5) // ceil(10/2) starts
+  }
+
+  test("duplicatedSpans finds verbatim k-gram overlap, caps viral spans") {
+    import spark.implicits._
+    val span = (1 to 8).map(i => s"s$i").mkString(" ") // 8-token span
+    val df = Seq(
+      (1L, s"alpha beta $span gamma"),
+      (2L, s"$span delta epsilon"),          // shares the span with 1
+      (3L, "unrelated words only here now"),
+      (4L, s"zeta $span")                    // shares the span with 1,2
+    ).toDF("doc_id", "text")
+    val pairs = Chunking.duplicatedSpans(df, "doc_id", "text", k = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L), (1L, 4L), (2L, 4L)))
+
+    // n_shared counts distinct shared grams: doc1/doc2 share the 8-gram
+    // plus nothing else (context words differ)
+    val n12 = Chunking.duplicatedSpans(df, "doc_id", "text", k = 8)
+      .filter(col("id1") === 1L && col("id2") === 2L)
+      .collect().head.getLong(2)
+    assert(n12 == 1L)
+
+    // a span present in more than maxDocs documents is dropped
+    val viral = (1 to 10).map(i => (i.toLong, s"pre$i $span"))
+      .toDF("doc_id", "text")
+    assert(Chunking.duplicatedSpans(viral, "doc_id", "text", k = 8,
+      maxDocs = 5).count() == 0)
+  }
 }
