@@ -43,4 +43,36 @@ object Decontaminate {
         coalesce(col("n_hits"), lit(0L)).as("n_hits"),
         (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
   }
+
+  /** Bloom-filter variant for when even the eval gram set is too big to
+    * broadcast as an exact hash set (cross-suite decontamination against
+    * every benchmark at once): the eval grams collapse into a fixed-size
+    * bit array (`fpp` false-positive rate), so executor memory is
+    * constant regardless of eval size. One-sided error — a gram the
+    * bloom rejects is DEFINITELY not in eval, so `contaminated = false`
+    * rows are exact and `true` rows over-report by at most `fpp` per
+    * gram; feed the `true` slice to [[flag]] for exact confirmation
+    * (two-phase: constant-memory scan, then exact pass over the tiny
+    * flagged remainder).
+    */
+  def flagBloom(train: DataFrame, eval: DataFrame, idCol: String,
+                textCol: String, k: Int = 8, fpp: Double = 0.001,
+                portableHash: Boolean = false): DataFrame = {
+    val evalGrams = Dedup
+      .shingleHashRows(eval, idCol, textCol, k, portableHash)
+      .select("h").distinct()
+    val n = math.max(evalGrams.count(), 1L)
+    val bloom = evalGrams.stat.bloomFilter("h", n, fpp)
+    val spark = train.sparkSession
+    val bc = spark.sparkContext.broadcast(bloom)
+    val might = udf((h: Long) => bc.value.mightContainLong(h))
+    val hits = Dedup.shingleHashRows(train, idCol, textCol, k, portableHash)
+      .filter(might(col("h")))
+      .groupBy("id").agg(count(lit(1)).as("n_hits"))
+    train.select(col(idCol).as("id"))
+      .join(hits, Seq("id"), "left_outer")
+      .select(col("id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
+  }
 }

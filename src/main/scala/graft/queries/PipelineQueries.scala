@@ -4,8 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.core.Tables
-import graft.operators.{Chunking, Curation, Dedup, Multimodal, Similarity,
-  TextAnalysis}
+import graft.operators.{Bpe, Chunking, Curation, Dedup, Multimodal,
+  Similarity, TextAnalysis}
 
 /** Training-data pipeline operators over the documents/embeddings/events
   * tables: dedup family, similarity search, text analysis, sessionization.
@@ -257,7 +257,31 @@ object PipelineQueries {
     "p26_duplicated_spans" -> ((s, d) =>
       Chunking.duplicatedSpans(t(s, d, "documents"), "doc_id", "text",
           k = 14, maxDocs = 50, portableHash = true)
-        .orderBy("id1", "id2"))
+        .orderBy("id1", "id2")),
+
+    // corpus-trained BPE: 200 merges from word counts, map-only encode.
+    // No SQL oracle (iterative training) -> rows-only driver check;
+    // determinism is spec-tested (BpeSpec).
+    "p27_bpe_tokens" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val merges = Bpe.train(docs, "text", numMerges = 200)
+      Bpe.encode(docs, "doc_id", "text", merges)
+        .select(col("id").as("doc_id"), col("n_tokens"))
+        .orderBy("doc_id")
+    }),
+
+    // bloom-filter decontamination (constant executor memory; exact
+    // negatives). No SQL oracle (bloom bit layout) -> rows-only check;
+    // the no-false-negative guarantee is spec-tested vs p19's exact op.
+    "p28_decontaminate_bloom" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val eval = docs.filter(col("doc_id") % 10 === 0)
+      val train = docs.filter(col("doc_id") % 10 =!= 0)
+      graft.operators.Decontaminate.flagBloom(train, eval, "doc_id",
+          "text", k = 5, fpp = 0.001, portableHash = true)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    })
   )
 
   /** DuckDB analog of TextAnalysis.subwordCountEstimate (same expression
