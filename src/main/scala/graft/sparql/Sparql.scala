@@ -302,7 +302,10 @@ object Sparql {
       struct(
         (if (a.distinct) sum_distinct(exact) else sum(exact)).as("d"),
         max(rank).as("t"),
-        (if (a.distinct) countDistinct(exact) else count(exact)).as("n"))
+        (if (a.distinct) countDistinct(exact) else count(exact)).as("n"),
+        // SPARQL 1.1 §18.5: an unbound/non-numeric value ERRORS the
+        // whole SUM/AVG (unlike SQL's skip-NULLs) -> unbound result
+        max(when(exact.isNull, 1).otherwise(0)).as("e"))
     }
     a.fn match {
       case "COUNT" => (a.arg, a.distinct) match {
@@ -334,12 +337,15 @@ object Sparql {
       val t = coalesce(c.getField("t"), lit(0)) // empty group -> integer
       val n = c.getField("n")
       val isAvg = a.fn == "AVG"
-      // Sum({}) = 0 per SPARQL 1.1; Avg({}) is a type error (NULL).
+      // Sum({}) = 0 per SPARQL 1.1; Avg({}) is a type error (NULL);
+      // any erroring element (unbound / non-numeric) errors the whole
+      // aggregate -> NULL result (§18.5, unlike SQL's skip-NULLs).
       // try_divide: no ANSI divide-by-zero throw on the 0-count group
-      val dec =
+      val ok = coalesce(c.getField("e"), lit(0)) === 0
+      val dec = when(ok,
         if (isAvg) try_divide(c.getField("d"), n)
         else coalesce(c.getField("d"),
-          when(n === 0, lit(0).cast(DecimalType(38, 10))))
+          when(n === 0, lit(0).cast(DecimalType(38, 10)))))
       val decCanon = regexp_replace(regexp_replace(
         dec.cast("string"), "(\\.\\d*?)0+$", "$1"), "\\.$", "")
       // double-ranked results print through double (shortest IEEE form)

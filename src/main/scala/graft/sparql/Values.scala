@@ -125,6 +125,22 @@ object Compiler {
     case a if aggSub.contains(a) => aggSub(a)
     case EVar(n)   => V.ofVar(n)
     case EConst(t) => V.ofTerm(t)
+    // constant arithmetic folds at COMPILE time: the column-level V for
+    // an arith result re-derives num/dec/str/bool from a when-chain
+    // lexical, so each consumer (cmp, EBV, ||) re-expands the whole
+    // subtree — a constant like `1/0` then explodes the generated code
+    // past janino's limits. Folding here emits four literal columns.
+    case c @ ECall(op, _) if arithFoldOps(op) && constNum(c).isDefined =>
+      constNum(c).get match {
+        case None => V.nul // type error (e.g. exact division by zero)
+        case Some(CExact(bd, true)) =>
+          V.typed(lit(bd.toBigInt.toString), lit(Rid.uri(Xsd.integer)))
+        case Some(CExact(bd, false)) =>
+          val s0 = bd.underlying.stripTrailingZeros.toPlainString
+          V.typed(lit(if (s0 == "-0") "0" else s0), lit(decimalAttr))
+        case Some(CDbl(d)) =>
+          V.typed(lit(java.lang.Double.toString(d)), lit(doubleAttr))
+      }
     case EIn(x, list, neg) =>
       val c = compile(x, aggSub)
       val tests = list.map(i => eq(c, compile(i, aggSub)))
@@ -141,6 +157,86 @@ object Compiler {
         "aggregate used outside aggregation context")
     case ECall(fn, args) => call(fn, args.map(compile(_, aggSub)), args)
   }
+
+  // ---------------------------------------- compile-time constant math
+
+  private sealed trait CNum
+  private final case class CExact(v: BigDecimal, int: Boolean) extends CNum
+  private final case class CDbl(v: Double) extends CNum
+
+  private val arithFoldOps = Set("+", "-", "*", "/", "-u")
+
+  /** Compile-time value of a constant numeric expression. Outer None =
+    * not constant (don't fold); inner None = constant but a type ERROR
+    * (exact division by zero, non-numeric operand, bad lexical) — folds
+    * to the error (all-NULL) V. Promotion mirrors [[arith]]: int op int
+    * stays integer except division; exact operands compute in decimal;
+    * any float/double operand computes in IEEE double. */
+  private def constNum(e: Expr): Option[Option[CNum]] = e match {
+    case EConst(Lit(lex, dt, "")) =>
+      Some(
+        try {
+          if (Xsd.integerFamily.contains(dt))
+            Some(CExact(BigDecimal(new java.math.BigInteger(lex.trim)),
+              int = true))
+          else if (dt == Xsd.decimal)
+            Some(CExact(BigDecimal(lex.trim), int = false))
+          else if (dt == Xsd.double || dt == Xsd.float)
+            Some(CDbl(lex.trim.toDouble))
+          else (None: Option[CNum]) // non-numeric literal: type error
+        } catch { case _: Exception => None })
+    case EConst(_) => Some(None) // URI/bnode/lang literal: type error
+    case ECall("-u", List(x)) =>
+      constNum(x).map(_.map {
+        case CExact(v, i) => CExact(-v, i)
+        case CDbl(d) => CDbl(-d)
+      })
+    case ECall(op, List(x, y)) if arithFoldOps(op) =>
+      for (cx <- constNum(x); cy <- constNum(y)) yield (cx, cy) match {
+        case (Some(a), Some(b)) => constApply(op, a, b)
+        case _ => None // an erroring operand errors the whole expr
+      }
+    case _ => None
+  }
+
+  private def constApply(op: String, a: CNum, b: CNum): Option[CNum] =
+    (a, b) match {
+      case (CDbl(_), _) | (_, CDbl(_)) =>
+        def d(c: CNum) = c match {
+          case CDbl(v) => v; case CExact(v, _) => v.toDouble
+        }
+        val (x, y) = (d(a), d(b))
+        Some(CDbl(op match {
+          case "+" => x + y; case "-" => x - y
+          case "*" => x * y; case _ => x / y // IEEE: /0 -> ±Inf/NaN
+        }))
+      case (CExact(x, xi), CExact(y, yi)) =>
+        // mirror the RUNTIME decimal model (V.dec = DECIMAL(38,18), so
+        // 20 integer digits; Spark's divide lands on scale 6), so a
+        // constant expression folds to the same value/error the same
+        // expression over column data would produce
+        def fit(r: BigDecimal, scale: Int, maxInt: Int): Option[CNum] = {
+          val rounded = BigDecimal(r.underlying.setScale(scale,
+            java.math.RoundingMode.HALF_UP))
+          if (rounded.underlying.precision - rounded.underlying.scale >
+              maxInt) None // overflow: type error, as try_add/_multiply
+          else Some(CExact(rounded, int = false))
+        }
+        op match {
+          case "/" =>
+            if (y.signum == 0) None // exact division by zero: type error
+            else fit(BigDecimal(x.underlying.divide(y.underlying,
+              java.math.MathContext.DECIMAL128)), 6, 32)
+          case _ =>
+            val r = op match {
+              case "+" => x + y; case "-" => x - y; case _ => x * y
+            }
+            fit(r, 18, 20).map {
+              case CExact(v, _) => CExact(v, xi && yi)
+              case other => other
+            }
+        }
+    }
 
   /** value equality with term-identity fallback
     * (`src/frontend/filter.c:526-610`). After the value-comparable rows
@@ -304,8 +400,11 @@ object Compiler {
 
     // strings (`src/frontend/filter.c:1380-1680`)
     case "STRLEN" => V.ofNum(length(vs(0).anyLex).cast("double"), lit(true))
-    case "UCASE" => V.ofStr(upper(vs(0).anyLex))
-    case "LCASE" => V.ofStr(lower(vs(0).anyLex))
+    // case maps keep arg1's kind (lang tag / xsd:string), like SUBSTR
+    case "UCASE" => V.typed(upper(vs(0).anyLex),
+      coalesce(vs(0).dt, lit(0L)), coalesce(vs(0).lang, lit("")))
+    case "LCASE" => V.typed(lower(vs(0).anyLex),
+      coalesce(vs(0).dt, lit(0L)), coalesce(vs(0).lang, lit("")))
     case "SUBSTR" =>
       // fn:substring semantics (XPath, which the reference inherits from
       // Rasqal: exemplar functions-substr pins SUBSTR(?o,0) = whole
@@ -345,9 +444,22 @@ object Compiler {
       val lang = when(found, l0).otherwise(lit(""))
       V(when(lex.isNotNull, Rid.literalCol(lex, dt)), lex,
         when(lex.isNotNull, dt), when(lex.isNotNull, lang))
-    case "CONCAT" => V.ofStr(concat(vs.map(_.anyLex): _*))
+    case "CONCAT" =>
+      // SPARQL 1.1 §17.4.3.12: the result carries a lang tag only when
+      // EVERY argument carries that same tag (xsd:string likewise);
+      // any mix falls back to a simple literal
+      val langs = vs.map(v => coalesce(v.lang, lit("")))
+      val sameLang = langs.map(_ === langs.head).reduce(_ && _) &&
+        langs.head =!= ""
+      val dts = vs.map(v => coalesce(v.dt, lit(0L)))
+      val strAttr = graft.rdf.Rid.uri(graft.rdf.Xsd.string)
+      val sameStr = dts.map(_ === strAttr).reduce(_ && _)
+      V.typed(concat(vs.map(_.anyLex): _*),
+        when(sameStr, lit(strAttr)).otherwise(lit(0L)),
+        when(sameLang, langs.head).otherwise(lit("")))
     case "REPLACE" =>
-      V.ofStr(regexp_replace(vs(0).anyLex, vs(1).anyLex, vs(2).anyLex))
+      V.typed(regexp_replace(vs(0).anyLex, vs(1).anyLex, vs(2).anyLex),
+        coalesce(vs(0).dt, lit(0L)), coalesce(vs(0).lang, lit("")))
     case "REGEX" =>
       val flags = if (vs.size > 2) vs(2).anyLex else lit("")
       val pat = when(length(flags) > 0,
