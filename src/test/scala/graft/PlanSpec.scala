@@ -279,4 +279,47 @@ class PlanSpec extends SparkTestBase {
     assert(!plan.contains("Exchange rangepartitioning"),
       s"global sort crept in:\n$plan")
   }
+
+  test("chunking is map-only: no Exchange, no sort, stays in codegen") {
+    val docs = graft.core.Tables.t(spark, sf, "documents")
+      .select("doc_id", "text")
+    val plan = planOf(graft.operators.Chunking.chunk(
+      docs, "doc_id", "text", window = 64, stride = 64))
+    assert(!plan.contains("Exchange"),
+      s"chunking must pipeline with the scan:\n$plan")
+    assert(plan.contains("*(1)"), // one codegen stage spans the pass
+      s"chunking fell out of whole-stage codegen:\n$plan")
+  }
+
+  test("duplicatedSpans shuffles once on the gram hash, no cartesian") {
+    val docs = graft.core.Tables.t(spark, sf, "documents")
+    val plan = planOf(graft.operators.Chunking.duplicatedSpans(
+      docs, "doc_id", "text", k = 14))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"pair blow-up must stay bucket-bounded:\n$plan")
+    // one gram-hash aggregation shuffle + one pair-count shuffle; the
+    // repartition in shingleHashRows is round-robin, not a key shuffle
+    // (AQE's explain repeats every Exchange under "== Initial Plan ==" —
+    // count only the executed section)
+    val executed = plan.split("== Initial Plan ==").head
+    val keyed = "Exchange hashpartitioning".r
+      .findAllIn(executed).size
+    assert(keyed <= 2, s"expected <=2 keyed shuffles, got $keyed:\n$plan")
+  }
+
+  test("bloom decontamination never shuffles the train side") {
+    val docs = graft.core.Tables.t(spark, sf, "documents")
+    val eval = docs.filter(col("doc_id") % 10 === 0)
+    val train = docs.filter(col("doc_id") % 10 =!= 0)
+    val plan = planOf(graft.operators.Decontaminate.flagBloom(
+      train, eval, "doc_id", "text", k = 5))
+    // allowed shuffles: per-id hit aggregation + the id join back to
+    // train; the gram PROBE itself must be filter-shaped (no join of
+    // train grams against an eval-gram table)
+    assert(!plan.contains("SortMergeJoin(h") &&
+      !plan.contains("ShuffledHashJoin(h"),
+      s"bloom probe turned into a gram join:\n$plan")
+    assert(plan.contains("Filter"), plan)
+  }
 }
