@@ -174,12 +174,24 @@ final case class QuadStore(quads: DataFrame, resources: DataFrame,
     * reverse-bind (`src/backend/query-backend.c:601-749`).
     */
   def saveBucketed(name: String, buckets: Int = 32): Unit = {
-    quads.write.mode("overwrite")
-      .bucketBy(buckets, "s").sortBy("s")
-      .format("parquet").saveAsTable(s"${name}_quads")
-    resources.write.mode("overwrite")
-      .bucketBy(buckets, "rid").sortBy("rid")
-      .format("parquet").saveAsTable(s"${name}_resources")
+    // the two tables derive from the same cached parse and write to
+    // independent locations: submit both jobs concurrently so neither
+    // write's serial tail (bucket sort, file commit) idles the cluster
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val q = Future {
+      quads.write.mode("overwrite")
+        .bucketBy(buckets, "s").sortBy("s")
+        .format("parquet").saveAsTable(s"${name}_quads")
+    }
+    val r = Future {
+      resources.write.mode("overwrite")
+        .bucketBy(buckets, "rid").sortBy("rid")
+        .format("parquet").saveAsTable(s"${name}_resources")
+    }
+    Await.result(q, Duration.Inf)
+    Await.result(r, Duration.Inf)
   }
 
   /** Persist quads PARTITIONED BY PREDICATE — the durable form of the
