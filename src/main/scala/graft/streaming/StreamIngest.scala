@@ -125,4 +125,36 @@ object StreamIngest {
           }
       }
   }
+
+  /** Streaming decontamination: annotate documents in-flight with their
+    * k-gram overlap against a STATIC held-out eval set — the streaming
+    * analog of [[graft.operators.Decontaminate.flag]], for screening an
+    * ingest feed before it lands in a training corpus.
+    *
+    * The eval side collapses to a driver-built bloom filter once at plan
+    * time, so the probe is a stateless map over each micro-batch: no
+    * stream-stream join, no state store, executor memory constant in the
+    * eval size. Negatives are exact (bloom one-sided error); positives
+    * over-report by at most `fpp` per gram and can be re-checked exactly
+    * downstream in batch.
+    */
+  def decontaminateStream(docs: DataFrame, evalDf: DataFrame,
+                          idCol: String, textCol: String, k: Int = 8,
+                          fpp: Double = 0.001): DataFrame = {
+    val spark = docs.sparkSession
+    val evalGrams = graft.operators.Dedup
+      .shingleHashRows(evalDf, idCol, textCol, k)
+      .select("h").distinct()
+    val n = math.max(evalGrams.count(), 1L)
+    val bloom = evalGrams.stat.bloomFilter("h", n, fpp)
+    val bc = spark.sparkContext.broadcast(bloom)
+    val hits = udf((hs: Seq[Long]) =>
+      if (hs == null) 0 else hs.count(bc.value.mightContainLong))
+    docs.select(col("*"),
+        graft.functions.F.shingleHashes(col(textCol), k, md5 = false)
+          .as("__hs"))
+      .withColumn("n_hits", hits(col("__hs")))
+      .withColumn("contaminated", col("n_hits") > 0)
+      .drop("__hs")
+  }
 }

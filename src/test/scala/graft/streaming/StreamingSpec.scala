@@ -96,6 +96,29 @@ class StreamingSpec extends SparkTestBase {
     assert(FullText.searchToken(store, "indexed").count() == 0)
   }
 
+  test("streaming decontamination flags overlap against a static eval set") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val span = (1 to 10).map(i => s"tok$i").mkString(" ")
+    val evalDf = Seq((100L, s"prefix $span suffix")).toDF("doc_id", "text")
+    val mem = MemoryStream[(Long, String)]
+    val docs = mem.toDS().toDF("doc_id", "text")
+    val flagged = StreamIngest.decontaminateStream(
+      docs, evalDf, "doc_id", "text", k = 5)
+    val q = flagged.writeStream.format("memory").queryName("decon")
+      .outputMode("append").start()
+    mem.addData(
+      (1L, s"alpha $span omega"),
+      (2L, "clean text with no overlap at all here"))
+    q.processAllAvailable()
+    mem.addData((3L, s"$span trailing words")) // second micro-batch
+    q.processAllAvailable()
+    val got = spark.sql("select doc_id, contaminated from decon").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(got == Map(1L -> true, 2L -> false, 3L -> true), got.toString)
+    q.stop()
+  }
+
   test("result sinks: TSV lines, SPARQL JSON and XML") {
     val df = Seq(("<urn:a>", "\"Alice\"@en"), ("_:b1", "\"5\"^^<urn:int>"))
       .toDF("s", "o")
