@@ -172,20 +172,49 @@ final class Endpoint(spark: SparkSession, initial: QuadStore, port: Int = 0,
   server.createContext("/data/", new HttpHandler {
     def handle(ex: HttpExchange): Unit = try {
       import spark.implicits._
+      import org.apache.spark.sql.functions.{col, lit}
       val graph = params(ex.getRequestURI.getRawQuery).getOrElse("graph", "")
-      val lines = bodyOf(ex).split("\n").toSeq.toDS()
-      val flat = StreamIngest.parseNtLines(lines)
-        .withColumn("gLex",
-          org.apache.spark.sql.functions.lit(graph))
-      val add = QuadStore.fromFlat(spark, flat)
+      def parsedBody(): QuadStore = {
+        val lines = bodyOf(ex).split("\n").toSeq.toDS()
+        QuadStore.fromFlat(spark,
+          StreamIngest.parseNtLines(lines).withColumn("gLex", lit(graph)))
+      }
       ex.getRequestMethod match {
-        case "PUT" | "POST" =>
+        case "GET" => // GSP read: the graph serialized as N-Triples
+          val gRid = graft.rdf.Rid.uri(graph)
+          val one = store.copy(quads = store.quads
+              .filter(col("g") === gRid)
+              .withColumn("g", lit(graft.rdf.WellKnown.defaultGraph)),
+            valued = None)
+          respondStream(ex, "application/n-triples") { w =>
+            val it = one.toNQuadLines.toLocalIterator()
+            while (it.hasNext) { w.write(it.next().getString(0)); w.write("\n") }
+          }
+        case "POST" => // append (reference http_post_data, httpd.c:590)
+          val add = parsedBody()
           durableName match {
             case Some(n) => // graph-store import: append-only delta
               val before = store
               Update.appendDelta(spark, n, before, before.union(add))
               storeRef.set(Update.reload(spark, n))
             case None => storeRef.updateAndGet(_.union(add))
+          }
+          respond(ex, 201, """{"ok":true}""")
+        case "PUT" => // REPLACE the graph (reference import start deletes
+          // the model before streaming the body in, httpd.c:566)
+          val add = parsedBody()
+          val gRid = graft.rdf.Rid.uri(graph)
+          durableName match {
+            case Some(n) =>
+              val before = store
+              val minus = before.copy(
+                quads = before.quads.filter(col("g") =!= gRid),
+                valued = None)
+              Update.commitDelta(spark, n, before, minus.union(add))
+              storeRef.set(Update.reload(spark, n))
+            case None => storeRef.updateAndGet(st => st.copy(
+                quads = st.quads.filter(col("g") =!= gRid),
+                valued = None).union(add))
           }
           respond(ex, 201, """{"ok":true}""")
         case "DELETE" =>

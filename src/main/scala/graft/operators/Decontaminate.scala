@@ -58,11 +58,15 @@ object Decontaminate {
   def flagBloom(train: DataFrame, eval: DataFrame, idCol: String,
                 textCol: String, k: Int = 8, fpp: Double = 0.001,
                 portableHash: Boolean = false): DataFrame = {
+    // cached: the gram set feeds two actions (size for bloom sizing,
+    // then the bloom build); eval sets are small by contract
     val evalGrams = Dedup
       .shingleHashRows(eval, idCol, textCol, k, portableHash)
-      .select("h").distinct()
+      .select("h").distinct().cache()
     val n = math.max(evalGrams.count(), 1L)
-    val bloom = evalGrams.stat.bloomFilter("h", n, fpp)
+    val bloom =
+      try evalGrams.stat.bloomFilter("h", n, fpp)
+      finally evalGrams.unpersist(blocking = false)
     val spark = train.sparkSession
     val bc = spark.sparkContext.broadcast(bloom)
     val might = udf((h: Long) => bc.value.mightContainLong(h))

@@ -427,7 +427,7 @@ object Update {
 
   /** Persist the `before -> after` difference of a durable store:
     * inserts as O(delta) file appends, deletes as tombstones. */
-  private def commitDelta(spark: SparkSession, name: String,
+  private[graft] def commitDelta(spark: SparkSession, name: String,
                           before: QuadStore, after: QuadStore): Unit = {
     val raw = spark.table(s"${name}_quads")
     val delsT = s"${name}_dels"

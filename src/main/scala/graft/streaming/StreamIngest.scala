@@ -144,9 +144,11 @@ object StreamIngest {
     val spark = docs.sparkSession
     val evalGrams = graft.operators.Dedup
       .shingleHashRows(evalDf, idCol, textCol, k)
-      .select("h").distinct()
+      .select("h").distinct().cache()
     val n = math.max(evalGrams.count(), 1L)
-    val bloom = evalGrams.stat.bloomFilter("h", n, fpp)
+    val bloom =
+      try evalGrams.stat.bloomFilter("h", n, fpp)
+      finally evalGrams.unpersist(blocking = false)
     val bc = spark.sparkContext.broadcast(bloom)
     val hits = udf((hs: Seq[Long]) =>
       if (hs == null) 0 else hs.count(bc.value.mightContainLong))

@@ -156,6 +156,40 @@ class EndpointSpec extends SparkTestBase {
     } finally ep.stop()
   }
 
+  test("GSP: GET reads a graph back as N-Triples; PUT replaces it") {
+    val store = QuadStore.fromTerms(spark, Seq(
+      (Uri("urn:a"), Uri("urn:name"), Lit("Alice"))))
+    val ep = new Endpoint(spark, store, 0).start()
+    try {
+      val base = s"http://localhost:${ep.boundPort}"
+      val (c1, _) = req(s"$base/data/?graph=urn:g1", "PUT",
+        "<urn:b> <urn:name> \"Bob\" .\n<urn:b> <urn:age> \"41\" .")
+      assert(c1 == 201)
+      // GET serializes exactly that graph, no graph term, NT syntax
+      val (c2, b2) = req(s"$base/data/?graph=urn:g1", "GET")
+      assert(c2 == 200)
+      assert(b2.linesIterator.toSet == Set(
+        "<urn:b> <urn:name> \"Bob\" .", "<urn:b> <urn:age> \"41\" ."), b2)
+      // PUT again: REPLACES the graph (reference httpd.c:566 deletes the
+      // model before import), it does not append
+      val (c3, _) = req(s"$base/data/?graph=urn:g1", "PUT",
+        "<urn:c> <urn:name> \"Carol\" .")
+      assert(c3 == 201)
+      val (_, b4) = req(s"$base/data/?graph=urn:g1", "GET")
+      assert(b4.linesIterator.toSet ==
+        Set("<urn:c> <urn:name> \"Carol\" ."), b4)
+      // POST appends
+      val (c5, _) = req(s"$base/data/?graph=urn:g1", "POST",
+        "<urn:d> <urn:name> \"Dan\" .")
+      assert(c5 == 201)
+      val (_, b6) = req(s"$base/data/?graph=urn:g1", "GET")
+      assert(b6.linesIterator.size == 2, b6)
+      // the default graph stays untouched throughout
+      val (_, st) = req(s"$base/status/")
+      assert(st.contains("\"quads\":3"), st)
+    } finally ep.stop()
+  }
+
   test("multimodal stub plumbing: meta/resize/frames/features") {
     import spark.implicits._
     import graft.operators.Multimodal
@@ -290,8 +324,12 @@ class EndpointSpec extends SparkTestBase {
         """INSERT DATA { <urn:b> <urn:name> "Bob" }""")
       assert(c1 == 200)
       val (c2, _) = req(s"$base/data/?graph=urn:g1", "PUT",
-        "<urn:c> <urn:name> \"Carol\" .")
+        "<urn:x> <urn:name> \"Xavier\" .")
       assert(c2 == 201)
+      // second PUT replaces g1 durably (tombstones + delta commit)
+      val (c2b, _) = req(s"$base/data/?graph=urn:g1", "PUT",
+        "<urn:c> <urn:name> \"Carol\" .")
+      assert(c2b == 201)
       val (c3, _) = req(s"$base/update/", "POST",
         """DELETE DATA { <urn:a> <urn:name> "Alice" }""")
       assert(c3 == 200)
@@ -308,6 +346,7 @@ class EndpointSpec extends SparkTestBase {
         "&output=tsv")
       assert(!b.contains("Alice") && b.contains("Bob") &&
         b.contains("Carol"), b)
+      assert(!b.contains("Xavier"), s"PUT-replace did not survive: $b")
     } finally ep2.stop()
   }
 
