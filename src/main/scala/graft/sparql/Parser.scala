@@ -382,6 +382,16 @@ class Parser extends RegexParsers {
       case t ~ ds ~ w ~ m =>
         ConstructQ(t.map(_.triples).getOrElse(Nil), w,
           m.copy(dataset = ds._1, datasetNamed = ds._2))
+    } |
+    // CONSTRUCT WHERE { tp } shorthand (SPARQL 1.1 §10.2.2): the WHERE
+    // block is restricted to a plain BGP and doubles as the template
+    kw("CONSTRUCT") ~> datasetClause ~
+      (kw("WHERE") ~> ("{" ~> opt(plainTriplesBlock) <~ "}")) ~
+      solutionMods ^^ {
+      case ds ~ t ~ m =>
+        val bg = t.getOrElse(BGPat(Nil))
+        ConstructQ(bg.triples, bg,
+          m.copy(dataset = ds._1, datasetNamed = ds._2))
     }
 
   def describeQuery: Parser[DescribeQ] =
