@@ -33,7 +33,13 @@ final class Endpoint(spark: SparkSession, initial: QuadStore, port: Int = 0,
                        * `import-backend.c`) — a restarted endpoint
                        * resumes from the last committed state via
                        * `QuadStore.loadBucketed` */
-                     durableName: Option[String] = None) {
+                     durableName: Option[String] = None,
+                     /** SERVICE policy for queries arriving over HTTP:
+                       * None (default) = federation DENIED — an untrusted
+                       * query must not make this server originate
+                       * requests (SSRF); Some(p) = only IRIs satisfying
+                       * `p` may be contacted */
+                     serviceAllow: Option[String => Boolean] = None) {
 
   private val storeRef = new AtomicReference[QuadStore](initial)
   def store: QuadStore = storeRef.get()
@@ -42,12 +48,27 @@ final class Endpoint(spark: SparkSession, initial: QuadStore, port: Int = 0,
 
   def boundPort: Int = server.getAddress.getPort
 
-  private def params(query: String): Map[String, String] =
-    Option(query).getOrElse("").split("&").filter(_.contains("="))
+  /** ordered (key, value) pairs — keeps repeated params (the protocol's
+    * default-graph-uri may appear many times) and valueless keys (the
+    * reference's bare `restricted` flag, httpd.c:1131) */
+  private def paramList(query: String): Seq[(String, String)] =
+    Option(query).getOrElse("").split("&").toSeq.filter(_.nonEmpty)
       .map { kv =>
-        val Array(k, v) = kv.split("=", 2)
-        k -> URLDecoder.decode(v, "UTF-8")
-      }.toMap
+        kv.split("=", 2) match {
+          case Array(k, v) => k -> URLDecoder.decode(v, "UTF-8")
+          case Array(k)    => k -> ""
+        }
+      }
+
+  private def params(query: String): Map[String, String] =
+    paramList(query).filter(_._2.nonEmpty).toMap
+
+  /** run `body` under this endpoint's federation policy: SERVICE in an
+    * HTTP-arriving query is denied unless `serviceAllow` opted in */
+  private def fedScoped[A](body: => A): A = serviceAllow match {
+    case Some(p) => graft.sparql.Federation.withPolicy("ep-allow", p)(body)
+    case None    => graft.sparql.Federation.denied(body)
+  }
 
   private def respond(ex: HttpExchange, code: Int, body: String,
                       ctype: String = "application/json"): Unit = {
@@ -74,14 +95,15 @@ final class Endpoint(spark: SparkSession, initial: QuadStore, port: Int = 0,
     new String(ex.getRequestBody.readAllBytes(), UTF_8)
 
   server.createContext("/sparql/", new HttpHandler {
-    def handle(ex: HttpExchange): Unit = try {
-      val p =
+    def handle(ex: HttpExchange): Unit = try fedScoped {
+      val pl =
         if (ex.getRequestMethod == "POST") {
           val b = bodyOf(ex)
           if (b.trim.startsWith("query=") || b.contains("&query="))
-            params(b)
-          else Map("query" -> b)
-        } else params(ex.getRequestURI.getRawQuery)
+            paramList(b)
+          else Seq("query" -> b)
+        } else paramList(ex.getRequestURI.getRawQuery)
+      val p = pl.filter(_._2.nonEmpty).toMap
       p.get("query") match {
         case None => respond(ex, 400, """{"error":"missing query"}""")
         case Some(_) if acl.nonEmpty &&
@@ -93,13 +115,37 @@ final class Endpoint(spark: SparkSession, initial: QuadStore, port: Int = 0,
             else store.restrictGraphs(
               acl(p("apikey")).map(graft.rdf.Rid.uri) :+
                 graft.rdf.WellKnown.defaultGraph)
+          // SPARQL 1.1 Protocol dataset override (the reference parses
+          // `default-graph-uri=`, httpd.c:1143-1145); repeatable
+          val dsDefault =
+            pl.collect { case ("default-graph-uri", v) if v.nonEmpty => v }
+          val dsNamed =
+            pl.collect { case ("named-graph-uri", v) if v.nonEmpty => v }
           // NT-serialized SELECT terms: kind/datatype/lang survive to
           // the XML/JSON/TSV serializers (and to SERVICE peers)
-          var df = Sparql.runNt(visible, spark, q)
-          // complexity throttle (`soft-limit=`, httpd.c:1133-1139):
-          // row cap on the result, like the reference's restricted mode
-          p.get("soft-limit").map(_.toInt).filter(_ > 0)
-            .foreach(n => df = df.limit(n))
+          var df = Sparql.runNt(visible, spark, q,
+            dsDefault.toList, dsNamed.toList)
+          // complexity throttle (httpd.c:1131-1139): explicit
+          // `soft-limit=` caps result rows; bare `restricted` engages
+          // the reference's default cap (FS_FANOUT_LIMIT 998,
+          // query.c:374-377) plus a truncation warning
+          val restricted = pl.exists(_._1 == "restricted")
+          val softLimit = p.get("soft-limit").map(_.toInt).filter(_ > 0)
+            .orElse(if (restricted) Some(998) else None)
+          var warnings: Seq[String] = Nil
+          softLimit.foreach { n =>
+            if (restricted) {
+              // bounded materialization (≤ n+1 rows) so the warning can
+              // be decided before the head is serialized — the
+              // reference's "dropped to prevent overrunning" notice
+              // (query-datatypes.c:787-792)
+              val taken = df.limit(n + 1).collect()
+              if (taken.length > n) warnings = Seq("some results have " +
+                "been dropped to prevent overunning time allocation")
+              df = spark.createDataFrame(
+                java.util.Arrays.asList(taken.take(n): _*), df.schema)
+            } else df = df.limit(n)
+          }
           // explicit `output=` wins; otherwise the Accept header picks
           // the format, in the reference's precedence order
           // (`http_answer_query`, httpd.c:404-444)
@@ -133,11 +179,14 @@ final class Endpoint(spark: SparkSession, initial: QuadStore, port: Int = 0,
           }
           fmt match {
             case "xml" => respondStream(ex,
-              "application/sparql-results+xml")(Results.writeXml(df, _))
+              "application/sparql-results+xml")(
+              Results.writeXml(df, _, warnings))
             case "tsv" | "text" => respondStream(ex,
-              "text/tab-separated-values")(Results.writeTsv(df, _))
+              "text/tab-separated-values")(
+              Results.writeTsv(df, _, warnings))
             case "csv" =>
-              respondStream(ex, "text/csv")(Results.writeCsv(df, _))
+              respondStream(ex, "text/csv")(
+                Results.writeCsv(df, _, warnings))
             case "turtle" => // N-Triples is valid Turtle, as the
               respondStream(ex, "text/turtle")(writeNt) // reference emits
             case "ntriples" =>
@@ -153,7 +202,9 @@ final class Endpoint(spark: SparkSession, initial: QuadStore, port: Int = 0,
   })
 
   server.createContext("/update/", new HttpHandler {
-    def handle(ex: HttpExchange): Unit = try {
+    // fedScoped: DELETE/INSERT … WHERE can embed SERVICE — same SSRF
+    // surface as /sparql/
+    def handle(ex: HttpExchange): Unit = try fedScoped {
       val b = bodyOf(ex)
       val text = if (b.startsWith("update=")) params(b)("update") else b
       durableName match {
@@ -173,7 +224,21 @@ final class Endpoint(spark: SparkSession, initial: QuadStore, port: Int = 0,
     def handle(ex: HttpExchange): Unit = try {
       import spark.implicits._
       import org.apache.spark.sql.functions.{col, lit}
-      val graph = params(ex.getRequestURI.getRawQuery).getOrElse("graph", "")
+      val p = params(ex.getRequestURI.getRawQuery)
+      // same apikey gate as /sparql/: with an ACL configured, the graph
+      // store protocol must not become an unauthenticated read (or
+      // write) path around it
+      if (acl.nonEmpty && !p.get("apikey").exists(acl.contains)) {
+        respond(ex, 403, """{"error":"unknown or missing apikey"}""")
+        return
+      }
+      // GSP default-graph addressing: no `graph=` (or explicit
+      // `default`) means the store's default graph, not a graph named
+      // by the empty IRI
+      val graph = p.getOrElse("graph", "") match {
+        case "" => graft.rdf.WellKnown.defaultGraphUri
+        case g  => g
+      }
       def parsedBody(): QuadStore = {
         val lines = bodyOf(ex).split("\n").toSeq.toDS()
         QuadStore.fromFlat(spark,
@@ -182,7 +247,12 @@ final class Endpoint(spark: SparkSession, initial: QuadStore, port: Int = 0,
       ex.getRequestMethod match {
         case "GET" => // GSP read: the graph serialized as N-Triples
           val gRid = graft.rdf.Rid.uri(graph)
-          val one = store.copy(quads = store.quads
+          val readable = // ACL'd keys read only their graphs
+            if (acl.isEmpty) store
+            else store.restrictGraphs(
+              acl(p("apikey")).map(graft.rdf.Rid.uri) :+
+                graft.rdf.WellKnown.defaultGraph)
+          val one = readable.copy(quads = readable.quads
               .filter(col("g") === gRid)
               .withColumn("g", lit(graft.rdf.WellKnown.defaultGraph)),
             valued = None)

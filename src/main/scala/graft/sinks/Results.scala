@@ -42,8 +42,28 @@ object Results {
     else if (v.startsWith("\"")) {
       val end = v.lastIndexOf('"')
       if (end <= 0) v
-      else v.substring(1, end).replace("\\\"", "\"").replace("\\t", "\t")
-        .replace("\\n", "\n").replace("\\\\", "\\")
+      else {
+        // single left-to-right pass: chained String.replace would decode
+        // an escaped backslash's successor twice ("a\\nb" -> backslash
+        // then a REAL newline instead of the literal chars \ n)
+        val s = v.substring(1, end)
+        val b = new StringBuilder(s.length)
+        var i = 0
+        while (i < s.length) {
+          val c = s.charAt(i)
+          if (c == '\\' && i + 1 < s.length) {
+            s.charAt(i + 1) match {
+              case '"' => b += '"'; i += 2
+              case 't' => b += '\t'; i += 2
+              case 'n' => b += '\n'; i += 2
+              case 'r' => b += '\r'; i += 2
+              case '\\' => b += '\\'; i += 2
+              case _ => b += c; i += 1
+            }
+          } else { b += c; i += 1 }
+        }
+        b.toString
+      }
     } else v
 
   /** Driver-side CSV lines (header + rows) with RFC-4180 quoting — the
@@ -70,14 +90,17 @@ object Results {
   // (`results.c:2598+`). A CONSTRUCT dump of a big store then never
   // materializes on the driver; the response goes out chunked.
 
-  /** CSV to a Writer: header + rows, RFC-4180 quoting. */
-  def writeCsv(df: DataFrame, out: java.io.Writer): Unit = {
+  /** CSV to a Writer: header + rows, RFC-4180 quoting. `warnings` go out
+    * as `# …` lines after the header (`output_csv`, results.c:2184). */
+  def writeCsv(df: DataFrame, out: java.io.Writer,
+               warnings: Seq[String] = Nil): Unit = {
     def cell(v: String): String =
       if (v == null) ""
       else if (v.exists(c => c == ',' || c == '"' || c == '\n' || c == '\r'))
         "\"" + v.replace("\"", "\"\"") + "\""
       else v
     out.write(df.columns.mkString(","))
+    warnings.foreach(w => out.write(s"\n# $w"))
     val it = df.toLocalIterator()
     while (it.hasNext) {
       val r = it.next()
@@ -88,12 +111,15 @@ object Results {
     }
   }
 
-  /** TSV with `?var` header to a Writer (reference `output_text`). */
-  def writeTsv(df: DataFrame, out: java.io.Writer): Unit = {
+  /** TSV with `?var` header to a Writer (reference `output_text`).
+    * `warnings` go out as `# …` lines (`output_text`, results.c:2129). */
+  def writeTsv(df: DataFrame, out: java.io.Writer,
+               warnings: Seq[String] = Nil): Unit = {
     def cell(v: String): String =
       if (v == null) ""
       else v.replace("\\", "\\\\").replace("\t", "\\t").replace("\n", "\\n")
     out.write(df.columns.map("?" + _).mkString("\t"))
+    warnings.foreach(w => out.write(s"\n# $w"))
     val it = df.toLocalIterator()
     while (it.hasNext) {
       val r = it.next()
@@ -127,14 +153,20 @@ object Results {
     if (callback.nonEmpty) out.write(");")
   }
 
-  /** SPARQL results XML to a Writer (streamed `toXml`). */
-  def writeXml(df: DataFrame, out: java.io.Writer): Unit = {
+  /** SPARQL results XML to a Writer (streamed `toXml`). `warnings` are
+    * emitted as XML comments after the head, exactly where the
+    * reference's restricted-mode truncation notice lands
+    * (`output_sparql`, results.c:1929-1943). */
+  def writeXml(df: DataFrame, out: java.io.Writer,
+               warnings: Seq[String] = Nil): Unit = {
     val vars = df.columns
     out.write("<?xml version=\"1.0\"?>\n")
     out.write("<sparql xmlns=\"http://www.w3.org/2005/sparql-results#\">\n")
     out.write("  <head>\n")
     vars.foreach(v => out.write(s"""    <variable name="$v"/>\n"""))
-    out.write("  </head>\n  <results>\n")
+    out.write("  </head>\n")
+    warnings.foreach(w => out.write(s"<!-- ${xmlEscape(w)} -->\n"))
+    out.write("  <results>\n")
     val it = df.toLocalIterator()
     while (it.hasNext) {
       val r = it.next()

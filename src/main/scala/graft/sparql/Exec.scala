@@ -861,6 +861,12 @@ final class Exec(store: QuadStore, spark: SparkSession) {
         case _ => throw new IllegalArgumentException(
           "SERVICE endpoint must be a constant IRI")
       }
+      // SSRF guard: the IRI comes from untrusted query text; the policy
+      // in scope (Federation, set by the HTTP endpoint) decides whether
+      // this server may originate a request to it
+      if (!Federation.allowed(url))
+        throw new SecurityException(
+          s"SERVICE not permitted to $url by federation policy")
       val q = (if (sv.prologue.nonEmpty) sv.prologue + "\n" else "") +
         "SELECT * WHERE " + sv.raw
       val conn = new java.net.URI(url).toURL.openConnection()

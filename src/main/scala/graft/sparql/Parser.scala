@@ -299,8 +299,8 @@ class Parser extends RegexParsers {
     "STR", "IRI", "URI", "BNODE", "ABS", "FLOOR", "CEIL", "ROUND",
     "UCASE", "LCASE", "ENCODE_FOR_URI", "CONTAINS", "SUBSTR", "REPLACE",
     "CONCAT", "REGEX", "YEAR", "MONTH", "DAY", "HOURS", "MINUTES",
-    "SECONDS", "TIMEZONE", "TZ", "NOW", "MD5", "SHA1", "SHA256", "SHA384",
-    "SHA512", "RAND", "UUID", "IF", "COALESCE",
+    "SECONDS", "TIMEZONE", "TZ", "NOW", "MD5", "SHA1", "SHA224", "SHA256",
+    "SHA384", "SHA512", "RAND", "UUID", "IF", "COALESCE",
     "FROM_UNIXTIME", "TO_UNIXTIME") // LAQRS extensions, results.c:631-650
   private def builtinCall: Parser[Expr] =
     builtins.map(kw).reduce(_ | _) ~ opt("(" ~> repsep(expression, ",") <~ ")") ^^ {

@@ -51,11 +51,35 @@ object Sparql {
           size() > 1024
       })
   private def cachedOrBuild(store: QuadStore, key: String, spark: SparkSession,
-                            text: String, terms: Boolean): DataFrame = {
-    val k = new PlanKey(store, key)
+                            text: String, terms: Boolean,
+                            dataset: Option[(List[String], List[String])] =
+                              None): DataFrame = {
+    // key carries the federation-policy tag (a plan built where SERVICE
+    // was allowed must not serve a denied context) and any protocol-level
+    // dataset override
+    val fullKey = Federation.keyPrefix +
+      dataset.fold("")(d => s"ds[${d._1.mkString(",")}|${
+        d._2.mkString(",")}]:") + key
+    val k = new PlanKey(store, fullKey)
     val hit = planCache.get(k)
     if (hit != null) return hit
-    val df = Parser.parse(text) match {
+    // SPARQL 1.1 Protocol §2.1.4: a protocol-supplied dataset
+    // (default-graph-uri= / named-graph-uri=) OVERRIDES the query's own
+    // FROM / FROM NAMED clause
+    val parsed = Parser.parse(text)
+    val q = dataset match {
+      case Some((d, n)) => parsed match {
+        case s: SelectQ =>
+          s.copy(mods = s.mods.copy(dataset = d, datasetNamed = n))
+        case a: AskQ => a.copy(dataset = d, datasetNamed = n)
+        case c: ConstructQ =>
+          c.copy(mods = c.mods.copy(dataset = d, datasetNamed = n))
+        case dq: DescribeQ =>
+          dq.copy(mods = dq.mods.copy(dataset = d, datasetNamed = n))
+      }
+      case None => parsed
+    }
+    val df = q match {
       case s: SelectQ    => select(store, spark, s, terms)
       case a: AskQ       => ask(store, spark, a)
       case c: ConstructQ => construct(store, spark, c)
@@ -84,18 +108,28 @@ object Sparql {
     * serializers sniff ([[graft.sinks.Results]] `termJson`/`xmlBinding`)
     * and what SERVICE peers parse back. ASK/CONSTRUCT/DESCRIBE are
     * [[run]] unchanged. */
-  def runNt(store: QuadStore, spark: SparkSession, text: String): DataFrame =
+  def runNt(store: QuadStore, spark: SparkSession, text: String,
+            /** SPARQL 1.1 Protocol dataset override: when either list is
+              * non-empty, (default-graph-uri list, named-graph-uri list)
+              * replaces the query's FROM / FROM NAMED clause */
+            dsDefault: List[String] = Nil,
+            dsNamed: List[String] = Nil): DataFrame = {
+    val ds = if (dsDefault.isEmpty && dsNamed.isEmpty) None
+             else Some((dsDefault, dsNamed))
     Parser.parse(text) match {
       case _: SelectQ =>
-        val df = runTerms(store, spark, text)
+        val df = cachedOrBuild(store, "terms:" + text, spark, text,
+          terms = true, dataset = ds)
         val dtm = store.dtUriMap
         df.select(df.columns.map { c =>
           val st = col(c)
           ntTermCol(V(st.getField("rid"), st.getField("lex"),
             st.getField("dt"), st.getField("lang")), dtm).as(c)
         }: _*)
-      case _ => run(store, spark, text)
+      case _ => cachedOrBuild(store, "run:" + text, spark, text,
+        terms = false, dataset = ds)
     }
+  }
 
   /** FROM / FROM NAMED -> (default-scope graph RIDs, named-scope graph
     * RIDs). A dataset clause defines BOTH scopes (SPARQL 1.1 §13.2):

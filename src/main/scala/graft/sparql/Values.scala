@@ -444,6 +444,10 @@ object Compiler {
       val lang = when(found, l0).otherwise(lit(""))
       V(when(lex.isNotNull, Rid.literalCol(lex, dt)), lex,
         when(lex.isNotNull, dt), when(lex.isNotNull, lang))
+    case "CONCAT" if vs.isEmpty =>
+      // zero-arg CONCAT() is legal grammar; the result is the empty
+      // simple literal (§17.4.3.12 fn:concat over no args)
+      V.ofStr(lit(""))
     case "CONCAT" =>
       // SPARQL 1.1 §17.4.3.12: the result carries a lang tag only when
       // EVERY argument carries that same tag (xsd:string likewise);
@@ -522,6 +526,7 @@ object Compiler {
     // hashes (`src/frontend/filter.c:1686-1730`)
     case "MD5"    => V.ofStr(md5(vs(0).anyLex.cast("binary")))
     case "SHA1"   => V.ofStr(sha1(vs(0).anyLex.cast("binary")))
+    case "SHA224" => V.ofStr(sha2(vs(0).anyLex.cast("binary"), 224))
     case "SHA256" => V.ofStr(sha2(vs(0).anyLex.cast("binary"), 256))
     case "SHA384" => V.ofStr(sha2(vs(0).anyLex.cast("binary"), 384))
     case "SHA512" => V.ofStr(sha2(vs(0).anyLex.cast("binary"), 512))

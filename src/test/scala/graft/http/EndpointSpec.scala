@@ -190,6 +190,161 @@ class EndpointSpec extends SparkTestBase {
     } finally ep.stop()
   }
 
+  test("GSP: no graph param addresses the default graph") {
+    val store = QuadStore.fromTerms(spark, Seq(
+      (Uri("urn:a"), Uri("urn:name"), Lit("Alice"))))
+    val ep = new Endpoint(spark, store, 0).start()
+    try {
+      val base = s"http://localhost:${ep.boundPort}"
+      // GET without graph= reads the default graph, not an empty
+      // "empty-IRI" graph
+      val (c1, b1) = req(s"$base/data/", "GET")
+      assert(c1 == 200)
+      assert(b1.linesIterator.toSet ==
+        Set("<urn:a> <urn:name> \"Alice\" ."), b1)
+      // POST without graph= appends to the default graph
+      val (c2, _) = req(s"$base/data/", "POST",
+        "<urn:b> <urn:name> \"Bob\" .")
+      assert(c2 == 201)
+      val (_, b3) = req(s"$base/data/", "GET")
+      assert(b3.linesIterator.size == 2, b3)
+    } finally ep.stop()
+  }
+
+  test("GSP GET honors the graph ACL (no unauthenticated read path)") {
+    val store = QuadStore.fromTerms(spark, Seq(
+        (Uri("urn:a"), Uri("urn:name"), Lit("Public"))), graph = "urn:open")
+      .union(QuadStore.fromTerms(spark, Seq(
+        (Uri("urn:b"), Uri("urn:name"), Lit("Secret"))), graph = "urn:sec"))
+    val ep = new Endpoint(spark, store, 0,
+      acl = Map("k1" -> Seq("urn:open"))).start()
+    try {
+      val base = s"http://localhost:${ep.boundPort}"
+      // no key / bad key: 403 on every GSP verb
+      val (c0, _) = req(s"$base/data/?graph=urn:sec", "GET")
+      assert(c0 == 403)
+      val (cW, _) = req(s"$base/data/?graph=urn:open&apikey=nope", "GET")
+      assert(cW == 403)
+      val (cP, _) = req(s"$base/data/?graph=urn:x&apikey=nope", "PUT",
+        "<urn:z> <urn:p> \"v\" .")
+      assert(cP == 403)
+      // k1 reads its own graph…
+      val (c1, b1) = req(s"$base/data/?graph=urn:open&apikey=k1", "GET")
+      assert(c1 == 200 && b1.contains("Public"))
+      // …but a disallowed graph serializes as empty, same as /sparql/
+      val (c2, b2) = req(s"$base/data/?graph=urn:sec&apikey=k1", "GET")
+      assert(c2 == 200 && !b2.contains("Secret"), b2)
+    } finally ep.stop()
+  }
+
+  test("restricted mode caps rows and warns about truncation") {
+    val store = QuadStore.fromTerms(spark, Seq(
+      (Uri("urn:a"), Uri("urn:name"), Lit("Alice")),
+      (Uri("urn:b"), Uri("urn:name"), Lit("Bob")),
+      (Uri("urn:c"), Uri("urn:name"), Lit("Carol"))))
+    val ep = new Endpoint(spark, store, 0).start()
+    try {
+      val base = s"http://localhost:${ep.boundPort}"
+      val q = java.net.URLEncoder.encode(
+        "SELECT ?n WHERE { ?s <urn:name> ?n } ORDER BY ?n", "UTF-8")
+      // restricted + explicit soft-limit: cap applies AND the dropped-
+      // results warning surfaces (query-datatypes.c:787-792) — as an XML
+      // comment in the head (results.c:1929) and a # line in TSV
+      val (cx, bx) = req(
+        s"$base/sparql/?query=$q&restricted&soft-limit=2&output=xml")
+      assert(cx == 200)
+      assert(bx.linesIterator.count(_.contains("<result>")) == 2, bx)
+      assert(bx.contains("<!-- some results have been dropped"), bx)
+      val (ct, bt) = req(
+        s"$base/sparql/?query=$q&restricted&soft-limit=2&output=tsv")
+      assert(ct == 200 && bt.contains("# some results have been dropped"))
+      // restricted under the default cap (998): no truncation, no warning
+      val (cr, br) = req(s"$base/sparql/?query=$q&restricted&output=xml")
+      assert(cr == 200)
+      assert(br.linesIterator.count(_.contains("<result>")) == 3)
+      assert(!br.contains("dropped"), br)
+      // plain soft-limit (unrestricted): silent cap, as before
+      val (cs, bs) = req(s"$base/sparql/?query=$q&soft-limit=2&output=xml")
+      assert(cs == 200)
+      assert(bs.linesIterator.count(_.contains("<result>")) == 2)
+      assert(!bs.contains("dropped"), bs)
+    } finally ep.stop()
+  }
+
+  test("default-graph-uri overrides the query dataset (protocol §2.1.4)") {
+    val store = QuadStore.fromTerms(spark, Seq(
+        (Uri("urn:a"), Uri("urn:name"), Lit("Open"))), graph = "urn:open")
+      .union(QuadStore.fromTerms(spark, Seq(
+        (Uri("urn:b"), Uri("urn:name"), Lit("Sec"))), graph = "urn:sec"))
+    val ep = new Endpoint(spark, store, 0).start()
+    try {
+      val base = s"http://localhost:${ep.boundPort}"
+      val q = java.net.URLEncoder.encode(
+        "SELECT ?n WHERE { ?s <urn:name> ?n } ORDER BY ?n", "UTF-8")
+      // no override: both graphs visible in the default union
+      val (_, bAll) = req(s"$base/sparql/?query=$q&output=csv")
+      assert(bAll.contains("Open") && bAll.contains("Sec"))
+      // protocol dataset narrows to one graph
+      val g = java.net.URLEncoder.encode("urn:open", "UTF-8")
+      val (_, bOne) = req(
+        s"$base/sparql/?query=$q&default-graph-uri=$g&output=csv")
+      assert(bOne.contains("Open") && !bOne.contains("Sec"), bOne)
+      // repeated values merge (both graphs again)
+      val g2 = java.net.URLEncoder.encode("urn:sec", "UTF-8")
+      val (_, bTwo) = req(s"$base/sparql/?query=$q" +
+        s"&default-graph-uri=$g&default-graph-uri=$g2&output=csv")
+      assert(bTwo.contains("Open") && bTwo.contains("Sec"), bTwo)
+      // named-graph-uri scopes GRAPH patterns
+      val qg = java.net.URLEncoder.encode(
+        "SELECT ?n WHERE { GRAPH ?g { ?s <urn:name> ?n } } ORDER BY ?n",
+        "UTF-8")
+      val (_, bG) = req(
+        s"$base/sparql/?query=$qg&named-graph-uri=$g2&output=csv")
+      assert(bG.contains("Sec") && !bG.contains("Open"), bG)
+    } finally ep.stop()
+  }
+
+  test("SERVICE from an HTTP query is denied unless opted in (SSRF)") {
+    // a "victim" endpoint the attacker hopes to reach from the server
+    val victim = new Endpoint(spark, QuadStore.fromTerms(spark, Seq(
+      (Uri("urn:v"), Uri("urn:secret"), Lit("internal")))), 0).start()
+    val front = new Endpoint(spark, QuadStore.fromTerms(spark, Seq(
+      (Uri("urn:a"), Uri("urn:name"), Lit("Alice")))), 0).start()
+    val opted = new Endpoint(spark, QuadStore.fromTerms(spark, Seq(
+      (Uri("urn:a"), Uri("urn:name"), Lit("Alice")))), 0,
+      serviceAllow = Some(_ => true)).start()
+    try {
+      val vUrl = s"http://localhost:${victim.boundPort}/sparql/"
+      val q = java.net.URLEncoder.encode(
+        s"""SELECT ?v WHERE { SERVICE <$vUrl> {
+           | ?s <urn:secret> ?v } }""".stripMargin, "UTF-8")
+      // default endpoint: federation denied, query errors
+      val (c1, b1) = req(
+        s"http://localhost:${front.boundPort}/sparql/?query=$q")
+      assert(c1 == 400 && b1.contains("error"), s"$c1 $b1")
+      assert(!b1.contains("internal"))
+      // SILENT doesn't leak either — empty result, no request made
+      val qs = java.net.URLEncoder.encode(
+        s"""SELECT ?v WHERE { SERVICE SILENT <$vUrl> {
+           | ?s <urn:secret> ?v } }""".stripMargin, "UTF-8")
+      val (c2, b2) = req(
+        s"http://localhost:${front.boundPort}/sparql/?query=$qs")
+      assert(c2 == 200 && !b2.contains("internal"), b2)
+      // an endpoint constructed with an allow policy federates
+      val (c3, b3) = req(
+        s"http://localhost:${opted.boundPort}/sparql/?query=$q")
+      assert(c3 == 200 && b3.contains("internal"), s"$c3 $b3")
+      // programmatic use keeps the permissive default
+      import graft.sparql.Sparql
+      val local = QuadStore.fromTerms(spark, Seq(
+        (Uri("urn:x"), Uri("urn:p"), Lit("y"))))
+      val direct = Sparql.run(local, spark,
+        s"SELECT ?v WHERE { SERVICE <$vUrl> { ?s <urn:secret> ?v } }")
+        .collect()
+      assert(direct.map(_.getString(0)).toSeq == Seq("internal"))
+    } finally { victim.stop(); front.stop(); opted.stop() }
+  }
+
   test("multimodal stub plumbing: meta/resize/frames/features") {
     import spark.implicits._
     import graft.operators.Multimodal

@@ -300,4 +300,17 @@ class SparqlSpec extends SparkTestBase {
     assert(r.map(x => (x(0), x(1))) == Seq(("Alice", "social"),
       ("Bob", "social"), ("Carol", "loner")))
   }
+
+  test("SHA224 joins the hash family (results.c:367-369 dispatch)") {
+    val r = rows("""SELECT (SHA224("abc") AS ?h) WHERE {}""")
+    // NIST FIPS 180-2 test vector for SHA-224("abc")
+    assert(r == Seq(Seq(
+      "23097d223405d8228642a477bda255b32aadbce4bda0b3f7e36c9da7")))
+  }
+
+  test("CONCAT with zero args is the empty simple literal") {
+    val r = rows("""SELECT (CONCAT() AS ?c) (CONCAT("a") AS ?one)
+      WHERE {}""")
+    assert(r == Seq(Seq("", "a")))
+  }
 }
