@@ -322,4 +322,53 @@ class PlanSpec extends SparkTestBase {
       s"bloom probe turned into a gram join:\n$plan")
     assert(plan.contains("Filter"), plan)
   }
+
+  test("small-store gate queries keep their compact one-task shape warm") {
+    // Latency gate for the s05/s06/s07 cluster: BENCH_r06 showed these
+    // 3-11x slower than r4, but a quiet-machine re-run reproduced r4
+    // numbers exactly (s05 0.17 / s06 0.20 / s07 0.49 at sf0.1) — the
+    // regression was ambient load, not the cache rearrangement the r6
+    // verdict suspected. What a timing gate can't assert reliably, a
+    // SHAPE gate can: warm runs over the compact (sub-512k-quad,
+    // single-partition) cached stores must stay one-stage-few-tasks. A
+    // lost cache hit, an accidental 32-way fan-out of a tiny store, or
+    // a new exchange shows up here as a task-count explosion long
+    // before it shows up as seconds.
+    import java.util.concurrent.atomic.AtomicInteger
+    val jobs = new AtomicInteger
+    val tasks = new AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+      override def onStageCompleted(
+          s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        tasks.addAndGet(s.stageInfo.numTasks)
+    }
+    def settled(get: () => Int): Int = {
+      // listener events are async: wait for two stable readings
+      var prev = -1; var cur = get()
+      var spins = 0
+      while (cur != prev && spins < 40) {
+        prev = cur; Thread.sleep(100); cur = get(); spins += 1
+      }
+      cur
+    }
+    for (name <- Seq("s05_sparql_agg", "s06_sparql_filter_str",
+        "s07_sparql_order_limit")) {
+      val fn = graft.SparkEntry.queries(name)
+      fn(spark, sf).count() // warm: store build + codegen, uncounted
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        jobs.set(0); tasks.set(0)
+        fn(spark, sf).count()
+        val j = settled(() => jobs.get)
+        val t = settled(() => tasks.get)
+        assert(j <= 2, s"$name: warm run needed $j jobs (expected <=2)")
+        assert(t <= 6,
+          s"$name: warm run fanned out to $t tasks (expected <=6: " +
+            "compact store lost its single-partition cache shape)")
+      } finally spark.sparkContext.removeSparkListener(listener)
+    }
+  }
 }
