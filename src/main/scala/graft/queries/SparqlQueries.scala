@@ -418,9 +418,12 @@ object SparqlQueries {
       """SELECT 2 * COUNT(*) AS n FROM region""".stripMargin,
 
     "s15_sparql_fulltext" ->
+      // the tokenizer is the reference's TOKEN_BOUNDARY character set
+      // (import.c:50), not \W+ — apostrophes/tildes stay inside tokens
       """SELECT 'urn:t:documents:' || doc_id AS s FROM documents
         |WHERE list_contains(list_filter(
-        |  regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |  regexp_split_to_array(lower(text),
+        |    '[ \t\n\r!@$%^&*()=+\[\]{};:"\\|<>,./?#_-]'),
         |  x -> len(x) > 0), 'data')
         |ORDER BY s""".stripMargin,
 

@@ -1,0 +1,126 @@
+package graft.rdf
+
+import graft.SparkTestBase
+import graft.functions.{DoubleMetaphone, SnowballEnglish}
+
+/** Golden parity for the full-text kernels against the REFERENCE'S OWN
+  * implementations: the committed vector files were produced by running
+  * the reference's `double_metaphone.c` and Snowball `english` stemmer
+  * (compiled as-is) over a 12k-word corpus of real words, curated
+  * phonetic edge cases, and deterministic cluster-fuzz strings
+  * (including multi-byte UTF-8 to pin the byte-level contract).
+  *
+  *   src/test/resources/fulltext/dm.tsv       word \t primary \t secondary
+  *   src/test/resources/fulltext/stem_en.tsv  word \t stem
+  *
+  * The fixture test replays the reference's own full-text test data
+  * (`data/fulltext-test.ttl` + `data/config-test.ttl`) through the
+  * import-time derivation and checks the emitted quads value-for-value.
+  */
+class FullTextGoldenSpec extends SparkTestBase {
+
+  private def resourceLines(name: String): Iterator[String] = {
+    val in = getClass.getResourceAsStream(name)
+    assert(in != null, s"missing test resource $name")
+    scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+  }
+
+  test("double-metaphone matches the reference kernel on 12k golden vectors") {
+    var n = 0
+    val bad = new scala.collection.mutable.ArrayBuffer[String]
+    for (line <- resourceLines("/fulltext/dm.tsv")) {
+      val p = line.split("\t", -1)
+      if (p.length == 3) {
+        n += 1
+        val (pri, sec) = DoubleMetaphone.compute(p(0))
+        if (pri != p(1) || sec != p(2)) {
+          if (bad.size < 20)
+            bad += s"${p(0)}: got ($pri,$sec) want (${p(1)},${p(2)})"
+        }
+      }
+    }
+    assert(n > 12000, s"corpus unexpectedly small: $n")
+    assert(bad.isEmpty, bad.mkString("\n"))
+  }
+
+  test("double-metaphone byte-level contract for non-ASCII input") {
+    // the reference consumes raw UTF-8 bytes: 0xC7 ('Ç' in Latin-1)
+    // codes S, 0xD1 ('Ñ') codes N, all other high bytes are skipped.
+    // Cyrillic "Корова" contains a 0xD1 byte (in 'р') -> "N".
+    assert(DoubleMetaphone.compute("Корова") === (("N", "N")))
+    assert(DoubleMetaphone.compute("può") === (("P", "P")))
+    assert(DoubleMetaphone.compute("mañana") === (("MN", "MN")))
+    assert(DoubleMetaphone.compute("Würde") === (("RT", "RT")))
+  }
+
+  test("snowball english stemmer matches the reference on 11k golden vectors") {
+    var n = 0
+    val bad = new scala.collection.mutable.ArrayBuffer[String]
+    for (line <- resourceLines("/fulltext/stem_en.tsv")) {
+      val p = line.split("\t", -1)
+      if (p.length == 2) {
+        n += 1
+        val got = SnowballEnglish.stem(p(0))
+        if (got != p(1)) {
+          if (bad.size < 20) bad += s"${p(0)}: got $got want ${p(1)}"
+        }
+      }
+    }
+    assert(n > 11000, s"corpus unexpectedly small: $n")
+    assert(bad.isEmpty, bad.mkString("\n"))
+  }
+
+  test("reference fulltext fixture derives reference-exact quads") {
+    import org.apache.spark.sql.Encoders
+    val stmts =
+      Turtle.parseFile("/root/reference/data/fulltext-test.ttl") ++
+        Turtle.parseFile("/root/reference/data/config-test.ttl")
+    val flat = spark.createDataset(stmts.map { case (s, p, o) =>
+      val (sk, sl) = s match {
+        case Uri(v) => (1, v); case BNode(b) => (2, b); case _ => (0, "")
+      }
+      val pl = p match { case Uri(v) => v; case _ => "" }
+      val (ok, ol, od, og) = o match {
+        case Uri(v) => (1, v, "", "")
+        case BNode(b) => (2, b, "", "")
+        case Lit(lex, dt, lang) => (0, lex, dt, lang)
+      }
+      FlatQuad("urn:g:ft", sk, sl, pl, ok, ol, od, og)
+    })(Encoders.product[FlatQuad]).toDF()
+
+    // config statements route each predicate to its derivation kind
+    val cfg = FullText.configFrom(flat)
+    assert(cfg.metaphone === Set("http://www.w3.org/2000/01/rdf-schema#label"))
+    assert(cfg.token === Set("http://example.org/text#token"))
+    assert(cfg.stem === Set("http://example.org/text#stem"))
+
+    val derived = FullText.derivedQuads(flat, cfg)
+      .select("sLex", "pLex", "oLex").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+
+    val T = FullText.tokenPred
+    val M = FullText.phoneticPred
+    val S = FullText.stemPred
+    // expected values computed by the reference's compiled kernels over
+    // the fixture's tokens (TOKEN_BOUNDARY split, metaphones on the raw
+    // token, stems on the lowercased token)
+    val expected =
+      // en1 rdfs:label "This should get turned into metaphones"@en-GB
+      Set("0S", "TS", "XLT", "KT", "TRNT", "ANT", "MTFN")
+        .map(c => ("ex:en1", M, c)) ++
+      // en2/en3 ex:token literals, comma and period are boundaries
+      Set("this", "should", "get", "tokenised").map(t => ("ex:en2", T, t)) ++
+      Set("this", "should", "also", "get", "tokenised")
+        .map(t => ("ex:en3", T, t)) ++
+      // en4 ex:stem (no language tag -> english), \n is a boundary
+      Set("this", "should", "get", "stem", "it", "has", "sever", "line")
+        .map(s => ("ex:en4", S, s))
+    // DIVERGENCE (ledgered): the reference also stems the @IT-gb, @ru
+    // and @de literals with Snowball italian/russian/german; this
+    // engine registers only the english stemmer, so those literals emit
+    // no stem quads — the same behavior the reference shows for any
+    // language without a stemmer (import.c:676-678).
+    assert(derived === expected,
+      s"missing=${expected -- derived}\nextra=${derived -- expected}")
+  }
+}
