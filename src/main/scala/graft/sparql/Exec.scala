@@ -412,6 +412,61 @@ final class Exec(store: QuadStore, spark: SparkSession) {
     branches.reduce(_ unionByName _)
   }
 
+  /** [[compatBranches]] for WIDE maybe-null var sets: static enumeration
+    * is 2^k branches, but the null-masks that actually occur are few —
+    * each OPTIONAL block binds its vars all-or-nothing, so k vars from j
+    * blocks yield ~j+1 observed masks, not 2^k. Read the observed masks
+    * (two small distinct-collects over localCheckpoint-pinned inputs,
+    * acceptable on this rare path) and emit one equi-join per observed
+    * mask pair — a hash key at any width, never a nested loop.
+    */
+  private def compatBranchesObserved(ldf0: DataFrame, rdf0: DataFrame,
+                                     ren: String => String,
+                                     shared: Seq[String],
+                                     lMaybe: Seq[String],
+                                     rMaybe: Seq[String],
+                                     extraCond: Option[Column],
+                                     joinType: String): DataFrame = {
+    // pin inputs: they are scanned once for masks, then per-branch
+    val ldf = ldf0.localCheckpoint()
+    val rdf = rdf0.localCheckpoint()
+    def masksOf(df: DataFrame, vars: Seq[String],
+                nm: String => String): Seq[Set[String]] =
+      if (vars.isEmpty) Seq(Set.empty)
+      else df.select(vars.map(v => col(nm(v)).isNull.as(v)): _*)
+        .distinct().collect().toSeq
+        .map(row => vars.zipWithIndex.collect {
+          case (v, i) if row.getBoolean(i) => v
+        }.toSet)
+    val lMasks = masksOf(ldf, lMaybe, identity)
+    val rMasks = masksOf(rdf, rMaybe, ren)
+    if (lMasks.isEmpty || rMasks.isEmpty)
+      // one side is empty; lit(false) folds to an empty relation of the
+      // joined schema without enumerating branches
+      return ldf.join(rdf, lit(false), joinType)
+    val branches = for {
+      a <- lMasks
+      b <- rMasks
+    } yield {
+      val lb =
+        if (lMaybe.isEmpty) ldf
+        else ldf.filter(lMaybe.map(v =>
+          if (a(v)) col(v).isNull else col(v).isNotNull).reduce(_ && _))
+      val rb =
+        if (rMaybe.isEmpty) rdf
+        else rdf.filter(rMaybe.map(v =>
+          if (b(v)) col(ren(v)).isNull else col(ren(v)).isNotNull)
+          .reduce(_ && _))
+      val conds = shared.filterNot(v => a(v) || b(v))
+        .map(v => col(v) === col(ren(v))) ++ extraCond.toSeq
+      if (conds.isEmpty) {
+        if (joinType == "inner") lb.crossJoin(rb)
+        else lb.join(rb, lit(true), joinType)
+      } else lb.join(rb, conds.reduce(_ && _), joinType)
+    }
+    branches.reduce(_ unionByName _)
+  }
+
   /** SPARQL join: equi on certainly-bound shared vars, compatibility
     * (NULL = wildcard) on maybe-null shared vars (SURVEY §7.4 hard part 2;
     * reference row-compare `query-datatypes.c:476-529`). The compat case
@@ -425,12 +480,18 @@ final class Exec(store: QuadStore, spark: SparkSession) {
     val (rdf, ren) = renamedRight(r)
     val lMaybe = shared.filterNot(l.certain)
     val rMaybe = shared.filterNot(r.certain)
-    // branch-count cap: 2^(|lMaybe|+|rMaybe|) unions; past 3 maybe-null
-    // shared vars (8 branches) fall back to the single OR condition —
-    // queries with 4+ OPTIONAL-introduced vars rejoining at once are
-    // vanishingly rare and the plan blowup would cost more than BNLJ
-    val decomposable = lMaybe.size + rMaybe.size <= 3 &&
-      (joinType == "inner" || joinType == "left_outer")
+    // ≤3 maybe-null shared vars (8 branches): static mask enumeration,
+    // no data scan. Wider: enumerate only the null-masks OBSERVED in the
+    // data ([[compatBranchesObserved]]) — costs two small collects but
+    // keeps a hash key at any var width. Either way, never a
+    // BroadcastNestedLoopJoin (PlanSpec gates both shapes).
+    val static = lMaybe.size + rMaybe.size <= 3
+    def decompose(ldf: DataFrame, jt: String): DataFrame =
+      if (static)
+        compatBranches(ldf, rdf, ren, shared, lMaybe, rMaybe, extraCond, jt)
+      else
+        compatBranchesObserved(ldf, rdf, ren, shared, lMaybe, rMaybe,
+          extraCond, jt)
     val joined =
       if (lMaybe.isEmpty && rMaybe.isEmpty) {
         val conds = shared.map(v => col(v) === col(ren(v))) ++
@@ -439,14 +500,14 @@ final class Exec(store: QuadStore, spark: SparkSession) {
           if (joinType == "inner") l.df.crossJoin(rdf)
           else l.df.join(rdf, lit(true), joinType)
         } else l.df.join(rdf, conds.reduce(_ && _), joinType)
-      } else if (decomposable && (joinType == "inner" || rMaybe.isEmpty)) {
+      } else if (joinType == "inner" || (joinType == "left_outer" &&
+          rMaybe.isEmpty)) {
         // inner: (leftMask × rightMask) branches partition the pair space.
         // left_outer with an all-certain right side: branches partition
         // the LEFT rows disjointly, so per-branch left-outer unions are
         // exact (each left row is preserved in exactly one branch).
-        compatBranches(l.df, rdf, ren, shared, lMaybe, rMaybe, extraCond,
-          joinType)
-      } else if (decomposable) {
+        decompose(l.df, joinType)
+      } else if (joinType == "left_outer") {
         // left_outer with a maybe-null right side: branches split the
         // right rows too, so per-branch outer joins would duplicate
         // unmatched left rows. Decompose the INNER match instead, then
@@ -455,8 +516,7 @@ final class Exec(store: QuadStore, spark: SparkSession) {
         // order-dependent) so both uses see identical values.
         val lw = l.df.withColumn("__lid", monotonically_increasing_id())
           .localCheckpoint()
-        val inner = compatBranches(lw, rdf, ren, shared, lMaybe, rMaybe,
-          extraCond, "inner")
+        val inner = decompose(lw, "inner")
         val unmatched = lw.join(
           inner.select(col("__lid")).distinct(), Seq("__lid"), "left_anti")
         val nulled = unmatched.select(unmatched.columns.map(col) ++
@@ -464,6 +524,8 @@ final class Exec(store: QuadStore, spark: SparkSession) {
             lit(null).cast(f.dataType).as(f.name)): _*)
         inner.unionByName(nulled).drop("__lid")
       } else {
+        // remaining join types (none currently reach here with maybe-null
+        // shared vars) keep the single compat condition
         val conds = shared.map { v =>
           if (l.certain(v) && r.certain(v)) col(v) === col(ren(v))
           else col(v).isNull || col(ren(v)).isNull || col(v) === col(ren(v))

