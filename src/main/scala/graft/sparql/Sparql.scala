@@ -354,10 +354,26 @@ object Sparql {
       case "MAX" => max_by(termStruct(argV.get), V.sortKey(argV.get))
       case "SAMPLE" => min_by(termStruct(argV.get), argV.get.rid)
       case "GROUP_CONCAT" =>
-        val vals =
-          if (a.distinct) collect_set(argV.get.anyLex)
-          else collect_list(argV.get.anyLex)
-        array_join(array_sort(vals), a.sep)
+        // scale posture: collect_list is unbounded per group — one viral
+        // group OOMs an executor at 100 TB. `spark.graft.groupConcat.max`
+        // caps each group at the N binary-smallest elements (a prefix of
+        // the uncapped sorted result, deterministic under any
+        // partitioning) via a bounded typed aggregator.
+        val cap = org.apache.spark.sql.SparkSession.active.conf
+          .getOption("spark.graft.groupConcat.max")
+          .map(_.toInt).filter(_ > 0)
+        cap match {
+          case Some(n) =>
+            graft.functions.ColumnBridge.column(
+              graft.functions.BoundedSortedConcat(
+                graft.functions.ColumnBridge.expression(argV.get.anyLex),
+                a.sep, n, a.distinct).toAggregateExpression())
+          case None =>
+            val vals =
+              if (a.distinct) collect_set(argV.get.anyLex)
+              else collect_list(argV.get.anyLex)
+            array_join(array_sort(vals), a.sep)
+        }
     }
   }
 

@@ -148,4 +148,29 @@ class FunctionsSpec extends SparkTestBase {
       .as[Double].collect().head
     assert(d == 1.0 * 0.5 + 2.0 * -0.25)
   }
+
+  test("BoundedSortedConcat: capped prefix of the sorted bag, any partitioning") {
+    import graft.functions.{BoundedSortedConcat, ColumnBridge}
+    // 3 groups x 400 values, shuffled across 7 partitions: partial
+    // buffers cap at N per task and merge-cap again, so the result must
+    // equal sorted-take-N regardless of merge order
+    val rows = for { g <- 0 until 3; i <- 0 until 400 }
+      yield (g, f"v${(i * 7919) % 1000}%03d")
+    val df = spark.createDataFrame(
+      scala.util.Random.shuffle(rows)).toDF("g", "s").repartition(7)
+    def bounded(n: Int, distinct: Boolean) = ColumnBridge.column(
+      BoundedSortedConcat(ColumnBridge.expression(col("s")), ",", n,
+        distinct).toAggregateExpression())
+    val got = df.groupBy("g").agg(bounded(10, distinct = false).as("c"))
+      .orderBy("g").collect().map(_.getString(1))
+    val expected = rows.groupBy(_._1).toSeq.sortBy(_._1).map(_._2
+      .map(_._2).sorted.take(10).mkString(","))
+    assert(got.toSeq == expected)
+    // DISTINCT: capped prefix of the distinct sorted set
+    val gotD = df.groupBy("g").agg(bounded(5, distinct = true).as("c"))
+      .orderBy("g").collect().map(_.getString(1))
+    val expectedD = rows.groupBy(_._1).toSeq.sortBy(_._1).map(_._2
+      .map(_._2).distinct.sorted.take(5).mkString(","))
+    assert(gotD.toSeq == expectedD)
+  }
 }

@@ -314,6 +314,27 @@ class SparqlSpec extends SparkTestBase {
     assert(r == Seq(Seq("", "a")))
   }
 
+  test("GROUP_CONCAT cap keeps the binary-smallest prefix, deterministically") {
+    // spark.graft.groupConcat.max bounds per-group accumulation (scale
+    // posture: a viral group must not OOM an executor); the capped
+    // result is a prefix of the uncapped sorted result
+    spark.conf.set("spark.graft.groupConcat.max", "1")
+    try {
+      val r = rows("""SELECT ?a (GROUP_CONCAT(?n; SEPARATOR=",") AS ?ns)
+        WHERE { ?a <urn:knows> ?b . ?b <urn:name> ?n }
+        GROUP BY ?a ORDER BY ?a""")
+      // alice knows Bob+Carol -> capped to "Bob"; bob knows Carol
+      assert(r.map(x => (x(0), x(1))) ==
+        Seq(("urn:alice", "Bob"), ("urn:bob", "Carol")))
+    } finally spark.conf.unset("spark.graft.groupConcat.max")
+    // uncapped: full sorted list
+    val full = rows("""SELECT ?a (GROUP_CONCAT(?n; SEPARATOR=",") AS ?ns)
+      WHERE { ?a <urn:knows> ?b . ?b <urn:name> ?n }
+      GROUP BY ?a ORDER BY ?a""")
+    assert(full.map(x => (x(0), x(1))) ==
+      Seq(("urn:alice", "Bob,Carol"), ("urn:bob", "Carol")))
+  }
+
   test("wide compat join (4 maybe-null shared vars) keeps exact semantics") {
     // >3 maybe-null shared vars routes through compatBranchesObserved
     // (branch per OBSERVED null-mask pair). Value-level check with real
