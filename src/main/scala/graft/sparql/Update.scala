@@ -425,9 +425,78 @@ object Update {
   def begin(spark: SparkSession, name: String): Transaction =
     new Transaction(spark, name)
 
+  // --------------------------------------------------- writer exclusion
+
+  /** names whose write lock the CURRENT thread already holds — lets
+    * commitDelta's internal maybeCompact -> compact chain re-enter */
+  private val heldLocks = new ThreadLocal[Set[String]] {
+    override def initialValue(): Set[String] = Set.empty
+  }
+
+  /** Single-writer guard for a durable store's commit/rewrite dance.
+    * The staged renames in [[rewriteTables]]/[[commitDelta]] are atomic
+    * for READERS, but two interleaved WRITERS could each stage against
+    * the same base and silently drop the other's delta (or collide on
+    * the `__stage`/`__old` table names). A lock file in the warehouse
+    * directory (atomic CREATE_NEW, pid recorded) makes the second
+    * writer fail fast with a clear error instead; a lock whose recorded
+    * pid is no longer alive counts as stale from a crashed writer and
+    * is taken over. Cross-HOST writers on shared storage must still be
+    * serialized externally — same contract as the reference's
+    * single-master backend.
+    */
+  private def withWriteLock[T](spark: SparkSession, name: String)
+                              (body: => T): T = {
+    if (heldLocks.get.contains(name)) return body
+    val dir = java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"))
+    java.nio.file.Files.createDirectories(dir)
+    val lock = dir.resolve(s"$name.__writer_lock")
+    val self = ProcessHandle.current().pid().toString
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    def tryAcquire(): Boolean =
+      try {
+        java.nio.file.Files.write(lock, self,
+          java.nio.file.StandardOpenOption.CREATE_NEW)
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+      }
+    if (!tryAcquire()) {
+      val holder =
+        try new String(java.nio.file.Files.readAllBytes(lock),
+          java.nio.charset.StandardCharsets.UTF_8).trim
+        catch { case _: java.io.IOException => "" }
+      val alive = holder.toLongOption
+        .exists(p => ProcessHandle.of(p)
+          .map[java.lang.Boolean](_.isAlive).orElse(false))
+      if (alive)
+        throw new IllegalStateException(
+          s"durable store '$name' is being written by pid $holder " +
+            s"($lock); a second concurrent writer would lose updates — " +
+            "serialize writers or remove a stale lock")
+      java.nio.file.Files.deleteIfExists(lock)
+      if (!tryAcquire())
+        throw new IllegalStateException(
+          s"durable store '$name': lost the writer-lock race on $lock")
+    }
+    heldLocks.set(heldLocks.get + name)
+    try body
+    finally {
+      heldLocks.set(heldLocks.get - name)
+      java.nio.file.Files.deleteIfExists(lock)
+    }
+  }
+
   /** Persist the `before -> after` difference of a durable store:
     * inserts as O(delta) file appends, deletes as tombstones. */
   private[graft] def commitDelta(spark: SparkSession, name: String,
+                          before: QuadStore, after: QuadStore): Unit =
+    withWriteLock(spark, name) {
+      commitDelta0(spark, name, before, after)
+    }
+
+  private def commitDelta0(spark: SparkSession, name: String,
                           before: QuadStore, after: QuadStore): Unit = {
     val raw = spark.table(s"${name}_quads")
     val delsT = s"${name}_dels"
@@ -479,16 +548,18 @@ object Update {
   /** Fold the tombstones back into the quads table when they exceed
     * `frac` of it (the parquet analog of the reference's periodic index
     * rewrite). Explicitly callable for ops-driven compaction. */
-  def compact(spark: SparkSession, name: String): Unit = {
-    val delsT = s"${name}_dels"
-    if (!spark.catalog.tableExists(delsT)) return
-    val live = spark.table(s"${name}_quads")
-      .join(broadcast(spark.table(delsT)), quadKey, "left_anti")
-    rewriteTables(spark, name,
-      QuadStore(live, spark.table(s"${name}_resources")),
-      touchesResources = false)
-    spark.sql(s"DROP TABLE $delsT")
-  }
+  def compact(spark: SparkSession, name: String): Unit =
+    withWriteLock(spark, name) {
+      val delsT = s"${name}_dels"
+      if (spark.catalog.tableExists(delsT)) {
+        val live = spark.table(s"${name}_quads")
+          .join(broadcast(spark.table(delsT)), quadKey, "left_anti")
+        rewriteTables(spark, name,
+          QuadStore(live, spark.table(s"${name}_resources")),
+          touchesResources = false)
+        spark.sql(s"DROP TABLE $delsT")
+      }
+    }
 
   private[graft] def maybeCompact(spark: SparkSession, name: String,
                            frac: Double = 0.1): Unit = {
@@ -505,16 +576,18 @@ object Update {
     * of the reference's incremental import (`import-backend.c`). */
   private[graft] def appendDelta(spark: SparkSession, name: String,
                                  before: QuadStore,
-                                 after: QuadStore): Unit = {
-    val dq = after.quads.join(before.quads, quadKey, "left_anti")
-      .dropDuplicates(quadKey)
-    val dr = after.resources.join(before.resources, Seq("rid"),
-      "left_anti").dropDuplicates("rid")
-    dq.write.mode("append").format("parquet")
-      .bucketBy(32, "s").sortBy("s").saveAsTable(s"${name}_quads")
-    dr.write.mode("append").format("parquet")
-      .bucketBy(32, "rid").sortBy("rid").saveAsTable(s"${name}_resources")
-  }
+                                 after: QuadStore): Unit =
+    withWriteLock(spark, name) {
+      val dq = after.quads.join(before.quads, quadKey, "left_anti")
+        .dropDuplicates(quadKey)
+      val dr = after.resources.join(before.resources, Seq("rid"),
+        "left_anti").dropDuplicates("rid")
+      dq.write.mode("append").format("parquet")
+        .bucketBy(32, "s").sortBy("s").saveAsTable(s"${name}_quads")
+      dr.write.mode("append").format("parquet")
+        .bucketBy(32, "rid").sortBy("rid")
+        .saveAsTable(s"${name}_resources")
+    }
 
   /** Rewrite the saved tables to `after`'s contents through a staging
     * table + catalog renames: a concurrent reader sees the old store or

@@ -299,4 +299,30 @@ class UpdateSpec extends SparkTestBase {
     assert(askTrue(st, """ASK { <urn:a> <urn:name> "Alice" }"""))
   }
 
+  test("second concurrent writer fails cleanly; stale lock is taken over") {
+    dropDurable("durt5")
+    freshStore.saveBucketed("durt5")
+    val wh = java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"))
+    val lock = wh.resolve("durt5.__writer_lock")
+    // a LIVE holder (this JVM's pid): the commit must refuse, not
+    // interleave with the staged-rename dance
+    java.nio.file.Files.write(lock,
+      ProcessHandle.current().pid().toString.getBytes("UTF-8"))
+    val e = intercept[IllegalStateException] {
+      Update.durable(spark, "durt5",
+        """INSERT DATA { <urn:c> <urn:name> "Carol" }""")
+    }
+    assert(e.getMessage.contains("durt5"))
+    java.nio.file.Files.deleteIfExists(lock)
+    // a STALE holder (dead pid, crashed writer): taken over silently
+    java.nio.file.Files.write(lock, "999999999".getBytes("UTF-8"))
+    Update.durable(spark, "durt5",
+      """INSERT DATA { <urn:d> <urn:name> "Dan" }""")
+    assert(askTrue(QuadStore.loadBucketed(spark, "durt5"),
+      """ASK { <urn:d> <urn:name> "Dan" }"""))
+    // the lock is released after a successful commit
+    assert(!java.nio.file.Files.exists(lock))
+  }
+
 }
