@@ -223,6 +223,47 @@ class DawgSpec extends SparkTestBase {
     }
   }
 
+  // ------------------------------------------------- result-format tests
+
+  /** W3C `csv-tsv-res` / `json-res` style tests: run the query, emit the
+    * serialization the HTTP endpoint would (the same
+    * [[graft.sinks.Results]] writers), and compare BYTES against the
+    * expected `.csv`/`.tsv`/`.srj` file (CRLF and trailing-newline
+    * normalized — the writers end without a newline). */
+  private def runFormatTest(queryPath: String, data: List[String],
+                            named: List[(String, String)],
+                            resultPath: String): Option[String] = {
+    val query = {
+      val src = scala.io.Source.fromFile(queryPath, "UTF-8")
+      try src.mkString finally src.close()
+    }
+    val store = loadStore(data, named)
+    val fmt = resultPath.substring(resultPath.lastIndexOf('.') + 1)
+    val out = new java.io.StringWriter()
+    Parser.parse(query) match {
+      case _: Ast.AskQ =>
+        val got = Sparql.run(store, spark, query).collect()(0).getBoolean(0)
+        out.write(graft.sinks.Results.toAskJson(got))
+      case _ =>
+        val df = Sparql.runNt(store, spark, query)
+        fmt match {
+          case "csv" => graft.sinks.Results.writeCsv(df, out)
+          case "tsv" => graft.sinks.Results.writeTsv(df, out)
+          case "srj" => graft.sinks.Results.writeJson(df, out)
+          case other => return Some(s"unknown result format .$other")
+        }
+    }
+    val expected = {
+      val src = scala.io.Source.fromFile(resultPath, "UTF-8")
+      try src.mkString finally src.close()
+    }
+    def canon(s: String) =
+      s.replace("\r\n", "\n").reverse.dropWhile(_ == '\n').reverse
+    if (canon(out.toString) == canon(expected)) None
+    else Some(s"serialization mismatch ($fmt)\n  expected: " +
+      s"${canon(expected)}\n  got:      ${canon(out.toString)}")
+  }
+
   // -------------------------------------------------------- update tests
 
   /** the post-update store's contents, grouped per graph (None = default),
@@ -345,7 +386,13 @@ class DawgSpec extends SparkTestBase {
           }
           val resultPath = g.obj(e, MF + "result")
             .collect { case Uri(u) => pathOf(u) }.get
-          () => runTest(queryPath, data, named, resultPath)
+          // mf:CSVResultFormatTest etc: expected file IS the serialized
+          // bytes, not a result-set graph
+          if (resultPath.endsWith(".csv") || resultPath.endsWith(".tsv") ||
+              resultPath.endsWith(".srj"))
+            () => runFormatTest(queryPath, data, named, resultPath)
+          else
+            () => runTest(queryPath, data, named, resultPath)
       }
       registered += 1
       test(s"dawg $label") {
