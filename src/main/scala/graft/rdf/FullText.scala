@@ -3,7 +3,8 @@ package graft.rdf
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.{ColumnBridge, DMetaphoneCodes, SnowballStemEn}
+import graft.functions.{ColumnBridge, DMetaphoneCodes, SnowballStem,
+  SnowballStemEn}
 
 /** Full-text index sink: at import time, literals of configured predicates
   * additionally emit derived (token / phonetic / stem) quads, mirroring
@@ -25,7 +26,8 @@ import graft.functions.{ColumnBridge, DMetaphoneCodes, SnowballStemEn}
   *     truncated at the first non-[a-z] ("en-GB" -> "en"), default "en"
   *     (`import.c:668-681`); literals whose language has no registered
   *     stemmer emit no stem quads, exactly as `sb_stemmer_new` returning
-  *     NULL skips them. This engine registers English.
+  *     NULL skips them. Registered stemmers: english, german, russian,
+  *     italian ([[graft.functions.Snowball]]).
   *
   * Which predicates are indexed, and how, is configuration: the
   * reference reads `<pred> text:index text:token|text:dmetaphone|
@@ -77,6 +79,9 @@ object FullText {
 
   def stemCol(lowerTok: Column): Column =
     ColumnBridge.column(SnowballStemEn(ColumnBridge.expression(lowerTok)))
+  def stemLangCol(lowerTok: Column, lang: Column): Column =
+    ColumnBridge.column(SnowballStem(ColumnBridge.expression(lowerTok),
+      ColumnBridge.expression(lang)))
   def dmetaphoneCol(rawTok: Column): Column =
     ColumnBridge.column(DMetaphoneCodes(ColumnBridge.expression(rawTok)))
 
@@ -117,8 +122,12 @@ object FullText {
           lit(phoneticPred).as("pLex"), lit(0).as("oKind"),
           col("code").as("oLex"), lit("").as("oDt"), lit("").as("oLang"))
         .filter(length(col("oLex")) > 0))
-    val stemPart = part(cfg.stem, stemPred, stemCol(lower(col("tok"))),
-      stemLang(col("oLang")) === "en")
+    // the per-language stemmer returns NULL for unregistered languages;
+    // those rows drop, matching the reference's sb_stemmer_new == NULL
+    val stemPart = part(cfg.stem, stemPred,
+      stemLangCol(lower(col("tok")), stemLang(col("oLang"))),
+      stemLang(col("oLang")).isin(
+        graft.functions.Snowball.languages.toSeq: _*))
 
     (tokenPart.toSeq ++ phoneticPart.toSeq ++ stemPart.toSeq)
       .reduce(_.unionByName(_)).distinct()

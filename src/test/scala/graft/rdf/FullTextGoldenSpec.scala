@@ -53,21 +53,41 @@ class FullTextGoldenSpec extends SparkTestBase {
     assert(DoubleMetaphone.compute("Würde") === (("RT", "RT")))
   }
 
-  test("snowball english stemmer matches the reference on 11k golden vectors") {
+  private def checkStemGolden(resource: String, fn: String => String,
+                              minWords: Int): Unit = {
     var n = 0
     val bad = new scala.collection.mutable.ArrayBuffer[String]
-    for (line <- resourceLines("/fulltext/stem_en.tsv")) {
+    for (line <- resourceLines(resource)) {
       val p = line.split("\t", -1)
       if (p.length == 2) {
         n += 1
-        val got = SnowballEnglish.stem(p(0))
+        val got = fn(p(0))
         if (got != p(1)) {
           if (bad.size < 20) bad += s"${p(0)}: got $got want ${p(1)}"
         }
       }
     }
-    assert(n > 11000, s"corpus unexpectedly small: $n")
+    assert(n > minWords, s"corpus unexpectedly small: $n")
     assert(bad.isEmpty, bad.mkString("\n"))
+  }
+
+  test("snowball english stemmer matches the reference on 11k golden vectors") {
+    checkStemGolden("/fulltext/stem_en.tsv", SnowballEnglish.stem, 11000)
+  }
+
+  test("snowball german stemmer matches the reference on 8k golden vectors") {
+    checkStemGolden("/fulltext/stem_de.tsv",
+      graft.functions.SnowballGerman.stem, 8000)
+  }
+
+  test("snowball russian stemmer matches the reference on 8k golden vectors") {
+    checkStemGolden("/fulltext/stem_ru.tsv",
+      graft.functions.SnowballRussian.stem, 7900)
+  }
+
+  test("snowball italian stemmer matches the reference on 7k golden vectors") {
+    checkStemGolden("/fulltext/stem_it.tsv",
+      graft.functions.SnowballItalian.stem, 7900)
   }
 
   test("reference fulltext fixture derives reference-exact quads") {
@@ -114,12 +134,16 @@ class FullTextGoldenSpec extends SparkTestBase {
         .map(t => ("ex:en3", T, t)) ++
       // en4 ex:stem (no language tag -> english), \n is a boundary
       Set("this", "should", "get", "stem", "it", "has", "sever", "line")
-        .map(s => ("ex:en4", S, s))
-    // DIVERGENCE (ledgered): the reference also stems the @IT-gb, @ru
-    // and @de literals with Snowball italian/russian/german; this
-    // engine registers only the english stemmer, so those literals emit
-    // no stem quads — the same behavior the reference shows for any
-    // language without a stemmer (import.c:676-678).
+        .map(s => ("ex:en4", S, s)) ++
+      // @IT-gb -> italian, @ru -> russian, @de -> german — stems
+      // computed by the reference's own compiled stemmers
+      Set("ran", "mang", "le", "mosc", "ma", "non", "può", "vol")
+        .map(s => ("ex:it", S, s)) ++
+      Set("коров", "хайнак", "морфолог").map(s => ("ex:ru", S, s)) ++
+      Set("all", "mensch", "sind", "frei", "und", "gleich", "an", "wurd",
+        "recht", "gebor", "sie", "mit", "vernunft", "gewiss", "begabt",
+        "soll", "einand", "im", "geist", "der", "bruder", "begegn")
+        .map(s => ("ex:de", S, s))
     assert(derived === expected,
       s"missing=${expected -- derived}\nextra=${derived -- expected}")
   }
