@@ -12,11 +12,15 @@ import graft.sparql.{Ast, Parser, Sparql, Update}
   * batch input on stdin (the reference's programmatic batch mode).
   *
   * Usage:
-  *   QueryCli <data> [format] <query | ->
+  *   QueryCli <data> [-O level] [format] <query | ->
   *
   *   data    RDF file (N-Triples/N-Quads/Turtle/RDF-XML, auto-detected
   *           like the reference importer) or a directory of driver
   *           parquet tables (direct-mapped to RDF)
+  *   -O      optimizer level 0-3 (default 3), as `4s-query -O`
+  *           (`4s-query.c:105`): below 1 triple patterns run in textual
+  *           order (no reorder, `optimiser.c:214`); below 3 the query
+  *           cache is bypassed (`query-cache.c:270`)
   *   format  text (default; byte-compatible with 4s-query's output_text)
   *           | csv | json | xml (SPARQL results XML) | ascii
   *   query   SPARQL text, or "-" to read stdin queries separated by #EOQ
@@ -27,16 +31,33 @@ import graft.sparql.{Ast, Parser, Sparql, Update}
 object QueryCli {
 
   def main(args: Array[String]): Unit = {
-    if (args.length < 2) {
-      System.err.println("usage: QueryCli <data> [format] <query | ->")
+    // -O / --opt-level anywhere on the command line (4s-query getopt)
+    var optLevel = 3
+    val rest = {
+      val b = Seq.newBuilder[String]
+      var i = 0
+      while (i < args.length) {
+        args(i) match {
+          case "-O" | "--opt-level" if i + 1 < args.length =>
+            optLevel = args(i + 1).toInt; i += 2
+          case o if o.startsWith("-O") && o.length > 2 =>
+            optLevel = o.drop(2).toInt; i += 1
+          case a => b += a; i += 1
+        }
+      }
+      b.result()
+    }
+    if (rest.length < 2) {
+      System.err.println(
+        "usage: QueryCli <data> [-O level] [format] <query | ->")
       sys.exit(2)
     }
-    val data = args(0)
+    val data = rest(0)
     // "explain" mirrors 4s-query --explain (prints the plan, no rows)
     val formats = Set("text", "csv", "json", "xml", "ascii", "explain")
     val (format, queryArg) =
-      if (args.length >= 3 && formats(args(1))) (args(1), args(2))
-      else ("text", args(1))
+      if (rest.length >= 3 && formats(rest(1))) (rest(1), rest(2))
+      else ("text", rest(1))
 
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[4]"))
@@ -46,6 +67,7 @@ object QueryCli {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    spark.conf.set("spark.graft.optLevel", optLevel.toString)
 
     var store =
       if (new java.io.File(data).isDirectory) {

@@ -11,7 +11,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * `modules.h`): a language with no registered stemmer yields NULL and
   * the caller emits nothing for it (`import.c:676-678`). */
 object Snowball {
-  val languages: Set[String] = Set("en", "de", "ru", "it")
+  val languages: Set[String] =
+    Set("en", "de", "ru", "it", "es", "pt", "fr")
 
   /** null when the language has no registered stemmer */
   def stem(tok: UTF8String, lang: UTF8String): UTF8String = {
@@ -21,6 +22,9 @@ object Snowball {
       case "de" => SnowballGerman.stem
       case "ru" => SnowballRussian.stem
       case "it" => SnowballItalian.stem
+      case "es" => SnowballSpanish.stem
+      case "pt" => SnowballPortuguese.stem
+      case "fr" => SnowballFrench.stem
       case _ => return null
     }
     UTF8String.fromString(fn(tok.toString))

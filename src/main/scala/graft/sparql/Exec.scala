@@ -19,6 +19,17 @@ final case class Bindings(df: DataFrame, varsOrdered: Seq[String],
   def vars: Set[String] = varsOrdered.toSet
 }
 
+object Exec {
+  /** `4s-query -O 0..3` analog (`src/frontend/4s-query.c:105`): the
+    * reference skips pattern reordering below level 1
+    * (`optimiser.c:214`) and its bind-result cache below level 3
+    * (`query-cache.c:270`). Level lives in the session conf so the CLI
+    * can set it per invocation; default 3. */
+  def optLevel: Int =
+    org.apache.spark.sql.SparkSession.active.conf
+      .getOption("spark.graft.optLevel").map(_.toInt).getOrElse(3)
+}
+
 final class Exec(store: QuadStore, spark: SparkSession) {
   import WellKnown._
 
@@ -48,6 +59,9 @@ final class Exec(store: QuadStore, spark: SparkSession) {
     * selectivity; bare rdf:type patterns deprioritized.
     */
   private def orderPatterns(pats: List[TriplePat]): List[TriplePat] = {
+    // -O0: run patterns in textual order, as the reference's optimiser
+    // bail-out does
+    if (Exec.optLevel < 1) return pats
     def score(tp: TriplePat, bound: Set[String]): Int = {
       def slot(t: PTerm, w: Int): Int = t match {
         case PConst(_) => w

@@ -61,8 +61,13 @@ object Sparql {
       dataset.fold("")(d => s"ds[${d._1.mkString(",")}|${
         d._2.mkString(",")}]:") + key
     val k = new PlanKey(store, fullKey)
-    val hit = planCache.get(k)
-    if (hit != null) return hit
+    // below opt level 3 the reference skips its query cache
+    // (query-cache.c:270); same gate here
+    val useCache = Exec.optLevel >= 3
+    if (useCache) {
+      val hit = planCache.get(k)
+      if (hit != null) return hit
+    }
     // SPARQL 1.1 Protocol §2.1.4: a protocol-supplied dataset
     // (default-graph-uri= / named-graph-uri=) OVERRIDES the query's own
     // FROM / FROM NAMED clause
@@ -85,7 +90,7 @@ object Sparql {
       case c: ConstructQ => construct(store, spark, c)
       case d: DescribeQ  => describe(store, spark, d)
     }
-    planCache.put(k, df)
+    if (useCache) planCache.put(k, df)
     df
   }
 

@@ -90,6 +90,21 @@ class FullTextGoldenSpec extends SparkTestBase {
       graft.functions.SnowballItalian.stem, 7900)
   }
 
+  test("snowball spanish stemmer matches the reference on 8k golden vectors") {
+    checkStemGolden("/fulltext/stem_es.tsv",
+      graft.functions.SnowballSpanish.stem, 7900)
+  }
+
+  test("snowball portuguese stemmer matches the reference on 7k golden vectors") {
+    checkStemGolden("/fulltext/stem_pt.tsv",
+      graft.functions.SnowballPortuguese.stem, 7900)
+  }
+
+  test("snowball french stemmer matches the reference on 8k golden vectors") {
+    checkStemGolden("/fulltext/stem_fr.tsv",
+      graft.functions.SnowballFrench.stem, 7900)
+  }
+
   test("reference fulltext fixture derives reference-exact quads") {
     import org.apache.spark.sql.Encoders
     val stmts =

@@ -335,6 +335,24 @@ class SparqlSpec extends SparkTestBase {
       Seq(("urn:alice", "Bob,Carol"), ("urn:bob", "Carol")))
   }
 
+  test("optimizer levels (4s-query -O): same results at every level") {
+    // -O0 runs patterns in textual order and -O<3 bypasses the query
+    // cache (reference optimiser.c:214 / query-cache.c:270); semantics
+    // must be level-invariant
+    val q = """SELECT ?n1 ?n2 WHERE {
+      ?a <urn:knows> ?b . ?a <urn:name> ?n1 . ?b <urn:name> ?n2 }
+      ORDER BY ?n1 ?n2"""
+    val expected = Seq(Seq("Alice", "Bob"), Seq("Alice", "Carol"),
+      Seq("Bob", "Carol"))
+    for (level <- Seq("0", "1", "2", "3")) {
+      spark.conf.set("spark.graft.optLevel", level)
+      try {
+        assert(graft.sparql.Exec.optLevel == level.toInt)
+        assert(rows(q) == expected, s"level $level")
+      } finally spark.conf.unset("spark.graft.optLevel")
+    }
+  }
+
   test("wide compat join (4 maybe-null shared vars) keeps exact semantics") {
     // >3 maybe-null shared vars routes through compatBranchesObserved
     // (branch per OBSERVED null-mask pair). Value-level check with real
