@@ -335,7 +335,25 @@ object SparqlQueries {
                  ?o <urn:p:orders:o_custkey> ?ck } GROUP BY ?ck }
            }""")
         .select(col("cname"), col("cnt").cast("long").as("cnt"))
-        .orderBy("cname"))
+        .orderBy("cname")),
+
+    // full-text STEM index: Snowball-english stem quads queried by stem
+    // key ("queri" is the reference-verified stem of the corpus token
+    // "query" — FullTextGoldenSpec pins the stemmer itself; this gate
+    // pins the derivation pipeline against the DuckDB token oracle)
+    mk("s19_sparql_stemsearch")((s, d, _) =>
+      Sparql.run(ftStore(s, d), s,
+        s"""SELECT ?s WHERE {
+              ?s <${FullText.stemPred}> "queri" }""")
+        .orderBy("s")),
+
+    // full-text PHONETIC index: double-metaphone quads queried by code
+    // ("KSTM" is the reference-verified primary code of "customer")
+    mk("s20_sparql_metaphone")((s, d, _) =>
+      Sparql.run(ftStore(s, d), s,
+        s"""SELECT ?s WHERE {
+              ?s <${FullText.phoneticPred}> "KSTM" }""")
+        .orderBy("s"))
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
@@ -450,6 +468,26 @@ object SparqlQueries {
         |FROM customer JOIN (
         |  SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY o_custkey
         |) t ON t.o_custkey = c_custkey
-        |ORDER BY cname""".stripMargin
+        |ORDER BY cname""".stripMargin,
+
+    // stem "queri" <- corpus form {query}; metaphone "KSTM" <-
+    // {customer}: the preimages over the corpus vocabulary were
+    // computed with the REFERENCE's compiled stemmer/metaphone, so the
+    // oracle checks the derivation pipeline end-to-end in plain SQL
+    "s19_sparql_stemsearch" ->
+      """SELECT 'urn:t:documents:' || doc_id AS s FROM documents
+        |WHERE list_contains(list_filter(
+        |  regexp_split_to_array(lower(text),
+        |    '[ \t\n\r!@$%^&*()=+\[\]{};:"\\|<>,./?#_-]'),
+        |  x -> len(x) > 0), 'query')
+        |ORDER BY s""".stripMargin,
+
+    "s20_sparql_metaphone" ->
+      """SELECT 'urn:t:documents:' || doc_id AS s FROM documents
+        |WHERE list_contains(list_filter(
+        |  regexp_split_to_array(lower(text),
+        |    '[ \t\n\r!@$%^&*()=+\[\]{};:"\\|<>,./?#_-]'),
+        |  x -> len(x) > 0), 'customer')
+        |ORDER BY s""".stripMargin
   )
 }
