@@ -12,7 +12,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * the caller emits nothing for it (`import.c:676-678`). */
 object Snowball {
   val languages: Set[String] =
-    Set("en", "de", "ru", "it", "es", "pt", "fr")
+    Set("en", "de", "ru", "it", "es", "pt", "fr", "da", "no", "sv", "nl")
 
   /** null when the language has no registered stemmer */
   def stem(tok: UTF8String, lang: UTF8String): UTF8String = {
@@ -25,6 +25,10 @@ object Snowball {
       case "es" => SnowballSpanish.stem
       case "pt" => SnowballPortuguese.stem
       case "fr" => SnowballFrench.stem
+      case "da" => SnowballDanish.stem
+      case "no" => SnowballNorwegian.stem
+      case "sv" => SnowballSwedish.stem
+      case "nl" => SnowballDutch.stem
       case _ => return null
     }
     UTF8String.fromString(fn(tok.toString))

@@ -105,6 +105,26 @@ class FullTextGoldenSpec extends SparkTestBase {
       graft.functions.SnowballFrench.stem, 7900)
   }
 
+  test("snowball danish stemmer matches the reference on 6k golden vectors") {
+    checkStemGolden("/fulltext/stem_da.tsv",
+      graft.functions.SnowballDanish.stem, 6900)
+  }
+
+  test("snowball norwegian stemmer matches the reference on 6k golden vectors") {
+    checkStemGolden("/fulltext/stem_no.tsv",
+      graft.functions.SnowballNorwegian.stem, 6900)
+  }
+
+  test("snowball swedish stemmer matches the reference on 6k golden vectors") {
+    checkStemGolden("/fulltext/stem_sv.tsv",
+      graft.functions.SnowballSwedish.stem, 6900)
+  }
+
+  test("snowball dutch stemmer matches the reference on 7k golden vectors") {
+    checkStemGolden("/fulltext/stem_nl.tsv",
+      graft.functions.SnowballDutch.stem, 7800)
+  }
+
   test("reference fulltext fixture derives reference-exact quads") {
     import org.apache.spark.sql.Encoders
     val stmts =
