@@ -11,13 +11,29 @@ import org.apache.spark.unsafe.types.UTF8String
   * `modules.h`): a language with no registered stemmer yields NULL and
   * the caller emits nothing for it (`import.c:676-678`). */
 object Snowball {
-  val languages: Set[String] =
-    Set("en", "de", "ru", "it", "es", "pt", "fr", "da", "no", "sv", "nl")
+  /** libstemmer's name/ISO-639 alias table (`libstemmer/modules_utf8.txt`)
+    * normalized to the canonical two-letter key used for dispatch */
+  private val aliases: Map[String, String] = {
+    val table = Seq(
+      "da" -> Seq("danish", "dan"), "nl" -> Seq("dutch", "dut", "nld"),
+      "en" -> Seq("english", "eng"), "fi" -> Seq("finnish", "fin"),
+      "fr" -> Seq("french", "fre", "fra"),
+      "de" -> Seq("german", "ger", "deu"),
+      "hu" -> Seq("hungarian", "hun"), "it" -> Seq("italian", "ita"),
+      "no" -> Seq("norwegian", "nor"),
+      "pt" -> Seq("portuguese", "por"),
+      "ru" -> Seq("russian", "rus"),
+      "es" -> Seq("spanish", "esl", "spa"), "sv" -> Seq("swedish", "swe"),
+      "porter" -> Seq())
+    table.flatMap { case (k, as) => (k +: as).map(_ -> k) }.toMap
+  }
+
+  val languages: Set[String] = aliases.keySet
 
   /** null when the language has no registered stemmer */
   def stem(tok: UTF8String, lang: UTF8String): UTF8String = {
     if (tok == null || lang == null) return null
-    val fn: String => String = lang.toString match {
+    val fn: String => String = aliases.get(lang.toString).orNull match {
       case "en" => SnowballEnglish.stem
       case "de" => SnowballGerman.stem
       case "ru" => SnowballRussian.stem
@@ -29,6 +45,9 @@ object Snowball {
       case "no" => SnowballNorwegian.stem
       case "sv" => SnowballSwedish.stem
       case "nl" => SnowballDutch.stem
+      case "fi" => SnowballFinnish.stem
+      case "hu" => SnowballHungarian.stem
+      case "porter" => SnowballPorter.stem
       case _ => return null
     }
     UTF8String.fromString(fn(tok.toString))

@@ -125,6 +125,21 @@ class FullTextGoldenSpec extends SparkTestBase {
       graft.functions.SnowballDutch.stem, 7800)
   }
 
+  test("classic porter stemmer matches the reference on 11k golden vectors") {
+    checkStemGolden("/fulltext/stem_porter.tsv",
+      graft.functions.SnowballPorter.stem, 11000)
+  }
+
+  test("snowball finnish stemmer matches the reference on 8k golden vectors") {
+    checkStemGolden("/fulltext/stem_fi.tsv",
+      graft.functions.SnowballFinnish.stem, 8800)
+  }
+
+  test("snowball hungarian stemmer matches the reference on 8k golden vectors") {
+    checkStemGolden("/fulltext/stem_hu.tsv",
+      graft.functions.SnowballHungarian.stem, 8700)
+  }
+
   test("reference fulltext fixture derives reference-exact quads") {
     import org.apache.spark.sql.Encoders
     val stmts =
