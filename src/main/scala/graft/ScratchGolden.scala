@@ -11,6 +11,7 @@ object ScratchGolden {
       case "porter" => functions.SnowballPorter.stem
       case "fi" => functions.SnowballFinnish.stem
       case "hu" => functions.SnowballHungarian.stem
+      case "ro" => functions.SnowballRomanian.stem
       case "en" => functions.SnowballEnglish.stem
       case other => sys.error(s"unknown lang $other")
     }

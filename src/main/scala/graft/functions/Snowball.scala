@@ -22,6 +22,7 @@ object Snowball {
       "hu" -> Seq("hungarian", "hun"), "it" -> Seq("italian", "ita"),
       "no" -> Seq("norwegian", "nor"),
       "pt" -> Seq("portuguese", "por"),
+      "ro" -> Seq("romanian", "rum", "ron"),
       "ru" -> Seq("russian", "rus"),
       "es" -> Seq("spanish", "esl", "spa"), "sv" -> Seq("swedish", "swe"),
       "porter" -> Seq())
@@ -47,6 +48,7 @@ object Snowball {
       case "nl" => SnowballDutch.stem
       case "fi" => SnowballFinnish.stem
       case "hu" => SnowballHungarian.stem
+      case "ro" => SnowballRomanian.stem
       case "porter" => SnowballPorter.stem
       case _ => return null
     }

@@ -140,6 +140,11 @@ class FullTextGoldenSpec extends SparkTestBase {
       graft.functions.SnowballHungarian.stem, 8700)
   }
 
+  test("snowball romanian stemmer matches the reference on 8k golden vectors") {
+    checkStemGolden("/fulltext/stem_ro.tsv",
+      graft.functions.SnowballRomanian.stem, 8500)
+  }
+
   test("reference fulltext fixture derives reference-exact quads") {
     import org.apache.spark.sql.Encoders
     val stmts =
