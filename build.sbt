@@ -27,4 +27,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // whole-stage codegen emits one Janino class per query stage; a long
+  // bench run (74 queries x 4 passes) overflows the JDK 17 default 240m
+  // code cache, after which the JIT flush/recompile churn runs hot paths
+  // interpreted (measured: ingest 300k -> 41k T/s at the END of a bench
+  // run, full speed standalone)
+  "-XX:ReservedCodeCacheSize=1g",
 )

@@ -17,15 +17,25 @@ object Tables {
     if (name == "events") events(spark, dir)
     else spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark refuses by
-    * default; read it as long nanos and convert to a microsecond timestamp
-    * (matches what DuckDB/Arrow do when narrowing ns -> us).
+  /** `events.ts` has shipped as either parquet TIMESTAMP(NANOS) — which
+    * Spark refuses by default, so it is read as long nanos and narrowed to
+    * a microsecond timestamp (matching DuckDB/Arrow ns -> us) — or as a
+    * native TIMESTAMP(MICROS) that needs no conversion. Branch on the
+    * schema actually read so both generations of the testdata load.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     import org.apache.spark.sql.functions._
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    import org.apache.spark.sql.types.LongType
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    if (raw.schema("ts").dataType == LongType)
+      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else
+      // TIMESTAMP(MICROS) with isAdjustedToUTC=false arrives as
+      // TIMESTAMP_NTZ; cast to the session-zoned TIMESTAMP the rest of
+      // the engine (unix_micros, windowing) expects — an identity
+      // mapping under the engine-wide UTC session timezone
+      raw.withColumn("ts", col("ts").cast("timestamp"))
   }
 
   /** Register all tables as temp views (idempotent per session). */
