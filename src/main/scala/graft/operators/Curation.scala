@@ -135,6 +135,46 @@ object Curation {
     df.withColumn("split", split)
   }
 
+  /** Temperature-based domain mixture sampling: resample a corpus so
+    * domain `d` contributes ∝ count_d^T of the output, the exponential
+    * smoothing used to rebalance multi-domain/multilingual pretraining
+    * mixes (T=1 keeps natural proportions, T→0 approaches uniform).
+    * Each row is emitted `floor(rate_d)` times plus one more when its
+    * seeded md5 bucket falls under the fractional part — deterministic
+    * down-sampling of over-represented domains AND replication-based
+    * up-sampling of rare ones, reproducible across runs and engines.
+    *
+    * Output: input columns + `copy` (0-based replica index).
+    *
+    * Scale: per-domain rates come from one tiny groupBy-count (domains
+    * are few by construction) broadcast back; the emit pass is map-side
+    * explode with no shuffle, so the operator costs one aggregate plus
+    * one scan at 100 TB. */
+  def temperatureMix(df: DataFrame, groupCol: String, idCol: String,
+                     temperature: Double, targetRows: Long,
+                     seed: Int = 42): DataFrame = {
+    require(temperature > 0, "temperature must be positive")
+    val counts = df.groupBy(groupCol)
+      .agg(count(lit(1)).cast("double").as("_cnt"))
+      .withColumn("_pw", pow(col("_cnt"), temperature))
+    val tot = counts.agg(sum(col("_pw")).as("_tot"))
+    val rates = counts.crossJoin(tot)
+      .select(col(groupCol).as("_rg"),
+        (lit(targetRows.toDouble) * col("_pw") / col("_tot") / col("_cnt"))
+          .as("_rate"))
+    val bucket = conv(substring(shuffleKey(col(idCol), seed), 1, 15),
+      16, 10).cast("long") % 1000000L
+    val nCopies = (floor(col("_rate")) +
+      when(bucket < floor((col("_rate") - floor(col("_rate"))) * 1e6), 1L)
+        .otherwise(0L)).cast("long")
+    df.join(broadcast(rates), col(groupCol) === col("_rg"))
+      .withColumn("_n", nCopies)
+      .withColumn("copy",
+        explode(when(col("_n") > 0, sequence(lit(0L), col("_n") - 1))
+          .otherwise(array().cast("array<long>"))))
+      .drop("_rg", "_rate", "_n")
+  }
+
   /** PII redaction: mask email addresses and long digit runs (ids,
     * phone-like numbers). Pure map-side regex pass — codegen'd, no
     * shuffle. Patterns are deliberately RE2-compatible so the same

@@ -281,6 +281,35 @@ object PipelineQueries {
           "text", k = 5, fpp = 0.001, portableHash = true)
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")
+    }),
+
+    // temperature-based mixture resampling: domain d contributes
+    // ∝ count_d^0.5 of the 600-row target — rare languages replicated
+    // up, the dominant one sampled down (seeded md5, engine-portable)
+    "p29_temperature_mix" -> ((s, d) =>
+      Curation.temperatureMix(
+          t(s, d, "documents").select("doc_id", "lang"), "lang", "doc_id",
+          temperature = 0.5, targetRows = 600, seed = 42)
+        .select("doc_id", "lang", "copy")
+        .orderBy("doc_id", "copy")),
+
+    // END-TO-END curation: exact dedup -> quality filter -> benchmark
+    // decontamination, composed as ONE lazy DAG (each stage is the same
+    // operator its standalone gate checks; Catalyst fuses the pipeline)
+    "p30_curate_corpus" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val deduped = Dedup.exact(docs, col("text"), col("doc_id"))
+      val kept = TextAnalysis.qualitySignals(deduped, "text")
+        .filter(col("quality_score") >= 0.5)
+      val train = kept.filter(col("doc_id") % 10 =!= 0)
+      val eval = docs.filter(col("doc_id") % 10 === 0)
+      graft.operators.Decontaminate.flag(train, eval, "doc_id", "text",
+          k = 5, portableHash = true)
+        .filter(!col("contaminated"))
+        .join(train.select(col("doc_id"), col("n_tokens")),
+          col("id") === col("doc_id"))
+        .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"))
+        .orderBy("doc_id")
     })
   )
 
@@ -778,6 +807,65 @@ object PipelineQueries {
         |SELECT user_id, CAST(sess_id AS BIGINT) AS sess_id,
         |  COUNT(*) AS n_events, MIN(ts) AS sess_start
         |FROM s GROUP BY user_id, sess_id
-        |ORDER BY user_id, sess_id""".stripMargin
+        |ORDER BY user_id, sess_id""".stripMargin,
+
+    "p29_temperature_mix" ->
+      """WITH cnt AS (SELECT lang, COUNT(*)::DOUBLE AS c
+        |  FROM documents GROUP BY lang),
+        |w AS (SELECT lang, POW(c, 0.5) AS pw, c FROM cnt),
+        |tot AS (SELECT SUM(pw) AS s FROM w),
+        |r AS (SELECT lang, 600.0 * pw / s / c AS rate FROM w, tot),
+        |d AS (SELECT doc_id, dd.lang,
+        |    CAST(FLOOR(rate) AS BIGINT) +
+        |    CASE WHEN ('0x'||substr(md5(doc_id::VARCHAR || ':42'),1,15))
+        |        ::UBIGINT % 1000000
+        |      < CAST(FLOOR((rate - FLOOR(rate)) * 1e6) AS BIGINT)
+        |      THEN 1 ELSE 0 END AS n
+        |  FROM documents dd JOIN r USING (lang))
+        |SELECT doc_id, lang, unnest(range(n)) AS copy
+        |FROM d ORDER BY doc_id, copy""".stripMargin,
+
+    "p30_curate_corpus" ->
+      """WITH dd AS (SELECT doc_id, text FROM (
+        |    SELECT doc_id, text,
+        |      ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        |    FROM documents) WHERE rn = 1),
+        |q AS (SELECT doc_id, text,
+        |    len(list_filter(string_split(lower(text),' '), w -> len(w)>0))
+        |      AS n_tokens,
+        |    (CASE WHEN len(list_filter(string_split(lower(text),' '),
+        |        w -> len(w)>0)) BETWEEN 5 AND 100000
+        |      THEN 1.0 ELSE 0.2 END)
+        |    * (1.0 - least((len(text) - len(regexp_replace(text,
+        |        '[[:punct:]]', '', 'g')))::DOUBLE / greatest(len(text),1)*2,
+        |        1.0))
+        |    * (1.0 - least((len(text) - len(regexp_replace(text, '[0-9]',
+        |        '', 'g')))::DOUBLE / greatest(len(text),1)*2, 1.0))
+        |      AS score
+        |  FROM dd),
+        |tr AS (SELECT doc_id, text, n_tokens FROM q
+        |  WHERE score >= 0.5 AND doc_id % 10 <> 0),
+        |ws AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |      x -> len(x) > 0) AS ws
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |ev AS (SELECT DISTINCT unnest(list_distinct(list_transform(
+        |    range(1, len(ws)-3),
+        |    i -> ('0x'||substr(md5(ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '
+        |      ||ws[i+3]||' '||ws[i+4]),1,16))::UBIGINT))) AS h
+        |  FROM ws),
+        |tg AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |      x -> len(x) > 0) AS ws
+        |  FROM tr),
+        |th AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, len(ws)-3),
+        |    i -> ('0x'||substr(md5(ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '
+        |      ||ws[i+3]||' '||ws[i+4]),1,16))::UBIGINT))) AS h
+        |  FROM tg),
+        |bad AS (SELECT DISTINCT th.doc_id FROM th JOIN ev USING (h))
+        |SELECT tr.doc_id, CAST(tr.n_tokens AS BIGINT) AS n_tokens
+        |FROM tr WHERE tr.doc_id NOT IN (SELECT doc_id FROM bad)
+        |ORDER BY tr.doc_id""".stripMargin
   )
 }

@@ -291,6 +291,39 @@ class OperatorsSpec extends SparkTestBase {
       expectA)
   }
 
+  test("temperatureMix rebalances toward rare domains, deterministic") {
+    // 400 docs in the big domain, 25 in the rare one
+    val d = ((0 until 400).map(i => (i.toLong, "big")) ++
+      (400 until 425).map(i => (i.toLong, "rare")))
+      .toDF("doc_id", "lang")
+    val out = Curation.temperatureMix(d, "lang", "doc_id",
+      temperature = 0.5, targetRows = 300, seed = 42)
+    val byLang = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // T=0.5 weights: sqrt(400)=20 vs sqrt(25)=5 -> 240 vs 60 expected;
+    // the rare domain is UP-sampled (60 > 25 natural => replication ran)
+    assert(byLang("rare") > 25L && byLang("rare") < 90L)
+    assert(byLang("big") > 200L && byLang("big") < 280L)
+    // total lands near the target
+    assert(math.abs(out.count() - 300L) < 45L)
+    // replicas are dense 0..n-1 per doc
+    val copies = out.filter(col("doc_id") === 400).select("copy")
+      .as[Long].collect().sorted.toSeq
+    assert(copies == copies.indices.map(_.toLong))
+    // pure function of (id, seed, corpus): re-run is identical
+    val again = Curation.temperatureMix(d, "lang", "doc_id",
+      temperature = 0.5, targetRows = 300, seed = 42)
+    assert(out.except(again).count() == 0 &&
+      again.except(out).count() == 0)
+    // T=1 keeps natural proportions (rates equal across domains)
+    val nat = Curation.temperatureMix(d, "lang", "doc_id",
+      temperature = 1.0, targetRows = 425, seed = 42)
+    val natBy = nat.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(natBy("big") - 400L) <= 2L &&
+      math.abs(natBy("rare") - 25L) <= 2L)
+  }
+
   test("seeded shuffle is deterministic, seed-sensitive, dense per shard") {
     val d = Seq.tabulate(100)(i => Tuple1(i.toLong)).toDF("id")
     val a = Curation.seededShuffle(d, "id", shards = 4, seed = 1)
