@@ -133,18 +133,62 @@ class Parser extends RegexParsers {
   /** s p o (; p o)* (, o)* — the `;`/`,` abbreviations. A verb is a var or
     * a path; a trivial path (plain IRI) stays an ordinary triple. */
   private def triplesSameSubject: Parser[List[Either[TriplePat, PathGP]]] =
-    ptermS ~ propertyList ^^ { case s ~ pos =>
-      pos.map {
-        case (Left(v), o) => Left(TriplePat(s, v, o))
-        case (Right(PLink(u)), o) => Left(TriplePat(s, PConst(Uri(u)), o))
-        case (Right(p), o) => Right(PathGP(s, p, o))
-      }
+    ptermS ~ propertyList ^^ { case s ~ ((pos, extra)) =>
+      pos.map(mkTriple(s, _)) ::: extra
+    } |
+    // TriplesNode subject (SPARQL §4.2.1-4.2.2): `[ p o ; ... ] p2 o2`
+    // and `( items ) p o` — the node's own triples plus an optional
+    // property list hanging off the generated subject
+    triplesNode ~ opt(propertyList) ^^ { case ((s, nts)) ~ pl =>
+      pl.map { case (pos, extra) => pos.map(mkTriple(s, _)) ::: extra }
+        .getOrElse(Nil) ::: nts
     }
+  private def mkTriple(s: PTerm, po: (Either[PTerm, Path], PTerm))
+      : Either[TriplePat, PathGP] = po match {
+    case (Left(v), o) => Left(TriplePat(s, v, o))
+    case (Right(PLink(u)), o) => Left(TriplePat(s, PConst(Uri(u)), o))
+    case (Right(p), o) => Right(PathGP(s, p, o))
+  }
   private def verb: Parser[Either[PTerm, Path]] =
     VAR ^^ (v => Left(PVar(v))) | path ^^ (Right(_))
-  private def propertyList: Parser[List[(Either[PTerm, Path], PTerm)]] =
-    rep1sep(verb ~ rep1sep(ptermO, ","), ";") ^^ (
-      _.flatMap { case p ~ os => os.map(o => (p, o)) })
+  private def propertyList: Parser[(List[(Either[PTerm, Path], PTerm)],
+                                    List[Either[TriplePat, PathGP]])] =
+    rep1sep(verb ~ rep1sep(objectNode, ","), ";") ^^ { runs =>
+      (runs.flatMap { case p ~ os => os.map(o => (p, o._1)) },
+        runs.flatMap { case _ ~ os => os.flatMap(_._2) })
+    }
+  /** object position: a plain term, or a nested TriplesNode whose
+    * generated triples ride along */
+  private def objectNode: Parser[(PTerm, List[Either[TriplePat, PathGP]])] =
+    ptermO ^^ ((_: PTerm, List.empty[Either[TriplePat, PathGP]])) |
+    triplesNode
+  private def triplesNode: Parser[(PTerm, List[Either[TriplePat, PathGP]])] =
+    blankNodePropertyList | collection
+  /** `[ p o ; ... ]` — fresh bnode (existential: Exec rewrites it to a
+    * non-projectable variable) carrying its property list */
+  private def blankNodePropertyList
+      : Parser[(PTerm, List[Either[TriplePat, PathGP]])] =
+    "[" ~> propertyList <~ "]" ^^ { case (pos, extra) =>
+      val b = PConst(BNode(s"anon${BNodeGen.next()}"))
+      (b, pos.map(mkTriple(b, _)) ::: extra)
+    }
+  /** `( e1 e2 ... )` RDF collection sugar — the rdf:first/rdf:rest chain
+    * of the Turtle/SPARQL grammar, desugared to pattern triples */
+  private def collection: Parser[(PTerm, List[Either[TriplePat, PathGP]])] =
+    "(" ~ ")" ^^^ ((PConst(Uri(Rdf.nil)): PTerm,
+      List.empty[Either[TriplePat, PathGP]])) |
+    "(" ~> rep1(objectNode) <~ ")" ^^ { items =>
+      val nodes = items.map(_ =>
+        PConst(BNode(s"anon${BNodeGen.next()}")): PTerm)
+      val links = nodes.lazyZip(items).lazyZip(nodes.indices).flatMap {
+        case (n, (item, extra), i) =>
+          val rest: PTerm =
+            if (i == items.size - 1) PConst(Uri(Rdf.nil)) else nodes(i + 1)
+          Left(TriplePat(n, PConst(Uri(Rdf.first)), item)) ::
+            Left(TriplePat(n, PConst(Uri(Rdf.rest)), rest)) :: extra
+      }
+      (nodes.head, links.toList)
+    }
 
   private def triplesBlock: Parser[GP] =
     rep1sep(triplesSameSubject, ".") <~ opt(".") ^^ { ts =>
@@ -193,8 +237,12 @@ class Parser extends RegexParsers {
           case sil ~ ep ~ ((g, raw)) =>
             Right(ServiceGP(sil.isDefined, ep, g, raw, prologueText)) }
       | unionChain ^^ (Right(_))
-      | triplesBlock ^^ (Right(_))
-    ) <~ opt(".")
+    ) <~ opt(".") |
+    // NO opt(".") tail here: triplesBlock consumes its own trailing dot
+    // (the dots belong BETWEEN TriplesSameSubject runs), and stacking a
+    // second optional dot made `?s ?p ?o ..` parse — a stray dot after
+    // a triples block must be a syntax error (W3C negative-syntax)
+    triplesBlock ^^ (Right(_))
 
   /** groupGraphPattern that also captures its raw source text (braces
     * included) — the SERVICE sub-pattern is shipped to the remote

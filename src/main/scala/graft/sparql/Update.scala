@@ -67,10 +67,17 @@ object Update {
           throw new IllegalArgumentException(s"bad template element: $other")
       }
 
-    /** ground quads of a data block; GRAPH <g> { ... } carries the graph */
-    private def groundOf(g: GroupGP): List[(Term, Term, Term, Option[Term])] = {
+    /** ground quads of a data block; GRAPH <g> { ... } carries the graph.
+      * `allowBnodes=false` for DELETE DATA: SPARQL 1.1 §3.1.2 forbids
+      * blank nodes there (a bnode can never co-denote a stored node). */
+    private def groundOf(g: GroupGP, allowBnodes: Boolean = true)
+        : List[(Term, Term, Term, Option[Term])] = {
       def ground(t: TriplePat, gr: Option[Term]) = t match {
-        case TriplePat(PConst(s), PConst(p), PConst(o)) => (s, p, o, gr)
+        case TriplePat(PConst(s), PConst(p), PConst(o)) =>
+          if (!allowBnodes && (s.isInstanceOf[BNode] || o.isInstanceOf[BNode]))
+            throw new IllegalArgumentException(
+              s"blank node in DELETE DATA: $t")
+          (s, p, o, gr)
         case other =>
           throw new IllegalArgumentException(s"vars in ground data: $other")
       }
@@ -78,7 +85,7 @@ object Update {
         case BGPat(ts) => ts.map(ground(_, None))
         case GraphGP(PConst(u), inner: GroupGP) =>
           tmplOf(inner).map { case (t, _) => ground(t, Some(u)) }
-        case inner: GroupGP => groundOf(inner)
+        case inner: GroupGP => groundOf(inner, allowBnodes)
         case other =>
           throw new IllegalArgumentException(s"bad data element: $other")
       }
@@ -95,7 +102,7 @@ object Update {
       kwU("INSERT") ~> kwU("DATA") ~> groupGraphPattern ^^ (
         g => InsertData(groundOf(g))) |
       kwU("DELETE") ~> kwU("DATA") ~> groupGraphPattern ^^ (
-        g => DeleteData(groundOf(g))) |
+        g => DeleteData(groundOf(g, allowBnodes = false))) |
       opt(kwU("WITH") ~> iriU) ~ (kwU("DELETE") ~> kwU("WHERE") ~>
         groupGraphPattern) ^^ { case wg ~ g =>
           Modify(tmplOf(g), Nil, g, wg)

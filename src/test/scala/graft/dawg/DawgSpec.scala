@@ -357,9 +357,41 @@ class DawgSpec extends SparkTestBase {
         .collect { case Lit(l, _, _) => l }.getOrElse(e.toString)
       val action = g.obj(e, MF + "action").get
       val label = s"${dir.getName}/$name"
+      val types = g.objs(e, Rdf.typ).collect { case Uri(u) => u }.toSet
+      val synQuery = types(MF + "PositiveSyntaxTest11") ||
+        types(MF + "NegativeSyntaxTest11")
+      val synUpdate = types(MF + "PositiveUpdateSyntaxTest11") ||
+        types(MF + "NegativeUpdateSyntaxTest11")
       val updateRequest = g.obj(action, UT + "request")
         .collect { case Uri(u) => pathOf(u) }
-      val run: () => Option[String] = updateRequest match {
+      val run: () => Option[String] =
+        if (synQuery || synUpdate) {
+          // mf:action IS the query/update file; positive must parse,
+          // negative must be rejected (no execution)
+          val path = action match { case Uri(u) => pathOf(u)
+                                    case t => sys.error(s"bad action $t") }
+          val positive = types(MF + "PositiveSyntaxTest11") ||
+            types(MF + "PositiveUpdateSyntaxTest11")
+          () => {
+            val text = {
+              val src = scala.io.Source.fromFile(path, "UTF-8")
+              try src.mkString finally src.close()
+            }
+            val parsed =
+              try {
+                if (synUpdate) graft.sparql.Update.parse(text)
+                else Parser.parse(text)
+                Right(())
+              } catch { case e: Throwable => Left(String.valueOf(e.getMessage)) }
+            (positive, parsed) match {
+              case (true, Right(_)) => None
+              case (true, Left(m)) => Some(s"expected parse, got: $m")
+              case (false, Left(_)) => None
+              case (false, Right(_)) =>
+                Some("negative syntax test parsed without error")
+            }
+          }
+        } else updateRequest match {
         case Some(req) => // mf:UpdateEvaluationTest
           val data = g.objs(action, UT + "data")
             .collect { case Uri(u) => pathOf(u) }
