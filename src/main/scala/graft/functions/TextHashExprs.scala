@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -103,6 +103,60 @@ object TextHash {
     new GenericArrayData(java.util.Arrays.copyOf(out, m))
   }
 
+  /** POSITIONAL hashed k-word shingles: element i = hash of the gram
+    * starting at token i (no distinct — alignment with token positions
+    * is the point; [[ScrubSpans]] consumes the matched positions). */
+  def shinglePosHashes(text: UTF8String, k: Int, md5: Boolean): ArrayData = {
+    val ws = words(text)
+    val n = ws.length
+    if (n < k) return new GenericArrayData(Array.emptyLongArray)
+    val out = new Array[Long](n - k + 1)
+    var i = 0
+    while (i <= n - k) {
+      val sb = new java.lang.StringBuilder(32)
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(ws(i + j))
+        j += 1
+      }
+      out(i) = hashOf(sb.toString, md5)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Drop every token covered by a k-token span starting at one of
+    * `starts` (0-based token positions, sorted ascending, duplicates
+    * fine). The original-case whitespace tokens are kept — only the
+    * hashing side lowercases — and the survivors re-join with single
+    * spaces. One merge pass over (tokens, starts): O(n + m). */
+  def scrubSpans(text: UTF8String, starts: ArrayData, k: Int): UTF8String = {
+    val parts = WS.split(text.toString)
+    val m = starts.numElements()
+    val sb = new java.lang.StringBuilder(text.numBytes())
+    var coveredUntil = -1L
+    var ptr = 0
+    var i = 0L // token index over NON-EMPTY tokens (words() alignment)
+    var p = 0
+    while (p < parts.length) {
+      if (!parts(p).isEmpty) {
+        while (ptr < m && starts.getLong(ptr) <= i) {
+          val end = starts.getLong(ptr) + k - 1
+          if (end > coveredUntil) coveredUntil = end
+          ptr += 1
+        }
+        if (i > coveredUntil) {
+          if (sb.length() > 0) sb.append(' ')
+          sb.append(parts(p))
+        }
+        i += 1
+      }
+      p += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
   /** Hash of every word occurrence of `text` (multiplicity kept —
     * SimHash's majority vote weighs repeated words). */
   def wordHashes(text: UTF8String, md5: Boolean): ArrayData = {
@@ -184,6 +238,53 @@ final case class ShingleHashes(child: Expression, k: Int,
       s"graft.functions.TextHash.shingleHashes($c, $k, $md5)")
   override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
     copy(child = newChild)
+}
+
+/** `shingle_pos_hashes(text, k)`: array<long> of POSITIONAL hashed
+  * k-shingles — element i is the gram starting at token i, duplicates
+  * kept so positions align with the token stream. */
+final case class ShinglePosHashes(child: Expression, k: Int,
+                                  md5: Boolean = false)
+    extends UnaryExpression {
+  require(k >= 1, s"shingle size must be >= 1, got $k")
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType]) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_pos_hashes"
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.shinglePosHashes(input.asInstanceOf[UTF8String], k, md5)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextHash.shinglePosHashes($c, $k, $md5)")
+  override protected def withNewChildInternal(newChild: Expression)
+      : ShinglePosHashes = copy(child = newChild)
+}
+
+/** `scrub_spans(text, starts)`: text with every token covered by a
+  * k-token span starting at one of `starts` removed (starts sorted
+  * ascending, 0-based over the whitespace token stream). */
+final case class ScrubSpans(left: Expression, right: Expression, k: Int)
+    extends BinaryExpression {
+  require(k >= 1, s"span size must be >= 1, got $k")
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType.isInstanceOf[StringType] &&
+        right.dataType.isInstanceOf[ArrayType])
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (string, array<long>) arguments")
+  override def dataType: DataType = StringType
+  override def prettyName: String = "scrub_spans"
+  override protected def nullSafeEval(text: Any, starts: Any): Any =
+    TextHash.scrubSpans(text.asInstanceOf[UTF8String],
+      starts.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, s) =>
+      s"graft.functions.TextHash.scrubSpans($t, $s, $k)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ScrubSpans =
+    copy(left = newLeft, right = newRight)
 }
 
 /** `minhash_sig(hashArray)`: h-length MinHash signature (null if the

@@ -194,6 +194,10 @@ object F {
 
   def shingleHashes(text: Column, k: Int, md5: Boolean = false): Column =
     c(ShingleHashes(e(text), k, md5))
+  def shinglePosHashes(text: Column, k: Int, md5: Boolean = false): Column =
+    c(ShinglePosHashes(e(text), k, md5))
+  def scrubSpans(text: Column, starts: Column, k: Int): Column =
+    c(ScrubSpans(e(text), e(starts), k))
   def wordHashes(text: Column, md5: Boolean = false): Column =
     c(WordHashes(e(text), md5))
   def minhashSig(hs: Column, seeds: Seq[(Long, Long)], p: Long): Column =

@@ -60,6 +60,52 @@ object Chunking {
     *
     * Output: (id1, id2, n_shared) with id1 < id2.
     */
+  /** Boilerplate span REMOVAL (the scrub to [[duplicatedSpans]]'s
+    * detection): delete from every document each token covered by a
+    * verbatim k-token span occurring in at least `minDocs` distinct
+    * documents — the "remove duplicated lines/paragraphs across the
+    * corpus" pass of web-corpus pipelines (C4's repeated-line rule,
+    * RefinedWeb line-wise dedup), quantized to token k-grams.
+    *
+    * Output: (id, clean_text, n_tokens_dropped). clean_text keeps the
+    * original-case tokens re-joined with single spaces (hashing
+    * lowercases, the output does not).
+    *
+    * Scale: positional gram hashing is a codegen kernel at scan speed;
+    * the viral-gram set (grams in >= minDocs docs) is produced by one
+    * hash-shuffle count and is small by construction (boilerplate), so
+    * its join back to positions broadcasts; covered starts aggregate
+    * per doc (second shuffle) and the scrub is a final map-side merge
+    * pass. No stage ever holds more than (positions of one partition)
+    * in memory. */
+  def scrubDuplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+                           k: Int, minDocs: Int = 10,
+                           portableHash: Boolean = false): DataFrame = {
+    val F = graft.functions.F
+    val pos = df.select(col(idCol).as("id"),
+        F.shinglePosHashes(col(textCol), k, portableHash).as("hs"))
+      .select(col("id"), posexplode(col("hs")).as(Seq("pos", "h")))
+    val viral = pos.select("id", "h").distinct()
+      .groupBy("h").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= minDocs).select("h")
+    val covered = pos.join(broadcast(viral), "h")
+      .groupBy("id")
+      .agg(sort_array(collect_list(col("pos").cast("long"))).as("starts"))
+    def tokCount(c: org.apache.spark.sql.Column) =
+      when(length(trim(c)) === 0, 0)
+        .otherwise(size(split(trim(c), "\\s+"))).cast("long")
+    df.select(col(idCol).as("id"), col(textCol).as("__t"))
+      .join(covered, Seq("id"), "left_outer")
+      .select(col("id"),
+        F.scrubSpans(col("__t"),
+          coalesce(col("starts"), lit(Array.empty[Long])), k)
+          .as("clean_text"),
+        col("__t"))
+      .select(col("id"), col("clean_text"),
+        (tokCount(col("__t")) - tokCount(col("clean_text")))
+          .as("n_tokens_dropped"))
+  }
+
   def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,
                       k: Int, maxDocs: Int = 50,
                       portableHash: Boolean = false): DataFrame = {

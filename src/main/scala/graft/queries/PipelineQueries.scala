@@ -293,6 +293,15 @@ object PipelineQueries {
         .select("doc_id", "lang", "copy")
         .orderBy("doc_id", "copy")),
 
+    // boilerplate span scrub: delete tokens covered by any verbatim
+    // 13-gram occurring in >= 2 distinct docs (C4 repeated-line rule /
+    // RefinedWeb line dedup, quantized to token grams)
+    "p31_scrub_spans" -> ((s, d) =>
+      Chunking.scrubDuplicatedSpans(t(s, d, "documents"), "doc_id",
+          "text", k = 13, minDocs = 2, portableHash = true)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")),
+
     // END-TO-END curation: exact dedup -> quality filter -> benchmark
     // decontamination, composed as ONE lazy DAG (each stage is the same
     // operator its standalone gate checks; Catalyst fuses the pipeline)
@@ -824,6 +833,41 @@ object PipelineQueries {
         |  FROM documents dd JOIN r USING (lang))
         |SELECT doc_id, lang, unnest(range(n)) AS copy
         |FROM d ORDER BY doc_id, copy""".stripMargin,
+
+    "p31_scrub_spans" ->
+      """WITH wsl AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |      x -> len(x) > 0) AS ws
+        |  FROM documents),
+        |wso AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(text, '\s+'),
+        |      x -> len(x) > 0) AS ws
+        |  FROM documents),
+        |g AS (SELECT doc_id,
+        |    unnest(list_transform(range(1, greatest(len(ws)-11, 1)),
+        |      i -> {'pos': i - 1,
+        |            'h': ('0x'||substr(md5(array_to_string(ws[i:i+12],
+        |              chr(32))),1,16))::UBIGINT})) AS u
+        |  FROM wsl),
+        |gp AS (SELECT doc_id, u.pos AS pos, u.h AS h FROM g),
+        |viral AS (SELECT h FROM (SELECT DISTINCT doc_id, h FROM gp)
+        |  GROUP BY h HAVING count(*) >= 2),
+        |cov AS (SELECT doc_id, list_sort(list(pos)) AS starts
+        |  FROM gp JOIN viral USING (h) GROUP BY doc_id),
+        |clean AS (SELECT w.doc_id,
+        |    coalesce(array_to_string(list_filter(w.ws,
+        |      (t, i) -> len(list_filter(coalesce(c.starts,
+        |        CAST([] AS BIGINT[])),
+        |        s -> s <= i - 1 AND i - 1 < s + 13)) = 0), chr(32)), '')
+        |      AS clean_text,
+        |    CAST(len(list_filter(w.ws,
+        |      (t, i) -> len(list_filter(coalesce(c.starts,
+        |        CAST([] AS BIGINT[])),
+        |        s -> s <= i - 1 AND i - 1 < s + 13)) > 0)) AS BIGINT)
+        |      AS n_tokens_dropped
+        |  FROM wso w LEFT JOIN cov c USING (doc_id))
+        |SELECT doc_id, clean_text, n_tokens_dropped FROM clean
+        |ORDER BY doc_id""".stripMargin,
 
     "p30_curate_corpus" ->
       """WITH dd AS (SELECT doc_id, text FROM (

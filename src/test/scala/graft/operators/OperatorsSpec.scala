@@ -291,6 +291,40 @@ class OperatorsSpec extends SparkTestBase {
       expectA)
   }
 
+  test("scrubDuplicatedSpans removes viral spans, keeps unique text") {
+    val boiler = "subscribe to our newsletter for updates today"  // 7 toks
+    val d = Seq(
+      (1L, s"alpha beta gamma $boiler delta epsilon"),
+      (2L, s"$boiler zeta eta theta iota kappa"),
+      (3L, s"unique words only in this document body $boiler"),
+      (4L, "totally unrelated text with no shared spans at all")
+    ).toDF("doc_id", "text")
+    val out = Chunking.scrubDuplicatedSpans(d, "doc_id", "text",
+        k = 7, minDocs = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    // the 7-token boilerplate span vanishes from every carrier
+    assert(out(0) == ((1L, "alpha beta gamma delta epsilon", 7L)))
+    assert(out(1) == ((2L, "zeta eta theta iota kappa", 7L)))
+    assert(out(2) == ((3L, "unique words only in this document body", 7L)))
+    // untouched doc passes through verbatim
+    assert(out(3) == ((4L,
+      "totally unrelated text with no shared spans at all", 0L)))
+    // overlapping viral grams scrub the union of their spans, and
+    // original CASE survives (only hashing lowercases)
+    val e = Seq(
+      (1L, "X Y Common One Two Three Four Tail1"),
+      (2L, "Common One Two Three Four Other Words Here"),
+      (3L, "Pre Common One Two Three Four Post Pad")
+    ).toDF("doc_id", "text")
+    val out2 = Chunking.scrubDuplicatedSpans(e, "doc_id", "text",
+        k = 5, minDocs = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(out2(0) == ((1L, "X Y Tail1")))
+    assert(out2(1) == ((2L, "Other Words Here")))
+    assert(out2(2) == ((3L, "Pre Post Pad")))
+  }
+
   test("temperatureMix rebalances toward rare domains, deterministic") {
     // 400 docs in the big domain, 25 in the rare one
     val d = ((0 until 400).map(i => (i.toLong, "big")) ++
