@@ -107,6 +107,74 @@ object TextAnalysis {
         .otherwise(lit(0.0)).as("dup_frac"))
   }
 
+  /** Bigram language-model scoring — the statistical quality filter of
+    * CCNet/KenLM-style pipelines: train bigram/unigram counts on a
+    * reference corpus, then score each document by add-k smoothed
+    * log-probability and perplexity (low perplexity ≈ fluent,
+    * in-distribution text; high ≈ gibberish or off-domain).
+    *
+    *   logprob(doc) = Σ_i log( (c(w_i,w_{i+1}) + a) / (c(w_i) + a·V) )
+    *   ppl(doc)     = exp(-logprob / n_bigrams)
+    *
+    * Output per scored doc: (id, n_bigrams, n_oov, sum_c12, sum_c1,
+    * logprob, ppl) — the integer columns are engine-exact (the oracle
+    * checks them); the log-space doubles are for ranking/filtering.
+    * Docs with fewer than 2 tokens score 0 bigrams, logprob 0, ppl null.
+    *
+    * Scale: counting is two hash-shuffle aggregates over the train
+    * corpus with map-side partial aggregation (the distributed KenLM
+    * count step); scoring joins the score-side bigram stream to the
+    * count tables on 64-bit gram hashes (collision-approximate exactly
+    * like [[Dedup.ngramJaccardPairs]]) and reduces per document — no
+    * driver-side state, no vocabulary broadcast needed (the count
+    * tables stay distributed; AQE broadcasts them when small). */
+  def ngramLmScore(train: DataFrame, score: DataFrame, idCol: String,
+                   textCol: String, addK: Double = 0.1,
+                   portableHash: Boolean = false): DataFrame = {
+    val F = graft.functions.F
+    // (id, h1, h2) per bigram OCCURRENCE: h2 = hash of "w_i w_{i+1}",
+    // h1 = hash of w_i — position-aligned via the positional kernel
+    def bigramRows(df: DataFrame) =
+      df.select(col(idCol).as("id"),
+          F.shinglePosHashes(col(textCol), 2, portableHash).as("h2s"),
+          F.shinglePosHashes(col(textCol), 1, portableHash).as("h1s"))
+        .select(col("id"), posexplode(col("h2s")).as(Seq("i", "h2")),
+          col("h1s"))
+        .select(col("id"), col("h2"),
+          element_at(col("h1s"), col("i").cast("int") + 1).as("h1"))
+    def unigramRows(df: DataFrame) =
+      df.select(col(idCol).as("id"),
+          explode(F.shinglePosHashes(col(textCol), 1, portableHash))
+            .as("h1"))
+    val c12 = bigramRows(train).groupBy("h2")
+      .agg(count(lit(1)).as("c12"))
+    val c1 = unigramRows(train).groupBy("h1")
+      .agg(count(lit(1)).as("c1"))
+    val vocab = unigramRows(train).select("h1").distinct().count().toDouble
+    val scored = bigramRows(score)
+      .join(c12, Seq("h2"), "left_outer")
+      .join(c1, Seq("h1"), "left_outer")
+      .withColumn("lp",
+        log((coalesce(col("c12"), lit(0L)) + lit(addK)) /
+          (coalesce(col("c1"), lit(0L)) + lit(addK * vocab))))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("c12").isNull, 1L).otherwise(0L)).as("n_oov"),
+        sum(coalesce(col("c12"), lit(0L))).as("sum_c12"),
+        sum(coalesce(col("c1"), lit(0L))).as("sum_c1"),
+        sum(col("lp")).as("logprob"))
+    score.select(col(idCol).as("id"))
+      .join(scored, Seq("id"), "left_outer")
+      .select(col("id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+        coalesce(col("sum_c12"), lit(0L)).as("sum_c12"),
+        coalesce(col("sum_c1"), lit(0L)).as("sum_c1"),
+        coalesce(col("logprob"), lit(0.0)).as("logprob"),
+        when(col("n_bigrams") > 0,
+          exp(-col("logprob") / col("n_bigrams"))).as("ppl"))
+  }
+
   /** Deterministic document fingerprint: MD5 of the normalized text
     * (lower-cased, whitespace collapsed) — the exact-dedup key. */
   def fingerprintMd5(text: Column): Column =

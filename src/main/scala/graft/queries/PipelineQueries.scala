@@ -302,6 +302,19 @@ object PipelineQueries {
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")),
 
+    // bigram LM scoring (CCNet/KenLM-style quality filter): eval slice
+    // scored against a model counted on the train slice; the gate pins
+    // the engine-exact integer stats, the log-space score is spec-tested
+    "p32_ngram_lm" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      TextAnalysis.ngramLmScore(docs.filter(col("doc_id") % 10 =!= 0),
+          docs.filter(col("doc_id") % 10 === 0), "doc_id", "text",
+          addK = 0.1, portableHash = true)
+        .select(col("id").as("doc_id"), col("n_bigrams"), col("n_oov"),
+          col("sum_c12"), col("sum_c1"))
+        .orderBy("doc_id")
+    }),
+
     // END-TO-END curation: exact dedup -> quality filter -> benchmark
     // decontamination, composed as ONE lazy DAG (each stage is the same
     // operator its standalone gate checks; Catalyst fuses the pipeline)
@@ -833,6 +846,34 @@ object PipelineQueries {
         |  FROM documents dd JOIN r USING (lang))
         |SELECT doc_id, lang, unnest(range(n)) AS copy
         |FROM d ORDER BY doc_id, copy""".stripMargin,
+
+    "p32_ngram_lm" ->
+      """WITH ws AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |      x -> len(x) > 0) AS ws
+        |  FROM documents),
+        |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+        |    i -> {'w1': ws[i], 'pair': ws[i] || ' ' || ws[i+1]})) AS u
+        |  FROM ws),
+        |pairs AS (SELECT doc_id, u.w1 AS w1, u.pair AS pair FROM bg),
+        |tb AS (SELECT pair, count(*) AS c12 FROM pairs
+        |  WHERE doc_id % 10 <> 0 GROUP BY 1),
+        |tu AS (SELECT w1, count(*) AS c1 FROM (
+        |    SELECT doc_id, unnest(ws) AS w1 FROM ws)
+        |  WHERE doc_id % 10 <> 0 GROUP BY 1),
+        |agg AS (SELECT p.doc_id, count(*) AS n_bigrams,
+        |    sum(CASE WHEN tb.c12 IS NULL THEN 1 ELSE 0 END) AS n_oov,
+        |    sum(coalesce(tb.c12, 0)) AS sum_c12,
+        |    sum(coalesce(tu.c1, 0)) AS sum_c1
+        |  FROM pairs p LEFT JOIN tb USING (pair) LEFT JOIN tu USING (w1)
+        |  WHERE p.doc_id % 10 = 0 GROUP BY 1)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(n_bigrams, 0) AS BIGINT) AS n_bigrams,
+        |  CAST(coalesce(n_oov, 0) AS BIGINT) AS n_oov,
+        |  CAST(coalesce(sum_c12, 0) AS BIGINT) AS sum_c12,
+        |  CAST(coalesce(sum_c1, 0) AS BIGINT) AS sum_c1
+        |FROM documents d LEFT JOIN agg USING (doc_id)
+        |WHERE d.doc_id % 10 = 0 ORDER BY d.doc_id""".stripMargin,
 
     "p31_scrub_spans" ->
       """WITH wsl AS (SELECT doc_id,

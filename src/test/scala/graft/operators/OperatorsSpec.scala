@@ -291,6 +291,31 @@ class OperatorsSpec extends SparkTestBase {
       expectA)
   }
 
+  test("ngramLmScore: hand-computed smoothed logprob; gibberish ranks worse") {
+    val train = Seq((1L, "the cat sat"), (2L, "the cat ran")).toDF("id", "text")
+    // vocab = {the, cat, sat, ran} -> V=4; c(the)=2, c(cat)=2
+    // c(the cat)=2, c(cat sat)=1
+    val score = Seq((10L, "the cat sat")).toDF("id", "text")
+    val out = TextAnalysis.ngramLmScore(train, score, "id", "text",
+      addK = 0.5).collect().head
+    assert(out.getLong(1) == 2L && out.getLong(2) == 0L) // 2 bigrams, 0 oov
+    assert(out.getLong(3) == 3L && out.getLong(4) == 4L) // c12: 2+1, c1: 2+2
+    val expect = math.log((2 + 0.5) / (2 + 0.5 * 4)) +
+      math.log((1 + 0.5) / (2 + 0.5 * 4))
+    assert(math.abs(out.getDouble(5) - expect) < 1e-12)
+    assert(math.abs(out.getDouble(6) - math.exp(-expect / 2)) < 1e-12)
+    // fluent text scores lower perplexity than shuffled gibberish
+    val s2 = Seq((20L, "the cat sat"), (21L, "sat the ran cat"))
+      .toDF("id", "text")
+    val r = TextAnalysis.ngramLmScore(train, s2, "id", "text")
+      .collect().map(x => x.getLong(0) -> x.getDouble(6)).toMap
+    assert(r(20L) < r(21L))
+    // sub-2-token doc: 0 bigrams, null ppl, still present
+    val r3 = TextAnalysis.ngramLmScore(train,
+      Seq((30L, "the")).toDF("id", "text"), "id", "text").collect().head
+    assert(r3.getLong(1) == 0L && r3.isNullAt(6))
+  }
+
   test("scrubDuplicatedSpans removes viral spans, keeps unique text") {
     val boiler = "subscribe to our newsletter for updates today"  // 7 toks
     val d = Seq(
