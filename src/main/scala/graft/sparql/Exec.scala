@@ -28,6 +28,47 @@ object Exec {
   def optLevel: Int =
     org.apache.spark.sql.SparkSession.active.conf
       .getOption("spark.graft.optLevel").map(_.toInt).getOrElse(3)
+
+  /** Inverse of `Results.writeTsv` cell escaping (single left-to-right
+    * pass — chained String.replace would decode an escaped backslash's
+    * successor twice). Here in the companion so the distributed SERVICE
+    * parse closure doesn't capture the executor-unserializable Exec. */
+  private[sparql] def tsvUnescape(s: String): String = {
+    if (!s.contains('\\')) return s
+    val b = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 't' => b += '\t'; i += 2
+          case 'n' => b += '\n'; i += 2
+          case '\\' => b += '\\'; i += 2
+          case o => b += c; b += o; i += 2
+        }
+      } else { b += c; i += 1 }
+    }
+    b.toString
+  }
+
+  /** One SERVICE TSV result line -> the 4-column-per-var valued row
+    * (rid, lex, dt, lang — the same shape `valuesTable` builds).
+    * Static so the spilled-result path can run it on executors. */
+  private[sparql] def serviceRowValues(line: String, nVars: Int): Seq[Any] = {
+    val cells = line.split("\t", -1).toSeq.padTo(nVars, "")
+    cells.take(nVars).flatMap { c =>
+      (if (c.isEmpty) None else NTriples.parseTerm(tsvUnescape(c))) match {
+        case Some(t) =>
+          val (lex, dt, lang) = t match {
+            case Uri(u) => (u, 0L, "")
+            case BNode(bn) => (bn, 0L, "")
+            case Lit(l, d, g) => (l, Rid.attr(d, g), g)
+          }
+          Seq(Rid.of(t), lex, dt, lang)
+        case None => Seq(null, null, null, null)
+      }
+    }
+  }
 }
 
 final class Exec(store: QuadStore, spark: SparkSession) {
@@ -904,32 +945,20 @@ final class Exec(store: QuadStore, spark: SparkSession) {
 
   // ------------------------------------------------------------ SERVICE
 
-  /** Inverse of `Results.writeTsv` cell escaping. */
-  private def tsvUnescape(s: String): String = {
-    if (!s.contains('\\')) return s
-    val b = new StringBuilder(s.length)
-    var i = 0
-    while (i < s.length) {
-      val c = s.charAt(i)
-      if (c == '\\' && i + 1 < s.length) {
-        s.charAt(i + 1) match {
-          case 't' => b += '\t'; i += 2
-          case 'n' => b += '\n'; i += 2
-          case '\\' => b += '\\'; i += 2
-          case o => b += c; b += o; i += 2
-        }
-      } else { b += c; i += 1 }
-    }
-    b.toString
-  }
-
   /** SPARQL 1.1 Federated Query (§2 — extension; the reference has no
     * federation): ship the sub-pattern to the remote endpoint as a
     * standalone `SELECT *`, parse the TSV result (NT-serialized cells)
     * back into terms, and expose them as an inline binding table — the
     * same shape VALUES takes, so compatibility-join semantics apply
     * unchanged. SILENT turns transport/remote errors into the empty
-    * (unit) binding, per §4. */
+    * (unit) binding, per §4.
+    *
+    * Scale: the response streams to a spill file as it downloads, so
+    * driver memory never holds the whole body. Small results (<=
+    * `spark.graft.service.maxLocalBytes`, default 8 MiB) parse locally
+    * into a LocalRelation (exact size stats -> guaranteed broadcast);
+    * larger ones parse DISTRIBUTED from the spill file — written under
+    * the warehouse dir so cluster executors can read it back. */
   private def serviceBindings(sv: ServiceGP): Bindings =
     try {
       val url = sv.endpoint match {
@@ -959,19 +988,75 @@ final class Exec(store: QuadStore, spark: SparkSession) {
       val code = conn.getResponseCode
       if (code >= 400)
         throw new java.io.IOException(s"SERVICE $url: HTTP $code")
-      val body = new String(conn.getInputStream.readAllBytes(),
-        java.nio.charset.StandardCharsets.UTF_8)
-      val lines = body.split("\n", -1)
-      val vars = lines.head.split("\t").toList
-        .filter(_.nonEmpty).map(_.stripPrefix("?"))
-      val rows = lines.tail.filter(_.nonEmpty).toList.map { l =>
-        val cells = l.split("\t", -1).toList.padTo(vars.size, "")
-        cells.take(vars.size).map { c =>
-          if (c.isEmpty) None
-          else NTriples.parseTerm(tsvUnescape(c))
-        }
+      // stream the body to a spill file under the warehouse (shared
+      // storage on a cluster) — the driver holds one buffer, not the
+      // whole response
+      val hconf = spark.sparkContext.hadoopConfiguration
+      val spill = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"),
+        s"_service_spill/${java.util.UUID.randomUUID()}.tsv")
+      val fs = spill.getFileSystem(hconf)
+      val in = conn.getInputStream
+      val out = fs.create(spill, true)
+      val buf = new Array[Byte](1 << 16)
+      var total = 0L
+      var n = in.read(buf)
+      while (n >= 0) {
+        if (n > 0) { out.write(buf, 0, n); total += n }
+        n = in.read(buf)
       }
-      valuesTable(ValuesGP(vars, rows))
+      out.close(); in.close()
+      val maxLocal = spark.conf
+        .getOption("spark.graft.service.maxLocalBytes")
+        .map(_.toLong).getOrElse(8L << 20)
+      val header = {
+        val r = new java.io.BufferedReader(new java.io.InputStreamReader(
+          fs.open(spill), java.nio.charset.StandardCharsets.UTF_8))
+        try Option(r.readLine()).getOrElse("") finally r.close()
+      }
+      val vars = header.split("\t").toList
+        .filter(_.nonEmpty).map(_.stripPrefix("?"))
+      if (total <= maxLocal) {
+        // small: parse on the driver into a LocalRelation (exact stats)
+        val body = {
+          val s = fs.open(spill)
+          try new String(s.readAllBytes(),
+            java.nio.charset.StandardCharsets.UTF_8)
+          finally s.close()
+        }
+        fs.delete(spill, false)
+        val rows = body.split("\n", -1).toList.tail.filter(_.nonEmpty)
+          .map { l =>
+            val cells = l.split("\t", -1).toList.padTo(vars.size, "")
+            cells.take(vars.size).map { c =>
+              if (c.isEmpty) None
+              else NTriples.parseTerm(Exec.tsvUnescape(c))
+            }
+          }
+        valuesTable(ValuesGP(vars, rows))
+      } else {
+        // large: distributed parse straight off the spill file; the
+        // first line of split 0 is the header. The file outlives this
+        // method (the plan reads it lazily) — cleaned at JVM exit.
+        fs.deleteOnExit(spill)
+        val nv = vars.size
+        val rdd = spark.read.textFile(spill.toString).rdd
+          .mapPartitionsWithIndex((i, it) => if (i == 0) it.drop(1) else it)
+          .filter(_.nonEmpty)
+          .map(l => org.apache.spark.sql.Row
+            .fromSeq(Exec.serviceRowValues(l, nv)))
+        val schema = org.apache.spark.sql.types.StructType(vars.flatMap { vn =>
+          import org.apache.spark.sql.types._
+          Seq(StructField(vn, LongType), StructField(s"${vn}__lex", StringType),
+            StructField(s"${vn}__dt", LongType),
+            StructField(s"${vn}__lang", StringType))
+        })
+        // certainty unknown without a scan: every var stays maybe-null,
+        // which keeps the compat-join semantics correct (just less
+        // optimized than the LocalRelation path)
+        Bindings(spark.createDataFrame(rdd, schema), vars,
+          Set.empty, vars.toSet)
+      }
     } catch {
       case e: Exception =>
         if (sv.silent) unit

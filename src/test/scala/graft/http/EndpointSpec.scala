@@ -153,6 +153,20 @@ class EndpointSpec extends SparkTestBase {
             |  SERVICE <http://localhost:9/sparql/> { ?s <urn:age> ?a }
             |}""".stripMargin).collect()
       }
+
+      // spilled-result path: maxLocalBytes=0 forces the distributed
+      // parse off the warehouse spill file — identical results
+      spark.conf.set("spark.graft.service.maxLocalBytes", "0")
+      try {
+        val spilled = Sparql.run(local, spark,
+          s"""PREFIX p: <urn:>
+             |SELECT ?name ?age WHERE {
+             |  ?s p:name ?name .
+             |  SERVICE <$url> { ?s p:age ?age }
+             |} ORDER BY ?name""".stripMargin).collect()
+        assert(spilled.map(r => (r.getString(0), r.getString(1))).toSeq ==
+          Seq(("Alice", "42"), ("Bob", "35")))
+      } finally spark.conf.unset("spark.graft.service.maxLocalBytes")
     } finally ep.stop()
   }
 
