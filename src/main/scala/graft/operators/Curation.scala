@@ -135,6 +135,38 @@ object Curation {
     df.withColumn("split", split)
   }
 
+  /** Deterministic stratified sample: exactly min(k, |group|) rows per
+    * group, chosen by seeded md5 order — the reproducible per-stratum
+    * eval-slice / inspection draw. Output adds `rank` (1-based within
+    * the group's seeded order).
+    *
+    * Scale: the global per-group rank uses the same (group, md5-prefix
+    * chunk) two-pass scheme as [[budgetSample]] — a local row_number
+    * within each 4096-way chunk plus a broadcast prefix of per-chunk
+    * counts — so no window ever sees a whole group on one task. */
+  def stratifiedSample(df: DataFrame, groupCol: String, idCol: String,
+                       k: Int, seed: Int = 42): DataFrame = {
+    require(k > 0, "k must be positive")
+    val key = shuffleKey(col(idCol), seed)
+    val chunkC = substring(key, 1, 3)
+    val local = df.withColumn("_key", key).withColumn("_kchunk", chunkC)
+      .withColumn("_lrn", row_number().over(
+        Window.partitionBy(groupCol, "_kchunk").orderBy("_key"))
+        .cast("long"))
+    val prefixes = df.withColumn("_kchunk", chunkC)
+      .groupBy(groupCol, "_kchunk").agg(count(lit(1)).as("_cnt"))
+      .withColumn("_prefix", coalesce(sum(col("_cnt")).over(
+        Window.partitionBy(groupCol).orderBy("_kchunk")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col(groupCol).as("_pg"), col("_kchunk"), col("_prefix"))
+    local.join(broadcast(prefixes),
+        col(groupCol) === col("_pg") &&
+          local("_kchunk") === prefixes("_kchunk"))
+      .withColumn("rank", (col("_prefix") + col("_lrn")).cast("long"))
+      .filter(col("rank") <= k)
+      .drop("_key", "_kchunk", "_lrn", "_pg", "_prefix")
+  }
+
   /** Temperature-based domain mixture sampling: resample a corpus so
     * domain `d` contributes ∝ count_d^T of the output, the exponential
     * smoothing used to rebalance multi-domain/multilingual pretraining

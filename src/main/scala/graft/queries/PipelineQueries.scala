@@ -302,6 +302,14 @@ object PipelineQueries {
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")),
 
+    // stratified sample: exactly 10 docs per language in seeded order
+    "p33_stratified_sample" -> ((s, d) =>
+      Curation.stratifiedSample(
+          t(s, d, "documents").select("doc_id", "lang"), "lang", "doc_id",
+          k = 10, seed = 42)
+        .select("doc_id", "lang", "rank")
+        .orderBy("doc_id")),
+
     // bigram LM scoring (CCNet/KenLM-style quality filter): eval slice
     // scored against a model counted on the train slice; the gate pins
     // the engine-exact integer stats, the log-space score is spec-tested
@@ -846,6 +854,13 @@ object PipelineQueries {
         |  FROM documents dd JOIN r USING (lang))
         |SELECT doc_id, lang, unnest(range(n)) AS copy
         |FROM d ORDER BY doc_id, copy""".stripMargin,
+
+    "p33_stratified_sample" ->
+      """SELECT doc_id, lang, rank FROM (
+        |  SELECT doc_id, lang, CAST(ROW_NUMBER() OVER (
+        |    PARTITION BY lang ORDER BY md5(doc_id::VARCHAR || ':42'))
+        |    AS BIGINT) AS rank
+        |  FROM documents) WHERE rank <= 10 ORDER BY doc_id""".stripMargin,
 
     "p32_ngram_lm" ->
       """WITH ws AS (SELECT doc_id,

@@ -291,6 +291,23 @@ class OperatorsSpec extends SparkTestBase {
       expectA)
   }
 
+  test("stratifiedSample draws exactly k per group, matches naive rank") {
+    val d = ((0 until 100).map(i => (i.toLong, "a")) ++
+      (100 until 105).map(i => (i.toLong, "b"))).toDF("id", "grp")
+    val out = Curation.stratifiedSample(d, "grp", "id", k = 7, seed = 42)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // exact-k for the big group, whole small group
+    assert(out.count(_._2 == "a") == 7 && out.count(_._2 == "b") == 5)
+    // ranks dense 1..k, and the chunked two-pass rank equals the naive
+    // single-window seeded rank
+    def md5k(i: Long) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$i:42".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val naive = (0L until 100L).sortBy(md5k).take(7).toSet
+    assert(out.filter(_._2 == "a").map(_._1).toSet == naive)
+    assert(out.filter(_._2 == "a").map(_._3).sorted.toSeq ==
+      (1L to 7L))
+  }
+
   test("ngramLmScore: hand-computed smoothed logprob; gibberish ranks worse") {
     val train = Seq((1L, "the cat sat"), (2L, "the cat ran")).toDF("id", "text")
     // vocab = {the, cat, sat, ran} -> V=4; c(the)=2, c(cat)=2
