@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Ranked full-text retrieval over a document corpus — the query-time
+  * counterpart of the import-time token index ([[graft.rdf.FullText]],
+  * reference `src/frontend/import.c:603-708`): where the reference's
+  * `fs:token` quads answer boolean containment, [[bm25TopK]] scores and
+  * ranks the matches with Okapi BM25 (Robertson & Spärck Jones; the
+  * idf/tf saturation form Lucene ships as its default similarity).
+  *
+  * Scale shape: one map-only pass computes each document's query-term
+  * frequencies (a fixed, small term set — per-term array scans stay
+  * inside whole-stage codegen; the corpus never explodes into a token
+  * table), one aggregate computes the corpus statistics (N, avgdl,
+  * per-term document frequencies — a handful of driver scalars, like
+  * the vocabulary count in [[TextAnalysis.ngramLmScore]]), and the
+  * final top-k is a global `orderBy(...).limit(k)` that Spark executes
+  * as TakeOrdered (per-partition heaps + driver merge, no full sort).
+  * No shuffle touches the corpus at any point.
+  */
+object Ranking {
+
+  private def words(text: Column): Column =
+    filter(split(lower(text), "\\s+"), w => length(w) > 0)
+
+  /** Top-k documents for a bag-of-words query under BM25:
+    *
+    *   score(d) = Σ_t idf(t) · tf(t,d)·(k1+1) /
+    *                         (tf(t,d) + k1·(1 − b + b·|d|/avgdl))
+    *   idf(t)   = ln(1 + (N − df(t) + 0.5)/(df(t) + 0.5))
+    *
+    * Documents matching no query term are not retrieved. Ties break on
+    * ascending id. The per-term contributions sum in the fixed order of
+    * `terms`, so scores are deterministic under any partitioning.
+    *
+    * Output: (rank, <idCol>, dl, tf_total, score) — dl is the document's
+    * token length, tf_total the summed query-term frequency (both exact
+    * integers), score the BM25 value.
+    */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               terms: Seq[String], k: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25TopK needs at least one query term")
+    val qTerms = terms.map(_.toLowerCase).distinct
+    val ws = words(col(textCol))
+    val tfCols = qTerms.zipWithIndex.map { case (t, i) =>
+      size(filter(ws, w => w === lit(t))).cast("long").as(s"tf_$i")
+    }
+    val base = docs.select(
+      (col(idCol) +: size(ws).cast("long").as("dl") +: tfCols): _*)
+
+    // corpus statistics: one aggregate, a handful of driver scalars
+    val statCols = count(lit(1)).as("n") +: avg(col("dl")).as("avgdl") +:
+      qTerms.indices.map(i =>
+        sum(when(col(s"tf_$i") > 0, 1L).otherwise(0L)).as(s"df_$i"))
+    val stats = base.agg(statCols.head, statCols.tail: _*).first()
+    val n = stats.getAs[Long]("n")
+    val avgdl = stats.getAs[Double]("avgdl")
+    val idf = qTerms.indices.map { i =>
+      val df = stats.getAs[Long](s"df_$i")
+      math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+    }
+
+    val lenNorm = lit(k1) * (lit(1 - b) +
+      lit(b) * col("dl").cast("double") / lit(avgdl))
+    val score = qTerms.indices.map { i =>
+      lit(idf(i)) * (col(s"tf_$i").cast("double") * lit(k1 + 1)) /
+        (col(s"tf_$i").cast("double") + lenNorm)
+    }.reduce(_ + _)
+    val tfTotal = qTerms.indices.map(i => col(s"tf_$i")).reduce(_ + _)
+
+    base.withColumn("tf_total", tfTotal)
+      .filter(col("tf_total") > 0)
+      .withColumn("score", score)
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("score").desc, col(idCol).asc)))
+      .select(col("rank"), col(idCol), col("dl"), col("tf_total"),
+        col("score"))
+  }
+}

@@ -175,6 +175,38 @@ object TextAnalysis {
           exp(-col("logprob") / col("n_bigrams"))).as("ppl"))
   }
 
+  /** Linear bag-of-words classifier scoring — the fastText-style quality
+    * gate of production curation pipelines (e.g. the GPT-3/CCNet "looks
+    * like reference text" filter): a trained weight per vocabulary term,
+    * score = bias + Σ_t tf(t,d)·w(t), label = score ≥ 0.
+    *
+    * The weight table is a FIXED small vocabulary (the model), applied
+    * in one map-only codegen pass: per-term frequencies come from array
+    * scans over the token list (no explode, no shuffle, no UDF), and
+    * contributions sum in the fixed order of `weights` — deterministic
+    * under any partitioning, and exact when the weights are binary
+    * fractions (tf is an integer, so every product and partial sum is
+    * representable; the oracle can then hash-match the score itself).
+    *
+    * Output: (<idCol>, n_hits, score, label) — n_hits = matched-term
+    * occurrence count (exact integer).
+    */
+  def linearScore(df: DataFrame, idCol: String, textCol: String,
+                  weights: Seq[(String, Double)],
+                  bias: Double = 0.0): DataFrame = {
+    val ws = words(col(textCol))
+    val tfs = weights.map { case (t, _) =>
+      size(filter(ws, w => w === lit(t.toLowerCase))).cast("long")
+    }
+    val score = tfs.zip(weights).map { case (tf, (_, w)) =>
+      tf.cast("double") * lit(w)
+    }.foldLeft(lit(bias).cast("double"))(_ + _)
+    df.select(col(idCol),
+      tfs.reduce(_ + _).as("n_hits"),
+      score.as("score"),
+      (score >= 0).as("label"))
+  }
+
   /** Deterministic document fingerprint: MD5 of the normalized text
     * (lower-cased, whitespace collapsed) — the exact-dedup key. */
   def fingerprintMd5(text: Column): Column =

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.core.Tables
 import graft.operators.{Bpe, Chunking, Curation, Dedup, Multimodal,
-  Similarity, TextAnalysis}
+  Ranking, Similarity, TextAnalysis}
 
 /** Training-data pipeline operators over the documents/embeddings/events
   * tables: dedup family, similarity search, text analysis, sessionization.
@@ -340,7 +340,25 @@ object PipelineQueries {
           col("id") === col("doc_id"))
         .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"))
         .orderBy("doc_id")
-    })
+    }),
+
+    // BM25 ranked retrieval over the corpus (query-time counterpart of
+    // the import-time token index): mixed-idf query, global top-20.
+    // Integer columns oracle-checked; the FP score drives ranking only.
+    "p34_bm25_topk" -> ((s, d) =>
+      Ranking.bm25TopK(t(s, d, "documents"), "doc_id", "text",
+          Seq("dup", "join", "spark"), k = 20)
+        .select(col("rank"), col("doc_id"), col("dl"), col("tf_total"))
+        .orderBy("rank")),
+
+    // fastText-style linear quality classifier: binary-fraction weights
+    // make the score exact in double, so the oracle hash-matches the
+    // score itself, not just the integer features
+    "p35_linear_classifier" -> ((s, d) =>
+      TextAnalysis.linearScore(t(s, d, "documents"), "doc_id", "text",
+          Seq("spark" -> 0.5, "data" -> 0.25, "join" -> 0.25,
+            "slow" -> -0.5, "dup" -> -1.5), bias = -0.5)
+        .orderBy("doc_id"))
   )
 
   /** DuckDB analog of TextAnalysis.subwordCountEstimate (same expression
@@ -966,6 +984,55 @@ object PipelineQueries {
         |bad AS (SELECT DISTINCT th.doc_id FROM th JOIN ev USING (h))
         |SELECT tr.doc_id, CAST(tr.n_tokens AS BIGINT) AS n_tokens
         |FROM tr WHERE tr.doc_id NOT IN (SELECT doc_id FROM bad)
-        |ORDER BY tr.doc_id""".stripMargin
+        |ORDER BY tr.doc_id""".stripMargin,
+
+    "p34_bm25_topk" ->
+      """WITH ws AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |      x -> len(x) > 0) AS ws
+        |  FROM documents),
+        |f AS (SELECT doc_id, len(ws) AS dl,
+        |    len(list_filter(ws, x -> x = 'dup')) AS tf0,
+        |    len(list_filter(ws, x -> x = 'join')) AS tf1,
+        |    len(list_filter(ws, x -> x = 'spark')) AS tf2
+        |  FROM ws),
+        |st AS (SELECT count(*) AS n, avg(dl) AS avgdl,
+        |    sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+        |    sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+        |    sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+        |  FROM f),
+        |sc AS (SELECT doc_id, dl, tf0 + tf1 + tf2 AS tf_total,
+        |    ln(1 + (n - df0 + 0.5)/(df0 + 0.5)) * (tf0 * 2.2) /
+        |      (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        |  + ln(1 + (n - df1 + 0.5)/(df1 + 0.5)) * (tf1 * 2.2) /
+        |      (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        |  + ln(1 + (n - df2 + 0.5)/(df2 + 0.5)) * (tf2 * 2.2) /
+        |      (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS score
+        |  FROM f, st WHERE tf0 + tf1 + tf2 > 0)
+        |SELECT CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id)
+        |    AS INT) AS rank,
+        |  doc_id, CAST(dl AS BIGINT) AS dl,
+        |  CAST(tf_total AS BIGINT) AS tf_total
+        |FROM sc ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+    "p35_linear_classifier" ->
+      """WITH ws AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |      x -> len(x) > 0) AS ws
+        |  FROM documents),
+        |f AS (SELECT doc_id,
+        |    len(list_filter(ws, x -> x = 'spark')) AS tf0,
+        |    len(list_filter(ws, x -> x = 'data')) AS tf1,
+        |    len(list_filter(ws, x -> x = 'join')) AS tf2,
+        |    len(list_filter(ws, x -> x = 'slow')) AS tf3,
+        |    len(list_filter(ws, x -> x = 'dup')) AS tf4
+        |  FROM ws)
+        |SELECT doc_id,
+        |  CAST(tf0 + tf1 + tf2 + tf3 + tf4 AS BIGINT) AS n_hits,
+        |  -0.5 + tf0 * 0.5 + tf1 * 0.25 + tf2 * 0.25
+        |    + tf3 * -0.5 + tf4 * -1.5 AS score,
+        |  (-0.5 + tf0 * 0.5 + tf1 * 0.25 + tf2 * 0.25
+        |    + tf3 * -0.5 + tf4 * -1.5) >= 0 AS label
+        |FROM f ORDER BY doc_id""".stripMargin
   )
 }

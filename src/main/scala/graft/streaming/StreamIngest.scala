@@ -126,6 +126,77 @@ object StreamIngest {
       }
   }
 
+  /** One micro-batch of streaming near-duplicate dedup against a
+    * persistent MinHash band index (the core of [[minhashDedupStream]],
+    * exposed separately so batch callers and tests can drive it without
+    * a streaming query).
+    *
+    * A document is dropped when any of its LSH band buckets was already
+    * claimed by (a) an earlier stream document recorded in `indexDir`, or
+    * (b) a lower-id document in the same batch (greedy keep-first, the
+    * same representative rule as batch [[graft.operators.Dedup.exact]]).
+    * Surviving documents' band rows are appended to the index.
+    *
+    * Unlike watermark-bounded exact dedup, near-dup state must span the
+    * whole corpus — the index is a parquet table keyed on (band, bucket),
+    * not a state store, so its size is bounded by the KEPT corpus (dropped
+    * docs add nothing) and the probe is one shuffle-join of the batch's
+    * band rows against it. A replayed batch (foreachBatch at-least-once)
+    * re-appends identical band rows; duplicates in the index are harmless
+    * to the semi-join probe.
+    */
+  def minhashDedupBatch(batch: DataFrame, idCol: String, textCol: String,
+                        indexDir: String, k: Int = 3, h: Int = 32,
+                        bands: Int = 16): DataFrame = {
+    import graft.operators.Dedup
+    val spark = batch.sparkSession
+    val rows = h / bands
+    val sig = Dedup.minhashSignatures(batch, idCol, textCol, k, h)
+    val banded = sig.select(col("id"),
+      posexplode(array((0 until bands).map(b =>
+        xxhash64(slice(col("sig"), b * rows + 1, rows), lit(b))): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+      .localCheckpoint() // pin: probed, min-reduced, then appended
+    val seen =
+      if (new java.io.File(indexDir).exists())
+        spark.read.parquet(indexDir).select("band", "bucket")
+      else spark.emptyDataFrame.select(lit(0).as("band"),
+        lit(0L).as("bucket")).limit(0)
+    val dupVsIndex = banded.join(seen, Seq("band", "bucket"), "left_semi")
+      .select(col("id")).distinct()
+    // intra-batch: in each bucket the lowest id wins; later ids drop
+    val bucketMin = banded.groupBy("band", "bucket")
+      .agg(min(col("id")).as("first_id"))
+    val dupInBatch = banded.join(bucketMin, Seq("band", "bucket"))
+      .filter(col("id") > col("first_id"))
+      .select(col("id")).distinct()
+    val dropIds = dupVsIndex.unionByName(dupInBatch).distinct()
+    val kept = batch.join(dropIds.withColumnRenamed("id", idCol),
+      Seq(idCol), "left_anti")
+    banded.join(dropIds, Seq("id"), "left_anti")
+      .write.mode("append").parquet(indexDir)
+    kept
+  }
+
+  /** Streaming near-duplicate dedup: filter an ingest feed down to docs
+    * that are not MinHash-LSH near-duplicates of anything already kept,
+    * maintaining the band index across batches (and restarts) in
+    * `indexDir`. Kept documents append to `outDir`. */
+  def minhashDedupStream(docs: DataFrame, idCol: String, textCol: String,
+                         indexDir: String, outDir: String,
+                         checkpoint: String, k: Int = 3, h: Int = 32,
+                         bands: Int = 16) =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        minhashDedupBatch(batch.toDF(), idCol, textCol, indexDir,
+          k, h, bands)
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+      .outputMode(OutputMode.Append())
+      .start()
+
   /** Streaming decontamination: annotate documents in-flight with their
     * k-gram overlap against a STATIC held-out eval set — the streaming
     * analog of [[graft.operators.Decontaminate.flag]], for screening an

@@ -119,6 +119,55 @@ class StreamingSpec extends SparkTestBase {
     q.stop()
   }
 
+  test("minhash dedup batch: drops near-dups vs index and within batch") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("neardup_idx")
+    val idx = dir.resolve("index").toString
+    val base = "the quick brown fox jumps over the lazy dog near the " +
+      "river bank today and tomorrow and every day after that"
+    val b1 = Seq(
+      (1L, base),
+      (2L, base + " extra"), // near-dup of 1, same batch -> dropped
+      (3L, "completely different text about spark engines and data flow")
+    ).toDF("doc_id", "text")
+    val kept1 = StreamIngest.minhashDedupBatch(b1, "doc_id", "text", idx)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept1 == Seq(1L, 3L))
+    // second batch: near-dup of an INDEXED doc drops, novel doc survives
+    val b2 = Seq(
+      (4L, base.replace("quick", "slow")), // near-dup of kept doc 1
+      (5L, "entirely novel content with nothing shared at all anywhere " +
+        "in this corpus of streaming documents")
+    ).toDF("doc_id", "text")
+    val kept2 = StreamIngest.minhashDedupBatch(b2, "doc_id", "text", idx)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept2 == Seq(5L))
+  }
+
+  test("minhash dedup stream filters the feed across micro-batches") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("neardup_stream")
+    val idx = dir.resolve("index").toString
+    val out = dir.resolve("out").toString
+    val ckpt = dir.resolve("ckpt").toString
+    val base = "one two three four five six seven eight nine ten eleven " +
+      "twelve thirteen fourteen fifteen sixteen"
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamIngest.minhashDedupStream(mem.toDS().toDF("doc_id", "text"),
+      "doc_id", "text", idx, out, ckpt)
+    mem.addData((1L, base),
+      (2L, "some wholly unrelated document about query planners and " +
+        "columnar execution engines"))
+    q.processAllAvailable()
+    mem.addData((3L, base + " seventeen")) // near-dup of 1 from batch 1
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.read.parquet(out)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 2L))
+  }
+
   test("result sinks: TSV lines, SPARQL JSON and XML") {
     val df = Seq(("<urn:a>", "\"Alice\"@en"), ("_:b1", "\"5\"^^<urn:int>"))
       .toDF("s", "o")
