@@ -1,0 +1,106 @@
+package graft.functions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
+
+/** SQL surface for the graft native kernels: registers every custom
+  * Catalyst expression under a `graft_*` function name so plain
+  * `spark.sql(...)` (and any SQL-speaking client of a shared session)
+  * can call them — the library equivalent of the reference exposing its
+  * text kernels through the query language (`fs:stem` / `fs:dmetaphone`
+  * derived predicates, `src/frontend/import.c:603-708`).
+  *
+  * Two entry points, same function table:
+  *  - config `spark.sql.extensions=graft.functions.GraftExtensions`
+  *    (or `.withExtensions(new GraftExtensions)`) at session build;
+  *  - [[GraftFunctions.register]] on an existing session.
+  *
+  * All functions resolve to native codegen'd expressions — a SQL query
+  * using them stays inside whole-stage codegen exactly like the Column
+  * API path through [[F]].
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach(ext.injectFunction)
+}
+
+object GraftFunctions {
+
+  private def litInt(e: Expression, fn: String, arg: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn: $arg must be an INTEGER literal, got $other")
+  }
+
+  private def fn(name: String, usage: String)(
+      build: PartialFunction[Seq[Expression], Expression])
+      : (FunctionIdentifier, ExpressionInfo,
+         Seq[Expression] => Expression) = {
+    val total: Seq[Expression] => Expression = args =>
+      build.applyOrElse(args, (bad: Seq[Expression]) =>
+        throw new IllegalArgumentException(
+          s"$name: unsupported argument count ${bad.size} — $usage"))
+    (FunctionIdentifier(name),
+      new ExpressionInfo(getClass.getName, name),
+      total)
+  }
+
+  /** (identifier, info, builder) for every graft SQL function. */
+  val all: Seq[(FunctionIdentifier, ExpressionInfo,
+                Seq[Expression] => Expression)] = Seq(
+    fn("graft_stem",
+      "graft_stem(text[, langTag]) — Snowball stem (reference-exact)") {
+      case Seq(t) => SnowballStemEn(t)
+      case Seq(t, lang) => SnowballStem(t, lang)
+    },
+    fn("graft_dmetaphone",
+      "graft_dmetaphone(text) — Double Metaphone codes (primary + " +
+        "secondary when distinct)") {
+      case Seq(t) => DMetaphoneCodes(t)
+    },
+    fn("graft_shingle_hashes",
+      "graft_shingle_hashes(text, k) — distinct 63-bit hashes of " +
+        "word k-shingles") {
+      case Seq(t, k) =>
+        ShingleHashes(t, litInt(k, "graft_shingle_hashes", "k"))
+    },
+    fn("graft_word_hashes",
+      "graft_word_hashes(text) — per-word 63-bit hashes in order") {
+      case Seq(t) => WordHashes(t)
+    },
+    fn("graft_simhash",
+      "graft_simhash(text) — 64-bit SimHash over word hashes") {
+      case Seq(t) => SimHash64(WordHashes(t))
+    },
+    fn("graft_minhash_sig",
+      "graft_minhash_sig(text, k, h) — h-permutation MinHash signature " +
+        "over word k-shingles") {
+      case Seq(t, k, h) =>
+        MinHashSig(
+          ShingleHashes(t, litInt(k, "graft_minhash_sig", "k")),
+          graft.operators.Dedup.minhashSeeds(
+            litInt(h, "graft_minhash_sig", "h")),
+          graft.operators.Dedup.minhashP)
+    },
+    fn("graft_vec_dot",
+      "graft_vec_dot(a, b) — left-to-right double dot product of " +
+        "float/double arrays") {
+      case Seq(a, b) => VecDot(a, b)
+    },
+    fn("graft_vec_cosine",
+      "graft_vec_cosine(a, b) — cosine similarity of float/double " +
+        "arrays") {
+      case Seq(a, b) => VecCosine(a, b)
+    }
+  )
+
+  /** Register the function table on an existing session. */
+  def register(spark: SparkSession): Unit = {
+    val reg = RegistryBridge.registry(spark)
+    all.foreach { case (id, info, builder) =>
+      reg.registerFunction(id, info, builder)
+    }
+  }
+}

@@ -44,12 +44,18 @@ object Ranking {
                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "bm25TopK needs at least one query term")
     val qTerms = terms.map(_.toLowerCase).distinct
-    val ws = words(col(textCol))
+    // materialize the token array once, then count each term with
+    // size(ws) - size(array_remove(ws, t)): ArrayRemove is a plain
+    // codegen'd collection expression, unlike the ArrayFilter
+    // higher-order function (CodegenFallback, interpreted per element,
+    // and re-evaluating the split per term)
+    val tokens = docs.select(col(idCol), words(col(textCol)).as("__ws"))
     val tfCols = qTerms.zipWithIndex.map { case (t, i) =>
-      size(filter(ws, w => w === lit(t))).cast("long").as(s"tf_$i")
+      (size(col("__ws")) - size(array_remove(col("__ws"), lit(t))))
+        .cast("long").as(s"tf_$i")
     }
-    val base = docs.select(
-      (col(idCol) +: size(ws).cast("long").as("dl") +: tfCols): _*)
+    val base = tokens.select(
+      (col(idCol) +: size(col("__ws")).cast("long").as("dl") +: tfCols): _*)
 
     // corpus statistics: one aggregate, a handful of driver scalars
     val statCols = count(lit(1)).as("n") +: avg(col("dl")).as("avgdl") +:

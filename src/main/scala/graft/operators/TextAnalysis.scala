@@ -194,14 +194,18 @@ object TextAnalysis {
   def linearScore(df: DataFrame, idCol: String, textCol: String,
                   weights: Seq[(String, Double)],
                   bias: Double = 0.0): DataFrame = {
-    val ws = words(col(textCol))
+    // tf via size-minus-array_remove (codegen'd) over one materialized
+    // token array — not ArrayFilter, which is an interpreted
+    // CodegenFallback HOF re-running the split per term
+    val tokens = df.select(col(idCol), words(col(textCol)).as("__ws"))
     val tfs = weights.map { case (t, _) =>
-      size(filter(ws, w => w === lit(t.toLowerCase))).cast("long")
+      (size(col("__ws")) -
+        size(array_remove(col("__ws"), lit(t.toLowerCase)))).cast("long")
     }
     val score = tfs.zip(weights).map { case (tf, (_, w)) =>
       tf.cast("double") * lit(w)
     }.foldLeft(lit(bias).cast("double"))(_ + _)
-    df.select(col(idCol),
+    tokens.select(col(idCol),
       tfs.reduce(_ + _).as("n_hits"),
       score.as("score"),
       (score >= 0).as("label"))

@@ -397,4 +397,29 @@ class PlanSpec extends SparkTestBase {
       } finally spark.sparkContext.removeSparkListener(listener)
     }
   }
+
+  test("bm25: the corpus never shuffles; top-k is TakeOrdered") {
+    val docs = graft.core.Tables.t(spark, sf, "documents")
+    val df = graft.operators.Ranking.bm25TopK(docs, "doc_id", "text",
+      Seq("data", "join"), k = 10)
+    val plan = planOf(df)
+    // the scored corpus pass feeds a global top-k: TakeOrdered (per-
+    // partition heaps + driver merge), never a full Sort+Exchange
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"bm25 top-k must plan as TakeOrdered:\n$plan")
+    val executed = plan.split("== Initial Plan ==").head
+    assert(!executed.contains("Exchange hashpartitioning"),
+      s"bm25 must not shuffle the corpus:\n$plan")
+  }
+
+  test("linear classifier scoring is map-only, inside codegen") {
+    val docs = graft.core.Tables.t(spark, sf, "documents")
+      .select("doc_id", "text")
+    val plan = planOf(graft.operators.TextAnalysis.linearScore(
+      docs, "doc_id", "text", Seq("data" -> 0.5, "slow" -> -0.25)))
+    assert(!plan.contains("Exchange"),
+      s"linearScore must pipeline with the scan:\n$plan")
+    assert(plan.contains("*(1)"),
+      s"linearScore fell out of whole-stage codegen:\n$plan")
+  }
 }

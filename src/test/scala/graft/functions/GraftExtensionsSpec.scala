@@ -1,0 +1,74 @@
+package graft.functions
+
+import graft.SparkTestBase
+
+class GraftExtensionsSpec extends SparkTestBase {
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    GraftFunctions.register(spark)
+  }
+
+  test("graft_stem matches the Column-API stemmer, per-language") {
+    val got = spark.sql(
+      """SELECT graft_stem('running'), graft_stem('queries'),
+        |  graft_stem('laufenden', 'de')""".stripMargin).first()
+    assert(got.getString(0) == "run")
+    assert(got.getString(1) == "queri")
+    assert(got.getString(2) == "laufend")
+  }
+
+  test("graft_dmetaphone returns reference codes") {
+    val got = spark.sql("SELECT graft_dmetaphone('customer')").first()
+      .getSeq[String](0)
+    assert(got.contains("KSTM"))
+  }
+
+  test("hash kernels agree between SQL and Column API") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val df = Seq("the quick brown fox jumps").toDF("t")
+    df.createOrReplaceTempView("gx_t")
+    val sqlRow = spark.sql(
+      """SELECT graft_shingle_hashes(t, 3) AS sh, graft_word_hashes(t) AS wh,
+        |  graft_simhash(t) AS sim, graft_minhash_sig(t, 3, 8) AS mh
+        |FROM gx_t""".stripMargin).first()
+    val apiRow = df.select(
+      F.shingleHashes(col("t"), 3).as("sh"),
+      F.wordHashes(col("t")).as("wh"),
+      F.simhash64(F.wordHashes(col("t"))).as("sim"),
+      F.minhashSig(F.shingleHashes(col("t"), 3),
+        graft.operators.Dedup.minhashSeeds(8),
+        graft.operators.Dedup.minhashP).as("mh")).first()
+    assert(sqlRow.getSeq[Long](0) == apiRow.getSeq[Long](0))
+    assert(sqlRow.getSeq[Long](1) == apiRow.getSeq[Long](1))
+    assert(sqlRow.getLong(2) == apiRow.getLong(2))
+    assert(sqlRow.getSeq[Long](3) == apiRow.getSeq[Long](3))
+  }
+
+  test("vector kernels work from SQL on float arrays") {
+    val got = spark.sql(
+      """SELECT graft_vec_dot(CAST(array(1.0, 2.0) AS ARRAY<FLOAT>),
+        |                     CAST(array(3.0, 4.0) AS ARRAY<FLOAT>)),
+        |  graft_vec_cosine(CAST(array(1.0, 0.0) AS ARRAY<FLOAT>),
+        |                   CAST(array(1.0, 0.0) AS ARRAY<FLOAT>))"""
+        .stripMargin).first()
+    assert(got.getDouble(0) == 11.0)
+    assert(math.abs(got.getDouble(1) - 1.0) < 1e-12)
+  }
+
+  test("non-literal k is rejected with a clear message") {
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_shingle_hashes('a b c', length('xx'))")
+        .collect()
+    }
+    assert(e.getMessage.contains("INTEGER literal"))
+  }
+
+  test("extension class injects the same function table") {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext) // must not throw; table is shared
+    assert(GraftFunctions.all.map(_._1.funcName).distinct.size ==
+      GraftFunctions.all.size)
+  }
+}
