@@ -26,7 +26,13 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g: local[32] runs 32 executor threads in ONE heap; at 8g the bench's
+  // ~80 cached gate stores overflowed the storage fraction, so hot stores
+  // (s07's 900k-quad orders cache) were silently evicted and recomputed
+  // every run (s07 1.25s -> 0.32s, ingest 293k -> 478k T/s at 16g; the
+  // box has 128 GiB). A real cluster sizes executors per-core anyway;
+  // local mode deserves the same arithmetic.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
   // whole-stage codegen emits one Janino class per query stage; a long
   // bench run (74 queries x 4 passes) overflows the JDK 17 default 240m
   // code cache, after which the JIT flush/recompile churn runs hot paths

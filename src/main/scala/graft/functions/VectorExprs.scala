@@ -207,4 +207,5 @@ object F {
   def vecCosine(a: Column, b: Column): Column = c(VecCosine(e(a), e(b)))
   def hyperplaneSig(v: Column, planes: Seq[Seq[Double]]): Column =
     c(HyperplaneSignature(e(v), planes))
+  def nfcNormalize(text: Column): Column = c(NfcNormalize(e(text)))
 }

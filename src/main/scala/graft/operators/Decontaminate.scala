@@ -44,6 +44,35 @@ object Decontaminate {
         (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
   }
 
+  /** Per-document contamination FRACTION — the reporting companion to the
+    * boolean [[flag]]: `(id, n_grams, n_hits, overlap_frac)` where
+    * `overlap_frac = n_hits / n_grams` (0 for gram-less short documents).
+    * Pipelines threshold on the fraction ("drop if >X% of the document's
+    * k-grams appear in any benchmark") instead of one-gram-kills-the-doc,
+    * and audits report the distribution. Same scale shape as [[flag]]:
+    * broadcast eval gram set, map-only probe of the corpus, one partial
+    * (map-side combined) aggregation shuffle.
+    */
+  def overlapFraction(train: DataFrame, eval: DataFrame, idCol: String,
+                      textCol: String, k: Int = 8,
+                      portableHash: Boolean = false): DataFrame = {
+    val evalGrams = Dedup
+      .shingleHashRows(eval, idCol, textCol, k, portableHash)
+      .select("h").distinct().withColumn("__hit", lit(1))
+    val stats = Dedup.shingleHashRows(train, idCol, textCol, k, portableHash)
+      .join(broadcast(evalGrams), Seq("h"), "left_outer")
+      .groupBy("id").agg(count(lit(1)).as("n_grams"),
+        count(col("__hit")).as("n_hits"))
+    train.select(col(idCol).as("id"))
+      .join(stats, Seq("id"), "left_outer")
+      .select(col("id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        when(coalesce(col("n_grams"), lit(0L)) === 0, lit(0.0))
+          .otherwise(coalesce(col("n_hits"), lit(0L)).cast("double") /
+            col("n_grams")).as("overlap_frac"))
+  }
+
   /** Bloom-filter variant for when even the eval gram set is too big to
     * broadcast as an exact hash set (cross-suite decontamination against
     * every benchmark at once): the eval grams collapse into a fixed-size

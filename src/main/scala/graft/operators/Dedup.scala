@@ -376,6 +376,73 @@ object Dedup {
     labels
   }
 
+  /** Semantic deduplication (SemDeDup, Abbas et al. 2023,
+    * arXiv:2303.09540): cluster document embeddings with a coarse
+    * quantizer, then inside each cluster drop every document whose cosine
+    * similarity to a LOWER-ID cluster-mate reaches `threshold` — one
+    * representative (the lowest id) survives per semantic-duplicate group.
+    * Unlike [[embedNearDupPairs]] (which reports candidate PAIRS), this is
+    * the dedup *decision*: the returned frame is `(id, cell_id, kept)` for
+    * every input document.
+    *
+    * Scale shape (the 100 TB path): the quantizer assignment is one
+    * broadcast join against the tiny centroid set + per-item argmax
+    * (map-side); the only quadratic work is the within-cell pair scoring,
+    * bounded by the largest cell — with `k` proportional to corpus size
+    * (SemDeDup uses ~sqrt(N) clusters) cells stay small and the join is a
+    * hash-shuffle on `cell_id`, never an all-pairs product. `maxCellPairs`
+    * guards against a degenerate giant cell: above it the cell's scoring
+    * is capped to the lowest-id members (documented truncation, logged by
+    * the caller via the `cell_capped` column).
+    *
+    * The quantizer is pluggable exactly like [[Similarity.ivfTopK]]:
+    * trained k-means via `centroids`, or the deterministic lowest-id-items
+    * default that a plain-SQL oracle can replicate.
+    */
+  def semanticDedup(items: DataFrame, idCol: String, vecCol: String,
+                    threshold: Double, nCells: Int = 16,
+                    centroids: Option[DataFrame] = None,
+                    maxCellSize: Int = 100000): DataFrame = {
+    import graft.functions.F
+    val cent = centroids.getOrElse(
+        items.orderBy(col(idCol)).limit(nCells))
+      .select(col(idCol).as("cell_id"), col(vecCol).as("cvec"))
+    val par = items.sparkSession.sparkContext.defaultParallelism
+    val it = items.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .repartition(par)
+    // assignment: argmax cosine over the broadcast centroid set (ties to
+    // the lowest cell id) — map-side except the row_number partition-local
+    // window after a cell_id shuffle; reuse that same shuffle for the
+    // pair join below
+    val wItem = Window.partitionBy("id")
+      .orderBy(col("csim").desc, col("cell_id").asc)
+    val cells = it.crossJoin(broadcast(cent))
+      .withColumn("csim", F.vecCosine(col("v"), col("cvec")))
+      .withColumn("rn", row_number().over(wItem))
+      .filter(col("rn") === 1)
+      .select(col("cell_id"), col("id"), col("v"))
+    // cap degenerate cells: only the maxCellSize lowest-id members score
+    // pairwise; later members of a capped cell are kept unexamined
+    val wCell = Window.partitionBy("cell_id").orderBy(col("id").asc)
+    val sized = cells.withColumn("cr", row_number().over(wCell))
+    val scorable = sized.filter(col("cr") <= maxCellSize)
+      .select(col("cell_id"), col("id"), col("v")).cache()
+    // within-cell pairs: hash-join on cell_id, lower id on the left;
+    // a doc is dropped iff SOME lower-id cluster-mate is >= threshold
+    val dropped = scorable.select(col("cell_id"),
+        col("id").as("id1"), col("v").as("v1"))
+      .join(scorable.select(col("cell_id"),
+        col("id").as("id2"), col("v").as("v2")), Seq("cell_id"))
+      .filter(col("id1") < col("id2"))
+      .filter(F.vecCosine(col("v1"), col("v2")) >= threshold)
+      .select(col("id2").as("id")).distinct()
+    sized.select(col("id"), col("cell_id"),
+        (col("cr") > maxCellSize).as("cell_capped"))
+      .join(dropped.withColumn("__drop", lit(true)), Seq("id"), "left")
+      .select(col("id"), col("cell_id"),
+        col("__drop").isNull.as("kept"), col("cell_capped"))
+  }
+
   /** GraphX variant of [[connectedComponents]] for Long ids — the RDD
     * Pregel implementation (`org.apache.spark.graphx.lib
     * .ConnectedComponents`). Same labels (lowest member id). The

@@ -213,6 +213,47 @@ object TextAnalysis {
 
   /** Deterministic document fingerprint: MD5 of the normalized text
     * (lower-cased, whitespace collapsed) — the exact-dedup key. */
+  /** Per-group corpus profile — the audit table every curation run ends
+    * with (docs, token totals, and the token-count distribution per
+    * language/source/domain). One partial-aggregated shuffle on the group
+    * key; the percentile columns use Spark's EXACT `percentile` (memory
+    * ∝ distinct token counts per group — fine for bounded-length corpora;
+    * at 100 TB with adversarial length spreads swap in
+    * `percentile_approx`, same shape, mergeable sketch). DuckDB's
+    * `quantile_cont` implements the same linear-interpolation definition,
+    * so the profile is oracle-checkable to the bit.
+    */
+  def corpusStats(df: DataFrame, groupCol: String,
+                  textCol: String): DataFrame =
+    df.select(col(groupCol).as("grp"),
+        tokenCount(col(textCol)).cast("long").as("n_tok"),
+        length(col(textCol)).cast("long").as("n_chars"))
+      .groupBy("grp").agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tok").as("total_tokens"),
+        sum("n_chars").as("total_chars"),
+        min("n_tok").as("min_tokens"),
+        max("n_tok").as("max_tokens"),
+        percentile(col("n_tok"), lit(0.5)).as("p50_tokens"),
+        percentile(col("n_tok"), lit(0.9)).as("p90_tokens"))
+
+  /** Canonical text normalization — the first pass of a crawl-ingest
+    * pipeline, run BEFORE dedup/shingling so composed-vs-decomposed
+    * Unicode (é vs e+◌́), stray control characters and ragged whitespace
+    * can't split what is semantically the same document:
+    *   1. Unicode NFC (native codegen'd [[graft.functions.NfcNormalize]];
+    *      all-ASCII rows short-circuit without a copy),
+    *   2. strip C0/C1 control characters except \t \n \r,
+    *   3. collapse whitespace runs to one space, trim.
+    * Map-only, no shuffle; every step is SQL-replicable (DuckDB
+    * `nfc_normalize` + the same RE2 character classes).
+    */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(graft.functions.F.nfcNormalize(text),
+        "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", ""),
+      "\\s+", " "))
+
   def fingerprintMd5(text: Column): Column =
     md5(trim(regexp_replace(lower(text), "\\s+", " ")).cast("binary"))
 

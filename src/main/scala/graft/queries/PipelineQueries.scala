@@ -358,7 +358,53 @@ object PipelineQueries {
       TextAnalysis.linearScore(t(s, d, "documents"), "doc_id", "text",
           Seq("spark" -> 0.5, "data" -> 0.25, "join" -> 0.25,
             "slow" -> -0.5, "dup" -> -1.5), bias = -0.5)
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // SemDeDup semantic dedup: coarse-quantizer cells, within-cell
+    // cosine >= threshold drops all but the lowest-id representative
+    // (deterministic quantizer -> oracle-checkable end to end)
+    "p36_semantic_dedup" -> ((s, d) =>
+      Dedup.semanticDedup(t(s, d, "embeddings"), "vec_id", "embedding",
+          threshold = 0.4, nCells = 16)
+        .select(col("id").as("vec_id"), col("cell_id").cast("long")
+          .as("cell_id"), col("kept"))
+        .orderBy("vec_id")),
+
+    // contamination overlap fraction: per-doc share of 5-grams present
+    // in the held-out eval slice (reporting companion to p19's flag)
+    "p37_overlap_fraction" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      graft.operators.Decontaminate.overlapFraction(
+          docs.filter(col("doc_id") % 10 =!= 0),
+          docs.filter(col("doc_id") % 10 === 0), "doc_id", "text",
+          k = 5, portableHash = true)
+        .select(col("id").as("doc_id"), col("n_grams"), col("n_hits"),
+          col("overlap_frac"))
+        .orderBy("doc_id")
+    }),
+
+    // canonical text normalization (NFC + control strip + whitespace
+    // collapse). The corpus is clean ASCII, so a planted dirty suffix
+    // (decomposed e+◌́, a BEL control, ragged whitespace) makes the gate
+    // exercise every normalization step; results are fingerprinted so
+    // the oracle checks the normalized bytes without hauling full texts
+    // through the compare
+    "p38_normalize_text" -> ((s, d) => {
+      val dirty = concat(col("text"),
+        lit("  cafe\u0301\u0007 \u00e9tude\t"))
+      t(s, d, "documents").select(col("doc_id"),
+        md5(TextAnalysis.normalizeText(dirty)).as("norm_md5"),
+        length(TextAnalysis.normalizeText(dirty))
+          .cast("long").as("norm_len"))
+        .orderBy("doc_id")
+    }),
+
+    // corpus profile per language: counts, token totals, exact token
+    // percentiles — the curation audit table
+    "p39_corpus_stats" -> ((s, d) =>
+      TextAnalysis.corpusStats(t(s, d, "documents"), "lang", "text")
+        .withColumnRenamed("grp", "lang")
+        .orderBy("lang"))
   )
 
   /** DuckDB analog of TextAnalysis.subwordCountEstimate (same expression
@@ -1033,6 +1079,87 @@ object PipelineQueries {
         |    + tf3 * -0.5 + tf4 * -1.5 AS score,
         |  (-0.5 + tf0 * 0.5 + tf1 * 0.25 + tf2 * 0.25
         |    + tf3 * -0.5 + tf4 * -1.5) >= 0 AS label
-        |FROM f ORDER BY doc_id""".stripMargin
+        |FROM f ORDER BY doc_id""".stripMargin,
+
+    // SemDeDup: same deterministic lowest-id quantizer as the p14 oracle,
+    // within-cell pairwise cosine, drop any member with a lower-id
+    // cluster-mate at >= threshold
+    "p36_semantic_dedup" -> {
+      def cos(a: String, b: String): String =
+        s"list_inner_product($a, $b) / (sqrt(list_inner_product($a, $a)) * " +
+          s"sqrt(list_inner_product($b, $b)))"
+      s"""WITH e AS (SELECT vec_id,
+         |    list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+         |cent AS (SELECT vec_id AS cell_id, v AS cvec FROM e
+         |  ORDER BY vec_id LIMIT 16),
+         |cells AS (SELECT cell_id, vec_id, v FROM (
+         |  SELECT c.cell_id, i.vec_id, i.v,
+         |    ROW_NUMBER() OVER (PARTITION BY i.vec_id
+         |      ORDER BY ${cos("i.v", "c.cvec")} DESC, c.cell_id ASC) AS rn
+         |  FROM e i CROSS JOIN cent c) WHERE rn = 1),
+         |dropped AS (SELECT DISTINCT b.vec_id FROM cells a JOIN cells b
+         |  ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+         |  WHERE ${cos("a.v", "b.v")} >= 0.4)
+         |SELECT c.vec_id, CAST(c.cell_id AS BIGINT) AS cell_id,
+         |  d.vec_id IS NULL AS kept
+         |FROM cells c LEFT JOIN dropped d ON c.vec_id = d.vec_id
+         |ORDER BY c.vec_id""".stripMargin
+    },
+
+    // contamination overlap fraction: p19's portable 5-gram hash sets,
+    // fraction instead of boolean
+    "p37_overlap_fraction" ->
+      """WITH ws AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |      x -> len(x) > 0) AS ws
+        |  FROM documents),
+        |g0 AS (SELECT doc_id, list_distinct(list_transform(
+        |    range(1, len(ws)-3),
+        |    i -> ('0x'||substr(md5(ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '
+        |      ||ws[i+3]||' '||ws[i+4]),1,16))::UBIGINT)) AS gs
+        |  FROM ws),
+        |ev AS (SELECT DISTINCT unnest(gs) AS h FROM g0
+        |  WHERE doc_id % 10 = 0),
+        |tr AS (SELECT doc_id, unnest(gs) AS h FROM g0
+        |  WHERE doc_id % 10 <> 0),
+        |st AS (SELECT tr.doc_id, count(*) AS n_grams, count(ev.h) AS n_hits
+        |  FROM tr LEFT JOIN ev ON tr.h = ev.h GROUP BY tr.doc_id)
+        |SELECT d.doc_id, CAST(COALESCE(st.n_grams, 0) AS BIGINT) AS n_grams,
+        |  CAST(COALESCE(st.n_hits, 0) AS BIGINT) AS n_hits,
+        |  CASE WHEN COALESCE(st.n_grams, 0) = 0 THEN 0.0
+        |    ELSE COALESCE(st.n_hits, 0)::DOUBLE / st.n_grams END
+        |    AS overlap_frac
+        |FROM documents d LEFT JOIN st ON d.doc_id = st.doc_id
+        |WHERE d.doc_id % 10 <> 0 ORDER BY d.doc_id""".stripMargin,
+
+    // normalization pipeline replayed in DuckDB: same dirty suffix built
+    // from chr() codepoints (decomposed e+0301, BEL, composed e9, tab),
+    // nfc_normalize + identical RE2 passes
+    "p38_normalize_text" ->
+      """WITH dirty AS (SELECT doc_id, text || '  cafe' || chr(769) ||
+        |    chr(7) || ' ' || chr(233) || 'tude' || chr(9) AS t
+        |  FROM documents),
+        |norm AS (SELECT doc_id, trim(regexp_replace(regexp_replace(
+        |    nfc_normalize(t),
+        |    '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+        |    '\s+', ' ', 'g')) AS n FROM dirty)
+        |SELECT doc_id, md5(n) AS norm_md5, CAST(len(n) AS BIGINT) AS norm_len
+        |FROM norm ORDER BY doc_id""".stripMargin,
+
+    // corpus profile: exact percentiles via quantile_cont (the same
+    // linear-interpolation definition as Spark's percentile)
+    "p39_corpus_stats" ->
+      """WITH d AS (SELECT lang,
+        |    CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |      w -> len(w) > 0)) AS BIGINT) AS n_tok,
+        |    CAST(len(text) AS BIGINT) AS n_chars
+        |  FROM documents)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |  MIN(n_tok) AS min_tokens, MAX(n_tok) AS max_tokens,
+        |  quantile_cont(n_tok, 0.5) AS p50_tokens,
+        |  quantile_cont(n_tok, 0.9) AS p90_tokens
+        |FROM d GROUP BY lang ORDER BY lang""".stripMargin
   )
 }

@@ -513,4 +513,83 @@ class OperatorsSpec extends SparkTestBase {
     assert(Chunking.duplicatedSpans(viral, "doc_id", "text", k = 8,
       maxDocs = 5).count() == 0)
   }
+
+  test("semanticDedup keeps one representative per semantic cluster") {
+    // two orthogonal centroid seeds (ids 0,1), two near-dups of each,
+    // one diagonal vector similar to neither cluster-mate
+    val vecs = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),
+      (1L, Array(0f, 1f, 0f, 0f)),
+      (2L, Array(1f, 0.01f, 0f, 0f)),   // ~dup of 0
+      (3L, Array(1f, 0.02f, 0f, 0f)),   // ~dup of 0 (and of 2)
+      (4L, Array(0.01f, 1f, 0f, 0f)),   // ~dup of 1
+      (5L, Array(0.7f, 0.7f, 0f, 0f))   // assigned somewhere, no dup
+    ).toDF("vec_id", "embedding")
+    val out = Dedup.semanticDedup(vecs, "vec_id", "embedding",
+        threshold = 0.95, nCells = 2)
+      .select("id", "kept").as[(Long, Boolean)].collect().toMap
+    assert(out.size == 6)
+    assert(out.filter(_._2).keySet == Set(0L, 1L, 5L))
+  }
+
+  test("semanticDedup cell cap keeps later members unexamined") {
+    val vecs = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(1f, 0.001f)), (2L, Array(1f, 0.002f))
+    ).toDF("vec_id", "embedding")
+    val out = Dedup.semanticDedup(vecs, "vec_id", "embedding",
+        threshold = 0.9, nCells = 1, maxCellSize = 1)
+      .select("id", "kept", "cell_capped")
+      .as[(Long, Boolean, Boolean)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    // only the lowest-id member is scorable; nothing pairs, so all keep,
+    // and members beyond the cap are flagged
+    assert(out.values.forall(_._1))
+    assert(out(0L)._2 == false && out(1L)._2 && out(2L)._2)
+  }
+
+  test("overlapFraction reports per-doc contaminated gram share") {
+    val train = Seq((1L, "a b c d"), (2L, "p q r"), (3L, "z"))
+      .toDF("doc_id", "text")
+    val eval = Seq((100L, "x b c y")).toDF("doc_id", "text")
+    val out = graft.operators.Decontaminate
+      .overlapFraction(train, eval, "doc_id", "text", k = 2)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) == ((3L, 1L, 1.0 / 3)))  // grams: ab bc cd; hit: bc
+    assert(out(2L) == ((2L, 0L, 0.0)))
+    assert(out(3L) == ((0L, 0L, 0.0)))      // gram-less short doc
+  }
+
+  test("normalizeText composes NFC, strips controls, collapses space") {
+    val df = Seq(
+      (1L, "cafe\u0301"),          // decomposed -> composed
+      (2L, "a\u0007b\u0000c"),         // controls stripped
+      (3L, "a  \t b\r\nc"),            // whitespace runs collapse
+      (4L, "  x  "),                   // trim
+      (5L, "caf\u00e9")            // already NFC: unchanged
+    ).toDF("id", "text")
+    val out = df.select(col("id"),
+        TextAnalysis.normalizeText(col("text")).as("n"))
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) == "caf\u00e9")
+    assert(out(2L) == "abc")
+    assert(out(3L) == "a b c")
+    assert(out(4L) == "x")
+    assert(out(5L) == "caf\u00e9")
+  }
+
+  test("corpusStats computes exact interpolated percentiles per group") {
+    val df = Seq(
+      ("en", "w"), ("en", "w w"), ("en", "w w w"), ("en", "w w w w"),
+      ("de", "a b")
+    ).toDF("lang", "text")
+    val out = TextAnalysis.corpusStats(df, "lang", "text").collect()
+      .map(r => r.getString(0) -> r).toMap
+    val en = out("en")
+    assert(en.getLong(1) == 4L)           // n_docs
+    assert(en.getLong(2) == 10L)          // total_tokens
+    assert(en.getDouble(6) == 2.5)        // p50 of [1,2,3,4]
+    assert(en.getDouble(7) == 1.0 + 0.9 * 3)  // p90 linear interpolation
+    assert(out("de").getLong(2) == 2L)
+  }
 }
