@@ -376,6 +376,43 @@ object Dedup {
     labels
   }
 
+  /** Corpus-level MinHash signature: for each of the `h` permutations,
+    * the minimum over EVERY document's shingle hashes — the sketch of the
+    * corpus's whole shingle set. One map-only kernel pass per document
+    * plus h partial-aggregated mins; the result is a single row of h
+    * longs, mergeable across shards by elementwise min (so per-partition
+    * sketches union for free — the property that makes cross-corpus
+    * comparison O(sketch) instead of O(corpus join)). */
+  def corpusSignature(df: DataFrame, idCol: String, textCol: String,
+                      k: Int = 3, h: Int = 32,
+                      portableHash: Boolean = false): DataFrame = {
+    val sigs = minhashSignatures(df, idCol, textCol, k, h, portableHash)
+    val mins = (0 until h).map(i =>
+      min(element_at(col("sig"), i + 1)).as(s"m$i"))
+    sigs.agg(mins.head, mins.tail: _*)
+  }
+
+  /** Estimate the shingle-set Jaccard similarity between two corpora
+    * WITHOUT joining them: compare their [[corpusSignature]] sketches
+    * position by position (the classic min-wise estimate — each
+    * permutation's min agrees with probability J(A,B)). Returns one row
+    * `(h, n_equal, est_jaccard)`; standard error is ~1/sqrt(h). The
+    * 100 TB use: overlap audits between a training corpus and another
+    * crawl snapshot at sketch cost — two map-side passes and two 1-row
+    * aggregates, nothing ever co-shuffles. */
+  def corpusOverlapEstimate(a: DataFrame, b: DataFrame, idCol: String,
+                            textCol: String, k: Int = 3, h: Int = 32,
+                            portableHash: Boolean = false): DataFrame = {
+    val sa = corpusSignature(a, idCol, textCol, k, h, portableHash)
+    val sb = corpusSignature(b, idCol, textCol, k, h, portableHash)
+    val eq = (0 until h).map(i =>
+        when(sa(s"m$i") === sb(s"m$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    sa.crossJoin(sb).select(lit(h).as("h"),
+        eq.cast("long").as("n_equal"),
+        (eq.cast("double") / h).as("est_jaccard"))
+  }
+
   /** Semantic deduplication (SemDeDup, Abbas et al. 2023,
     * arXiv:2303.09540): cluster document embeddings with a coarse
     * quantizer, then inside each cluster drop every document whose cosine

@@ -22,6 +22,44 @@ object GraphAnalytics {
       .select(col("id"), coalesce(col("__d"), lit(0L)).as("degree"))
   }
 
+  /** PageRank over an undirected pair list — fixed-iteration power
+    * method with GraphX `staticPageRank` semantics: rank₀ = 1, rankᵢ₊₁ =
+    * (1-d) + d·Σ_in rank/deg (unnormalized form, no dangling
+    * redistribution — isolated nodes settle at 1-d). On near-dup /
+    * citation / link graphs this is the standard centrality signal for
+    * corpus quality weighting.
+    *
+    * DataFrame-native (stays columnar/codegen, unlike the GraphX hop):
+    * each iteration is one hash-join of the edge list against the rank
+    * table plus one partial-aggregated shuffle on the destination id;
+    * `localCheckpoint` truncates lineage per round so iteration N never
+    * replans rounds 1..N-1 (the same discipline as
+    * [[Dedup.connectedComponents]] — swap for reliable `checkpoint` on a
+    * real cluster). Work per round is O(|E|), rounds are fixed — no
+    * diameter dependence.
+    */
+  def pageRank(ids: DataFrame, pairs: DataFrame, iterations: Int = 10,
+               damping: Double = 0.85): DataFrame = {
+    val sym = pairs.select(col("id1").as("a"), col("id2").as("b"))
+      .unionByName(pairs.select(col("id2").as("a"), col("id1").as("b")))
+      .filter(col("a") =!= col("b")).distinct()
+    val deg = sym.groupBy("a").agg(count(lit(1)).as("deg"))
+    val edges = sym.join(deg, "a").localCheckpoint()
+    var ranks = ids.select(col("id"), lit(1.0).as("rank"))
+      .localCheckpoint()
+    for (_ <- 1 to iterations) {
+      val contrib = edges.join(ranks, edges("a") === ranks("id"))
+        .groupBy(col("b").as("id"))
+        .agg(sum(col("rank") / col("deg")).as("__c"))
+      ranks = ids.select(col("id")).join(contrib, Seq("id"), "left")
+        .select(col("id"),
+          (lit(1.0 - damping) +
+            lit(damping) * coalesce(col("__c"), lit(0.0))).as("rank"))
+        .localCheckpoint()
+    }
+    ranks
+  }
+
   /** Per-node triangle counts via GraphX's TriangleCount (Pregel-land
     * analytics on Long ids — the "SPARQL patterns to GraphX analytics"
     * bridge). Nodes in `ids` absent from the pair graph count 0.

@@ -121,6 +121,26 @@ object Similarity {
       .toDF(idCol, vecCol)
   }
 
+  /** Random-projection dimensionality reduction (Johnson–Lindenstrauss):
+    * project each embedding onto `outDim` deterministic pseudo-random
+    * hyperplanes — the cheap front-end for clustering / ANN when the
+    * source dimension is large (project once, then every downstream
+    * distance costs outDim instead of dim multiplies). Map-only, no
+    * shuffle; each component is one native [[graft.functions.VecDot]]
+    * pass. The planes come from [[hyperplanes]], whose components are
+    * exact binary fractions, so the projection is reproducible anywhere
+    * (including a plain-SQL oracle embedding the plane literals).
+    * Returns `(id, proj: array<double>)`.
+    */
+  def randomProject(items: DataFrame, idCol: String, vecCol: String,
+                    dim: Int, outDim: Int): DataFrame = {
+    val planes = hyperplanes(outDim, dim)
+    val comps = planes.map { p =>
+      dot(col(vecCol), array(p.map(lit): _*))
+    }
+    items.select(col(idCol).as("id"), array(comps: _*).as("proj"))
+  }
+
   /** Deterministic pseudo-random hyperplanes (xorshift on indices); every
     * component is an exact binary fraction k/1024 - 1, so SQL oracles can
     * embed the planes as literal arrays with no FP representation loss. */

@@ -404,7 +404,42 @@ object PipelineQueries {
     "p39_corpus_stats" -> ((s, d) =>
       TextAnalysis.corpusStats(t(s, d, "documents"), "lang", "text")
         .withColumnRenamed("grp", "lang")
-        .orderBy("lang"))
+        .orderBy("lang")),
+
+    // PageRank centrality over the near-dup pair graph (5 fixed power
+    // iterations; DataFrame-native, no GraphX hop)
+    "p40_pagerank" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        k = 3, threshold = 0.5)
+      graft.operators.GraphAnalytics.pageRank(
+          docs.select(col("doc_id").as("id")),
+          pairs.select("id1", "id2"), iterations = 5)
+        .select(col("id").as("doc_id"), round(col("rank"), 6).as("rank6"))
+        .orderBy("doc_id")
+    }),
+
+    // random-projection dimensionality reduction: 64 -> 4 dims through
+    // the deterministic exact-binary-fraction hyperplanes
+    "p41_random_project" -> ((s, d) =>
+      Similarity.randomProject(t(s, d, "embeddings"), "vec_id",
+          "embedding", dim = 64, outDim = 4)
+        .select(col("id").as("vec_id"),
+          round(element_at(col("proj"), 1), 6).as("d0"),
+          round(element_at(col("proj"), 2), 6).as("d1"),
+          round(element_at(col("proj"), 3), 6).as("d2"),
+          round(element_at(col("proj"), 4), 6).as("d3"))
+        .orderBy("vec_id")),
+
+    // sketch-based corpus overlap: MinHash signature compare between the
+    // even- and odd-id halves of the corpus (no cross-corpus join)
+    "p42_corpus_overlap" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Dedup.corpusOverlapEstimate(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text", k = 3, h = 32, portableHash = true)
+    })
   )
 
   /** DuckDB analog of TextAnalysis.subwordCountEstimate (same expression
@@ -1160,6 +1195,100 @@ object PipelineQueries {
         |  MIN(n_tok) AS min_tokens, MAX(n_tok) AS max_tokens,
         |  quantile_cont(n_tok, 0.5) AS p50_tokens,
         |  quantile_cont(n_tok, 0.9) AS p90_tokens
-        |FROM d GROUP BY lang ORDER BY lang""".stripMargin
+        |FROM d GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "p40_pagerank" -> p40Oracle,
+    "p41_random_project" -> p41Oracle,
+    "p42_corpus_overlap" -> p42Oracle
   )
+
+  /** Generated PageRank oracle: the p02 string-shingle pair graph, then 5
+    * unrolled power iterations of rank = 0.15 + 0.85·Σ rank/deg (the same
+    * fixed-iteration recurrence as GraphAnalytics.pageRank). */
+  private lazy val p40Oracle: String = {
+    // the reset constant is printed from the SAME Scala arithmetic the
+    // engine runs (1.0 - 0.85 = 0.15000000000000002, one ulp off a 0.15
+    // literal) so both engines iterate bit-identical recurrences
+    val reset = 1.0 - 0.85
+    val iters = (1 to 5).map { i =>
+      s"""pr$i AS (SELECT n.id, $reset + 0.85 * COALESCE(a.contrib, 0.0) AS r
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT s.b AS id, SUM(p.r / dg.c) AS contrib
+         |    FROM pr${i - 1} p JOIN sym s ON p.id = s.a
+         |      JOIN deg dg ON dg.a = s.a
+         |    GROUP BY s.b) a ON a.id = n.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ws AS (SELECT doc_id,
+       |    list_filter(string_split(lower(text),' '), x -> len(x)>0) AS ws
+       |  FROM documents),
+       |sh0 AS (SELECT doc_id, list_distinct(list_transform(
+       |    range(1, len(ws)-1), i -> ws[i]||' '||ws[i+1]||' '||ws[i+2]))
+       |    AS shingles FROM ws),
+       |sh AS (SELECT doc_id, len(shingles) AS nsh, unnest(shingles) AS s
+       |  FROM sh0),
+       |pairs AS (SELECT a.doc_id id1, b.doc_id id2, a.nsh n1, b.nsh n2,
+       |    count(*) AS common
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1,2,3,4),
+       |sel AS (SELECT id1, id2 FROM pairs
+       |  WHERE common::DOUBLE/(n1+n2-common) >= 0.5),
+       |sym AS (SELECT id1 AS a, id2 AS b FROM sel
+       |  UNION SELECT id2, id1 FROM sel),
+       |deg AS (SELECT a, COUNT(*)::DOUBLE AS c FROM sym GROUP BY a),
+       |nodes AS (SELECT doc_id AS id FROM documents),
+       |pr0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS r FROM nodes),
+       |$iters
+       |SELECT id AS doc_id, round(r, 6) AS rank6 FROM pr5
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Generated random-projection oracle: the engine's deterministic
+    * hyperplanes embedded as literal arrays (every component is an exact
+    * binary fraction, so the literals parse back bit-identically). */
+  private lazy val p41Oracle: String = {
+    val planes = Similarity.hyperplanes(4, 64)
+    def arr(p: Seq[Double]): String =
+      p.map(_.toString).mkString("[", ", ", "]")
+    val comps = planes.zipWithIndex.map { case (p, i) =>
+      s"round(list_inner_product(v, ${arr(p)}), 6) AS d$i"
+    }.mkString(",\n  ")
+    s"""WITH e AS (SELECT vec_id,
+       |    list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings)
+       |SELECT vec_id,
+       |  $comps
+       |FROM e ORDER BY vec_id""".stripMargin
+  }
+
+  /** Generated corpus-overlap oracle: the p03 portable shingle hash and
+    * permutations, but the mins run over each corpus HALF's whole gram
+    * stream instead of per-document. */
+  private lazy val p42Oracle: String = {
+    val p = Dedup.minhashP
+    val seeds = Dedup.minhashSeeds(32)
+    def mins = seeds.zipWithIndex.map { case ((a, b), i) =>
+      s"min(($a * x + $b) % $p) AS m$i"
+    }.mkString(",\n    ")
+    val eqSum = (0 until 32).map(i => s"(sa.m$i = sb.m$i)::INT")
+      .mkString(" + ")
+    s"""WITH ws AS (SELECT doc_id,
+       |    list_filter(regexp_split_to_array(lower(text), '\\s+'),
+       |      x -> len(x) > 0) AS ws
+       |  FROM documents),
+       |sh0 AS (SELECT doc_id, list_distinct(list_transform(
+       |    range(1, len(ws)-1), i -> ws[i]||' '||ws[i+1]||' '||ws[i+2]))
+       |    AS shingles FROM ws),
+       |hs0 AS (SELECT doc_id, list_transform(shingles,
+       |    s -> ${duckShingleHash(p)}) AS hs
+       |  FROM sh0 WHERE len(shingles) > 0),
+       |g AS (SELECT doc_id, unnest(hs) AS x FROM hs0),
+       |sa AS (SELECT
+       |    $mins
+       |  FROM g WHERE doc_id % 2 = 0),
+       |sb AS (SELECT
+       |    $mins
+       |  FROM g WHERE doc_id % 2 = 1)
+       |SELECT 32 AS h, CAST($eqSum AS BIGINT) AS n_equal,
+       |  ($eqSum)::DOUBLE / 32 AS est_jaccard
+       |FROM sa, sb""".stripMargin
+  }
 }

@@ -578,6 +578,55 @@ class OperatorsSpec extends SparkTestBase {
     assert(out(5L) == "caf\u00e9")
   }
 
+  test("pageRank matches the hand-computed power iteration") {
+    // path 0-1-2 plus isolated 3: deg(0)=deg(2)=1, deg(1)=2
+    val ids = Seq(0L, 1L, 2L, 3L).toDF("id")
+    val pairs = Seq((0L, 1L), (1L, 2L)).toDF("id1", "id2")
+    val r = GraphAnalytics.pageRank(ids, pairs, iterations = 2)
+      .as[(Long, Double)].collect().toMap
+    // it1: r0=r2=0.15+0.85*0.5=0.575, r1=0.15+0.85*2=1.85
+    // it2: r0=r2=0.15+0.85*(1.85/2)=0.93625, r1=0.15+0.85*1.15=1.1275
+    assert(math.abs(r(0L) - 0.93625) < 1e-12)
+    assert(math.abs(r(1L) - 1.1275) < 1e-12)
+    assert(math.abs(r(2L) - 0.93625) < 1e-12)
+    // isolated: no in-edges ever; engine computes 1.0-0.85 (1 ulp off
+    // the 0.15 literal)
+    assert(math.abs(r(3L) - 0.15) < 1e-12)
+  }
+
+  test("pageRank is stationary on a regular graph") {
+    // triangle: every node degree 2, contrib 1.0 -> rank stays 1.0
+    val ids = Seq(0L, 1L, 2L).toDF("id")
+    val pairs = Seq((0L, 1L), (1L, 2L), (0L, 2L)).toDF("id1", "id2")
+    val r = GraphAnalytics.pageRank(ids, pairs, iterations = 4)
+      .as[(Long, Double)].collect().toMap
+    r.values.foreach(v => assert(math.abs(v - 1.0) < 1e-12))
+  }
+
+  test("randomProject of a basis vector reads off the plane column") {
+    val dim = 8
+    val planes = Similarity.hyperplanes(3, dim)
+    // e_2: projection component i is planes(i)(2) exactly
+    val basis = Array.fill(dim)(0f); basis(2) = 1f
+    val df = Seq((7L, basis)).toDF("vec_id", "embedding")
+    val proj = Similarity.randomProject(df, "vec_id", "embedding", dim, 3)
+      .select("proj").as[Seq[Double]].collect().head
+    assert(proj == planes.map(_(2)))
+  }
+
+  test("corpus overlap estimate: identical 1.0, disjoint ~0") {
+    val a = Seq((0L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "eta theta iota kappa lambda")).toDF("doc_id", "text")
+    val same = Dedup.corpusOverlapEstimate(a, a, "doc_id", "text",
+      k = 3, h = 32).select("est_jaccard").as[Double].collect().head
+    assert(same == 1.0)
+    val b = Seq((1L, "one two three four five six seven"),
+      (3L, "eight nine ten eleven twelve")).toDF("doc_id", "text")
+    val diff = Dedup.corpusOverlapEstimate(a, b, "doc_id", "text",
+      k = 3, h = 32).select("est_jaccard").as[Double].collect().head
+    assert(diff < 0.5, s"disjoint corpora estimated at $diff")
+  }
+
   test("corpusStats computes exact interpolated percentiles per group") {
     val df = Seq(
       ("en", "w"), ("en", "w w"), ("en", "w w w"), ("en", "w w w w"),
