@@ -448,16 +448,17 @@ object Dedup {
     val it = items.select(col(idCol).as("id"), col(vecCol).as("v"))
       .repartition(par)
     // assignment: argmax cosine over the broadcast centroid set (ties to
-    // the lowest cell id) — map-side except the row_number partition-local
-    // window after a cell_id shuffle; reuse that same shuffle for the
-    // pair join below
-    val wItem = Window.partitionBy("id")
-      .orderBy(col("csim").desc, col("cell_id").asc)
+    // the lowest cell id) — max_by groupBy, not a row_number window:
+    // partial aggregation collapses the nCells candidate rows per item
+    // MAP-SIDE, so the one shuffle moves one row per corpus item instead
+    // of nCells (see Similarity.ivfTopK, same shape)
     val cells = it.crossJoin(broadcast(cent))
       .withColumn("csim", F.vecCosine(col("v"), col("cvec")))
-      .withColumn("rn", row_number().over(wItem))
-      .filter(col("rn") === 1)
-      .select(col("cell_id"), col("id"), col("v"))
+      .groupBy(col("id"))
+      .agg(max_by(struct(col("cell_id"), col("v")),
+        struct(col("csim"), (-col("cell_id")).as("nc"))).as("best"))
+      .select(col("best.cell_id").as("cell_id"), col("id"),
+        col("best.v").as("v"))
     // cap degenerate cells: only the maxCellSize lowest-id members score
     // pairwise; later members of a capped cell are kept unexamined
     val wCell = Window.partitionBy("cell_id").orderBy(col("id").asc)

@@ -40,9 +40,12 @@ object GraphAnalytics {
     */
   def pageRank(ids: DataFrame, pairs: DataFrame, iterations: Int = 10,
                damping: Double = 0.85): DataFrame = {
+    // checkpoint the symmetric edge list BEFORE it branches into deg and
+    // the join: `pairs` is often an expensive upstream (a similarity
+    // join) and both branches would otherwise recompute it in full
     val sym = pairs.select(col("id1").as("a"), col("id2").as("b"))
       .unionByName(pairs.select(col("id2").as("a"), col("id1").as("b")))
-      .filter(col("a") =!= col("b")).distinct()
+      .filter(col("a") =!= col("b")).distinct().localCheckpoint()
     val deg = sym.groupBy("a").agg(count(lit(1)).as("deg"))
     val edges = sym.join(deg, "a").localCheckpoint()
     var ranks = ids.select(col("id"), lit(1.0).as("rank"))

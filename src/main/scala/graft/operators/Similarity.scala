@@ -65,14 +65,20 @@ object Similarity {
     val it = items.select(col(idCol).as("item_id"), col(vecCol).as("ivec"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
 
-    // assignment: argmax cosine over the broadcast centroid set
-    val wItem = Window.partitionBy("item_id")
-      .orderBy(col("csim").desc, col("cell_id").asc)
+    // assignment: argmax cosine over the broadcast centroid set — a
+    // max_by groupBy, NOT a row_number window: partial aggregation
+    // collapses the nCells candidate rows per item map-side (they sit in
+    // the item's own input partition after the broadcast cross), so the
+    // one shuffle moves ONE row per corpus item instead of nCells.
+    // Tie rule (equal cosine -> lowest cell id) is encoded as max of
+    // (csim, -cell_id), matching the oracle's ROW_NUMBER order.
     val cells = it.crossJoin(broadcast(cent))
       .withColumn("csim", cosine(col("ivec"), col("cvec")))
-      .withColumn("rn", row_number().over(wItem))
-      .filter(col("rn") === 1)
-      .select("cell_id", "item_id", "ivec")
+      .groupBy("item_id")
+      .agg(max_by(struct(col("cell_id"), col("ivec")),
+        struct(col("csim"), (-col("cell_id")).as("nc"))).as("best"))
+      .select(col("best.cell_id").as("cell_id"), col("item_id"),
+        col("best.ivec").as("ivec"))
 
     // probe list: nProbe closest cells per query
     val wQuery = Window.partitionBy("query_id")

@@ -254,6 +254,29 @@ object TextAnalysis {
         "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", ""),
       "\\s+", " "))
 
+  /** HTML/markup stripping — the text-extraction pass of a web-crawl
+    * pipeline (the step before [[normalizeText]]): drop script/style
+    * payloads and comments, replace tags with spaces (tags separate
+    * words), decode the common character entities (non-`&amp;` entities
+    * first so double-escapes like `&amp;lt;` decode one level, exactly
+    * once), collapse whitespace. Pure regex/replace pipeline — map-only,
+    * codegen'd, and replicable in any RE2-compatible SQL engine; it is
+    * deliberately a heuristic extractor (no DOM), the standard trade for
+    * corpus-scale throughput.
+    */
+  def stripMarkup(html: Column): Column = {
+    val noScript = regexp_replace(html,
+      "(?is)<(script|style)[^>]*>.*?</(script|style)>", " ")
+    val noComment = regexp_replace(noScript, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "<[^>]+>", " ")
+    val entities = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+    val decoded = entities.foldLeft(noTags) { case (c, (e, v)) =>
+      replace(c, lit(e), lit(v))
+    }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
   def fingerprintMd5(text: Column): Column =
     md5(trim(regexp_replace(lower(text), "\\s+", " ")).cast("binary"))
 

@@ -439,6 +439,22 @@ object PipelineQueries {
         docs.filter(col("doc_id") % 2 === 0),
         docs.filter(col("doc_id") % 2 === 1),
         "doc_id", "text", k = 3, h = 32, portableHash = true)
+    }),
+
+    // markup stripping: the corpus is plain text, so each doc is wrapped
+    // in a synthetic HTML template (style payload, tags, comment,
+    // double-escaped entity) that the extractor must undo; fingerprinted
+    // like p38
+    "p43_strip_markup" -> ((s, d) => {
+      val wrapped = concat(
+        lit("<html><head><style>p{color:red}</style></head><body><p id=\"x\">"),
+        col("text"),
+        lit("</p><!-- note --> &amp;lt; tail &nbsp;</body></html>"))
+      t(s, d, "documents").select(col("doc_id"),
+        md5(TextAnalysis.stripMarkup(wrapped)).as("strip_md5"),
+        length(TextAnalysis.stripMarkup(wrapped))
+          .cast("long").as("strip_len"))
+        .orderBy("doc_id")
     })
   )
 
@@ -1199,7 +1215,31 @@ object PipelineQueries {
 
     "p40_pagerank" -> p40Oracle,
     "p41_random_project" -> p41Oracle,
-    "p42_corpus_overlap" -> p42Oracle
+    "p42_corpus_overlap" -> p42Oracle,
+
+    // markup stripping replayed in DuckDB: same wrap, same RE2 passes,
+    // same entity-decode order
+    "p43_strip_markup" ->
+      """WITH w AS (SELECT doc_id,
+        |    '<html><head><style>p{color:red}</style></head><body><p id="x">'
+        |    || text ||
+        |    '</p><!-- note --> &amp;lt; tail &nbsp;</body></html>' AS t
+        |  FROM documents),
+        |s1 AS (SELECT doc_id, regexp_replace(t,
+        |    '(?is)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g')
+        |    AS t FROM w),
+        |s2 AS (SELECT doc_id, regexp_replace(t, '(?s)<!--.*?-->', ' ', 'g')
+        |    AS t FROM s1),
+        |s3 AS (SELECT doc_id, regexp_replace(t, '<[^>]+>', ' ', 'g') AS t
+        |    FROM s2),
+        |s4 AS (SELECT doc_id, replace(replace(replace(replace(replace(
+        |    replace(t, '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |    '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&') AS t FROM s3),
+        |n AS (SELECT doc_id, trim(regexp_replace(t, '\s+', ' ', 'g')) AS t
+        |    FROM s4)
+        |SELECT doc_id, md5(t) AS strip_md5, CAST(len(t) AS BIGINT)
+        |  AS strip_len
+        |FROM n ORDER BY doc_id""".stripMargin
   )
 
   /** Generated PageRank oracle: the p02 string-shingle pair graph, then 5

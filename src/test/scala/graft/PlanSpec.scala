@@ -398,6 +398,41 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("semanticDedup assignment aggregates map-side, no per-item window") {
+    val emb = graft.core.Tables.t(spark, sf, "embeddings")
+    val df = Dedup.semanticDedup(emb, "vec_id", "embedding",
+      threshold = 0.4, nCells = 8)
+    val plan = planOf(df)
+    // the only Window is the cell-cap row_number (partitioned by
+    // cell_id); the centroid argmax must be a partial-aggregated max_by —
+    // a window PARTITIONED BY THE ITEM ID is the regression signature
+    // (row_number over nCells duplicated corpus rows)
+    assert(!plan.matches("(?s).*windowspecdefinition\\(id#.*"),
+      s"assignment regressed to a per-item window plan:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"corpus must never cartesian-join:\n$plan")
+  }
+
+  test("normalize/stripMarkup are map-only, inside codegen") {
+    val docs = graft.core.Tables.t(spark, sf, "documents")
+      .select("doc_id", "text")
+    for (c <- Seq(
+        graft.operators.TextAnalysis.normalizeText(col("text")),
+        graft.operators.TextAnalysis.stripMarkup(col("text")))) {
+      val plan = planOf(docs.select(col("doc_id"), c.as("t")))
+      assert(!plan.contains("Exchange"), s"normalization shuffled:\n$plan")
+      // whole-stage codegen spans print as `*(n)` in executedPlan
+      assert(plan.contains("*("), s"normalization fell out of codegen:\n$plan")
+    }
+  }
+
+  test("randomProject is map-only: no shuffle, native dot kernels") {
+    val emb = graft.core.Tables.t(spark, sf, "embeddings")
+    val plan = planOf(graft.operators.Similarity.randomProject(
+      emb, "vec_id", "embedding", dim = 64, outDim = 4))
+    assert(!plan.contains("Exchange"), s"projection shuffled:\n$plan")
+  }
+
   test("bm25: the corpus never shuffles; top-k is TakeOrdered") {
     val docs = graft.core.Tables.t(spark, sf, "documents")
     val df = graft.operators.Ranking.bm25TopK(docs, "doc_id", "text",

@@ -627,6 +627,24 @@ class OperatorsSpec extends SparkTestBase {
     assert(diff < 0.5, s"disjoint corpora estimated at $diff")
   }
 
+  test("stripMarkup drops payloads/tags and decodes entities once") {
+    val df = Seq(
+      (1L, "<b>bold</b> &amp; <i>x</i>"),
+      (2L, "<script type=\"t\">var a = '<p>';</script>keep"),
+      (3L, "a<!-- hidden -->b"),
+      (4L, "one&amp;lt;two&nbsp;three"),  // double escape -> one level
+      (5L, "<p>spaced</p><p>words</p>")
+    ).toDF("id", "text")
+    val out = df.select(col("id"),
+        TextAnalysis.stripMarkup(col("text")).as("t"))
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) == "bold & x")
+    assert(out(2L) == "keep")
+    assert(out(3L) == "a b")
+    assert(out(4L) == "one&lt;two three")
+    assert(out(5L) == "spaced words")
+  }
+
   test("corpusStats computes exact interpolated percentiles per group") {
     val df = Seq(
       ("en", "w"), ("en", "w w"), ("en", "w w w"), ("en", "w w w w"),
