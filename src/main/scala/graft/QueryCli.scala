@@ -69,13 +69,31 @@ object QueryCli {
     spark.sparkContext.setLogLevel("ERROR")
     spark.conf.set("spark.graft.optLevel", optLevel.toString)
 
-    var store =
+    val store =
       if (new java.io.File(data).isDirectory) {
         val dir = new java.io.File(data)
         val tables = graft.core.Tables.names.filter(t =>
           new java.io.File(dir, s"$t.parquet").exists())
         QuadStore.rdfizeDir(spark, data, tables)
       } else QuadStore.fromFile(spark, data)
+
+    val queries: Seq[String] =
+      if (queryArg == "-")
+        scala.io.Source.stdin.mkString.split("(?m)^#EOQ\\s*$").toSeq
+          .map(_.trim).filter(_.nonEmpty)
+      else Seq(queryArg)
+    run(spark, store, format, queries).foreach(println)
+    spark.stop()
+  }
+
+  /** Run a batch of query/update texts against a store snapshot,
+    * returning the output lines (the testable core of [[main]]; updates
+    * thread through the in-session snapshot like 4s-update). */
+  def run(spark: SparkSession, store0: QuadStore, format: String,
+          queries: Seq[String]): Seq[String] = {
+    var store = store0
+    val out = Seq.newBuilder[String]
+    def emit(text: String): Unit = out ++= text.linesIterator
 
     /** datatype rid -> URI for the text sink (custom datatypes resolve
       * through the dictionary; languages have no dictionary entry and
@@ -103,51 +121,47 @@ object QueryCli {
       if (updateRe.findFirstIn(q).isDefined) {
         store = Update(store, spark, q)
         dtCache = None // new terms may carry new datatypes
-        println("# ok")
+        emit("# ok")
       } else if (format == "explain") {
-        Sparql.run(store, spark, q).explain("formatted")
+        emit(Sparql.run(store, spark, q).queryExecution
+          .explainString(org.apache.spark.sql.execution.FormattedMode))
       } else Parser.parse(q) match {
         case _: Ast.AskQ =>
           val r = Sparql.run(store, spark, q).collect()(0).getBoolean(0)
           format match {
-            case "xml" => print(RefFormat.askXml(r))
-            case "json" => println(Results.toAskJson(r))
+            case "xml" => emit(RefFormat.askXml(r))
+            case "json" => emit(Results.toAskJson(r))
             case "testcase" =>
-              RefFormat.testcaseAskLines(r).foreach(println)
-            case _ => println(r)
+              RefFormat.testcaseAskLines(r).foreach(emit)
+            case _ => emit(r.toString)
           }
         case _: Ast.ConstructQ | _: Ast.DescribeQ =>
-          RefFormat.ntLines(Sparql.run(store, spark, q)).foreach(println)
+          RefFormat.ntLines(Sparql.run(store, spark, q)).foreach(emit)
         case sq: Ast.SelectQ => format match {
           case "testcase" =>
             // the reference's DAWG-harness format (`output_testcase`,
             // `results.c:2397`): rs:index only under an explicit order
             RefFormat.testcaseLines(Sparql.runTerms(store, spark, q),
               dtUris(), ordered = sq.mods.orderBy.nonEmpty)
-              .foreach(println)
+              .foreach(emit)
           case "text" =>
             RefFormat.textLines(Sparql.runTerms(store, spark, q), dtUris())
-              .foreach(println)
+              .foreach(emit)
           case "xml" =>
-            print(RefFormat.sparqlXml(Sparql.runTerms(store, spark, q),
+            emit(RefFormat.sparqlXml(Sparql.runTerms(store, spark, q),
               dtUris()))
-          case "json" => println(Results.toJson(Sparql.run(store, spark, q)))
+          case "json" => emit(Results.toJson(Sparql.run(store, spark, q)))
           case "csv" =>
-            Results.toCsvLines(Sparql.run(store, spark, q)).foreach(println)
+            Results.toCsvLines(Sparql.run(store, spark, q)).foreach(emit)
           case _ => // ascii: the reference test harness format
             Sparql.run(store, spark, q).collect().foreach(r =>
-              println((0 until r.length).map(i =>
+              emit((0 until r.length).map(i =>
                 if (r.isNullAt(i)) "" else r.get(i).toString)
                 .mkString(" ")))
         }
       }
 
-    val queries: Seq[String] =
-      if (queryArg == "-")
-        scala.io.Source.stdin.mkString.split("(?m)^#EOQ\\s*$").toSeq
-          .map(_.trim).filter(_.nonEmpty)
-      else Seq(queryArg)
     queries.foreach(runOne)
-    spark.stop()
+    out.result()
   }
 }
