@@ -39,7 +39,8 @@ object GraphAnalytics {
     * diameter dependence.
     */
   def pageRank(ids: DataFrame, pairs: DataFrame, iterations: Int = 10,
-               damping: Double = 0.85): DataFrame = {
+               damping: Double = 0.85,
+               checkpointInterval: Int = 5): DataFrame = {
     // checkpoint the symmetric edge list BEFORE it branches into deg and
     // the join: `pairs` is often an expensive upstream (a similarity
     // join) and both branches would otherwise recompute it in full
@@ -49,8 +50,7 @@ object GraphAnalytics {
     val deg = sym.groupBy("a").agg(count(lit(1)).as("deg"))
     val edges = sym.join(deg, "a").localCheckpoint()
     var ranks = ids.select(col("id"), lit(1.0).as("rank"))
-      .localCheckpoint()
-    for (_ <- 1 to iterations) {
+    for (i <- 1 to iterations) {
       val contrib = edges.join(ranks, edges("a") === ranks("id"))
         .groupBy(col("b").as("id"))
         .agg(sum(col("rank") / col("deg")).as("__c"))
@@ -58,7 +58,12 @@ object GraphAnalytics {
         .select(col("id"),
           (lit(1.0 - damping) +
             lit(damping) * coalesce(col("__c"), lit(0.0))).as("rank"))
-        .localCheckpoint()
+      // lineage truncation every `checkpointInterval` rounds (GraphX
+      // Pregel's discipline), not every round: each eager checkpoint is
+      // a full job, and a handful of join+agg plan levels replan fine —
+      // checkpoint cost should amortize over rounds, not dominate them
+      if (i % checkpointInterval == 0 && i < iterations)
+        ranks = ranks.localCheckpoint()
     }
     ranks
   }

@@ -142,8 +142,12 @@ object FullText {
   /** Build a store whose quads include the full-text derivations. */
   def withFullText(spark: SparkSession, flat: DataFrame,
                    cfg: Config): QuadStore = {
-    if (cfg.isEmpty) QuadStore.fromFlat(spark, flat)
-    else QuadStore.fromFlat(spark, flat.unionByName(derivedQuads(flat, cfg)))
+    // fromFlatRaw: the derivation happens HERE with the programmatic
+    // config; the raw path skips fromFlat's own config scan so derived
+    // quads are never re-derived
+    if (cfg.isEmpty) QuadStore.fromFlatRaw(spark, flat)
+    else QuadStore.fromFlatRaw(spark,
+      flat.unionByName(derivedQuads(flat, cfg)))
   }
 
   /** Search: subjects whose indexed text contains the token. */

@@ -238,7 +238,26 @@ object QuadStore {
   /** Build a store from flat statements (any Dataset of FlatQuad rows —
     * the distributed import path; reference pipeline
     * `src/frontend/import.c:425-542`). */
+  /** Build a store from flat import rows, honoring any `<pred>
+    * text:index text:{token,dmetaphone,stem}` statements found in the
+    * stream — the reference importer reads the same statements from its
+    * config graph and emits derived full-text quads on EVERY import
+    * (`import.c:706-760`), so a file or LOAD that carries its own index
+    * config gets its token/stem/phonetic quads without any programmatic
+    * setup. One cheap filter+collect over the (cached) stream when no
+    * config is present. */
   def fromFlat(spark: SparkSession, flat: DataFrame): QuadStore = {
+    val f0 = flat.cache()
+    val cfg = FullText.configFrom(f0)
+    if (cfg.isEmpty) fromFlatRaw(spark, f0)
+    else fromFlatRaw(spark,
+      f0.unionByName(FullText.derivedQuads(f0, cfg)))
+  }
+
+  /** [[fromFlat]] without the text-index pass (used by FullText itself
+    * to avoid re-deriving derived quads). */
+  private[graft] def fromFlatRaw(spark: SparkSession,
+                                 flat: DataFrame): QuadStore = {
     val f = flat.cache()
     val valued = f.select(
       when(col("gLex").isNull || col("gLex") === "",

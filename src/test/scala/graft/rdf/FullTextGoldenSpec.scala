@@ -202,4 +202,35 @@ class FullTextGoldenSpec extends SparkTestBase {
     assert(derived === expected,
       s"missing=${expected -- derived}\nextra=${derived -- expected}")
   }
+
+  test("fromFile applies text:index config carried by the import stream") {
+    // the reference importer reads `<pred> text:index text:*` from its
+    // config graph and emits derived quads on EVERY import
+    // (import.c:706-760); the engine reads the same statements from the
+    // imported stream itself — no programmatic setup
+    val ttl = java.io.File.createTempFile("ftcfg", ".ttl")
+    ttl.deleteOnExit()
+    val w = new java.io.PrintWriter(ttl, "UTF-8")
+    w.println("@prefix text: <http://4store.org/fulltext#> .")
+    w.println("<urn:title> text:index text:token , text:stem .")
+    w.println("<urn:d1> <urn:title> \"Database Query Engines\" .")
+    w.println("<urn:d2> <urn:other> \"Unindexed Prose\" .")
+    w.close()
+    val st = QuadStore.fromFile(spark, ttl.getPath)
+    def oLexOf(pred: Long): Set[(String, String)] = {
+      import org.apache.spark.sql.functions.col
+      val v = st.valued.get
+      v.filter(col("p") === pred).select("sLex", "oLex").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+    }
+    assert(oLexOf(FullText.tokenPredRid) ===
+      Set("urn:d1" -> "database", "urn:d1" -> "query",
+        "urn:d1" -> "engines"))
+    // stems: default-english snowball over the lowercased tokens
+    assert(oLexOf(FullText.stemPredRid) ===
+      Set("urn:d1" -> "databas", "urn:d1" -> "queri",
+        "urn:d1" -> "engin"))
+    // unconfigured predicate and absent dmetaphone kind derive nothing
+    assert(oLexOf(FullText.phoneticPredRid).isEmpty)
+  }
 }
