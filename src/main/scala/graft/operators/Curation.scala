@@ -144,9 +144,14 @@ object Curation {
     * chunk) two-pass scheme as [[budgetSample]] — a local row_number
     * within each 4096-way chunk plus a broadcast prefix of per-chunk
     * counts — so no window ever sees a whole group on one task. */
-  def stratifiedSample(df: DataFrame, groupCol: String, idCol: String,
-                       k: Int, seed: Int = 42): DataFrame = {
-    require(k > 0, "k must be positive")
+  /** Shared two-pass chunked seeded rank: every row's 1-based position
+    * within its group under the seeded md5 order, WITHOUT a one-task-
+    * per-group window — ranks are computed per (group, 3-hex-digit key
+    * chunk) and shifted by broadcast per-chunk prefix counts (the same
+    * shape as [[budgetSample]]'s cumulative sums). Adds `_key` (the md5
+    * order key) and `rank`. */
+  private def seededGroupRank(df: DataFrame, groupCol: String,
+                              idCol: String, seed: Int): DataFrame = {
     val key = shuffleKey(col(idCol), seed)
     val chunkC = substring(key, 1, 3)
     val local = df.withColumn("_key", key).withColumn("_kchunk", chunkC)
@@ -163,9 +168,37 @@ object Curation {
         col(groupCol) === col("_pg") &&
           local("_kchunk") === prefixes("_kchunk"))
       .withColumn("rank", (col("_prefix") + col("_lrn")).cast("long"))
-      .filter(col("rank") <= k)
-      .drop("_key", "_kchunk", "_lrn", "_pg", "_prefix")
+      .drop("_kchunk", "_lrn", "_pg", "_prefix")
   }
+
+  def stratifiedSample(df: DataFrame, groupCol: String, idCol: String,
+                       k: Int, seed: Int = 42): DataFrame = {
+    require(k > 0, "k must be positive")
+    seededGroupRank(df, groupCol, idCol, seed)
+      .filter(col("rank") <= k)
+      .drop("_key")
+  }
+
+  /** Deterministic cross-domain interleaving — the training-order pass:
+    * reading the corpus in `(grp_rank, ord_in_rank)` order cycles
+    * through the domains (one seeded-random row per domain, then the
+    * next row of each, ...), so a sequential trainer never sees a long
+    * single-domain run regardless of how the corpus was written.
+    *
+    * `grp_rank` is the row's seeded position within its own group
+    * ([[seededGroupRank]] — two-pass chunked, no per-group task);
+    * `ord_in_rank` breaks ties WITHIN one rank slice by the seeded md5
+    * key (a slice holds at most one row per group, so its row_number
+    * window is bounded by the domain count, never by data volume).
+    * Deterministic for a fixed (corpus, seed); append-stable per group.
+    */
+  def interleave(df: DataFrame, groupCol: String, idCol: String,
+                 seed: Int = 42): DataFrame =
+    seededGroupRank(df, groupCol, idCol, seed)
+      .withColumnRenamed("rank", "grp_rank")
+      .withColumn("ord_in_rank", row_number().over(
+        Window.partitionBy("grp_rank").orderBy("_key")).cast("long"))
+      .drop("_key")
 
   /** Temperature-based domain mixture sampling: resample a corpus so
     * domain `d` contributes ∝ count_d^T of the output, the exponential

@@ -448,6 +448,16 @@ object PipelineQueries {
         "doc_id", "text", k = 3, h = 32, portableHash = true)
     }),
 
+    // deterministic domain interleaving: global training order that
+    // cycles languages so no sequential reader sees a one-domain run
+    "p44_interleave" -> ((s, d) =>
+      Curation.interleave(
+          t(s, d, "documents").select("doc_id", "lang"), "lang", "doc_id",
+          seed = 42)
+        .select(col("doc_id"), col("lang"), col("grp_rank"),
+          col("ord_in_rank"))
+        .orderBy("grp_rank", "ord_in_rank")),
+
     // markup stripping: the corpus is plain text, so each doc is wrapped
     // in a synthetic HTML template (style payload, tags, comment,
     // double-escaped entity) that the extractor must undo; fingerprinted
@@ -1223,6 +1233,19 @@ object PipelineQueries {
     "p40_pagerank" -> p40Oracle,
     "p41_random_project" -> p41Oracle,
     "p42_corpus_overlap" -> p42Oracle,
+
+    // interleave: same seeded md5 rank-within-group + in-rank tiebreak
+    "p44_interleave" ->
+      """WITH r AS (SELECT doc_id, lang,
+        |    md5(doc_id::VARCHAR || ':42') AS key,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY md5(doc_id::VARCHAR || ':42')) AS BIGINT)
+        |      AS grp_rank
+        |  FROM documents)
+        |SELECT doc_id, lang, grp_rank,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY grp_rank ORDER BY key)
+        |    AS BIGINT) AS ord_in_rank
+        |FROM r ORDER BY grp_rank, ord_in_rank""".stripMargin,
 
     // markup stripping replayed in DuckDB: same wrap, same RE2 passes,
     // same entity-decode order

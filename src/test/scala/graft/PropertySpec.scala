@@ -1,0 +1,116 @@
+package graft
+
+import graft.rdf._
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Randomized invariant tests over the pure kernels (fixed seed — the
+  * sample set is deterministic, so failures reproduce). These cover the
+  * input space the example-based specs can't enumerate: arbitrary
+  * unicode, controls, quotes, backslashes, combining marks.
+  */
+class PropertySpec extends SparkTestBase {
+
+  private val rnd = new scala.util.Random(42)
+  private val pool: IndexedSeq[Char] =
+    ('a' to 'z') ++ ('A' to 'Z') ++ ('0' to '9') ++
+      Seq(' ', ' ', ' ', '\t', '\n', '\r', '"', '\\', '\'', '.', ',',
+        '<', '>', '&', ';', '\u0007', '\u00a0', '\u00e9', '\u0301',
+        '\u00df', '\u4e2d', '\u6587', '\u0440', '\u044f')
+
+  private def randStr(maxLen: Int = 30): String =
+    (0 until rnd.nextInt(maxLen + 1)).map(_ => pool(rnd.nextInt(pool.size)))
+      .mkString
+
+  private val samples: Seq[String] =
+    Seq("", " ", "\\", "\"", "a\\nb", "caf\u00e9", "cafe\u0301") ++
+      (1 to 300).map(_ => randStr())
+
+  test("NT literal serialization round-trips through parseLine") {
+    for (lex <- samples) {
+      // plain literal
+      val line = s"<urn:s> <urn:p> ${Lit(lex).nt} ."
+      val parsed = NTriples.parseLine(line)
+      assert(parsed.isDefined, s"unparseable: ${line.take(80)}")
+      parsed.get match {
+        case (_, _, Lit(l2, dt2, lang2), _) =>
+          assert(l2 == lex, s"lex mangled for ${lex.map(_.toInt)}")
+          assert(dt2 == "" && lang2 == "")
+        case other => fail(s"object is not a literal: $other")
+      }
+      // language-tagged and typed forms
+      val lt = NTriples.parseLine(s"<urn:s> <urn:p> ${Lit(lex, "", "en-gb").nt} .")
+      assert(lt.exists { case (_, _, Lit(l, _, g), _) =>
+        l == lex && g == "en-gb" })
+      val dt = NTriples.parseLine(
+        s"<urn:s> <urn:p> ${Lit(lex, "urn:my:dt").nt} .")
+      assert(dt.exists { case (_, _, Lit(l, d, _), _) =>
+        l == lex && d == "urn:my:dt" })
+    }
+  }
+
+  test("nfc normalization is idempotent and agrees with the JDK") {
+    for (s <- samples) {
+      val once = functions.TextNorm.nfc(UTF8String.fromString(s)).toString
+      val twice = functions.TextNorm.nfc(UTF8String.fromString(once)).toString
+      assert(twice == once)
+      assert(once ==
+        java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+    }
+  }
+
+  test("normalizeText matches an independent scala model on random input") {
+    def model(s: String): String = {
+      val nfc = java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
+      nfc.replaceAll("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", "")
+        .replaceAll("\\s+", " ").trim
+    }
+    import spark.implicits._
+    val df = samples.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("id", "text")
+    val got = df.select(col("id"),
+        graft.operators.TextAnalysis.normalizeText(col("text")).as("n"))
+      .as[(Long, String)].collect().toMap
+    samples.zipWithIndex.foreach { case (s, i) =>
+      assert(got(i.toLong) == model(s),
+        s"mismatch on ${s.map(_.toInt).mkString(",")}")
+    }
+  }
+
+  test("double-metaphone and snowball stemmers are total and deterministic") {
+    for (s <- samples) {
+      val a = functions.DoubleMetaphone.compute(s)
+      val b = functions.DoubleMetaphone.compute(s)
+      assert(a == b)
+      assert(a._1 != null && a._2 != null)
+      for (lang <- functions.Snowball.languages) {
+        val tok = UTF8String.fromString(s.toLowerCase)
+        val r1 = functions.Snowball.stem(tok, UTF8String.fromString(lang))
+        val r2 = functions.Snowball.stem(tok, UTF8String.fromString(lang))
+        assert((r1 == null && r2 == null) || r1.equals(r2))
+      }
+    }
+  }
+
+  test("shingle hashes: bounded count, empty below k, deterministic") {
+    for (s <- samples; k <- Seq(1, 3, 8)) {
+      val u = UTF8String.fromString(s)
+      val words = functions.TextHash.words(u)
+      assert(words.forall(_.nonEmpty))
+      val hs = functions.TextHash.shingleHashes(u, k, false)
+      val n = hs.numElements()
+      if (words.length < k) assert(n == 0)
+      else assert(n <= words.length - k + 1 && n >= 1)
+      assert(hs.toLongArray.toSeq ==
+        functions.TextHash.shingleHashes(u, k, false).toLongArray.toSeq)
+    }
+  }
+
+  test("hyperplane components sit on the exact 1/1024 binary grid") {
+    for (p <- graft.operators.Similarity.hyperplanes(8, 64); c <- p) {
+      val scaled = c * 1024.0
+      assert(scaled == math.rint(scaled), s"off-grid component $c")
+      assert(scaled >= -1024 && scaled <= 1023)
+    }
+  }
+}

@@ -645,6 +645,27 @@ class OperatorsSpec extends SparkTestBase {
     assert(out(5L) == "spaced words")
   }
 
+  test("interleave cycles domains and matches the naive-rank order") {
+    val df = (0L until 40L).map(i => (i, s"d${i % 3}"))
+      .toDF("doc_id", "lang")
+    val out = Curation.interleave(df, "lang", "doc_id", seed = 7)
+      .orderBy("grp_rank", "ord_in_rank")
+      .select("doc_id", "lang", "grp_rank").collect()
+    assert(out.length == 40)
+    // within any rank slice each domain appears at most once
+    out.groupBy(_.getLong(2)).foreach { case (_, slice) =>
+      val langs = slice.map(_.getString(1))
+      assert(langs.distinct.length == langs.length)
+    }
+    // grp_rank equals the naive per-group seeded rank
+    val naive = df.withColumn("r", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("lang")
+          .orderBy(md5(concat(col("doc_id").cast("string"), lit(":7"))
+            .cast("binary")))))
+      .select("doc_id", "r").as[(Long, Int)].collect().toMap
+    out.foreach(r => assert(r.getLong(2) == naive(r.getLong(0)).toLong))
+  }
+
   test("corpusStats computes exact interpolated percentiles per group") {
     val df = Seq(
       ("en", "w"), ("en", "w w"), ("en", "w w w"), ("en", "w w w w"),
