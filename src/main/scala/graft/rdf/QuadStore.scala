@@ -192,6 +192,13 @@ final case class QuadStore(quads: DataFrame, resources: DataFrame,
     }
     Await.result(q, Duration.Inf)
     Await.result(r, Duration.Inf)
+    // size-only stats (NOSCAN reads file footers, not data): after a
+    // restart the loaded tables carry sizeInBytes, so the CBO can still
+    // broadcast a small resources/quads side without AQE having to
+    // discover it at the first shuffle
+    val ss = quads.sparkSession
+    ss.sql(s"ANALYZE TABLE ${name}_quads COMPUTE STATISTICS NOSCAN")
+    ss.sql(s"ANALYZE TABLE ${name}_resources COMPUTE STATISTICS NOSCAN")
   }
 
   /** Persist quads PARTITIONED BY PREDICATE — the durable form of the

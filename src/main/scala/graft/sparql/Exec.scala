@@ -803,6 +803,10 @@ final class Exec(store: QuadStore, spark: SparkSession) {
         case u: UnionGP =>
           fold(pattern(u, gvar, gRids, needHere, namedGRids))
         case v: ValuesGP => fold(valuesTable(v))
+        case sv: ServiceGP =>
+          // bound join: the already-accumulated left side constrains the
+          // remote fetch (see serviceBindings)
+          fold(serviceBindings(sv, acc))
         case other =>
           fold(pattern(other, gvar, gRids, needHere, namedGRids))
       }
@@ -830,7 +834,30 @@ final class Exec(store: QuadStore, spark: SparkSession) {
     // join its projected bindings into the outer pattern (SPARQL 1.1 §12)
     case s: SubSelectGP =>
       Sparql.selectBindings(store, spark, s.q, gRids, namedGRids)
-    case sv: ServiceGP => serviceBindings(sv)
+    case sv: ServiceGP => serviceBindings(sv, None)
+  }
+
+  /** Variables a graph pattern MENTIONS (over-approximation is safe for
+    * the bound-join clause builder: a clause for a var the remote never
+    * binds passes every remote row via !BOUND). */
+  def gpVars(gp: GP): Set[String] = gp match {
+    case BGPat(ts) => ts.flatMap(t => Seq(t.s, t.p, t.o)).collect {
+      case PVar(v) => v }.toSet
+    case GroupGP(elems, filters) =>
+      elems.flatMap(gpVars).toSet ++ filters.flatMap(varsOf)
+    case OptionalGP(i) => gpVars(i)
+    case UnionGP(alts) => alts.flatMap(gpVars).toSet
+    case MinusGP(_) => Set.empty // MINUS vars don't escape
+    case GraphGP(g, i) =>
+      gpVars(i) ++ (g match { case PVar(v) => Set(v); case _ => Set.empty })
+    case BindGP(e, v) => varsOf(e) + v
+    case ValuesGP(vs, _) => vs.toSet
+    case PathGP(s, _, o) =>
+      Seq(s, o).collect { case PVar(v) => v }.toSet
+    case SubSelectGP(q) => q.items.flatMap(i =>
+      i.as.toSeq ++ (i.expr match { case EVar(v) => Seq(v); case _ => Nil })
+    ).toSet
+    case sv: ServiceGP => gpVars(sv.inner)
   }
 
   def extend(b: Bindings, v: String, e: Expr,
@@ -959,7 +986,51 @@ final class Exec(store: QuadStore, spark: SparkSession) {
     * into a LocalRelation (exact size stats -> guaranteed broadcast);
     * larger ones parse DISTRIBUTED from the spill file — written under
     * the warehouse dir so cluster executors can read it back. */
-  private def serviceBindings(sv: ServiceGP): Bindings =
+  /** FedX-style bound join, in its purely-REDUCTIVE form: when the
+    * group's already-evaluated left side is in scope, ship per-variable
+    * `FILTER(!BOUND(?v) || !isIRI(?v) || ?v IN (<u1>, ...))` clauses
+    * with the remote query for every shared var whose left column is
+    * certain (never NULL) and whose distinct IRI value set is small.
+    * A filter can only REMOVE remote solutions that could not have
+    * joined (a remote row dropped by the clause binds ?v to an IRI
+    * outside the left side's complete IRI set), so multiplicity and
+    * compatibility semantics are untouched — unlike VALUES injection,
+    * which joins and can inflate multiplicity when the remote leaves a
+    * shared var unbound. Unconstrainable vars (maybe-NULL, non-IRI
+    * values, too many distinct IRIs, unrenderable IRIs) simply get no
+    * clause. Caps: `spark.graft.service.boundJoinMax` distinct IRIs per
+    * var (default 50); `-O 0` disables. */
+  private def boundJoinClauses(sv: ServiceGP,
+                               left: Option[Bindings]): String = {
+    val l = left.getOrElse(return "")
+    if (Exec.optLevel < 1) return ""
+    val max = spark.conf.getOption("spark.graft.service.boundJoinMax")
+      .map(_.toInt).getOrElse(50)
+    if (max <= 0) return ""
+    val shared = (gpVars(sv.inner) intersect l.certain).toSeq.sorted
+    if (shared.isEmpty) return ""
+    val clauses = shared.flatMap { v =>
+      val vb = ensureValues(l, Set(v))
+      val uris = vb.df.filter(Rid.isUriCol(col(v)))
+        .select(col(s"${v}__lex")).distinct().limit(max + 1)
+        .collect().map(_.getString(0)).toSeq
+      // renderability: an IRI with NT-delimiter bytes can't ship safely
+      if (uris.size > max ||
+          uris.exists(u => u.exists(c => c == '>' || c == '<' ||
+            c == '"' || c == ' ' || c < ' ')))
+        None
+      else if (uris.isEmpty)
+        Some(s"FILTER(!BOUND(?$v) || !isIRI(?$v))")
+      else
+        Some(uris.map(u => s"<$u>")
+          .mkString(s"FILTER(!BOUND(?$v) || !isIRI(?$v) || ?$v IN (",
+            ", ", "))"))
+    }
+    if (clauses.isEmpty) "" else clauses.mkString(" ", " ", " ")
+  }
+
+  private def serviceBindings(sv: ServiceGP,
+                              left: Option[Bindings]): Bindings =
     try {
       val url = sv.endpoint match {
         case PConst(Uri(u)) => u
@@ -973,7 +1044,7 @@ final class Exec(store: QuadStore, spark: SparkSession) {
         throw new SecurityException(
           s"SERVICE not permitted to $url by federation policy")
       val q = (if (sv.prologue.nonEmpty) sv.prologue + "\n" else "") +
-        "SELECT * WHERE " + sv.raw
+        "SELECT * WHERE { " + sv.raw + boundJoinClauses(sv, left) + " }"
       val conn = new java.net.URI(url).toURL.openConnection()
         .asInstanceOf[java.net.HttpURLConnection]
       conn.setRequestMethod("POST")

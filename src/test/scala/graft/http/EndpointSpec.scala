@@ -170,6 +170,64 @@ class EndpointSpec extends SparkTestBase {
     } finally ep.stop()
   }
 
+  test("SERVICE bound join ships reductive IRI filters, semantics intact") {
+    import graft.sparql.Sparql
+    // capturing stub endpoint: records the remote query, answers TSV
+    val seen = new java.util.concurrent.atomic.AtomicReference[String]("")
+    val hs = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("localhost", 0), 0)
+    hs.createContext("/sparql/", ex => {
+      val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+      val q = body.split("&").collectFirst {
+        case kv if kv.startsWith("query=") =>
+          java.net.URLDecoder.decode(kv.drop(6), "UTF-8")
+      }.getOrElse("")
+      seen.set(q)
+      val tsv = "?s\t?age\n<urn:a>\t\"42\"\n<urn:b>\t\"35\"\n"
+      val out = tsv.getBytes("UTF-8")
+      ex.getResponseHeaders.set("Content-Type",
+        "text/tab-separated-values")
+      ex.sendResponseHeaders(200, out.length)
+      ex.getResponseBody.write(out); ex.close()
+    })
+    hs.start()
+    try {
+      val url = s"http://localhost:${hs.getAddress.getPort}/sparql/"
+      val local = QuadStore.fromTerms(spark, Seq(
+        (Uri("urn:a"), Uri("urn:name"), Lit("Alice"))))
+      // tag makes each run's text unique: the prepared-plan cache would
+      // otherwise serve the first fetch (and its recorded query) again
+      def run(tag: String): Seq[(String, String)] = Sparql.run(local, spark,
+        s"""SELECT ?name ?age WHERE {
+           |  ?s <urn:name> ?name . # $tag
+           |  SERVICE <$url> { ?s <urn:age> ?age }
+           |} ORDER BY ?name""".stripMargin).collect()
+        .map(r => (r.getString(0), r.getString(1))).toSeq
+      assert(run("bound") == Seq(("Alice", "42")))
+      // the shipped query carries the reductive clause for the certain
+      // shared var ?s, listing exactly the left side's IRIs
+      val shipped = seen.get()
+      assert(shipped.contains("?s IN (<urn:a>)"), shipped)
+      assert(shipped.contains("!BOUND(?s)") && shipped.contains("!isIRI(?s)"))
+      // disabled via conf: same results, no filter shipped
+      spark.conf.set("spark.graft.service.boundJoinMax", "0")
+      try {
+        assert(run("plain") == Seq(("Alice", "42")))
+        assert(!seen.get().contains("FILTER"), seen.get())
+      } finally spark.conf.unset("spark.graft.service.boundJoinMax")
+      // a maybe-NULL shared var (OPTIONAL-introduced) gets no clause
+      val opt = Sparql.run(local, spark,
+        s"""SELECT ?name ?age WHERE {
+           |  ?n <urn:name> ?name .
+           |  OPTIONAL { ?n <urn:missing> ?s }
+           |  SERVICE <$url> { ?s <urn:age> ?age }
+           |} ORDER BY ?age""".stripMargin).collect()
+      assert(!seen.get().contains("FILTER"), seen.get())
+      // unbound ?s on the left is compatible with every remote row
+      assert(opt.length == 2)
+    } finally hs.stop(0)
+  }
+
   test("GSP: GET reads a graph back as N-Triples; PUT replaces it") {
     val store = QuadStore.fromTerms(spark, Seq(
       (Uri("urn:a"), Uri("urn:name"), Lit("Alice"))))
