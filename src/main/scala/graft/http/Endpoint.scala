@@ -39,12 +39,64 @@ final class Endpoint(spark: SparkSession, initial: QuadStore, port: Int = 0,
                        * query must not make this server originate
                        * requests (SSRF); Some(p) = only IRIs satisfying
                        * `p` may be contacted */
-                     serviceAllow: Option[String => Boolean] = None) {
+                     serviceAllow: Option[String => Boolean] = None,
+                     /** cancel a request's Spark jobs after this many
+                       * seconds and answer 503 (0 = no timeout) — the
+                       * reference throttles complexity via soft limits;
+                       * a Spark backend needs a wall-clock bound too */
+                     queryTimeoutSec: Int = 0,
+                     /** handler pool size: bounded so one slow request
+                       * can't serialize the endpoint (the default
+                       * HttpServer executor is single-threaded) */
+                     workerThreads: Int = 8) {
 
   private val storeRef = new AtomicReference[QuadStore](initial)
   def store: QuadStore = storeRef.get()
 
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
+  private val pool =
+    java.util.concurrent.Executors.newFixedThreadPool(workerThreads)
+  server.setExecutor(pool)
+
+  /** run `body` under a per-request Spark job group that a timer cancels
+    * at the deadline (`interruptOnCancel`); a cancellation surfaces as
+    * TimeoutException so handlers answer 503, not 400 */
+  private def timed[A](body: => A): A =
+    if (queryTimeoutSec <= 0) body
+    else {
+      // job TAGS, not setJobGroup (tags are the cancellation API built
+      // for concurrent workloads, SPARK-44194). KNOWN COLLATERAL: Spark
+      // spawns SQL execution/AQE threads lazily, and a thread created
+      // during a tagged request inherits that tag in its cloned local
+      // properties; a job another request submits THROUGH such a thread
+      // in the window around the deadline can be cancelled spuriously
+      // (observed under test; one bounded in-flight request, a client
+      // retry recovers). The trade is deliberate: without cancellation a
+      // runaway 10^12-row query holds executors for hours.
+      val tag = "ep-" + java.util.UUID.randomUUID()
+      val timedOut = new java.util.concurrent.atomic.AtomicBoolean(false)
+      spark.sparkContext.addJobTag(tag)
+      val timer = new java.util.Timer(true)
+      timer.schedule(new java.util.TimerTask {
+        def run(): Unit = {
+          timedOut.set(true)
+          spark.sparkContext.cancelJobsWithTag(tag)
+        }
+      }, queryTimeoutSec * 1000L)
+      try body
+      catch {
+        case e: Exception if timedOut.get() =>
+          throw new java.util.concurrent.TimeoutException(
+            "query timeout exceeded")
+      } finally {
+        timer.cancel()
+        spark.sparkContext.removeJobTag(tag)
+        // a cancellation interrupt must not poison this POOLED thread's
+        // next request (a set interrupt status makes any blocking Spark
+        // await throw immediately)
+        Thread.interrupted()
+      }
+    }
 
   def boundPort: Int = server.getAddress.getPort
 
@@ -65,10 +117,10 @@ final class Endpoint(spark: SparkSession, initial: QuadStore, port: Int = 0,
 
   /** run `body` under this endpoint's federation policy: SERVICE in an
     * HTTP-arriving query is denied unless `serviceAllow` opted in */
-  private def fedScoped[A](body: => A): A = serviceAllow match {
+  private def fedScoped[A](body: => A): A = timed(serviceAllow match {
     case Some(p) => graft.sparql.Federation.withPolicy("ep-allow", p)(body)
     case None    => graft.sparql.Federation.denied(body)
-  }
+  })
 
   private def respond(ex: HttpExchange, code: Int, body: String,
                       ctype: String = "application/json"): Unit = {
@@ -88,7 +140,17 @@ final class Endpoint(spark: SparkSession, initial: QuadStore, port: Int = 0,
     ex.getResponseHeaders.set("Content-Type", ctype)
     ex.sendResponseHeaders(200, 0) // length 0 = chunked transfer
     val w = new java.io.OutputStreamWriter(ex.getResponseBody, UTF_8)
-    try { write(w); w.flush() } finally ex.close()
+    try { write(w); w.flush() }
+    catch {
+      case e: Throwable =>
+        // the 200 status line is long gone; flush an in-band marker (the
+        // reference's `# warning` comment convention) so a client can
+        // tell a failed stream from a complete one, then rethrow for
+        // the handler's logging path
+        try { w.write(s"\n# ERROR: ${e.getMessage}\n"); w.flush() }
+        catch { case _: Throwable => }
+        throw e
+    } finally ex.close()
   }
 
   private def bodyOf(ex: HttpExchange): String =
@@ -196,6 +258,8 @@ final class Endpoint(spark: SparkSession, initial: QuadStore, port: Int = 0,
           }
       }
     } catch {
+      case _: java.util.concurrent.TimeoutException =>
+        respond(ex, 503, """{"error":"query timeout exceeded"}""")
       case e: Exception =>
         respond(ex, 400, s"""{"error":"${e.getMessage}"}""")
     }
@@ -215,6 +279,8 @@ final class Endpoint(spark: SparkSession, initial: QuadStore, port: Int = 0,
       }
       respond(ex, 200, """{"ok":true}""")
     } catch {
+      case _: java.util.concurrent.TimeoutException =>
+        respond(ex, 503, """{"error":"query timeout exceeded"}""")
       case e: Exception =>
         respond(ex, 400, s"""{"error":"${e.getMessage}"}""")
     }
@@ -309,6 +375,8 @@ final class Endpoint(spark: SparkSession, initial: QuadStore, port: Int = 0,
         case _ => respond(ex, 405, """{"error":"method"}""")
       }
     } catch {
+      case _: java.util.concurrent.TimeoutException =>
+        respond(ex, 503, """{"error":"query timeout exceeded"}""")
       case e: Exception =>
         respond(ex, 400, s"""{"error":"${e.getMessage}"}""")
     }
@@ -330,6 +398,8 @@ final class Endpoint(spark: SparkSession, initial: QuadStore, port: Int = 0,
         respond(ex, 200, s"""{"quads":$n,"engine":"graft","ok":true}""")
       }
     } catch {
+      case _: java.util.concurrent.TimeoutException =>
+        respond(ex, 503, """{"error":"query timeout exceeded"}""")
       case e: Exception =>
         respond(ex, 400, s"""{"error":"${e.getMessage}"}""")
     }
@@ -374,6 +444,8 @@ final class Endpoint(spark: SparkSession, initial: QuadStore, port: Int = 0,
              |""".stripMargin
       respond(ex, 200, body, "text/turtle; charset=utf-8")
     } catch {
+      case _: java.util.concurrent.TimeoutException =>
+        respond(ex, 503, """{"error":"query timeout exceeded"}""")
       case e: Exception =>
         respond(ex, 400, s"""{"error":"${e.getMessage}"}""")
     }
@@ -410,5 +482,5 @@ final class Endpoint(spark: SparkSession, initial: QuadStore, port: Int = 0,
   })
 
   def start(): Endpoint = { server.start(); this }
-  def stop(): Unit = server.stop(0)
+  def stop(): Unit = { server.stop(0); pool.shutdownNow() }
 }

@@ -228,6 +228,60 @@ class EndpointSpec extends SparkTestBase {
     } finally hs.stop(0)
   }
 
+  test("query timeout cancels the Spark jobs and answers 503") {
+    // ~1000 quads: three unconstrained patterns cross to ~10^9 rows, so
+    // the first stage is guaranteed to still be running at the deadline
+    // (three, not four: the 4-pattern compat filter overflows the 64KB
+    // codegen method limit and the interpreted fallback is not the path
+    // worth gating)
+    val big = QuadStore.fromTerms(spark, (0 until 500).flatMap(i => Seq(
+      (Uri(s"urn:s$i"), Uri("urn:p"), Lit(i.toString)),
+      (Uri(s"urn:s$i"), Uri("urn:q"), Uri(s"urn:s${(i + 1) % 500}")))))
+    val ep = new Endpoint(spark, big, 0, queryTimeoutSec = 2).start()
+    try {
+      val base = s"http://localhost:${ep.boundPort}"
+      // the per-row regex keeps each of the ~10^9 rows genuinely
+      // expensive (a bare codegen'd COUNT over the cross can finish
+      // inside the deadline on a warm JVM)
+      val slow = java.net.URLEncoder.encode(
+        """SELECT (COUNT(*) AS ?n) WHERE {
+          |  ?a ?p1 ?o1 . ?b ?p2 ?o2 . ?c ?p3 ?o3 .
+          |  FILTER(REGEX(CONCAT(STR(?o1), STR(?o2), STR(?o3)),
+          |               "no(.)match\\1$")) }"""
+          .stripMargin, "UTF-8")
+      val t0 = System.nanoTime()
+      // two honest outcomes: cancellation BEFORE the first byte -> a
+      // clean 503; after streaming began -> the body carries the
+      // in-band `# ERROR:` marker (the 200 status line is already on
+      // the wire). A CLEAN completed 200 would require the ~10^12-row
+      // cross product to finish, which cancellation exists to prevent.
+      val outcome =
+        try {
+          val (code, body) = req(s"$base/sparql/?query=$slow")
+          if (code == 503 && body.contains("timeout")) "503"
+          else if (code == 200 && body.contains("# ERROR:")) "marked"
+          else s"completed:$code:${body.take(60)}"
+        } catch { case _: java.io.IOException => "truncated" }
+      val sec = (System.nanoTime() - t0) / 1e9
+      assert(Set("503", "marked", "truncated")(outcome), outcome)
+      assert(sec < 30, s"cancellation took ${sec}s")
+      // the endpoint (and the shared SparkContext) stay serviceable.
+      // Retry: a request landing in the cancellation window can be
+      // spuriously cancelled via Spark's lazily-created async-thread
+      // tag inheritance (documented in Endpoint.timed) — a client retry
+      // recovers, which is exactly what this asserts
+      val ok = java.net.URLEncoder.encode(
+        """SELECT (COUNT(*) AS ?n) WHERE { ?s <urn:p> ?o }""", "UTF-8")
+      val attempts = (1 to 3).iterator.map { i =>
+        if (i > 1) Thread.sleep(1000)
+        req(s"$base/sparql/?query=$ok&output=tsv&attempt=$i")
+      }
+      assert(attempts.exists { case (c, b) =>
+        c == 200 && b.contains("500") && !b.contains("# ERROR") },
+        "endpoint not serviceable after timeout")
+    } finally ep.stop()
+  }
+
   test("GSP: GET reads a graph back as N-Triples; PUT replaces it") {
     val store = QuadStore.fromTerms(spark, Seq(
       (Uri("urn:a"), Uri("urn:name"), Lit("Alice"))))
