@@ -46,11 +46,20 @@ object Bench {
     // codegen compilation, and JIT once, so the timed runs below measure
     // the steady state a long-lived engine serves (the reference harness
     // likewise reports over repeated runs, `tests/benchmark/run.pl:47-80`)
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
-      try fn(spark, sfDir).count() catch { case _: Throwable => }
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      if (sys.env.get("SPARK_GRAFT_ONLY")
+          .forall(re => re.r.findFirstIn(name).isDefined))
+        try fn(spark, sfDir).count() catch { case _: Throwable => }
     }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
+    // SPARK_GRAFT_ONLY: regex over query names for family rehearsals
+    // (e.g. the sf10 dedup run) — a filtered run also skips the ingest
+    // bench (it reads lineitem, which a family dataset may not carry)
+    val onlyRe = sys.env.get("SPARK_GRAFT_ONLY").map(_.r)
+    def selected(name: String): Boolean =
+      onlyRe.forall(_.findFirstIn(name).isDefined)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(t => selected(t._1)).map {
       case (name, fn) =>
         def once(): Double = {
           val t0 = System.nanoTime()
@@ -67,7 +76,7 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val ingest = ingestBench(spark, sfDir)
+    val ingest = if (onlyRe.isDefined) "" else ingestBench(spark, sfDir)
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,$ingest"sf":"$sfDir"}""")
     spark.stop()
   }

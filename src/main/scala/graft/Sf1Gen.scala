@@ -12,12 +12,18 @@ import org.apache.spark.sql.functions._
   * duplicate-heavy crawl (copy-count-way near-dup clusters) rather than
   * exact clones. See SCALE_REHEARSAL.md for the findings.
   *
-  * Usage: `sbt "runMain graft.Sf1Gen [/tmp/sf1 [copies]]"`.
+  * Usage: `sbt "runMain graft.Sf1Gen [/tmp/sf1 [copies [tables]]]"` —
+  * `tables` is an optional comma list (e.g. `documents,embeddings`) to
+  * generate only the corpus a family rehearsal needs (the sf10 dedup
+  * rehearsal skips the 60M-row lineitem it never reads).
   */
 object Sf1Gen {
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("/tmp/sf1")
     val copies = args.lift(1).map(_.toInt).getOrElse(10)
+    val only: Option[Set[String]] =
+      args.lift(2).map(_.split(",").map(_.trim).toSet)
+    def wanted(t: String): Boolean = only.forall(_.contains(t))
     val src = "/root/testdata/sf0.1"
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -28,6 +34,7 @@ object Sf1Gen {
     val off = 100000000L
     def rep(t: String, keys: Seq[String],
             tweak: (DataFrame, Int) => DataFrame = (d, _) => d): Unit = {
+      if (!wanted(t)) return
       val base = core.Tables.t(spark, src, t)
       val all = (0 until copies).map { i =>
         val shifted = keys.foldLeft(base)((d, k) =>
@@ -39,6 +46,7 @@ object Sf1Gen {
       println(s"[sf1gen] $t x$copies -> $out/$t.parquet")
     }
     def copy(t: String): Unit = {
+      if (!wanted(t)) return
       core.Tables.t(spark, src, t).write.mode("overwrite")
         .parquet(s"$out/$t.parquet")
       println(s"[sf1gen] $t (dim, 1 copy)")

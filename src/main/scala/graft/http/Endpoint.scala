@@ -53,50 +53,95 @@ final class Endpoint(spark: SparkSession, initial: QuadStore, port: Int = 0,
   private val storeRef = new AtomicReference[QuadStore](initial)
   def store: QuadStore = storeRef.get()
 
+  /** Force per-store lazily-cached infrastructure (the datatype map —
+    * two small Spark jobs over the dictionary) so the FIRST query to
+    * touch it doesn't pay it under ITS deadline. A cancelled lazy-val
+    * initializer is retried — serialized on the instance monitor — by
+    * every subsequent query, so letting a timed request be the
+    * initializer poisons the whole endpoint's latency (observed: each
+    * probe re-ran the cancelled dtUriMap jobs and blew its own budget).
+    */
+  private def warmed(st: QuadStore): QuadStore = { st.dtUriMap; st }
+
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
   private val pool =
     java.util.concurrent.Executors.newFixedThreadPool(workerThreads)
   server.setExecutor(pool)
 
-  /** run `body` under a per-request Spark job group that a timer cancels
-    * at the deadline (`interruptOnCancel`); a cancellation surfaces as
-    * TimeoutException so handlers answer 503, not 400 */
+  /** Enforce the wall-clock bound on `body` by cancelling exactly the
+    * Spark jobs THIS request submitted — never a tag, never a group.
+    *
+    * Mechanics: a request id goes into the submitting thread's local
+    * properties around `body`; a per-context [[SparkListener]] (installed
+    * once) attributes each started job to the id it carries, but only
+    * while that id is registered as in-flight. At the deadline a shared
+    * scheduler cancels the collected job ids by id
+    * (`SparkContext.cancelJob`) and keeps sweeping every 500 ms so a
+    * multi-stage query that submits further jobs AFTER the deadline is
+    * bounded too (a one-shot cancel lets later stages run to completion).
+    *
+    * Why not job tags (SPARK-44194): Spark spawns SQL/AQE threads
+    * lazily and a thread created during a tagged request inherits the
+    * tag in its cloned local properties — a job a CONCURRENT request
+    * submits through such a pooled thread near the deadline was observed
+    * to be cancelled spuriously. Cancelling by collected job id removes
+    * the blast radius: a stale inherited request-property can at worst
+    * misattribute a job submitted DURING the timed-out request's own
+    * window, and that case is absorbed below — a cancellation that
+    * carries our reason marker while OUR deadline never fired is retried
+    * in-process, so the client still sees a first-attempt success. */
   private def timed[A](body: => A): A =
     if (queryTimeoutSec <= 0) body
     else {
-      // job TAGS, not setJobGroup (tags are the cancellation API built
-      // for concurrent workloads, SPARK-44194). KNOWN COLLATERAL: Spark
-      // spawns SQL execution/AQE threads lazily, and a thread created
-      // during a tagged request inherits that tag in its cloned local
-      // properties; a job another request submits THROUGH such a thread
-      // in the window around the deadline can be cancelled spuriously
-      // (observed under test; one bounded in-flight request, a client
-      // retry recovers). The trade is deliberate: without cancellation a
-      // runaway 10^12-row query holds executors for hours.
-      val tag = "ep-" + java.util.UUID.randomUUID()
-      val timedOut = new java.util.concurrent.atomic.AtomicBoolean(false)
-      spark.sparkContext.addJobTag(tag)
-      val timer = new java.util.Timer(true)
-      timer.schedule(new java.util.TimerTask {
-        def run(): Unit = {
-          timedOut.set(true)
-          spark.sparkContext.cancelJobsWithTag(tag)
+      var attempt = 0
+      while (true) {
+        attempt += 1
+        try return timedOnce(body)
+        catch {
+          case e: Exception
+              if attempt < 3 && Endpoint.cancelledByPeerDeadline(e) =>
+            // our jobs were killed by ANOTHER request's deadline sweep
+            // (stale inherited request-property, see scaladoc) — the
+            // response hasn't started (jobs run before streaming in the
+            // eager phase), so re-running is safe and invisible
         }
-      }, queryTimeoutSec * 1000L)
-      try body
-      catch {
-        case e: Exception if timedOut.get() =>
-          throw new java.util.concurrent.TimeoutException(
-            "query timeout exceeded")
-      } finally {
-        timer.cancel()
-        spark.sparkContext.removeJobTag(tag)
-        // a cancellation interrupt must not poison this POOLED thread's
-        // next request (a set interrupt status makes any blocking Spark
-        // await throw immediately)
-        Thread.interrupted()
       }
+      throw new IllegalStateException("unreachable")
     }
+
+  private def timedOnce[A](body: => A): A = {
+    val sc = spark.sparkContext
+    Endpoint.ensureListener(sc)
+    val rid = java.util.UUID.randomUUID().toString
+    val jobs = Endpoint.register(rid)
+    val timedOut = new java.util.concurrent.atomic.AtomicBoolean(false)
+    sc.setLocalProperty(Endpoint.RequestProp, rid)
+    val sweep = Endpoint.scheduler.scheduleWithFixedDelay(
+      () => {
+        timedOut.set(true)
+        // idempotent: re-cancelling a finished job is a no-op; the
+        // repeat sweeps exist for jobs submitted after the deadline
+        // and for listener-bus delivery lag
+        jobs.forEach(id =>
+          sc.cancelJob(id, s"${Endpoint.CancelReason} $rid"))
+      },
+      queryTimeoutSec * 1000L, 500L,
+      java.util.concurrent.TimeUnit.MILLISECONDS)
+    try body
+    catch {
+      case e: Exception if timedOut.get() =>
+        throw new java.util.concurrent.TimeoutException(
+          "query timeout exceeded")
+    } finally {
+      sweep.cancel(false)
+      sc.setLocalProperty(Endpoint.RequestProp, null)
+      Endpoint.deregister(rid)
+      // a cancellation interrupt must not poison this POOLED thread's
+      // next request (a set interrupt status makes any blocking Spark
+      // await throw immediately)
+      Thread.interrupted()
+    }
+  }
 
   def boundPort: Int = server.getAddress.getPort
 
@@ -116,11 +161,29 @@ final class Endpoint(spark: SparkSession, initial: QuadStore, port: Int = 0,
     paramList(query).filter(_._2.nonEmpty).toMap
 
   /** run `body` under this endpoint's federation policy: SERVICE in an
-    * HTTP-arriving query is denied unless `serviceAllow` opted in */
-  private def fedScoped[A](body: => A): A = timed(serviceAllow match {
-    case Some(p) => graft.sparql.Federation.withPolicy("ep-allow", p)(body)
-    case None    => graft.sparql.Federation.denied(body)
-  })
+    * HTTP-arriving query is denied unless `serviceAllow` opted in.
+    *
+    * Each request also gets its own Spark scheduler pool (bounded name
+    * set, so a long-lived server can't grow the scheduler's pool tree
+    * without bound). Under `spark.scheduler.mode=FAIR` — which a
+    * multi-tenant endpoint should run with — this stops a runaway query
+    * from STARVING concurrent fast queries out of task slots until they
+    * blow their own deadline (the root cause of the r7 cancellation
+    * flake: under FIFO, a fast COUNT queued behind a 10^9-row cross
+    * product exceeded its own 2 s budget without ever running a task).
+    * Under FIFO mode the property is inert, so setting it is safe
+    * regardless of the hosting session's configuration. */
+  private def fedScoped[A](body: => A): A = {
+    val sc = spark.sparkContext
+    val pool = "graft-ep-" + (Endpoint.poolTicket.getAndIncrement() & 31)
+    sc.setLocalProperty("spark.scheduler.pool", pool)
+    try timed(serviceAllow match {
+      case Some(p) =>
+        graft.sparql.Federation.withPolicy("ep-allow", p)(body)
+      case None => graft.sparql.Federation.denied(body)
+    })
+    finally sc.setLocalProperty("spark.scheduler.pool", null)
+  }
 
   private def respond(ex: HttpExchange, code: Int, body: String,
                       ctype: String = "application/json"): Unit = {
@@ -277,6 +340,7 @@ final class Endpoint(spark: SparkSession, initial: QuadStore, port: Int = 0,
         case None =>
           storeRef.updateAndGet(st => Update(st, spark, text))
       }
+      warmed(store)
       respond(ex, 200, """{"ok":true}""")
     } catch {
       case _: java.util.concurrent.TimeoutException =>
@@ -335,6 +399,7 @@ final class Endpoint(spark: SparkSession, initial: QuadStore, port: Int = 0,
               storeRef.set(Update.reload(spark, n))
             case None => storeRef.updateAndGet(_.union(add))
           }
+          warmed(store)
           respond(ex, 201, """{"ok":true}""")
         case "PUT" => // REPLACE the graph (reference import start deletes
           // the model before streaming the body in, httpd.c:566)
@@ -352,6 +417,7 @@ final class Endpoint(spark: SparkSession, initial: QuadStore, port: Int = 0,
                 quads = st.quads.filter(col("g") =!= gRid),
                 valued = None).union(add))
           }
+          warmed(store)
           respond(ex, 201, """{"ok":true}""")
         case "DELETE" =>
           // drop the inline-value scan form too: it would retain the
@@ -371,6 +437,7 @@ final class Endpoint(spark: SparkSession, initial: QuadStore, port: Int = 0,
             Update.maybeCompact(spark, n)
             storeRef.set(Update.reload(spark, n))
           }
+          warmed(store)
           respond(ex, 200, """{"ok":true}""")
         case _ => respond(ex, 405, """{"error":"method"}""")
       }
@@ -481,6 +548,70 @@ final class Endpoint(spark: SparkSession, initial: QuadStore, port: Int = 0,
           |""".stripMargin, "text/html; charset=UTF-8")
   })
 
-  def start(): Endpoint = { server.start(); this }
+  def start(): Endpoint = { warmed(store); server.start(); this }
   def stop(): Unit = { server.stop(0); pool.shutdownNow() }
+}
+
+/** Per-JVM request→job attribution for [[Endpoint.timed]]: one daemon
+  * deadline scheduler, one [[org.apache.spark.scheduler.SparkListener]]
+  * per SparkContext, and a registry of in-flight request ids. A job is
+  * attributed to the request id in its start-event properties ONLY while
+  * that id is registered — a stale id cloned into a lazily-spawned Spark
+  * thread (the tag-inheritance hazard) attributes to nothing once its
+  * request has finished. */
+private[http] object Endpoint {
+  val RequestProp = "graft.ep.request"
+  val CancelReason = "graft-ep-timeout"
+  val poolTicket = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  val scheduler: java.util.concurrent.ScheduledExecutorService =
+    java.util.concurrent.Executors.newScheduledThreadPool(1, r => {
+      val t = new Thread(r, "graft-ep-deadline"); t.setDaemon(true); t
+    })
+
+  private val active = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.Set[Integer]]()
+
+  def register(rid: String): java.util.Set[Integer] = {
+    val s = java.util.concurrent.ConcurrentHashMap.newKeySet[Integer]()
+    active.put(rid, s)
+    s
+  }
+  def deregister(rid: String): Unit = active.remove(rid)
+
+  private val listenerInstalled =
+    java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[
+        org.apache.spark.SparkContext, java.lang.Boolean]())
+
+  def ensureListener(sc: org.apache.spark.SparkContext): Unit =
+    if (listenerInstalled.add(sc))
+      sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            e: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          val rid =
+            if (e.properties == null) null
+            else e.properties.getProperty(RequestProp)
+          if (rid != null) {
+            val s = active.get(rid)
+            if (s != null) s.add(e.jobId)
+          }
+        }
+      })
+
+  /** true when the exception chain says a job died to OUR cancel reason
+    * — i.e. some request's deadline sweep — letting the catcher decide
+    * (via its own timedOut flag) whether that deadline was its own or a
+    * peer's misattributed sweep worth retrying through */
+  def cancelledByPeerDeadline(e: Throwable): Boolean = {
+    var c: Throwable = e
+    var depth = 0
+    while (c != null && depth < 12) {
+      val m = c.getMessage
+      if (m != null && m.contains(CancelReason)) return true
+      c = c.getCause
+      depth += 1
+    }
+    false
+  }
 }

@@ -435,14 +435,36 @@ object Dedup {
     * The quantizer is pluggable exactly like [[Similarity.ivfTopK]]:
     * trained k-means via `centroids`, or the deterministic lowest-id-items
     * default that a plain-SQL oracle can replicate.
+    *
+    * `nCells = 0` (the default) AUTO-SCALES the cell count to
+    * ~corpus/10k (clamped to [16, 2^20]) — a fixed small default does
+    * not survive its own 100 TB claim: 16 cells over a billion docs
+    * puts ~60M docs per cell, so almost everything lands past
+    * `maxCellSize` and is "kept unexamined". Auto-scaling costs one
+    * `count()`; pass an explicit `nCells` (or trained `centroids`) to
+    * skip it. Above ~10M docs a lowest-id-items quantizer is a QUALITY
+    * liability too (arbitrary cell shapes) — a warning on stderr says
+    * to pass [[Similarity.trainCentroids]] output.
     */
   def semanticDedup(items: DataFrame, idCol: String, vecCol: String,
-                    threshold: Double, nCells: Int = 16,
+                    threshold: Double, nCells: Int = 0,
                     centroids: Option[DataFrame] = None,
                     maxCellSize: Int = 100000): DataFrame = {
     import graft.functions.F
-    val cent = centroids.getOrElse(
-        items.orderBy(col(idCol)).limit(nCells))
+    val cent = centroids.getOrElse {
+        val cells =
+          if (nCells > 0) nCells
+          else {
+            val n = items.count()
+            if (n > 10000000L)
+              System.err.println("[graft] semanticDedup: " +
+                s"$n docs with the default lowest-id quantizer - pass " +
+                "trained centroids (Similarity.trainCentroids) for " +
+                "meaningful cells at this size")
+            math.max(16L, math.min(1L << 20, n / 10000L)).toInt
+          }
+        items.orderBy(col(idCol)).limit(cells)
+      }
       .select(col(idCol).as("cell_id"), col(vecCol).as("cvec"))
     val par = items.sparkSession.sparkContext.defaultParallelism
     val it = items.select(col(idCol).as("id"), col(vecCol).as("v"))
@@ -452,11 +474,14 @@ object Dedup {
     // partial aggregation collapses the nCells candidate rows per item
     // MAP-SIDE, so the one shuffle moves one row per corpus item instead
     // of nCells (see Similarity.ivfTopK, same shape)
+    // min_by over (-csim, cell_id): negate the always-numeric SIMILARITY
+    // rather than the id, so string ids (legal with pluggable centroids)
+    // survive ANSI analysis; same tie rule (equal cosine -> lowest cell)
     val cells = it.crossJoin(broadcast(cent))
       .withColumn("csim", F.vecCosine(col("v"), col("cvec")))
       .groupBy(col("id"))
-      .agg(max_by(struct(col("cell_id"), col("v")),
-        struct(col("csim"), (-col("cell_id")).as("nc"))).as("best"))
+      .agg(min_by(struct(col("cell_id"), col("v")),
+        struct((-col("csim")).as("nsim"), col("cell_id"))).as("best"))
       .select(col("best.cell_id").as("cell_id"), col("id"),
         col("best.v").as("v"))
     // cap degenerate cells: only the maxCellSize lowest-id members score
@@ -480,6 +505,21 @@ object Dedup {
       .select(col("id"), col("cell_id"),
         col("__drop").isNull.as("kept"), col("cell_capped"))
   }
+
+  /** One-row summary of a [[semanticDedup]] result — the cap exposure
+    * as a RETURNED METRIC, not just a per-row boolean: `capped_fraction`
+    * is the share of the corpus that sat past `maxCellSize` in its cell
+    * and was therefore kept UNEXAMINED. A pipeline should alert on it
+    * (a non-trivial fraction means the quantizer needs more/better
+    * cells, not that the corpus is duplicate-free). One aggregate. */
+  def semanticDedupStats(result: DataFrame): DataFrame =
+    result.agg(
+      count(lit(1)).as("n_docs"),
+      count(when(col("cell_capped"), 1)).as("n_capped"),
+      (count(when(col("cell_capped"), 1)).cast("double") /
+        count(lit(1))).as("capped_fraction"),
+      countDistinct(col("cell_id")).as("n_cells"),
+      count(when(!col("kept"), 1)).as("n_dropped"))
 
   /** GraphX variant of [[connectedComponents]] for Long ids — the RDD
     * Pregel implementation (`org.apache.spark.graphx.lib

@@ -6,12 +6,17 @@ import org.apache.spark.sql.functions._
 /** Multimodal column handling: image/audio/video as opaque `binary`
   * columns with typed metadata, processed in batched partition passes.
   *
-  * The actual codec work is STUBBED (this container has no image/audio
-  * libraries): `fakeDecode` derives deterministic pseudo-metadata from the
-  * bytes. The Spark-side plumbing is real and what matters at scale —
-  * schema, binary transport, batched per-partition processing (the Scala
-  * analog of `mapInPandas` batch shape), and partition sizing so a 100 TB
-  * media corpus streams through executors without materializing rows.
+  * IMAGES are decoded for real via `javax.imageio` (pure JDK:
+  * PNG/JPEG/GIF/BMP/WBMP/TIFF) — [[decodeImageMeta]] parses headers
+  * without materializing pixels, [[resizeImages]] re-encodes scaled
+  * pixels. AUDIO/VIDEO codecs are NOT in the JDK, so those paths remain
+  * deterministic stubs ([[imageMeta]]'s `fakeDecode`, [[sampleFrames]])
+  * with the real Spark-side plumbing — schema, binary transport, batched
+  * per-partition processing (the Scala analog of `mapInPandas` batch
+  * shape) — which is what matters at 100 TB: blobs stream through
+  * executors without a partition's payloads ever co-residing in memory.
+  * ([[imageMeta]] additionally stays byte-deterministic so the DuckDB
+  * oracle can replicate it; [[decodeImageMeta]] is the production path.)
   */
 object Multimodal {
 
@@ -61,6 +66,94 @@ object Multimodal {
           ImageMeta(m.media_id, w, h, c, m.content.length.toLong, fp)
         }
       }
+    }
+  }
+
+  final case class ImageDecoded(media_id: Long, format: String,
+                                width: Int, height: Int, channels: Int,
+                                n_bytes: Long, error: String)
+
+  /** REAL image metadata via `javax.imageio`: format sniffed from the
+    * bytes (magic, not mime), width/height/channels parsed from the
+    * HEADER ONLY — `ImageReader.getWidth/getImageTypes` never decodes
+    * the pixel raster, so a 50 MB JPEG costs a few KB of reads. Rows
+    * whose bytes no installed reader recognizes (wrong magic,
+    * truncated header) come back with `error` set and -1 dimensions
+    * instead of failing the job — at corpus scale some fraction of
+    * crawl blobs is always mislabeled or corrupt, and one bad row must
+    * not kill a 10^9-row pass. Batched like [[imageMeta]]. */
+  def decodeImageMeta(media: Dataset[MediaRow], batchSize: Int = 64)
+      : Dataset[ImageDecoded] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { m =>
+          val in = new java.io.ByteArrayInputStream(m.content)
+          val iis = javax.imageio.ImageIO.createImageInputStream(in)
+          try {
+            val readers = javax.imageio.ImageIO.getImageReaders(iis)
+            if (!readers.hasNext)
+              ImageDecoded(m.media_id, null, -1, -1, -1,
+                m.content.length.toLong, "unrecognized image format")
+            else {
+              val r = readers.next()
+              try {
+                r.setInput(iis)
+                val types = r.getImageTypes(0)
+                val channels =
+                  if (types.hasNext)
+                    types.next().getColorModel.getNumComponents
+                  else -1
+                ImageDecoded(m.media_id, r.getFormatName.toLowerCase,
+                  r.getWidth(0), r.getHeight(0), channels,
+                  m.content.length.toLong, null)
+              } finally r.dispose()
+            }
+          } catch {
+            case e: Exception =>
+              ImageDecoded(m.media_id, null, -1, -1, -1,
+                m.content.length.toLong,
+                s"decode failed: ${e.getMessage}")
+          } finally if (iis != null) iis.close()
+        }
+      }
+    }
+  }
+
+  /** REAL image resize: decode, scale so the longer edge is `maxDim`
+    * (never upscales), re-encode as PNG. Undecodable rows pass through
+    * unchanged (same corrupt-blob policy as [[decodeImageMeta]]). */
+  def resizeImages(media: Dataset[MediaRow], maxDim: Int)
+      : Dataset[MediaRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.map { m =>
+      try {
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(m.content))
+        if (img == null) m
+        else {
+          val scale = maxDim.toDouble / math.max(img.getWidth, img.getHeight)
+          if (scale >= 1.0) m
+          else {
+            val w = math.max(1, (img.getWidth * scale).round.toInt)
+            val h = math.max(1, (img.getHeight * scale).round.toInt)
+            val out = new java.awt.image.BufferedImage(w, h,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = out.createGraphics()
+            try {
+              g.setRenderingHint(
+                java.awt.RenderingHints.KEY_INTERPOLATION,
+                java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+              g.drawImage(img, 0, 0, w, h, null)
+            } finally g.dispose()
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(out, "png", bos)
+            MediaRow(m.media_id, "image/png", bos.toByteArray)
+          }
+        }
+      } catch { case _: Exception => m }
     }
   }
 

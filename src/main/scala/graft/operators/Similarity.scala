@@ -70,13 +70,15 @@ object Similarity {
     // collapses the nCells candidate rows per item map-side (they sit in
     // the item's own input partition after the broadcast cross), so the
     // one shuffle moves ONE row per corpus item instead of nCells.
-    // Tie rule (equal cosine -> lowest cell id) is encoded as max of
-    // (csim, -cell_id), matching the oracle's ROW_NUMBER order.
+    // Tie rule (equal cosine -> lowest cell id) is encoded as min_by of
+    // (-csim, cell_id) — negating the always-numeric SIMILARITY, not the
+    // id, so string ids (legal with pluggable centroids) survive ANSI
+    // analysis; matches the oracle's ROW_NUMBER order.
     val cells = it.crossJoin(broadcast(cent))
       .withColumn("csim", cosine(col("ivec"), col("cvec")))
       .groupBy("item_id")
-      .agg(max_by(struct(col("cell_id"), col("ivec")),
-        struct(col("csim"), (-col("cell_id")).as("nc"))).as("best"))
+      .agg(min_by(struct(col("cell_id"), col("ivec")),
+        struct((-col("csim")).as("nsim"), col("cell_id"))).as("best"))
       .select(col("best.cell_id").as("cell_id"), col("item_id"),
         col("best.ivec").as("ivec"))
 

@@ -243,7 +243,12 @@ object TextAnalysis {
     * can't split what is semantically the same document:
     *   1. Unicode NFC (native codegen'd [[graft.functions.NfcNormalize]];
     *      all-ASCII rows short-circuit without a copy),
-    *   2. strip C0/C1 control characters except \t \n \r,
+    *   2. strip C0 control characters (except \t \n \r) and DEL —
+    *      C1 controls (U+0080-U+009F) are deliberately LEFT ALONE:
+    *      they are valid (if odd) codepoints in crawl text, and the
+    *      byte-range character class that would catch them is
+    *      encoding-treacherous across engines (a UTF-8 RE2 reads
+    *      \x80-\x9F as bytes, not codepoints),
     *   3. collapse whitespace runs to one space, trim.
     * Map-only, no shuffle; every step is SQL-replicable (DuckDB
     * `nfc_normalize` + the same RE2 character classes).

@@ -23,11 +23,18 @@ object PipelineQueries {
     * the bench should time each operator, not four rebuilds of their
     * common input. */
   private val pairCache =
-    scala.collection.concurrent.TrieMap[String, DataFrame]()
-  private def jaccardPairs(s: SparkSession, d: String): DataFrame =
-    pairCache.getOrElseUpdate(d,
+    scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]()
+  private def jaccardPairs(s: SparkSession, d: String): DataFrame = {
+    // keyed by (session, path): a cached DataFrame is bound to the
+    // session that built it — after a restart in the same JVM a
+    // path-only key would hand back a plan referencing a STOPPED
+    // session. Entries of dead sessions are dropped on sight.
+    pairCache.filterInPlace { case ((sess, _), _) =>
+      !sess.sparkContext.isStopped }
+    pairCache.getOrElseUpdate((s, d),
       Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text",
         k = 3, threshold = 0.5).cache())
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // exact dedup: one representative per identical text

@@ -65,7 +65,13 @@ object Exec {
             case Lit(l, d, g) => (l, Rid.attr(d, g), g)
           }
           Seq(Rid.of(t), lex, dt, lang)
-        case None => Seq(null, null, null, null)
+        case None if c.isEmpty => Seq(null, null, null, null)
+        case None =>
+          // a cell that STARTS like an NT term but fails to parse is a
+          // broken peer, not an unbound var — surface it (SILENT catches
+          // on the local path) rather than silently dropping the binding
+          throw new java.io.IOException(
+            s"SERVICE returned malformed term: ${c.take(80)}")
       }
     }
   }
@@ -529,6 +535,73 @@ final class Exec(store: QuadStore, spark: SparkSession) {
     * OPTIONAL/UNION-introduced vars rejoining later patterns still hash
     * join instead of nested-looping.
     */
+  /** SPARQL OPTIONAL with the §18.2.2.5 semantics: `OPTIONAL { P
+    * FILTER(E) }` is LeftJoin(left, P, E) — E is the JOIN CONDITION,
+    * evaluated over the MERGED solution, so left-side vars ARE visible
+    * inside it (the famous algebra exception; DAWG
+    * scope/optional-filter-1). When every filter var is either
+    * certainly bound by the right side or absent from the left, the
+    * condition reads only right-side columns and hoisting it INTO the
+    * right side is equivalent — that filter-first path stays as the
+    * fast default (it prunes before the join). EXISTS conditions also
+    * take the filter-first path: their semi-join machinery needs a
+    * Bindings, and an EXISTS referencing left-only vars inside an
+    * OPTIONAL is not expressible as a join-condition Column here. */
+  private def optionalJoin(left: Bindings, inner: GP, gvar: Option[String],
+                           gRids: Option[Seq[Long]],
+                           need: String => Boolean,
+                           namedGRids: Option[Seq[Long]]): Bindings = {
+    val (bodyGp, conds) = inner match {
+      case GroupGP(elems, fs) if fs.nonEmpty => (GroupGP(elems, Nil), fs)
+      case other => (other, Nil)
+    }
+    if (conds.isEmpty)
+      return join(left, pattern(inner, gvar, gRids, need, namedGRids),
+        "left_outer")
+    val condVars = conds.flatMap(varsOf).toSet
+    val right0 = pattern(bodyGp, gvar, gRids,
+      v => need(v) || condVars(v), namedGRids)
+    val mergedNeeded =
+      conds.forall(f => existsSubterms(f).isEmpty) &&
+        condVars.exists(v => !right0.certain(v) && left.vars(v))
+    if (!mergedNeeded) {
+      // filter-first (today's path): equivalent because no condition var
+      // can take its value from the left side
+      val filtered =
+        conds.foldLeft(right0)((b, f) => filter(b, f, gvar, gRids))
+      join(left, filtered, "left_outer")
+    } else {
+      val lv = ensureValues(left, condVars intersect left.vars)
+      val rv = ensureValues(right0, condVars intersect right0.vars)
+      // compile E against the join's intermediate namespace: left
+      // columns keep their names, right columns carry renamedRight's
+      // __r_ prefix; a shared maybe-null var merges via coalesce
+      val ren = (c: String) => s"__r_$c"
+      def rv_(v: String): V =
+        V(col(ren(v)), col(ren(s"${v}__lex")), col(ren(s"${v}__dt")),
+          col(ren(s"${v}__lang")))
+      def lrMerged(v: String): V =
+        V(coalesce(col(v), col(ren(v))),
+          coalesce(col(s"${v}__lex"), col(ren(s"${v}__lex"))),
+          coalesce(col(s"${v}__dt"), col(ren(s"${v}__dt"))),
+          coalesce(col(s"${v}__lang"), col(ren(s"${v}__lang"))))
+      val sub: Map[Expr, V] = condVars.iterator.map { v =>
+        val key: Expr = EVar(v)
+        val view =
+          if (left.vars(v) && rv.vars(v)) {
+            if (left.certain(v)) V.ofVar(v) else lrMerged(v)
+          } else if (left.vars(v)) V.ofVar(v)
+          else if (rv.vars(v)) rv_(v)
+          else V.nul
+        key -> view
+      }.toMap
+      val cond = conds
+        .map(f => Compiler.compile(f, sub).ebv === true)
+        .reduce(_ && _)
+      join(lv, rv, "left_outer", Some(cond))
+    }
+  }
+
   def join(l: Bindings, r: Bindings, joinType: String = "inner",
            extraCond: Option[Column] = None): Bindings = {
     val shared = (l.vars intersect r.vars).toSeq.sorted
@@ -785,9 +858,8 @@ final class Exec(store: QuadStore, spark: SparkSession) {
       (pats ++ lead ++ tail).foreach {
         case OptionalGP(inner) =>
           val left = acc.getOrElse(unit)
-          acc = Some(join(left,
-            pattern(inner, gvar, gRids, needHere, namedGRids),
-            "left_outer"))
+          acc = Some(optionalJoin(left, inner, gvar, gRids, needHere,
+            namedGRids))
         case MinusGP(inner) =>
           val left = acc.getOrElse(unit)
           acc = Some(minus(left,
@@ -817,8 +889,7 @@ final class Exec(store: QuadStore, spark: SparkSession) {
       // all of them at the scan (cheaper than per-var dictionary joins)
       union(alts.map(pattern(_, gvar, gRids, _ => true, namedGRids)))
     case OptionalGP(inner) => // top-level OPTIONAL: join with unit
-      join(unit, pattern(inner, gvar, gRids, need, namedGRids),
-        "left_outer")
+      optionalJoin(unit, inner, gvar, gRids, need, namedGRids)
     case MinusGP(_) => unit
     case GraphGP(PVar(v), inner) =>
       pattern(inner, Some(v), namedGRids, need, namedGRids)
@@ -1009,24 +1080,34 @@ final class Exec(store: QuadStore, spark: SparkSession) {
     if (max <= 0) return ""
     val shared = (gpVars(sv.inner) intersect l.certain).toSeq.sorted
     if (shared.isEmpty) return ""
-    val clauses = shared.flatMap { v =>
-      val vb = ensureValues(l, Set(v))
-      val uris = vb.df.filter(Rid.isUriCol(col(v)))
-        .select(col(s"${v}__lex")).distinct().limit(max + 1)
-        .collect().map(_.getString(0)).toSeq
-      // renderability: an IRI with NT-delimiter bytes can't ship safely
-      if (uris.size > max ||
-          uris.exists(u => u.exists(c => c == '>' || c == '<' ||
-            c == '"' || c == ' ' || c < ' ')))
-        None
-      else if (uris.isEmpty)
-        Some(s"FILTER(!BOUND(?$v) || !isIRI(?$v))")
-      else
-        Some(uris.map(u => s"<$u>")
-          .mkString(s"FILTER(!BOUND(?$v) || !isIRI(?$v) || ?$v IN (",
-            ", ", "))"))
-    }
-    if (clauses.isEmpty) "" else clauses.mkString(" ", " ", " ")
+    // ONE resolve pass for every shared var, cached: an expensive left
+    // plan (e.g. a SERVICE after a big join) would otherwise re-run per
+    // var at probe time and once more at execution
+    val vb = ensureValues(l, shared.toSet)
+    val cachedLeft = vb.df.cache()
+    try {
+      val clauses = shared.flatMap { v =>
+        val uris = cachedLeft.filter(Rid.isUriCol(col(v)))
+          .select(col(s"${v}__lex"))
+          // a URI rid whose dictionary row is absent resolves to a null
+          // lex — skip it rather than NPE on getString
+          .filter(col(s"${v}__lex").isNotNull)
+          .distinct().limit(max + 1)
+          .collect().map(_.getString(0)).toSeq
+        // renderability: an IRI with NT-delimiter bytes can't ship safely
+        if (uris.size > max ||
+            uris.exists(u => u.exists(c => c == '>' || c == '<' ||
+              c == '"' || c == ' ' || c < ' ')))
+          None
+        else if (uris.isEmpty)
+          Some(s"FILTER(!BOUND(?$v) || !isIRI(?$v))")
+        else
+          Some(uris.map(u => s"<$u>")
+            .mkString(s"FILTER(!BOUND(?$v) || !isIRI(?$v) || ?$v IN (",
+              ", ", "))"))
+      }
+      if (clauses.isEmpty) "" else clauses.mkString(" ", " ", " ")
+    } finally cachedLeft.unpersist(blocking = false)
   }
 
   private def serviceBindings(sv: ServiceGP,
@@ -1048,8 +1129,14 @@ final class Exec(store: QuadStore, spark: SparkSession) {
       val conn = new java.net.URI(url).toURL.openConnection()
         .asInstanceOf[java.net.HttpURLConnection]
       conn.setRequestMethod("POST")
-      conn.setConnectTimeout(10000)
-      conn.setReadTimeout(120000)
+      // configurable: a federation against flaky peers wants tighter
+      // bounds than the defaults (10 s connect / 120 s read)
+      conn.setConnectTimeout(spark.conf
+        .getOption("spark.graft.service.connectTimeoutMs")
+        .map(_.toInt).getOrElse(10000))
+      conn.setReadTimeout(spark.conf
+        .getOption("spark.graft.service.readTimeoutMs")
+        .map(_.toInt).getOrElse(120000))
       conn.setRequestProperty("Content-Type",
         "application/x-www-form-urlencoded")
       conn.setRequestProperty("Accept", "text/tab-separated-values")
@@ -1077,6 +1164,13 @@ final class Exec(store: QuadStore, spark: SparkSession) {
         n = in.read(buf)
       }
       out.close(); in.close()
+      // a peer that died mid-response: with a Content-Length on the
+      // wire, short payloads are detectable — fail rather than parse a
+      // truncated row set as if it were complete
+      val promised = conn.getContentLengthLong
+      if (promised >= 0 && total != promised)
+        throw new java.io.IOException(
+          s"SERVICE $url: truncated response ($total of $promised bytes)")
       val maxLocal = spark.conf
         .getOption("spark.graft.service.maxLocalBytes")
         .map(_.toLong).getOrElse(8L << 20)
@@ -1101,7 +1195,12 @@ final class Exec(store: QuadStore, spark: SparkSession) {
             val cells = l.split("\t", -1).toList.padTo(vars.size, "")
             cells.take(vars.size).map { c =>
               if (c.isEmpty) None
-              else NTriples.parseTerm(Exec.tsvUnescape(c))
+              else NTriples.parseTerm(Exec.tsvUnescape(c)) match {
+                case some @ Some(_) => some
+                case None => // NT-marked but unparseable: broken peer
+                  throw new java.io.IOException(
+                    s"SERVICE returned malformed term: ${c.take(80)}")
+              }
             }
           }
         valuesTable(ValuesGP(vars, rows))

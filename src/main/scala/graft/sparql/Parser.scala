@@ -11,9 +11,10 @@ import Ast._
   * the grammar the reference executes: SELECT/ASK/CONSTRUCT/DESCRIBE,
   * BGPs with `;`/`,` abbreviations, OPTIONAL/UNION/MINUS/GRAPH/FILTER/
   * BIND/VALUES, full expression precedence, aggregates, solution
-  * modifiers, PREFIX/BASE. (Property paths and subSELECT are not in the
-  * reference's surface — `src/frontend/query.c:1388-1390` rejects
-  * subSELECT — and are likewise unsupported here.)
+  * modifiers, PREFIX/BASE — plus property paths (`path` below) and
+  * subSELECT (`subSelectGroup`), which go BEYOND the reference's
+  * surface (`src/frontend/query.c:1388-1390` rejects subSELECT; paths
+  * need Rasqal ≥0.9.26 there).
   */
 class Parser extends RegexParsers {
   override val whiteSpace = """(\s|#[^\n]*)+""".r

@@ -19,6 +19,11 @@ object SparkTestBase {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // FAIR task scheduling: EndpointSpec runs fast queries concurrent
+      // with a deliberately-monstrous one — under FIFO the fast query's
+      // tasks starve behind the monster's and blow their own request
+      // deadline (the r7 "spurious cancellation" flake)
+      .config("spark.scheduler.mode", "FAIR")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s

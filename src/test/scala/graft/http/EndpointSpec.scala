@@ -7,6 +7,27 @@ import java.nio.charset.StandardCharsets.UTF_8
 
 class EndpointSpec extends SparkTestBase {
 
+  /** RDD-BACKED store for the cancellation tests: a LocalRelation store
+    * is UNKILLABLE — Catalyst's ConvertToLocalRelation folds filters
+    * over LocalRelation into driver-side optimizer work, and
+    * LocalTableScan-fed stages were observed to ignore task-kill until
+    * partition end (KillProbe: rdd-backed dies in 30ms, local-relation
+    * runs 18 min to completion). Production stores load from parquet =
+    * RDD-backed, so THIS is the representative shape. */
+  private def rddStore(n: Int): QuadStore = {
+    // small cache batches: the store caches its parsed triples, and a
+    // killed task only notices the kill flag BETWEEN columnar batches —
+    // with the default 10k-row batches a batch of expensive rows stalls
+    // cancellation for its whole duration (same granularity law as the
+    // vectorized parquet reader's 4k batches at 100 TB: keep per-batch
+    // work bounded when rows are expensive)
+    spark.conf.set("spark.sql.inMemoryColumnarStorage.batchSize", "200")
+    val nt = (0 until n).map(i => s"""<urn:s$i> <urn:p> "$i" .""")
+    QuadStore.fromFlat(spark, graft.streaming.StreamIngest.parseNtLines(
+      spark.createDataset(spark.sparkContext.parallelize(nt, 8))(
+        org.apache.spark.sql.Encoders.STRING)))
+  }
+
   private def req(url: String, method: String = "GET",
                   body: String = null): (Int, String) = {
     val conn = URI.create(url).toURL.openConnection()
@@ -229,32 +250,35 @@ class EndpointSpec extends SparkTestBase {
   }
 
   test("query timeout cancels the Spark jobs and answers 503") {
-    // ~1000 quads: three unconstrained patterns cross to ~10^9 rows, so
-    // the first stage is guaranteed to still be running at the deadline
-    // (three, not four: the 4-pattern compat filter overflows the 64KB
-    // codegen method limit and the interpreted fallback is not the path
-    // worth gating)
-    val big = QuadStore.fromTerms(spark, (0 until 500).flatMap(i => Seq(
-      (Uri(s"urn:s$i"), Uri("urn:p"), Lit(i.toString)),
-      (Uri(s"urn:s$i"), Uri("urn:q"), Uri(s"urn:s${(i + 1) % 500}")))))
+    // a PER-ROW catastrophic-backtracking regex (~0.5-2ms per row over
+    // 5*10^4 rows = tens of seconds of work, guaranteed still running at the 2s
+    // deadline) instead of a giant cross join: the fused
+    // scan-filter-count loop consults the interruptible input iterator
+    // between rows, so a killed task dies within ~one row's work. A
+    // filtered cross join's inner loop never checks the kill flag and
+    // was observed to zombie 15s per task, holding all cores long past
+    // the deadline.
+    val big = rddStore(50000)
     val ep = new Endpoint(spark, big, 0, queryTimeoutSec = 2).start()
     try {
       val base = s"http://localhost:${ep.boundPort}"
-      // the per-row regex keeps each of the ~10^9 rows genuinely
-      // expensive (a bare codegen'd COUNT over the cross can finish
-      // inside the deadline on a warm JVM)
+      // per row: digits -> 250 a's each (250-1000 chars), then an
+      // O(n^2) BACKREFERENCE regex (~5-80ms/row; backrefs are exempt
+      // from JDK9+'s loop memoization, unlike (a+)+b-style patterns
+      // which modern JDKs match in linear time)
+      val aRun = "a" * 50
       val slow = java.net.URLEncoder.encode(
-        """SELECT (COUNT(*) AS ?n) WHERE {
-          |  ?a ?p1 ?o1 . ?b ?p2 ?o2 . ?c ?p3 ?o3 .
-          |  FILTER(REGEX(CONCAT(STR(?o1), STR(?o2), STR(?o3)),
-          |               "no(.)match\\1$")) }"""
+        s"""SELECT (COUNT(*) AS ?n) WHERE {
+          |  ?s <urn:p> ?o .
+          |  FILTER(REGEX(REPLACE(STR(?o), "[0-9]", "$aRun"),
+          |               "(a+)\\\\1+b")) }"""
           .stripMargin, "UTF-8")
       val t0 = System.nanoTime()
       // two honest outcomes: cancellation BEFORE the first byte -> a
       // clean 503; after streaming began -> the body carries the
       // in-band `# ERROR:` marker (the 200 status line is already on
-      // the wire). A CLEAN completed 200 would require the ~10^12-row
-      // cross product to finish, which cancellation exists to prevent.
+      // the wire). A CLEAN completed 200 would require minutes of
+      // backtracking regex to finish, which cancellation prevents.
       val outcome =
         try {
           val (code, body) = req(s"$base/sparql/?query=$slow")
@@ -265,20 +289,64 @@ class EndpointSpec extends SparkTestBase {
       val sec = (System.nanoTime() - t0) / 1e9
       assert(Set("503", "marked", "truncated")(outcome), outcome)
       assert(sec < 30, s"cancellation took ${sec}s")
-      // the endpoint (and the shared SparkContext) stay serviceable.
-      // Retry: a request landing in the cancellation window can be
-      // spuriously cancelled via Spark's lazily-created async-thread
-      // tag inheritance (documented in Endpoint.timed) — a client retry
-      // recovers, which is exactly what this asserts
+      // the endpoint (and the shared SparkContext) stay serviceable:
+      // cancellation is per-request job-id scoped, so nothing can touch
+      // the follow-up — but a KILLED task only dies at its next
+      // kill-flag check (one outer row ≈ 10ms here), so allow a short
+      // physical core drain, then the FIRST (and only) follow-up
+      // attempt must succeed — no retries.
+      Thread.sleep(1000)
       val ok = java.net.URLEncoder.encode(
         """SELECT (COUNT(*) AS ?n) WHERE { ?s <urn:p> ?o }""", "UTF-8")
-      val attempts = (1 to 3).iterator.map { i =>
-        if (i > 1) Thread.sleep(1000)
-        req(s"$base/sparql/?query=$ok&output=tsv&attempt=$i")
+      val (cOk, bOk) = req(s"$base/sparql/?query=$ok&output=tsv")
+      assert(cOk == 200 && bOk.contains("50000") && !bOk.contains("# ERROR"),
+        s"endpoint not serviceable after timeout: $cOk ${bOk.take(120)}")
+    } finally ep.stop()
+  }
+
+  test("concurrent fast queries survive a peer request's deadline") {
+    // the r7 flake: a fast request concurrent with a timed-out peer got
+    // "spuriously cancelled" — root cause was its own deadline firing
+    // while it starved behind the peer's tasks. With job-id-scoped
+    // cancellation (nothing can cancel a peer's jobs), FAIR scheduling,
+    // and a slow query whose killed tasks drain in ~10ms, every fast
+    // query issued in and after the CANCELLATION WINDOW must succeed on
+    // its FIRST attempt. (Probes before the deadline on a 4-core box
+    // would measure raw task-slot contention, not cancellation — on a
+    // cluster, slots exist; locally the monster rightly owns the cores
+    // until its deadline.)
+    val big = rddStore(50000)
+    val ep = new Endpoint(spark, big, 0, queryTimeoutSec = 2,
+      workerThreads = 8).start()
+    try {
+      val base = s"http://localhost:${ep.boundPort}"
+      // per row: digits -> 250 a's each (250-1000 chars), then an
+      // O(n^2) BACKREFERENCE regex (~5-80ms/row; backrefs are exempt
+      // from JDK9+'s loop memoization, unlike (a+)+b-style patterns
+      // which modern JDKs match in linear time)
+      val aRun = "a" * 50
+      val slow = java.net.URLEncoder.encode(
+        s"""SELECT (COUNT(*) AS ?n) WHERE {
+          |  ?s <urn:p> ?o .
+          |  FILTER(REGEX(REPLACE(STR(?o), "[0-9]", "$aRun"),
+          |               "(a+)\\\\1+b")) }""".stripMargin, "UTF-8")
+      val slowThread = new Thread(() =>
+        try req(s"$base/sparql/?query=$slow")
+        catch { case _: java.io.IOException => () })
+      slowThread.start()
+      val ok = java.net.URLEncoder.encode(
+        "SELECT (COUNT(*) AS ?n) WHERE { ?s <urn:p> ?o }", "UTF-8")
+      // probes start right at the deadline (t=2s) and span the
+      // cancellation window and its aftermath
+      Thread.sleep(2000)
+      val failures = (1 to 6).flatMap { i =>
+        val (c, b) = req(s"$base/sparql/?query=$ok&output=tsv&probe=$i")
+        Thread.sleep(400)
+        if (c == 200 && b.contains("50000") && !b.contains("# ERROR")) None
+        else Some(s"probe $i: $c ${b.take(120)}")
       }
-      assert(attempts.exists { case (c, b) =>
-        c == 200 && b.contains("500") && !b.contains("# ERROR") },
-        "endpoint not serviceable after timeout")
+      slowThread.join(30000)
+      assert(failures.isEmpty, failures.mkString("; "))
     } finally ep.stop()
   }
 

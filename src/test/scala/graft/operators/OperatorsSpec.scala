@@ -547,6 +547,29 @@ class OperatorsSpec extends SparkTestBase {
     assert(out(0L)._2 == false && out(1L)._2 && out(2L)._2)
   }
 
+  test("semanticDedup auto-scales cells and reports the cap exposure") {
+    // default nCells=0 derives cells from corpus size: small corpus ->
+    // the 16-cell floor (clamp of n/10k)
+    val vecs = (0L until 40L).map(i =>
+        (i, Array((i % 4).toFloat + 1f, (i % 7).toFloat)))
+      .toDF("vec_id", "embedding")
+    val out = Dedup.semanticDedup(vecs, "vec_id", "embedding",
+      threshold = 0.999999)
+    assert(out.select("cell_id").distinct().count() <= 16)
+    // stats: the metric view of the cap (here: tiny cap on one cell)
+    val capped = Dedup.semanticDedup(
+      Seq((0L, Array(1f, 0f)), (1L, Array(1f, 0.001f)),
+          (2L, Array(1f, 0.002f)), (3L, Array(1f, 0.003f)))
+        .toDF("vec_id", "embedding"),
+      "vec_id", "embedding", threshold = 0.9, nCells = 1, maxCellSize = 2)
+    val st = Dedup.semanticDedupStats(capped).collect()(0)
+    assert(st.getLong(0) == 4L)                  // n_docs
+    assert(st.getLong(1) == 2L)                  // n_capped (ids 2,3)
+    assert(math.abs(st.getDouble(2) - 0.5) < 1e-9) // capped_fraction
+    assert(st.getLong(3) == 1L)                  // n_cells
+    assert(st.getLong(4) == 1L)                  // n_dropped (id 1)
+  }
+
   test("overlapFraction reports per-doc contaminated gram share") {
     val train = Seq((1L, "a b c d"), (2L, "p q r"), (3L, "z"))
       .toDF("doc_id", "text")
@@ -664,6 +687,43 @@ class OperatorsSpec extends SparkTestBase {
             .cast("binary")))))
       .select("doc_id", "r").as[(Long, Int)].collect().toMap
     out.foreach(r => assert(r.getLong(2) == naive(r.getLong(0)).toLong))
+  }
+
+  test("decodeImageMeta reads real PNG/JPEG headers; bad magic errors") {
+    def encode(fmt: String, w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      img.setRGB(0, 0, 0xAA5533)
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, bos))
+      bos.toByteArray
+    }
+    val media = Seq(
+      Multimodal.MediaRow(1L, "image/png", encode("png", 37, 21)),
+      Multimodal.MediaRow(2L, "image/jpeg", encode("jpg", 64, 48)),
+      Multimodal.MediaRow(3L, "image/png",
+        "this is not an image at all".getBytes("UTF-8")))
+      .toDS()
+    val out = Multimodal.decodeImageMeta(media).collect()
+      .map(d => d.media_id -> d).toMap
+    assert(out(1L).format == "png" && out(1L).width == 37 &&
+      out(1L).height == 21 && out(1L).channels == 3 &&
+      out(1L).error == null)
+    assert(out(2L).format.startsWith("jp") && out(2L).width == 64 &&
+      out(2L).height == 48 && out(2L).error == null)
+    assert(out(3L).width == -1 && out(3L).error != null, out(3L))
+
+    // real resize: longer edge capped, aspect kept, small rows untouched
+    val resized = Multimodal.resizeImages(media, maxDim = 32).collect()
+      .map(m => m.media_id -> m).toMap
+    val r1 = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(resized(1L).content))
+    assert(r1.getWidth == 32 && r1.getHeight == 18) // 37x21 -> 32x18
+    val r2 = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(resized(2L).content))
+    assert(r2.getWidth == 32 && r2.getHeight == 24)
+    assert(resized(3L).content.sameElements(
+      "this is not an image at all".getBytes("UTF-8")))
   }
 
   test("corpusStats computes exact interpolated percentiles per group") {
