@@ -942,10 +942,16 @@ final class Exec(store: QuadStore, spark: SparkSession) {
     // e.g. COALESCE(?never, "x") binds "x", not an analysis error)
     val unboundSub: Map[Expr, V] = (needed diff eb.vars)
       .map(x => (EVar(x): Expr) -> V.nul).toMap
-    val value = Compiler.compile(e, unboundSub ++ exSub)
-    val keep = eb.df.columns.filterNot(c =>
-      c == "__eid" || c.startsWith("__ex_"))
-    val df = eb.df.select(keep.map(col) ++ Seq(
+    // deep expressions compile STAGED (sub-expression sharing, see
+    // Compiler.compileStaged) — a BIND is a projection, and
+    // CollapseProject keeps the levels from re-inlining
+    val (bdf, value, tmp) =
+      if (Compiler.nestDepth(e) <= 1)
+        (eb.df, Compiler.compile(e, unboundSub ++ exSub), Seq.empty[String])
+      else Compiler.compileStaged(eb.df, e, unboundSub ++ exSub)
+    val keep = bdf.columns.filterNot(c =>
+      c == "__eid" || c.startsWith("__ex_") || tmp.contains(c))
+    val df = bdf.select(keep.map(col) ++ Seq(
       value.rid.as(v), value.lex.as(s"${v}__lex"),
       value.dt.as(s"${v}__dt"),
       coalesce(value.lang, lit("")).as(s"${v}__lang")): _*)
@@ -1002,8 +1008,29 @@ final class Exec(store: QuadStore, spark: SparkSession) {
       // behavior — `fs_binding_apply_filters` passes FS_RID_NULL)
       val unboundSub: Map[Expr, V] = (varsOf(f) diff eb.vars)
         .map(v => (EVar(v): Expr) -> V.nul).toMap
-      val out = eb.df.filter(
-        Compiler.compile(f, unboundSub ++ exSub).ebv === true)
+      // deep expressions compile STAGED (sub-expression sharing), and
+      // EVERY compiled filter is PINNED behind a nondeterministic
+      // projection column: predicate pushdown has no duplication
+      // cost-check, so pushing a compiled predicate through the staged
+      // levels — or through an upstream BIND's materialized columns
+      // (dataflow depth accumulates across BIND -> FILTER even when
+      // this expression itself is shallow) — substitutes each
+      // referenced column's whole definition per reference,
+      // exponentially (observed: 142k-line generated files, janino
+      // 64 KB overflow, interpreted fallback). The pin must be a
+      // PROJECT FIELD (PushPredicateThroughNonJoin guards on the
+      // project's fields being deterministic, not the condition), and
+      // the filter must REFERENCE it so column pruning can't strip it.
+      // Lost scan-pushdown is no loss: a compiled term-typed predicate
+      // is a case-when tree no source can use for skipping.
+      val (sdf, v, tmp) =
+        if (Compiler.nestDepth(f) <= 1)
+          (eb.df, Compiler.compile(f, unboundSub ++ exSub),
+            Seq.empty[String])
+        else Compiler.compileStaged(eb.df, f, unboundSub ++ exSub)
+      val out = sdf.withColumn("__pin", monotonically_increasing_id())
+        .filter(v.ebv === true && col("__pin") >= 0)
+        .drop(tmp :+ "__pin": _*)
       eb.copy(df = out.drop(out.columns.filter(c =>
         c == "__eid" || c.startsWith("__ex_")): _*))
   }

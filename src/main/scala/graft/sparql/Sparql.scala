@@ -239,18 +239,37 @@ object Sparql {
       b = Bindings(df, groupVars, groupVars.toSet, groupVars.toSet)
       // HAVING (`apply_constraints` mask, `src/frontend/results.c`)
       q.mods.having.foreach { h =>
-        b = b.copy(df = b.df.filter(
-          Compiler.compile(h, aggSub).ebv === true))
+        b = b.copy(df =
+          if (Compiler.nestDepth(h) <= 1)
+            b.df.filter(Compiler.compile(h, aggSub).ebv === true)
+          else {
+            // deep condition: staged compile + nondeterministic pin
+            // COLUMN, same blowup defense as Exec.filter
+            val (hdf, v, tmp) = Compiler.compileStaged(b.df, h, aggSub)
+            hdf.withColumn("__pin", monotonically_increasing_id())
+              .filter(v.ebv === true && col("__pin") >= 0)
+              .drop(tmp :+ "__pin": _*)
+          })
       }
     }
 
     // projection values; a projected var the pattern never binds (legal
-    // SPARQL, reference warns "selected but is unused") is the unbound V
-    def compileOrNull(e: Expr): V = e match {
-      case EVar(v) if !b.df.columns.contains(v) && !aggSub.contains(e) =>
-        V.nul
-      case _ => Compiler.compile(e, aggSub)
+    // SPARQL, reference warns "selected but is unused") is the unbound V.
+    // Deep item expressions compile STAGED (sub-expression sharing, see
+    // Compiler.compileStagedMany): each nested operator's term view
+    // materializes once as intermediate columns instead of re-inlining
+    // per reference — without it a depth-2 arithmetic SELECT expression
+    // overflows janino's 64 KB method limit.
+    def isUnbound(e: Expr): Boolean = e match {
+      case EVar(v) => !b.df.columns.contains(v) && !aggSub.contains(e)
+      case _ => false
     }
+    val stageRoots = items.map(_.expr).filterNot(isUnbound)
+    val (stagedDf, itemEnv, _) =
+      Compiler.compileStagedMany(b.df, stageRoots, aggSub)
+    var bdf = stagedDf
+    def compileOrNull(e: Expr): V =
+      if (isUnbound(e)) V.nul else itemEnv(e)
     val named: Seq[(String, V)] = items.zipWithIndex.map {
       case (SelectItem(EVar(v), None), _) => v -> compileOrNull(EVar(v))
       case (SelectItem(e, Some(a)), _) => a -> compileOrNull(e)
@@ -266,11 +285,17 @@ object Sparql {
     val aliasSub: Map[Expr, V] = named.collect {
       case (n, v) if !b.vars.contains(n) => (EVar(n): Expr) -> v
     }.toMap
-    val explicitOrd = q.mods.orderBy.zipWithIndex.map { case ((e, _), i) =>
-      V.sortKey(Compiler.compile(e, aggSub ++ aliasSub)).as(s"__ord_$i")
+    // ORDER BY keys stage on top of the item stages (an order expr
+    // identical to an item expr reuses its materialized columns)
+    val ordExprs = q.mods.orderBy.map(_._1)
+    val (ordDf, ordEnv, _) = Compiler.compileStagedMany(
+      bdf, ordExprs, aggSub ++ aliasSub ++ itemEnv)
+    bdf = ordDf
+    val explicitOrd = ordExprs.zipWithIndex.map { case (e, i) =>
+      V.sortKey(ordEnv(e)).as(s"__ord_$i")
     }
     val ordNames = explicitOrd.indices.map(i => s"__ord_$i")
-    var out = b.df.select(
+    var out = bdf.select(
       named.flatMap { case (n, v) =>
         Seq(v.rid.as(n), v.lex.as(s"${n}__lex"), v.dt.as(s"${n}__dt"),
           coalesce(v.lang, lit("")).as(s"${n}__lang"))

@@ -158,6 +158,94 @@ object Compiler {
     case ECall(fn, args) => call(fn, args.map(compile(_, aggSub)), args)
   }
 
+  /** Depth of non-leaf (call/IN) nesting — the blowup driver: every
+    * compiled operator references its operands' term views several
+    * times, and each reference re-inlines the operand's WHOLE tree, so
+    * generated code grows ~10× per nesting level (janino's 64 KB method
+    * limit dies around depth 2 over an inline-valued scan). */
+  def nestDepth(e: Expr): Int = e match {
+    case ECall(_, args) => 1 + (0 +: args.map(nestDepth)).max
+    case EIn(x, l, _) => 1 + (0 +: (x :: l).map(nestDepth)).max
+    case _ => 0
+  }
+
+  /** Compile with SUB-EXPRESSION SHARING: materialize every non-leaf
+    * node's term view (rid/lex/dt/lang) as intermediate projection
+    * columns — one `select` per AST level, deepest first — so each
+    * node's generated code references its operands as plain COLUMNS and
+    * total code size stays LINEAR in expression size. Catalyst's
+    * CollapseProject keeps the levels apart (it refuses to inline
+    * non-cheap aliases referenced more than once); the caller is
+    * responsible for not letting predicate pushdown re-substitute
+    * through the levels (Exec.filter pins the filter with a
+    * nondeterministic conjunct).
+    *
+    * Returns (widened df, root view over materialized columns, temp
+    * columns to drop when done). */
+  def compileStaged(df0: org.apache.spark.sql.DataFrame, root: Expr,
+                    sub: Map[Expr, V])
+      : (org.apache.spark.sql.DataFrame, V, Seq[String]) = {
+    val (df, env, tmp) = compileStagedMany(df0, Seq(root), sub)
+    (df, env(root), tmp)
+  }
+
+  /** [[compileStaged]] for several roots sharing one staging pipeline
+    * (SELECT item expressions + ORDER BY keys stage together, so a
+    * sub-expression common to two items materializes once). The result
+    * map carries a V for EVERY root — shallow roots (nest depth ≤ 1,
+    * where the blowup can't trigger) compile inline. Level counters are
+    * per-call-unique so two staging passes over the same df can't
+    * collide on temp column names. */
+  private val stageTicket = new java.util.concurrent.atomic.AtomicInteger(0)
+  def compileStagedMany(df0: org.apache.spark.sql.DataFrame,
+                        roots: Seq[Expr], sub: Map[Expr, V])
+      : (org.apache.spark.sql.DataFrame, Map[Expr, V], Seq[String]) = {
+    def children(e: Expr): List[Expr] = e match {
+      case ECall(_, args) => args
+      case EIn(x, l, _) => x :: l
+      case _ => Nil
+    }
+    var env = sub
+    def isLeaf(e: Expr): Boolean =
+      env.contains(e) || (e match {
+        case _: EVar | _: EConst => true
+        case _ => false
+      })
+    def envDepth(e: Expr): Int =
+      if (isLeaf(e)) 0 else 1 + (0 +: children(e).map(envDepth)).max
+    val (deep, shallow) = roots.distinct.partition(envDepth(_) >= 2)
+    var df = df0
+    val tmp = Seq.newBuilder[String]
+    val tag = stageTicket.getAndIncrement()
+    var level = 0
+    while (!deep.forall(isLeaf)) {
+      val ready = scala.collection.mutable.LinkedHashSet[Expr]()
+      def scan(e: Expr): Unit =
+        if (!isLeaf(e)) {
+          val cs = children(e)
+          if (cs.forall(isLeaf)) ready += e else cs.foreach(scan)
+        }
+      deep.foreach(scan)
+      val defs = ready.toSeq.map(e => e -> compile(e, env))
+      val cols = df.columns.map(col).toBuffer
+      defs.zipWithIndex.foreach { case ((e, v), j) =>
+        val p = s"__cs${tag}_${level}_$j"
+        cols += v.rid.as(s"${p}r") += v.lex.as(s"${p}l") +=
+          v.dt.as(s"${p}d") += v.lang.as(s"${p}g")
+        tmp ++= Seq(s"${p}r", s"${p}l", s"${p}d", s"${p}g")
+        env += e -> V(col(s"${p}r"), col(s"${p}l"),
+          col(s"${p}d"), col(s"${p}g"))
+      }
+      df = df.select(cols.toSeq: _*)
+      level += 1
+    }
+    val out = roots.distinct.map { r =>
+      r -> (if (isLeaf(r)) env.getOrElse(r, compile(r, env))
+            else compile(r, env))
+    }.toMap
+    (df, out, tmp.result())
+  }
+
   // ---------------------------------------- compile-time constant math
 
   private sealed trait CNum

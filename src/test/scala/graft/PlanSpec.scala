@@ -447,6 +447,40 @@ class PlanSpec extends SparkTestBase {
       s"bm25 must not shuffle the corpus:\n$plan")
   }
 
+  test("compiled expression shapes stay under janino's 64 KB method limit") {
+    // the r7 perf-weak item: arithmetic / MINUS / BIND-then-FILTER
+    // shapes fused into one whole-stage processNext that overflowed
+    // janino and silently fell back to interpreted execution. Staged
+    // compilation (Compiler.compileStagedMany) plus the filter pin
+    // keep every generated method compiled — maxMethodCodeSize:-1 in
+    // CodegenMode explain means a subtree failed to compile.
+    val store = QuadStore.fromTerms(spark, Seq(
+      (Uri("urn:a"), Uri("urn:v"), Lit("1", Xsd.integer)),
+      (Uri("urn:a"), Uri("urn:name"), Lit("A")),
+      (Uri("urn:b"), Uri("urn:v"), Lit("2", Xsd.integer)),
+      (Uri("urn:b"), Uri("urn:name"), Lit("B")),
+      (Uri("urn:c"), Uri("urn:v"), Lit("2.5", Xsd.decimal))))
+    val shapes = Seq(
+      "arith-filter" -> """SELECT ?n WHERE {
+        ?p <urn:name> ?n ; <urn:v> ?a . FILTER(?a * 2 >= 3) } ORDER BY ?n""",
+      "eq-filter" ->
+        "SELECT ?s WHERE { ?s <urn:v> ?v FILTER (?v - 1 = 1) }",
+      "err-logic" -> """SELECT ?s WHERE { ?s <urn:v> ?v .
+        FILTER(!(?v < 0 && 1/0 > 0)) } ORDER BY ?s""",
+      "bind-then-filter" -> """SELECT ?s WHERE {
+        ?s <urn:v> ?v . BIND (?v * 2 AS ?w) FILTER (?w = 4) }""",
+      "minus-order" -> """SELECT DISTINCT ?x WHERE {
+        ?x <urn:name> ?s . MINUS { ?x <urn:name> "A" } } ORDER BY ?x""")
+    shapes.foreach { case (name, q) =>
+      val df = graft.sparql.Sparql.run(store, spark, q)
+      df.collect()
+      val cg = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.CodegenMode)
+      assert(!cg.contains("maxMethodCodeSize:-1"),
+        s"$name: a whole-stage subtree failed to compile (64 KB overflow)")
+    }
+  }
+
   test("linear classifier scoring is map-only, inside codegen") {
     val docs = graft.core.Tables.t(spark, sf, "documents")
       .select("doc_id", "text")
