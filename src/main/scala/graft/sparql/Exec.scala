@@ -802,7 +802,12 @@ final class Exec(store: QuadStore, spark: SparkSession) {
   def pattern(gp: GP, gvar: Option[String] = None,
               gRids: Option[Seq[Long]] = None,
               need: String => Boolean = _ => false,
-              namedGRids: Option[Seq[Long]] = None): Bindings = gp match {
+              namedGRids: Option[Seq[Long]] = None,
+              /** earliest-binding filter hook (GroupGP passes its
+                * filterEarly): applied to every intermediate BGP
+                * binding so a single-pattern predicate prunes AT ITS
+                * SCAN, before any join */
+              early: Bindings => Bindings = identity): Bindings = gp match {
     case BGPat(pats0) =>
       // bnode labels in a query pattern are variables that cannot be
       // projected (SPARQL 1.1 §4.1.4; rasqal does the same rewrite for
@@ -816,8 +821,9 @@ final class Exec(store: QuadStore, spark: SparkSession) {
         TriplePat(rw(tp.s), tp.p, rw(tp.o))
       }
       val ordered = orderPatterns(pats)
-      val joined = ordered.map(triplePattern(_, gvar, gRids, need))
-        .reduceLeft((a, b) => join(a, b))
+      val joined = ordered.map(tp => early(triplePattern(tp, gvar, gRids,
+          need)))
+        .reduceLeft((a, b) => early(join(a, b)))
       // SELECT * expands vars in query-text appearance order (GRAPH var
       // first), not in the optimizer's execution order
       val appearance = (gvar.toSeq ++ pats.flatMap(tp =>
@@ -831,8 +837,31 @@ final class Exec(store: QuadStore, spark: SparkSession) {
         elems.collect { case BindGP(e, _) => varsOf(e) }.flatten).toSet
       val needHere: String => Boolean = v => need(v) || localVars(v)
       var acc: Option[Bindings] = None
-      def fold(b: Bindings): Unit =
+      // EARLIEST-BINDING FILTER PLACEMENT (the reference's "reductive
+      // filters first", `optimiser.c`; relational textbook selection
+      // pushdown done in the ENGINE because the compiled predicates are
+      // pinned against Catalyst pushdown — see `filter`): a group
+      // filter applies as soon as every var it reads is CERTAINLY
+      // bound. Equivalence: for vars certain in A, Filter(A) JOIN B ==
+      // Filter(A JOIN B), and the same through a left join / MINUS
+      // with A on the left — per-row predicates commute with joins
+      // that cannot change the referenced values. EXISTS filters are
+      // EXCLUDED (they read the whole group's solution, and varsOf
+      // doesn't see into the subpattern); so are var-free filters
+      // (constant conditions — cheap anywhere, keep group-end order).
+      var pending = filters
+      def placeable(f: Expr): Boolean =
+        existsSubterms(f).isEmpty && varsOf(f).nonEmpty
+      def filterEarly(b: Bindings): Bindings = {
+        val (ready, rest) = pending.partition(f =>
+          placeable(f) && varsOf(f).subsetOf(b.certain))
+        pending = rest
+        ready.foldLeft(b)((x, f) => filter(x, f, gvar, gRids))
+      }
+      def fold(b: Bindings): Unit = {
         acc = Some(acc.map(a => join(a, b)).getOrElse(b))
+        acc = acc.map(filterEarly)
+      }
       // the reference executes a group's mandatory patterns before a
       // LEADING OPTIONAL/MINUS (block scheduling in
       // `fs_query_process_pattern`; golden test foaf-optional-order:
@@ -858,32 +887,37 @@ final class Exec(store: QuadStore, spark: SparkSession) {
       (pats ++ lead ++ tail).foreach {
         case OptionalGP(inner) =>
           val left = acc.getOrElse(unit)
-          acc = Some(optionalJoin(left, inner, gvar, gRids, needHere,
-            namedGRids))
+          acc = Some(filterEarly(optionalJoin(left, inner, gvar, gRids,
+            needHere, namedGRids)))
         case MinusGP(inner) =>
           val left = acc.getOrElse(unit)
-          acc = Some(minus(left,
-            pattern(inner, gvar, gRids, namedGRids = namedGRids)))
+          acc = Some(filterEarly(minus(left,
+            pattern(inner, gvar, gRids, namedGRids = namedGRids))))
         case GraphGP(PVar(v), inner) =>
-          fold(pattern(inner, Some(v), namedGRids, needHere, namedGRids))
+          fold(filterEarly(
+            pattern(inner, Some(v), namedGRids, needHere, namedGRids)))
         case GraphGP(PConst(t), inner) =>
-          fold(pattern(inner, None, Some(constGraph(t)), needHere,
-            namedGRids))
+          fold(filterEarly(pattern(inner, None, Some(constGraph(t)),
+            needHere, namedGRids)))
         case BindGP(e, v) =>
           val left = acc.getOrElse(unit)
-          acc = Some(extend(left, v, e, gvar, gRids))
+          acc = Some(filterEarly(extend(left, v, e, gvar, gRids)))
         case u: UnionGP =>
-          fold(pattern(u, gvar, gRids, needHere, namedGRids))
-        case v: ValuesGP => fold(valuesTable(v))
+          fold(filterEarly(pattern(u, gvar, gRids, needHere, namedGRids)))
+        case v: ValuesGP => fold(filterEarly(valuesTable(v)))
         case sv: ServiceGP =>
           // bound join: the already-accumulated left side constrains the
           // remote fetch (see serviceBindings)
           fold(serviceBindings(sv, acc))
         case other =>
-          fold(pattern(other, gvar, gRids, needHere, namedGRids))
+          // single-pattern placement: a filter whose vars this pattern
+          // certainly binds prunes AT ITS SCAN, before any join (the
+          // `early` hook reaches inside the BGP's own join fold)
+          fold(pattern(other, gvar, gRids, needHere, namedGRids,
+            filterEarly))
       }
       val base = acc.getOrElse(unit)
-      filters.foldLeft(base)((b, f) => filter(b, f, gvar, gRids))
+      pending.foldLeft(base)((b, f) => filter(b, f, gvar, gRids))
     case UnionGP(alts) =>
       // union() aligns value columns across every branch var, so resolve
       // all of them at the scan (cheaper than per-var dictionary joins)
