@@ -43,7 +43,14 @@ object CodegenProbe {
         "SELECT ?s WHERE { ?s <urn:v> ?v . FILTER(!(?v < 0 && 1/0 > 0)) } ORDER BY ?s"),
       ("minus-values", mbox, """SELECT DISTINCT ?x WHERE {
         ?x <urn:sha> ?s .
-        MINUS { ?x <urn:sha> "aaa", "bbb" } } ORDER BY ?x"""))
+        MINUS { ?x <urn:sha> "aaa", "bbb" } } ORDER BY ?x"""),
+      ("agg-deep-arg", ops,
+        "SELECT (SUM(?v * 2 + 1) AS ?sm) WHERE { ?s <urn:v> ?v }"),
+      ("opt-deep-cond", foaf, """SELECT ?n ?a WHERE {
+        ?p <urn:name> ?n .
+        OPTIONAL { ?q <urn:age> ?a . FILTER(?a * 2 >= 55 || ?n = "Bob") } }"""),
+      ("groupby-expr-key", ops,
+        "SELECT (COUNT(?s) AS ?c) WHERE { ?s <urn:v> ?v } GROUP BY (?v * 2 + 1)"))
 
     cases.foreach { case (name, store, q) =>
       val df = Sparql.run(store, spark, q)

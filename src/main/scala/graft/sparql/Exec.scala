@@ -571,8 +571,38 @@ final class Exec(store: QuadStore, spark: SparkSession) {
         conds.foldLeft(right0)((b, f) => filter(b, f, gvar, gRids))
       join(left, filtered, "left_outer")
     } else {
-      val lv = ensureValues(left, condVars intersect left.vars)
-      val rv = ensureValues(right0, condVars intersect right0.vars)
+      var lv = ensureValues(left, condVars intersect left.vars)
+      var rv = ensureValues(right0, condVars intersect right0.vars)
+      // HOIST one-sided subtrees of the condition as helper vars on
+      // their own side (extend stages deep expressions internally):
+      // the join condition would otherwise re-inline each subtree's
+      // term-view per reference AND per compat branch — observed 52k
+      // generated lines and a janino 64 KB overflow on a depth-2
+      // condition. A subtree may move LEFT when every var it reads is
+      // certain there (merged view = left view) and RIGHT when none of
+      // its vars exist on the left (merged view = right view).
+      val leftPure = (s: Set[String]) => s.nonEmpty && s.forall(lv.certain)
+      val rightPure = (s: Set[String]) =>
+        s.nonEmpty && s.forall(v => !lv.vars(v) && rv.vars(v))
+      var helpers = List.empty[String]
+      def hoist(e: Expr): Expr = e match {
+        case _: EVar | _: EConst => e
+        case _ if existsSubterms(e).nonEmpty => e
+        case _ if leftPure(varsOf(e)) =>
+          val n = s"__oc${helpers.size}"
+          lv = extend(lv, n, e, gvar, gRids)
+          helpers ::= n
+          EVar(n)
+        case _ if rightPure(varsOf(e)) =>
+          val n = s"__oc${helpers.size}"
+          rv = extend(rv, n, e, gvar, gRids)
+          helpers ::= n
+          EVar(n)
+        case ECall(f2, args) => ECall(f2, args.map(hoist))
+        case EIn(x, l2, n2) => EIn(hoist(x), l2.map(hoist), n2)
+        case other => other
+      }
+      val residual = conds.map(hoist)
       // compile E against the join's intermediate namespace: left
       // columns keep their names, right columns carry renamedRight's
       // __r_ prefix; a shared maybe-null var merges via coalesce
@@ -585,20 +615,28 @@ final class Exec(store: QuadStore, spark: SparkSession) {
           coalesce(col(s"${v}__lex"), col(ren(s"${v}__lex"))),
           coalesce(col(s"${v}__dt"), col(ren(s"${v}__dt"))),
           coalesce(col(s"${v}__lang"), col(ren(s"${v}__lang"))))
-      val sub: Map[Expr, V] = condVars.iterator.map { v =>
-        val key: Expr = EVar(v)
-        val view =
-          if (left.vars(v) && rv.vars(v)) {
-            if (left.certain(v)) V.ofVar(v) else lrMerged(v)
-          } else if (left.vars(v)) V.ofVar(v)
-          else if (rv.vars(v)) rv_(v)
-          else V.nul
-        key -> view
-      }.toMap
-      val cond = conds
+      val sub: Map[Expr, V] = residual.flatMap(varsOf).toSet.iterator
+        .map { v: String =>
+          val key: Expr = EVar(v)
+          val view =
+            if (lv.vars(v) && rv.vars(v)) {
+              if (lv.certain(v)) V.ofVar(v) else lrMerged(v)
+            } else if (lv.vars(v)) V.ofVar(v)
+            else if (rv.vars(v)) rv_(v)
+            else V.nul
+          key -> view
+        }.toMap
+      val cond = residual
         .map(f => Compiler.compile(f, sub).ebv === true)
         .reduce(_ && _)
-      join(lv, rv, "left_outer", Some(cond))
+      val joined = join(lv, rv, "left_outer", Some(cond))
+      if (helpers.isEmpty) joined
+      else joined.copy(
+        df = joined.df.drop(helpers.flatMap(h =>
+          h +: valueCols(h)): _*),
+        varsOrdered = joined.varsOrdered.filterNot(helpers.contains),
+        certain = joined.certain -- helpers,
+        valued = joined.valued -- helpers)
     }
   }
 

@@ -470,7 +470,10 @@ class PlanSpec extends SparkTestBase {
       "bind-then-filter" -> """SELECT ?s WHERE {
         ?s <urn:v> ?v . BIND (?v * 2 AS ?w) FILTER (?w = 4) }""",
       "minus-order" -> """SELECT DISTINCT ?x WHERE {
-        ?x <urn:name> ?s . MINUS { ?x <urn:name> "A" } } ORDER BY ?x""")
+        ?x <urn:name> ?s . MINUS { ?x <urn:name> "A" } } ORDER BY ?x""",
+      "optional-deep-cond" -> """SELECT ?n ?v WHERE {
+        ?p <urn:name> ?n .
+        OPTIONAL { ?q <urn:v> ?v . FILTER(?v * 2 >= 3 || ?n = "B") } }""")
     shapes.foreach { case (name, q) =>
       val df = graft.sparql.Sparql.run(store, spark, q)
       df.collect()

@@ -54,6 +54,19 @@ class SparqlSpec extends SparkTestBase {
       Seq("Carol", null)))
   }
 
+  test("OPTIONAL filter as LeftJoin condition sees both sides (deep)") {
+    // E references ?n (left) and ?age (right): per §18.2.2.5 it is the
+    // LEFT JOIN CONDITION over the merged row — Bob keeps his age via
+    // the ?n disjunct even though 25*2 < 55; the deep arithmetic also
+    // exercises the hoisted-helper compilation path
+    val r = rows("""SELECT ?n ?age WHERE {
+      ?p <urn:name> ?n .
+      OPTIONAL { ?p <urn:age> ?age
+                 FILTER(?age * 2 >= 55 || ?n = "Bob") } } ORDER BY ?n""")
+    assert(r == Seq(Seq("Alice", "30"), Seq("Bob", "25"),
+      Seq("Carol", null)))
+  }
+
   test("UNION (distinct-union)") {
     val r = rows("""SELECT DISTINCT ?x WHERE {
       { ?x a <urn:Person> } UNION { ?x a <urn:Robot> } } ORDER BY ?x""")
