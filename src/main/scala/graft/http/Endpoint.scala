@@ -50,7 +50,36 @@ final class Endpoint(spark: SparkSession, initial: QuadStore, port: Int = 0,
                        * HttpServer executor is single-threaded) */
                      workerThreads: Int = 8) {
 
-  private val storeRef = new AtomicReference[QuadStore](initial)
+  /** Killability law, ENFORCED: a LocalRelation-backed store is
+    * effectively uncancellable — Catalyst's ConvertToLocalRelation
+    * folds filters over LocalRelation into driver-side optimizer work
+    * (no task to kill), and LocalTableScan-fed stages were observed to
+    * ignore task-kill until partition end (KillProbe: rdd-backed dies
+    * in 30 ms, local-relation runs 18 min to completion). A timed
+    * endpoint must never serve one, so any LocalRelation leaf in the
+    * initial store's plans is converted to an RDD-backed plan via an
+    * eager localCheckpoint at construction — before the first query.
+    * In-memory stores are small by nature (they were built from a
+    * driver-side Seq), so the one-off checkpoint cost is trivial. */
+  private def killable(st: QuadStore): QuadStore =
+    if (queryTimeoutSec <= 0) st
+    else {
+      import org.apache.spark.sql.DataFrame
+      import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+      def fix(df: DataFrame): DataFrame =
+        if (df.queryExecution.analyzed.collectFirst {
+              case _: LocalRelation => () }.isDefined)
+          df.localCheckpoint()
+        else df
+      def fixStore(s: QuadStore): QuadStore = s.copy(
+        quads = fix(s.quads),
+        resources = fix(s.resources),
+        valued = s.valued.map(fix),
+        segments = s.segments.map(fixStore))
+      fixStore(st)
+    }
+
+  private val storeRef = new AtomicReference[QuadStore](killable(initial))
   def store: QuadStore = storeRef.get()
 
   /** Force per-store lazily-cached infrastructure (the datatype map —
@@ -61,7 +90,18 @@ final class Endpoint(spark: SparkSession, initial: QuadStore, port: Int = 0,
     * initializer poisons the whole endpoint's latency (observed: each
     * probe re-ran the cancelled dtUriMap jobs and blew its own budget).
     */
-  private def warmed(st: QuadStore): QuadStore = { st.dtUriMap; st }
+  private def warmed(st: QuadStore): QuadStore = {
+    try st.dtUriMap
+    catch {
+      // a peer's deadline sweep misattributed the warm-up jobs: the
+      // lazy val is NOT poisoned (a throwing initializer re-runs on
+      // next access) and warming is best-effort — never fail the
+      // REQUEST over it (an /update/ may have already committed, and
+      // reporting that success as an error is worse than a cold map)
+      case e: Exception if Endpoint.cancelledByPeerDeadline(e) => ()
+    }
+    st
+  }
 
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
   private val pool =
@@ -93,20 +133,28 @@ final class Endpoint(spark: SparkSession, initial: QuadStore, port: Int = 0,
   private def timed[A](body: => A): A =
     if (queryTimeoutSec <= 0) body
     else {
-      var attempt = 0
-      while (true) {
-        attempt += 1
-        try return timedOnce(body)
-        catch {
-          case e: Exception
-              if attempt < 3 && Endpoint.cancelledByPeerDeadline(e) =>
-            // our jobs were killed by ANOTHER request's deadline sweep
-            // (stale inherited request-property, see scaladoc) — the
-            // response hasn't started (jobs run before streaming in the
-            // eager phase), so re-running is safe and invisible
+      val unsafe = Endpoint.beginRetryScope()
+      try {
+        var attempt = 0
+        while (true) {
+          attempt += 1
+          try return timedOnce(body)
+          catch {
+            case e: Exception
+                if attempt < 3 && !unsafe.get() &&
+                  Endpoint.cancelledByPeerDeadline(e) =>
+              // our jobs were killed by ANOTHER request's deadline sweep
+              // (stale inherited request-property, see scaladoc) AND the
+              // handler has neither written response bytes nor begun a
+              // store mutation (the retryUnsafe latch) — re-running is
+              // safe and invisible. Once bytes are out or an update has
+              // started, the error propagates instead: a retried POST
+              // would re-send headers on a live exchange or double-apply
+              // the mutation.
+          }
         }
-      }
-      throw new IllegalStateException("unreachable")
+        throw new IllegalStateException("unreachable")
+      } finally Endpoint.endRetryScope()
     }
 
   private def timedOnce[A](body: => A): A = {
@@ -185,8 +233,23 @@ final class Endpoint(spark: SparkSession, initial: QuadStore, port: Int = 0,
     finally sc.setLocalProperty("spark.scheduler.pool", null)
   }
 
+  /** Per-EXCHANGE state. NOT HttpExchange.setAttribute — that map is
+    * CONTEXT-scoped in the JDK server (shared by every exchange of the
+    * route, JDK-8235786), so a flag set by one request would poison all
+    * later ones. Weak keys: entries vanish with their exchange. */
+  private val respondedEx = java.util.Collections.synchronizedSet(
+    java.util.Collections.newSetFromMap(
+      new java.util.WeakHashMap[HttpExchange, java.lang.Boolean]()))
+  private val bufferedBodies = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[HttpExchange, String]())
+
   private def respond(ex: HttpExchange, code: Int, body: String,
                       ctype: String = "application/json"): Unit = {
+    // a handler's catch may reach here after a streaming response
+    // already sent the 200 headers — a second sendResponseHeaders
+    // throws, so skip (the in-band `# ERROR:` marker already went out)
+    if (!respondedEx.add(ex)) return
+    Endpoint.markRetryUnsafe()
     val bytes = body.getBytes(UTF_8)
     ex.getResponseHeaders.set("Content-Type", ctype)
     ex.sendResponseHeaders(code, bytes.length)
@@ -200,6 +263,8 @@ final class Endpoint(spark: SparkSession, initial: QuadStore, port: Int = 0,
     * driver memory */
   private def respondStream(ex: HttpExchange, ctype: String)(
       write: java.io.Writer => Unit): Unit = {
+    respondedEx.add(ex)
+    Endpoint.markRetryUnsafe()
     ex.getResponseHeaders.set("Content-Type", ctype)
     ex.sendResponseHeaders(200, 0) // length 0 = chunked transfer
     val w = new java.io.OutputStreamWriter(ex.getResponseBody, UTF_8)
@@ -216,8 +281,12 @@ final class Endpoint(spark: SparkSession, initial: QuadStore, port: Int = 0,
     } finally ex.close()
   }
 
+  /** request body, buffered ONCE per exchange: a peer-cancellation
+    * retry re-enters the handler body, and a second readAllBytes on the
+    * consumed stream would hand the retried POST an empty body */
   private def bodyOf(ex: HttpExchange): String =
-    new String(ex.getRequestBody.readAllBytes(), UTF_8)
+    bufferedBodies.computeIfAbsent(ex,
+      e => new String(e.getRequestBody.readAllBytes(), UTF_8))
 
   server.createContext("/sparql/", new HttpHandler {
     def handle(ex: HttpExchange): Unit = try fedScoped {
@@ -336,9 +405,16 @@ final class Endpoint(spark: SparkSession, initial: QuadStore, port: Int = 0,
       val text = if (b.startsWith("update=")) params(b)("update") else b
       durableName match {
         case Some(n) => // write-through: commit, then serve the reload
+          // disk writes begin inside durable(): from here a retried
+          // body could double-apply the update — disable the
+          // peer-cancellation retry before committing anything
+          Endpoint.markRetryUnsafe()
           storeRef.set(Update.durable(spark, n, text))
         case None =>
+          // the swap IS the commit point (a throw inside the lambda
+          // leaves storeRef untouched, so retry stays safe up to here)
           storeRef.updateAndGet(st => Update(st, spark, text))
+          Endpoint.markRetryUnsafe()
       }
       warmed(store)
       respond(ex, 200, """{"ok":true}""")
@@ -563,6 +639,26 @@ private[http] object Endpoint {
   val RequestProp = "graft.ep.request"
   val CancelReason = "graft-ep-timeout"
   val poolTicket = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Per-request "a retry would be visible" latch: tripped the moment a
+    * handler writes response bytes or begins a store mutation. The
+    * peer-cancellation retry in [[Endpoint.timed]] is only invisible to
+    * the client while the request has neither responded nor mutated —
+    * re-running a body after either risks a double-applied update or a
+    * second sendResponseHeaders on a live exchange. ThreadLocal is
+    * sound because a request's handler body runs entirely on the pool
+    * thread that entered timed(). */
+  private val retryUnsafe =
+    new ThreadLocal[java.util.concurrent.atomic.AtomicBoolean]()
+  def beginRetryScope(): java.util.concurrent.atomic.AtomicBoolean = {
+    val f = new java.util.concurrent.atomic.AtomicBoolean(false)
+    retryUnsafe.set(f)
+    f
+  }
+  def endRetryScope(): Unit = retryUnsafe.remove()
+  def markRetryUnsafe(): Unit = {
+    val f = retryUnsafe.get(); if (f != null) f.set(true)
+  }
 
   val scheduler: java.util.concurrent.ScheduledExecutorService =
     java.util.concurrent.Executors.newScheduledThreadPool(1, r => {

@@ -9,14 +9,20 @@ import org.apache.spark.sql.functions._
   * IMAGES are decoded for real via `javax.imageio` (pure JDK:
   * PNG/JPEG/GIF/BMP/WBMP/TIFF) — [[decodeImageMeta]] parses headers
   * without materializing pixels, [[resizeImages]] re-encodes scaled
-  * pixels. AUDIO/VIDEO codecs are NOT in the JDK, so those paths remain
-  * deterministic stubs ([[imageMeta]]'s `fakeDecode`, [[sampleFrames]])
-  * with the real Spark-side plumbing — schema, binary transport, batched
+  * pixels. AUDIO container headers are ALSO in the JDK:
+  * `javax.sound.sampled.AudioSystem` parses WAV/AIFF/AU (sample rate,
+  * channels, bit depth, frame count) — [[decodeAudioMeta]] is that real
+  * path. What the JDK does NOT ship is compressed-audio codecs
+  * (MP3/AAC/Opus payload decode) and any video demuxer, so payload-level
+  * audio decode and video frame extraction remain deterministic stubs
+  * ([[imageMeta]]'s `fakeDecode`, [[sampleFrames]]) with the real
+  * Spark-side plumbing — schema, binary transport, batched
   * per-partition processing (the Scala analog of `mapInPandas` batch
   * shape) — which is what matters at 100 TB: blobs stream through
   * executors without a partition's payloads ever co-residing in memory.
   * ([[imageMeta]] additionally stays byte-deterministic so the DuckDB
-  * oracle can replicate it; [[decodeImageMeta]] is the production path.)
+  * oracle can replicate it; [[decodeImageMeta]]/[[decodeAudioMeta]] are
+  * the production paths.)
   */
 object Multimodal {
 
@@ -116,6 +122,55 @@ object Multimodal {
                 m.content.length.toLong,
                 s"decode failed: ${e.getMessage}")
           } finally if (iis != null) iis.close()
+        }
+      }
+    }
+  }
+
+  final case class AudioDecoded(media_id: Long, format: String,
+                                sample_rate: Float, channels: Int,
+                                sample_bits: Int, frames: Long,
+                                duration_sec: Double, n_bytes: Long,
+                                error: String)
+
+  /** REAL audio metadata via `javax.sound.sampled`:
+    * `AudioSystem.getAudioFileFormat` parses the CONTAINER HEADER only
+    * (WAV/AIFF/AU in the stock JDK — RIFF/FORM/.snd chunk walk, no
+    * payload decode), yielding sample rate, channel count, bit depth
+    * and frame length; duration is derived as frames/rate when both are
+    * specified (AudioSystem.NOT_SPECIFIED maps to -1). Unrecognized or
+    * truncated blobs come back as error rows with -1 fields instead of
+    * failing the job — same corrupt-blob policy as [[decodeImageMeta]],
+    * same batched partition shape. ByteArrayInputStream supports
+    * mark/reset, which the format sniffer requires. */
+  def decodeAudioMeta(media: Dataset[MediaRow], batchSize: Int = 64)
+      : Dataset[AudioDecoded] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { m =>
+          try {
+            val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+              new java.io.ByteArrayInputStream(m.content))
+            val f = aff.getFormat
+            val frames = aff.getFrameLength.toLong
+            val rate = f.getSampleRate
+            val dur =
+              if (frames >= 0 && rate > 0) frames / rate.toDouble else -1.0
+            AudioDecoded(m.media_id,
+              aff.getType.toString.toLowerCase,
+              rate, f.getChannels, f.getSampleSizeInBits, frames, dur,
+              m.content.length.toLong, null)
+          } catch {
+            case _: javax.sound.sampled.UnsupportedAudioFileException =>
+              AudioDecoded(m.media_id, null, -1f, -1, -1, -1L, -1.0,
+                m.content.length.toLong, "unrecognized audio format")
+            case e: Exception =>
+              AudioDecoded(m.media_id, null, -1f, -1, -1, -1L, -1.0,
+                m.content.length.toLong,
+                s"decode failed: ${e.getMessage}")
+          }
         }
       }
     }

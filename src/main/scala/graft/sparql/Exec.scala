@@ -57,7 +57,8 @@ object Exec {
   private[sparql] def serviceRowValues(line: String, nVars: Int): Seq[Any] = {
     val cells = line.split("\t", -1).toSeq.padTo(nVars, "")
     cells.take(nVars).flatMap { c =>
-      (if (c.isEmpty) None else NTriples.parseTerm(tsvUnescape(c))) match {
+      (if (c.trim.isEmpty) None
+       else NTriples.parseTerm(tsvUnescape(c))) match {
         case Some(t) =>
           val (lex, dt, lang) = t match {
             case Uri(u) => (u, 0L, "")
@@ -65,7 +66,7 @@ object Exec {
             case Lit(l, d, g) => (l, Rid.attr(d, g), g)
           }
           Seq(Rid.of(t), lex, dt, lang)
-        case None if c.isEmpty => Seq(null, null, null, null)
+        case None if c.trim.isEmpty => Seq(null, null, null, null)
         case None =>
           // a cell that STARTS like an NT term but fails to parse is a
           // broken peer, not an unbound var — surface it (SILENT catches
@@ -561,6 +562,28 @@ final class Exec(store: QuadStore, spark: SparkSession) {
     val condVars = conds.flatMap(varsOf).toSet
     val right0 = pattern(bodyGp, gvar, gRids,
       v => need(v) || condVars(v), namedGRids)
+    // §18.2.2.5: an EXISTS inside the OPTIONAL's filter also sees the
+    // MERGED solution, but our semi-join machinery (resolveExists)
+    // evaluates it over the right side alone on the filter-first path.
+    // When the EXISTS pattern (or the host expression around it)
+    // references a var the left binds that the right does not certainly
+    // bind, filter-first is NOT spec-equivalent — fail loudly instead
+    // of silently returning non-spec bindings.
+    conds.foreach { f =>
+      val exs = existsSubterms(f)
+      if (exs.nonEmpty) {
+        val reach = varsOf(f) ++
+          exs.flatMap { case EExists(p, _) => gpVars(p) }.toSet
+        val leftRef =
+          reach.filter(v => left.vars(v) && !right0.certain(v))
+        if (leftRef.nonEmpty)
+          throw new UnsupportedOperationException(
+            "EXISTS in an OPTIONAL filter referencing left-side " +
+              s"variable(s) ${leftRef.toSeq.sorted.mkString("?", ", ?", "")}" +
+              " is not supported (merged-solution EXISTS per SPARQL 1.1" +
+              " §18.2.2.5); rewrite the EXISTS outside the OPTIONAL")
+      }
+    }
     val mergedNeeded =
       conds.forall(f => existsSubterms(f).isEmpty) &&
         condVars.exists(v => !right0.certain(v) && left.vars(v))
@@ -1186,13 +1209,20 @@ final class Exec(store: QuadStore, spark: SparkSession) {
     val cachedLeft = vb.df.cache()
     try {
       val clauses = shared.flatMap { v =>
-        val uris = cachedLeft.filter(Rid.isUriCol(col(v)))
+        val rows = cachedLeft.filter(Rid.isUriCol(col(v)))
           .select(col(s"${v}__lex"))
-          // a URI rid whose dictionary row is absent resolves to a null
-          // lex — skip it rather than NPE on getString
-          .filter(col(s"${v}__lex").isNotNull)
           .distinct().limit(max + 1)
-          .collect().map(_.getString(0)).toSeq
+          .collect()
+        // a URI rid whose dictionary row is absent resolves to a null
+        // lex: its IRI is UNKNOWN, so no IN list we could ship is a
+        // superset of the left side's IRI set — emit no constraining
+        // clause for this var at all (a clause missing just that IRI
+        // would drop joinable remote rows). distinct() keeps null as a
+        // value, so if any null exists it is either sampled here or the
+        // sample already exceeds `max` and falls to None below.
+        if (rows.exists(_.isNullAt(0))) None
+        else {
+        val uris = rows.map(_.getString(0)).toSeq
         // renderability: an IRI with NT-delimiter bytes can't ship safely
         if (uris.size > max ||
             uris.exists(u => u.exists(c => c == '>' || c == '<' ||
@@ -1204,6 +1234,7 @@ final class Exec(store: QuadStore, spark: SparkSession) {
           Some(uris.map(u => s"<$u>")
             .mkString(s"FILTER(!BOUND(?$v) || !isIRI(?$v) || ?$v IN (",
               ", ", "))"))
+        }
       }
       if (clauses.isEmpty) "" else clauses.mkString(" ", " ", " ")
     } finally cachedLeft.unpersist(blocking = false)
@@ -1293,7 +1324,10 @@ final class Exec(store: QuadStore, spark: SparkSession) {
           .map { l =>
             val cells = l.split("\t", -1).toList.padTo(vars.size, "")
             cells.take(vars.size).map { c =>
-              if (c.isEmpty) None
+              // whitespace-only cells are unbound, same as empty — they
+              // must not reach parseTerm (which trims to empty → None →
+              // a spurious "malformed term" raise)
+              if (c.trim.isEmpty) None
               else NTriples.parseTerm(Exec.tsvUnescape(c)) match {
                 case some @ Some(_) => some
                 case None => // NT-marked but unparseable: broken peer

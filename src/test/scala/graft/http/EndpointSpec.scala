@@ -28,6 +28,20 @@ class EndpointSpec extends SparkTestBase {
         org.apache.spark.sql.Encoders.STRING)))
   }
 
+  // rddStore mutates a GLOBAL session conf; restore it so the change
+  // doesn't leak into later suites sharing this JVM's SparkSession
+  private val savedBatchSize =
+    spark.conf.getOption("spark.sql.inMemoryColumnarStorage.batchSize")
+  override def afterAll(): Unit = {
+    savedBatchSize match {
+      case Some(v) =>
+        spark.conf.set("spark.sql.inMemoryColumnarStorage.batchSize", v)
+      case None =>
+        spark.conf.unset("spark.sql.inMemoryColumnarStorage.batchSize")
+    }
+    super.afterAll()
+  }
+
   private def req(url: String, method: String = "GET",
                   body: String = null): (Int, String) = {
     val conn = URI.create(url).toURL.openConnection()
@@ -301,6 +315,44 @@ class EndpointSpec extends SparkTestBase {
       val (cOk, bOk) = req(s"$base/sparql/?query=$ok&output=tsv")
       assert(cOk == 200 && bOk.contains("50000") && !bOk.contains("# ERROR"),
         s"endpoint not serviceable after timeout: $cOk ${bOk.take(120)}")
+    } finally ep.stop()
+  }
+
+  test("killability law: an in-memory fromTerms store still honors the " +
+      "timeout (LocalRelation guard)") {
+    // WITHOUT the construction-time guard this store is unkillable:
+    // LocalRelation plans either fold into driver-side optimizer work
+    // (ConvertToLocalRelation — no task to cancel) or feed
+    // LocalTableScan stages that ignore task-kill until partition end
+    // (KillProbe: observed 18 min to completion). The Endpoint must
+    // convert such a store to RDD-backed plans BEFORE the first query,
+    // so the same backtracking-regex monster dies at its deadline.
+    val stmts = (0 until 50000).map(i =>
+      (Uri(s"urn:s$i"): Term, Uri("urn:p"): Term, Lit(i.toString): Term))
+    val mem = QuadStore.fromTerms(spark, stmts)
+    val ep = new Endpoint(spark, mem, 0, queryTimeoutSec = 2).start()
+    try {
+      val base = s"http://localhost:${ep.boundPort}"
+      val aRun = "a" * 50
+      val slow = java.net.URLEncoder.encode(
+        s"""SELECT (COUNT(*) AS ?n) WHERE {
+          |  ?s <urn:p> ?o .
+          |  FILTER(REGEX(REPLACE(STR(?o), "[0-9]", "$aRun"),
+          |               "(a+)\\\\1+b")) }"""
+          .stripMargin, "UTF-8")
+      val t0 = System.nanoTime()
+      val outcome =
+        try {
+          val (code, body) = req(s"$base/sparql/?query=$slow")
+          if (code == 503 && body.contains("timeout")) "503"
+          else if (code == 200 && body.contains("# ERROR:")) "marked"
+          else s"completed:$code:${body.take(60)}"
+        } catch { case _: java.io.IOException => "truncated" }
+      val sec = (System.nanoTime() - t0) / 1e9
+      assert(Set("503", "marked", "truncated")(outcome), outcome)
+      // 2x the 2s deadline plus kill-flag/core-drain granularity; far
+      // below the minutes the un-guarded LocalRelation plan would take
+      assert(sec < 10, s"cancellation took ${sec}s — store unkillable?")
     } finally ep.stop()
   }
 

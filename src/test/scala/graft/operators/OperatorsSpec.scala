@@ -726,6 +726,41 @@ class OperatorsSpec extends SparkTestBase {
       "this is not an image at all".getBytes("UTF-8")))
   }
 
+  test("decodeAudioMeta reads real WAV/AIFF headers; bad magic errors") {
+    // real encoder, not hand-rolled bytes: render PCM via the JDK's
+    // own AudioSystem.write so the test covers the same chunk layout
+    // a real capture pipeline produces
+    def encode(fileType: javax.sound.sampled.AudioFileFormat.Type,
+               rate: Float, channels: Int, nFrames: Int): Array[Byte] = {
+      import javax.sound.sampled._
+      val fmt = new AudioFormat(rate, 16, channels, true, false)
+      val pcm = new Array[Byte](nFrames * fmt.getFrameSize)
+      val ais = new AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(ais, fileType, bos)
+      bos.toByteArray
+    }
+    import javax.sound.sampled.AudioFileFormat.Type.{WAVE, AIFF}
+    val media = Seq(
+      Multimodal.MediaRow(1L, "audio/wav", encode(WAVE, 16000f, 1, 8000)),
+      Multimodal.MediaRow(2L, "audio/aiff", encode(AIFF, 44100f, 2, 4410)),
+      Multimodal.MediaRow(3L, "audio/wav",
+        "definitely not RIFF data here".getBytes("UTF-8")))
+      .toDS()
+    val out = Multimodal.decodeAudioMeta(media).collect()
+      .map(d => d.media_id -> d).toMap
+    assert(out(1L).format == "wave" && out(1L).sample_rate == 16000f &&
+      out(1L).channels == 1 && out(1L).sample_bits == 16 &&
+      out(1L).frames == 8000L && out(1L).error == null, out(1L))
+    assert(math.abs(out(1L).duration_sec - 0.5) < 1e-9, out(1L))
+    assert(out(2L).format == "aiff" && out(2L).sample_rate == 44100f &&
+      out(2L).channels == 2 && out(2L).frames == 4410L &&
+      math.abs(out(2L).duration_sec - 0.1) < 1e-9, out(2L))
+    assert(out(3L).sample_rate == -1f && out(3L).frames == -1L &&
+      out(3L).error != null, out(3L))
+  }
+
   test("corpusStats computes exact interpolated percentiles per group") {
     val df = Seq(
       ("en", "w"), ("en", "w w"), ("en", "w w w"), ("en", "w w w w"),
