@@ -90,7 +90,7 @@ object Bench {
     * subject-bucketed store (the Spark form of import.c's subject-hash
     * segment routing + index write). Reported as extra top-level JSON
     * fields; not part of the query total. */
-  private def ingestBench(spark: SparkSession, sfDir: String): String =
+  private[graft] def ingestBench(spark: SparkSession, sfDir: String): String =
     try {
       import org.apache.spark.sql.functions._
       val dir = java.nio.file.Files.createTempDirectory("graft_ingest")

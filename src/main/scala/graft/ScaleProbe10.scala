@@ -5,15 +5,22 @@ import org.apache.spark.sql.SparkSession
 /** One-shot sf10 rehearsal runner: each named query once, wall time +
   * output rows (the similarity family is OUTPUT-bound at 100-way
   * near-dup clusters, so rows are the normalizer — see
-  * SCALE_REHEARSAL.md round-8 section). Bench's best-of-3 is the wrong
-  * harness at this scale: 4 executions of a 25M-pair query measure
-  * patience, not plans. */
+  * SCALE_REHEARSAL.md). Bench's best-of-3 is the wrong harness at this
+  * scale: repeat executions of a 10^9-pair query measure patience, not
+  * plans. Also times the ingest pipeline (Bench.ingestBench) when the
+  * dataset carries lineitem, and writes the whole run as one JSON
+  * artifact when an output path is given.
+  *
+  * Usage: runMain graft.ScaleProbe10 <sfDir> [names] [outJson]
+  */
 object ScaleProbe10 {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/tmp/sf10")
-    val names = args.lift(1).map(_.split(",").toSeq).getOrElse(Seq(
-      "p02_ngram_jaccard", "p13_embed_neardup", "p15_neardup_components",
-      "p40_pagerank"))
+    val names = args.lift(1).filter(_.nonEmpty).map(_.split(",").toSeq)
+      .getOrElse(Seq(
+        "p02_ngram_jaccard", "p13_embed_neardup", "p15_neardup_components",
+        "p40_pagerank"))
+    val outJson = args.lift(2)
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
@@ -21,12 +28,26 @@ object ScaleProbe10 {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    names.foreach { n =>
+    val results = names.map { n =>
       val fn = SparkEntry.queries(n)
       val t0 = System.nanoTime()
       val rows = fn(spark, sfDir).count()
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"[sf10] $n rows=$rows sec=$sec%.1f")
+      (n, rows, sec)
+    }
+    val ingest =
+      if (new java.io.File(sfDir, "lineitem.parquet").exists())
+        Bench.ingestBench(spark, sfDir)
+      else ""
+    val qJson = results.map { case (n, rows, sec) =>
+      s""""$n":{"rows":$rows,"sec":$sec}""" }.mkString("{", ",", "}")
+    val json =
+      s"""{"metric":"scale_probe","queries":$qJson,$ingest"sf":"$sfDir"}"""
+    println(json)
+    outJson.foreach { p =>
+      java.nio.file.Files.write(java.nio.file.Paths.get(p),
+        (json + "\n").getBytes("UTF-8"))
     }
     spark.stop()
   }

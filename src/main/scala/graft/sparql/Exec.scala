@@ -172,6 +172,11 @@ final class Exec(store: QuadStore, spark: SparkSession) {
     gRids.foreach(rs => df =
       if (rs.isEmpty) df.filter(lit(false))
       else df.filter(col("g").isin(rs: _*)))
+    // §13.3: GRAPH ?g ranges over the dataset's NAMED graphs only — with
+    // no FROM NAMED restriction in scope, that is every graph EXCEPT the
+    // default graph (which is addressable only without a GRAPH box)
+    if (gvar.isDefined && gRids.isEmpty)
+      df = df.filter(col("g") =!= WellKnown.defaultGraph)
     val slots = Seq("s" -> tp.s, "p" -> tp.p, "o" -> tp.o)
     // constant slots -> pushdown filters
     slots.foreach {
@@ -360,6 +365,9 @@ final class Exec(store: QuadStore, spark: SparkSession) {
       case _ => pathEdges(pg.path, withG, gRids)
     }
     var df = pairs
+    // same §13.3 named-graphs-only rule as triplePattern's gvar case
+    if (withG && gRids.isEmpty)
+      df = df.filter(col("g") =!= WellKnown.defaultGraph)
     val slots = Seq("a" -> pg.s, "b" -> pg.o)
     slots.foreach {
       case (c, PConst(t)) => df = df.filter(col(c) === Rid.of(t))

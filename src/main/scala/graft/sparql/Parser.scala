@@ -37,7 +37,7 @@ class Parser extends RegexParsers {
         throw new IllegalArgumentException(s"unknown prefix '$pfx:'")) + local
     }
   private def VAR: Parser[String] = """[?$]""".r ~> """[A-Za-z0-9_]+""".r
-  private def iri: Parser[String] = IRIREF | PNAME
+  protected def iri: Parser[String] = IRIREF | PNAME
 
   private def numericLit: Parser[Term] =
     """[+-]?(\d+\.\d*|\.\d+)[eE][+-]?\d+|[+-]?\d+[eE][+-]?\d+""".r ^^
@@ -154,9 +154,15 @@ class Parser extends RegexParsers {
     VAR ^^ (v => Left(PVar(v))) | path ^^ (Right(_))
   private def propertyList: Parser[(List[(Either[PTerm, Path], PTerm)],
                                     List[Either[TriplePat, PathGP]])] =
-    rep1sep(verb ~ rep1sep(objectNode, ","), ";") ^^ { runs =>
-      (runs.flatMap { case p ~ os => os.map(o => (p, o._1)) },
-        runs.flatMap { case _ ~ os => os.flatMap(_._2) })
+    // grammar [77] PropertyListNotEmpty: `( ';' ( Verb ObjectList )? )*`
+    // — trailing and repeated semicolons with no verb-object tail are
+    // legal, so rep1sep (which forbids a trailing separator) won't do
+    (verb ~ rep1sep(objectNode, ",")) ~
+      rep(";" ~> opt(verb ~ rep1sep(objectNode, ","))) ^^ {
+      case first ~ more =>
+        val runs = first :: more.flatten
+        (runs.flatMap { case p ~ os => os.map(o => (p, o._1)) },
+          runs.flatMap { case _ ~ os => os.flatMap(_._2) })
     }
   /** object position: a plain term, or a nested TriplesNode whose
     * generated triples ride along */
@@ -272,14 +278,14 @@ class Parser extends RegexParsers {
 
   private def valuesClause: Parser[ValuesGP] =
     (VAR ^^ (v => List(v)) | "(" ~> rep1(VAR) <~ ")") ~
-      ("{" ~> rep(valuesRow) <~ "}") ^^ {
-        case vs ~ rows =>
-          val fixed = rows.map {
-            case r if vs.size == 1 && r.size == 1 => r
-            case r => r
-          }
-          ValuesGP(vs, fixed)
-      }
+      ("{" ~> rep(valuesRow) <~ "}") ^? ({
+        case vs ~ rows if rows.forall(_.size == vs.size) =>
+          ValuesGP(vs, rows)
+      }, { case vs ~ rows =>
+        // §10.2: every data row must match the variable list's arity —
+        // a syntax-level constraint, rejected at parse time
+        val bad = rows.find(_.size != vs.size).map(_.size).getOrElse(0)
+        s"VALUES arity mismatch: ${vs.size} variable(s), row of $bad" })
   private def valuesRow: Parser[List[Option[Term]]] =
     "(" ~> rep1(valuesTerm) <~ ")" |
     valuesTerm ^^ (t => List(t))
@@ -390,8 +396,27 @@ class Parser extends RegexParsers {
         Modifiers(groupBy = g.getOrElse(Nil), having = h.getOrElse(Nil),
           orderBy = o.getOrElse(Nil), limit = l1.orElse(l2), offset = off)
     }
+  /** GroupCondition (grammar [20]): the `( expr AS ?v )` form is carried
+    * as a marker call and rewritten by [[applyGroupAs]] into a BIND over
+    * the where pattern + grouping on the var — it never escapes the
+    * parser. */
   private def groupCond: Parser[Expr] =
+    "(" ~> expression ~ (kw("AS") ~> VAR) <~ ")" ^^ {
+      case e ~ v => ECall("__groupas", List(e, EVar(v))) } |
     VAR ^^ EVar.apply | builtinCall | "(" ~> expression <~ ")"
+
+  /** rewrite GROUP BY (expr AS ?v) entries: hoist each as a BIND into
+    * the pattern, replace the group key with the bound var */
+  protected def applyGroupAs(where: GP, mods: Modifiers): (GP, Modifiers) = {
+    val binds = mods.groupBy.collect {
+      case ECall("__groupas", List(e, EVar(v))) => BindGP(e, v) }
+    if (binds.isEmpty) (where, mods)
+    else (GroupGP(where :: (binds: List[GP]), Nil),
+      mods.copy(groupBy = mods.groupBy.map {
+        case ECall("__groupas", List(_, EVar(v))) => EVar(v)
+        case other => other
+      }))
+  }
   private def orderCond: Parser[(Expr, Boolean)] =
     kw("ASC") ~> "(" ~> expression <~ ")" ^^ ((_, true)) |
     kw("DESC") ~> "(" ~> expression <~ ")" ^^ ((_, false)) |
@@ -413,8 +438,9 @@ class Parser extends RegexParsers {
       // trailing ValuesClause (SPARQL 1.1 grammar [28]): joins the
       // WHERE pattern like an in-group VALUES
       opt(kw("VALUES") ~> valuesClause) ^^ {
-      case d ~ items ~ ds ~ where ~ mods ~ vals =>
-        val w = vals.map(v => GroupGP(List(where, v), Nil)).getOrElse(where)
+      case d ~ items ~ ds ~ where ~ mods0 ~ vals =>
+        val (whereG, mods) = applyGroupAs(where, mods0)
+        val w = vals.map(v => GroupGP(List(whereG, v), Nil)).getOrElse(whereG)
         SelectQ(items, w,
           mods.copy(distinct = d.contains(1), reduced = d.contains(2),
             dataset = ds._1, datasetNamed = ds._2))
@@ -464,9 +490,50 @@ object Parser {
   def parse(text: String): Ast.Query = {
     val p = new Parser
     p.parseAll(p.query, text) match {
-      case p.Success(q, _) => q
+      case p.Success(q, _) => validated(q)
       case other =>
         throw new IllegalArgumentException(s"SPARQL parse error: $other")
     }
+  }
+
+  // --- post-parse validation: constraints the grammar alone can't say
+
+  private def hasAgg(e: Expr): Boolean = e match {
+    case _: EAgg => true
+    case ECall(_, args) => args.exists(hasAgg)
+    case EIn(x, l, _) => hasAgg(x) || l.exists(hasAgg)
+    case _ => false
+  }
+
+  /** §18.2.4.1/§11: aggregate functions may appear only in SELECT
+    * expressions, HAVING and ORDER BY — never inside a group pattern's
+    * FILTER or BIND. Rejected at parse time (the official suite's
+    * negative syntax tests expect this). Recurses into subselect WHERE
+    * patterns; a subselect's own projection/having are its own scope. */
+  private def checkGp(gp: GP): Unit = gp match {
+    case GroupGP(elems, fs) =>
+      fs.foreach(f => if (hasAgg(f)) throw new IllegalArgumentException(
+        "SPARQL parse error: aggregate function in FILTER"))
+      elems.foreach(checkGp)
+    case BindGP(e, _) =>
+      if (hasAgg(e)) throw new IllegalArgumentException(
+        "SPARQL parse error: aggregate function in BIND")
+    case OptionalGP(i) => checkGp(i)
+    case UnionGP(alts) => alts.foreach(checkGp)
+    case MinusGP(i) => checkGp(i)
+    case GraphGP(_, i) => checkGp(i)
+    case SubSelectGP(q) => checkGp(q.where)
+    case sv: ServiceGP => checkGp(sv.inner)
+    case _ => ()
+  }
+
+  private def validated(q: Ast.Query): Ast.Query = {
+    q match {
+      case s: SelectQ => checkGp(s.where)
+      case a: AskQ => checkGp(a.where)
+      case c: ConstructQ => checkGp(c.where)
+      case d: DescribeQ => d.whereOpt.foreach(checkGp)
+    }
+    q
   }
 }

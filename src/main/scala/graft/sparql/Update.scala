@@ -46,7 +46,10 @@ object Update {
 
   private class UParser extends Parser {
 
-    private def iriU: Parser[String] = "<" ~> """[^<>"{}|^`\\\s]*""".r <~ ">"
+    // full IRI production from the query parser — `<...>` OR a prefixed
+    // name resolved against the request's PREFIX prologue (the grammar
+    // uses the same `iri` in WITH/USING/graph-management positions)
+    private def iriU: Parser[String] = iri
     private def kwU(s: String): Parser[String] =
       ("""(?i)\Q""" + s + """\E\b""").r
 
@@ -91,6 +94,21 @@ object Update {
       }
     }
 
+    /** §19.6: blank nodes are forbidden in DELETE templates (and in the
+      * DELETE WHERE pattern, which doubles as one) — a template bnode
+      * could never co-denote a stored node, so the request is rejected
+      * at parse time like the official suite expects. */
+    private def noBnodes(tmpl: List[(TriplePat, Option[String])])
+        : List[(TriplePat, Option[String])] = {
+      tmpl.foreach { case (t, _) =>
+        val terms = List(t.s, t.p, t.o)
+        if (terms.exists { case PConst(_: BNode) => true; case _ => false })
+          throw new IllegalArgumentException(
+            s"blank node in DELETE template: $t")
+      }
+      tmpl
+    }
+
     /** `USING [NAMED] <iri>` clauses between templates and WHERE */
     private def usings: Parser[(List[String], List[String])] =
       rep(kwU("USING") ~> opt(kwU("NAMED")) ~ iriU) ^^ { us =>
@@ -105,12 +123,13 @@ object Update {
         g => DeleteData(groundOf(g, allowBnodes = false))) |
       opt(kwU("WITH") ~> iriU) ~ (kwU("DELETE") ~> kwU("WHERE") ~>
         groupGraphPattern) ^^ { case wg ~ g =>
-          Modify(tmplOf(g), Nil, g, wg)
+          Modify(noBnodes(tmplOf(g)), Nil, g, wg)
         } |
       opt(kwU("WITH") ~> iriU) ~ (kwU("DELETE") ~> groupGraphPattern) ~
         opt(kwU("INSERT") ~> groupGraphPattern) ~ usings ~
         (kwU("WHERE") ~> groupGraphPattern) ^^ { case wg ~ d ~ i ~ u ~ w =>
-          Modify(tmplOf(d), i.map(tmplOf).getOrElse(Nil), w, wg, u._1, u._2)
+          Modify(noBnodes(tmplOf(d)), i.map(tmplOf).getOrElse(Nil), w, wg,
+            u._1, u._2)
         } |
       opt(kwU("WITH") ~> iriU) ~ (kwU("INSERT") ~> groupGraphPattern) ~
         usings ~ (kwU("WHERE") ~> groupGraphPattern) ^^ {

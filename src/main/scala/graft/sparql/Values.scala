@@ -118,6 +118,10 @@ object V {
 
 /** Expression compiler: AST -> V over a bindings DataFrame. */
 object Compiler {
+  /** per-call-site ticket for zero-arg BNODE() freshness */
+  private val bnodeSiteCtr = new java.util.concurrent.atomic.AtomicLong()
+  private[sparql] def bnodeSite(): Long = bnodeSiteCtr.incrementAndGet()
+
   import WellKnown._
 
   /** @param aggSub aggregate-call substitutions (post-GROUP BY columns) */
@@ -447,6 +451,13 @@ object Compiler {
     case "ISNUMERIC" => V.ofBool(when(vs(0).bound, vs(0).isNum))
     case "STR" => V.ofStr(vs(0).anyLex)
     case "IRI" | "URI" => V.ofUri(vs(0).anyLex)
+    case "BNODE" if vs.isEmpty =>
+      // zero-arg form (§17.4.2.9): a FRESH blank node per solution row.
+      // Label = per-call-site salt (two BNODE() sites in one query must
+      // not collide) + the row's plan-unique id.
+      val lbl = concat(lit(s"fresh${Compiler.bnodeSite()}x"),
+        monotonically_increasing_id().cast("string"))
+      V(Rid.bnodeCol(lbl), lbl, lit(0L), lit(""))
     case "BNODE" =>
       V(when(vs(0).anyLex.isNotNull, Rid.bnodeCol(vs(0).anyLex)),
         vs(0).anyLex, lit(0L), lit(""))
@@ -550,7 +561,15 @@ object Compiler {
         when(sameStr, lit(strAttr)).otherwise(lit(0L)),
         when(sameLang, langs.head).otherwise(lit("")))
     case "REPLACE" =>
-      V.typed(regexp_replace(vs(0).anyLex, vs(1).anyLex, vs(2).anyLex),
+      // optional 4th arg: XPath flags, applied as a (?flags) prefix on
+      // the pattern, same as REGEX below
+      val rPat =
+        if (vs.size > 3)
+          when(length(vs(3).anyLex) > 0,
+            concat(lit("(?"), vs(3).anyLex, lit(")"), vs(1).anyLex))
+            .otherwise(vs(1).anyLex)
+        else vs(1).anyLex
+      V.typed(regexp_replace(vs(0).anyLex, rPat, vs(2).anyLex),
         coalesce(vs(0).dt, lit(0L)), coalesce(vs(0).lang, lit("")))
     case "REGEX" =>
       val flags = if (vs.size > 2) vs(2).anyLex else lit("")
@@ -577,11 +596,13 @@ object Compiler {
     case "DAY"     => dtPart(vs(0), "^-?[0-9]{4,}-[0-9]{2}-([0-9]{2})")
     case "HOURS"   => dtPart(vs(0), "T([0-9]{2}):")
     case "MINUTES" => dtPart(vs(0), "T[0-9]{2}:([0-9]{2}):")
-    case "SECONDS" => // xsd:decimal — the fraction survives
+    case "SECONDS" => // §17.4.5.6: ALWAYS xsd:decimal, fraction survives
       val lex = when(vs(0).ts.isNotNull, regexp_extract(vs(0).anyLex,
         "T[0-9]{2}:[0-9]{2}:([0-9]{2}(?:\\.[0-9]+)?)", 1))
       val n = lex.cast("double")
-      V.ofNum(n, n === n.cast("long").cast("double"))
+      val outLex = when(n === n.cast("long").cast("double"),
+        n.cast("long").cast("string")).otherwise(n.cast("string"))
+      V.typed(outLex, lit(decimalAttr))
     // TZ/TIMEZONE (SPARQL 1.1 §17.4.5.8-9; the reference stubs both to
     // "", filter.c:1573 — here the full semantics): TZ gives the literal
     // timezone designator ("" when absent); TIMEZONE gives it as an

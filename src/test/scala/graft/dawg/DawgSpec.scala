@@ -439,8 +439,8 @@ class DawgSpec extends SparkTestBase {
     }
   }
 
-  test("dawg coverage: at least 100 non-excused manifest tests") {
-    assert(registered - excuses.size >= 100,
+  test("dawg coverage: at least 500 non-excused manifest tests") {
+    assert(registered - excuses.size >= 500,
       s"registered=$registered excused=${excuses.size}")
   }
 }
