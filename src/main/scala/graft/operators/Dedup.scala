@@ -521,6 +521,38 @@ object Dedup {
       countDistinct(col("cell_id")).as("n_cells"),
       count(when(!col("kept"), 1)).as("n_dropped"))
 
+  /** The curation-gate composition of [[semanticDedup]] +
+    * [[semanticDedupStats]]: dedup, ALERT on cap exposure, return the
+    * surviving ids — the shape a production pipeline should use in the
+    * p30-style curate flow (dedup → quality → decontaminate).
+    *
+    * A silently capped pass is the dangerous failure: documents past
+    * `maxCellSize` in an overfull cell are kept UNEXAMINED, so the
+    * output reads as "duplicate-free" when it is "unchecked". This
+    * wrapper turns the metric into control flow: when
+    * `capped_fraction` exceeds `maxCappedFraction` the run ABORTS with
+    * the measured exposure in the message (fix = more/better cells via
+    * `Similarity.trainCentroids`, or a higher cap), instead of handing
+    * a partially-deduped corpus downstream. The stats pass is one
+    * 1-row aggregate over the already-computed result. */
+  def semanticDedupGated(items: DataFrame, idCol: String, vecCol: String,
+                         threshold: Double, nCells: Int = 0,
+                         centroids: Option[DataFrame] = None,
+                         maxCellSize: Int = 100000,
+                         maxCappedFraction: Double = 0.05): DataFrame = {
+    val res = semanticDedup(items, idCol, vecCol, threshold, nCells,
+      centroids, maxCellSize).cache()
+    val st = semanticDedupStats(res).collect()(0)
+    val frac = st.getAs[Double]("capped_fraction")
+    if (frac > maxCappedFraction)
+      throw new IllegalStateException(
+        f"semanticDedup cap exposure $frac%.4f exceeds " +
+          f"$maxCappedFraction%.4f (${st.getAs[Long]("n_capped")} of " +
+          s"${st.getAs[Long]("n_docs")} docs unexamined past " +
+          s"maxCellSize=$maxCellSize) - train centroids or raise the cap")
+    res.filter(col("kept")).select(col("id").as(idCol))
+  }
+
   /** GraphX variant of [[connectedComponents]] for Long ids — the RDD
     * Pregel implementation (`org.apache.spark.graphx.lib
     * .ConnectedComponents`). Same labels (lowest member id). The

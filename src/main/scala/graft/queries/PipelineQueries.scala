@@ -340,7 +340,14 @@ object PipelineQueries {
 
     // END-TO-END curation: exact dedup -> quality filter -> benchmark
     // decontamination, composed as ONE lazy DAG (each stage is the same
-    // operator its standalone gate checks; Catalyst fuses the pipeline)
+    // operator its standalone gate checks; Catalyst fuses the pipeline).
+    // With an embedding column available, the semantic stage slots in
+    // between dedup and quality via Dedup.semanticDedupGated — the
+    // variant that ABORTS when the cell-cap exposure metric
+    // (semanticDedupStats.capped_fraction) exceeds tolerance, so an
+    // under-quantized pass can't silently ship an unexamined corpus.
+    // (Not in this oracle-gated query: FP cosines aren't DuckDB-
+    // replicable; the composed path is spec-gated in OperatorsSpec.)
     "p30_curate_corpus" -> ((s, d) => {
       val docs = t(s, d, "documents")
       val deduped = Dedup.exact(docs, col("text"), col("doc_id"))

@@ -454,11 +454,25 @@ final class Exec(store: QuadStore, spark: SparkSession) {
     * cross product — required by the semantics, and bounded by the
     * (typically tiny) null-row subsets.
     */
-  private def compatBranches(ldf: DataFrame, rdf: DataFrame,
+  private def compatBranches(ldf0: DataFrame, rdf0: DataFrame,
                              ren: String => String, shared: Seq[String],
                              lMaybe: Seq[String], rMaybe: Seq[String],
                              extraCond: Option[Column],
                              joinType: String): DataFrame = {
+    // PIN both operands (same discipline as compatBranchesObserved):
+    // this path always emits >= 2 branches, and each branch filters the
+    // input DIFFERENTLY before its join — so Catalyst's ReuseExchange
+    // never fires across branches (the exchanges are not identical) and
+    // an un-pinned operand would RE-EXECUTE its whole upstream plan per
+    // branch (2^k times; at 100x data that is 2^k scans + shuffles of
+    // the same intermediate). LAZY checkpoint (eager=false): the first
+    // branch's tasks materialize the blocks inside the query's own
+    // action and the remaining branches re-scan them — no extra
+    // blocking job per query, which matters for sub-second gate
+    // latency (an eager checkpoint is a synchronous Spark job BEFORE
+    // the query even starts).
+    val ldf = ldf0.localCheckpoint(eager = false)
+    val rdf = rdf0.localCheckpoint(eager = false)
     val branches = for {
       a <- subsets(lMaybe)
       b <- subsets(rMaybe)

@@ -349,6 +349,69 @@ class PlanSpec extends SparkTestBase {
     assert(plan.contains("Filter"), plan)
   }
 
+  test("compat-branch operands are pinned: branches scan a materialized " +
+      "input, not a re-executed plan") {
+    // the compat-join shape: ?m is maybe-null on BOTH sides of an inner
+    // join (each side binds it inside an OPTIONAL), so the join
+    // decomposes into 4 null-mask branches over the SAME two operands.
+    // Each branch filters the operand differently, so ReuseExchange
+    // can't fire across branches — the engine must pin the operands
+    // (localCheckpoint) so the branches re-scan materialized blocks
+    // instead of re-executing the upstream plan per branch. Visible in
+    // the physical plan: branch inputs are ExistingRDD scans.
+    val store = QuadStore.fromTerms(spark,
+      (0 until 20).flatMap { i =>
+        val s = Uri(s"urn:p$i")
+        Seq((s: Term, Uri("urn:name"): Term, Lit(s"n$i"): Term),
+            (s: Term, Uri("urn:alias"): Term, Lit(s"n$i"): Term)) ++
+          (if (i % 2 == 0)
+            Seq((s: Term, Uri("urn:mbox"): Term, Lit(s"m$i"): Term))
+          else Nil) ++
+          (if (i % 3 == 0)
+            Seq((s: Term, Uri("urn:box2"): Term, Lit(s"m$i"): Term))
+          else Nil)
+      })
+    val df = graft.sparql.Sparql.run(store, spark,
+      """SELECT ?n WHERE {
+           { ?x <urn:name> ?n OPTIONAL { ?x <urn:mbox> ?m } }
+           { ?y <urn:alias> ?n OPTIONAL { ?y <urn:box2> ?m } }
+         }""")
+    val plan = planOf(df)
+    assert(plan.contains("ExistingRDD"),
+      s"compat branches must scan pinned (checkpointed) operands:\n$plan")
+    // 4 branches over 2 pinned operands: the store's own cached scan
+    // (InMemoryTableScan over the parsed statements) must not be
+    // re-planned once per branch on each side
+    val scans = "InMemoryTableScan".r.findAllIn(plan).size
+    assert(scans <= 2,
+      s"operands re-executed per branch ($scans cached scans):\n$plan")
+  }
+
+  test("ordered-limit SPARQL plans TakeOrderedAndProject (s07 shape)") {
+    // ORDER BY + LIMIT must reach the TakeOrdered physical strategy —
+    // per-partition top-K then a K-row merge, not a global sort. At
+    // 100x data a global sort is a full shuffle of the relation; the
+    // r8->r9 watch item was whether the staged-compile filter pin
+    // could suppress this (it can't on this shape — no filter — but
+    // the gate keeps any future rewrite honest).
+    val df = graft.SparkEntry.queries("s07_sparql_order_limit")(spark, sf)
+    val plan = planOf(df)
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"ORDER BY+LIMIT must plan as TakeOrdered, not a global sort:\n$plan")
+    // and the same through a FILTER feeding the ordered limit: the
+    // nondeterministic pin column blocks PREDICATE pushdown (by
+    // design) but must not break the Limit+Sort fusion above it
+    val store = QuadStore.fromTerms(spark, (0 until 200).map(i =>
+      (Uri(s"urn:o$i"), Uri("urn:price"), Lit(i.toString,
+        "http://www.w3.org/2001/XMLSchema#integer"))))
+    val filtered = graft.sparql.Sparql.run(store, spark,
+      """SELECT ?o ?p WHERE { ?o <urn:price> ?p . FILTER(?p > 10) }
+         ORDER BY DESC(?p) LIMIT 5""")
+    val fplan = planOf(filtered)
+    assert(fplan.contains("TakeOrderedAndProject"),
+      s"filter+order+limit lost TakeOrdered:\n$fplan")
+  }
+
   test("small-store gate queries keep their compact one-task shape warm") {
     // Latency gate for the s05/s06/s07 cluster: BENCH_r06 showed these
     // 3-11x slower than r4, but a quiet-machine re-run reproduced r4

@@ -570,6 +570,32 @@ class OperatorsSpec extends SparkTestBase {
     assert(st.getLong(4) == 1L)                  // n_dropped (id 1)
   }
 
+  test("semanticDedupGated composes dedup + alert in the curation flow") {
+    // the p30-style composed path: gate passes -> surviving ids flow to
+    // the next curation stage; gate trips -> the run aborts with the
+    // measured exposure instead of handing an unexamined corpus on
+    val vecs = Seq((0L, Array(1f, 0f)), (1L, Array(1f, 0.001f)),
+        (2L, Array(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val kept = Dedup.semanticDedupGated(vecs, "vec_id", "embedding",
+      threshold = 0.9, nCells = 1)
+    // near-dup 1 dropped; composition keeps the operator's id column
+    // name so a downstream join (p30's decontaminate stage) lines up
+    assert(kept.columns.toSeq == Seq("vec_id"))
+    assert(kept.as[Long].collect().sorted.toSeq == Seq(0L, 2L))
+
+    val crowded = Seq((0L, Array(1f, 0f)), (1L, Array(1f, 0.001f)),
+        (2L, Array(1f, 0.002f)), (3L, Array(1f, 0.003f)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[IllegalStateException] {
+      Dedup.semanticDedupGated(crowded, "vec_id", "embedding",
+        threshold = 0.9, nCells = 1, maxCellSize = 2,
+        maxCappedFraction = 0.25)
+    }
+    assert(e.getMessage.contains("cap exposure") &&
+      e.getMessage.contains("0.5000"), e.getMessage)
+  }
+
   test("overlapFraction reports per-doc contaminated gram share") {
     val train = Seq((1L, "a b c d"), (2L, "p q r"), (3L, "z"))
       .toDF("doc_id", "text")
