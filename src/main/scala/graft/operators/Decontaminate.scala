@@ -77,30 +77,40 @@ object Decontaminate {
     * broadcast as an exact hash set (cross-suite decontamination against
     * every benchmark at once): the eval grams collapse into a fixed-size
     * bit array (`fpp` false-positive rate), so executor memory is
-    * constant regardless of eval size. One-sided error — a gram the
-    * bloom rejects is DEFINITELY not in eval, so `contaminated = false`
-    * rows are exact and `true` rows over-report by at most `fpp` per
-    * gram; feed the `true` slice to [[flag]] for exact confirmation
-    * (two-phase: constant-memory scan, then exact pass over the tiny
-    * flagged remainder).
+    * constant regardless of eval size. One-sided error in the SCAN -- a
+    * gram the bloom rejects is DEFINITELY not in eval -- and by default
+    * (`confirm = true`) the few bloom-surviving grams are then
+    * exact-checked with a semi-join against the true gram set, so the
+    * RESULT is exact: two-phase, constant executor memory. The bloom
+    * prunes the train gram stream to roughly true-hits + fpp BEFORE
+    * anything shuffles; the confirmation join then moves the full eval
+    * gram set once but only the tiny candidate stream on the train
+    * side -- never a broadcast of the eval grams, which is the whole
+    * premise of this variant. `confirm = false` keeps the raw one-pass
+    * scan (exact negatives; `n_hits` over-reports by at most `fpp` per
+    * gram) for workloads that only consume the `false` slice.
     */
   def flagBloom(train: DataFrame, eval: DataFrame, idCol: String,
                 textCol: String, k: Int = 8, fpp: Double = 0.001,
-                portableHash: Boolean = false): DataFrame = {
-    // cached: the gram set feeds two actions (size for bloom sizing,
-    // then the bloom build); eval sets are small by contract
+                portableHash: Boolean = false,
+                confirm: Boolean = true): DataFrame = {
+    // cached: the gram set feeds multiple actions (size for bloom
+    // sizing, the bloom build, and the confirmation join)
     val evalGrams = Dedup
       .shingleHashRows(eval, idCol, textCol, k, portableHash)
       .select("h").distinct().cache()
     val n = math.max(evalGrams.count(), 1L)
-    val bloom =
-      try evalGrams.stat.bloomFilter("h", n, fpp)
-      finally evalGrams.unpersist(blocking = false)
+    val bloom = evalGrams.stat.bloomFilter("h", n, fpp)
     val spark = train.sparkSession
     val bc = spark.sparkContext.broadcast(bloom)
     val might = udf((h: Long) => bc.value.mightContainLong(h))
-    val hits = Dedup.shingleHashRows(train, idCol, textCol, k, portableHash)
+    val candidates = Dedup
+      .shingleHashRows(train, idCol, textCol, k, portableHash)
       .filter(might(col("h")))
+    val confirmed =
+      if (confirm) candidates.join(evalGrams, Seq("h"), "left_semi")
+      else candidates
+    val hits = confirmed
       .groupBy("id").agg(count(lit(1)).as("n_hits"))
     train.select(col(idCol).as("id"))
       .join(hits, Seq("id"), "left_outer")

@@ -285,9 +285,10 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
-    // bloom-filter decontamination (constant executor memory; exact
-    // negatives). No SQL oracle (bloom bit layout) -> rows-only check;
-    // the no-false-negative guarantee is spec-tested vs p19's exact op.
+    // bloom-filter decontamination, two-phase EXACT (constant executor
+    // memory: bloom scan prunes the gram stream, a semi-join against
+    // the true gram set removes the bloom's false positives) — the
+    // result equals p19's exact op, so it carries the same SQL oracle
     "p28_decontaminate_bloom" -> ((s, d) => {
       val docs = t(s, d, "documents")
       val eval = docs.filter(col("doc_id") % 10 === 0)
@@ -728,6 +729,31 @@ object PipelineQueries {
         |FROM w WHERE src = 1 ORDER BY purchase_id""".stripMargin,
 
     "p19_decontaminate" ->
+      """WITH ws AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |      x -> len(x) > 0) AS ws
+        |  FROM documents),
+        |g0 AS (SELECT doc_id, list_distinct(list_transform(
+        |    range(1, len(ws)-3),
+        |    i -> ('0x'||substr(md5(ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '
+        |      ||ws[i+3]||' '||ws[i+4]),1,16))::UBIGINT)) AS gs
+        |  FROM ws),
+        |ev AS (SELECT DISTINCT unnest(gs) AS h FROM g0
+        |  WHERE doc_id % 10 = 0),
+        |tr AS (SELECT doc_id, unnest(gs) AS h FROM g0
+        |  WHERE doc_id % 10 <> 0),
+        |hits AS (SELECT tr.doc_id, count(*) AS n_hits
+        |  FROM tr JOIN ev USING (h) GROUP BY tr.doc_id)
+        |SELECT d.doc_id, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+        |  COALESCE(h.n_hits, 0) > 0 AS contaminated
+        |FROM documents d LEFT JOIN hits h USING (doc_id)
+        |WHERE d.doc_id % 10 <> 0 ORDER BY d.doc_id""".stripMargin,
+
+    // the two-phase bloom path is EXACT (bloom scan + semi-join
+    // confirmation), so the oracle is the same exact-decontamination
+    // SQL as p19 — the bloom is an executor-memory optimization, not a
+    // semantics change
+    "p28_decontaminate_bloom" ->
       """WITH ws AS (SELECT doc_id,
         |    list_filter(regexp_split_to_array(lower(text), '\s+'),
         |      x -> len(x) > 0) AS ws

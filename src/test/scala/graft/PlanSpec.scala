@@ -338,15 +338,26 @@ class PlanSpec extends SparkTestBase {
     val docs = graft.core.Tables.t(spark, sf, "documents")
     val eval = docs.filter(col("doc_id") % 10 === 0)
     val train = docs.filter(col("doc_id") % 10 =!= 0)
-    val plan = planOf(graft.operators.Decontaminate.flagBloom(
+    // scan-only variant: the gram PROBE must be filter-shaped (no join
+    // of the FULL train gram stream against an eval-gram table)
+    val scanPlan = planOf(graft.operators.Decontaminate.flagBloom(
+      train, eval, "doc_id", "text", k = 5, confirm = false))
+    assert(!scanPlan.contains("SortMergeJoin(h") &&
+      !scanPlan.contains("ShuffledHashJoin(h"),
+      s"bloom probe turned into a gram join:\n$scanPlan")
+    assert(scanPlan.contains("Filter"), scanPlan)
+    // default two-phase exact variant: the confirmation semi-join is
+    // allowed, but it must sit ABOVE the bloom filter — i.e. only the
+    // bloom-surviving candidate stream reaches the h-join, so the
+    // train side still never shuffles its full gram stream
+    val exactPlan = planOf(graft.operators.Decontaminate.flagBloom(
       train, eval, "doc_id", "text", k = 5))
-    // allowed shuffles: per-id hit aggregation + the id join back to
-    // train; the gram PROBE itself must be filter-shaped (no join of
-    // train grams against an eval-gram table)
-    assert(!plan.contains("SortMergeJoin(h") &&
-      !plan.contains("ShuffledHashJoin(h"),
-      s"bloom probe turned into a gram join:\n$plan")
-    assert(plan.contains("Filter"), plan)
+    val joinAt = exactPlan.indexOf("LeftSemi")
+    assert(joinAt >= 0, s"no confirmation semi-join:\n$exactPlan")
+    assert(exactPlan.indexOf("mightContainLong", joinAt) >= 0 ||
+      exactPlan.indexOf("UDF", joinAt) >= 0,
+      "bloom filter must prune BELOW the confirmation join " +
+        s"(train grams reached the join unfiltered):\n$exactPlan")
   }
 
   test("compat-branch operands are pinned: branches scan a materialized " +

@@ -74,10 +74,17 @@ class BpeSpec extends SparkTestBase {
     val eval = Seq((100L, s"prefix $span suffix")).toDF("doc_id", "text")
     val exact = Decontaminate.flag(train, eval, "doc_id", "text", k = 5)
       .filter(col("contaminated")).select("id").as[Long].collect().toSet
+    // default two-phase bloom (scan + semi-join confirmation): EXACT,
+    // not just false-negative-free
     val bloom = Decontaminate.flagBloom(train, eval, "doc_id", "text",
         k = 5, fpp = 0.001)
       .filter(col("contaminated")).select("id").as[Long].collect().toSet
-    assert(exact.subsetOf(bloom)) // one-sided error: no false negatives
+    assert(bloom == exact)
+    // scan-only variant keeps the one-sided guarantee
+    val scan = Decontaminate.flagBloom(train, eval, "doc_id", "text",
+        k = 5, fpp = 0.001, confirm = false)
+      .filter(col("contaminated")).select("id").as[Long].collect().toSet
+    assert(exact.subsetOf(scan)) // no false negatives
     assert(exact == Set(1L, 3L))
   }
 }
