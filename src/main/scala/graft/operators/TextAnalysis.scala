@@ -237,6 +237,71 @@ object TextAnalysis {
         percentile(col("n_tok"), lit(0.5)).as("p50_tokens"),
         percentile(col("n_tok"), lit(0.9)).as("p90_tokens"))
 
+  /** Distribution-shift detection between corpus slices — the
+    * "did this crawl batch drift from the reference mix?" monitor of a
+    * training-data pipeline: per-group unigram TOTAL-VARIATION distance
+    * against a designated reference group,
+    *
+    *   TV(g, ref) = ½ · Σ_w | P_g(w) − P_ref(w) |
+    *
+    * computed over the UNION vocabulary with an exact integer
+    * numerator: scaling by the common denominator n_g·n_ref turns every
+    * term into | c_gw·n_ref − c_refw·n_g |, so the statistic is
+    * oracle-checkable bit-for-bit (unlike KL, whose logs are
+    * transcendental). Words present in ref but ABSENT from g need no
+    * vocabulary cross join — their contribution is the closed form
+    * n_g · (n_ref − Σ_{w∈g} c_refw), so the whole computation is one
+    * token-count aggregation plus a word-keyed left join of each
+    * group's count table against the reference counts: shuffle on the
+    * word key, partial aggregation map-side, never a V×G expansion.
+    * Internals in DECIMAL(38,0) — c·n products overflow Long once a
+    * slice passes ~10⁹ tokens.
+    *
+    * Output per group: `n_tokens`, `n_words` (distinct), `overlap_ref`
+    * (Σ c_refw over words shared with ref — the raw coverage signal),
+    * `tv_num` (exact integer numerator), `tv` = tv_num / (2·n_g·n_ref)
+    * ∈ [0, 1). TV(ref, ref) = 0 by construction.
+    */
+  def distributionShift(df: DataFrame, groupCol: String, textCol: String,
+                        refGroup: String): DataFrame = {
+    val dec0 = lit(0).cast("decimal(38,0)")
+    val tok = df.select(col(groupCol).as("grp"),
+      explode(words(col(textCol))).as("w"))
+    val counts = tok.groupBy("grp", "w")
+      .agg(count(lit(1)).cast("decimal(19,0)").as("c"))
+    val totals = counts.groupBy("grp").agg(
+      sum("c").cast("decimal(19,0)").as("n"),
+      count(lit(1)).as("n_words"))
+    val ref = counts.filter(col("grp") === refGroup)
+      .select(col("w"), col("c").as("cr"))
+    val refN = totals.filter(col("grp") === refGroup)
+      .select(col("n").as("nr"))
+    val present = counts
+      .join(broadcast(totals.select(col("grp"), col("n"))), Seq("grp"))
+      .join(broadcast(refN))
+      .join(ref, Seq("w"), "left_outer")
+      .groupBy("grp").agg(
+        sum(abs(col("c") * col("nr") -
+          coalesce(col("cr"), dec0) * col("n"))).as("tv_present"),
+        sum(coalesce(col("cr"), dec0)).as("overlap_ref"))
+    present
+      .join(totals, Seq("grp"))
+      .join(broadcast(refN))
+      .select(
+        col("grp"),
+        col("n").cast("long").as("n_tokens"),
+        col("n_words"),
+        col("overlap_ref").cast("long").as("overlap_ref"),
+        // absent-in-g ref words: closed form n_g·(n_ref − overlap)
+        (col("tv_present") +
+          col("n") * (col("nr") - col("overlap_ref")))
+          .cast("decimal(38,0)").as("tv_num"),
+        ((col("tv_present") +
+          col("n") * (col("nr") - col("overlap_ref"))).cast("double") /
+          (lit(2.0) * col("n").cast("double") * col("nr").cast("double")))
+          .as("tv"))
+  }
+
   /** Canonical text normalization — the first pass of a crawl-ingest
     * pipeline, run BEFORE dedup/shingling so composed-vs-decomposed
     * Unicode (é vs e+◌́), stray control characters and ragged whitespace

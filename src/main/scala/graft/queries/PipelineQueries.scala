@@ -473,6 +473,18 @@ object PipelineQueries {
           col("ord_in_rank"))
         .orderBy("grp_rank", "ord_in_rank")),
 
+    // corpus distribution-shift monitor: per-source unigram
+    // total-variation distance against the src0 slice — exact integer
+    // numerator (see TextAnalysis.distributionShift), so the statistic
+    // itself is oracle-gated, not just its count features
+    "p45_distribution_shift" -> ((s, d) =>
+      TextAnalysis.distributionShift(t(s, d, "documents"),
+          "source", "text", "src0")
+        .select(col("grp").as("source"), col("n_tokens"), col("n_words"),
+          col("overlap_ref"), col("tv_num").cast("long").as("tv_num"),
+          round(col("tv"), 6).as("tv6"))
+        .orderBy("source")),
+
     // markup stripping: the corpus is plain text, so each doc is wrapped
     // in a synthetic HTML template (style payload, tags, comment,
     // double-escaped entity) that the extractor must undo; fingerprinted
@@ -1286,6 +1298,34 @@ object PipelineQueries {
         |  CAST(ROW_NUMBER() OVER (PARTITION BY grp_rank ORDER BY key)
         |    AS BIGINT) AS ord_in_rank
         |FROM r ORDER BY grp_rank, ord_in_rank""".stripMargin,
+
+    // total-variation replayed: same tokenization, HUGEINT products so
+    // the integer numerator never wraps, one double division at the end
+    "p45_distribution_shift" ->
+      """WITH tok AS (SELECT source AS grp,
+        |    unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |      x -> len(x) > 0)) AS w
+        |  FROM documents),
+        |c AS (SELECT grp, w, count(*)::BIGINT AS c FROM tok
+        |  GROUP BY grp, w),
+        |t AS (SELECT grp, sum(c)::BIGINT AS n, count(*)::BIGINT AS n_words
+        |  FROM c GROUP BY grp),
+        |r AS (SELECT w, c AS cr FROM c WHERE grp = 'src0'),
+        |rn AS (SELECT n AS nr FROM t WHERE grp = 'src0'),
+        |p AS (SELECT c.grp,
+        |    sum(abs(c.c::HUGEINT * (SELECT nr FROM rn)
+        |      - coalesce(r.cr, 0)::HUGEINT * t.n)) AS tvp,
+        |    sum(coalesce(r.cr, 0))::BIGINT AS overlap_ref
+        |  FROM c JOIN t USING (grp) LEFT JOIN r USING (w)
+        |  GROUP BY c.grp)
+        |SELECT t.grp AS source, t.n AS n_tokens, t.n_words,
+        |  p.overlap_ref,
+        |  (p.tvp + t.n::HUGEINT *
+        |    ((SELECT nr FROM rn) - p.overlap_ref))::BIGINT AS tv_num,
+        |  round((p.tvp + t.n::HUGEINT *
+        |      ((SELECT nr FROM rn) - p.overlap_ref))::DOUBLE
+        |    / (2.0 * t.n * (SELECT nr FROM rn)), 6) AS tv6
+        |FROM t JOIN p USING (grp) ORDER BY source""".stripMargin,
 
     // markup stripping replayed in DuckDB: same wrap, same RE2 passes,
     // same entity-decode order

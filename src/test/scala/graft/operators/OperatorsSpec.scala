@@ -787,6 +787,28 @@ class OperatorsSpec extends SparkTestBase {
       out(3L).error != null, out(3L))
   }
 
+  test("distributionShift: hand-computed total-variation vs reference") {
+    // ref src0: tokens {a:2, b:1}, n=3. g1: {a:1, c:1}, n=2.
+    // TV(g1, ref) = (|1/2-2/3| + |0-1/3| + |1/2-0|)/2 = 1/2.
+    // Integer form: a |1*3-2*2|=1, c |1*3-0*2|=3; absent-ref part
+    // n_g*(nr-overlap) = 2*(3-2) = 2; tv_num = 6, denom = 12 -> 0.5.
+    val docs = Seq(
+      (1L, "a b a", "src0"), (2L, "a c", "g1"))
+      .toDF("doc_id", "text", "source")
+    val out = TextAnalysis
+      .distributionShift(docs, "source", "text", "src0")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val g1 = out("g1")
+    assert(g1.getLong(1) == 2L, "n_tokens")          // n_tokens
+    assert(g1.getLong(2) == 2L, "n_words")           // a, c
+    assert(g1.getLong(3) == 2L, "overlap_ref")       // cr(a)=2, cr(c)=0
+    assert(g1.getDecimal(4).longValue == 6L, "tv_num")
+    assert(math.abs(g1.getDouble(5) - 0.5) < 1e-12, "tv")
+    val self = out("src0")
+    assert(self.getDecimal(4).longValue == 0L)
+    assert(self.getDouble(5) == 0.0)
+  }
+
   test("corpusStats computes exact interpolated percentiles per group") {
     val df = Seq(
       ("en", "w"), ("en", "w w"), ("en", "w w w"), ("en", "w w w w"),
