@@ -487,7 +487,49 @@ private object BNodeGen {
 }
 
 object Parser {
+  /** DoS guard, applied BEFORE recursive descent: the combinator parser
+    * recurses per nesting level, and ~2000 nested braces (a 4 KB
+    * request) blew the default thread stack in fuzzing — a
+    * StackOverflowError where the endpoint owes a 400. String literals
+    * are skipped so quoted brackets don't count; IRIs may contain
+    * balanced parens, which net out. 256 is far beyond any legitimate
+    * query's nesting. Shared with the update parser. */
+  private[sparql] def checkNesting(text: String, max: Int = 256): Unit = {
+    var i = 0; var depth = 0; var worst = 0
+    val n = text.length
+    while (i < n && worst <= max) {
+      val c = text.charAt(i)
+      if (c == '"' || c == '\'') {
+        val q = c
+        if (i + 2 < n && text.charAt(i + 1) == q && text.charAt(i + 2) == q) {
+          i += 3 // long form: scan to the closing triple quote
+          while (i + 2 < n && !(text.charAt(i) == q &&
+              text.charAt(i + 1) == q && text.charAt(i + 2) == q)) {
+            if (text.charAt(i) == '\\') i += 1
+            i += 1
+          }
+          i += 3
+        } else {
+          i += 1
+          while (i < n && text.charAt(i) != q) {
+            if (text.charAt(i) == '\\') i += 1
+            i += 1
+          }
+          i += 1
+        }
+      } else {
+        if (c == '{' || c == '(' || c == '[') {
+          depth += 1; if (depth > worst) worst = depth
+        } else if (c == '}' || c == ')' || c == ']') depth -= 1
+        i += 1
+      }
+    }
+    if (worst > max) throw new IllegalArgumentException(
+      s"SPARQL parse error: bracket nesting exceeds $max")
+  }
+
   def parse(text: String): Ast.Query = {
+    checkNesting(text)
     val p = new Parser
     p.parseAll(p.query, text) match {
       case p.Success(q, _) => validated(q)

@@ -162,7 +162,10 @@ object Update {
       }
   }
 
-  def parse(text: String): List[Op] = new UParser().updateParse(text)
+  def parse(text: String): List[Op] = {
+    graft.sparql.Parser.checkNesting(text) // same pre-descent DoS guard
+    new UParser().updateParse(text)
+  }
 
   // ---------------------------------------------------------- execution
 

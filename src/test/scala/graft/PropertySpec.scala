@@ -113,4 +113,55 @@ class PropertySpec extends SparkTestBase {
       assert(scaled >= -1024 && scaled <= 1023)
     }
   }
+
+  test("query/update parsers fail CLOSED on arbitrary input: reject with " +
+      "IllegalArgumentException, never crash") {
+    // a public endpoint feeds Parser.parse untrusted bytes; any escape
+    // hatch other than the documented reject (StackOverflow on deep
+    // nesting, MatchError on an unhandled AST shape, NPE) is a DoS or
+    // a 500 where a 400 belongs. Three input families: pure garbage,
+    // mutated valid queries (realistic near-miss syntax), and
+    // pathological nesting depth.
+    val valid = Seq(
+      "SELECT ?s WHERE { ?s ?p ?o }",
+      "PREFIX : <http://e/> SELECT (COUNT(*) AS ?n) WHERE { ?s :p ?o " +
+        "OPTIONAL { ?s :q ?v } FILTER(?v > 1 && REGEX(STR(?o), \"x\")) } " +
+        "GROUP BY ?s HAVING (COUNT(*) > 1) ORDER BY ?s LIMIT 3",
+      "CONSTRUCT { ?s ?p ?o } WHERE { ?s ?p ?o . VALUES ?s { <urn:a> } }",
+      "ASK { ?x <urn:p>/<urn:q>* ?y }")
+    def tryParse(q: String): Unit = {
+      try { graft.sparql.Parser.parse(q); () }
+      catch {
+        case _: IllegalArgumentException => ()
+        case e: Throwable =>
+          fail(s"parser escaped with ${e.getClass.getName} on: " +
+            s"${q.take(120)}")
+      }
+      try { graft.sparql.Update.parse(q); () }
+      catch {
+        case _: IllegalArgumentException => ()
+        case e: Throwable =>
+          fail(s"update parser escaped with ${e.getClass.getName} on: " +
+            s"${q.take(120)}")
+      }
+    }
+    // garbage
+    (1 to 400).foreach(_ => tryParse(randStr(80)))
+    // mutations: drop/flip/insert a char somewhere in a valid query
+    for (q <- valid; _ <- 1 to 150) {
+      val i = rnd.nextInt(q.length)
+      val m = rnd.nextInt(3) match {
+        case 0 => q.substring(0, i) + q.substring(math.min(i + 1, q.length))
+        case 1 => q.updated(i, pool(rnd.nextInt(pool.size)))
+        case 2 => q.substring(0, i) + pool(rnd.nextInt(pool.size)) +
+          q.substring(i)
+      }
+      tryParse(m)
+    }
+    // pathological nesting: deep braces and parens must reject or parse,
+    // not blow the stack
+    tryParse("SELECT * WHERE " + "{ " * 2000 + "}" * 2000)
+    tryParse("SELECT ?s WHERE { ?s ?p ?o . FILTER(" + "(" * 3000 +
+      "1" + ")" * 3000 + " > 0) }")
+  }
 }
