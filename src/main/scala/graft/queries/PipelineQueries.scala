@@ -473,6 +473,31 @@ object PipelineQueries {
           col("ord_in_rank"))
         .orderBy("grp_rank", "ord_in_rank")),
 
+    // quality-aware near-dup representative selection: for each
+    // connected near-duplicate cluster, keep the HIGHEST-QUALITY member
+    // (tie -> lowest doc_id) instead of the lowest-id default — the
+    // curation rule real pipelines want (drop the OCR-mangled copy,
+    // keep the clean one). Composition of p15's components with p06's
+    // quality signals; map-side max_by on an ordered struct, one
+    // aggregate over the component id.
+    "p46_cluster_best" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val comp = Dedup.connectedComponents(
+        docs.select(col("doc_id").as("id")),
+        jaccardPairs(s, d).select("id1", "id2"))
+      val q = TextAnalysis.qualitySignals(docs, "text")
+        .select(col("doc_id").as("id"), col("quality_score"))
+      comp.join(q, Seq("id"))
+        .groupBy(col("comp").as("component"))
+        .agg(
+          max_by(col("id"),
+            struct(col("quality_score"), (-col("id")).as("negid")))
+            .as("rep_doc_id"),
+          count(lit(1)).as("n_members"),
+          round(max(col("quality_score")), 6).as("best_q6"))
+        .orderBy("component")
+    }),
+
     // corpus distribution-shift monitor: per-source unigram
     // total-variation distance against the src0 slice — exact integer
     // numerator (see TextAnalysis.distributionShift), so the statistic
@@ -1298,6 +1323,53 @@ object PipelineQueries {
         |  CAST(ROW_NUMBER() OVER (PARTITION BY grp_rank ORDER BY key)
         |    AS BIGINT) AS ord_in_rank
         |FROM r ORDER BY grp_rank, ord_in_rank""".stripMargin,
+
+    // p15's recursive-CTE components + p06's quality formula + a
+    // per-component argmax window
+    "p46_cluster_best" ->
+      """WITH RECURSIVE ws AS (SELECT doc_id,
+        |    list_filter(string_split(lower(text),' '), x -> len(x)>0) AS ws
+        |  FROM documents),
+        |sh0 AS (SELECT doc_id, list_distinct(list_transform(
+        |    range(1, len(ws)-1), i -> ws[i]||' '||ws[i+1]||' '||ws[i+2]))
+        |    AS shingles FROM ws),
+        |sh AS (SELECT doc_id, len(shingles) AS nsh, unnest(shingles) AS s
+        |  FROM sh0),
+        |prs AS (SELECT a.doc_id id1, b.doc_id id2, a.nsh n1, b.nsh n2,
+        |    count(*) AS common
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1,2,3,4),
+        |good AS (SELECT id1, id2 FROM prs
+        |  WHERE common::DOUBLE/(n1+n2-common) >= 0.5),
+        |sym AS (SELECT id1 AS a, id2 AS b FROM good
+        |  UNION ALL SELECT id2, id1 FROM good),
+        |reach AS (SELECT a, b FROM sym
+        |  UNION SELECT r.a, s2.b FROM reach r JOIN sym s2 ON r.b = s2.a),
+        |comp AS (SELECT d.doc_id,
+        |    CAST(LEAST(d.doc_id, COALESCE(MIN(r.b), d.doc_id)) AS BIGINT)
+        |      AS component
+        |  FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+        |  GROUP BY d.doc_id),
+        |q AS (SELECT doc_id,
+        |  (CASE WHEN len(list_filter(string_split(lower(text),' '),
+        |      w -> len(w)>0)) BETWEEN 5 AND 100000
+        |    THEN 1.0 ELSE 0.2 END)
+        |  * (1.0 - least((len(text) - len(regexp_replace(text,
+        |      '[[:punct:]]', '', 'g')))::DOUBLE / greatest(len(text),1)*2,
+        |      1.0))
+        |  * (1.0 - least((len(text) - len(regexp_replace(text, '[0-9]',
+        |      '', 'g')))::DOUBLE / greatest(len(text),1)*2, 1.0))
+        |    AS quality_score
+        |  FROM documents),
+        |ranked AS (SELECT c.component, c.doc_id, q.quality_score,
+        |    ROW_NUMBER() OVER (PARTITION BY c.component
+        |      ORDER BY q.quality_score DESC, c.doc_id ASC) AS rn
+        |  FROM comp c JOIN q ON q.doc_id = c.doc_id)
+        |SELECT component, CAST(MIN(doc_id) FILTER (rn = 1) AS BIGINT)
+        |    AS rep_doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_members,
+        |  round(max(quality_score), 6) AS best_q6
+        |FROM ranked GROUP BY component ORDER BY component""".stripMargin,
 
     // total-variation replayed: same tokenization, HUGEINT products so
     // the integer numerator never wraps, one double division at the end

@@ -20,7 +20,18 @@ object RdfXml {
 
   def parseFile(path: String, baseUri: String): List[(Term, Term, Term)] = {
     val in = new java.io.FileInputStream(path)
-    try parse(in, baseUri) finally in.close()
+    // uniform fail-closed contract with the Turtle/SPARQL parsers: a
+    // malformed document rejects with IllegalArgumentException, never a
+    // raw StAX exception. (Depth DoS is handled by the JDK reader's own
+    // 1000-element limit — verified by fuzzing; DTD + external entities
+    // are disabled below against XXE.)
+    try parse(in, baseUri)
+    catch {
+      case e: javax.xml.stream.XMLStreamException =>
+        throw new IllegalArgumentException(
+          s"RDF/XML parse error: ${e.getMessage}")
+    }
+    finally in.close()
   }
 
   def parse(in: java.io.InputStream,

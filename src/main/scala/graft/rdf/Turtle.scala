@@ -13,8 +13,15 @@ import scala.util.parsing.combinator.RegexParsers
   */
 object Turtle {
 
-  def parse(text: String, base: String = ""): List[(Term, Term, Term)] =
+  def parse(text: String, base: String = ""): List[(Term, Term, Term)] = {
+    // same pre-descent DoS guard as the query parser: deep `[ :p [ ...`
+    // or `( ( ( ...` nesting in an untrusted document blew the
+    // combinator parser's stack in fuzzing (StackOverflowError, or a
+    // "stack overflow during pattern compilation" from a lazy regex
+    // compiled at depth)
+    graft.sparql.Parser.checkNesting(text)
     new TtlParser(base).run(text)
+  }
 
   /** @param base base IRI for relative references (the reference's HTTP
     *   PUT resolves them against the target graph URI) */
@@ -28,8 +35,10 @@ object Turtle {
     * Turtle statements (both default graph). Graph = None for the
     * default graph; bnode labels render as `_:label`. */
   def parseQuads(text: String, base: String = "")
-      : List[(Term, Term, Term, Option[String])] =
+      : List[(Term, Term, Term, Option[String])] = {
+    graft.sparql.Parser.checkNesting(text)
     new TtlParser(base).runQuads(text)
+  }
 
   def parseQuadsFile(path: String, base: String = "")
       : List[(Term, Term, Term, Option[String])] = {

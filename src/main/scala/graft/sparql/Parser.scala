@@ -494,7 +494,7 @@ object Parser {
     * are skipped so quoted brackets don't count; IRIs may contain
     * balanced parens, which net out. 256 is far beyond any legitimate
     * query's nesting. Shared with the update parser. */
-  private[sparql] def checkNesting(text: String, max: Int = 256): Unit = {
+  private[graft] def checkNesting(text: String, max: Int = 256): Unit = {
     var i = 0; var depth = 0; var worst = 0
     val n = text.length
     while (i < n && worst <= max) {

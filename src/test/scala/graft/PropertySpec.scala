@@ -114,6 +114,53 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("import parsers fail CLOSED: Turtle nesting guard, RdfXml depth " +
+      "limit + IAE contract, NTriples totality") {
+    // Turtle: deep collection / bnode-property nesting must reject
+    // (pre-descent guard), not blow the combinator stack — fuzzing
+    // found StackOverflowError at ~2000 levels before the guard
+    intercept[IllegalArgumentException] {
+      Turtle.parse("@prefix : <http://e/> .\n:a :p " +
+        "( " * 3000 + ") " * 3000 + " .\n")
+    }
+    intercept[IllegalArgumentException] {
+      Turtle.parse("@prefix : <http://e/> .\n:a :p " +
+        "[ :q " * 3000 + "1" + " ]" * 3000 + " .\n")
+    }
+    // RdfXml: the JDK StAX reader's 1000-element depth cap covers the
+    // same vector; the failure must surface as the uniform
+    // IllegalArgumentException reject, not a raw StAX exception
+    val deep = new StringBuilder()
+      .append("""<?xml version="1.0"?><rdf:RDF xmlns:rdf=""")
+      .append(""""http://www.w3.org/1999/02/22-rdf-syntax-ns#" """)
+      .append("""xmlns:e="http://e/">""")
+      .append("""<rdf:Description rdf:about="http://e/a">""")
+    (1 to 3000).foreach(_ => deep.append("<e:p><rdf:Description>"))
+    (1 to 3000).foreach(_ => deep.append("</rdf:Description></e:p>"))
+    deep.append("</rdf:Description></rdf:RDF>")
+    val tmp = java.io.File.createTempFile("deep", ".rdf")
+    try {
+      java.nio.file.Files.write(tmp.toPath,
+        deep.toString.getBytes("UTF-8"))
+      val e = intercept[IllegalArgumentException] {
+        RdfXml.parseFile(tmp.getAbsolutePath, "http://e/")
+      }
+      assert(e.getMessage.contains("RDF/XML parse error"), e.getMessage)
+    } finally tmp.delete()
+    // Turtle + NTriples totality on garbage: reject (IAE) or parse,
+    // and parseLine (Option-typed) never throws at all
+    for (s <- samples ++ (1 to 200).map(_ => randStr(80))) {
+      try { Turtle.parse(s); () }
+      catch {
+        case _: IllegalArgumentException => ()
+        case e: Throwable =>
+          fail(s"turtle escaped with ${e.getClass.getName} on " +
+            s.take(60))
+      }
+      NTriples.parseLine(s) // must not throw
+    }
+  }
+
   test("query/update parsers fail CLOSED on arbitrary input: reject with " +
       "IllegalArgumentException, never crash") {
     // a public endpoint feeds Parser.parse untrusted bytes; any escape
