@@ -283,10 +283,30 @@ final class Endpoint(spark: SparkSession, initial: QuadStore, port: Int = 0,
 
   /** request body, buffered ONCE per exchange: a peer-cancellation
     * retry re-enters the handler body, and a second readAllBytes on the
-    * consumed stream would hand the retried POST an empty body */
+    * consumed stream would hand the retried POST an empty body.
+    *
+    * Size-capped: an unbounded readAllBytes lets one multi-GB POST OOM
+    * the whole driver (the /data/ import path legitimately accepts
+    * large N-Triples bodies, so the default cap is generous — 256 MB,
+    * tunable via `graft.ep.maxBodyBytes`). Overflow raises
+    * [[Endpoint.BodyTooLarge]], answered as HTTP 413. */
+  private val maxBodyBytes: Long =
+    sys.props.get("graft.ep.maxBodyBytes").map(_.toLong)
+      .getOrElse(256L * 1024 * 1024)
   private def bodyOf(ex: HttpExchange): String =
-    bufferedBodies.computeIfAbsent(ex,
-      e => new String(e.getRequestBody.readAllBytes(), UTF_8))
+    bufferedBodies.computeIfAbsent(ex, e => {
+      val in = e.getRequestBody
+      val buf = new java.io.ByteArrayOutputStream()
+      val chunk = new Array[Byte](64 * 1024)
+      var n = in.read(chunk)
+      while (n >= 0) {
+        buf.write(chunk, 0, n)
+        if (buf.size() > maxBodyBytes)
+          throw new Endpoint.BodyTooLarge(maxBodyBytes)
+        n = in.read(chunk)
+      }
+      new String(buf.toByteArray, UTF_8)
+    })
 
   server.createContext("/sparql/", new HttpHandler {
     def handle(ex: HttpExchange): Unit = try fedScoped {
@@ -392,6 +412,8 @@ final class Endpoint(spark: SparkSession, initial: QuadStore, port: Int = 0,
     } catch {
       case _: java.util.concurrent.TimeoutException =>
         respond(ex, 503, """{"error":"query timeout exceeded"}""")
+      case _: Endpoint.BodyTooLarge =>
+        respond(ex, 413, """{"error":"request body too large"}""")
       case e: Exception =>
         respond(ex, 400, s"""{"error":"${e.getMessage}"}""")
     }
@@ -421,6 +443,8 @@ final class Endpoint(spark: SparkSession, initial: QuadStore, port: Int = 0,
     } catch {
       case _: java.util.concurrent.TimeoutException =>
         respond(ex, 503, """{"error":"query timeout exceeded"}""")
+      case _: Endpoint.BodyTooLarge =>
+        respond(ex, 413, """{"error":"request body too large"}""")
       case e: Exception =>
         respond(ex, 400, s"""{"error":"${e.getMessage}"}""")
     }
@@ -520,6 +544,8 @@ final class Endpoint(spark: SparkSession, initial: QuadStore, port: Int = 0,
     } catch {
       case _: java.util.concurrent.TimeoutException =>
         respond(ex, 503, """{"error":"query timeout exceeded"}""")
+      case _: Endpoint.BodyTooLarge =>
+        respond(ex, 413, """{"error":"request body too large"}""")
       case e: Exception =>
         respond(ex, 400, s"""{"error":"${e.getMessage}"}""")
     }
@@ -543,6 +569,8 @@ final class Endpoint(spark: SparkSession, initial: QuadStore, port: Int = 0,
     } catch {
       case _: java.util.concurrent.TimeoutException =>
         respond(ex, 503, """{"error":"query timeout exceeded"}""")
+      case _: Endpoint.BodyTooLarge =>
+        respond(ex, 413, """{"error":"request body too large"}""")
       case e: Exception =>
         respond(ex, 400, s"""{"error":"${e.getMessage}"}""")
     }
@@ -589,6 +617,8 @@ final class Endpoint(spark: SparkSession, initial: QuadStore, port: Int = 0,
     } catch {
       case _: java.util.concurrent.TimeoutException =>
         respond(ex, 503, """{"error":"query timeout exceeded"}""")
+      case _: Endpoint.BodyTooLarge =>
+        respond(ex, 413, """{"error":"request body too large"}""")
       case e: Exception =>
         respond(ex, 400, s"""{"error":"${e.getMessage}"}""")
     }
@@ -636,6 +666,10 @@ final class Endpoint(spark: SparkSession, initial: QuadStore, port: Int = 0,
   * thread (the tag-inheritance hazard) attributes to nothing once its
   * request has finished. */
 private[http] object Endpoint {
+  /** request body exceeded the configured cap — answered as 413 */
+  final class BodyTooLarge(max: Long) extends RuntimeException(
+    s"request body exceeds $max bytes")
+
   val RequestProp = "graft.ep.request"
   val CancelReason = "graft-ep-timeout"
   val poolTicket = new java.util.concurrent.atomic.AtomicInteger(0)

@@ -318,6 +318,31 @@ class EndpointSpec extends SparkTestBase {
     } finally ep.stop()
   }
 
+  test("oversized POST bodies answer 413, not an OOM or a 400") {
+    val prev = System.getProperty("graft.ep.maxBodyBytes")
+    System.setProperty("graft.ep.maxBodyBytes", "1024")
+    try {
+      val store = QuadStore.fromTerms(spark, Seq(
+        (Uri("urn:a"), Uri("urn:p"), Lit("x"))))
+      val ep = new Endpoint(spark, store, 0).start()
+      try {
+        val base = s"http://localhost:${ep.boundPort}"
+        val big = "INSERT DATA { " + (1 to 200).map(i =>
+          s"""<urn:s$i> <urn:p> "v$i" .""").mkString(" ") + " }"
+        assert(big.length > 1024)
+        val (code, body) = req(s"$base/update/", "POST", big)
+        assert(code == 413 && body.contains("too large"), s"$code $body")
+        // under the cap still works
+        val (c2, _) = req(s"$base/update/", "POST",
+          """INSERT DATA { <urn:b> <urn:p> "y" }""")
+        assert(c2 == 200)
+      } finally ep.stop()
+    } finally {
+      if (prev == null) System.clearProperty("graft.ep.maxBodyBytes")
+      else System.setProperty("graft.ep.maxBodyBytes", prev)
+    }
+  }
+
   test("killability law: an in-memory fromTerms store still honors the " +
       "timeout (LocalRelation guard)") {
     // WITHOUT the construction-time guard this store is unkillable:
