@@ -267,8 +267,14 @@ object TextAnalysis {
     val dec0 = lit(0).cast("decimal(38,0)")
     val tok = df.select(col(groupCol).as("grp"),
       explode(words(col(textCol))).as("w"))
+    // pinned: the count table feeds THREE consumers (the per-word join,
+    // the per-group totals, the reference slice) — without the pin the
+    // corpus-wide tokenize+count re-executes per consumer (observed 8
+    // explode passes in the AQE plan). Lazy checkpoint: materialized by
+    // the first consumer inside the query's own action.
     val counts = tok.groupBy("grp", "w")
       .agg(count(lit(1)).cast("decimal(19,0)").as("c"))
+      .localCheckpoint(eager = false)
     val totals = counts.groupBy("grp").agg(
       sum("c").cast("decimal(19,0)").as("n"),
       count(lit(1)).as("n_words"))
