@@ -148,9 +148,13 @@ object TextAnalysis {
             .as("h1"))
     val c12 = bigramRows(train).groupBy("h2")
       .agg(count(lit(1)).as("c12"))
+    // pinned: c1 feeds both the vocab-size action below and the scoring
+    // join — without the pin the train corpus tokenizes twice for
+    // unigrams (once per consumer). The count() materializes the
+    // checkpoint; the join re-scans the blocks.
     val c1 = unigramRows(train).groupBy("h1")
-      .agg(count(lit(1)).as("c1"))
-    val vocab = unigramRows(train).select("h1").distinct().count().toDouble
+      .agg(count(lit(1)).as("c1")).localCheckpoint(eager = false)
+    val vocab = c1.count().toDouble
     val scored = bigramRows(score)
       .join(c12, Seq("h2"), "left_outer")
       .join(c1, Seq("h1"), "left_outer")
