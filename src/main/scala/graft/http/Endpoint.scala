@@ -293,9 +293,16 @@ final class Endpoint(spark: SparkSession, initial: QuadStore, port: Int = 0,
   private val maxBodyBytes: Long =
     sys.props.get("graft.ep.maxBodyBytes").map(_.toLong)
       .getOrElse(256L * 1024 * 1024)
-  private def bodyOf(ex: HttpExchange): String =
-    bufferedBodies.computeIfAbsent(ex, e => {
-      val in = e.getRequestBody
+  private def bodyOf(ex: HttpExchange): String = {
+    // An exchange is handled by exactly one thread, so per-key atomicity
+    // isn't needed — and the read loop must NOT run inside the map's
+    // mutex (computeIfAbsent would hold it), or one slow multi-MB upload
+    // serializes every concurrent request's body read behind one client.
+    // Locked get, read outside the lock, locked put.
+    val cached = bufferedBodies.get(ex)
+    if (cached != null) cached
+    else {
+      val in = ex.getRequestBody
       val buf = new java.io.ByteArrayOutputStream()
       val chunk = new Array[Byte](64 * 1024)
       var n = in.read(chunk)
@@ -305,8 +312,11 @@ final class Endpoint(spark: SparkSession, initial: QuadStore, port: Int = 0,
           throw new Endpoint.BodyTooLarge(maxBodyBytes)
         n = in.read(chunk)
       }
-      new String(buf.toByteArray, UTF_8)
-    })
+      val s = new String(buf.toByteArray, UTF_8)
+      bufferedBodies.put(ex, s)
+      s
+    }
+  }
 
   server.createContext("/sparql/", new HttpHandler {
     def handle(ex: HttpExchange): Unit = try fedScoped {

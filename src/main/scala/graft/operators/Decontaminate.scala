@@ -94,11 +94,15 @@ object Decontaminate {
                 textCol: String, k: Int = 8, fpp: Double = 0.001,
                 portableHash: Boolean = false,
                 confirm: Boolean = true): DataFrame = {
-    // cached: the gram set feeds multiple actions (size for bloom
-    // sizing, the bloom build, and the confirmation join)
+    // pinned: the gram set feeds multiple actions (size for bloom
+    // sizing, the bloom build, and the confirmation join). Lazy
+    // localCheckpoint, NOT cache(): cache registers in the shared
+    // cache manager and repeated calls accumulate entries nobody
+    // releases; checkpoint blocks are freed by the ContextCleaner as
+    // soon as the result (and with it this RDD) becomes unreachable.
     val evalGrams = Dedup
       .shingleHashRows(eval, idCol, textCol, k, portableHash)
-      .select("h").distinct().cache()
+      .select("h").distinct().localCheckpoint(eager = false)
     val n = math.max(evalGrams.count(), 1L)
     val bloom = evalGrams.stat.bloomFilter("h", n, fpp)
     val spark = train.sparkSession

@@ -488,8 +488,12 @@ object Dedup {
     // pairwise; later members of a capped cell are kept unexamined
     val wCell = Window.partitionBy("cell_id").orderBy(col("id").asc)
     val sized = cells.withColumn("cr", row_number().over(wCell))
+    // lazy localCheckpoint, not cache(): both self-join sides read the
+    // pinned blocks, and the ContextCleaner frees them once the result
+    // is dropped — cache() would leak a registry entry per call
     val scorable = sized.filter(col("cr") <= maxCellSize)
-      .select(col("cell_id"), col("id"), col("v")).cache()
+      .select(col("cell_id"), col("id"), col("v"))
+      .localCheckpoint(eager = false)
     // within-cell pairs: hash-join on cell_id, lower id on the left;
     // a doc is dropped iff SOME lower-id cluster-mate is >= threshold
     val dropped = scorable.select(col("cell_id"),
@@ -540,8 +544,12 @@ object Dedup {
                          centroids: Option[DataFrame] = None,
                          maxCellSize: Int = 100000,
                          maxCappedFraction: Double = 0.05): DataFrame = {
+    // lazy localCheckpoint, not cache(): the stats collect materializes
+    // it, the kept-filter below reuses the blocks, and the
+    // ContextCleaner releases them when the result is dropped — ON THE
+    // ABORT THROW TOO, where a cache() entry would leak unreleasable
     val res = semanticDedup(items, idCol, vecCol, threshold, nCells,
-      centroids, maxCellSize).cache()
+      centroids, maxCellSize).localCheckpoint(eager = false)
     val st = semanticDedupStats(res).collect()(0)
     val frac = st.getAs[Double]("capped_fraction")
     if (frac > maxCappedFraction)

@@ -1062,10 +1062,11 @@ final class Exec(store: QuadStore, spark: SparkSession) {
     // deep expressions compile STAGED (sub-expression sharing, see
     // Compiler.compileStaged) — a BIND is a projection, and
     // CollapseProject keeps the levels from re-inlining
-    val (bdf, value, tmp) =
+    val (bdf, value, tmp) = Compiler.withRowSalt(eb.df) {
       if (Compiler.nestDepth(e) <= 1)
         (eb.df, Compiler.compile(e, unboundSub ++ exSub), Seq.empty[String])
       else Compiler.compileStaged(eb.df, e, unboundSub ++ exSub)
+    }
     val keep = bdf.columns.filterNot(c =>
       c == "__eid" || c.startsWith("__ex_") || tmp.contains(c))
     val df = bdf.select(keep.map(col) ++ Seq(
@@ -1140,11 +1141,12 @@ final class Exec(store: QuadStore, spark: SparkSession) {
       // the filter must REFERENCE it so column pruning can't strip it.
       // Lost scan-pushdown is no loss: a compiled term-typed predicate
       // is a case-when tree no source can use for skipping.
-      val (sdf, v, tmp) =
+      val (sdf, v, tmp) = Compiler.withRowSalt(eb.df) {
         if (Compiler.nestDepth(f) <= 1)
           (eb.df, Compiler.compile(f, unboundSub ++ exSub),
             Seq.empty[String])
         else Compiler.compileStaged(eb.df, f, unboundSub ++ exSub)
+      }
       val out = sdf.withColumn("__pin", monotonically_increasing_id())
         .filter(v.ebv === true && col("__pin") >= 0)
         .drop(tmp :+ "__pin": _*)

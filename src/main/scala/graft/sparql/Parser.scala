@@ -491,15 +491,44 @@ object Parser {
     * recurses per nesting level, and ~2000 nested braces (a 4 KB
     * request) blew the default thread stack in fuzzing — a
     * StackOverflowError where the endpoint owes a 400. String literals
-    * are skipped so quoted brackets don't count; IRIs may contain
-    * balanced parens, which net out. 256 is far beyond any legitimate
-    * query's nesting. Shared with the update parser. */
+    * and #-comments are skipped — both grammars treat comment text as
+    * whitespace, so a bracket inside a comment must neither raise nor
+    * lower the count (2000 lines of "# )" followed by 2000 real '{'
+    * must still trip the guard). Depth clamps at 0 on closers: a
+    * stray closer outside strings/comments is illegal input anyway,
+    * and letting depth go negative would mask later real nesting.
+    * 256 is far beyond any legitimate query's nesting. Shared with
+    * the update parser. */
   private[graft] def checkNesting(text: String, max: Int = 256): Unit = {
     var i = 0; var depth = 0; var worst = 0
     val n = text.length
     while (i < n && worst <= max) {
       val c = text.charAt(i)
-      if (c == '"' || c == '\'') {
+      if (c == '#') {
+        i += 1
+        while (i < n && text.charAt(i) != '\n' && text.charAt(i) != '\r') i += 1
+      } else if (c == '<') {
+        // IRIREF chars exclude whitespace and <>"{}|^`\ — but include
+        // '#', so an unskipped IRI would flip us into comment mode and
+        // hide real braces after it on the line. Lookahead to a '>'
+        // over legal chars ⇒ IRI, skip whole span; anything else ⇒
+        // '<' is the comparison operator, resume at the next char.
+        // Spans can't overlap ('<' itself is illegal inside), so the
+        // lookahead stays O(n) overall. The 512 bound is a security
+        // invariant, not just a perf cap: parens are legal IRI chars,
+        // so a skipped span can hide up to bound TRANSIENT recursion
+        // levels from the real parser (it descends into "<((((…>"
+        // as a parenthesized expression before backtracking to the
+        // IRI read); 256 counted + 512 hidden stays far below the
+        // ~2000-level stack limit the fuzzer measured.
+        var j = i + 1
+        @inline def legal(ch: Char): Boolean =
+          ch > ' ' && ch != '<' && ch != '>' && ch != '"' && ch != '{' &&
+            ch != '}' && ch != '|' && ch != '^' && ch != '`' && ch != '\\'
+        while (j < n && (j - i) <= 512 && legal(text.charAt(j))) j += 1
+        if (j < n && text.charAt(j) == '>') i = j + 1
+        else i += 1
+      } else if (c == '"' || c == '\'') {
         val q = c
         if (i + 2 < n && text.charAt(i + 1) == q && text.charAt(i + 2) == q) {
           i += 3 // long form: scan to the closing triple quote
@@ -520,7 +549,9 @@ object Parser {
       } else {
         if (c == '{' || c == '(' || c == '[') {
           depth += 1; if (depth > worst) worst = depth
-        } else if (c == '}' || c == ')' || c == ']') depth -= 1
+        } else if (c == '}' || c == ')' || c == ']') {
+          if (depth > 0) depth -= 1
+        }
         i += 1
       }
     }

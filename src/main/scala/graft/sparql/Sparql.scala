@@ -218,7 +218,7 @@ object Sparql {
         case (EVar(v), _) => Seq(col(v), col(s"${v}__lex"),
           col(s"${v}__dt"), col(s"${v}__lang"))
         case (e, i) =>
-          val kv = Compiler.compile(e)
+          val kv = Compiler.withRowSalt(b.df)(Compiler.compile(e))
           val kn = s"__k_$i"
           aggSub += (e: Expr) -> V(col(kn), col(s"${kn}__lex"),
             col(s"${kn}__dt"), col(s"${kn}__lang"))
@@ -239,7 +239,7 @@ object Sparql {
       b = Bindings(df, groupVars, groupVars.toSet, groupVars.toSet)
       // HAVING (`apply_constraints` mask, `src/frontend/results.c`)
       q.mods.having.foreach { h =>
-        b = b.copy(df =
+        b = b.copy(df = Compiler.withRowSalt(b.df) {
           if (Compiler.nestDepth(h) <= 1)
             b.df.filter(Compiler.compile(h, aggSub).ebv === true)
           else {
@@ -249,7 +249,8 @@ object Sparql {
             hdf.withColumn("__pin", monotonically_increasing_id())
               .filter(v.ebv === true && col("__pin") >= 0)
               .drop(tmp :+ "__pin": _*)
-          })
+          }
+        })
       }
     }
 
@@ -265,8 +266,8 @@ object Sparql {
       case _ => false
     }
     val stageRoots = items.map(_.expr).filterNot(isUnbound)
-    val (stagedDf, itemEnv, _) =
-      Compiler.compileStagedMany(b.df, stageRoots, aggSub)
+    val (stagedDf, itemEnv, _) = Compiler.withRowSalt(b.df)(
+      Compiler.compileStagedMany(b.df, stageRoots, aggSub))
     var bdf = stagedDf
     def compileOrNull(e: Expr): V =
       if (isUnbound(e)) V.nul else itemEnv(e)
@@ -288,8 +289,9 @@ object Sparql {
     // ORDER BY keys stage on top of the item stages (an order expr
     // identical to an item expr reuses its materialized columns)
     val ordExprs = q.mods.orderBy.map(_._1)
-    val (ordDf, ordEnv, _) = Compiler.compileStagedMany(
-      bdf, ordExprs, aggSub ++ aliasSub ++ itemEnv)
+    val (ordDf, ordEnv, _) = Compiler.withRowSalt(bdf)(
+      Compiler.compileStagedMany(
+        bdf, ordExprs, aggSub ++ aliasSub ++ itemEnv))
     bdf = ordDf
     val explicitOrd = ordExprs.zipWithIndex.map { case (e, i) =>
       V.sortKey(ordEnv(e)).as(s"__ord_$i")

@@ -122,6 +122,33 @@ object Compiler {
   private val bnodeSiteCtr = new java.util.concurrent.atomic.AtomicLong()
   private[sparql] def bnodeSite(): Long = bnodeSiteCtr.incrementAndGet()
 
+  /** Deterministic per-row salt for zero-arg BNODE(), scoped by the
+    * consumption site (BIND / FILTER / SELECT compile all the V's
+    * columns into ONE projection, but rid and lex are separate output
+    * columns — a nondeterministic `monotonically_increasing_id()`
+    * embedded in each is two INDEPENDENT stateful instances, and any
+    * optimizer move that evaluates them in different projections, or a
+    * conditional branch that skips one, desyncs rid from label; Spark
+    * also rejects nondeterministic expressions outside
+    * Project/Filter/Aggregate, so BNODE() in a join key threw).
+    * A hash of the row's bound (atomic-typed) columns is stable across
+    * re-execution and legal everywhere. Tradeoff, documented: two
+    * fully-identical solution rows share a label — §17.4.2.9 freshness
+    * is per DISTINCT solution here, the price of determinism. */
+  private val rowSaltVar =
+    new scala.util.DynamicVariable[Option[Column]](None)
+  private[sparql] def rowSalt: Option[Column] = rowSaltVar.value
+  def withRowSalt[T](df: DataFrame)(f: => T): T = {
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    val atomic = df.schema.fields.collect {
+      case fd if (fd.dataType match {
+        case _: ArrayType | _: MapType | _: StructType => false
+        case _ => true
+      }) => col(fd.name)
+    }
+    rowSaltVar.withValue(Some(xxhash64((lit(0L) +: atomic.toSeq): _*)))(f)
+  }
+
   import WellKnown._
 
   /** @param aggSub aggregate-call substitutions (post-GROUP BY columns) */
@@ -454,9 +481,15 @@ object Compiler {
     case "BNODE" if vs.isEmpty =>
       // zero-arg form (§17.4.2.9): a FRESH blank node per solution row.
       // Label = per-call-site salt (two BNODE() sites in one query must
-      // not collide) + the row's plan-unique id.
+      // not collide) + a DETERMINISTIC per-row salt (hash of the row's
+      // bound columns, threaded by the consumption site via
+      // Compiler.withRowSalt) — see rowSaltVar's scaladoc for why the
+      // old monotonically_increasing_id desynced rid from label. The
+      // fallback (no salt in scope) keeps the plan-unique id.
+      val salt = Compiler.rowSalt
+        .getOrElse(monotonically_increasing_id())
       val lbl = concat(lit(s"fresh${Compiler.bnodeSite()}x"),
-        monotonically_increasing_id().cast("string"))
+        hex(salt.cast("long")))
       V(Rid.bnodeCol(lbl), lbl, lit(0L), lit(""))
     case "BNODE" =>
       V(when(vs(0).anyLex.isNotNull, Rid.bnodeCol(vs(0).anyLex)),

@@ -211,4 +211,33 @@ class PropertySpec extends SparkTestBase {
     tryParse("SELECT ?s WHERE { ?s ?p ?o . FILTER(" + "(" * 3000 +
       "1" + ")" * 3000 + " > 0) }")
   }
+
+  test("nesting guard is comment-, IRI- and stray-closer-proof") {
+    import graft.sparql.Parser.checkNesting
+    // the r9 bypass: closers hidden in #-comments drove depth negative,
+    // so 2000 real openers afterwards never exceeded the max
+    intercept[IllegalArgumentException] {
+      checkNesting("# )\n" * 2000 + "{" * 2000)
+    }
+    // stray closers outside comments clamp at 0, same bypass shape
+    intercept[IllegalArgumentException] {
+      checkNesting(")" * 2000 + "{" * 2000)
+    }
+    // the inverse bypass: '#' inside an IRI must NOT flip comment mode
+    // and hide a real opener on the same line
+    intercept[IllegalArgumentException] {
+      checkNesting("<http://e/x#> {\n" * 2000)
+    }
+    // legitimate uses keep parsing: brackets inside comments are
+    // whitespace to both grammars; parens are legal IRI chars
+    checkNesting("SELECT ?s # {{{ (((\nWHERE { ?s ?p ?o } # )))")
+    checkNesting("<http://e/a(((((b> " + "{" * 10 + "}" * 10)
+    graft.sparql.Parser.parse(
+      "SELECT ?s WHERE { ?s <http://e/x#p> ?o } # trailing ((((")
+    // and the guard itself must not stack-overflow on the bypass input
+    intercept[IllegalArgumentException] {
+      graft.sparql.Parser.parse(
+        "SELECT * WHERE " + "# )\n" * 2000 + "{ " * 2000 + "}" * 2000)
+    }
+  }
 }

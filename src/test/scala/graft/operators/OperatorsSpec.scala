@@ -596,6 +596,46 @@ class OperatorsSpec extends SparkTestBase {
       e.getMessage.contains("0.5000"), e.getMessage)
   }
 
+  test("pinned intermediates release: flagBloom / semanticDedupGated " +
+      "leave no persistent blocks once results are dropped") {
+    // the operators pin multi-consumer intermediates with a LAZY
+    // localCheckpoint instead of cache() exactly so repeated pipeline
+    // calls can't accumulate registry entries: checkpoint blocks are
+    // freed by the ContextCleaner when the result becomes unreachable
+    // — including on the gated-abort throw. Run the operators, drop
+    // every reference, then poll GC + cleaner until the persistent-RDD
+    // set returns to its baseline.
+    val sc = spark.sparkContext
+    def runOnce(): Unit = {
+      val train = Seq((1L, "a b c d e"), (2L, "p q r s t"))
+        .toDF("doc_id", "text")
+      val eval = Seq((9L, "c d e f g")).toDF("doc_id", "text")
+      graft.operators.Decontaminate
+        .flagBloom(train, eval, "doc_id", "text", k = 3).collect()
+      val vecs = Seq((0L, Array(1f, 0f)), (1L, Array(1f, 0.001f)),
+          (2L, Array(0f, 1f))).toDF("vec_id", "embedding")
+      Dedup.semanticDedupGated(vecs, "vec_id", "embedding",
+        threshold = 0.9, nCells = 1).collect()
+      intercept[IllegalStateException] {
+        Dedup.semanticDedupGated(
+          Seq((0L, Array(1f, 0f)), (1L, Array(1f, 0.001f)),
+              (2L, Array(1f, 0.002f)), (3L, Array(1f, 0.003f)))
+            .toDF("vec_id", "embedding"),
+          "vec_id", "embedding", threshold = 0.9, nCells = 1,
+          maxCellSize = 2, maxCappedFraction = 0.25)
+      }
+    }
+    val baseline = sc.getPersistentRDDs.size
+    runOnce(); runOnce()
+    var tries = 0
+    while (sc.getPersistentRDDs.size > baseline && tries < 60) {
+      System.gc(); Thread.sleep(500); tries += 1
+    }
+    assert(sc.getPersistentRDDs.size <= baseline,
+      s"persistent RDDs grew ${baseline} -> ${sc.getPersistentRDDs.size}" +
+        " after operator results were dropped")
+  }
+
   test("overlapFraction reports per-doc contaminated gram share") {
     val train = Seq((1L, "a b c d"), (2L, "p q r"), (3L, "z"))
       .toDF("doc_id", "text")

@@ -402,4 +402,34 @@ class SparqlSpec extends SparkTestBase {
     val r12 = df.filter("x = 'urn:s1' and y = 'urn:s2'").collect()(0)
     assert(r12.get(2).toString === "2" && r12.get(3).toString === "3")
   }
+
+  test("zero-arg BNODE(): fresh per row and per site, rid/label in " +
+      "sync, legal in aggregate contexts") {
+    // fresh per (distinct) solution row: 3 persons -> 3 distinct nodes
+    val c = rows("""SELECT (COUNT(DISTINCT ?b) AS ?c) WHERE {
+      ?p a <urn:Person> . BIND(BNODE() AS ?b) }""")
+    assert(c == Seq(Seq("3")))
+    // two call SITES in one row must not collide; the node IS a blank
+    // node (rid tag consistent with the generated label)
+    val r = rows("""SELECT ?n WHERE {
+      ?p a <urn:Person> ; <urn:name> ?n .
+      BIND(BNODE() AS ?b1) BIND(BNODE() AS ?b2)
+      FILTER(ISBLANK(?b1) && ISBLANK(?b2) && !SAMETERM(?b1, ?b2)) }
+      ORDER BY ?n""")
+    assert(r == Seq(Seq("Alice"), Seq("Bob"), Seq("Carol")))
+    // the r9 AnalysisException case: BNODE() directly in a GROUP BY
+    // key compiles into an Aggregate — the deterministic row salt
+    // makes it legal; each row grounds its own group
+    val g = rows("""SELECT (COUNT(*) AS ?c) WHERE {
+      ?p a <urn:Person> } GROUP BY BNODE()""")
+    assert(g.size == 3 && g.forall(_ == Seq("1")))
+    // deterministic across re-execution of the same plan: two collects
+    // of one DataFrame agree on labels (a desynced rid/label pair or a
+    // per-run counter would not)
+    val df = run("""SELECT ?b WHERE {
+      ?p a <urn:Person> . BIND(BNODE() AS ?b) } ORDER BY ?p""")
+    val l1 = df.collect().map(_.toString).toSeq
+    val l2 = df.collect().map(_.toString).toSeq
+    assert(l1 == l2)
+  }
 }
