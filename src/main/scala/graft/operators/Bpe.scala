@@ -109,6 +109,26 @@ object Bpe {
     syms.toList
   }
 
+  /** Frozen merge table for the ORACLE-GATED encode path (p27): trained
+    * ONCE from the driver corpus (sf0.01 `documents.text`,
+    * `numMerges = 200`, `maxWords = 50000`) via the deterministic
+    * [[trainFromCounts]] and committed as a resource, so a SQL oracle
+    * can replicate the encode against the same table as a literal
+    * relation. Training itself stays corpus-driven and spec-gated
+    * (BpeSpec, [[train]]); this freeze exists because an oracle query
+    * is a static string and cannot re-run the iterative argmax.
+    * Regenerate with `graft.BpeFreeze` if the driver corpus changes. */
+  lazy val canonicalMerges: Seq[(String, String)] = {
+    val in = getClass.getResourceAsStream("/graft/bpe_canonical_merges.tsv")
+    require(in != null, "bpe_canonical_merges.tsv resource missing")
+    val src = scala.io.Source.fromInputStream(in, "UTF-8")
+    try src.getLines().filter(_.nonEmpty).map { l =>
+      val t = l.split("\t", 2)
+      (t(0), t(1))
+    }.toList
+    finally src.close()
+  }
+
   /** Distributed encode: (id, tokens, n_tokens) per document. Map-only —
     * merge ranks ride a broadcast variable; each partition keeps a word
     * memo so repeated words (the overwhelming majority under Zipf) cost

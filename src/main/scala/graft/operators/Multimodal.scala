@@ -12,9 +12,13 @@ import org.apache.spark.sql.functions._
   * pixels. AUDIO container headers are ALSO in the JDK:
   * `javax.sound.sampled.AudioSystem` parses WAV/AIFF/AU (sample rate,
   * channels, bit depth, frame count) — [[decodeAudioMeta]] is that real
-  * path. What the JDK does NOT ship is compressed-audio codecs
-  * (MP3/AAC/Opus payload decode) and any video demuxer, so payload-level
-  * audio decode and video frame extraction remain deterministic stubs
+  * path. VIDEO container metadata needs no demuxer either: ISO-BMFF
+  * (MP4/MOV) is length-prefixed box structure, and [[decodeVideoMeta]]
+  * walks `ftyp`/`moov`/`mvhd`/`tkhd` in plain JVM code — duration,
+  * timescale, track count, display width/height — without touching a
+  * codec. What the JDK does NOT ship is compressed PAYLOAD decode
+  * (MP3/AAC/Opus audio, H.264/AV1 frames), so payload-level audio
+  * decode and video frame extraction remain deterministic stubs
   * ([[imageMeta]]'s `fakeDecode`, [[sampleFrames]]) with the real
   * Spark-side plumbing — schema, binary transport, batched
   * per-partition processing (the Scala analog of `mapInPandas` batch
@@ -142,7 +146,9 @@ object Multimodal {
     * truncated blobs come back as error rows with -1 fields instead of
     * failing the job — same corrupt-blob policy as [[decodeImageMeta]],
     * same batched partition shape. ByteArrayInputStream supports
-    * mark/reset, which the format sniffer requires. */
+    * mark/reset, which the format sniffer requires.
+    * Video container metadata is the same header-only story: see
+    * [[decodeVideoMeta]]. */
   def decodeAudioMeta(media: Dataset[MediaRow], batchSize: Int = 64)
       : Dataset[AudioDecoded] = {
     val spark = media.sparkSession
@@ -174,6 +180,117 @@ object Multimodal {
         }
       }
     }
+  }
+
+  final case class VideoDecoded(media_id: Long, brand: String,
+                                timescale: Long, duration_sec: Double,
+                                track_count: Int, width: Int, height: Int,
+                                n_bytes: Long, error: String)
+
+  /** REAL video CONTAINER metadata via a pure-JVM ISO-BMFF box walk
+    * (MP4/MOV/M4V — ISO/IEC 14496-12). The format is length-prefixed
+    * `[u32 size][4cc type]` boxes, so no codec or demuxer is needed for
+    * header-level facts: the major brand from `ftyp`, movie duration
+    * and timescale from `moov/mvhd` (version 0 and 1 layouts), track
+    * count and display width/height from the `moov/trak/tkhd` boxes
+    * (16.16 fixed-point; the first track with a nonzero width is the
+    * video track — audio tracks carry 0×0). `mdat` is skipped by its
+    * size field, never read. A blob whose first box is not `ftyp`, or
+    * with inconsistent box sizes, yields an error row with -1 fields
+    * instead of failing the job — same corrupt-blob policy and batched
+    * partition shape as [[decodeImageMeta]]/[[decodeAudioMeta]]. Frame
+    * EXTRACTION stays a stub ([[sampleFrames]]): that genuinely needs a
+    * codec the JDK does not ship. */
+  def decodeVideoMeta(media: Dataset[MediaRow], batchSize: Int = 64)
+      : Dataset[VideoDecoded] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { m =>
+          try parseBmff(m.media_id, m.content)
+          catch {
+            case e: Exception =>
+              VideoDecoded(m.media_id, null, -1L, -1.0, -1, -1, -1,
+                m.content.length.toLong,
+                s"malformed container: ${e.getMessage}")
+          }
+        }
+      }
+    }
+  }
+
+  private def parseBmff(id: Long, a: Array[Byte]): VideoDecoded = {
+    def be16(o: Int): Int =
+      ((a(o) & 0xFF) << 8) | (a(o + 1) & 0xFF)
+    def be32(o: Int): Long =
+      ((a(o) & 0xFFL) << 24) | ((a(o + 1) & 0xFFL) << 16) |
+        ((a(o + 2) & 0xFFL) << 8) | (a(o + 3) & 0xFFL)
+    def be64(o: Int): Long =
+      (be32(o) << 32) | be32(o + 4)
+    def fourcc(o: Int): String =
+      new String(a, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    /** walk child boxes of [start,end), calling f(type, payloadStart,
+      * payloadEnd); malformed sizes throw */
+    def boxes(start: Int, end: Int)(f: ((String, Int, Int)) => Unit)
+        : Unit = {
+      var o = start
+      while (o < end) {
+        if (o + 8 > end) sys.error(s"truncated box header at $o")
+        var size = be32(o); var hdr = 8
+        val typ = fourcc(o + 4)
+        if (size == 1L) {
+          if (o + 16 > end) sys.error(s"truncated largesize at $o")
+          size = be64(o + 8); hdr = 16
+        } else if (size == 0L) size = (end - o).toLong
+        if (size < hdr || o + size > end)
+          sys.error(s"bad box size $size for '$typ' at $o")
+        f((typ, o + hdr, o + size.toInt))
+        o += size.toInt
+      }
+    }
+    if (a.length < 8 || fourcc(4) != "ftyp")
+      return VideoDecoded(id, null, -1L, -1.0, -1, -1, -1,
+        a.length.toLong, "unrecognized video container (no ftyp)")
+    var brand: String = null
+    var timescale = -1L; var duration = -1L
+    var tracks = 0; var width = -1; var height = -1
+    boxes(0, a.length) {
+      case ("ftyp", s, e) =>
+        if (e - s >= 4) brand = fourcc(s).trim
+      case ("moov", ms, me) =>
+        boxes(ms, me) {
+          case ("mvhd", s, e) =>
+            val v = a(s) & 0xFF
+            if (v == 1) { // 64-bit creation/modification/duration
+              if (e - s >= 32) {
+                timescale = be32(s + 20); duration = be64(s + 24)
+              }
+            } else if (e - s >= 20) {
+              timescale = be32(s + 12); duration = be32(s + 16)
+            }
+          case ("trak", ts, te) =>
+            tracks += 1
+            boxes(ts, te) {
+              case ("tkhd", s, e) =>
+                val v = a(s) & 0xFF
+                val wOff = if (v == 1) 88 else 76
+                if (e - s >= wOff + 8) {
+                  val w = be16(s + wOff)       // 16.16 fixed, int part
+                  val h = be16(s + wOff + 4)
+                  if (w > 0 && width < 0) { width = w; height = h }
+                }
+              case _ =>
+            }
+          case _ =>
+        }
+      case _ => // mdat, free, skip by size — never read
+    }
+    val dur =
+      if (duration >= 0 && timescale > 0) duration.toDouble / timescale
+      else -1.0
+    VideoDecoded(id, brand, timescale, dur, tracks, width, height,
+      a.length.toLong, null)
   }
 
   /** REAL image resize: decode, scale so the longer edge is `maxDim`

@@ -274,13 +274,17 @@ object PipelineQueries {
           k = 14, maxDocs = 50, portableHash = true)
         .orderBy("id1", "id2")),
 
-    // corpus-trained BPE: 200 merges from word counts, map-only encode.
-    // No SQL oracle (iterative training) -> rows-only driver check;
-    // determinism is spec-tested (BpeSpec).
+    // BPE encode against the FROZEN canonical merge table (trained once
+    // from this corpus by graft.BpeFreeze, deterministic): map-only
+    // encode, fully oracle-gated — the DuckDB oracle replays the same
+    // merges as a literal relation (sequential-by-rank exhaustive
+    // replacement, equivalent to lowest-rank-first because a merge's
+    // product can only appear in LATER-trained pairs). Corpus-driven
+    // TRAINING stays spec-gated in BpeSpec (iterative argmax is not
+    // expressible as a static oracle string).
     "p27_bpe_tokens" -> ((s, d) => {
       val docs = t(s, d, "documents")
-      val merges = Bpe.train(docs, "text", numMerges = 200)
-      Bpe.encode(docs, "doc_id", "text", merges)
+      Bpe.encode(docs, "doc_id", "text", Bpe.canonicalMerges)
         .select(col("id").as("doc_id"), col("n_tokens"))
         .orderBy("doc_id")
     }),
@@ -687,7 +691,54 @@ object PipelineQueries {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  /** p27's oracle, built FROM the frozen merge table so Spark and
+    * DuckDB replay the identical ranks by construction. Encode model:
+    * each symbol rides as `US s US` (US = unit separator, chr(31)) so
+    * a pair pattern `US a US US b US` can never match across symbol
+    * boundaries or share characters with an adjacent occurrence;
+    * merges apply as one exhaustive `replace` per rank, in rank order
+    * — equivalent to the lowest-rank-first loop because a merge's
+    * product only occurs in later-trained pairs. One recursive-CTE
+    * step per rank over the DISTINCT words (the memoized shape of the
+    * Spark encode); token count = separator count / 2. */
+  private def bpeEncodeOracle: String = {
+    def esc(s: String) = s.replace("'", "''")
+    val values = graft.operators.Bpe.canonicalMerges.zipWithIndex
+      .map { case ((a, b), i) => s"(${i + 1},'${esc(a)}','${esc(b)}')" }
+      .mkString(",")
+    val n = graft.operators.Bpe.canonicalMerges.size
+    s"""WITH RECURSIVE merges(r, a, b) AS (VALUES $values),
+       |words AS (SELECT doc_id, w FROM (
+       |    SELECT doc_id,
+       |      unnest(regexp_split_to_array(lower(text), '\\s+')) AS w
+       |    FROM documents) WHERE w <> ''),
+       |dw AS (SELECT DISTINCT w FROM words),
+       |enc AS (
+       |  SELECT w,
+       |    regexp_replace(w, '(.)', chr(31) || '\\1' || chr(31), 'g')
+       |      || chr(31) || '</w>' || chr(31) AS s,
+       |    0 AS r
+       |  FROM dw
+       |  UNION ALL
+       |  SELECT e.w,
+       |    replace(e.s,
+       |      chr(31) || m.a || chr(31) || chr(31) || m.b || chr(31),
+       |      chr(31) || m.a || m.b || chr(31)),
+       |    e.r + 1
+       |  FROM enc e JOIN merges m ON m.r = e.r + 1),
+       |wtok AS (SELECT w,
+       |    (length(s) - length(replace(s, chr(31), ''))) // 2 AS n
+       |  FROM enc WHERE r = $n),
+       |per_doc AS (SELECT wo.doc_id, sum(wt.n) AS n
+       |  FROM words wo JOIN wtok wt USING (w) GROUP BY wo.doc_id)
+       |SELECT d.doc_id,
+       |  CAST(COALESCE(p.n, 0) AS BIGINT) AS n_tokens
+       |FROM documents d LEFT JOIN per_doc p USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "p27_bpe_tokens" -> bpeEncodeOracle,
     "p15_neardup_components" ->
       """WITH RECURSIVE ws AS (SELECT doc_id,
         |    list_filter(string_split(lower(text),' '), x -> len(x)>0) AS ws

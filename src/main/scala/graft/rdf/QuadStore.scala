@@ -316,18 +316,19 @@ object QuadStore {
 
   /** Distributed N-Triples / N-Quads reader. */
   def fromNTriples(spark: SparkSession, path: String,
-                   graph: String = ""): QuadStore = {
+                   graph: String = "", scope: String = ""): QuadStore = {
     import spark.implicits._
     val flat = spark.read.textFile(path).flatMap { line =>
       NTriples.parseLine(line).map { case (s, p, o, g) =>
+        def bl(b: String): String = Turtle.scopeLabel(b, scope)
         val (sk, sl) = s match {
-          case Uri(v) => (1, v); case BNode(b) => (2, b)
+          case Uri(v) => (1, v); case BNode(b) => (2, bl(b))
           case _ => (0, "")
         }
         val pl = p match { case Uri(v) => v; case _ => "" }
         val (ok, ol, od, og) = o match {
           case Uri(v) => (1, v, "", "")
-          case BNode(b) => (2, b, "", "")
+          case BNode(b) => (2, bl(b), "", "")
           case Lit(lex, dt, lang) => (0, lex, dt, lang)
         }
         val gl = g match {
@@ -345,24 +346,33 @@ object QuadStore {
     * Turtle and TriG parse driver-side ([[RdfXml]], [[Turtle]]) —
     * inherently sequential syntaxes; N-Triples/N-Quads stream
     * distributed. */
-  def fromFile(spark: SparkSession, path: String,
-               graph: String = ""): QuadStore = {
+  def fromFile(spark: SparkSession, path: String, graph: String = "",
+               scope: String = ""): QuadStore = {
     val lower = path.toLowerCase
     def sniff(): String = {
       val src = scala.io.Source.fromFile(path, "UTF-8")
       try src.take(4096).mkString finally src.close()
     }
+    // bnode labels: a SINGLE document's labels are kept verbatim (no
+    // intra-document collision is possible, and CLI/golden workflows
+    // show the author's labels). Labels are document-scoped per RDF
+    // 1.1 §3.4, so code that MERGES separately-parsed documents into
+    // one store must rename them apart — pass `scope =
+    // Turtle.scopeFor(doc)` at those seams (multi-file datasets, GSP
+    // PUT/LOAD appends), like the reference's fresh-per-import bnode
+    // ids. The dump/restore path preserves labels by design: a dump's
+    // labels are store-unique and must unify across per-graph files.
     if (lower.endsWith(".rdf") || lower.endsWith(".xrdf") ||
         lower.endsWith(".owl") ||
         (!lower.endsWith(".nt") && !lower.endsWith(".nq") &&
           !lower.endsWith(".ttl") && sniff().contains("<rdf:RDF")))
       fromTerms(spark, RdfXml.parseFile(path,
-        if (graph.nonEmpty) graph else s"file://$path"), graph)
+        if (graph.nonEmpty) graph else s"file://$path", scope), graph)
     else if (lower.endsWith(".trig"))
-      fromQuadTerms(spark, Turtle.parseQuadsFile(path), graph)
+      fromQuadTerms(spark, Turtle.parseQuadsFile(path, "", scope), graph)
     else if (lower.endsWith(".ttl") || lower.endsWith(".n3"))
-      fromTerms(spark, Turtle.parseFile(path), graph)
-    else fromNTriples(spark, path, graph)
+      fromTerms(spark, Turtle.parseFile(path, "", scope), graph)
+    else fromNTriples(spark, path, graph, scope)
   }
 
   /** In-memory statements (tests, INSERT DATA). */

@@ -18,14 +18,26 @@ import javax.xml.stream.{XMLInputFactory, XMLStreamConstants, XMLStreamReader}
 object RdfXml {
   private val XmlNs = "http://www.w3.org/XML/1998/namespace"
 
-  def parseFile(path: String, baseUri: String): List[(Term, Term, Term)] = {
+  def parseFile(path: String, baseUri: String, scope: String = "")
+      : List[(Term, Term, Term)] = {
     val in = new java.io.FileInputStream(path)
     // uniform fail-closed contract with the Turtle/SPARQL parsers: a
     // malformed document rejects with IllegalArgumentException, never a
     // raw StAX exception. (Depth DoS is handled by the JDK reader's own
     // 1000-element limit — verified by fuzzing; DTD + external entities
     // are disabled below against XXE.)
-    try parse(in, baseUri)
+    // scope: document-scoped bnode labels, see [[Turtle.scopeFor]]
+    try {
+      val ts = parse(in, baseUri)
+      if (scope.isEmpty) ts
+      else ts.map { case (s, p, o) =>
+        def f(t: Term): Term = t match {
+          case BNode(b) => BNode(Turtle.scopeLabel(b, scope))
+          case other => other
+        }
+        (f(s), f(p), f(o))
+      }
+    }
     catch {
       case e: javax.xml.stream.XMLStreamException =>
         throw new IllegalArgumentException(

@@ -13,37 +13,82 @@ import scala.util.parsing.combinator.RegexParsers
   */
 object Turtle {
 
-  def parse(text: String, base: String = ""): List[(Term, Term, Term)] = {
+  /** Blank-node labels are DOCUMENT-scoped (RDF 1.1 §3.4): `_:x` in two
+    * separately-parsed files must be two distinct nodes, and the engine
+    * keys bnode rids by label — so a multi-document load (named-graph
+    * datasets, repeated GSP PUTs) must rename each document's labels
+    * apart or they silently unify across graphs (the reference assigns
+    * fresh internal bnode ids per import, `src/frontend/import.c`).
+    * `scopeFor(key)` derives the per-document suffix deterministically
+    * from the document's path/base so re-parsing is stable; the
+    * dump/restore path deliberately passes NO scope — a dump's labels
+    * come from one store's dictionary and must UNIFY across its
+    * per-graph files on restore. */
+  def scopeFor(key: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(key.getBytes("UTF-8"))
+    d.take(4).map(b => f"$b%02x").mkString
+  }
+
+  private[rdf] def scopeLabel(b: String, scope: String): String =
+    if (scope.isEmpty) b else s"${b}_d$scope"
+
+  private def scoped(ts: List[(Term, Term, Term)], scope: String)
+      : List[(Term, Term, Term)] =
+    if (scope.isEmpty) ts
+    else ts.map { case (s, p, o) =>
+      def f(t: Term): Term = t match {
+        case BNode(b) => BNode(scopeLabel(b, scope))
+        case other => other
+      }
+      (f(s), f(p), f(o))
+    }
+
+  def parse(text: String, base: String = "", scope: String = "")
+      : List[(Term, Term, Term)] = {
     // same pre-descent DoS guard as the query parser: deep `[ :p [ ...`
     // or `( ( ( ...` nesting in an untrusted document blew the
     // combinator parser's stack in fuzzing (StackOverflowError, or a
     // "stack overflow during pattern compilation" from a lazy regex
     // compiled at depth)
     graft.sparql.Parser.checkNesting(text)
-    new TtlParser(base).run(text)
+    scoped(new TtlParser(base).run(text), scope)
   }
 
   /** @param base base IRI for relative references (the reference's HTTP
     *   PUT resolves them against the target graph URI) */
-  def parseFile(path: String, base: String = ""): List[(Term, Term, Term)] = {
+  def parseFile(path: String, base: String = "", scope: String = "")
+      : List[(Term, Term, Term)] = {
     val src = scala.io.Source.fromFile(path, "UTF-8")
-    try parse(src.mkString, base) finally src.close()
+    try parse(src.mkString, base, scope) finally src.close()
   }
 
   /** TriG reader (Turtle + named graph blocks): `GRAPH <g> { ... }`,
     * label-only `<g> { ... }`, unlabeled `{ ... }` and plain top-level
     * Turtle statements (both default graph). Graph = None for the
     * default graph; bnode labels render as `_:label`. */
-  def parseQuads(text: String, base: String = "")
+  def parseQuads(text: String, base: String = "", scope: String = "")
       : List[(Term, Term, Term, Option[String])] = {
     graft.sparql.Parser.checkNesting(text)
-    new TtlParser(base).runQuads(text)
+    val qs = new TtlParser(base).runQuads(text)
+    if (scope.isEmpty) qs
+    else qs.map { case (s, p, o, g) =>
+      def f(t: Term): Term = t match {
+        case BNode(b) => BNode(scopeLabel(b, scope))
+        case other => other
+      }
+      // bnode-labeled graph names are document-scoped too
+      (f(s), f(p), f(o), g.map(gl =>
+        if (gl.startsWith("_:"))
+          "_:" + scopeLabel(gl.stripPrefix("_:"), scope)
+        else gl))
+    }
   }
 
-  def parseQuadsFile(path: String, base: String = "")
+  def parseQuadsFile(path: String, base: String = "", scope: String = "")
       : List[(Term, Term, Term, Option[String])] = {
     val src = scala.io.Source.fromFile(path, "UTF-8")
-    try parseQuads(src.mkString, base) finally src.close()
+    try parseQuads(src.mkString, base, scope) finally src.close()
   }
 
   private final class TtlParser(base0: String) extends RegexParsers {

@@ -283,7 +283,12 @@ object Update {
             catch { case _: Exception => source.stripPrefix("file://") }
           else source
         try {
-          val loaded = QuadStore.fromFile(spark, path, graph.getOrElse(""))
+          // LOAD appends an external document into a LIVE store: its
+          // bnode labels are document-scoped (RDF 1.1 §3.4) and must
+          // not unify with equal labels already in the store — scope
+          // them per source, like the reference's fresh-per-import ids
+          val loaded = QuadStore.fromFile(spark, path,
+            graph.getOrElse(""), scope = graft.rdf.Turtle.scopeFor(path))
           // merge; the loaded store keeps its valued form, so the union
           // store stays inline-value-scannable when both sides are
           store.union(loaded)

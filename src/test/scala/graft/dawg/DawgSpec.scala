@@ -156,11 +156,18 @@ class DawgSpec extends SparkTestBase {
 
   private def loadStore(data: List[String],
                         named: List[(String, String)]): QuadStore = {
+    // per-document bnode scope (RDF 1.1 §3.4): `_:x` in two dataset
+    // files must be two nodes, so MULTI-document datasets rename each
+    // file's labels apart. A single-document dataset keeps the
+    // author's labels (no collision possible, and the byte-compat
+    // format tests assert them).
+    val multi = data.size + named.size > 1
+    def sc(f: String) = if (multi) Turtle.scopeFor(f) else ""
     val dflt = QuadStore.fromTerms(spark,
-      data.flatMap(f => Turtle.parseFile(f, "file://" + f)))
+      data.flatMap(f => Turtle.parseFile(f, "file://" + f, sc(f))))
     named.foldLeft(dflt) { case (st, (f, g)) =>
       st.union(QuadStore.fromTerms(spark,
-        Turtle.parseFile(f, "file://" + f), g))
+        Turtle.parseFile(f, "file://" + f, sc(f)), g))
     }
   }
 

@@ -827,6 +827,62 @@ class OperatorsSpec extends SparkTestBase {
       out(3L).error != null, out(3L))
   }
 
+  test("decodeVideoMeta walks real ISO-BMFF boxes; bad magic and bad " +
+      "sizes yield error rows") {
+    import java.nio.ByteBuffer
+    def box(typ: String, payload: Array[Byte]): Array[Byte] = {
+      val b = ByteBuffer.allocate(8 + payload.length)
+      b.putInt(8 + payload.length).put(typ.getBytes("US-ASCII"))
+        .put(payload)
+      b.array()
+    }
+    val ftyp = box("ftyp",
+      ByteBuffer.allocate(12).put("isom".getBytes("US-ASCII"))
+        .putInt(512).put("mp41".getBytes("US-ASCII")).array())
+    // mvhd v0: ver/flags, creation, modification, timescale=1000,
+    // duration=30000 (30 s), then rate/volume/reserved/matrix/next
+    val mvhd = box("mvhd", {
+      val b = ByteBuffer.allocate(100)
+      b.putInt(0).putInt(0).putInt(0).putInt(1000).putInt(30000)
+      b.array() // rest zero-filled
+    })
+    // tkhd v0: width/height as 16.16 fixed at payload offsets 76/80
+    def tkhd(w: Int, h: Int): Array[Byte] = box("tkhd", {
+      val b = ByteBuffer.allocate(84)
+      b.position(76); b.putInt(w << 16).putInt(h << 16)
+      b.array()
+    })
+    val moov = box("moov",
+      mvhd ++ box("trak", tkhd(640, 360)) ++ box("trak", tkhd(0, 0)))
+    val mdat = box("mdat", Array.fill[Byte](64)(0x5A))
+    val good = ftyp ++ moov ++ mdat
+    // same file with moov AFTER mdat (progressive-download layout)
+    val late = ftyp ++ mdat ++ moov
+    // ftyp present but a child box lies about its size
+    val bad = ftyp ++ {
+      val b = ByteBuffer.allocate(8)
+      b.putInt(9999).put("moov".getBytes("US-ASCII")); b.array()
+    }
+    val media = Seq(
+      Multimodal.MediaRow(1L, "video/mp4", good),
+      Multimodal.MediaRow(2L, "video/mp4", late),
+      Multimodal.MediaRow(3L, "video/mp4",
+        "GIF89a this is not a movie".getBytes("UTF-8")),
+      Multimodal.MediaRow(4L, "video/mp4", bad)).toDS()
+    val out = Multimodal.decodeVideoMeta(media).collect()
+      .map(d => d.media_id -> d).toMap
+    for (id <- Seq(1L, 2L)) {
+      val v = out(id)
+      assert(v.brand == "isom" && v.timescale == 1000L &&
+        math.abs(v.duration_sec - 30.0) < 1e-9 && v.track_count == 2 &&
+        v.width == 640 && v.height == 360 && v.error == null, v)
+    }
+    assert(out(3L).error != null &&
+      out(3L).error.contains("no ftyp") && out(3L).width == -1, out(3L))
+    assert(out(4L).error != null &&
+      out(4L).error.contains("malformed"), out(4L))
+  }
+
   test("distributionShift: hand-computed total-variation vs reference") {
     // ref src0: tokens {a:2, b:1}, n=3. g1: {a:1, c:1}, n=2.
     // TV(g1, ref) = (|1/2-2/3| + |0-1/3| + |1/2-0|)/2 = 1/2.
