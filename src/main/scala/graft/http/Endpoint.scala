@@ -293,6 +293,48 @@ final class Endpoint(spark: SparkSession, initial: QuadStore, port: Int = 0,
   private val maxBodyBytes: Long =
     sys.props.get("graft.ep.maxBodyBytes").map(_.toLong)
       .getOrElse(256L * 1024 * 1024)
+  /** GSP import bodies spool to a TEMP FILE in streaming 64 KB chunks
+    * (bounded heap) instead of [[bodyOf]]'s in-heap String: the
+    * reference's `/data/` accepts arbitrarily large graph PUTs via
+    * Raptor's streaming parse (`httpd.c:687-753`), and the 256 MB
+    * in-heap cap would force anything bigger through the CLI. The
+    * spooled file feeds the DISTRIBUTED N-Triples parse
+    * (`spark.read.textFile`), so import scales with the cluster, not
+    * the driver heap. Cached per exchange like [[bodyOf]] (a
+    * peer-cancellation retry re-enters the handler on a consumed
+    * stream); the MD5 digest computed during spooling seeds the
+    * per-document bnode scope so identical PUTs stay idempotent.
+    * Files are deleted after a successful commit, or at JVM exit. */
+  private val spooledBodies = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[HttpExchange, (java.nio.file.Path, String)]())
+  private def spoolBody(ex: HttpExchange): (java.nio.file.Path, String) = {
+    val cached = spooledBodies.get(ex)
+    if (cached != null) cached
+    else {
+      val tmp = java.nio.file.Files.createTempFile("graft_gsp", ".nt")
+      tmp.toFile.deleteOnExit()
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val in = ex.getRequestBody
+      val out = java.nio.file.Files.newOutputStream(tmp)
+      try {
+        val chunk = new Array[Byte](64 * 1024)
+        var n = in.read(chunk)
+        while (n >= 0) {
+          out.write(chunk, 0, n); md.update(chunk, 0, n)
+          n = in.read(chunk)
+        }
+      } finally out.close()
+      val v = (tmp, md.digest().map(b => f"$b%02x").mkString)
+      spooledBodies.put(ex, v)
+      v
+    }
+  }
+  private def dropSpool(ex: HttpExchange): Unit = {
+    val v = spooledBodies.remove(ex)
+    if (v != null) { try java.nio.file.Files.deleteIfExists(v._1)
+      catch { case _: Exception => () } }
+  }
+
   private def bodyOf(ex: HttpExchange): String = {
     // An exchange is handled by exactly one thread, so per-key atomicity
     // isn't needed — and the read loop must NOT run inside the map's
@@ -479,11 +521,33 @@ final class Endpoint(spark: SparkSession, initial: QuadStore, port: Int = 0,
         case "" => graft.rdf.WellKnown.defaultGraphUri
         case g  => g
       }
+      // streaming import: body spooled to disk, parsed DISTRIBUTED
+      // (textFile -> parseNtLines) — no body-size cap here, unlike
+      // /sparql/ + /update/ (bodyOf's 256 MB -> 413). Bnode labels
+      // scope per document (RDF 1.1 §3.4): seeded by target graph +
+      // body digest, so re-PUTting the same body is idempotent while
+      // two different documents' `_:x` stay distinct nodes.
       def parsedBody(): QuadStore = {
-        val lines = bodyOf(ex).split("\n").toSeq.toDS()
-        QuadStore.fromFlat(spark,
-          StreamIngest.parseNtLines(lines).withColumn("gLex", lit(graph)))
+        import org.apache.spark.sql.functions.{concat, when}
+        val (f, digest) = spoolBody(ex)
+        val scope = graft.rdf.Turtle.scopeFor(s"$graph:$digest")
+        val flat = StreamIngest
+          .parseNtLines(spark.read.textFile(f.toString))
+          .withColumn("gLex", lit(graph))
+          .withColumn("sLex", when(col("sKind") === 2,
+            concat(col("sLex"), lit(s"_d$scope"))).otherwise(col("sLex")))
+          .withColumn("oLex", when(col("oKind") === 2,
+            concat(col("oLex"), lit(s"_d$scope"))).otherwise(col("oLex")))
+        QuadStore.fromFlat(spark, flat)
       }
+      // after a commit the store no longer references the spool file:
+      // durable mode reloads from the delta tables, non-durable mode
+      // pins the parsed store off the file first (eager checkpoint —
+      // also what keeps the in-memory union killable/RDD-backed)
+      def pinStore(st: QuadStore): QuadStore = st.copy(
+        quads = st.quads.localCheckpoint(),
+        resources = st.resources.localCheckpoint(),
+        valued = st.valued.map(_.localCheckpoint()))
       ex.getRequestMethod match {
         case "GET" => // GSP read: the graph serialized as N-Triples
           val gRid = graft.rdf.Rid.uri(graph)
@@ -507,8 +571,11 @@ final class Endpoint(spark: SparkSession, initial: QuadStore, port: Int = 0,
               val before = store
               Update.appendDelta(spark, n, before, before.union(add))
               storeRef.set(Update.reload(spark, n))
-            case None => storeRef.updateAndGet(_.union(add))
+            case None =>
+              val pinned = pinStore(add)
+              storeRef.updateAndGet(_.union(pinned))
           }
+          dropSpool(ex)
           warmed(store)
           respond(ex, 201, """{"ok":true}""")
         case "PUT" => // REPLACE the graph (reference import start deletes
@@ -523,10 +590,13 @@ final class Endpoint(spark: SparkSession, initial: QuadStore, port: Int = 0,
                 valued = None)
               Update.commitDelta(spark, n, before, minus.union(add))
               storeRef.set(Update.reload(spark, n))
-            case None => storeRef.updateAndGet(st => st.copy(
+            case None =>
+              val pinned = pinStore(add)
+              storeRef.updateAndGet(st => st.copy(
                 quads = st.quads.filter(col("g") =!= gRid),
-                valued = None).union(add))
+                valued = None).union(pinned))
           }
+          dropSpool(ex)
           warmed(store)
           respond(ex, 201, """{"ok":true}""")
         case "DELETE" =>

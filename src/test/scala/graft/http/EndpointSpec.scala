@@ -343,6 +343,81 @@ class EndpointSpec extends SparkTestBase {
     }
   }
 
+  test("GSP import streams past the body cap (spooled to disk, " +
+      "distributed parse); /sparql/ + /update/ keep the 413") {
+    val prev = System.getProperty("graft.ep.maxBodyBytes")
+    System.setProperty("graft.ep.maxBodyBytes", "65536") // 64 KB cap
+    try {
+      val store = QuadStore.fromTerms(spark, Seq(
+        (Uri("urn:a"), Uri("urn:p"), Lit("x"))))
+      val ep = new Endpoint(spark, store, 0).start()
+      try {
+        val base = s"http://localhost:${ep.boundPort}"
+        // ~1 MB of N-Triples, 16x the cap, STREAMED in chunks so the
+        // client side is heap-bounded too (the server spools to disk
+        // and parses distributed — bodyOf never sees it)
+        val n = 12000
+        val conn = URI.create(s"$base/data/?graph=urn:big")
+          .toURL.openConnection().asInstanceOf[HttpURLConnection]
+        conn.setRequestMethod("PUT")
+        conn.setDoOutput(true)
+        conn.setChunkedStreamingMode(64 * 1024)
+        val os = conn.getOutputStream
+        (0 until n).foreach { i =>
+          os.write(
+            s"""<urn:big/s$i> <urn:p> "payload value $i xxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxx" .\n"""
+              .getBytes(UTF_8))
+        }
+        os.close()
+        assert(conn.getResponseCode == 201)
+        // all rows landed and are queryable
+        val (c2, b2) = req(s"$base/sparql/?query=" +
+          java.net.URLEncoder.encode(
+            "SELECT (COUNT(*) AS ?c) WHERE { ?s <urn:p> ?o }", "UTF-8") +
+          "&output=tsv")
+        assert(c2 == 200 && b2.contains((n + 1).toString), b2)
+        // the cap still guards the in-heap routes
+        val big = "INSERT DATA { " + (1 to 3000).map(i =>
+          s"""<urn:s$i> <urn:p> "value$i" .""").mkString(" ") + " }"
+        assert(big.length > 65536)
+        val (c3, b3) = req(s"$base/update/", "POST", big)
+        assert(c3 == 413 && b3.contains("too large"), s"$c3 $b3")
+      } finally ep.stop()
+    } finally {
+      if (prev == null) System.clearProperty("graft.ep.maxBodyBytes")
+      else System.setProperty("graft.ep.maxBodyBytes", prev)
+    }
+  }
+
+  test("GSP imports scope bnode labels per document: equal labels from " +
+      "two PUTs stay distinct nodes") {
+    val store = QuadStore.fromTerms(spark, Seq(
+      (Uri("urn:a"), Uri("urn:p"), Lit("x"))))
+    val ep = new Endpoint(spark, store, 0).start()
+    try {
+      val base = s"http://localhost:${ep.boundPort}"
+      // the same `_:x` label in two separately-imported documents is
+      // two nodes (RDF 1.1 §3.4) — a cross-graph join on it is empty
+      val (c1, _) = req(s"$base/data/?graph=urn:d1", "PUT",
+        "_:x <urn:m> \"7\" .\n")
+      val (c2, _) = req(s"$base/data/?graph=urn:d2", "PUT",
+        "_:x <urn:m> \"7\" .\n")
+      assert(c1 == 201 && c2 == 201)
+      val q = "SELECT ?a WHERE { GRAPH <urn:d1> { ?a <urn:m> ?v } " +
+        "GRAPH <urn:d2> { ?a <urn:m> ?v } }"
+      val (c3, b3) = req(s"$base/sparql/?query=" +
+        java.net.URLEncoder.encode(q, "UTF-8") + "&output=tsv")
+      assert(c3 == 200 && !b3.contains("_:"), b3)
+      // but re-PUTting the SAME body to the SAME graph is idempotent
+      // (digest-seeded scope): labels identical across the two PUTs
+      val (_, g1) = req(s"$base/data/?graph=urn:d1", "GET")
+      val (c4, _) = req(s"$base/data/?graph=urn:d1", "PUT",
+        "_:x <urn:m> \"7\" .\n")
+      val (_, g2) = req(s"$base/data/?graph=urn:d1", "GET")
+      assert(c4 == 201 && g1 == g2, s"$g1 vs $g2")
+    } finally ep.stop()
+  }
+
   test("killability law: an in-memory fromTerms store still honors the " +
       "timeout (LocalRelation guard)") {
     // WITHOUT the construction-time guard this store is unkillable:
