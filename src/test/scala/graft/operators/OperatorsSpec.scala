@@ -596,6 +596,53 @@ class OperatorsSpec extends SparkTestBase {
       e.getMessage.contains("0.5000"), e.getMessage)
   }
 
+  test("composed curation DAG: exact dedup -> semantic GATE -> quality " +
+      "-> decontaminate as one flow; tripped gate aborts the pipeline") {
+    // the p30-style production composition WITH the semantic stage in
+    // the middle (driver data keeps text and embeddings in separate
+    // tables, so the full chain is gated here): every stage must drop
+    // exactly its designed victim, and the gate's abort must stop the
+    // whole run rather than ship an unexamined corpus downstream
+    val all = Seq(
+      (1L, "spark pipeline quality document with plenty of words here",
+        Array(1f, 0f)),
+      (2L, "spark pipeline quality document with plenty of words here",
+        Array(0.8f, 0.2f)), // exact text dup of 1 -> exact stage drops
+      (3L, "another completely different document about graphs and joins",
+        Array(0f, 1f)),
+      (4L, "spark pipeline quality document with many of words here also",
+        Array(1f, 0.001f)), // cosine ~1 vs doc 1 -> semantic stage drops
+      (5L, "!!! ??? ...",
+        Array(0.7f, 0.7f)), // punctuation junk -> quality stage drops
+      (6L, "evaluation heldout sentence appears verbatim in training " +
+        "document six",
+        Array(0.6f, -0.8f)), // 5-gram hit vs eval -> decontaminate drops
+      (9L, "evaluation heldout sentence appears verbatim",
+        Array(0.5f, 0.5f))) // the held-out eval doc
+      .toDF("doc_id", "text", "embedding")
+    val eval = all.filter(col("doc_id") >= 9)
+    val corpus = all.filter(col("doc_id") < 9)
+    def curate(maxCellSize: Int, maxCapped: Double): Seq[Long] = {
+      val deduped = Dedup.exact(corpus, col("text"), col("doc_id"))
+      val semKept = Dedup.semanticDedupGated(deduped, "doc_id",
+        "embedding", threshold = 0.9, nCells = 1,
+        maxCellSize = maxCellSize, maxCappedFraction = maxCapped)
+      val sem = deduped.join(semKept, "doc_id")
+      val kept = TextAnalysis.qualitySignals(sem, "text")
+        .filter(col("quality_score") >= 0.5)
+      graft.operators.Decontaminate
+        .flag(kept, eval, "doc_id", "text", k = 5)
+        .filter(!col("contaminated"))
+        .select(col("id")).as[Long].collect().sorted.toSeq
+    }
+    assert(curate(100000, 0.05) == Seq(1L, 3L))
+    // forced abort: cell cap 2 leaves 3 of 5 deduped docs unexamined
+    // (capped_fraction 0.6 > 0.25) -> the gate throws during DAG
+    // construction and NOTHING downstream runs
+    val e = intercept[IllegalStateException](curate(2, 0.25))
+    assert(e.getMessage.contains("cap exposure"), e.getMessage)
+  }
+
   test("pinned intermediates release: flagBloom / semanticDedupGated " +
       "leave no persistent blocks once results are dropped") {
     // the operators pin multi-consumer intermediates with a LAZY
