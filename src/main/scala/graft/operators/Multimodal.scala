@@ -293,6 +293,51 @@ object Multimodal {
       a.length.toLong, null)
   }
 
+  /** Deterministic minimal ISO-BMFF blob (fixture generator for the
+    * p47 gate and specs): a structurally valid MP4 skeleton —
+    * `ftyp(isom)` + `moov(mvhd, trak(tkhd)[, trak(tkhd audio)])` +
+    * `mdat(16 zero bytes)` — whose header facts are pure functions of
+    * the arguments, so an external oracle can predict exactly what
+    * [[decodeVideoMeta]] must extract. `timescale` is fixed at 1 so
+    * `duration_sec` is the exact integer `durationS` (no float
+    * division ambiguity across systems). `v1` selects the 64-bit mvhd
+    * layout; `twoTracks` appends a second zero-dimension
+    * (audio-shaped) track. Total size: 176 bytes (v0, one track) or
+    * 288 (v1, two tracks). */
+  def syntheticMp4(durationS: Long, width: Int, height: Int,
+                   twoTracks: Boolean, v1: Boolean): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def u16(v: Int): Unit = { out.write(v >>> 8 & 0xFF); out.write(v & 0xFF) }
+    def u32(v: Long): Unit = { u16((v >>> 16).toInt); u16(v.toInt & 0xFFFF) }
+    def u64(v: Long): Unit = { u32(v >>> 32); u32(v & 0xFFFFFFFFL) }
+    def tag(t: String): Unit = out.write(t.getBytes("US-ASCII"))
+    def box(t: String, payload: Int)(body: => Unit): Unit = {
+      u32(8L + payload); tag(t); body
+    }
+    def zeros(n: Int): Unit = (0 until n).foreach(_ => out.write(0))
+    def tkhd(w: Int, h: Int): Unit =
+      box("trak", 92) {
+        box("tkhd", 84) { // v0 layout: width 16.16 at payload+76
+          zeros(76); u16(w); u16(0); u16(h); u16(0)
+        }
+      }
+    box("ftyp", 8) { tag("isom"); u32(0L) }
+    val mvhdPay = if (v1) 32 else 20
+    val moovPay =
+      (8 + mvhdPay) + (8 + 92) + (if (twoTracks) 8 + 92 else 0)
+    box("moov", moovPay) {
+      box("mvhd", mvhdPay) {
+        if (v1) { out.write(1); zeros(3); u64(0L); u64(0L)
+                  u32(1L); u64(durationS) }
+        else    { zeros(4); u32(0L); u32(0L); u32(1L); u32(durationS) }
+      }
+      tkhd(width, height)
+      if (twoTracks) tkhd(0, 0)
+    }
+    box("mdat", 16) { zeros(16) }
+    out.toByteArray
+  }
+
   /** REAL image resize: decode, scale so the longer edge is `maxDim`
     * (never upscales), re-encode as PNG. Undecodable rows pass through
     * unchanged (same corrupt-blob policy as [[decodeImageMeta]]). */

@@ -502,6 +502,41 @@ object PipelineQueries {
         .orderBy("component")
     }),
 
+    // REAL video container metadata, oracle-gated: each document row
+    // becomes a structurally valid ISO-BMFF blob whose header facts
+    // (brand, timescale, duration, track count, display dims) are pure
+    // functions of doc_id (Multimodal.syntheticMp4), so the DuckDB
+    // oracle predicts what the box walk MUST extract — the parser under
+    // test is the production decodeVideoMeta, not a fake codec. Every
+    // 97th row is a wrong-magic blob exercising the corrupt-crawl-blob
+    // error path (error row, not job failure). Odd rows take the
+    // 64-bit mvhd v1 layout + a second zero-dimension (audio) track.
+    "p47_video_meta" -> ((s, d) => {
+      import s.implicits._
+      val media = t(s, d, "documents").select("doc_id", "text")
+        .as[(Long, String)].map { case (id, text) =>
+          if (id % 97 == 0)
+            Multimodal.MediaRow(id, "video/mp4",
+              Array[Byte](0, 0, 0, 8, 'F', 'A', 'K', 'E') ++
+                text.getBytes("UTF-8"))
+          else
+            Multimodal.MediaRow(id, "video/mp4",
+              Multimodal.syntheticMp4(
+                durationS = 60 + id % 86400,
+                width = (320 + 16 * (id % 8)).toInt,
+                height = (180 + 9 * (id % 8)).toInt,
+                twoTracks = id % 2 == 1, v1 = id % 2 == 1))
+        }
+      Multimodal.decodeVideoMeta(media).toDF()
+        .select(col("media_id"),
+          coalesce(col("brand"), lit("")).as("brand"),
+          col("timescale"),
+          col("duration_sec").cast("long").as("duration_s"),
+          col("track_count"), col("width"), col("height"),
+          col("n_bytes"), col("error").isNotNull.as("is_err"))
+        .orderBy("media_id")
+    }),
+
     // corpus distribution-shift monitor: per-source unigram
     // total-variation distance against the src0 slice — exact integer
     // numerator (see TextAnalysis.distributionShift), so the statistic
@@ -1421,6 +1456,31 @@ object PipelineQueries {
         |  CAST(count(*) AS BIGINT) AS n_members,
         |  round(max(quality_score), 6) AS best_q6
         |FROM ranked GROUP BY component ORDER BY component""".stripMargin,
+
+    // the oracle predicts the box walk's output from the same doc_id
+    // formulas the blob generator used (timescale pinned to 1 so
+    // duration is exact integer seconds; 176/288 are the fixed v0/v1
+    // skeleton sizes)
+    "p47_video_meta" ->
+      """SELECT doc_id AS media_id,
+        |  CASE WHEN doc_id % 97 = 0 THEN '' ELSE 'isom' END AS brand,
+        |  CAST(CASE WHEN doc_id % 97 = 0 THEN -1 ELSE 1 END AS BIGINT)
+        |    AS timescale,
+        |  CAST(CASE WHEN doc_id % 97 = 0 THEN -1
+        |    ELSE 60 + doc_id % 86400 END AS BIGINT) AS duration_s,
+        |  CAST(CASE WHEN doc_id % 97 = 0 THEN -1
+        |    WHEN doc_id % 2 = 1 THEN 2 ELSE 1 END AS INTEGER)
+        |    AS track_count,
+        |  CAST(CASE WHEN doc_id % 97 = 0 THEN -1
+        |    ELSE 320 + 16 * (doc_id % 8) END AS INTEGER) AS width,
+        |  CAST(CASE WHEN doc_id % 97 = 0 THEN -1
+        |    ELSE 180 + 9 * (doc_id % 8) END AS INTEGER) AS height,
+        |  CAST(CASE WHEN doc_id % 97 = 0
+        |      THEN 8 + octet_length(encode(text))
+        |    WHEN doc_id % 2 = 1 THEN 288 ELSE 176 END AS BIGINT)
+        |    AS n_bytes,
+        |  (doc_id % 97 = 0) AS is_err
+        |FROM documents ORDER BY media_id""".stripMargin,
 
     // total-variation replayed: same tokenization, HUGEINT products so
     // the integer numerator never wraps, one double division at the end

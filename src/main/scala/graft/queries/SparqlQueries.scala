@@ -145,6 +145,21 @@ object SparqlQueries {
       f: (SparkSession, String, Seq[String]) => DataFrame): QDef =
     QDef(name, tables, (s, d) => f(s, d, tables))
 
+  /** Ad-hoc SPARQL over the same cached rdfize stores the gates use —
+    * for the scale-rehearsal probes (ScaleProbeSparql), which run
+    * corpus-scale variants of the gate queries (and the compat-pin A/B)
+    * without duplicating the store cache. */
+  def adhoc(s: SparkSession, dir: String, tables: Seq[String],
+            q: String): DataFrame = sparql(s, dir, tables, q)
+
+  /** The cached store instance for a table set (see [[adhoc]]). */
+  def adhocStore(s: SparkSession, dir: String, tables: String*): QuadStore =
+    store(s, dir, tables: _*)
+
+  /** The cached location-hierarchy store (see [[adhoc]]). */
+  def adhocLocStore(s: SparkSession, dir: String): QuadStore =
+    locStore(s, dir)
+
   /** Materialize the per-table store caches (the import phase) for every
     * table any SPARQL query declares. Bench calls this during warm-up so
     * per-query timings measure query execution, not one-time rdfize+cache —

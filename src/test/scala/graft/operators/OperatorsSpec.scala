@@ -930,6 +930,29 @@ class OperatorsSpec extends SparkTestBase {
       out(4L).error.contains("malformed"), out(4L))
   }
 
+  test("syntheticMp4 round-trips through decodeVideoMeta in both " +
+      "mvhd layouts, at the documented byte sizes") {
+    val a = Multimodal.syntheticMp4(durationS = 3661L, width = 1920,
+      height = 1080, twoTracks = false, v1 = false)
+    val b = Multimodal.syntheticMp4(durationS = 7L, width = 320,
+      height = 180, twoTracks = true, v1 = true)
+    assert(a.length == 176 && b.length == 288,
+      s"${a.length} / ${b.length}")
+    val media = Seq(
+      Multimodal.MediaRow(1L, "video/mp4", a),
+      Multimodal.MediaRow(2L, "video/mp4", b)).toDS()
+    val out = Multimodal.decodeVideoMeta(media).collect()
+      .map(d => d.media_id -> d).toMap
+    val va = out(1L)
+    assert(va.brand == "isom" && va.timescale == 1L &&
+      va.duration_sec == 3661.0 && va.track_count == 1 &&
+      va.width == 1920 && va.height == 1080 && va.error == null, va)
+    val vb = out(2L)
+    assert(vb.brand == "isom" && vb.timescale == 1L &&
+      vb.duration_sec == 7.0 && vb.track_count == 2 &&
+      vb.width == 320 && vb.height == 180 && vb.error == null, vb)
+  }
+
   test("distributionShift: hand-computed total-variation vs reference") {
     // ref src0: tokens {a:2, b:1}, n=3. g1: {a:1, c:1}, n=2.
     // TV(g1, ref) = (|1/2-2/3| + |0-1/3| + |1/2-0|)/2 = 1/2.
