@@ -179,6 +179,85 @@ object TextAnalysis {
           exp(-col("logprob") / col("n_bigrams"))).as("ppl"))
   }
 
+  /** DSIR-style hashed n-gram importance weights (Xie et al. 2023,
+    * "Data Selection for Language Models via Importance Resampling"):
+    * estimate the target-domain and raw-corpus distributions over a
+    * FIXED number of hashed bigram buckets, then score every raw
+    * document by its log importance weight
+    *
+    *   logw(doc) = Σ_g [ log((t_b(g)+a)/(T+aB)) −
+    *                     log((r_b(g)+a)/(R+aB)) ]
+    *
+    * (t_b/r_b = target/raw occurrence count of gram g's bucket, T/R =
+    * total gram occurrences, B = bucket count, a = add-k smoothing).
+    * Resampling raw docs ∝ exp(logw) — or keeping the top fraction by
+    * logw — shifts the raw corpus toward the target domain without a
+    * trained classifier.
+    *
+    * Output per raw doc: (id, n_grams, sum_tb, sum_rb, n_zero_t, logw)
+    * — the integer columns are engine-exact sufficient statistics (the
+    * oracle gates them, same discipline as [[ngramLmScore]]: they pin
+    * the tokenization, hashing, bucketing, and both count tables); the
+    * float logw is derived for ranking and spec-tested. Docs with <2
+    * tokens get 0 grams and logw 0.
+    *
+    * `buckets` must be a power of two: the portable hash is a SIGNED
+    * big-endian read of the md5 prefix, and only power-of-two moduli
+    * make `pmod(signed, B)` equal `unsigned % B` (2^64 ≡ 0 mod B), so
+    * a SQL oracle reading the same digest as UBIGINT lands in the same
+    * bucket.
+    *
+    * Scale: hashing the feature space into B buckets is what makes
+    * DSIR 100 TB-shaped — both count tables are ≤ B rows REGARDLESS of
+    * corpus size (two map-side-combined aggregates), broadcast to the
+    * scoring pass, which reduces per document in one shuffle. Nothing
+    * driver-side scales with the data; the two 1-row total collects
+    * are bounded. */
+  def dsirImportance(raw: DataFrame, target: DataFrame, idCol: String,
+                     textCol: String, buckets: Int = 4096,
+                     addK: Double = 1.0,
+                     portableHash: Boolean = false): DataFrame = {
+    require(buckets > 0 && (buckets & (buckets - 1)) == 0,
+      s"buckets must be a power of two, got $buckets")
+    val F = graft.functions.F
+    def bucketRows(df: DataFrame) =
+      df.select(col(idCol).as("id"),
+          explode(F.shinglePosHashes(col(textCol), 2, portableHash))
+            .as("h"))
+        .select(col("id"), pmod(col("h"), lit(buckets.toLong)).as("b"))
+    val tb = bucketRows(target).groupBy("b").agg(count(lit(1)).as("tb"))
+      .localCheckpoint(eager = false) // consumed by total + scoring join
+    val rb = bucketRows(raw).groupBy("b").agg(count(lit(1)).as("rb"))
+      .localCheckpoint(eager = false)
+    def total(df: DataFrame, c: String): Double =
+      df.agg(sum(col(c))).collect()(0) match {
+        case r if r.isNullAt(0) => 0.0
+        case r => r.getLong(0).toDouble
+      }
+    val tTot = total(tb, "tb")
+    val rTot = total(rb, "rb")
+    val scored = bucketRows(raw)
+      .join(broadcast(tb), Seq("b"), "left_outer")
+      .join(broadcast(rb), Seq("b"), "left_outer") // always hits: b ∈ raw
+      .withColumn("lw",
+        log((coalesce(col("tb"), lit(0L)) + lit(addK)) /
+            lit(tTot + addK * buckets)) -
+        log((col("rb") + lit(addK)) / lit(rTot + addK * buckets)))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("tb"), lit(0L))).as("sum_tb"),
+        sum(col("rb")).as("sum_rb"),
+        sum(when(col("tb").isNull, 1L).otherwise(0L)).as("n_zero_t"),
+        sum(col("lw")).as("logw"))
+    raw.select(col(idCol).as("id")).join(scored, Seq("id"), "left_outer")
+      .select(col("id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("sum_tb"), lit(0L)).as("sum_tb"),
+        coalesce(col("sum_rb"), lit(0L)).as("sum_rb"),
+        coalesce(col("n_zero_t"), lit(0L)).as("n_zero_t"),
+        coalesce(col("logw"), lit(0.0)).as("logw"))
+  }
+
   /** Linear bag-of-words classifier scoring — the fastText-style quality
     * gate of production curation pipelines (e.g. the GPT-3/CCNet "looks
     * like reference text" filter): a trained weight per vocabulary term,

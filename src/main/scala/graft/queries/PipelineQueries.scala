@@ -537,6 +537,22 @@ object PipelineQueries {
         .orderBy("media_id")
     }),
 
+    // DSIR importance resampling: hashed-bigram bucket distributions
+    // (target = the src0 slice, raw = everything else), integer
+    // sufficient statistics oracle-gated (they pin tokenization,
+    // portable md5 hashing, power-of-two bucketing, and both count
+    // tables); the derived log-weight is spec-tested in OperatorsSpec
+    "p48_dsir_importance" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      TextAnalysis.dsirImportance(
+          docs.filter(col("source") =!= "src0"),
+          docs.filter(col("source") === "src0"),
+          "doc_id", "text", buckets = 4096, portableHash = true)
+        .select(col("id").as("doc_id"), col("n_grams"), col("sum_tb"),
+          col("sum_rb"), col("n_zero_t"))
+        .orderBy("doc_id")
+    }),
+
     // corpus distribution-shift monitor: per-source unigram
     // total-variation distance against the src0 slice — exact integer
     // numerator (see TextAnalysis.distributionShift), so the statistic
@@ -1456,6 +1472,37 @@ object PipelineQueries {
         |  CAST(count(*) AS BIGINT) AS n_members,
         |  round(max(quality_score), 6) AS best_q6
         |FROM ranked GROUP BY component ORDER BY component""".stripMargin,
+
+    // same bigram text, same md5 prefix read as UBIGINT, same
+    // power-of-two modulus -> same buckets as the engine's pmod on the
+    // signed value (2^64 = 0 mod 4096)
+    "p48_dsir_importance" ->
+      """WITH ws AS (SELECT doc_id, source,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |      x -> len(x) > 0) AS ws
+        |  FROM documents),
+        |g AS (SELECT doc_id, source,
+        |    unnest(list_transform(range(1, len(ws)),
+        |      i -> ('0x'||substr(md5(ws[i]||' '||ws[i+1]),1,16))::UBIGINT
+        |           % 4096)) AS b
+        |  FROM ws),
+        |tb AS (SELECT b, count(*) AS tb FROM g WHERE source = 'src0'
+        |  GROUP BY 1),
+        |rb AS (SELECT b, count(*) AS rb FROM g WHERE source <> 'src0'
+        |  GROUP BY 1),
+        |agg AS (SELECT doc_id, count(*) AS n_grams,
+        |    sum(coalesce(tb.tb, 0)) AS sum_tb,
+        |    sum(rb.rb) AS sum_rb,
+        |    sum(CASE WHEN tb.tb IS NULL THEN 1 ELSE 0 END) AS n_zero_t
+        |  FROM g LEFT JOIN tb USING (b) LEFT JOIN rb USING (b)
+        |  WHERE g.source <> 'src0' GROUP BY 1)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(n_grams, 0) AS BIGINT) AS n_grams,
+        |  CAST(coalesce(sum_tb, 0) AS BIGINT) AS sum_tb,
+        |  CAST(coalesce(sum_rb, 0) AS BIGINT) AS sum_rb,
+        |  CAST(coalesce(n_zero_t, 0) AS BIGINT) AS n_zero_t
+        |FROM documents d LEFT JOIN agg USING (doc_id)
+        |WHERE d.source <> 'src0' ORDER BY d.doc_id""".stripMargin,
 
     // the oracle predicts the box walk's output from the same doc_id
     // formulas the blob generator used (timescale pinned to 1 so

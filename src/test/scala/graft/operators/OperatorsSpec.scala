@@ -953,6 +953,42 @@ class OperatorsSpec extends SparkTestBase {
       vb.width == 320 && vb.height == 180 && vb.error == null, vb)
   }
 
+  test("dsirImportance: hand-computed log importance weights and " +
+      "integer sufficient statistics") {
+    // target "a b a b": bigram occurrences {a b: 2, b a: 1}, T=3
+    // raw doc1 "a b c" -> grams {a b, b c}; doc2 "x y" -> {x y}; R=3
+    // guard: the four gram strings must land in distinct 4096-buckets,
+    // else the hand numbers below are for the wrong collision pattern
+    def bucket(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      var h = 0L; (0 until 8).foreach(i => h = (h << 8) | (d(i) & 0xFFL))
+      ((h % 4096) + 4096) % 4096
+    }
+    val bs = Seq("a b", "b a", "b c", "x y").map(bucket)
+    assert(bs.distinct.size == 4, s"bucket collision: $bs")
+    val target = Seq((100L, "a b a b")).toDF("doc_id", "text")
+    val raw = Seq((1L, "a b c"), (2L, "x y"), (3L, "solo"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.dsirImportance(raw, target, "doc_id", "text",
+        buckets = 4096, addK = 1.0, portableHash = true)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+         r.getDouble(5))).toMap
+    // doc1: tb(a b)=2, tb(b c)=0; rb(a b)=1, rb(b c)=1
+    //   logw = [log(3/4099)-log(2/4099)] + [log(1/4099)-log(2/4099)]
+    //        = log(3/2) + log(1/2) = log(3/4)
+    assert(out(1L)._1 == 2 && out(1L)._2 == 2 && out(1L)._3 == 2 &&
+      out(1L)._4 == 1, out(1L))
+    assert(math.abs(out(1L)._5 - math.log(3.0 / 4.0)) < 1e-9, out(1L))
+    // doc2: one gram, zero target mass -> logw = log(1/2)
+    assert(out(2L)._1 == 1 && out(2L)._2 == 0 && out(2L)._3 == 1 &&
+      out(2L)._4 == 1, out(2L))
+    assert(math.abs(out(2L)._5 - math.log(1.0 / 2.0)) < 1e-9, out(2L))
+    // doc3: a single token has no bigrams -> zeros, logw 0
+    assert(out(3L) == ((0L, 0L, 0L, 0L, 0.0)), out(3L))
+  }
+
   test("distributionShift: hand-computed total-variation vs reference") {
     // ref src0: tokens {a:2, b:1}, n=3. g1: {a:1, c:1}, n=2.
     // TV(g1, ref) = (|1/2-2/3| + |0-1/3| + |1/2-0|)/2 = 1/2.
