@@ -209,6 +209,64 @@ object StreamIngest {
     * over-report by at most `fpp` per gram and can be re-checked exactly
     * downstream in batch.
     */
+  /** Streaming DSIR scoring: annotate an ingest feed in-flight with its
+    * log importance weight against FIXED target/raw hashed-bigram
+    * bucket distributions trained on static corpora — the streaming
+    * analog of [[graft.operators.TextAnalysis.dsirImportance]], for
+    * domain-match screening before documents land in a training corpus.
+    *
+    * Both count tables are bounded at `buckets` entries regardless of
+    * corpus size, so they collapse to two driver-built long arrays
+    * broadcast once at plan time; the scorer is a stateless map over
+    * each micro-batch — no stream-stream join, no state store, executor
+    * memory constant in the training-corpus size. Uses the fast
+    * xxhash64 gram hash (no oracle needs portability here); `buckets`
+    * must be a power of two so the bucket is a mask of the signed hash.
+    */
+  def dsirScoreStream(docs: DataFrame, target: DataFrame, raw: DataFrame,
+                      textCol: String, buckets: Int = 4096,
+                      addK: Double = 1.0): DataFrame = {
+    require(buckets > 0 && (buckets & (buckets - 1)) == 0,
+      s"buckets must be a power of two, got $buckets")
+    val spark = docs.sparkSession
+    def counts(df: DataFrame): (Array[Long], Long) = {
+      val rows = df.select(explode(graft.functions.F
+          .shinglePosHashes(col(textCol), 2, md5 = false)).as("h"))
+        .select(pmod(col("h"), lit(buckets.toLong)).as("b"))
+        .groupBy("b").agg(count(lit(1)).as("c"))
+        .collect() // <= buckets rows by construction
+      val arr = new Array[Long](buckets)
+      var tot = 0L
+      rows.foreach { r =>
+        arr(r.getLong(0).toInt) = r.getLong(1); tot += r.getLong(1)
+      }
+      (arr, tot)
+    }
+    val (tArr, tTot) = counts(target)
+    val (rArr, rTot) = counts(raw)
+    val bcT = spark.sparkContext.broadcast(tArr)
+    val bcR = spark.sparkContext.broadcast(rArr)
+    val tDen = tTot + addK * buckets
+    val rDen = rTot + addK * buckets
+    val mask = buckets - 1
+    val logwUdf = udf((hs: Seq[Long]) =>
+      if (hs == null) 0.0
+      else {
+        var s = 0.0
+        hs.foreach { h =>
+          val b = (h & mask).toInt // power-of-two: equals pmod(h, B)
+          s += math.log((bcT.value(b) + addK) / tDen) -
+            math.log((bcR.value(b) + addK) / rDen)
+        }
+        s
+      })
+    docs.select(col("*"), graft.functions.F
+        .shinglePosHashes(col(textCol), 2, md5 = false).as("__hs"))
+      .withColumn("n_grams", size(col("__hs")).cast("long"))
+      .withColumn("dsir_logw", logwUdf(col("__hs")))
+      .drop("__hs")
+  }
+
   def decontaminateStream(docs: DataFrame, evalDf: DataFrame,
                           idCol: String, textCol: String, k: Int = 8,
                           fpp: Double = 0.001): DataFrame = {

@@ -334,6 +334,26 @@ class PlanSpec extends SparkTestBase {
     assert(keyed <= 2, s"expected <=2 keyed shuffles, got $keyed:\n$plan")
   }
 
+  test("dsirImportance: bucket count tables broadcast to the scoring " +
+      "pass; nothing nested-loops") {
+    val docs = graft.core.Tables.t(spark, sf, "documents")
+    val plan = planOf(graft.operators.TextAnalysis.dsirImportance(
+      docs.filter(col("source") =!= "src0"),
+      docs.filter(col("source") === "src0"),
+      "doc_id", "text", buckets = 4096))
+    // the B-bounded count tables must reach the gram stream as
+    // broadcast joins (they are <= 4096 rows at ANY corpus size); a
+    // SortMergeJoin here would shuffle the full gram stream twice.
+    // AQE's explain repeats the pre-broadcast shape under
+    // "== Initial Plan ==" — assert on the executed section only
+    val executed = plan.split("== Initial Plan ==").head
+    assert(executed.contains("BroadcastHashJoin"), plan)
+    assert(!executed.contains("SortMergeJoin"),
+      s"count tables must broadcast, not sort-merge:\n$plan")
+    assert(!executed.contains("CartesianProduct") &&
+      !executed.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("bloom decontamination never shuffles the train side") {
     val docs = graft.core.Tables.t(spark, sf, "documents")
     val eval = docs.filter(col("doc_id") % 10 === 0)

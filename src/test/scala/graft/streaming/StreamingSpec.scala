@@ -119,6 +119,34 @@ class StreamingSpec extends SparkTestBase {
     q.stop()
   }
 
+  test("streaming DSIR scoring matches the batch operator's log weight") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val target = Seq((100L, "a b a b")).toDF("doc_id", "text")
+    val raw = Seq((1L, "a b c"), (2L, "x y")).toDF("doc_id", "text")
+    // batch ground truth on the same corpora and hash (xxhash64)
+    val batch = graft.operators.TextAnalysis.dsirImportance(
+        raw, target, "doc_id", "text", buckets = 4096)
+      .collect().map(r => r.getLong(0) -> r.getDouble(5)).toMap
+    val mem = MemoryStream[(Long, String)]
+    val docs = mem.toDS().toDF("doc_id", "text")
+    val scored = StreamIngest.dsirScoreStream(
+      docs, target, raw, "text", buckets = 4096)
+    val q = scored.writeStream.format("memory").queryName("dsir")
+      .outputMode("append").start()
+    mem.addData((1L, "a b c"), (2L, "x y"))
+    q.processAllAvailable()
+    mem.addData((3L, "solo")) // <2 tokens -> 0 grams, logw 0
+    q.processAllAvailable()
+    val got = spark.sql("select doc_id, n_grams, dsir_logw from dsir")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(got(1L)._1 == 2 && math.abs(got(1L)._2 - batch(1L)) < 1e-9, got)
+    assert(got(2L)._1 == 1 && math.abs(got(2L)._2 - batch(2L)) < 1e-9, got)
+    assert(got(3L) == ((0L, 0.0)), got)
+    q.stop()
+  }
+
   test("minhash dedup batch: drops near-dups vs index and within batch") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("neardup_idx")
