@@ -103,10 +103,10 @@ object ScaleProbeSparql {
     }
     println(f"[sfq10] s16x_update_insert_where rows=$updRows sec=$updSec%.1f")
 
-    // compat-pin A/B: two runs per arm (the artifact carries its own
+    // compat-pin A/B: three runs per arm (the artifact carries its own
     // noise floor); property restored afterwards
     def runCompat(tag: String): Seq[Double] =
-      (1 to 2).map { i =>
+      (1 to 3).map { i =>
         val (rows, sec) = timed(
           SparqlQueries.adhoc(spark, sfDir, Seq("customer", "orders"),
             compatQ(s"$tag$i")).count())

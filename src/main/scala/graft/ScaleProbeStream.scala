@@ -98,11 +98,18 @@ object ScaleProbeStream {
       "doc_id", "text", idxDir, outDir, tmpDir("probe_lsh_ckpt"))
     // AvailableNow is not wired through minhashDedupStream (production
     // runs continuous); drain by watching cumulative input rows until
-    // the whole corpus has been processed, then stop
+    // the whole corpus has been processed, then stop. recentProgress is
+    // a bounded ring (default 100 entries) — fine for this corpus's
+    // handful of micro-batches, but guard with a deadline and propagate
+    // query failure instead of spinning forever on either
     val totalDocs = spark.read.parquet(docsPath).count()
+    val deadline = System.nanoTime() + 15L * 60 * 1000 * 1000 * 1000
     var seen = 0L
     while (seen < totalDocs) {
       Thread.sleep(500)
+      q.exception.foreach(throw _)
+      if (System.nanoTime() > deadline)
+        sys.error(s"LSH drain stalled: $seen of $totalDocs rows")
       seen = q.recentProgress.map(_.numInputRows).sum
     }
     q.stop()

@@ -293,6 +293,14 @@ final class Endpoint(spark: SparkSession, initial: QuadStore, port: Int = 0,
   private val maxBodyBytes: Long =
     sys.props.get("graft.ep.maxBodyBytes").map(_.toLong)
       .getOrElse(256L * 1024 * 1024)
+  /** Disk cap for spooled GSP import bodies (default 16 GiB,
+    * `graft.ep.maxImportBytes`): far above [[maxBodyBytes]]'s in-heap
+    * cap — imports stream to disk, not heap — but still bounded, or one
+    * client streaming an endless chunked body fills the server's disk
+    * (which is also Spark's shuffle space) and takes down the host. */
+  private val maxImportBytes: Long =
+    sys.props.get("graft.ep.maxImportBytes").map(_.toLong)
+      .getOrElse(16L * 1024 * 1024 * 1024)
   /** GSP import bodies spool to a TEMP FILE in streaming 64 KB chunks
     * (bounded heap) instead of [[bodyOf]]'s in-heap String: the
     * reference's `/data/` accepts arbitrarily large graph PUTs via
@@ -300,11 +308,12 @@ final class Endpoint(spark: SparkSession, initial: QuadStore, port: Int = 0,
     * in-heap cap would force anything bigger through the CLI. The
     * spooled file feeds the DISTRIBUTED N-Triples parse
     * (`spark.read.textFile`), so import scales with the cluster, not
-    * the driver heap. Cached per exchange like [[bodyOf]] (a
-    * peer-cancellation retry re-enters the handler on a consumed
-    * stream); the MD5 digest computed during spooling seeds the
-    * per-document bnode scope so identical PUTs stay idempotent.
-    * Files are deleted after a successful commit, or at JVM exit. */
+    * the driver heap. Cached per exchange so the body is read once per
+    * request; the MD5 digest computed during spooling seeds the PUT
+    * path's per-document bnode scope. Files are deleted when the
+    * handler exits (success OR failure — a failed multi-GB import must
+    * not leak its spool for the server's lifetime), with deleteOnExit
+    * as the crash backstop. */
   private val spooledBodies = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[HttpExchange, (java.nio.file.Path, String)]())
   private def spoolBody(ex: HttpExchange): (java.nio.file.Path, String) = {
@@ -316,14 +325,24 @@ final class Endpoint(spark: SparkSession, initial: QuadStore, port: Int = 0,
       val md = java.security.MessageDigest.getInstance("MD5")
       val in = ex.getRequestBody
       val out = java.nio.file.Files.newOutputStream(tmp)
+      var total = 0L
       try {
         val chunk = new Array[Byte](64 * 1024)
         var n = in.read(chunk)
         while (n >= 0) {
+          total += n
+          if (total > maxImportBytes)
+            throw new Endpoint.BodyTooLarge(maxImportBytes)
           out.write(chunk, 0, n); md.update(chunk, 0, n)
           n = in.read(chunk)
         }
-      } finally out.close()
+      } finally {
+        out.close()
+        if (total > maxImportBytes) {
+          try java.nio.file.Files.deleteIfExists(tmp)
+          catch { case _: Exception => () }
+        }
+      }
       val v = (tmp, md.digest().map(b => f"$b%02x").mkString)
       spooledBodies.put(ex, v)
       v
@@ -521,23 +540,28 @@ final class Endpoint(spark: SparkSession, initial: QuadStore, port: Int = 0,
         case "" => graft.rdf.WellKnown.defaultGraphUri
         case g  => g
       }
-      // streaming import: body spooled to disk, parsed DISTRIBUTED
-      // (textFile -> parseNtLines) — no body-size cap here, unlike
-      // /sparql/ + /update/ (bodyOf's 256 MB -> 413). Bnode labels
-      // scope per document (RDF 1.1 §3.4): seeded by target graph +
-      // body digest, so re-PUTting the same body is idempotent while
-      // two different documents' `_:x` stay distinct nodes.
-      def parsedBody(): QuadStore = {
+      // streaming import: body spooled to disk (graft.ep.maxImportBytes
+      // disk cap -> 413), parsed DISTRIBUTED (textFile -> parseNtLines).
+      // Bnode labels scope per document (RDF 1.1 §3.4), same `_d<scope>`
+      // scheme as Turtle.scopeLabel, applied as a column expression.
+      // The scope SEED differs by verb: PUT replaces the graph, so a
+      // digest-keyed scope makes re-PUTting the same body byte-for-byte
+      // idempotent; POST is an RDF MERGE (GSP §5.5) where a second POST
+      // of the same document must mint FRESH bnodes, not unify with the
+      // first's — so POST folds in a per-request nonce.
+      def parsedBody(seedNonce: String): QuadStore = {
         import org.apache.spark.sql.functions.{concat, when}
         val (f, digest) = spoolBody(ex)
-        val scope = graft.rdf.Turtle.scopeFor(s"$graph:$digest")
+        val scope =
+          graft.rdf.Turtle.scopeFor(s"$graph:$digest$seedNonce")
+        val suffix = graft.rdf.Turtle.scopeSuffix(scope)
         val flat = StreamIngest
           .parseNtLines(spark.read.textFile(f.toString))
           .withColumn("gLex", lit(graph))
           .withColumn("sLex", when(col("sKind") === 2,
-            concat(col("sLex"), lit(s"_d$scope"))).otherwise(col("sLex")))
+            concat(col("sLex"), lit(suffix))).otherwise(col("sLex")))
           .withColumn("oLex", when(col("oKind") === 2,
-            concat(col("oLex"), lit(s"_d$scope"))).otherwise(col("oLex")))
+            concat(col("oLex"), lit(suffix))).otherwise(col("oLex")))
         QuadStore.fromFlat(spark, flat)
       }
       // after a commit the store no longer references the spool file:
@@ -565,7 +589,8 @@ final class Endpoint(spark: SparkSession, initial: QuadStore, port: Int = 0,
             while (it.hasNext) { w.write(it.next().getString(0)); w.write("\n") }
           }
         case "POST" => // append (reference http_post_data, httpd.c:590)
-          val add = parsedBody()
+          val add = parsedBody(
+            s":post${Endpoint.postNonce.incrementAndGet()}")
           durableName match {
             case Some(n) => // graph-store import: append-only delta
               val before = store
@@ -575,12 +600,11 @@ final class Endpoint(spark: SparkSession, initial: QuadStore, port: Int = 0,
               val pinned = pinStore(add)
               storeRef.updateAndGet(_.union(pinned))
           }
-          dropSpool(ex)
           warmed(store)
           respond(ex, 201, """{"ok":true}""")
         case "PUT" => // REPLACE the graph (reference import start deletes
           // the model before streaming the body in, httpd.c:566)
-          val add = parsedBody()
+          val add = parsedBody("")
           val gRid = graft.rdf.Rid.uri(graph)
           durableName match {
             case Some(n) =>
@@ -596,7 +620,6 @@ final class Endpoint(spark: SparkSession, initial: QuadStore, port: Int = 0,
                 quads = st.quads.filter(col("g") =!= gRid),
                 valued = None).union(pinned))
           }
-          dropSpool(ex)
           warmed(store)
           respond(ex, 201, """{"ok":true}""")
         case "DELETE" =>
@@ -628,7 +651,8 @@ final class Endpoint(spark: SparkSession, initial: QuadStore, port: Int = 0,
         respond(ex, 413, """{"error":"request body too large"}""")
       case e: Exception =>
         respond(ex, 400, s"""{"error":"${e.getMessage}"}""")
-    }
+    } finally dropSpool(ex) // success AND failure: a failed multi-GB
+      // import must not leak its spool for the server's lifetime
   })
 
   server.createContext("/status/", new HttpHandler {
@@ -752,6 +776,9 @@ private[http] object Endpoint {
 
   val RequestProp = "graft.ep.request"
   val CancelReason = "graft-ep-timeout"
+  /** Per-JVM GSP POST counter: POST is an RDF merge, so each request's
+    * bnode scope must be fresh (see the /data/ handler). */
+  val postNonce = new java.util.concurrent.atomic.AtomicLong(0L)
   val poolTicket = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** Per-request "a retry would be visible" latch: tripped the moment a

@@ -27,11 +27,19 @@ object Turtle {
   def scopeFor(key: String): String = {
     val d = java.security.MessageDigest.getInstance("MD5")
       .digest(key.getBytes("UTF-8"))
-    d.take(4).map(b => f"$b%02x").mkString
+    // 8 digest bytes = a 64-bit scope: birthday-bounded collision at
+    // ~5×10^9 distinct documents (a 4-byte scope collided at ~77k —
+    // under-sized for a store fed by years of per-document imports)
+    d.take(8).map(b => f"$b%02x").mkString
   }
 
+  /** The label suffix `scopeLabel` appends — shared with the GSP
+    * import path, which applies the same scheme as a Spark column
+    * expression rather than per-string. */
+  def scopeSuffix(scope: String): String = s"_d$scope"
+
   private[rdf] def scopeLabel(b: String, scope: String): String =
-    if (scope.isEmpty) b else s"${b}_d$scope"
+    if (scope.isEmpty) b else b + scopeSuffix(scope)
 
   private def scoped(ts: List[(Term, Term, Term)], scope: String)
       : List[(Term, Term, Term)] =

@@ -504,30 +504,47 @@ object Parser {
     val n = text.length
     while (i < n && worst <= max) {
       val c = text.charAt(i)
-      if (c == '#') {
+      if (c == '#' && (i == 0 || text.charAt(i - 1) != '\\')) {
+        // comments hide brackets from the real parser — but a '#'
+        // PRECEDED BY '\' is a PN_LOCAL PLX escape (`p:a\#b`), part of
+        // a token, and brackets after it on the line are REAL: treating
+        // it as a comment would under-count depth (the DoS direction).
         i += 1
         while (i < n && text.charAt(i) != '\n' && text.charAt(i) != '\r') i += 1
       } else if (c == '<') {
         // IRIREF chars exclude whitespace and <>"{}|^`\ — but include
         // '#', so an unskipped IRI would flip us into comment mode and
-        // hide real braces after it on the line. Lookahead to a '>'
-        // over legal chars ⇒ IRI, skip whole span; anything else ⇒
-        // '<' is the comparison operator, resume at the next char.
-        // Spans can't overlap ('<' itself is illegal inside), so the
-        // lookahead stays O(n) overall. The 512 bound is a security
-        // invariant, not just a perf cap: parens are legal IRI chars,
-        // so a skipped span can hide up to bound TRANSIENT recursion
-        // levels from the real parser (it descends into "<((((…>"
-        // as a parenthesized expression before backtracking to the
-        // IRI read); 256 counted + 512 hidden stays far below the
-        // ~2000-level stack limit the fuzzer measured.
+        // hide real braces after it on the line. Scan to a '>' over
+        // legal chars ⇒ IRI, skip whole span; anything else ⇒ '<' is
+        // the comparison operator, resume at the next char (the real
+        // lexer fails IRIREF at the same boundary character, so a '#'
+        // later on the line is a comment for BOTH scanners). The scan
+        // must be UNBOUNDED: a cap made ">512-char IRI containing '#'"
+        // flip the guard into comment mode while the real parser (whose
+        // IRIREF regex is unbounded) descended into real braces behind
+        // it. What the old 512 cap actually protected against — parens
+        // are legal IRI chars, and the real parser transiently recurses
+        // into "<((((…>" as parenthesized expressions before
+        // backtracking to the IRI read — is accounted EXACTLY instead:
+        // a successfully-skipped span's '(' count contributes to the
+        // worst-depth check as transient recursion on top of the
+        // current depth. Legitimate IRIs carry a handful of parens;
+        // an attack span carries thousands and rejects. Spans can't
+        // overlap ('<' is illegal inside), and a failed scan resumes
+        // with ordinary chars, so the whole pass stays O(n).
         var j = i + 1
+        var opens = 0
         @inline def legal(ch: Char): Boolean =
           ch > ' ' && ch != '<' && ch != '>' && ch != '"' && ch != '{' &&
             ch != '}' && ch != '|' && ch != '^' && ch != '`' && ch != '\\'
-        while (j < n && (j - i) <= 512 && legal(text.charAt(j))) j += 1
-        if (j < n && text.charAt(j) == '>') i = j + 1
-        else i += 1
+        while (j < n && legal(text.charAt(j))) {
+          if (text.charAt(j) == '(') opens += 1
+          j += 1
+        }
+        if (j < n && text.charAt(j) == '>') {
+          if (depth + opens > worst) worst = depth + opens
+          i = j + 1
+        } else i += 1
       } else if (c == '"' || c == '\'') {
         val q = c
         if (i + 2 < n && text.charAt(i + 1) == q && text.charAt(i + 2) == q) {

@@ -12,6 +12,13 @@ import Ast._
   */
 object Update {
 
+  /** Per-JVM LOAD counter: every LOAD is a fresh document read, so its
+    * bnode scope must differ from every other import's (see the Load
+    * case). Labels are store-internal; they need uniqueness, not
+    * cross-run determinism. */
+  private[sparql] val loadNonce =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
   sealed trait Op
   /** quads with optional named graph (None = default graph) */
   final case class InsertData(quads: List[(Term, Term, Term, Option[Term])])
@@ -285,10 +292,15 @@ object Update {
         try {
           // LOAD appends an external document into a LIVE store: its
           // bnode labels are document-scoped (RDF 1.1 §3.4) and must
-          // not unify with equal labels already in the store — scope
-          // them per source, like the reference's fresh-per-import ids
+          // not unify with equal labels already in the store — and each
+          // LOAD is a fresh READ of the document, so loading the same
+          // file twice (or into two graphs) must mint DISTINCT bnodes
+          // both times, like the reference's fresh-per-import internal
+          // ids. Scope by path + a per-JVM import counter: a path-only
+          // scope silently unified re-loads (r10 review finding).
           val loaded = QuadStore.fromFile(spark, path,
-            graph.getOrElse(""), scope = graft.rdf.Turtle.scopeFor(path))
+            graph.getOrElse(""), scope = graft.rdf.Turtle.scopeFor(
+              s"$path#${Update.loadNonce.incrementAndGet()}"))
           // merge; the loaded store keeps its valued form, so the union
           // store stays inline-value-scannable when both sides are
           store.union(loaded)

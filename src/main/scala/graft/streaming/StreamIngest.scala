@@ -262,7 +262,10 @@ object StreamIngest {
       })
     docs.select(col("*"), graft.functions.F
         .shinglePosHashes(col(textCol), 2, md5 = false).as("__hs"))
-      .withColumn("n_grams", size(col("__hs")).cast("long"))
+      // null text -> null gram array: report 0 grams like the batch
+      // operator, not a NULL that silently drops from downstream math
+      .withColumn("n_grams",
+        coalesce(size(col("__hs")).cast("long"), lit(0L)))
       .withColumn("dsir_logw", logwUdf(col("__hs")))
       .drop("__hs")
   }

@@ -228,10 +228,31 @@ class PropertySpec extends SparkTestBase {
     intercept[IllegalArgumentException] {
       checkNesting("<http://e/x#> {\n" * 2000)
     }
+    // the r10-review bypass: an IRI LONGER than any lookahead bound
+    // containing '#' must not flip comment mode either — the real
+    // IRIREF regex is unbounded, so the real parser sees (and descends
+    // into) the braces behind it
+    intercept[IllegalArgumentException] {
+      checkNesting("<http://e/" + "a" * 600 + "#> " + "{" * 2000)
+    }
+    // a paren-stuffed IRI is transient recursion in the real parser
+    // (it explores "<((((…" as parenthesized expressions before
+    // backtracking): counted against the limit, fail-closed
+    intercept[IllegalArgumentException] {
+      checkNesting("<" + "(" * 600 + "> { }")
+    }
+    // a PN_LOCAL PLX escape `\#` is part of a token, not a comment:
+    // brackets after it are REAL and must count
+    intercept[IllegalArgumentException] {
+      checkNesting("p:a\\#b {\n" * 300)
+    }
     // legitimate uses keep parsing: brackets inside comments are
-    // whitespace to both grammars; parens are legal IRI chars
+    // whitespace to both grammars; parens are legal IRI chars; long
+    // IRIs and escaped local names stay tokens
     checkNesting("SELECT ?s # {{{ (((\nWHERE { ?s ?p ?o } # )))")
     checkNesting("<http://e/a(((((b> " + "{" * 10 + "}" * 10)
+    checkNesting("<http://e/" + "a" * 600 + "#x> { ?s ?p ?o }")
+    checkNesting("{ ?s ?p p:a\\#b } # ((((")
     graft.sparql.Parser.parse(
       "SELECT ?s WHERE { ?s <http://e/x#p> ?o } # trailing ((((")
     // and the guard itself must not stack-overflow on the bypass input

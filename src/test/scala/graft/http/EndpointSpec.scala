@@ -418,6 +418,46 @@ class EndpointSpec extends SparkTestBase {
     } finally ep.stop()
   }
 
+  test("GSP POST is an RDF merge: re-POSTing the same document mints " +
+      "fresh bnodes; the import disk cap answers 413") {
+    val store = QuadStore.fromTerms(spark, Seq(
+      (Uri("urn:a"), Uri("urn:p"), Lit("x"))))
+    val ep = new Endpoint(spark, store, 0).start()
+    try {
+      val base = s"http://localhost:${ep.boundPort}"
+      // two POSTs of the same anonymous observation = two observations
+      // (GSP §5.5 merge; a digest-keyed scope silently unified them)
+      val doc = "_:obs <urn:val> \"1\" .\n"
+      val (c1, _) = req(s"$base/data/?graph=urn:g", "POST", doc)
+      val (c2, _) = req(s"$base/data/?graph=urn:g", "POST", doc)
+      assert(c1 == 201 && c2 == 201)
+      val q = "SELECT (COUNT(?b) AS ?n) WHERE { " +
+        "GRAPH <urn:g> { ?b <urn:val> ?v } }"
+      val (c3, b3) = req(s"$base/sparql/?query=" +
+        java.net.URLEncoder.encode(q, "UTF-8") + "&output=tsv")
+      assert(c3 == 200 && b3.contains("2"), b3)
+    } finally ep.stop()
+    // the spooled-import route is disk-capped too (separately from the
+    // in-heap cap): over graft.ep.maxImportBytes -> 413, spool deleted
+    val prev = System.getProperty("graft.ep.maxImportBytes")
+    System.setProperty("graft.ep.maxImportBytes", "4096")
+    try {
+      val ep2 = new Endpoint(spark, store, 0).start()
+      try {
+        val base = s"http://localhost:${ep2.boundPort}"
+        val big = (0 until 200).map(i =>
+          s"""<urn:s$i> <urn:p> "long enough payload line $i" .""")
+          .mkString("\n")
+        assert(big.length > 4096)
+        val (c, b) = req(s"$base/data/?graph=urn:big", "PUT", big)
+        assert(c == 413 && b.contains("too large"), s"$c $b")
+      } finally ep2.stop()
+    } finally {
+      if (prev == null) System.clearProperty("graft.ep.maxImportBytes")
+      else System.setProperty("graft.ep.maxImportBytes", prev)
+    }
+  }
+
   test("killability law: an in-memory fromTerms store still honors the " +
       "timeout (LocalRelation guard)") {
     // WITHOUT the construction-time guard this store is unkillable:

@@ -148,6 +148,24 @@ class UpdateSpec extends SparkTestBase {
       """SELECT ?o WHERE { <foo:a> <foo:p> ?o }""").collect()
     assert(r.map(_.getString(0)).toSeq == Seq("p1"))
   }
+  test("LOAD is a fresh document read each time: re-loading mints " +
+      "distinct bnodes, never unifying with the earlier import") {
+    val f = java.nio.file.Files.createTempFile("load_twice", ".nt")
+    java.nio.file.Files.write(f,
+      "_:obs <urn:val> \"1\" .\n".getBytes("UTF-8"))
+    try {
+      val once = Update(freshStore, spark,
+        s"LOAD <file://$f> INTO GRAPH <urn:lg>")
+      val twice = Update(once, spark,
+        s"LOAD <file://$f> INTO GRAPH <urn:lg>")
+      val n = graft.sparql.Sparql.run(twice, spark,
+        """SELECT (COUNT(?b) AS ?n) WHERE {
+             GRAPH <urn:lg> { ?b <urn:val> ?v } }""")
+        .collect()(0).getString(0)
+      assert(n == "2", s"expected 2 distinct observations, got $n")
+    } finally java.nio.file.Files.deleteIfExists(f)
+  }
+
   test("INSERT with GRAPH template targets that graph") {
     val st = Update(freshStore, spark,
       """INSERT { GRAPH <urn:g9> { ?s <urn:copyOf> ?n } }
