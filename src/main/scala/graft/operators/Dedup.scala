@@ -53,6 +53,45 @@ object Dedup {
       .filter(col("h").isNotNull)
   }
 
+  /** Winnowing document fingerprints (Schleimer, Wilkerson, Aiken 2003
+    * — the MOSS local fingerprinting algorithm): hash every k-gram,
+    * slide a window of `w` consecutive gram hashes, keep the minimum of
+    * each window, return the distinct selected hashes sorted. The
+    * guarantee that makes it a dedup primitive: any substring match of
+    * at least w+k-1 tokens between two documents shares at least one
+    * fingerprint — so fingerprint-equality is a candidate filter for
+    * LOCAL (substring-level) duplication that MinHash's global
+    * signatures dilute away on long documents.
+    *
+    * Hashes are masked to 63 bits so min-selection is order-identical
+    * for an engine comparing them unsigned (the portable md5 hash read
+    * as UBIGINT in SQL) and for Spark's signed longs — one bit of hash
+    * width for a cross-engine-stable fingerprint set.
+    *
+    * Scale: entirely map-only — per-row native gram hashing plus
+    * codegen'd array ops (`transform`/`slice`/`array_min`), no explode,
+    * no shuffle, no UDF. Fingerprint-set size per doc is bounded by the
+    * gram count / ~(w/2) windows-per-selection expectation. */
+  def winnowingFingerprints(df: DataFrame, idCol: String, textCol: String,
+                            k: Int = 5, w: Int = 8,
+                            portableHash: Boolean = false): DataFrame = {
+    require(k >= 1 && w >= 1, s"k=$k w=$w must be positive")
+    val hs0 = graft.functions.F
+      .shinglePosHashes(col(textCol), k, portableHash)
+    val hs = transform(hs0, h => h.bitwiseAND(lit(Long.MaxValue)))
+    df.select(col(idCol).as("id"), hs.as("hs"))
+      .withColumn("fps",
+        when(size(col("hs")) === 0,
+          array().cast("array<bigint>"))
+        .when(size(col("hs")) < w,
+          // fewer grams than one window: the whole doc is the window
+          array(array_min(col("hs"))))
+        .otherwise(array_sort(array_distinct(
+          transform(sequence(lit(0), size(col("hs")) - w),
+            i => array_min(slice(col("hs"), i + lit(1), lit(w))))))))
+      .select(col("id"), col("fps"))
+  }
+
   /** MinHash signatures via explode + 32 codegen'd min-aggregates.
     *
     * NOT the nested-HOF formulation: array HOF lambdas are interpreted and

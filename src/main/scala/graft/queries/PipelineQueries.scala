@@ -537,6 +537,20 @@ object PipelineQueries {
         .orderBy("media_id")
     }),
 
+    // winnowing fingerprints (MOSS): per-doc local fingerprint set,
+    // fully oracle-gated via the portable hash (63-bit masked so signed
+    // and unsigned engines select identical window minima)
+    "p49_winnowing" -> ((s, d) => {
+      Dedup.winnowingFingerprints(t(s, d, "documents"),
+          "doc_id", "text", k = 5, w = 8, portableHash = true)
+        .select(col("id").as("doc_id"),
+          size(col("fps")).cast("long").as("n_fps"),
+          md5(concat_ws(",",
+            transform(col("fps"), h => h.cast("string"))))
+            .as("fps_md5"))
+        .orderBy("doc_id")
+    }),
+
     // DSIR importance resampling: hashed-bigram bucket distributions
     // (target = the src0 slice, raw = everything else), integer
     // sufficient statistics oracle-gated (they pin tokenization,
@@ -1472,6 +1486,30 @@ object PipelineQueries {
         |  CAST(count(*) AS BIGINT) AS n_members,
         |  round(max(quality_score), 6) AS best_q6
         |FROM ranked GROUP BY component ORDER BY component""".stripMargin,
+
+    // winnowing replayed: same 5-gram text, same md5-prefix hash masked
+    // to 63 bits (so UBIGINT and signed-long window minima agree), same
+    // w=8 sliding window, same sorted-distinct fingerprint set
+    "p49_winnowing" ->
+      """WITH ws AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |      x -> len(x) > 0) AS ws
+        |  FROM documents),
+        |h AS (SELECT doc_id, list_transform(range(1, len(ws) - 3),
+        |    i -> CAST(('0x' || substr(md5(ws[i]||' '||ws[i+1]||' '||
+        |        ws[i+2]||' '||ws[i+3]||' '||ws[i+4]), 1, 16))::UBIGINT
+        |      & CAST(9223372036854775807 AS UBIGINT) AS BIGINT)) AS hs
+        |  FROM ws),
+        |f AS (SELECT doc_id, CASE
+        |    WHEN len(hs) = 0 THEN CAST([] AS BIGINT[])
+        |    WHEN len(hs) < 8 THEN [list_min(hs)]
+        |    ELSE list_sort(list_distinct(list_transform(
+        |      range(1, len(hs) - 6), i -> list_min(hs[i:i+7])))) END
+        |    AS fps FROM h)
+        |SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fps,
+        |  md5(array_to_string(list_transform(fps,
+        |    x -> CAST(x AS VARCHAR)), ',')) AS fps_md5
+        |FROM f ORDER BY doc_id""".stripMargin,
 
     // same bigram text, same md5 prefix read as UBIGINT, same
     // power-of-two modulus -> same buckets as the engine's pmod on the

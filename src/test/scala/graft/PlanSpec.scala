@@ -334,6 +334,17 @@ class PlanSpec extends SparkTestBase {
     assert(keyed <= 2, s"expected <=2 keyed shuffles, got $keyed:\n$plan")
   }
 
+  test("winnowingFingerprints is map-only: no Exchange, no explode, " +
+      "native array kernels") {
+    val docs = graft.core.Tables.t(spark, sf, "documents")
+    val plan = planOf(graft.operators.Dedup.winnowingFingerprints(
+      docs, "doc_id", "text", k = 5, w = 8))
+    assert(!plan.contains("Exchange"),
+      s"winnowing must not shuffle:\n$plan")
+    assert(!plan.contains("Generate"),
+      s"winnowing must not explode:\n$plan")
+  }
+
   test("dsirImportance: bucket count tables broadcast to the scoring " +
       "pass; nothing nested-loops") {
     val docs = graft.core.Tables.t(spark, sf, "documents")

@@ -953,6 +953,37 @@ class OperatorsSpec extends SparkTestBase {
       vb.width == 320 && vb.height == 180 && vb.error == null, vb)
   }
 
+  test("winnowingFingerprints: w+k-1 shared-substring guarantee, " +
+      "window-min subset property, short-doc edges") {
+    val shared = "common run of exactly twelve tokens a b c d e f"
+    // 12 shared tokens = exactly w+k-1 (k=5, w=8): the guarantee's
+    // boundary — the two docs MUST share at least one fingerprint
+    val df = Seq(
+      (1L, s"q w e r t y u $shared"),
+      (2L, s"z x c v b n m $shared"),
+      (3L, "totally disjoint vocabulary here nothing matches either"),
+      (4L, "one two"),                      // < k tokens: no grams
+      (5L, "six little tokens right here now")) // grams < w: one window
+      .toDF("doc_id", "text")
+    val out = Dedup.winnowingFingerprints(df, "doc_id", "text",
+        k = 5, w = 8)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert((out(1L) intersect out(2L)).nonEmpty,
+      s"shared 12-token run must share a fingerprint: ${out(1L)} ${out(2L)}")
+    assert((out(1L) intersect out(3L)).isEmpty &&
+      (out(2L) intersect out(3L)).isEmpty, "disjoint docs share fps")
+    assert(out(4L).isEmpty, out(4L))
+    assert(out(5L).size == 1, out(5L)) // 2 grams, both under one window
+    // subset property: every fingerprint is one of the doc's own
+    // (masked) gram hashes
+    val grams = df.filter(col("doc_id") === 1L)
+      .select(graft.functions.F.shinglePosHashes(col("text"), 5,
+        md5 = false).as("hs"))
+      .select(explode(col("hs"))).collect()
+      .map(r => r.getLong(0) & Long.MaxValue).toSet
+    assert(out(1L).subsetOf(grams), "fps must be selected gram hashes")
+  }
+
   test("dsirImportance: hand-computed log importance weights and " +
       "integer sufficient statistics") {
     // target "a b a b": bigram occurrences {a b: 2, b a: 1}, T=3
