@@ -108,6 +108,18 @@ object Curation {
   def shuffleKey(id: Column, seed: Int): Column =
     md5(concat(id.cast("string"), lit(":" + seed)).cast("binary"))
 
+  /** Per-group frequency capping: keep at most `maxPerGroup` rows of
+    * each group, selected by the seeded shuffle order — the "domain
+    * cap" of crawl curation (no single source may dominate the corpus),
+    * deterministic across runs and engines. Exactly [[budgetSample]]
+    * with unit length, so it inherits the chunked two-pass rank: no
+    * whole-group window sort, a mega-domain costs the same per-chunk
+    * windows as anyone else. */
+  def capPerGroup(df: DataFrame, groupCol: String, idCol: String,
+                  maxPerGroup: Long, seed: Int = 42): DataFrame =
+    budgetSample(df.withColumn("_one", lit(1L)), groupCol, idCol,
+      "_one", budget = maxPerGroup, seed = seed).drop("_one")
+
   /** Leakage-safe train/val/test split: every row of a group lands in
     * the SAME split, so near-identical documents sharing a group key
     * (source domain, or a near-dup component id from

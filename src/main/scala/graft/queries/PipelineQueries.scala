@@ -537,6 +537,15 @@ object PipelineQueries {
         .orderBy("media_id")
     }),
 
+    // per-source frequency capping (domain caps): at most 17 docs per
+    // source (sources carry 25 docs at the smallest gate SF, so the cap
+    // BINDS at every scale), chosen by the seeded portable shuffle order
+    "p50_cap_per_group" -> ((s, d) =>
+      Curation.capPerGroup(
+          t(s, d, "documents").select("doc_id", "source"),
+          "source", "doc_id", maxPerGroup = 17, seed = 42)
+        .orderBy("doc_id")),
+
     // winnowing fingerprints (MOSS): per-doc local fingerprint set,
     // fully oracle-gated via the portable hash (63-bit masked so signed
     // and unsigned engines select identical window minima)
@@ -1486,6 +1495,17 @@ object PipelineQueries {
         |  CAST(count(*) AS BIGINT) AS n_members,
         |  round(max(quality_score), 6) AS best_q6
         |FROM ranked GROUP BY component ORDER BY component""".stripMargin,
+
+    // the cap is a count-cumulative <= N over the same seeded md5 order
+    "p50_cap_per_group" ->
+      """WITH r AS (SELECT doc_id, source,
+        |    CAST(COUNT(*) OVER (PARTITION BY source
+        |      ORDER BY md5(doc_id::VARCHAR || ':42')
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS rn
+        |  FROM documents)
+        |SELECT doc_id, source FROM r WHERE rn <= 17
+        |ORDER BY doc_id""".stripMargin,
 
     // winnowing replayed: same 5-gram text, same md5-prefix hash masked
     // to 63 bits (so UBIGINT and signed-long window minima agree), same

@@ -953,6 +953,22 @@ class OperatorsSpec extends SparkTestBase {
       vb.width == 320 && vb.height == 180 && vb.error == null, vb)
   }
 
+  test("capPerGroup: at most N per group, exactly the first N in " +
+      "seeded md5 order, deterministic") {
+    val df = (1L to 100L).map(i => (i, s"g${i % 3}")).toDF("id", "grp")
+    def md5hex(s: String) = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val expected = (1L to 100L).groupBy(_ % 3).values.flatMap(ids =>
+      ids.sortBy(i => md5hex(s"$i:42")).take(5)).toSet
+    val out = Curation.capPerGroup(df, "grp", "id", maxPerGroup = 5)
+      .collect().map(_.getLong(0)).toSet
+    assert(out == expected, s"$out vs $expected")
+    val again = Curation.capPerGroup(df, "grp", "id", maxPerGroup = 5)
+      .collect().map(_.getLong(0)).toSet
+    assert(again == out)
+  }
+
   test("winnowingFingerprints: w+k-1 shared-substring guarantee, " +
       "window-min subset property, short-doc edges") {
     val shared = "common run of exactly twelve tokens a b c d e f"
