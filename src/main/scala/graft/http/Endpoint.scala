@@ -568,10 +568,20 @@ final class Endpoint(spark: SparkSession, initial: QuadStore, port: Int = 0,
       // durable mode reloads from the delta tables, non-durable mode
       // pins the parsed store off the file first (eager checkpoint —
       // also what keeps the in-memory union killable/RDD-backed)
-      def pinStore(st: QuadStore): QuadStore = st.copy(
-        quads = st.quads.localCheckpoint(),
-        resources = st.resources.localCheckpoint(),
-        valued = st.valued.map(_.localCheckpoint()))
+      // two materializations, not three: quads is a pure projection of
+      // the wide valued form, so checkpointing valued and PLANNING quads
+      // over the checkpointed blocks saves one full 3-triples/row write
+      // pass on a GB-scale import (resources has separate lineage — the
+      // dictionary distinct — and keeps its own pin)
+      def pinStore(st: QuadStore): QuadStore = {
+        val v = st.valued.map(_.localCheckpoint())
+        st.copy(
+          quads = v.map(_.select(QuadStore.quadCols.map(
+              org.apache.spark.sql.functions.col): _*))
+            .getOrElse(st.quads.localCheckpoint()),
+          resources = st.resources.localCheckpoint(),
+          valued = v)
+      }
       ex.getRequestMethod match {
         case "GET" => // GSP read: the graph serialized as N-Triples
           val gRid = graft.rdf.Rid.uri(graph)
