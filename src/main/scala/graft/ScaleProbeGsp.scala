@@ -66,7 +66,8 @@ object ScaleProbeGsp {
         .asInstanceOf[java.net.HttpURLConnection]
       conn.setRequestMethod("PUT")
       conn.setDoOutput(true)
-      conn.setChunkedStreamingMode(64 * 1024)
+      conn.setChunkedStreamingMode(1 << 20) // 1 MB chunks: 64 KB chunked
+      // mode costs a flush per chunk on the client side
       val os = conn.getOutputStream
       val buf = new Array[Byte](1 << 20)
       parts.foreach { f =>
