@@ -92,6 +92,26 @@ object Dedup {
       .select(col("id"), col("fps"))
   }
 
+  /** Candidate pairs from shared winnowing fingerprints: documents that
+    * share any selected window-min share a local (substring-level)
+    * duplicate candidate — the actionable form of
+    * [[winnowingFingerprints]], analogous to the MinHash band join but
+    * keyed on LOCAL fingerprints. One fp-keyed equi-join; `n_shared`
+    * (how many fingerprints the pair shares) ranks candidates. Both
+    * join sides are the same map-only subtree, so Catalyst's
+    * ReuseExchange shares the one shuffle (map-only fan-outs recompute
+    * per the pinning rule). */
+  def winnowingPairs(df: DataFrame, idCol: String, textCol: String,
+                     k: Int = 5, w: Int = 8,
+                     portableHash: Boolean = false): DataFrame = {
+    val u = winnowingFingerprints(df, idCol, textCol, k, w, portableHash)
+      .select(col("id"), explode(col("fps")).as("fp"))
+    u.as("a").join(u.as("b"),
+        col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id1"), col("b.id").as("id2"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** MinHash signatures via explode + 32 codegen'd min-aggregates.
     *
     * NOT the nested-HOF formulation: array HOF lambdas are interpreted and

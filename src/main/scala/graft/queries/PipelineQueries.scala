@@ -537,6 +537,15 @@ object PipelineQueries {
         .orderBy("media_id")
     }),
 
+    // local-duplicate candidate pairs via shared winnowing fingerprints
+    // (cross-validates the planted near-dups p02/p03 find globally)
+    "p51_winnowing_pairs" -> ((s, d) =>
+      Dedup.winnowingPairs(t(s, d, "documents"), "doc_id", "text",
+          k = 5, w = 8, portableHash = true)
+        .select(col("id1"), col("id2"),
+          col("n_shared").cast("long").as("n_shared"))
+        .orderBy("id1", "id2")),
+
     // per-source frequency capping (domain caps): at most 17 docs per
     // source (sources carry 25 docs at the smallest gate SF, so the cap
     // BINDS at every scale), chosen by the seeded portable shuffle order
@@ -1495,6 +1504,29 @@ object PipelineQueries {
         |  CAST(count(*) AS BIGINT) AS n_members,
         |  round(max(quality_score), 6) AS best_q6
         |FROM ranked GROUP BY component ORDER BY component""".stripMargin,
+
+    // p49's fingerprint CTE + an fp-keyed self-join
+    "p51_winnowing_pairs" ->
+      """WITH ws AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |      x -> len(x) > 0) AS ws
+        |  FROM documents),
+        |h AS (SELECT doc_id, list_transform(range(1, len(ws) - 3),
+        |    i -> CAST(('0x' || substr(md5(ws[i]||' '||ws[i+1]||' '||
+        |        ws[i+2]||' '||ws[i+3]||' '||ws[i+4]), 1, 16))::UBIGINT
+        |      & CAST(9223372036854775807 AS UBIGINT) AS BIGINT)) AS hs
+        |  FROM ws),
+        |f AS (SELECT doc_id, CASE
+        |    WHEN len(hs) = 0 THEN CAST([] AS BIGINT[])
+        |    WHEN len(hs) < 8 THEN [list_min(hs)]
+        |    ELSE list_sort(list_distinct(list_transform(
+        |      range(1, len(hs) - 6), i -> list_min(hs[i:i+7])))) END
+        |    AS fps FROM h),
+        |u AS (SELECT doc_id, unnest(fps) AS fp FROM f)
+        |SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |  CAST(count(*) AS BIGINT) AS n_shared
+        |FROM u a JOIN u b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 ORDER BY id1, id2""".stripMargin,
 
     // the cap is a count-cumulative <= N over the same seeded md5 order
     "p50_cap_per_group" ->

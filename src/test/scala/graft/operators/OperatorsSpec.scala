@@ -1000,6 +1000,20 @@ class OperatorsSpec extends SparkTestBase {
     assert(out(1L).subsetOf(grams), "fps must be selected gram hashes")
   }
 
+  test("winnowingPairs surfaces the shared-substring pair and nothing " +
+      "else") {
+    val shared = "common run of exactly twelve tokens a b c d e f"
+    val df = Seq(
+      (1L, s"q w e r t y u $shared"),
+      (2L, s"z x c v b n m $shared"),
+      (3L, "totally disjoint vocabulary here nothing matches either"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.winnowingPairs(df, "doc_id", "text", k = 5, w = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.length == 1 && pairs(0)._1 == 1L && pairs(0)._2 == 2L &&
+      pairs(0)._3 >= 1, pairs.toSeq)
+  }
+
   test("dsirImportance: hand-computed log importance weights and " +
       "integer sufficient statistics") {
     // target "a b a b": bigram occurrences {a b: 2, b a: 1}, T=3
