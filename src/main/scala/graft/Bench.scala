@@ -61,6 +61,19 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(t => selected(t._1)).map {
       case (name, fn) =>
+        // INSTRUMENT CAVEAT (r10 finding, kept for cross-round
+        // comparability): count() lets Catalyst prune any deterministic
+        // projection that cannot change the row count, so MAP-ONLY
+        // gates time the scan floor, not the operator's evaluation
+        // (measured: p49 count 0.45 s vs noop-write 3.1 s at sf0.1).
+        // Shuffling/aggregating/joining gates — everything the verdicts'
+        // perf analysis leans on — evaluate fully either way, and the
+        // map-only family's real costs are carried by Verify's parquet
+        // writes and the scale probes (SCALE_REHEARSAL.md). Switching
+        // to a noop-write action would be the honest per-gate number at
+        // the cost of a level shift across every prior BENCH_r*.json
+        // (it also pays each gate's Verify-determinism orderBy); do it
+        // only at a round boundary with the shift documented.
         def once(): Double = {
           val t0 = System.nanoTime()
           try { fn(spark, sfDir).count() }
