@@ -97,15 +97,38 @@ object Dedup {
     * duplicate candidate — the actionable form of
     * [[winnowingFingerprints]], analogous to the MinHash band join but
     * keyed on LOCAL fingerprints. One fp-keyed equi-join; `n_shared`
-    * (how many fingerprints the pair shares) ranks candidates. Both
-    * join sides are the same map-only subtree, so Catalyst's
-    * ReuseExchange shares the one shuffle (map-only fan-outs recompute
-    * per the pinning rule). */
+    * (how many fingerprints the pair shares) ranks candidates.
+    *
+    * `maxDf` drops fingerprints present in more than that many
+    * documents before the join: at web scale some selected windows are
+    * boilerplate ("all rights reserved …") shared by millions of
+    * documents — a C(df,2) bucket blowup carrying no discriminative
+    * signal. Standard df-capping; the gate corpus maxes out at df=4,
+    * so the default never binds there.
+    *
+    * The fingerprint ARRAYS are pinned (lazy localCheckpoint) before
+    * the explode: the fps expression is an interpreted array-HOF chain
+    * (no whole-stage codegen, no common-subexpression sharing), and
+    * both un-pinned self-join sides — plus the Generate's own child
+    * evaluation — re-ran the whole per-gram hashing repeatedly
+    * (measured 15.5 s unpinned / 7.4 s exploded-pin / 1.3 s array-pin
+    * at sf0.1; the arrays are two narrow columns, far smaller than the
+    * hashing they avoid, so the "map-only fan-outs recompute" exception
+    * does not apply — same calculus as minhashSignatures' explode-
+    * before-aggregate formulation). */
   def winnowingPairs(df: DataFrame, idCol: String, textCol: String,
-                     k: Int = 5, w: Int = 8,
+                     k: Int = 5, w: Int = 8, maxDf: Int = 128,
                      portableHash: Boolean = false): DataFrame = {
-    val u = winnowingFingerprints(df, idCol, textCol, k, w, portableHash)
+    val u0 = winnowingFingerprints(df, idCol, textCol, k, w, portableHash)
+      .localCheckpoint(eager = false)
       .select(col("id"), explode(col("fps")).as("fp"))
+    val rare = u0.groupBy("fp")
+      .agg(count(lit(1)).as("_df")).filter(col("_df") <= maxDf)
+      .select("fp")
+    // no second pin: each self-join side re-runs only the semi-join
+    // filter over u0's pinned blocks (rare is fp-distinct and small —
+    // AQE broadcasts it), which is cheaper than materializing u twice
+    val u = u0.join(rare, Seq("fp"), "left_semi")
     u.as("a").join(u.as("b"),
         col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id1"), col("b.id").as("id2"))

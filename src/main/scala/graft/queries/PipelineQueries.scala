@@ -1522,10 +1522,12 @@ object PipelineQueries {
         |    ELSE list_sort(list_distinct(list_transform(
         |      range(1, len(hs) - 6), i -> list_min(hs[i:i+7])))) END
         |    AS fps FROM h),
-        |u AS (SELECT doc_id, unnest(fps) AS fp FROM f)
+        |u AS (SELECT doc_id, unnest(fps) AS fp FROM f),
+        |rare AS (SELECT fp FROM u GROUP BY fp HAVING count(*) <= 128),
+        |ur AS (SELECT u.doc_id, u.fp FROM u JOIN rare USING (fp))
         |SELECT a.doc_id AS id1, b.doc_id AS id2,
         |  CAST(count(*) AS BIGINT) AS n_shared
-        |FROM u a JOIN u b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |FROM ur a JOIN ur b ON a.fp = b.fp AND a.doc_id < b.doc_id
         |GROUP BY 1, 2 ORDER BY id1, id2""".stripMargin,
 
     // the cap is a count-cumulative <= N over the same seeded md5 order
