@@ -217,10 +217,88 @@ object TextHash {
     }
     sim
   }
+
+  /** Stopword profiles for [[langId]], in the fold's sorted order.
+    * Shared with TextAnalysis (qualitySignals' stopword ratio and the
+    * p07 oracle replicate these lists verbatim). */
+  val langNames: Array[String] = Array("de", "en", "es", "fr")
+  val langProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "that", "it",
+      "for", "was", "on", "are", "with", "as"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein",
+      "eine", "zu", "den", "von", "im", "auf", "für"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "des", "du",
+      "que", "pas", "pour", "dans", "qui", "sur"),
+    "es" -> Seq("el", "la", "los", "las", "y", "es", "un", "una", "de",
+      "que", "no", "en", "por", "para", "con"))
+  private val langStopSets: Array[java.util.HashSet[String]] =
+    langNames.map { l =>
+      val s = new java.util.HashSet[String]()
+      langProfiles(l).foreach(s.add)
+      s
+    }
+
+  /** One-pass heuristic language ID (see the [[LangId]] scaladoc for
+    * the semantics contract with the HOF formulation). */
+  def langId(text: UTF8String): UTF8String = {
+    val s = text.toString
+    var cjk = 0
+    var total = 0
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      total += 1
+      if (cp >= 0x4e00 && cp <= 0x9fff) cjk += 1
+      i += Character.charCount(cp)
+    }
+    if (cjk.toDouble / math.max(total, 1) > 0.05)
+      return UTF8String.fromString("zh")
+    val ws = words(text)
+    val n = math.max(ws.length, 1)
+    var bestLang = "en"
+    var bestScore = 0.04
+    var li = 0
+    while (li < langNames.length) {
+      var hits = 0
+      var wi = 0
+      while (wi < ws.length) {
+        if (langStopSets(li).contains(ws(wi))) hits += 1
+        wi += 1
+      }
+      val sc = hits.toDouble / n
+      if (sc > bestScore) { bestLang = langNames(li); bestScore = sc }
+      li += 1
+    }
+    UTF8String.fromString(bestLang)
+  }
 }
 
 /** `shingle_hashes(text, k)`: array<long> of distinct hashed k-shingles.
   * `md5` selects the portable (SQL-reproducible) hash. */
+/** `lang_id(text)`: heuristic language ID in one pass — CJK codepoint
+  * share first (>5% → "zh"), else the language whose stopword hit
+  * ratio strictly exceeds the running best (languages in sorted order,
+  * 4% floor), default "en". Bit-identical to the HOF formulation it
+  * replaces in TextAnalysis.langId (same tokenization, same
+  * strict-greater fold over the same profiles), which evaluated the
+  * tokenize+membership chain once per language AND duplicated every
+  * score subtree through the argmax fold — interpreted lambdas, no
+  * CSE: measured ~1 ms/doc vs this kernel's scan speed. */
+final case class LangId(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType]) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType}")
+  override def dataType: DataType = StringType
+  override def prettyName: String = "lang_id"
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.langId(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.langId($c)")
+  override protected def withNewChildInternal(newChild: Expression): LangId =
+    copy(child = newChild)
+}
+
 final case class ShingleHashes(child: Expression, k: Int,
                                md5: Boolean = false)
     extends UnaryExpression {

@@ -208,4 +208,5 @@ object F {
   def hyperplaneSig(v: Column, planes: Seq[Seq[Double]]): Column =
     c(HyperplaneSignature(e(v), planes))
   def nfcNormalize(text: Column): Column = c(NfcNormalize(e(text)))
+  def langId(text: Column): Column = c(LangId(e(text)))
 }

@@ -13,37 +13,21 @@ object TextAnalysis {
   private def words(text: Column): Column =
     filter(split(lower(text), "\\s+"), w => length(w) > 0)
 
-  // tiny per-language stopword profiles for the n-gram/stopword heuristic
-  private val profiles: Map[String, Seq[String]] = Map(
-    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "that", "it",
-      "for", "was", "on", "are", "with", "as"),
-    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein",
-      "eine", "zu", "den", "von", "im", "auf", "für"),
-    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "des", "du",
-      "que", "pas", "pour", "dans", "qui", "sur"),
-    "es" -> Seq("el", "la", "los", "las", "y", "es", "un", "una", "de",
-      "que", "no", "en", "por", "para", "con"))
+  // tiny per-language stopword profiles for the n-gram/stopword
+  // heuristic — owned by the native kernel, shared here for the
+  // stopword-ratio signal and the oracle's lists
+  private val profiles: Map[String, Seq[String]] =
+    graft.functions.TextHash.langProfiles
 
   /** Heuristic language ID: CJK codepoint share first, then the language
-    * with the highest stopword hit ratio, default "en". */
-  def langId(text: Column): Column = {
-    val ws = words(text)
-    val n = greatest(size(ws), lit(1))
-    val scores = profiles.map { case (lang, stops) =>
-      val stopArr = array(stops.map(lit): _*)
-      lang -> size(filter(ws, w => array_contains(stopArr, w)))
-        .cast("double") / n
-    }
-    val cjkShare = (length(text) -
-      length(regexp_replace(text, "[\\u4e00-\\u9fff]", ""))).cast("double") /
-      greatest(length(text), lit(1))
-    val best = scores.toSeq.sortBy(_._1).foldLeft(
-      (lit("en"), lit(0.04))) { case ((bl, bs), (lang, s)) =>
-      (when(s > bs, lit(lang)).otherwise(bl),
-        when(s > bs, s).otherwise(bs))
-    }
-    when(cjkShare > 0.05, "zh").otherwise(best._1)
-  }
+    * with the highest stopword hit ratio, default "en". One native
+    * codegen pass (`functions.LangId`): the previous HOF formulation
+    * evaluated the interpreted tokenize+membership chain once per
+    * language and the argmax fold duplicated every score subtree —
+    * measured ~1 ms/doc vs scan speed, with identical output (the
+    * kernel keeps the same tokenization, profiles, 4% floor, and
+    * sorted-order strict-greater tie-break). */
+  def langId(text: Column): Column = graft.functions.F.langId(text)
 
   /** Quality signals: length, token stats, punctuation/digit/uppercase
     * ratios, stopword share, plus a single composite score in [0,1]. */
