@@ -283,7 +283,10 @@ object TextHash {
   * strict-greater fold over the same profiles), which evaluated the
   * tokenize+membership chain once per language AND duplicated every
   * score subtree through the argmax fold — interpreted lambdas, no
-  * CSE: measured ~1 ms/doc vs this kernel's scan speed. */
+  * CSE: measured ~1 ms/doc vs this kernel's scan speed. One contract
+  * difference: this is a standard NULL-in/NULL-out UnaryExpression,
+  * where the HOF chain fell through to "en" on null text —
+  * TextAnalysis.langId coalesces to "en" to preserve that behavior. */
 final case class LangId(child: Expression) extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType.isInstanceOf[StringType]) TypeCheckResult.TypeCheckSuccess

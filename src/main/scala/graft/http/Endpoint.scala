@@ -325,8 +325,13 @@ final class Endpoint(spark: SparkSession, initial: QuadStore, port: Int = 0,
       val md = java.security.MessageDigest.getInstance("MD5")
       val in = ex.getRequestBody
       val out = java.nio.file.Files.newOutputStream(tmp)
-      var total = 0L
+      var ok = false // ANY mid-spool failure (cap, client abort, disk
+      // full) must delete the partial file NOW: the handler's
+      // finally-dropSpool only sees bodies registered in the map, and
+      // deleteOnExit is a crash backstop, not lifecycle management —
+      // a long-lived server would otherwise accumulate partial spools.
       try {
+        var total = 0L
         val chunk = new Array[Byte](64 * 1024)
         var n = in.read(chunk)
         while (n >= 0) {
@@ -336,9 +341,10 @@ final class Endpoint(spark: SparkSession, initial: QuadStore, port: Int = 0,
           out.write(chunk, 0, n); md.update(chunk, 0, n)
           n = in.read(chunk)
         }
+        ok = true
       } finally {
         out.close()
-        if (total > maxImportBytes) {
+        if (!ok) {
           try java.nio.file.Files.deleteIfExists(tmp)
           catch { case _: Exception => () }
         }
@@ -600,7 +606,8 @@ final class Endpoint(spark: SparkSession, initial: QuadStore, port: Int = 0,
           }
         case "POST" => // append (reference http_post_data, httpd.c:590)
           val add = parsedBody(
-            s":post${Endpoint.postNonce.incrementAndGet()}")
+            s":post${graft.sparql.Update.bootId}:${
+              Endpoint.postNonce.incrementAndGet()}")
           durableName match {
             case Some(n) => // graph-store import: append-only delta
               val before = store
@@ -787,7 +794,10 @@ private[http] object Endpoint {
   val RequestProp = "graft.ep.request"
   val CancelReason = "graft-ep-timeout"
   /** Per-JVM GSP POST counter: POST is an RDF merge, so each request's
-    * bnode scope must be fresh (see the /data/ handler). */
+    * bnode scope must be fresh (see the /data/ handler). Combined with
+    * [[graft.sparql.Update.bootId]] at the use site so scopes stay
+    * unique across JVM restarts of a durable store, not just within
+    * one boot — the counter alone resets and can collide. */
   val postNonce = new java.util.concurrent.atomic.AtomicLong(0L)
   val poolTicket = new java.util.concurrent.atomic.AtomicInteger(0)
 

@@ -26,8 +26,14 @@ object TextAnalysis {
     * language and the argmax fold duplicated every score subtree —
     * measured ~1 ms/doc vs scan speed, with identical output (the
     * kernel keeps the same tokenization, profiles, 4% floor, and
-    * sorted-order strict-greater tie-break). */
-  def langId(text: Column): Column = graft.functions.F.langId(text)
+    * sorted-order strict-greater tie-break). The kernel itself is
+    * NULL-in/NULL-out (standard UnaryExpression contract); the coalesce
+    * restores the old HOF formulation's behavior — its when/otherwise
+    * chain fell through to "en" on null text, which is also what the
+    * DuckDB oracle's CASE chains produce (null comparisons are falsy) —
+    * so null-text rows classify as the default language, not null. */
+  def langId(text: Column): Column =
+    coalesce(graft.functions.F.langId(text), lit("en"))
 
   /** Quality signals: length, token stats, punctuation/digit/uppercase
     * ratios, stopword share, plus a single composite score in [0,1]. */

@@ -18,6 +18,14 @@ object Update {
     * cross-run determinism. */
   private[sparql] val loadNonce =
     new java.util.concurrent.atomic.AtomicLong(0L)
+  /** Per-BOOT unique component folded into every import-scope nonce: a
+    * bare AtomicLong resets on JVM restart, so in a durable store a
+    * re-LOAD (or GSP re-POST) landing at the same counter position as a
+    * previous run reproduces the identical scope string and silently
+    * unifies bnodes across imports — the exact cross-document leak the
+    * scoping exists to prevent, resurfacing across restarts. */
+  private[graft] val bootId: String =
+    java.util.UUID.randomUUID().toString
 
   sealed trait Op
   /** quads with optional named graph (None = default graph) */
@@ -300,7 +308,7 @@ object Update {
           // scope silently unified re-loads (r10 review finding).
           val loaded = QuadStore.fromFile(spark, path,
             graph.getOrElse(""), scope = graft.rdf.Turtle.scopeFor(
-              s"$path#${Update.loadNonce.incrementAndGet()}"))
+              s"$path#${Update.bootId}:${Update.loadNonce.incrementAndGet()}"))
           // merge; the loaded store keeps its valued form, so the union
           // store stays inline-value-scannable when both sides are
           store.union(loaded)

@@ -389,6 +389,44 @@ class EndpointSpec extends SparkTestBase {
     }
   }
 
+  test("aborted mid-PUT deletes the partial spool file (no temp leak)") {
+    def spoolCount: Int = {
+      val dir = new java.io.File(System.getProperty("java.io.tmpdir"))
+      val fs = dir.listFiles()
+      if (fs == null) 0 else fs.count(_.getName.startsWith("graft_gsp"))
+    }
+    val store = QuadStore.fromTerms(spark, Seq(
+      (Uri("urn:a"), Uri("urn:p"), Lit("x"))))
+    val ep = new Endpoint(spark, store, 0).start()
+    try {
+      val before = spoolCount
+      // raw socket: promise a 10 MB body, send a fragment, slam the
+      // connection — the server's spool read hits an IOException
+      // mid-stream (neither 413 nor success), the path the catch-all
+      // delete exists for; only deleteOnExit would otherwise reap it.
+      val sock = new java.net.Socket("localhost", ep.boundPort)
+      val os = sock.getOutputStream
+      os.write(("PUT /data/?graph=urn:abort HTTP/1.1\r\n" +
+        s"Host: localhost:${ep.boundPort}\r\n" +
+        "Content-Type: application/n-triples\r\n" +
+        "Content-Length: 10485760\r\n\r\n").getBytes(UTF_8))
+      os.write("<urn:s1> <urn:p> \"partial".getBytes(UTF_8))
+      os.flush()
+      sock.close()
+      // the handler runs async on the server pool; poll briefly
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (spoolCount > before && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      assert(spoolCount <= before,
+        s"partial spool leaked: $spoolCount files (was $before)")
+      // server is still healthy after the aborted request
+      val (c, b) = req(s"http://localhost:${ep.boundPort}/sparql/?query=" +
+        java.net.URLEncoder.encode("ASK { ?s ?p ?o }", "UTF-8") +
+        "&output=text")
+      assert(c == 200 && b.contains("true"), s"$c $b")
+    } finally ep.stop()
+  }
+
   test("GSP imports scope bnode labels per document: equal labels from " +
       "two PUTs stay distinct nodes") {
     val store = QuadStore.fromTerms(spark, Seq(

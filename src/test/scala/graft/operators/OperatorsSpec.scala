@@ -166,6 +166,17 @@ class OperatorsSpec extends SparkTestBase {
     assert(preds(4) == "zh")
   }
 
+  test("language ID of null text is the default 'en', not null") {
+    // parity with the pre-kernel HOF formulation AND the DuckDB oracle:
+    // both fall through their CASE chains to 'en' on null input.
+    val d = Seq((0L, Option.empty[String]), (1L, Some("the cat and the")))
+      .toDF("doc_id", "text")
+    val preds = d.select(col("doc_id"),
+      TextAnalysis.langId(col("text")).as("p"))
+      .as[(Long, String)].collect().toMap
+    assert(preds(0) == "en"); assert(preds(1) == "en")
+  }
+
   test("quality signals and fingerprints are deterministic") {
     val sig = TextAnalysis.qualitySignals(docs, "text")
       .filter(col("doc_id") === 0)
