@@ -309,7 +309,7 @@ final class Endpoint(spark: SparkSession, initial: QuadStore, port: Int = 0,
     * spooled file feeds the DISTRIBUTED N-Triples parse
     * (`spark.read.textFile`), so import scales with the cluster, not
     * the driver heap. Cached per exchange so the body is read once per
-    * request; the MD5 digest computed during spooling seeds the PUT
+    * request; the content digest computed during spooling seeds the PUT
     * path's per-document bnode scope. Files are deleted when the
     * handler exits (success OR failure — a failed multi-GB import must
     * not leak its spool for the server's lifetime), with deleteOnExit
@@ -322,7 +322,6 @@ final class Endpoint(spark: SparkSession, initial: QuadStore, port: Int = 0,
     else {
       val tmp = java.nio.file.Files.createTempFile("graft_gsp", ".nt")
       tmp.toFile.deleteOnExit()
-      val md = java.security.MessageDigest.getInstance("MD5")
       val in = ex.getRequestBody
       val out = java.nio.file.Files.newOutputStream(tmp)
       var ok = false // ANY mid-spool failure (cap, client abort, disk
@@ -330,17 +329,35 @@ final class Endpoint(spark: SparkSession, initial: QuadStore, port: Int = 0,
       // finally-dropSpool only sees bodies registered in the map, and
       // deleteOnExit is a crash backstop, not lifecycle management —
       // a long-lived server would otherwise accumulate partial spools.
+      // Digest: block-chained XXH64 over FIXED 1 MB boundaries (so the
+      // value is independent of how the transport fragments reads),
+      // length folded in at the end. It seeds the PUT path's bnode
+      // scope — a content fingerprint, not a cryptographic commitment —
+      // and MD5 here capped the whole spool at ~250 MB/s single-thread
+      // where XXH64 runs at transport/disk speed.
+      var h = 42L
+      var total = 0L
+      val block = new Array[Byte](1 << 20)
+      var fill = 0
+      def foldBlock(len: Int): Unit =
+        h = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(
+          org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+            block, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+            len, 42L), h)
       try {
-        var total = 0L
-        val chunk = new Array[Byte](64 * 1024)
-        var n = in.read(chunk)
+        var n = in.read(block, fill, block.length - fill)
         while (n >= 0) {
           total += n
           if (total > maxImportBytes)
             throw new Endpoint.BodyTooLarge(maxImportBytes)
-          out.write(chunk, 0, n); md.update(chunk, 0, n)
-          n = in.read(chunk)
+          out.write(block, fill, n)
+          fill += n
+          if (fill == block.length) { foldBlock(fill); fill = 0 }
+          n = in.read(block, fill, block.length - fill)
         }
+        if (fill > 0) foldBlock(fill)
+        h = org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashLong(total, h)
         ok = true
       } finally {
         out.close()
@@ -349,7 +366,7 @@ final class Endpoint(spark: SparkSession, initial: QuadStore, port: Int = 0,
           catch { case _: Exception => () }
         }
       }
-      val v = (tmp, md.digest().map(b => f"$b%02x").mkString)
+      val v = (tmp, java.lang.Long.toHexString(h))
       spooledBodies.put(ex, v)
       v
     }
@@ -555,38 +572,46 @@ final class Endpoint(spark: SparkSession, initial: QuadStore, port: Int = 0,
       // idempotent; POST is an RDF MERGE (GSP §5.5) where a second POST
       // of the same document must mint FRESH bnodes, not unify with the
       // first's — so POST folds in a per-request nonce.
+      // stage-time instrumentation for the import pipeline (enable with
+      // -Dgraft.ep.timing): spool vs parse-plan vs pin vs swap — the
+      // breakdown behind SCALE_REHEARSAL.md's GSP import table
+      val timing = sys.props.contains("graft.ep.timing")
+      var tMark = System.nanoTime()
+      def stage(name: String): Unit = if (timing) {
+        val now = System.nanoTime()
+        System.err.println(f"[gsp-timing] $name ${(now - tMark) / 1e9}%.2f s")
+        tMark = now
+      }
+      // Returns a PINNED store (every form localCheckpoint'ed off the
+      // spool in ONE parse pass — QuadStore.pinnedFromFlat): after the
+      // handler responds the store no longer references the spool file,
+      // durable mode reloads from the delta tables, and the in-memory
+      // union stays killable/RDD-backed.
       def parsedBody(seedNonce: String): QuadStore = {
         import org.apache.spark.sql.functions.{concat, when}
         val (f, digest) = spoolBody(ex)
+        stage("spool(transport+md5+disk)")
         val scope =
           graft.rdf.Turtle.scopeFor(s"$graph:$digest$seedNonce")
         val suffix = graft.rdf.Turtle.scopeSuffix(scope)
-        val flat = StreamIngest
-          .parseNtLines(spark.read.textFile(f.toString))
+        // the spool is ONE file: spark.read.textFile splits it by
+        // spark.sql.files.maxPartitionBytes (128 MB) — a 400 MB body
+        // would parse 4-wide on a 32-core box, and every downstream
+        // scan of the cached parse inherits that width. Ask the Hadoop
+        // text input for explicit splits instead: at least the
+        // cluster's parallelism, at most ~16 MB each.
+        val nSplits = math.max(spark.sparkContext.defaultParallelism,
+          (java.nio.file.Files.size(f) >> 24).toInt + 1)
+        val lines = spark.createDataset(
+          spark.sparkContext.textFile(f.toString, nSplits))(
+          org.apache.spark.sql.Encoders.STRING)
+        val flat = StreamIngest.parseNtLines(lines)
           .withColumn("gLex", lit(graph))
           .withColumn("sLex", when(col("sKind") === 2,
             concat(col("sLex"), lit(suffix))).otherwise(col("sLex")))
           .withColumn("oLex", when(col("oKind") === 2,
             concat(col("oLex"), lit(suffix))).otherwise(col("oLex")))
-        QuadStore.fromFlat(spark, flat)
-      }
-      // after a commit the store no longer references the spool file:
-      // durable mode reloads from the delta tables, non-durable mode
-      // pins the parsed store off the file first (eager checkpoint —
-      // also what keeps the in-memory union killable/RDD-backed)
-      // two materializations, not three: quads is a pure projection of
-      // the wide valued form, so checkpointing valued and PLANNING quads
-      // over the checkpointed blocks saves one full 3-triples/row write
-      // pass on a GB-scale import (resources has separate lineage — the
-      // dictionary distinct — and keeps its own pin)
-      def pinStore(st: QuadStore): QuadStore = {
-        val v = st.valued.map(_.localCheckpoint())
-        st.copy(
-          quads = v.map(_.select(QuadStore.quadCols.map(
-              org.apache.spark.sql.functions.col): _*))
-            .getOrElse(st.quads.localCheckpoint()),
-          resources = st.resources.localCheckpoint(),
-          valued = v)
+        QuadStore.pinnedFromFlat(spark, flat, stage)
       }
       ex.getRequestMethod match {
         case "GET" => // GSP read: the graph serialized as N-Triples
@@ -613,11 +638,11 @@ final class Endpoint(spark: SparkSession, initial: QuadStore, port: Int = 0,
               val before = store
               Update.appendDelta(spark, n, before, before.union(add))
               storeRef.set(Update.reload(spark, n))
-            case None =>
-              val pinned = pinStore(add)
-              storeRef.updateAndGet(_.union(pinned))
+            case None => // add is already pinned (parsedBody)
+              storeRef.updateAndGet(_.union(add))
           }
           warmed(store)
+          stage("swap+warm")
           respond(ex, 201, """{"ok":true}""")
         case "PUT" => // REPLACE the graph (reference import start deletes
           // the model before streaming the body in, httpd.c:566)
@@ -631,13 +656,13 @@ final class Endpoint(spark: SparkSession, initial: QuadStore, port: Int = 0,
                 valued = None)
               Update.commitDelta(spark, n, before, minus.union(add))
               storeRef.set(Update.reload(spark, n))
-            case None =>
-              val pinned = pinStore(add)
+            case None => // add is already pinned (parsedBody)
               storeRef.updateAndGet(st => st.copy(
                 quads = st.quads.filter(col("g") =!= gRid),
-                valued = None).union(pinned))
+                valued = None).union(add))
           }
           warmed(store)
+          stage("swap+warm")
           respond(ex, 201, """{"ok":true}""")
         case "DELETE" =>
           // drop the inline-value scan form too: it would retain the
