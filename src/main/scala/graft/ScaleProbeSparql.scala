@@ -103,6 +103,37 @@ object ScaleProbeSparql {
     }
     println(f"[sfq10] s16x_update_insert_where rows=$updRows sec=$updSec%.1f")
 
+    // value-decode axis (the reference's need_val gate,
+    // src/frontend/query.c:1155-1194): FILTER on LEXICAL VALUES is the
+    // one SPARQL cost profile that changes qualitatively at scale — it
+    // either scans the inline-value form or pays a dictionary decode
+    // join. s06x: REGEX + STRLEN over 1.5M customer-name literals
+    // (12M-quad store). The plan join count is recorded so the artifact
+    // itself shows whether the scan stayed decode-free.
+    val s06xQ =
+      """SELECT ?cname WHERE {
+        |  ?c <urn:p:customer:c_name> ?cname .
+        |  FILTER(REGEX(?cname, "#0000000(4[0-9])") &&
+        |         STRLEN(?cname) > 8) }""".stripMargin
+    val s06xDf = SparqlQueries.adhoc(spark, sfDir, Seq("customer"), s06xQ)
+    val s06xJoins = s06xDf.queryExecution.executedPlan.toString()
+      .linesIterator.count(_.contains("Join"))
+    val (s06xRows, s06xSec) = timed(s06xDf.count())
+    println(f"[sfq10] s06x_regex_lexical rows=$s06xRows sec=$s06xSec%.1f joins=$s06xJoins")
+
+    // s15x: full-text token join over the 500k-doc corpus (derived
+    // fs:token quads). First run pays the index DERIVATION (tokenize +
+    // dedupe + cache of the derived store) — the import-side cost the
+    // reference pays on every import (import.c:706-760); second run is
+    // the query against the warm index.
+    val docsDir = args.lift(2).getOrElse("/tmp/sf10d")
+    val (ftRows1, ftSec1) = timed(
+      SparkEntry.queries("s15_sparql_fulltext")(spark, docsDir).count())
+    val (ftRows2, ftSec2) = timed(
+      SparkEntry.queries("s15_sparql_fulltext")(spark, docsDir).count())
+    println(f"[sfq10] s15x_fulltext build+query=$ftSec1%.1f s " +
+      f"warm=$ftSec2%.1f s rows=$ftRows2")
+
     // compat-pin A/B: three runs per arm (the artifact carries its own
     // noise floor); property restored afterwards
     def runCompat(tag: String): Seq[Double] =
@@ -125,7 +156,11 @@ object ScaleProbeSparql {
       s"""{"metric":"scale_probe_sparql","sf":"$sfDir",""" +
       s""""import_sec":$importSec,"store_quads":$storeQuads,""" +
       s""""queries":{$gJson,""" +
-      s""""s16x_update_insert_where":{"rows":$updRows,"sec":$updSec}},""" +
+      s""""s16x_update_insert_where":{"rows":$updRows,"sec":$updSec},""" +
+      s""""s06x_regex_lexical":{"rows":$s06xRows,"sec":$s06xSec,""" +
+      s""""plan_joins":$s06xJoins},""" +
+      s""""s15x_fulltext":{"rows":$ftRows2,"build_plus_query_sec":$ftSec1,""" +
+      s""""warm_query_sec":$ftSec2}},""" +
       s""""compat_pin_ab":{"pinned_sec":[${pinned.mkString(",")}],""" +
       s""""unpinned_sec":[${unpinned.mkString(",")}]}}"""
     println(json)

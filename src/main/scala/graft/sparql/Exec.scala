@@ -1066,13 +1066,15 @@ final class Exec(store: QuadStore, spark: SparkSession) {
     // deep expressions compile STAGED (sub-expression sharing, see
     // Compiler.compileStaged) — a BIND is a projection, and
     // CollapseProject keeps the levels from re-inlining
-    val (bdf, value, tmp) = Compiler.withRowSalt(eb.df) {
+    val sdf0 = Compiler.saltInput(eb.df, Seq(e))
+    val (bdf, value, tmp) = Compiler.withRowSalt(sdf0) {
       if (Compiler.nestDepth(e) <= 1)
-        (eb.df, Compiler.compile(e, unboundSub ++ exSub), Seq.empty[String])
-      else Compiler.compileStaged(eb.df, e, unboundSub ++ exSub)
+        (sdf0, Compiler.compile(e, unboundSub ++ exSub), Seq.empty[String])
+      else Compiler.compileStaged(sdf0, e, unboundSub ++ exSub)
     }
     val keep = bdf.columns.filterNot(c =>
-      c == "__eid" || c.startsWith("__ex_") || tmp.contains(c))
+      c == "__eid" || c.startsWith("__ex_") || tmp.contains(c) ||
+        c == Compiler.BnodeRowIdCol)
     val df = bdf.select(keep.map(col) ++ Seq(
       value.rid.as(v), value.lex.as(s"${v}__lex"),
       value.dt.as(s"${v}__dt"),
@@ -1145,17 +1147,19 @@ final class Exec(store: QuadStore, spark: SparkSession) {
       // the filter must REFERENCE it so column pruning can't strip it.
       // Lost scan-pushdown is no loss: a compiled term-typed predicate
       // is a case-when tree no source can use for skipping.
-      val (sdf, v, tmp) = Compiler.withRowSalt(eb.df) {
+      val sdf0 = Compiler.saltInput(eb.df, Seq(f))
+      val (sdf, v, tmp) = Compiler.withRowSalt(sdf0) {
         if (Compiler.nestDepth(f) <= 1)
-          (eb.df, Compiler.compile(f, unboundSub ++ exSub),
+          (sdf0, Compiler.compile(f, unboundSub ++ exSub),
             Seq.empty[String])
-        else Compiler.compileStaged(eb.df, f, unboundSub ++ exSub)
+        else Compiler.compileStaged(sdf0, f, unboundSub ++ exSub)
       }
       val out = sdf.withColumn("__pin", monotonically_increasing_id())
         .filter(v.ebv === true && col("__pin") >= 0)
         .drop(tmp :+ "__pin": _*)
       eb.copy(df = out.drop(out.columns.filter(c =>
-        c == "__eid" || c.startsWith("__ex_")): _*))
+        c == "__eid" || c.startsWith("__ex_") ||
+          c == Compiler.BnodeRowIdCol): _*))
   }
 
   /** EXISTS nested inside a larger expression (`EXISTS{..} || ?p`,

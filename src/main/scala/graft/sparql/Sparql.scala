@@ -214,6 +214,7 @@ object Sparql {
       // group keys: plain vars AND computed expressions keep their
       // 4-column term identity; expression keys get substituted back
       // into projection/HAVING/ORDER BY like aggregate results
+      b = b.copy(df = Compiler.saltInput(b.df, q.mods.groupBy))
       val keyCols: Seq[Column] = q.mods.groupBy.zipWithIndex.flatMap {
         case (EVar(v), _) => Seq(col(v), col(s"${v}__lex"),
           col(s"${v}__dt"), col(s"${v}__lang"))
@@ -239,6 +240,7 @@ object Sparql {
       b = Bindings(df, groupVars, groupVars.toSet, groupVars.toSet)
       // HAVING (`apply_constraints` mask, `src/frontend/results.c`)
       q.mods.having.foreach { h =>
+        b = b.copy(df = Compiler.saltInput(b.df, Seq(h)))
         b = b.copy(df = Compiler.withRowSalt(b.df) {
           if (Compiler.nestDepth(h) <= 1)
             b.df.filter(Compiler.compile(h, aggSub).ebv === true)
@@ -251,6 +253,7 @@ object Sparql {
               .drop(tmp :+ "__pin": _*)
           }
         })
+        b = b.copy(df = b.df.drop(Compiler.BnodeRowIdCol))
       }
     }
 
@@ -266,8 +269,9 @@ object Sparql {
       case _ => false
     }
     val stageRoots = items.map(_.expr).filterNot(isUnbound)
-    val (stagedDf, itemEnv, _) = Compiler.withRowSalt(b.df)(
-      Compiler.compileStagedMany(b.df, stageRoots, aggSub))
+    val itemsDf = Compiler.saltInput(b.df, stageRoots)
+    val (stagedDf, itemEnv, _) = Compiler.withRowSalt(itemsDf)(
+      Compiler.compileStagedMany(itemsDf, stageRoots, aggSub))
     var bdf = stagedDf
     def compileOrNull(e: Expr): V =
       if (isUnbound(e)) V.nul else itemEnv(e)
@@ -289,9 +293,10 @@ object Sparql {
     // ORDER BY keys stage on top of the item stages (an order expr
     // identical to an item expr reuses its materialized columns)
     val ordExprs = q.mods.orderBy.map(_._1)
-    val (ordDf, ordEnv, _) = Compiler.withRowSalt(bdf)(
+    val ordIn = Compiler.saltInput(bdf, ordExprs)
+    val (ordDf, ordEnv, _) = Compiler.withRowSalt(ordIn)(
       Compiler.compileStagedMany(
-        bdf, ordExprs, aggSub ++ aliasSub ++ itemEnv))
+        ordIn, ordExprs, aggSub ++ aliasSub ++ itemEnv))
     bdf = ordDf
     val explicitOrd = ordExprs.zipWithIndex.map { case (e, i) =>
       V.sortKey(ordEnv(e)).as(s"__ord_$i")

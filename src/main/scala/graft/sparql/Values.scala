@@ -122,32 +122,49 @@ object Compiler {
   private val bnodeSiteCtr = new java.util.concurrent.atomic.AtomicLong()
   private[sparql] def bnodeSite(): Long = bnodeSiteCtr.incrementAndGet()
 
-  /** Deterministic per-row salt for zero-arg BNODE(), scoped by the
-    * consumption site (BIND / FILTER / SELECT compile all the V's
-    * columns into ONE projection, but rid and lex are separate output
-    * columns — a nondeterministic `monotonically_increasing_id()`
+  /** Row-unique salt for zero-arg BNODE(), scoped by the consumption
+    * site. The salt must be ONE materialized column, referenced by
+    * both the rid and the label expressions (BIND / FILTER / SELECT
+    * compile all the V's columns into one projection, but rid and lex
+    * are separate output columns — a `monotonically_increasing_id()`
     * embedded in each is two INDEPENDENT stateful instances, and any
-    * optimizer move that evaluates them in different projections, or a
-    * conditional branch that skips one, desyncs rid from label; Spark
-    * also rejects nondeterministic expressions outside
-    * Project/Filter/Aggregate, so BNODE() in a join key threw).
-    * A hash of the row's bound (atomic-typed) columns is stable across
-    * re-execution and legal everywhere. Tradeoff, documented: two
-    * fully-identical solution rows share a label — §17.4.2.9 freshness
-    * is per DISTINCT solution here, the price of determinism. */
+    * optimizer move that evaluates them in different projections
+    * desyncs rid from label; Spark also rejects nondeterministic
+    * expressions outside Project/Filter/Aggregate, so BNODE() in a
+    * join key threw). [[saltInput]] projects the id ONCE into
+    * [[BnodeRowIdCol]] — CollapseProject refuses to inline a
+    * nondeterministic alias, so the projection stays materialized and
+    * everything downstream references the same per-row value. §17.4.2.9
+    * freshness is therefore per SOLUTION ROW: two identical rows carry
+    * different ids and mint distinct nodes (the r10 deterministic
+    * row-hash salt shared a node across duplicates; r11 closes that).
+    * The projection is only added when the expression actually
+    * contains a zero-arg BNODE — an unconditional nondeterministic
+    * column under every FILTER would block predicate pushdown
+    * engine-wide. */
+  val BnodeRowIdCol = "__bnode_rowid"
+  def hasFreshBnode(e: Expr): Boolean = e match {
+    case ECall("BNODE", Nil) => true
+    case ECall(_, as) => as.exists(hasFreshBnode)
+    case EIn(x, l, _) => (x :: l).exists(hasFreshBnode)
+    case EAgg(_, _, a, _) => a.exists(hasFreshBnode)
+    case _ => false
+  }
+  /** Project the BNODE row id into `df` iff any of `exprs` needs it
+    * (idempotent). Callers drop [[BnodeRowIdCol]] from their output. */
+  def saltInput(df: DataFrame, exprs: Seq[Expr]): DataFrame =
+    if (exprs.exists(hasFreshBnode) && !df.columns.contains(BnodeRowIdCol))
+      df.withColumn(BnodeRowIdCol, monotonically_increasing_id())
+    else df
   private val rowSaltVar =
     new scala.util.DynamicVariable[Option[Column]](None)
   private[sparql] def rowSalt: Option[Column] = rowSaltVar.value
-  def withRowSalt[T](df: DataFrame)(f: => T): T = {
-    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
-    val atomic = df.schema.fields.collect {
-      case fd if (fd.dataType match {
-        case _: ArrayType | _: MapType | _: StructType => false
-        case _ => true
-      }) => col(fd.name)
-    }
-    rowSaltVar.withValue(Some(xxhash64((lit(0L) +: atomic.toSeq): _*)))(f)
-  }
+  /** Compile `f` with the row salt in scope when `df` carries the
+    * materialized id column (see [[saltInput]]). */
+  def withRowSalt[T](df: DataFrame)(f: => T): T =
+    rowSaltVar.withValue(
+      if (df.columns.contains(BnodeRowIdCol)) Some(col(BnodeRowIdCol))
+      else None)(f)
 
   import WellKnown._
 
@@ -481,11 +498,11 @@ object Compiler {
     case "BNODE" if vs.isEmpty =>
       // zero-arg form (§17.4.2.9): a FRESH blank node per solution row.
       // Label = per-call-site salt (two BNODE() sites in one query must
-      // not collide) + a DETERMINISTIC per-row salt (hash of the row's
-      // bound columns, threaded by the consumption site via
-      // Compiler.withRowSalt) — see rowSaltVar's scaladoc for why the
-      // old monotonically_increasing_id desynced rid from label. The
-      // fallback (no salt in scope) keeps the plan-unique id.
+      // not collide) + the ROW-UNIQUE id the consumption site
+      // materialized via Compiler.saltInput/withRowSalt — rid and label
+      // both reference that one column, so they cannot desync, and
+      // duplicate solution rows mint distinct nodes. The fallback (no
+      // salt in scope) keeps the plan-unique id.
       val salt = Compiler.rowSalt
         .getOrElse(monotonically_increasing_id())
       val lbl = concat(lit(s"fresh${Compiler.bnodeSite()}x"),

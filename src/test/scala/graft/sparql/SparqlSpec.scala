@@ -432,4 +432,28 @@ class SparqlSpec extends SparkTestBase {
     val l2 = df.collect().map(_.toString).toSeq
     assert(l1 == l2)
   }
+
+  test("zero-arg BNODE(): fresh per solution ROW, including duplicate " +
+      "rows (§17.4.2.9), and legal as a join variable") {
+    // the subquery projects 3 IDENTICAL rows (x=1 each); §17.4.2.9
+    // wants a fresh node per row, not per distinct row — the r10
+    // deterministic row-hash salt shared one node across all three
+    val c = rows("""SELECT (COUNT(DISTINCT ?b) AS ?c) WHERE {
+      { SELECT ?x WHERE { ?p a <urn:Person> . BIND(1 AS ?x) } }
+      BIND(BNODE() AS ?b) }""")
+    assert(c == Seq(Seq("3")))
+    // BNODE() result used as a JOIN variable (the r9 AnalysisException
+    // shape): fresh nodes join nothing in the store, but must compile
+    // and keep the rows via OPTIONAL
+    val j = rows("""SELECT ?n WHERE {
+      ?p a <urn:Person> ; <urn:name> ?n .
+      BIND(BNODE() AS ?b)
+      OPTIONAL { ?b <urn:never> ?y } } ORDER BY ?n""")
+    assert(j == Seq(Seq("Alice"), Seq("Bob"), Seq("Carol")))
+    // SELECT-position BNODE() (compiles through compileStagedMany, not
+    // BIND): fresh per row and a real blank node
+    val s = rows("""SELECT (COUNT(DISTINCT ?b2) AS ?c) WHERE {
+      { SELECT (BNODE() AS ?b2) WHERE { ?p a <urn:Person> } } }""")
+    assert(s == Seq(Seq("3")))
+  }
 }
