@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -271,6 +271,48 @@ object TextHash {
     }
     UTF8String.fromString(bestLang)
   }
+
+  /** Maximal matched gram run (in grams) through the shared fingerprint
+    * `fp`: for every pair of occurrence positions of `fp` in the two
+    * positional gram-hash arrays (first [[MatchOccCap]] occurrences per
+    * side — boilerplate-repetition bound, mirrored EXACTLY by the
+    * DuckDB oracle), extend left and right while the gram hashes stay
+    * equal, and return the longest run found. 0 if `fp` is absent from
+    * either side. A run of g grams is a common substring of g+k-1
+    * tokens (modulo hash collision) — the exact-substring verification
+    * of Lee et al. 2021 anchored at winnowing fingerprints instead of
+    * a distributed suffix array. */
+  val MatchOccCap = 16
+  def matchSpanFp(ha: ArrayData, hb: ArrayData, fp: Long): Int = {
+    val na = ha.numElements(); val nb = hb.numElements()
+    val pas = new Array[Int](MatchOccCap); var ca = 0
+    var i = 0
+    while (i < na && ca < MatchOccCap) {
+      if (ha.getLong(i) == fp) { pas(ca) = i; ca += 1 }; i += 1 }
+    val pbs = new Array[Int](MatchOccCap); var cb = 0
+    i = 0
+    while (i < nb && cb < MatchOccCap) {
+      if (hb.getLong(i) == fp) { pbs(cb) = i; cb += 1 }; i += 1 }
+    var best = 0
+    var ai = 0
+    while (ai < ca) {
+      var bi = 0
+      while (bi < cb) {
+        val pa = pas(ai); val pb = pbs(bi)
+        var l = 0
+        while (pa - l - 1 >= 0 && pb - l - 1 >= 0 &&
+               ha.getLong(pa - l - 1) == hb.getLong(pb - l - 1)) l += 1
+        var r = 0
+        while (pa + r + 1 < na && pb + r + 1 < nb &&
+               ha.getLong(pa + r + 1) == hb.getLong(pb + r + 1)) r += 1
+        val run = l + 1 + r
+        if (run > best) best = run
+        bi += 1
+      }
+      ai += 1
+    }
+    best
+  }
 }
 
 /** `shingle_hashes(text, k)`: array<long> of distinct hashed k-shingles.
@@ -341,6 +383,40 @@ final case class ShinglePosHashes(child: Expression, k: Int,
       s"graft.functions.TextHash.shinglePosHashes($c, $k, $md5)")
   override protected def withNewChildInternal(newChild: Expression)
       : ShinglePosHashes = copy(child = newChild)
+}
+
+/** `match_span_fp(ha, hb, fp)`: longest matched gram run through the
+  * shared winnowing fingerprint `fp` over two POSITIONAL gram-hash
+  * arrays (see [[TextHash.matchSpanFp]]) — the map-side verification
+  * step of the winnowing candidate-pair pipeline. */
+final case class MatchSpanFp(first: Expression, second: Expression,
+                             third: Expression)
+    extends TernaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def isLongArray(dt: DataType): Boolean = dt match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    if (isLongArray(first.dataType) && isLongArray(second.dataType) &&
+        third.dataType.isInstanceOf[LongType])
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<long>, array<long>, long), got " +
+        s"(${first.dataType}, ${second.dataType}, ${third.dataType})")
+  }
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "match_span_fp"
+  override protected def nullSafeEval(ha: Any, hb: Any, fp: Any): Any =
+    TextHash.matchSpanFp(ha.asInstanceOf[ArrayData],
+      hb.asInstanceOf[ArrayData], fp.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, f) =>
+      s"graft.functions.TextHash.matchSpanFp($a, $b, $f)")
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression): MatchSpanFp =
+    copy(first = newFirst, second = newSecond, third = newThird)
 }
 
 /** `scrub_spans(text, starts)`: text with every token covered by a

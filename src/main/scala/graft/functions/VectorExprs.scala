@@ -209,4 +209,6 @@ object F {
     c(HyperplaneSignature(e(v), planes))
   def nfcNormalize(text: Column): Column = c(NfcNormalize(e(text)))
   def langId(text: Column): Column = c(LangId(e(text)))
+  def matchSpanFp(ha: Column, hb: Column, fp: Column): Column =
+    c(MatchSpanFp(e(ha), e(hb), e(fp)))
 }

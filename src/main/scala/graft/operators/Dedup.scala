@@ -72,9 +72,12 @@ object Dedup {
     * codegen'd array ops (`transform`/`slice`/`array_min`), no explode,
     * no shuffle, no UDF. Fingerprint-set size per doc is bounded by the
     * gram count / ~(w/2) windows-per-selection expectation. */
-  def winnowingFingerprints(df: DataFrame, idCol: String, textCol: String,
-                            k: Int = 5, w: Int = 8,
-                            portableHash: Boolean = false): DataFrame = {
+  /** (id, hs, fps) projection shared by the winnowing family: hs = the
+    * POSITIONAL 63-bit-masked gram hashes, fps = the sorted-distinct
+    * window minima. */
+  private def winnowBase(df: DataFrame, idCol: String, textCol: String,
+                         k: Int, w: Int,
+                         portableHash: Boolean): DataFrame = {
     require(k >= 1 && w >= 1, s"k=$k w=$w must be positive")
     val hs0 = graft.functions.F
       .shinglePosHashes(col(textCol), k, portableHash)
@@ -89,8 +92,13 @@ object Dedup {
         .otherwise(array_sort(array_distinct(
           transform(sequence(lit(0), size(col("hs")) - w),
             i => array_min(slice(col("hs"), i + lit(1), lit(w))))))))
-      .select(col("id"), col("fps"))
   }
+
+  def winnowingFingerprints(df: DataFrame, idCol: String, textCol: String,
+                            k: Int = 5, w: Int = 8,
+                            portableHash: Boolean = false): DataFrame =
+    winnowBase(df, idCol, textCol, k, w, portableHash)
+      .select(col("id"), col("fps"))
 
   /** Candidate pairs from shared winnowing fingerprints: documents that
     * share any selected window-min share a local (substring-level)
@@ -122,6 +130,15 @@ object Dedup {
     val u0 = winnowingFingerprints(df, idCol, textCol, k, w, portableHash)
       .localCheckpoint(eager = false)
       .select(col("id"), explode(col("fps")).as("fp"))
+    pairsFrom(u0, maxDf)
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
+  /** Shared tail of the winnowing pair pipelines: df-cap the exploded
+    * (id, fp[, …]) rows and self-join on fp with id1 < id2, grouped by
+    * the pair. The caller picks the aggregates. */
+  private def pairsFrom(u0: DataFrame, maxDf: Int)
+      : org.apache.spark.sql.RelationalGroupedDataset = {
     val rare = u0.groupBy("fp")
       .agg(count(lit(1)).as("_df")).filter(col("_df") <= maxDf)
       .select("fp")
@@ -132,7 +149,34 @@ object Dedup {
     u.as("a").join(u.as("b"),
         col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id1"), col("b.id").as("id2"))
-      .agg(count(lit(1)).as("n_shared"))
+  }
+
+  /** [[winnowingPairs]] upgraded from candidates to VERIFIED spans —
+    * the exact-substring-dedup fidelity of Lee et al. 2021
+    * ("Deduplicating Training Data Makes Language Models Better",
+    * §4.1's suffix-array exact matching) without a distributed suffix
+    * array: anchor at each shared fingerprint, extend the match left
+    * and right over the positional gram-hash arrays (one native
+    * codegen kernel per joined row — map-side, after the same fp-keyed
+    * equi-join as [[winnowingPairs]]; no additional shuffle), and
+    * report the longest verified common substring per pair in TOKENS
+    * (`max_span_tokens` = max gram run + k − 1, ≥ w+k−1 by the
+    * winnowing guarantee whenever a true duplicate span that long
+    * exists). `n_shared` keeps the candidate-strength count. Both
+    * sides' POSITIONAL hash arrays ride through the join pinned
+    * (the p51 array-pin lesson) — at most `maxDf` copies of each. */
+  def winnowingSpans(df: DataFrame, idCol: String, textCol: String,
+                     k: Int = 5, w: Int = 8, maxDf: Int = 128,
+                     portableHash: Boolean = false): DataFrame = {
+    val base = winnowBase(df, idCol, textCol, k, w, portableHash)
+      .localCheckpoint(eager = false)
+    val u0 = base.select(col("id"), col("hs"),
+      explode(col("fps")).as("fp"))
+    pairsFrom(u0, maxDf)
+      .agg(count(lit(1)).as("n_shared"),
+        (max(graft.functions.F.matchSpanFp(
+            col("a.hs"), col("b.hs"), col("a.fp"))) + lit(k - 1))
+          .cast("long").as("max_span_tokens"))
   }
 
   /** MinHash signatures via explode + 32 codegen'd min-aggregates.

@@ -546,6 +546,19 @@ object PipelineQueries {
           col("n_shared").cast("long").as("n_shared"))
         .orderBy("id1", "id2")),
 
+    // winnowing candidates VERIFIED into exact spans: anchor at each
+    // shared fingerprint, extend over the positional gram hashes
+    // (native map-side kernel after the same fp join as p51), report
+    // the longest exact common substring per pair in tokens — the Lee
+    // et al. 2021 exact-substring fidelity without a suffix array
+    "p52_winnowing_spans" -> ((s, d) =>
+      Dedup.winnowingSpans(t(s, d, "documents"), "doc_id", "text",
+          k = 5, w = 8, portableHash = true)
+        .select(col("id1"), col("id2"),
+          col("n_shared").cast("long").as("n_shared"),
+          col("max_span_tokens"))
+        .orderBy("id1", "id2")),
+
     // per-source frequency capping (domain caps): at most 17 docs per
     // source (sources carry 25 docs at the smallest gate SF, so the cap
     // BINDS at every scale), chosen by the seeded portable shuffle order
@@ -1529,6 +1542,52 @@ object PipelineQueries {
         |  CAST(count(*) AS BIGINT) AS n_shared
         |FROM ur a JOIN ur b ON a.fp = b.fp AND a.doc_id < b.doc_id
         |GROUP BY 1, 2 ORDER BY id1, id2""".stripMargin,
+
+    // p51's pair machinery + per-anchor extension: occurrence positions
+    // of the shared fp in both positional hash lists (first 16 per
+    // side, the kernel's MatchOccCap), extend left/right to the first
+    // mismatching gram, max over occurrence pairs; span tokens =
+    // grams + k - 1
+    "p52_winnowing_spans" ->
+      """WITH ws AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |      x -> len(x) > 0) AS ws
+        |  FROM documents),
+        |h AS (SELECT doc_id, list_transform(range(1, len(ws) - 3),
+        |    i -> CAST(('0x' || substr(md5(ws[i]||' '||ws[i+1]||' '||
+        |        ws[i+2]||' '||ws[i+3]||' '||ws[i+4]), 1, 16))::UBIGINT
+        |      & CAST(9223372036854775807 AS UBIGINT) AS BIGINT)) AS hs
+        |  FROM ws),
+        |f AS (SELECT doc_id, hs, CASE
+        |    WHEN len(hs) = 0 THEN CAST([] AS BIGINT[])
+        |    WHEN len(hs) < 8 THEN [list_min(hs)]
+        |    ELSE list_sort(list_distinct(list_transform(
+        |      range(1, len(hs) - 6), i -> list_min(hs[i:i+7])))) END
+        |    AS fps FROM h),
+        |u AS (SELECT doc_id, hs, unnest(fps) AS fp FROM f),
+        |rare AS (SELECT fp FROM u GROUP BY fp HAVING count(*) <= 128),
+        |ur AS (SELECT u.doc_id, u.hs, u.fp FROM u JOIN rare USING (fp)),
+        |sp AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |  list_max(flatten(list_transform(
+        |    list_slice(list_filter(range(1, len(a.hs) + 1),
+        |      p -> a.hs[p] = a.fp), 1, 16),
+        |    pa -> list_transform(
+        |      list_slice(list_filter(range(1, len(b.hs) + 1),
+        |        q -> b.hs[q] = a.fp), 1, 16),
+        |      pb ->
+        |        coalesce(list_min(list_filter(range(1, least(pa, pb)),
+        |          s -> a.hs[pa-s] IS DISTINCT FROM b.hs[pb-s])),
+        |          least(pa, pb)) - 1
+        |        + 1 +
+        |        coalesce(list_min(list_filter(
+        |          range(1, least(len(a.hs) - pa, len(b.hs) - pb) + 1),
+        |          s -> a.hs[pa+s] IS DISTINCT FROM b.hs[pb+s])),
+        |          least(len(a.hs) - pa, len(b.hs) - pb) + 1) - 1
+        |      )))) AS span
+        |  FROM ur a JOIN ur b ON a.fp = b.fp AND a.doc_id < b.doc_id)
+        |SELECT id1, id2, CAST(count(*) AS BIGINT) AS n_shared,
+        |  CAST(max(span) + 4 AS BIGINT) AS max_span_tokens
+        |FROM sp GROUP BY 1, 2 ORDER BY id1, id2""".stripMargin,
 
     // the cap is a count-cumulative <= N over the same seeded md5 order
     "p50_cap_per_group" ->

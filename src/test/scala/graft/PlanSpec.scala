@@ -345,6 +345,26 @@ class PlanSpec extends SparkTestBase {
       s"winnowing must not explode:\n$plan")
   }
 
+  test("winnowingSpans adds NO exchange over winnowingPairs: the span " +
+      "verification is map-side inside the same pair join") {
+    val docs = graft.core.Tables.t(spark, sf, "documents")
+    def keyed(df: org.apache.spark.sql.DataFrame): Int = {
+      val executed = planOf(df).split("== Initial Plan ==").head
+      "Exchange hashpartitioning".r.findAllIn(executed).size
+    }
+    val pairs = keyed(graft.operators.Dedup.winnowingPairs(
+      docs, "doc_id", "text", k = 5, w = 8))
+    val spans = keyed(graft.operators.Dedup.winnowingSpans(
+      docs, "doc_id", "text", k = 5, w = 8))
+    assert(spans <= pairs,
+      s"span verification must not add a shuffle: pairs=$pairs spans=$spans")
+    val plan = planOf(graft.operators.Dedup.winnowingSpans(
+      docs, "doc_id", "text", k = 5, w = 8))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"spans must stay fp-keyed:\n$plan")
+  }
+
   test("dsirImportance: bucket count tables broadcast to the scoring " +
       "pass; nothing nested-loops") {
     val docs = graft.core.Tables.t(spark, sf, "documents")

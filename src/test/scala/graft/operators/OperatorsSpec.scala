@@ -1025,6 +1025,48 @@ class OperatorsSpec extends SparkTestBase {
       pairs(0)._3 >= 1, pairs.toSeq)
   }
 
+  test("winnowingSpans verifies the exact span: boundary w+k-1, " +
+      "longer runs exact, multi-occurrence anchors") {
+    val shared = "common run of exactly twelve tokens a b c d e f"
+    val df = Seq(
+      // pair (1,2): shared run of EXACTLY w+k-1 = 12 tokens, different
+      // contexts — the winnowing guarantee's boundary; the verified
+      // span must come back as exactly 12 (context tokens differ)
+      (1L, s"q w e r t y u $shared"),
+      (2L, s"z x c v b n m $shared"),
+      (3L, "totally disjoint vocabulary here nothing matches either"),
+      // pair (4,5): 21-token shared run ("s tok1..tok20"); the
+      // verified span must be exactly 21
+      (4L, "p q r " + ("s" + (1 to 20).map(i => s" tok$i").mkString) +
+        " tail4 x"),
+      (5L, "a b c d " + ("s" + (1 to 20).map(i => s" tok$i").mkString) +
+        " other5 y"))
+      .toDF("doc_id", "text")
+    val spans = Dedup.winnowingSpans(df, "doc_id", "text", k = 5, w = 8)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(spans.contains((1L, 2L)), spans)
+    assert(spans((1L, 2L))._2 == 12L,
+      s"boundary span must verify to exactly w+k-1: ${spans((1L, 2L))}")
+    assert(spans.contains((4L, 5L)), spans)
+    // 21 shared tokens: "s tok1 .. tok20"
+    assert(spans((4L, 5L))._2 == 21L, spans((4L, 5L)))
+    assert(!spans.keySet.exists(p => p._1 == 3L || p._2 == 3L),
+      "disjoint doc must pair with nothing")
+    // multi-occurrence: doc 6 repeats the run twice; the anchor scan
+    // must still find the maximal single run (12), not get confused by
+    // duplicate fingerprint occurrences
+    val df2 = Seq(
+      (6L, s"$shared filler one two three four five $shared"),
+      (7L, s"start pad tokens $shared end pad here"))
+      .toDF("doc_id", "text")
+    val s2 = Dedup.winnowingSpans(df2, "doc_id", "text", k = 5, w = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3))
+      .toMap
+    assert(s2.get((6L, 7L)).exists(_ == 12L), s2)
+  }
+
   test("dsirImportance: hand-computed log importance weights and " +
       "integer sufficient statistics") {
     // target "a b a b": bigram occurrences {a b: 2, b a: 1}, T=3
