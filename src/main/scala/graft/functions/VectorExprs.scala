@@ -211,4 +211,6 @@ object F {
   def langId(text: Column): Column = c(LangId(e(text)))
   def matchSpanFp(ha: Column, hb: Column, fp: Column): Column =
     c(MatchSpanFp(e(ha), e(hb), e(fp)))
+  def canonicalizeUrl(url: Column): Column = c(CanonicalizeUrl(e(url)))
+  def registrableHost(url: Column): Column = c(RegistrableHost(e(url)))
 }

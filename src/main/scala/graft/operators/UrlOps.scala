@@ -1,0 +1,26 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** URL canonicalization and host/domain keying — the crawl-side
+  * group-key producer for the per-domain curation operators. See
+  * [[graft.functions.UrlKernel]] for the normalization spec (RFC 3986
+  * §6 restricted to SQL-replicable rewrites) and the embedded
+  * two-part-suffix registrable-host tradeoff. Both are native codegen
+  * kernels: map-only, scan-speed, no UDF. */
+object UrlOps {
+  /** Canonical form of a URL column (non-URLs pass through trimmed). */
+  def canonicalizeUrl(url: Column): Column =
+    graft.functions.F.canonicalizeUrl(url)
+
+  /** eTLD+1 of a URL (or bare host) column; "" for neither. */
+  def registrableHost(url: Column): Column =
+    graft.functions.F.registrableHost(url)
+
+  /** Convenience: append `url_canon` and `registrable_host` columns —
+    * the shape `capPerGroup(keyByDomain(df, "url"),
+    * "registrable_host", …)` composes into a crawl-curation flow. */
+  def keyByDomain(df: DataFrame, urlCol: String): DataFrame =
+    df.withColumn("url_canon", canonicalizeUrl(df(urlCol)))
+      .withColumn("registrable_host", registrableHost(df(urlCol)))
+}

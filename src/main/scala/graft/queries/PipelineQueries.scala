@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.core.Tables
 import graft.operators.{Bpe, Chunking, Curation, Dedup, Multimodal,
-  Ranking, Similarity, TextAnalysis}
+  Ranking, Similarity, TextAnalysis, UrlOps}
 
 /** Training-data pipeline operators over the documents/embeddings/events
   * tables: dedup family, similarity search, text analysis, sessionization.
@@ -558,6 +558,41 @@ object PipelineQueries {
           col("n_shared").cast("long").as("n_shared"),
           col("max_span_tokens"))
         .orderBy("id1", "id2")),
+
+    // URL canonicalization + registrable-host keying over adversarial
+    // URLs derived deterministically from doc_id (uppercase scheme and
+    // host, default and non-default ports, duplicate slashes, ./ and
+    // ../ segments, tracking params, fragments, multi-part ccTLDs, an
+    // IPv4 literal, and a non-URL) — every rewrite mirrored verbatim
+    // in the DuckDB oracle, so cross-engine agreement is by
+    // construction (see functions.UrlKernel)
+    "p53_url_canonicalize" -> ((s, d) => {
+      val m5 = (col("doc_id") % 5).cast("string")
+      val ids = col("doc_id").cast("string")
+      val t8 = col("doc_id") % 8
+      val url =
+        when(t8 === 0, concat(lit("HTTP://WWW.Example"), m5,
+          lit(".COM:80/a/b/../c/./d.html?utm_source=feed&id="), ids,
+          lit("#frag")))
+        .when(t8 === 1, concat(lit("https://Sub.Host"), m5,
+          lit(".co.uk:443/path//to/../x/?fbclid=abc"), ids))
+        .when(t8 === 2, concat(lit("http://example"), m5, lit(".org")))
+        .when(t8 === 3, concat(lit("https://www.site"), m5,
+          lit(".com.au/deep/./../a/b/c?id="), ids,
+          lit("&utm_campaign=x&gclid=g")))
+        .when(t8 === 4, concat(lit("http://192.168.1."), m5,
+          lit(":8080/a/../b#x")))
+        .when(t8 === 5, concat(lit("https://blog.example"), m5,
+          lit(".net/a/b/c/")))
+        .when(t8 === 6, concat(lit("HTTPS://X"), m5,
+          lit(".IO:443/~user/../home?x=1&y=2")))
+        .otherwise(concat(lit("not a url at all "), ids))
+      t(s, d, "documents").select(col("doc_id"), url.as("url"))
+        .select(col("doc_id"),
+          UrlOps.canonicalizeUrl(col("url")).as("url_canon"),
+          UrlOps.registrableHost(col("url")).as("reg_host"))
+        .orderBy("doc_id")
+    }),
 
     // per-source frequency capping (domain caps): at most 17 docs per
     // source (sources carry 25 docs at the smallest gate SF, so the cap
@@ -1588,6 +1623,111 @@ object PipelineQueries {
         |SELECT id1, id2, CAST(count(*) AS BIGINT) AS n_shared,
         |  CAST(max(span) + 4 AS BIGINT) AS max_span_tokens
         |FROM sp GROUP BY 1, 2 ORDER BY id1, id2""".stripMargin,
+
+    // the same trim/fragment/scheme/port/path-fixpoint/tracking-param
+    // pipeline as functions.UrlKernel, rewrite for rewrite; the path
+    // dot-segment resolution is the recursive-CTE fixpoint of the
+    // IDENTICAL ordered regexp_replace composition the kernel iterates
+    "p53_url_canonicalize" -> {
+      // one ordered rewrite pass (UrlKernel.pathStep), nested innermost
+      // -> outermost: // ; /./ ; trailing /. ; /seg/../ ; trailing
+      // /seg/.. ; leading /../ ; lone /..
+      def step(p: String): String =
+        s"""regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+           |regexp_replace(regexp_replace(regexp_replace($p,
+           |  '//', '/', 'g'),
+           |  '/\\./', '/', 'g'),
+           |  '/\\.$$', '/'),
+           |  '/(\\.[^/.][^/]*|\\.\\.[^/]+|[^/.][^/]*)/\\.\\./', '/', 'g'),
+           |  '/(\\.[^/.][^/]*|\\.\\.[^/]+|[^/.][^/]*)/\\.\\.$$', '/'),
+           |  '^/\\.\\./', '/'),
+           |  '^/\\.\\.$$', '/')""".stripMargin
+      val suffixes = Seq("ac.uk","co.in","co.jp","co.kr","co.nz","co.uk",
+        "co.za","com.ar","com.au","com.br","com.cn","com.mx","com.sg",
+        "com.tr","com.tw","gov.uk","ne.jp","net.au","or.jp","org.au",
+        "org.uk").map(s => s"'$s'").mkString(",")
+      s"""WITH RECURSIVE src AS (SELECT doc_id,
+         |    CASE doc_id % 8
+         |      WHEN 0 THEN 'HTTP://WWW.Example' || (doc_id % 5) || '.COM:80/a/b/../c/./d.html?utm_source=feed&id=' || doc_id || '#frag'
+         |      WHEN 1 THEN 'https://Sub.Host' || (doc_id % 5) || '.co.uk:443/path//to/../x/?fbclid=abc' || doc_id
+         |      WHEN 2 THEN 'http://example' || (doc_id % 5) || '.org'
+         |      WHEN 3 THEN 'https://www.site' || (doc_id % 5) || '.com.au/deep/./../a/b/c?id=' || doc_id || '&utm_campaign=x&gclid=g'
+         |      WHEN 4 THEN 'http://192.168.1.' || (doc_id % 5) || ':8080/a/../b#x'
+         |      WHEN 5 THEN 'https://blog.example' || (doc_id % 5) || '.net/a/b/c/'
+         |      WHEN 6 THEN 'HTTPS://X' || (doc_id % 5) || '.IO:443/~user/../home?x=1&y=2'
+         |      ELSE 'not a url at all ' || doc_id END AS url
+         |  FROM documents),
+         |t AS (SELECT doc_id, trim(url) AS s0 FROM src),
+         |nf AS (SELECT doc_id, s0,
+         |    CASE WHEN strpos(s0, '#') > 0
+         |      THEN substr(s0, 1, strpos(s0, '#') - 1) ELSE s0 END AS s
+         |  FROM t),
+         |m AS (SELECT doc_id, s0, s,
+         |    regexp_matches(s, '^[A-Za-z][A-Za-z0-9+.-]*://') AS isurl,
+         |    lower(regexp_extract(s, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?]*)(.*)$$', 1)) AS sch,
+         |    lower(regexp_extract(s, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?]*)(.*)$$', 2)) AS auth0,
+         |    regexp_extract(s, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?]*)(.*)$$', 3) AS rest
+         |  FROM nf),
+         |a AS (SELECT doc_id, s0, isurl, sch,
+         |    CASE WHEN sch = 'http' AND auth0 LIKE '%:80'
+         |           THEN substr(auth0, 1, len(auth0) - 3)
+         |         WHEN sch = 'https' AND auth0 LIKE '%:443'
+         |           THEN substr(auth0, 1, len(auth0) - 4)
+         |         ELSE auth0 END AS auth,
+         |    CASE WHEN strpos(rest, '?') > 0
+         |      THEN substr(rest, 1, strpos(rest, '?') - 1)
+         |      ELSE rest END AS path0,
+         |    CASE WHEN strpos(rest, '?') > 0
+         |      THEN substr(rest, strpos(rest, '?') + 1)
+         |      ELSE NULL END AS qry
+         |  FROM m),
+         |fx AS (
+         |  SELECT doc_id, CASE WHEN path0 = '' THEN '/' ELSE path0 END
+         |    AS p, 0 AS it FROM a WHERE isurl
+         |  UNION ALL
+         |  SELECT doc_id, ${step("p")}, it + 1 FROM fx
+         |  WHERE ${step("p")} <> p),
+         |pf AS (SELECT doc_id, p FROM (
+         |    SELECT doc_id, p, row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY it DESC) AS rn FROM fx) WHERE rn = 1),
+         |qf AS (SELECT doc_id, CASE WHEN qry IS NULL THEN ''
+         |    ELSE coalesce('?' || nullif(array_to_string(list_filter(
+         |      string_split(qry, '&'),
+         |      x -> len(x) > 0
+         |        AND NOT starts_with(split_part(x, '=', 1), 'utm_')
+         |        AND split_part(x, '=', 1) NOT IN
+         |          ('gclid','fbclid','msclkid','mc_eid','igshid','ref_src')),
+         |      '&'), ''), '') END AS q2
+         |  FROM a),
+         |hb AS (SELECT doc_id, CASE
+         |    WHEN isurl THEN regexp_replace(regexp_replace(auth,
+         |      '^.*@', ''), ':[0-9]+$$', '')
+         |    WHEN regexp_matches(s0, '^[A-Za-z0-9.-]+$$')
+         |      THEN regexp_replace(regexp_replace(lower(s0),
+         |        '^.*@', ''), ':[0-9]+$$', '')
+         |    ELSE NULL END AS host
+         |  FROM a),
+         |reg AS (SELECT doc_id, CASE
+         |    WHEN host IS NULL THEN ''
+         |    WHEN regexp_matches(host,
+         |      '^[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+$$') THEN host
+         |    WHEN len(string_split(host, '.')) <= 2 THEN host
+         |    WHEN (string_split(host, '.')[-2] || '.' ||
+         |          string_split(host, '.')[-1]) IN ($suffixes)
+         |      THEN string_split(host, '.')[-3] || '.' ||
+         |           string_split(host, '.')[-2] || '.' ||
+         |           string_split(host, '.')[-1]
+         |    ELSE string_split(host, '.')[-2] || '.' ||
+         |         string_split(host, '.')[-1] END AS reg_host
+         |  FROM hb)
+         |SELECT a.doc_id,
+         |  CASE WHEN NOT isurl THEN s0
+         |       ELSE sch || '://' || auth || pf.p || qf.q2 END AS url_canon,
+         |  reg.reg_host
+         |FROM a LEFT JOIN pf USING (doc_id)
+         |  JOIN qf USING (doc_id) JOIN reg USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
+    },
 
     // the cap is a count-cumulative <= N over the same seeded md5 order
     "p50_cap_per_group" ->

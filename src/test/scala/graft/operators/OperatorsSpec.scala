@@ -1067,6 +1067,67 @@ class OperatorsSpec extends SparkTestBase {
     assert(s2.get((6L, 7L)).exists(_ == 12L), s2)
   }
 
+  test("URL canonicalization: adversarial shapes normalize exactly; " +
+      "registrable host keys by eTLD+1") {
+    val cases = Seq(
+      // dot segments + uppercase + default port + tracking + fragment
+      ("HTTP://WWW.Example.COM:80/a/b/../c/./d.html?utm_source=f&id=7#x",
+        "http://www.example.com/a/c/d.html?id=7", "example.com"),
+      // duplicate slashes, ccTLD, all-tracking query loses its '?'
+      ("https://Sub.Host.co.uk:443/p//q/../r/?fbclid=z",
+        "https://sub.host.co.uk/p/r/", "host.co.uk"),
+      // empty path -> '/'
+      ("http://example.org", "http://example.org/", "example.org"),
+      // non-default port kept; IPv4 registrable = whole address
+      ("http://192.168.1.9:8080/a/../b#frag",
+        "http://192.168.1.9:8080/b", "192.168.1.9"),
+      // leading ../ escapes clamp at root; lone /.. too
+      ("http://h.net/../../a", "http://h.net/a", "h.net"),
+      ("http://h.net/a/..", "http://h.net/", "h.net"),
+      // dotted-but-not-dot segments are ordinary segments
+      ("http://h.net/.well-known/../x/..hidden",
+        "http://h.net/x/..hidden", "h.net"),
+      // userinfo stripped from the host key, kept in the canon URL
+      ("http://user:pw@deep.sub.example.co.jp/x",
+        "http://user:pw@deep.sub.example.co.jp/x", "example.co.jp"),
+      // non-URL passes through trimmed; no host
+      ("  not a url at all 9  ", "not a url at all 9", ""),
+      // bare host input: registrable works, canon passes through
+      ("Sub.Domain.ORG", "Sub.Domain.ORG", "domain.org"))
+    val df = cases.zipWithIndex
+      .map { case ((u, _, _), i) => (i.toLong, u) }.toDF("i", "url")
+    val out = df.select(col("i"),
+        UrlOps.canonicalizeUrl(col("url")).as("c"),
+        UrlOps.registrableHost(col("url")).as("h"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2)))
+      .toMap
+    cases.zipWithIndex.foreach { case ((u, canon, host), i) =>
+      assert(out(i.toLong)._1 == canon,
+        s"canon[$u]: got ${out(i.toLong)._1}, want $canon")
+      assert(out(i.toLong)._2 == host,
+        s"host[$u]: got ${out(i.toLong)._2}, want $host")
+    }
+  }
+
+  test("registrable host composes as the group key for per-domain " +
+      "capping (the crawl-curation front door)") {
+    // 30 URLs over 2 registrable domains (many subdomains each);
+    // capPerGroup keyed on the derived registrable_host must bind per
+    // DOMAIN, not per subdomain
+    val urls = (0 until 30).map { i =>
+      val dom = if (i % 2 == 0) "alpha.com" else "beta.co.uk"
+      (i.toLong, s"https://sub$i.$dom/page/$i?utm_source=x")
+    }.toDF("doc_id", "url")
+    val keyed = UrlOps.keyByDomain(urls, "url")
+    val capped = Curation.capPerGroup(
+      keyed.select("doc_id", "registrable_host"),
+      "registrable_host", "doc_id", maxPerGroup = 5, seed = 1)
+    val byDom = capped.collect().groupBy(_.getString(1))
+    assert(byDom.keySet == Set("alpha.com", "beta.co.uk"), byDom.keySet)
+    assert(byDom.values.forall(_.length == 5),
+      byDom.view.mapValues(_.length).toMap)
+  }
+
   test("dsirImportance: hand-computed log importance weights and " +
       "integer sufficient statistics") {
     // target "a b a b": bigram occurrences {a b: 2, b a: 1}, T=3
