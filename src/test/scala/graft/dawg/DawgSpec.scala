@@ -171,12 +171,66 @@ class DawgSpec extends SparkTestBase {
     }
   }
 
+  // ------------------------------------------- replayed-remote fixture
+
+  /** Canned remote behaviors for the `service-result` group — the
+    * SERVICE failure modes a loopback-self federation can never
+    * produce (error status, malformed result syntax, a stream cut
+    * mid-payload) plus a healthy recorded response, replayed by path.
+    * Queries in that group carry the placeholder authority
+    * `http://fixture.invalid`, rewritten to this live server when the
+    * test runs, so the fixtures stay ordinary DAWG artifacts. */
+  @volatile private var fixtureStarted = false
+  private lazy val fixtureServer: com.sun.net.httpserver.HttpServer = {
+    import java.nio.charset.StandardCharsets.UTF_8
+    val hs = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("localhost", 0), 0)
+    def canned(code: Int, body: String)
+        : com.sun.net.httpserver.HttpHandler = ex => {
+      try {
+        val b = body.getBytes(UTF_8)
+        ex.sendResponseHeaders(code, b.length)
+        ex.getResponseBody.write(b)
+      } catch { case _: Exception => () }
+      finally ex.close()
+    }
+    hs.createContext("/e500/sparql/", canned(500, "internal error"))
+    hs.createContext("/malformed/sparql/",
+      canned(200, "?s\t?age\n<urn:unclosed\t\"5\"\n"))
+    hs.createContext("/empty/sparql/", canned(200, "?s\t?age\n"))
+    hs.createContext("/ages/sparql/", canned(200,
+      "?s\t?age\n<urn:a>\t\"4\"^^<http://www.w3.org/2001/XMLSchema#integer>\n"))
+    hs.createContext("/cut/sparql/", ex => {
+      // promise more bytes than are sent, then close: the client sees
+      // a premature EOF (Content-Length mismatch) inside the body read
+      try {
+        val partial = "?s\t?age\n<urn:a>\t\"4".getBytes(UTF_8)
+        ex.sendResponseHeaders(200, partial.length + 64)
+        ex.getResponseBody.write(partial)
+        ex.getResponseBody.flush()
+      } catch { case _: Exception => () }
+      finally ex.close()
+    })
+    hs.start()
+    fixtureStarted = true
+    hs
+  }
+
+  override def afterAll(): Unit = {
+    if (fixtureStarted) fixtureServer.stop(0)
+    super.afterAll()
+  }
+
   private def runTest(queryPath: String, data: List[String],
                       named: List[(String, String)], resultPath: String)
       : Option[String] = {
     val query = {
       val src = scala.io.Source.fromFile(queryPath, "UTF-8")
-      try src.mkString finally src.close()
+      val raw = try src.mkString finally src.close()
+      if (raw.contains("http://fixture.invalid"))
+        raw.replace("http://fixture.invalid",
+          s"http://localhost:${fixtureServer.getAddress.getPort}")
+      else raw
     }
     val store = loadStore(data, named)
     val resBase = "file://" + resultPath
