@@ -381,6 +381,55 @@ object TextAnalysis {
           .as("tv"))
   }
 
+  /** Gopher-style document quality rules (Rae et al. 2021, "Scaling
+    * Language Models: Methods, Analysis & Insights from Training
+    * Gopher", Table A1) — the standard doc-level heuristic filter
+    * battery for web-crawl curation. Emits EXACT INTEGER sufficient
+    * statistics per document plus the pass verdict derived from them
+    * with integer-only comparisons (mean word length ∈ [3,10] is
+    * `3·n ≤ Σlen ≤ 10·n` — no float ever hashes in the gate):
+    *
+    *   - `n_words` ∈ [minWords, maxWords] (Gopher: 50..100k);
+    *   - mean word length ∈ [3, 10];
+    *   - hash-symbol and ellipsis symbol-to-word ratios ≤ 0.1
+    *     (`10·n_hash ≤ n_words`, `10·n_ellipsis ≤ n_words`);
+    *   - ≥ 80% of words contain an alphabetic character
+    *     (`5·n_alpha ≥ 4·n_words`);
+    *   - ≥ 2 distinct members of the required-stopword set
+    *     {the, be, to, of, and, that, have, with}.
+    *
+    * Map-only codegen'd column expressions — one pass, no shuffle, no
+    * UDF; the whole battery is a projection at 100 TB. Tokenization is
+    * the engine-wide lowered whitespace split, so the thresholds mean
+    * the same thing here as in every other text operator. */
+  def gopherQuality(df: DataFrame, idCol: String, textCol: String,
+                    minWords: Int = 50, maxWords: Int = 100000)
+      : DataFrame = {
+    val t = col(textCol)
+    val ws = words(t)
+    val nWords = size(ws).cast("long")
+    val sumLen = coalesce(aggregate(ws, lit(0L),
+      (acc, w) => acc + length(w).cast("long")), lit(0L))
+    val nAlpha = size(filter(ws, w => w.rlike("[a-z]"))).cast("long")
+    val nHash = (length(t) - length(replace(t, lit("#"), lit(""))))
+      .cast("long")
+    val nEll = ((length(t) - length(replace(t, lit("..."), lit("")))) / 3)
+      .cast("long")
+    val stops = array(Seq("the", "be", "to", "of", "and", "that",
+      "have", "with").map(lit): _*)
+    val nStop = size(array_intersect(array_distinct(ws), stops))
+      .cast("long")
+    val pass = nWords >= minWords && nWords <= maxWords &&
+      sumLen >= nWords * 3 && sumLen <= nWords * 10 &&
+      nHash * 10 <= nWords && nEll * 10 <= nWords &&
+      nAlpha * 5 >= nWords * 4 && nStop >= 2
+    df.select(col(idCol).as("id"),
+      nWords.as("n_words"), sumLen.as("sum_word_len"),
+      nAlpha.as("n_alpha_words"), nHash.as("n_hash"),
+      nEll.as("n_ellipsis"), nStop.as("n_stopwords"),
+      pass.as("gopher_pass"))
+  }
+
   /** Canonical text normalization — the first pass of a crawl-ingest
     * pipeline, run BEFORE dedup/shingling so composed-vs-decomposed
     * Unicode (é vs e+◌́), stray control characters and ragged whitespace

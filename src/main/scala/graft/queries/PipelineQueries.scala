@@ -594,6 +594,16 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // Gopher doc-quality rule battery (Rae et al. 2021 Table A1):
+    // exact integer sufficient statistics + an integer-only pass
+    // verdict (the word-count floor BINDS on this corpus)
+    "p54_gopher_quality" -> ((s, d) =>
+      TextAnalysis.gopherQuality(t(s, d, "documents"), "doc_id", "text")
+        .select(col("id").as("doc_id"), col("n_words"),
+          col("sum_word_len"), col("n_alpha_words"), col("n_hash"),
+          col("n_ellipsis"), col("n_stopwords"), col("gopher_pass"))
+        .orderBy("doc_id")),
+
     // per-source frequency capping (domain caps): at most 17 docs per
     // source (sources carry 25 docs at the smallest gate SF, so the cap
     // BINDS at every scale), chosen by the seeded portable shuffle order
@@ -1728,6 +1738,38 @@ object PipelineQueries {
          |  JOIN qf USING (doc_id) JOIN reg USING (doc_id)
          |ORDER BY doc_id""".stripMargin
     },
+
+    // same lowered whitespace tokens; every stat an exact integer, the
+    // verdict integer comparisons only (mean-word-length bounds as
+    // 3n <= sum <= 10n)
+    "p54_gopher_quality" ->
+      """WITH ws AS (SELECT doc_id, text,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |      x -> len(x) > 0) AS ws
+        |  FROM documents),
+        |m AS (SELECT doc_id,
+        |    CAST(len(ws) AS BIGINT) AS n_words,
+        |    CAST(coalesce(list_sum(list_transform(ws, w -> len(w))), 0)
+        |      AS BIGINT) AS sum_word_len,
+        |    CAST(len(list_filter(ws, w -> regexp_matches(w, '[a-z]')))
+        |      AS BIGINT) AS n_alpha_words,
+        |    CAST(len(text) - len(replace(text, '#', '')) AS BIGINT)
+        |      AS n_hash,
+        |    CAST((len(text) - len(replace(text, '...', ''))) // 3
+        |      AS BIGINT) AS n_ellipsis,
+        |    CAST(len(list_intersect(list_distinct(ws),
+        |      ['the','be','to','of','and','that','have','with']))
+        |      AS BIGINT) AS n_stopwords
+        |  FROM ws)
+        |SELECT doc_id, n_words, sum_word_len, n_alpha_words, n_hash,
+        |  n_ellipsis, n_stopwords,
+        |  (n_words >= 50 AND n_words <= 100000
+        |   AND sum_word_len >= n_words * 3
+        |   AND sum_word_len <= n_words * 10
+        |   AND n_hash * 10 <= n_words AND n_ellipsis * 10 <= n_words
+        |   AND n_alpha_words * 5 >= n_words * 4
+        |   AND n_stopwords >= 2) AS gopher_pass
+        |FROM m ORDER BY doc_id""".stripMargin,
 
     // the cap is a count-cumulative <= N over the same seeded md5 order
     "p50_cap_per_group" ->

@@ -1128,6 +1128,40 @@ class OperatorsSpec extends SparkTestBase {
       byDom.view.mapValues(_.length).toMap)
   }
 
+  test("gopherQuality: each rule fires on its adversarial doc, clean " +
+      "doc passes") {
+    val clean = ("the quick brown fox jumps over and over with that " +
+      "lazy dog of ours to be sure ") * 3 // 54 words, all alpha, stops
+    val docs = Seq(
+      (0L, clean),                                  // passes everything
+      (1L, "the of " + ("word " * 10)),             // 12 words: too few
+      (2L, clean + ("#tag " * 12)),                 // hash ratio > 0.1
+      (3L, clean + ("... " * 12)),                  // ellipsis ratio
+      (4L, clean.replace("the ", "12345 ")
+        .replace("that ", "9 ").replace("to ", "8 ")
+        .replace("and ", "7 ").replace("of ", "6 ")
+        .replace("with ", "5 ").replace("be ", "4 ")), // no stopwords
+      (5L, ("the of be to " + "a " * 60)))          // mean word len < 3
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.gopherQuality(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(6), r.getBoolean(7)))
+      .toMap
+    assert(out(0L)._4, s"clean doc must pass: ${out(0L)}")
+    assert(!out(1L)._4 && out(1L)._1 == 12L, out(1L))
+    assert(!out(2L)._4, out(2L))
+    assert(!out(3L)._4, out(3L))
+    assert(!out(4L)._4 && out(4L)._3 < 2L, out(4L))
+    assert(!out(5L)._4, out(5L))
+    // integer stats spot-check on a tiny doc: "the be ##" ->
+    // 3 words, sum len 3+2+2, 2 alpha words, 2 hashes, 2 stopwords
+    val tiny = TextAnalysis.gopherQuality(
+      Seq((9L, "the be ##")).toDF("doc_id", "text"), "doc_id", "text")
+      .collect()(0)
+    assert((tiny.getLong(1), tiny.getLong(2), tiny.getLong(3),
+      tiny.getLong(4), tiny.getLong(6)) == ((3L, 7L, 2L, 2L, 2L)), tiny)
+  }
+
   test("dsirImportance: hand-computed log importance weights and " +
       "integer sufficient statistics") {
     // target "a b a b": bigram occurrences {a b: 2, b a: 1}, T=3
