@@ -213,4 +213,5 @@ object F {
     c(MatchSpanFp(e(ha), e(hb), e(fp)))
   def canonicalizeUrl(url: Column): Column = c(CanonicalizeUrl(e(url)))
   def registrableHost(url: Column): Column = c(RegistrableHost(e(url)))
+  def parseNtQuad(line: Column): Column = c(ParseNtQuad(e(line)))
 }

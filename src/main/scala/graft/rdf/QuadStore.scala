@@ -416,30 +416,26 @@ object QuadStore {
     }
   }
 
-  /** Distributed N-Triples / N-Quads reader. */
+  /** Distributed N-Triples / N-Quads reader — the native codegen parse
+    * ([[graft.streaming.StreamIngest.parseNtLines]]) with the default
+    * graph and the per-document bnode scope applied as column
+    * expressions, exactly like the GSP import path. */
   def fromNTriples(spark: SparkSession, path: String,
                    graph: String = "", scope: String = ""): QuadStore = {
-    import spark.implicits._
-    val flat = spark.read.textFile(path).flatMap { line =>
-      NTriples.parseLine(line).map { case (s, p, o, g) =>
-        def bl(b: String): String = Turtle.scopeLabel(b, scope)
-        val (sk, sl) = s match {
-          case Uri(v) => (1, v); case BNode(b) => (2, bl(b))
-          case _ => (0, "")
-        }
-        val pl = p match { case Uri(v) => v; case _ => "" }
-        val (ok, ol, od, og) = o match {
-          case Uri(v) => (1, v, "", "")
-          case BNode(b) => (2, bl(b), "", "")
-          case Lit(lex, dt, lang) => (0, lex, dt, lang)
-        }
-        val gl = g match {
-          case Some(Uri(v)) => v
-          case _ => graph
-        }
-        FlatQuad(gl, sk, sl, pl, ok, ol, od, og)
+    val flat0 = graft.streaming.StreamIngest
+      .parseNtLines(spark.read.textFile(path))
+      .withColumn("gLex",
+        when(col("gLex") === "", lit(graph)).otherwise(col("gLex")))
+    val flat =
+      if (scope.isEmpty) flat0
+      else {
+        val suffix = Turtle.scopeSuffix(scope)
+        flat0
+          .withColumn("sLex", when(col("sKind") === 2,
+            concat(col("sLex"), lit(suffix))).otherwise(col("sLex")))
+          .withColumn("oLex", when(col("oKind") === 2,
+            concat(col("oLex"), lit(suffix))).otherwise(col("oLex")))
       }
-    }.toDF()
     fromFlat(spark, flat)
   }
 

@@ -14,25 +14,23 @@ import graft.rdf._
 object StreamIngest {
 
   /** Parse a stream of N-Triples/N-Quads lines into flat quad rows
-    * (same row shape the batch importer uses). */
-  def parseNtLines(lines: Dataset[String]): DataFrame = {
-    import lines.sparkSession.implicits._
-    lines.flatMap { line =>
-      NTriples.parseLine(line).map { case (s, p, o, g) =>
-        val (sk, sl) = s match {
-          case Uri(v) => (1, v); case BNode(b) => (2, b); case _ => (0, "")
-        }
-        val pl = p match { case Uri(v) => v; case _ => "" }
-        val (ok, ol, od, og) = o match {
-          case Uri(v) => (1, v, "", "")
-          case BNode(b) => (2, b, "", "")
-          case Lit(lex, dt, lang) => (0, lex, dt, lang)
-        }
-        val gl = g match { case Some(Uri(v)) => v; case _ => "" }
-        FlatQuad(gl, sk, sl, pl, ok, ol, od, og)
-      }
-    }.toDF()
-  }
+    * (same row shape the batch importer uses). One codegen'd native
+    * expression ([[graft.functions.ParseNtQuad]]) instead of a typed
+    * flatMap: the old shape split every import plan into
+    * DeserializeToObject → MapPartitions → SerializeFromObject — a
+    * whole-stage-codegen break plus an encoder round trip per
+    * statement. The struct projects FIRST (one parse per row —
+    * codegen CSE shares the child across the eight field extracts)
+    * and the dirty-line filter tests a PROJECTED column, so predicate
+    * pushdown cannot substitute the parse into a second evaluation. */
+  def parseNtLines(lines: Dataset[String]): DataFrame =
+    lines.toDF("line")
+      .select(graft.functions.F.parseNtQuad(col("line")).as("q"))
+      .select(col("q.gLex").as("gLex"), col("q.sKind").as("sKind"),
+        col("q.sLex").as("sLex"), col("q.pLex").as("pLex"),
+        col("q.oKind").as("oKind"), col("q.oLex").as("oLex"),
+        col("q.oDt").as("oDt"), col("q.oLang").as("oLang"))
+      .filter(col("pLex").isNotNull)
 
   /** Flat rows -> RID quads (columnar hashing, identical to batch). */
   def toQuads(flat: DataFrame): DataFrame = flat.select(
