@@ -93,6 +93,33 @@ object GraftFunctions {
       "graft_vec_cosine(a, b) — cosine similarity of float/double " +
         "arrays") {
       case Seq(a, b) => VecCosine(a, b)
+    },
+    fn("graft_lang_id",
+      "graft_lang_id(text) — heuristic language id (CJK share + " +
+        "stopword profiles); NULL in, NULL out") {
+      case Seq(t) => LangId(t)
+    },
+    fn("graft_canonicalize_url",
+      "graft_canonicalize_url(url) — RFC 3986-style canonical form " +
+        "(case, default ports, dot segments, tracking params, " +
+        "fragment); non-URLs pass through trimmed") {
+      case Seq(u) => CanonicalizeUrl(u)
+    },
+    fn("graft_registrable_host",
+      "graft_registrable_host(url_or_host) — eTLD+1 registrable " +
+        "domain; '' for non-URLs") {
+      case Seq(u) => RegistrableHost(u)
+    },
+    fn("graft_match_span_fp",
+      "graft_match_span_fp(ha, hb, fp) — longest matched gram run " +
+        "through shared fingerprint fp over two positional gram-hash " +
+        "arrays") {
+      case Seq(a, b, f) => MatchSpanFp(a, b, f)
+    },
+    fn("graft_parse_nt_quad",
+      "graft_parse_nt_quad(line) — N-Triples/N-Quads line as a flat " +
+        "import struct; NULL for comments/blank/dirty lines") {
+      case Seq(l) => ParseNtQuad(l)
     }
   )
 

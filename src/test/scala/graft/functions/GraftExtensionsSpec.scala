@@ -57,6 +57,28 @@ class GraftExtensionsSpec extends SparkTestBase {
     assert(math.abs(got.getDouble(1) - 1.0) < 1e-12)
   }
 
+  test("round-11 kernels work from SQL: lang id, URL, span, NT parse") {
+    val got = spark.sql(
+      """SELECT graft_lang_id('the cat and the dog are in the house'),
+        |  graft_canonicalize_url(
+        |    'HTTP://Ex.COM:80/a/b/../c?utm_source=x&id=1#f'),
+        |  graft_registrable_host('https://sub.host.co.uk/x'),
+        |  graft_match_span_fp(array(1L, 2L, 3L, 4L),
+        |                      array(9L, 2L, 3L, 4L), 3L),
+        |  graft_parse_nt_quad('<urn:s> <urn:p> "v"@en .')"""
+        .stripMargin).first()
+    assert(got.getString(0) == "en")
+    assert(got.getString(1) == "http://ex.com/a/c?id=1")
+    assert(got.getString(2) == "host.co.uk")
+    assert(got.getInt(3) == 3) // run 2,3,4 through anchor fp=3
+    val q = got.getStruct(4)
+    assert(q.getAs[String]("sLex") == "urn:s" &&
+      q.getAs[String]("pLex") == "urn:p" &&
+      q.getAs[Int]("oKind") == 0 &&
+      q.getAs[String]("oLex") == "v" &&
+      q.getAs[String]("oLang") == "en", q.toString)
+  }
+
   test("non-literal k is rejected with a clear message") {
     val e = intercept[Exception] {
       spark.sql("SELECT graft_shingle_hashes('a b c', length('xx'))")
