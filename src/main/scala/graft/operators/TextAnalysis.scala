@@ -395,15 +395,19 @@ object TextAnalysis {
     *     (`10·n_hash ≤ n_words`, `10·n_ellipsis ≤ n_words`);
     *   - ≥ 80% of words contain an alphabetic character
     *     (`5·n_alpha ≥ 4·n_words`);
-    *   - ≥ 2 distinct members of the required-stopword set
-    *     {the, be, to, of, and, that, have, with}.
+    *   - ≥ `minStopwords` (Gopher: 2) distinct members of the
+    *     required-stopword set {the, be, to, of, and, that, have,
+    *     with} — tunable like the other thresholds, since the right
+    *     floor depends on the corpus's register (Gopher itself tuned
+    *     its thresholds per corpus).
     *
     * Map-only codegen'd column expressions — one pass, no shuffle, no
     * UDF; the whole battery is a projection at 100 TB. Tokenization is
     * the engine-wide lowered whitespace split, so the thresholds mean
     * the same thing here as in every other text operator. */
-  def gopherQuality(df: DataFrame, idCol: String, textCol: String,
-                    minWords: Int = 50, maxWords: Int = 100000)
+  def gopherQuality(df: DataFrame, textCol: String,
+                    minWords: Int = 50, maxWords: Int = 100000,
+                    minStopwords: Int = 2)
       : DataFrame = {
     val t = col(textCol)
     val ws = words(t)
@@ -422,12 +426,14 @@ object TextAnalysis {
     val pass = nWords >= minWords && nWords <= maxWords &&
       sumLen >= nWords * 3 && sumLen <= nWords * 10 &&
       nHash * 10 <= nWords && nEll * 10 <= nWords &&
-      nAlpha * 5 >= nWords * 4 && nStop >= 2
-    df.select(col(idCol).as("id"),
+      nAlpha * 5 >= nWords * 4 && nStop >= minStopwords
+    // input columns pass through so the battery composes as a filter
+    // stage (url-keyed crawl flows cap AFTER quality gating)
+    df.select(df.columns.map(col) ++ Seq(
       nWords.as("n_words"), sumLen.as("sum_word_len"),
       nAlpha.as("n_alpha_words"), nHash.as("n_hash"),
       nEll.as("n_ellipsis"), nStop.as("n_stopwords"),
-      pass.as("gopher_pass"))
+      pass.as("gopher_pass")): _*)
   }
 
   /** Canonical text normalization — the first pass of a crawl-ingest

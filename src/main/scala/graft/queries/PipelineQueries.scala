@@ -17,6 +17,34 @@ object PipelineQueries {
 
   private def t(s: SparkSession, d: String, n: String) = Tables.t(s, d, n)
 
+  /** Adversarial crawl-URL template derived deterministically from
+    * doc_id — shared by the p53 gate, the p55 composition, and (CASE
+    * for CASE) their DuckDB oracles: uppercase schemes/hosts, default
+    * and non-default ports, duplicate slashes, ./ and ../ segments,
+    * tracking params, fragments, multi-part ccTLDs, an IPv4 literal,
+    * and a non-URL. */
+  private def crawlUrl: org.apache.spark.sql.Column = {
+    val m5 = (col("doc_id") % 5).cast("string")
+    val ids = col("doc_id").cast("string")
+    val t8 = col("doc_id") % 8
+    when(t8 === 0, concat(lit("HTTP://WWW.Example"), m5,
+        lit(".COM:80/a/b/../c/./d.html?utm_source=feed&id="), ids,
+        lit("#frag")))
+      .when(t8 === 1, concat(lit("https://Sub.Host"), m5,
+        lit(".co.uk:443/path//to/../x/?fbclid=abc"), ids))
+      .when(t8 === 2, concat(lit("http://example"), m5, lit(".org")))
+      .when(t8 === 3, concat(lit("https://www.site"), m5,
+        lit(".com.au/deep/./../a/b/c?id="), ids,
+        lit("&utm_campaign=x&gclid=g")))
+      .when(t8 === 4, concat(lit("http://192.168.1."), m5,
+        lit(":8080/a/../b#x")))
+      .when(t8 === 5, concat(lit("https://blog.example"), m5,
+        lit(".net/a/b/c/")))
+      .when(t8 === 6, concat(lit("HTTPS://X"), m5,
+        lit(".IO:443/~user/../home?x=1&y=2")))
+      .otherwise(concat(lit("not a url at all "), ids))
+  }
+
   /** Per-JVM cache of the shared near-dup pair graph (k=3, 0.5): four
     * gates (p02 pairs, p15 components, p18 triangles, p40 pagerank)
     * consume the SAME similarity join; like SparqlQueries' store cache,
@@ -566,43 +594,47 @@ object PipelineQueries {
     // IPv4 literal, and a non-URL) — every rewrite mirrored verbatim
     // in the DuckDB oracle, so cross-engine agreement is by
     // construction (see functions.UrlKernel)
-    "p53_url_canonicalize" -> ((s, d) => {
-      val m5 = (col("doc_id") % 5).cast("string")
-      val ids = col("doc_id").cast("string")
-      val t8 = col("doc_id") % 8
-      val url =
-        when(t8 === 0, concat(lit("HTTP://WWW.Example"), m5,
-          lit(".COM:80/a/b/../c/./d.html?utm_source=feed&id="), ids,
-          lit("#frag")))
-        .when(t8 === 1, concat(lit("https://Sub.Host"), m5,
-          lit(".co.uk:443/path//to/../x/?fbclid=abc"), ids))
-        .when(t8 === 2, concat(lit("http://example"), m5, lit(".org")))
-        .when(t8 === 3, concat(lit("https://www.site"), m5,
-          lit(".com.au/deep/./../a/b/c?id="), ids,
-          lit("&utm_campaign=x&gclid=g")))
-        .when(t8 === 4, concat(lit("http://192.168.1."), m5,
-          lit(":8080/a/../b#x")))
-        .when(t8 === 5, concat(lit("https://blog.example"), m5,
-          lit(".net/a/b/c/")))
-        .when(t8 === 6, concat(lit("HTTPS://X"), m5,
-          lit(".IO:443/~user/../home?x=1&y=2")))
-        .otherwise(concat(lit("not a url at all "), ids))
-      t(s, d, "documents").select(col("doc_id"), url.as("url"))
+    "p53_url_canonicalize" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"), crawlUrl.as("url"))
         .select(col("doc_id"),
           UrlOps.canonicalizeUrl(col("url")).as("url_canon"),
           UrlOps.registrableHost(col("url")).as("reg_host"))
-        .orderBy("doc_id")
-    }),
+        .orderBy("doc_id")),
 
     // Gopher doc-quality rule battery (Rae et al. 2021 Table A1):
     // exact integer sufficient statistics + an integer-only pass
-    // verdict (the word-count floor BINDS on this corpus)
+    // verdict (the word-count floor BINDS on this corpus; the verdict's
+    // TRUE branch binds in p55 and in OperatorsSpec — this synthetic
+    // corpus carries only "the" from the required-stopword set, so the
+    // paper-default minStopwords=2 rejects every doc here)
     "p54_gopher_quality" -> ((s, d) =>
-      TextAnalysis.gopherQuality(t(s, d, "documents"), "doc_id", "text")
-        .select(col("id").as("doc_id"), col("n_words"),
+      TextAnalysis.gopherQuality(
+          t(s, d, "documents").select("doc_id", "text"), "text")
+        .select(col("doc_id"), col("n_words"),
           col("sum_word_len"), col("n_alpha_words"), col("n_hash"),
           col("n_ellipsis"), col("n_stopwords"), col("gopher_pass"))
         .orderBy("doc_id")),
+
+    // the crawl-curation front door COMPOSED: doc_id-derived URLs ->
+    // registrable-host keying -> Gopher quality filter -> per-domain
+    // frequency cap (the p53 + p54 + p50 operators in one DAG).
+    // minStopwords = 1: the corpus carries only "the" from the
+    // required set, so the paper default of 2 would pass NOTHING —
+    // thresholds are corpus-tuned (as in the paper itself), and 1
+    // keeps every other rule binding (the word floor rejects ~45%,
+    // the host filter drops the non-URL template)
+    "p55_crawl_curate" -> ((s, d) => {
+      val keyed = t(s, d, "documents")
+        .select(col("doc_id"), col("text"), crawlUrl.as("url"))
+        .withColumn("reg_host", UrlOps.registrableHost(col("url")))
+      val good = TextAnalysis.gopherQuality(keyed, "text",
+          minStopwords = 1)
+        .filter(col("gopher_pass") && col("reg_host") =!= "")
+        .select("doc_id", "reg_host")
+      Curation.capPerGroup(good, "reg_host", "doc_id",
+          maxPerGroup = 5, seed = 7)
+        .orderBy("doc_id")
+    }),
 
     // per-source frequency capping (domain caps): at most 17 docs per
     // source (sources carry 25 docs at the smallest gate SF, so the cap
@@ -1738,6 +1770,98 @@ object PipelineQueries {
          |  JOIN qf USING (doc_id) JOIN reg USING (doc_id)
          |ORDER BY doc_id""".stripMargin
     },
+
+    // p53's authority/registrable-host CTEs + p54's verdict (with the
+    // composition's minStopwords=1) + p50's seeded cumulative cap,
+    // composed; the path/query CTEs are not needed — only the host key
+    // survives into the cap
+    "p55_crawl_curate" ->
+      """WITH src AS (SELECT doc_id, text,
+        |    CASE doc_id % 8
+        |      WHEN 0 THEN 'HTTP://WWW.Example' || (doc_id % 5) || '.COM:80/a/b/../c/./d.html?utm_source=feed&id=' || doc_id || '#frag'
+        |      WHEN 1 THEN 'https://Sub.Host' || (doc_id % 5) || '.co.uk:443/path//to/../x/?fbclid=abc' || doc_id
+        |      WHEN 2 THEN 'http://example' || (doc_id % 5) || '.org'
+        |      WHEN 3 THEN 'https://www.site' || (doc_id % 5) || '.com.au/deep/./../a/b/c?id=' || doc_id || '&utm_campaign=x&gclid=g'
+        |      WHEN 4 THEN 'http://192.168.1.' || (doc_id % 5) || ':8080/a/../b#x'
+        |      WHEN 5 THEN 'https://blog.example' || (doc_id % 5) || '.net/a/b/c/'
+        |      WHEN 6 THEN 'HTTPS://X' || (doc_id % 5) || '.IO:443/~user/../home?x=1&y=2'
+        |      ELSE 'not a url at all ' || doc_id END AS url
+        |  FROM documents),
+        |t AS (SELECT doc_id, text, trim(url) AS s0 FROM src),
+        |nf AS (SELECT doc_id, text, s0,
+        |    CASE WHEN strpos(s0, '#') > 0
+        |      THEN substr(s0, 1, strpos(s0, '#') - 1) ELSE s0 END AS s
+        |  FROM t),
+        |m AS (SELECT doc_id, text, s0,
+        |    regexp_matches(s, '^[A-Za-z][A-Za-z0-9+.-]*://') AS isurl,
+        |    lower(regexp_extract(s, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?]*)(.*)$', 1)) AS sch,
+        |    lower(regexp_extract(s, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?]*)(.*)$', 2)) AS auth0
+        |  FROM nf),
+        |a AS (SELECT doc_id, text, s0, isurl,
+        |    CASE WHEN sch = 'http' AND auth0 LIKE '%:80'
+        |           THEN substr(auth0, 1, len(auth0) - 3)
+        |         WHEN sch = 'https' AND auth0 LIKE '%:443'
+        |           THEN substr(auth0, 1, len(auth0) - 4)
+        |         ELSE auth0 END AS auth
+        |  FROM m),
+        |hb AS (SELECT doc_id, text, CASE
+        |    WHEN isurl THEN regexp_replace(regexp_replace(auth,
+        |      '^.*@', ''), ':[0-9]+$', '')
+        |    WHEN regexp_matches(s0, '^[A-Za-z0-9.-]+$')
+        |      THEN regexp_replace(regexp_replace(lower(s0),
+        |        '^.*@', ''), ':[0-9]+$', '')
+        |    ELSE NULL END AS host
+        |  FROM a),
+        |reg AS (SELECT doc_id, text, CASE
+        |    WHEN host IS NULL THEN ''
+        |    WHEN regexp_matches(host,
+        |      '^[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+$') THEN host
+        |    WHEN len(string_split(host, '.')) <= 2 THEN host
+        |    WHEN (string_split(host, '.')[-2] || '.' ||
+        |          string_split(host, '.')[-1]) IN
+        |      ('ac.uk','co.in','co.jp','co.kr','co.nz','co.uk','co.za',
+        |       'com.ar','com.au','com.br','com.cn','com.mx','com.sg',
+        |       'com.tr','com.tw','gov.uk','ne.jp','net.au','or.jp',
+        |       'org.au','org.uk')
+        |      THEN string_split(host, '.')[-3] || '.' ||
+        |           string_split(host, '.')[-2] || '.' ||
+        |           string_split(host, '.')[-1]
+        |    ELSE string_split(host, '.')[-2] || '.' ||
+        |         string_split(host, '.')[-1] END AS reg_host
+        |  FROM hb),
+        |tok AS (SELECT doc_id, reg_host, text,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |      x -> len(x) > 0) AS ws
+        |  FROM reg),
+        |gq AS (SELECT doc_id, reg_host,
+        |    CAST(len(ws) AS BIGINT) AS n_words,
+        |    CAST(coalesce(list_sum(list_transform(ws, w -> len(w))), 0)
+        |      AS BIGINT) AS sum_word_len,
+        |    CAST(len(list_filter(ws, w -> regexp_matches(w, '[a-z]')))
+        |      AS BIGINT) AS n_alpha_words,
+        |    CAST(len(text) - len(replace(text, '#', '')) AS BIGINT)
+        |      AS n_hash,
+        |    CAST((len(text) - len(replace(text, '...', ''))) // 3
+        |      AS BIGINT) AS n_ellipsis,
+        |    CAST(len(list_intersect(list_distinct(ws),
+        |      ['the','be','to','of','and','that','have','with']))
+        |      AS BIGINT) AS n_stopwords
+        |  FROM tok),
+        |good AS (SELECT doc_id, reg_host FROM gq
+        |  WHERE n_words >= 50 AND n_words <= 100000
+        |    AND sum_word_len >= n_words * 3
+        |    AND sum_word_len <= n_words * 10
+        |    AND n_hash * 10 <= n_words AND n_ellipsis * 10 <= n_words
+        |    AND n_alpha_words * 5 >= n_words * 4
+        |    AND n_stopwords >= 1 AND reg_host <> ''),
+        |r AS (SELECT doc_id, reg_host,
+        |    CAST(COUNT(*) OVER (PARTITION BY reg_host
+        |      ORDER BY md5(doc_id::VARCHAR || ':7')
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS rn
+        |  FROM good)
+        |SELECT doc_id, reg_host FROM r WHERE rn <= 5
+        |ORDER BY doc_id""".stripMargin,
 
     // same lowered whitespace tokens; every stat an exact integer, the
     // verdict integer comparisons only (mean-word-length bounds as

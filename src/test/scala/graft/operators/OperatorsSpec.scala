@@ -1143,9 +1143,11 @@ class OperatorsSpec extends SparkTestBase {
         .replace("with ", "5 ").replace("be ", "4 ")), // no stopwords
       (5L, ("the of be to " + "a " * 60)))          // mean word len < 3
       .toDF("doc_id", "text")
-    val out = TextAnalysis.gopherQuality(docs, "doc_id", "text")
+    val out = TextAnalysis.gopherQuality(docs, "text")
+      .select("doc_id", "n_words", "sum_word_len", "n_stopwords",
+        "gopher_pass")
       .collect().map(r => r.getLong(0) ->
-        (r.getLong(1), r.getLong(2), r.getLong(6), r.getBoolean(7)))
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
       .toMap
     assert(out(0L)._4, s"clean doc must pass: ${out(0L)}")
     assert(!out(1L)._4 && out(1L)._1 == 12L, out(1L))
@@ -1156,10 +1158,12 @@ class OperatorsSpec extends SparkTestBase {
     // integer stats spot-check on a tiny doc: "the be ##" ->
     // 3 words, sum len 3+2+2, 2 alpha words, 2 hashes, 2 stopwords
     val tiny = TextAnalysis.gopherQuality(
-      Seq((9L, "the be ##")).toDF("doc_id", "text"), "doc_id", "text")
+        Seq((9L, "the be ##")).toDF("doc_id", "text"), "text")
+      .select("n_words", "sum_word_len", "n_alpha_words", "n_hash",
+        "n_stopwords")
       .collect()(0)
-    assert((tiny.getLong(1), tiny.getLong(2), tiny.getLong(3),
-      tiny.getLong(4), tiny.getLong(6)) == ((3L, 7L, 2L, 2L, 2L)), tiny)
+    assert((tiny.getLong(0), tiny.getLong(1), tiny.getLong(2),
+      tiny.getLong(3), tiny.getLong(4)) == ((3L, 7L, 2L, 2L, 2L)), tiny)
   }
 
   test("dsirImportance: hand-computed log importance weights and " +
