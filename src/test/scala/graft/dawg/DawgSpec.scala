@@ -198,8 +198,11 @@ class DawgSpec extends SparkTestBase {
     hs.createContext("/malformed/sparql/",
       canned(200, "?s\t?age\n<urn:unclosed\t\"5\"\n"))
     hs.createContext("/empty/sparql/", canned(200, "?s\t?age\n"))
+    // the second row's subject matches nothing locally — the join must
+    // DROP it, which the expected result file asserts by omission
     hs.createContext("/ages/sparql/", canned(200,
-      "?s\t?age\n<urn:a>\t\"4\"^^<http://www.w3.org/2001/XMLSchema#integer>\n"))
+      "?s\t?age\n<urn:a>\t\"4\"^^<http://www.w3.org/2001/XMLSchema#integer>\n" +
+      "<urn:zzz>\t\"9\"^^<http://www.w3.org/2001/XMLSchema#integer>\n"))
     hs.createContext("/cut/sparql/", ex => {
       // promise more bytes than are sent, then close: the client sees
       // a premature EOF (Content-Length mismatch) inside the body read
