@@ -1065,6 +1065,16 @@ class OperatorsSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3))
       .toMap
     assert(s2.get((6L, 7L)).exists(_ == 12L), s2)
+    // short-doc edge: fewer grams than one window (fps = [global min]):
+    // two identical 7-token docs must verify to the full 7-token span
+    val df3 = Seq(
+      (10L, "seven little tokens sit right here now"),
+      (11L, "seven little tokens sit right here now"))
+      .toDF("doc_id", "text")
+    val s3 = Dedup.winnowingSpans(df3, "doc_id", "text", k = 5, w = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3))
+      .toMap
+    assert(s3.get((10L, 11L)).exists(_ == 7L), s3)
   }
 
   test("URL canonicalization: adversarial shapes normalize exactly; " +
