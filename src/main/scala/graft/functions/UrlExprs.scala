@@ -20,8 +20,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * the portable md5 hashes):
   *
   *  1. trim; strip the fragment (first `#` onward);
-  *  2. lowercase scheme and authority; strip the scheme-default port
-  *     (`:80` http, `:443` https);
+  *  2. lowercase the scheme and the HOST portion of the authority
+  *     (after the last `@` — RFC 3986 §6.2.2.1 makes only scheme and
+  *     host case-insensitive; userinfo bytes pass through verbatim);
+  *     strip the scheme-default port (`:80` http, `:443` https);
   *  3. empty path → `/`;
   *  4. dot-segment + duplicate-slash resolution as the FIXPOINT of an
   *     ordered rewrite step (see [[UrlKernel.pathStep]]);
@@ -32,18 +34,45 @@ import org.apache.spark.unsafe.types.UTF8String
   * Non-URLs (no `scheme://`) pass through trimmed, unchanged.
   *
   * Registrable host: authority minus userinfo and port; IPv4 literals
-  * stay whole; otherwise eTLD+1 against an embedded two-part-suffix
-  * subset ([[UrlKernel.TwoPartSuffixes]] — the full Public Suffix List
-  * is a network artifact; the subset covers the common ccTLD
-  * registries and is the documented tradeoff). */
+  * stay whole; otherwise eTLD+1 against a Public Suffix List snapshot
+  * ([[UrlKernel.Psl]], loaded once per JVM from the classpath resource
+  * `graft/psl_snapshot.dat` — scripts/gen_psl.py documents provenance
+  * and regeneration; the p53/p55 oracles inline the SAME resource, so
+  * cross-engine agreement is by construction). Full PSL semantics:
+  * exception rules prevail, else the longest matching normal or
+  * wildcard rule, else the default rule (last label); the registrable
+  * domain is the public suffix plus one label. POLICY: PRIVATE-section
+  * suffixes (github.io, herokuapp.com, …) are honored — for
+  * capPerGroup/leakageSafeSplit two tenants of one hosting platform
+  * are different sites, and treating the platform as one "domain" is
+  * exactly the cross-tenant leakage those operators exist to prevent.
+  * Degenerate inputs keep the old contract: a host that IS a public
+  * suffix (or a bare TLD) keys as itself. */
 object UrlKernel {
-  /** Two-part public suffixes recognized for eTLD+1 (sorted; embedded
-    * subset of the PSL, mirrored in the p53 oracle). */
-  val TwoPartSuffixes: Set[String] = Set(
-    "ac.uk", "co.in", "co.jp", "co.kr", "co.nz", "co.uk", "co.za",
-    "com.ar", "com.au", "com.br", "com.cn", "com.mx", "com.sg",
-    "com.tr", "com.tw", "gov.uk", "ne.jp", "net.au", "or.jp",
-    "org.au", "org.uk")
+  /** Parsed PSL snapshot: normal rules, wildcard bases (`x` of `*.x`),
+    * exception bases (`x` of `!x`). */
+  final class PslTable(val normal: java.util.HashSet[String],
+                       val wild: java.util.HashSet[String],
+                       val exc: java.util.HashSet[String],
+                       val rules: Seq[String])
+  val Psl: PslTable = {
+    val in = getClass.getResourceAsStream("/graft/psl_snapshot.dat")
+    require(in != null, "missing resource graft/psl_snapshot.dat")
+    val src = scala.io.Source.fromInputStream(in, "UTF-8")
+    val rules =
+      try src.getLines().map(_.trim)
+        .filter(l => l.nonEmpty && !l.startsWith("//")).toVector
+      finally src.close()
+    val n = new java.util.HashSet[String]()
+    val w = new java.util.HashSet[String]()
+    val e = new java.util.HashSet[String]()
+    rules.foreach {
+      case r if r.startsWith("!")   => e.add(r.substring(1))
+      case r if r.startsWith("*.")  => w.add(r.substring(2))
+      case r                        => n.add(r)
+    }
+    new PslTable(n, w, e, rules)
+  }
 
   private val TrackingExact: Set[String] = Set(
     "gclid", "fbclid", "msclkid", "mc_eid", "igshid", "ref_src")
@@ -100,7 +129,12 @@ object UrlKernel {
     val m = UrlRe.matcher(s)
     if (!m.matches()) return UTF8String.fromString(trimmed)
     val scheme = m.group(1).toLowerCase
-    var auth = m.group(2).toLowerCase
+    // lowercase only the host portion (after the LAST '@'): userinfo
+    // is case-sensitive per RFC 3986 and must survive byte-for-byte
+    val rawAuth = m.group(2)
+    val at = rawAuth.lastIndexOf('@')
+    var auth =
+      rawAuth.substring(0, at + 1) + rawAuth.substring(at + 1).toLowerCase
     val rest = m.group(3)
     if (scheme == "http" && auth.endsWith(":80"))
       auth = auth.substring(0, auth.length - 3)
@@ -136,11 +170,36 @@ object UrlKernel {
       return UTF8String.fromString(host)
     val labels = host.split("\\.", -1)
     val n = labels.length
-    if (n <= 2) return UTF8String.fromString(host)
-    val two = labels(n - 2) + "." + labels(n - 1)
-    val reg =
-      if (TwoPartSuffixes.contains(two)) labels(n - 3) + "." + two
-      else two
+    if (n <= 1) return UTF8String.fromString(host)
+    // suffix strings labels(i)...labels(n-1), built right-to-left once
+    val sufs = new Array[String](n)
+    sufs(n - 1) = labels(n - 1)
+    var b = n - 2
+    while (b >= 0) { sufs(b) = labels(b) + "." + sufs(b + 1); b -= 1 }
+    // PSL algorithm: the prevailing rule is an exception rule if one
+    // matches; else the longest (leftmost-start) normal/wildcard match;
+    // else the default rule (the bare TLD). Matches are label-aligned
+    // because only whole-label suffixes are compared.
+    var psStart = n - 1
+    var excI = -1
+    var j = 0
+    while (j < n && excI < 0) {
+      if (Psl.exc.contains(sufs(j))) excI = j
+      j += 1
+    }
+    if (excI >= 0) psStart = excI + 1
+    else {
+      var k = 0
+      var found = -1
+      while (k < n && found < 0) {
+        if (Psl.normal.contains(sufs(k)) ||
+            (k + 1 < n && Psl.wild.contains(sufs(k + 1)))) found = k
+        k += 1
+      }
+      if (found >= 0) psStart = found
+    }
+    val regStart = math.max(0, psStart - 1)
+    val reg = if (regStart == 0) host else sufs(regStart)
     UTF8String.fromString(reg)
   }
 }

@@ -5,9 +5,11 @@ import org.apache.spark.sql.{Column, DataFrame}
 /** URL canonicalization and host/domain keying — the crawl-side
   * group-key producer for the per-domain curation operators. See
   * [[graft.functions.UrlKernel]] for the normalization spec (RFC 3986
-  * §6 restricted to SQL-replicable rewrites) and the embedded
-  * two-part-suffix registrable-host tradeoff. Both are native codegen
-  * kernels: map-only, scan-speed, no UDF. */
+  * §6 restricted to SQL-replicable rewrites) and the full
+  * Public-Suffix-List registrable-host semantics (snapshot resource
+  * `graft/psl_snapshot.dat`; exception > longest normal/wildcard >
+  * default rule; PRIVATE-section suffixes honored). Both are native
+  * codegen kernels: map-only, scan-speed, no UDF. */
 object UrlOps {
   /** Canonical form of a URL column (non-URLs pass through trimmed). */
   def canonicalizeUrl(url: Column): Column =

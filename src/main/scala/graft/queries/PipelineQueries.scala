@@ -21,27 +21,34 @@ object PipelineQueries {
     * doc_id — shared by the p53 gate, the p55 composition, and (CASE
     * for CASE) their DuckDB oracles: uppercase schemes/hosts, default
     * and non-default ports, duplicate slashes, ./ and ../ segments,
-    * tracking params, fragments, multi-part ccTLDs, an IPv4 literal,
-    * and a non-URL. */
+    * tracking params, fragments, multi-part ccTLDs (co.uk, com.au,
+    * com.br), a PRIVATE-section suffix (github.io), mixed-case
+    * userinfo (must survive verbatim), an IPv4 literal, and a
+    * non-URL. */
   private def crawlUrl: org.apache.spark.sql.Column = {
     val m5 = (col("doc_id") % 5).cast("string")
     val ids = col("doc_id").cast("string")
-    val t8 = col("doc_id") % 8
-    when(t8 === 0, concat(lit("HTTP://WWW.Example"), m5,
+    val t10 = col("doc_id") % 10
+    when(t10 === 0, concat(lit("HTTP://WWW.Example"), m5,
         lit(".COM:80/a/b/../c/./d.html?utm_source=feed&id="), ids,
         lit("#frag")))
-      .when(t8 === 1, concat(lit("https://Sub.Host"), m5,
+      .when(t10 === 1, concat(lit("https://Sub.Host"), m5,
         lit(".co.uk:443/path//to/../x/?fbclid=abc"), ids))
-      .when(t8 === 2, concat(lit("http://example"), m5, lit(".org")))
-      .when(t8 === 3, concat(lit("https://www.site"), m5,
+      .when(t10 === 2, concat(lit("http://example"), m5, lit(".org")))
+      .when(t10 === 3, concat(lit("https://www.site"), m5,
         lit(".com.au/deep/./../a/b/c?id="), ids,
         lit("&utm_campaign=x&gclid=g")))
-      .when(t8 === 4, concat(lit("http://192.168.1."), m5,
+      .when(t10 === 4, concat(lit("http://192.168.1."), m5,
         lit(":8080/a/../b#x")))
-      .when(t8 === 5, concat(lit("https://blog.example"), m5,
+      .when(t10 === 5, concat(lit("https://blog.example"), m5,
         lit(".net/a/b/c/")))
-      .when(t8 === 6, concat(lit("HTTPS://X"), m5,
+      .when(t10 === 6, concat(lit("HTTPS://X"), m5,
         lit(".IO:443/~user/../home?x=1&y=2")))
+      .when(t10 === 7, concat(lit("HTTPS://Leitor:PW"), m5,
+        lit("@News.Portal"), m5, lit(".COM.BR:443/artigo//"), ids,
+        lit("?gclid=x")))
+      .when(t10 === 8, concat(lit("http://Pages.Fan"), m5,
+        lit(".GitHub.IO/p/"), ids, lit("?utm_medium=x")))
       .otherwise(concat(lit("not a url at all "), ids))
   }
 
@@ -910,6 +917,70 @@ object PipelineQueries {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  /** The crawlUrl CASE, SQL-side (CASE for CASE with the Column above;
+    * plain string — no interpolation, so '$'/'\' need no doubling). */
+  private val crawlUrlCaseSql: String =
+    """CASE doc_id % 10
+      |      WHEN 0 THEN 'HTTP://WWW.Example' || (doc_id % 5) || '.COM:80/a/b/../c/./d.html?utm_source=feed&id=' || doc_id || '#frag'
+      |      WHEN 1 THEN 'https://Sub.Host' || (doc_id % 5) || '.co.uk:443/path//to/../x/?fbclid=abc' || doc_id
+      |      WHEN 2 THEN 'http://example' || (doc_id % 5) || '.org'
+      |      WHEN 3 THEN 'https://www.site' || (doc_id % 5) || '.com.au/deep/./../a/b/c?id=' || doc_id || '&utm_campaign=x&gclid=g'
+      |      WHEN 4 THEN 'http://192.168.1.' || (doc_id % 5) || ':8080/a/../b#x'
+      |      WHEN 5 THEN 'https://blog.example' || (doc_id % 5) || '.net/a/b/c/'
+      |      WHEN 6 THEN 'HTTPS://X' || (doc_id % 5) || '.IO:443/~user/../home?x=1&y=2'
+      |      WHEN 7 THEN 'HTTPS://Leitor:PW' || (doc_id % 5) || '@News.Portal' || (doc_id % 5) || '.COM.BR:443/artigo//' || doc_id || '?gclid=x'
+      |      WHEN 8 THEN 'http://Pages.Fan' || (doc_id % 5) || '.GitHub.IO/p/' || doc_id || '?utm_medium=x'
+      |      ELSE 'not a url at all ' || doc_id END""".stripMargin
+
+  /** PSL snapshot inlined as a VALUES table — generated from the SAME
+    * classpath resource the kernel loads (functions.UrlKernel.Psl), so
+    * Spark and DuckDB key eTLD+1 against one rule set by construction.
+    * kind: 'n' normal, 'w' wildcard base, 'e' exception base. */
+  private lazy val pslCteSql: String =
+    "psl AS (SELECT * FROM (VALUES " +
+      graft.functions.UrlKernel.Psl.rules.map { r =>
+        if (r.startsWith("!")) "('e','" + r.substring(1) + "')"
+        else if (r.startsWith("*.")) "('w','" + r.substring(2) + "')"
+        else "('n','" + r + "')"
+      }.mkString(",") + ") AS v(kind, base))"
+
+  /** Full PSL lookup, hb(doc_id, host) -> reg(doc_id, reg_host): the
+    * prevailing rule is an exception if one matches, else the longest
+    * (leftmost-start) normal/wildcard match, else the default rule
+    * (the bare TLD); registrable = public suffix + one label, and a
+    * host that IS a public suffix keys as itself (same contract as
+    * UrlKernel.registrableHost, branch for branch). */
+  private val regHostCtesSql: String =
+    """hl AS (SELECT doc_id, host, string_split(host, '.') AS labs,
+      |    len(string_split(host, '.')) AS n FROM hb),
+      |sfe AS (SELECT doc_id, i,
+      |    array_to_string(labs[i:n], '.') AS si,
+      |    CASE WHEN i < n THEN array_to_string(labs[i+1:n], '.') END AS si1
+      |  FROM (SELECT doc_id, labs, n, unnest(range(1, n + 1)) AS i
+      |        FROM hl)),
+      |mt AS (SELECT s.doc_id,
+      |    min(CASE WHEN e.base IS NOT NULL THEN s.i END) AS exc_i,
+      |    min(CASE WHEN nr.base IS NOT NULL THEN s.i END) AS norm_i,
+      |    min(CASE WHEN w.base IS NOT NULL THEN s.i END) AS wild_i
+      |  FROM sfe s
+      |  LEFT JOIN psl e ON e.kind = 'e' AND e.base = s.si
+      |  LEFT JOIN psl nr ON nr.kind = 'n' AND nr.base = s.si
+      |  LEFT JOIN psl w ON w.kind = 'w' AND w.base = s.si1
+      |  GROUP BY s.doc_id),
+      |reg AS (SELECT h.doc_id, CASE
+      |    WHEN h.host IS NULL THEN ''
+      |    WHEN regexp_matches(h.host,
+      |      '^[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+$') THEN h.host
+      |    ELSE array_to_string(h.labs[(greatest(1,
+      |      (CASE WHEN m.exc_i IS NOT NULL THEN m.exc_i + 1
+      |            WHEN least(coalesce(m.norm_i, 9999),
+      |                       coalesce(m.wild_i, 9999)) <= h.n
+      |              THEN least(coalesce(m.norm_i, 9999),
+      |                         coalesce(m.wild_i, 9999))
+      |            ELSE h.n END) - 1)):h.n], '.')
+      |    END AS reg_host
+      |  FROM hl h LEFT JOIN mt m USING (doc_id))""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "p27_bpe_tokens" -> bpeEncodeOracle,
     "p15_neardup_components" ->
@@ -1673,102 +1744,88 @@ object PipelineQueries {
     "p53_url_canonicalize" -> {
       // one ordered rewrite pass (UrlKernel.pathStep), nested innermost
       // -> outermost: // ; /./ ; trailing /. ; /seg/../ ; trailing
-      // /seg/.. ; leading /../ ; lone /..
+      // /seg/.. ; leading /../ ; lone /.. — plain-string template with
+      // @P@ substitution (no interpolation: '$'/'\' stay single)
       def step(p: String): String =
-        s"""regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-           |regexp_replace(regexp_replace(regexp_replace($p,
-           |  '//', '/', 'g'),
-           |  '/\\./', '/', 'g'),
-           |  '/\\.$$', '/'),
-           |  '/(\\.[^/.][^/]*|\\.\\.[^/]+|[^/.][^/]*)/\\.\\./', '/', 'g'),
-           |  '/(\\.[^/.][^/]*|\\.\\.[^/]+|[^/.][^/]*)/\\.\\.$$', '/'),
-           |  '^/\\.\\./', '/'),
-           |  '^/\\.\\.$$', '/')""".stripMargin
-      val suffixes = Seq("ac.uk","co.in","co.jp","co.kr","co.nz","co.uk",
-        "co.za","com.ar","com.au","com.br","com.cn","com.mx","com.sg",
-        "com.tr","com.tw","gov.uk","ne.jp","net.au","or.jp","org.au",
-        "org.uk").map(s => s"'$s'").mkString(",")
-      s"""WITH RECURSIVE src AS (SELECT doc_id,
-         |    CASE doc_id % 8
-         |      WHEN 0 THEN 'HTTP://WWW.Example' || (doc_id % 5) || '.COM:80/a/b/../c/./d.html?utm_source=feed&id=' || doc_id || '#frag'
-         |      WHEN 1 THEN 'https://Sub.Host' || (doc_id % 5) || '.co.uk:443/path//to/../x/?fbclid=abc' || doc_id
-         |      WHEN 2 THEN 'http://example' || (doc_id % 5) || '.org'
-         |      WHEN 3 THEN 'https://www.site' || (doc_id % 5) || '.com.au/deep/./../a/b/c?id=' || doc_id || '&utm_campaign=x&gclid=g'
-         |      WHEN 4 THEN 'http://192.168.1.' || (doc_id % 5) || ':8080/a/../b#x'
-         |      WHEN 5 THEN 'https://blog.example' || (doc_id % 5) || '.net/a/b/c/'
-         |      WHEN 6 THEN 'HTTPS://X' || (doc_id % 5) || '.IO:443/~user/../home?x=1&y=2'
-         |      ELSE 'not a url at all ' || doc_id END AS url
-         |  FROM documents),
-         |t AS (SELECT doc_id, trim(url) AS s0 FROM src),
-         |nf AS (SELECT doc_id, s0,
-         |    CASE WHEN strpos(s0, '#') > 0
-         |      THEN substr(s0, 1, strpos(s0, '#') - 1) ELSE s0 END AS s
-         |  FROM t),
-         |m AS (SELECT doc_id, s0, s,
-         |    regexp_matches(s, '^[A-Za-z][A-Za-z0-9+.-]*://') AS isurl,
-         |    lower(regexp_extract(s, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?]*)(.*)$$', 1)) AS sch,
-         |    lower(regexp_extract(s, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?]*)(.*)$$', 2)) AS auth0,
-         |    regexp_extract(s, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?]*)(.*)$$', 3) AS rest
-         |  FROM nf),
-         |a AS (SELECT doc_id, s0, isurl, sch,
-         |    CASE WHEN sch = 'http' AND auth0 LIKE '%:80'
-         |           THEN substr(auth0, 1, len(auth0) - 3)
-         |         WHEN sch = 'https' AND auth0 LIKE '%:443'
-         |           THEN substr(auth0, 1, len(auth0) - 4)
-         |         ELSE auth0 END AS auth,
-         |    CASE WHEN strpos(rest, '?') > 0
-         |      THEN substr(rest, 1, strpos(rest, '?') - 1)
-         |      ELSE rest END AS path0,
-         |    CASE WHEN strpos(rest, '?') > 0
-         |      THEN substr(rest, strpos(rest, '?') + 1)
-         |      ELSE NULL END AS qry
-         |  FROM m),
-         |fx AS (
-         |  SELECT doc_id, CASE WHEN path0 = '' THEN '/' ELSE path0 END
-         |    AS p, 0 AS it FROM a WHERE isurl
-         |  UNION ALL
-         |  SELECT doc_id, ${step("p")}, it + 1 FROM fx
-         |  WHERE ${step("p")} <> p),
-         |pf AS (SELECT doc_id, p FROM (
-         |    SELECT doc_id, p, row_number() OVER (PARTITION BY doc_id
-         |      ORDER BY it DESC) AS rn FROM fx) WHERE rn = 1),
-         |qf AS (SELECT doc_id, CASE WHEN qry IS NULL THEN ''
-         |    ELSE coalesce('?' || nullif(array_to_string(list_filter(
-         |      string_split(qry, '&'),
-         |      x -> len(x) > 0
-         |        AND NOT starts_with(split_part(x, '=', 1), 'utm_')
-         |        AND split_part(x, '=', 1) NOT IN
-         |          ('gclid','fbclid','msclkid','mc_eid','igshid','ref_src')),
-         |      '&'), ''), '') END AS q2
-         |  FROM a),
-         |hb AS (SELECT doc_id, CASE
-         |    WHEN isurl THEN regexp_replace(regexp_replace(auth,
-         |      '^.*@', ''), ':[0-9]+$$', '')
-         |    WHEN regexp_matches(s0, '^[A-Za-z0-9.-]+$$')
-         |      THEN regexp_replace(regexp_replace(lower(s0),
-         |        '^.*@', ''), ':[0-9]+$$', '')
-         |    ELSE NULL END AS host
-         |  FROM a),
-         |reg AS (SELECT doc_id, CASE
-         |    WHEN host IS NULL THEN ''
-         |    WHEN regexp_matches(host,
-         |      '^[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+$$') THEN host
-         |    WHEN len(string_split(host, '.')) <= 2 THEN host
-         |    WHEN (string_split(host, '.')[-2] || '.' ||
-         |          string_split(host, '.')[-1]) IN ($suffixes)
-         |      THEN string_split(host, '.')[-3] || '.' ||
-         |           string_split(host, '.')[-2] || '.' ||
-         |           string_split(host, '.')[-1]
-         |    ELSE string_split(host, '.')[-2] || '.' ||
-         |         string_split(host, '.')[-1] END AS reg_host
-         |  FROM hb)
-         |SELECT a.doc_id,
-         |  CASE WHEN NOT isurl THEN s0
-         |       ELSE sch || '://' || auth || pf.p || qf.q2 END AS url_canon,
-         |  reg.reg_host
-         |FROM a LEFT JOIN pf USING (doc_id)
-         |  JOIN qf USING (doc_id) JOIN reg USING (doc_id)
-         |ORDER BY doc_id""".stripMargin
+        """regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+          |regexp_replace(regexp_replace(regexp_replace(@P@,
+          |  '//', '/', 'g'),
+          |  '/\./', '/', 'g'),
+          |  '/\.$', '/'),
+          |  '/(\.[^/.][^/]*|\.\.[^/]+|[^/.][^/]*)/\.\./', '/', 'g'),
+          |  '/(\.[^/.][^/]*|\.\.[^/]+|[^/.][^/]*)/\.\.$', '/'),
+          |  '^/\.\./', '/'),
+          |  '^/\.\.$', '/')""".stripMargin.replace("@P@", p)
+      """WITH RECURSIVE src AS (SELECT doc_id, @URL@ AS url
+        |  FROM documents),
+        |t AS (SELECT doc_id, trim(url) AS s0 FROM src),
+        |nf AS (SELECT doc_id, s0,
+        |    CASE WHEN strpos(s0, '#') > 0
+        |      THEN substr(s0, 1, strpos(s0, '#') - 1) ELSE s0 END AS s
+        |  FROM t),
+        |m AS (SELECT doc_id, s0, s,
+        |    regexp_matches(s, '^[A-Za-z][A-Za-z0-9+.-]*://') AS isurl,
+        |    lower(regexp_extract(s, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?]*)(.*)$', 1)) AS sch,
+        |    regexp_extract(s, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?]*)(.*)$', 2) AS rauth,
+        |    regexp_extract(s, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?]*)(.*)$', 3) AS rest
+        |  FROM nf),
+        |lc AS (SELECT doc_id, s0, s, isurl, sch, rauth, rest,
+        |    CASE WHEN strpos(rauth, '@') > 0
+        |      THEN regexp_replace(rauth, '[^@]*$', '') ||
+        |           lower(regexp_replace(rauth, '^.*@', ''))
+        |      ELSE lower(rauth) END AS auth0
+        |  FROM m),
+        |a AS (SELECT doc_id, s0, isurl, sch, rauth,
+        |    CASE WHEN sch = 'http' AND auth0 LIKE '%:80'
+        |           THEN substr(auth0, 1, len(auth0) - 3)
+        |         WHEN sch = 'https' AND auth0 LIKE '%:443'
+        |           THEN substr(auth0, 1, len(auth0) - 4)
+        |         ELSE auth0 END AS auth,
+        |    CASE WHEN strpos(rest, '?') > 0
+        |      THEN substr(rest, 1, strpos(rest, '?') - 1)
+        |      ELSE rest END AS path0,
+        |    CASE WHEN strpos(rest, '?') > 0
+        |      THEN substr(rest, strpos(rest, '?') + 1)
+        |      ELSE NULL END AS qry
+        |  FROM lc),
+        |fx AS (
+        |  SELECT doc_id, CASE WHEN path0 = '' THEN '/' ELSE path0 END
+        |    AS p, 0 AS it FROM a WHERE isurl
+        |  UNION ALL
+        |  SELECT doc_id, @STEP@, it + 1 FROM fx
+        |  WHERE @STEP@ <> p),
+        |pf AS (SELECT doc_id, p FROM (
+        |    SELECT doc_id, p, row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY it DESC) AS rn FROM fx) WHERE rn = 1),
+        |qf AS (SELECT doc_id, CASE WHEN qry IS NULL THEN ''
+        |    ELSE coalesce('?' || nullif(array_to_string(list_filter(
+        |      string_split(qry, '&'),
+        |      x -> len(x) > 0
+        |        AND NOT starts_with(split_part(x, '=', 1), 'utm_')
+        |        AND split_part(x, '=', 1) NOT IN
+        |          ('gclid','fbclid','msclkid','mc_eid','igshid','ref_src')),
+        |      '&'), ''), '') END AS q2
+        |  FROM a),
+        |hb AS (SELECT doc_id, CASE
+        |    WHEN isurl THEN lower(regexp_replace(regexp_replace(rauth,
+        |      '^.*@', ''), ':[0-9]+$', ''))
+        |    WHEN regexp_matches(s0, '^[A-Za-z0-9.-]+$')
+        |      THEN lower(regexp_replace(s0, ':[0-9]+$', ''))
+        |    ELSE NULL END AS host
+        |  FROM a),
+        |@PSL@,
+        |@REGHOST@
+        |SELECT a.doc_id,
+        |  CASE WHEN NOT isurl THEN s0
+        |       ELSE sch || '://' || auth || pf.p || qf.q2 END AS url_canon,
+        |  reg.reg_host
+        |FROM a LEFT JOIN pf USING (doc_id)
+        |  JOIN qf USING (doc_id) JOIN reg USING (doc_id)
+        |ORDER BY doc_id""".stripMargin
+        .replace("@URL@", crawlUrlCaseSql)
+        .replace("@STEP@", step("p"))
+        .replace("@PSL@", pslCteSql)
+        .replace("@REGHOST@", regHostCtesSql)
     },
 
     // p53's authority/registrable-host CTEs + p54's verdict (with the
@@ -1776,16 +1833,7 @@ object PipelineQueries {
     // composed; the path/query CTEs are not needed — only the host key
     // survives into the cap
     "p55_crawl_curate" ->
-      """WITH src AS (SELECT doc_id, text,
-        |    CASE doc_id % 8
-        |      WHEN 0 THEN 'HTTP://WWW.Example' || (doc_id % 5) || '.COM:80/a/b/../c/./d.html?utm_source=feed&id=' || doc_id || '#frag'
-        |      WHEN 1 THEN 'https://Sub.Host' || (doc_id % 5) || '.co.uk:443/path//to/../x/?fbclid=abc' || doc_id
-        |      WHEN 2 THEN 'http://example' || (doc_id % 5) || '.org'
-        |      WHEN 3 THEN 'https://www.site' || (doc_id % 5) || '.com.au/deep/./../a/b/c?id=' || doc_id || '&utm_campaign=x&gclid=g'
-        |      WHEN 4 THEN 'http://192.168.1.' || (doc_id % 5) || ':8080/a/../b#x'
-        |      WHEN 5 THEN 'https://blog.example' || (doc_id % 5) || '.net/a/b/c/'
-        |      WHEN 6 THEN 'HTTPS://X' || (doc_id % 5) || '.IO:443/~user/../home?x=1&y=2'
-        |      ELSE 'not a url at all ' || doc_id END AS url
+      """WITH src AS (SELECT doc_id, text, @URL@ AS url
         |  FROM documents),
         |t AS (SELECT doc_id, text, trim(url) AS s0 FROM src),
         |nf AS (SELECT doc_id, text, s0,
@@ -1794,45 +1842,21 @@ object PipelineQueries {
         |  FROM t),
         |m AS (SELECT doc_id, text, s0,
         |    regexp_matches(s, '^[A-Za-z][A-Za-z0-9+.-]*://') AS isurl,
-        |    lower(regexp_extract(s, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?]*)(.*)$', 1)) AS sch,
-        |    lower(regexp_extract(s, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?]*)(.*)$', 2)) AS auth0
+        |    regexp_extract(s, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?]*)(.*)$', 2) AS rauth
         |  FROM nf),
-        |a AS (SELECT doc_id, text, s0, isurl,
-        |    CASE WHEN sch = 'http' AND auth0 LIKE '%:80'
-        |           THEN substr(auth0, 1, len(auth0) - 3)
-        |         WHEN sch = 'https' AND auth0 LIKE '%:443'
-        |           THEN substr(auth0, 1, len(auth0) - 4)
-        |         ELSE auth0 END AS auth
-        |  FROM m),
         |hb AS (SELECT doc_id, text, CASE
-        |    WHEN isurl THEN regexp_replace(regexp_replace(auth,
-        |      '^.*@', ''), ':[0-9]+$', '')
+        |    WHEN isurl THEN lower(regexp_replace(regexp_replace(rauth,
+        |      '^.*@', ''), ':[0-9]+$', ''))
         |    WHEN regexp_matches(s0, '^[A-Za-z0-9.-]+$')
-        |      THEN regexp_replace(regexp_replace(lower(s0),
-        |        '^.*@', ''), ':[0-9]+$', '')
+        |      THEN lower(regexp_replace(s0, ':[0-9]+$', ''))
         |    ELSE NULL END AS host
-        |  FROM a),
-        |reg AS (SELECT doc_id, text, CASE
-        |    WHEN host IS NULL THEN ''
-        |    WHEN regexp_matches(host,
-        |      '^[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+$') THEN host
-        |    WHEN len(string_split(host, '.')) <= 2 THEN host
-        |    WHEN (string_split(host, '.')[-2] || '.' ||
-        |          string_split(host, '.')[-1]) IN
-        |      ('ac.uk','co.in','co.jp','co.kr','co.nz','co.uk','co.za',
-        |       'com.ar','com.au','com.br','com.cn','com.mx','com.sg',
-        |       'com.tr','com.tw','gov.uk','ne.jp','net.au','or.jp',
-        |       'org.au','org.uk')
-        |      THEN string_split(host, '.')[-3] || '.' ||
-        |           string_split(host, '.')[-2] || '.' ||
-        |           string_split(host, '.')[-1]
-        |    ELSE string_split(host, '.')[-2] || '.' ||
-        |         string_split(host, '.')[-1] END AS reg_host
-        |  FROM hb),
-        |tok AS (SELECT doc_id, reg_host, text,
-        |    list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |  FROM m),
+        |@PSL@,
+        |@REGHOST@,
+        |tok AS (SELECT h.doc_id, rg.reg_host, h.text,
+        |    list_filter(regexp_split_to_array(lower(h.text), '\s+'),
         |      x -> len(x) > 0) AS ws
-        |  FROM reg),
+        |  FROM hb h JOIN reg rg USING (doc_id)),
         |gq AS (SELECT doc_id, reg_host,
         |    CAST(len(ws) AS BIGINT) AS n_words,
         |    CAST(coalesce(list_sum(list_transform(ws, w -> len(w))), 0)
@@ -1861,7 +1885,10 @@ object PipelineQueries {
         |      AS BIGINT) AS rn
         |  FROM good)
         |SELECT doc_id, reg_host FROM r WHERE rn <= 5
-        |ORDER BY doc_id""".stripMargin,
+        |ORDER BY doc_id""".stripMargin
+        .replace("@URL@", crawlUrlCaseSql)
+        .replace("@PSL@", pslCteSql)
+        .replace("@REGHOST@", regHostCtesSql),
 
     // same lowered whitespace tokens; every stat an exact integer, the
     // verdict integer comparisons only (mean-word-length bounds as

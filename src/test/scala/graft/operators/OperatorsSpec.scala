@@ -1103,7 +1103,11 @@ class OperatorsSpec extends SparkTestBase {
       // non-URL passes through trimmed; no host
       ("  not a url at all 9  ", "not a url at all 9", ""),
       // bare host input: registrable works, canon passes through
-      ("Sub.Domain.ORG", "Sub.Domain.ORG", "domain.org"))
+      ("Sub.Domain.ORG", "Sub.Domain.ORG", "domain.org"),
+      // userinfo is case-SENSITIVE (RFC 3986 §6.2.2.1): only the host
+      // lowercases; the host key still strips userinfo
+      ("https://UsEr:Pw@WWW.Example.COM/x",
+        "https://UsEr:Pw@www.example.com/x", "example.com"))
     val df = cases.zipWithIndex
       .map { case ((u, _, _), i) => (i.toLong, u) }.toDF("i", "url")
     val out = df.select(col("i"),
@@ -1116,6 +1120,49 @@ class OperatorsSpec extends SparkTestBase {
         s"canon[$u]: got ${out(i.toLong)._1}, want $canon")
       assert(out(i.toLong)._2 == host,
         s"host[$u]: got ${out(i.toLong)._2}, want $host")
+    }
+  }
+
+  test("registrable host: full PSL semantics — multi-part national " +
+      "registries, wildcard + exception rules, private suffixes") {
+    val cases = Seq(
+      // multi-part ccTLD registries the old 21-suffix subset missed
+      ("loja.americanas.com.br", "americanas.com.br"),
+      ("www.sub.shop.com.br", "shop.com.br"),
+      ("news.haaretz.co.il", "haaretz.co.il"),
+      ("www.u-tokyo.ac.jp", "u-tokyo.ac.jp"),
+      ("handbook.unsw.edu.au", "unsw.edu.au"),
+      ("allegro.com.pl", "allegro.com.pl"), // com.pl -> eTLD+1 is 3 labels
+      ("sklep.allegro.com.pl", "allegro.com.pl"),
+      // third-level registries (US k12 / AU state edu)
+      ("www.lincoln.k12.ca.us", "lincoln.k12.ca.us"),
+      ("library.det.nsw.edu.au", "det.nsw.edu.au"),
+      // wildcard TLD: *.ck makes foo.ck a public suffix...
+      ("shop.foo.ck", "shop.foo.ck"),
+      // ...with the !www.ck exception: www.ck IS registrable
+      ("www.ck", "www.ck"),
+      ("sub.www.ck", "www.ck"),
+      // JP city wildcard + its exception
+      ("blog.aoba.kawasaki.jp", "blog.aoba.kawasaki.jp"),
+      ("en.city.kawasaki.jp", "city.kawasaki.jp"),
+      // PRIVATE-section policy: platform tenants are distinct domains
+      ("docs.user1.github.io", "user1.github.io"),
+      ("user2.github.io", "user2.github.io"),
+      ("shard0.myapp.herokuapp.com", "myapp.herokuapp.com"),
+      ("cdn.site.blogspot.com.br", "site.blogspot.com.br"),
+      // unknown multi-label suffix falls back to last-two-labels
+      ("deep.sub.example.zz", "example.zz"),
+      // a host that IS a public suffix keys as itself (degenerate)
+      ("co.uk", "co.uk"),
+      ("github.io", "github.io"))
+    val df = cases.zipWithIndex
+      .map { case ((h, _), i) => (i.toLong, h) }.toDF("i", "url")
+    val out = df.select(col("i"),
+        UrlOps.registrableHost(col("url")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    cases.zipWithIndex.foreach { case ((h, want), i) =>
+      assert(out(i.toLong) == want,
+        s"reg[$h]: got ${out(i.toLong)}, want $want")
     }
   }
 
