@@ -99,6 +99,12 @@ object GraftFunctions {
         "stopword profiles); NULL in, NULL out") {
       case Seq(t) => LangId(t)
     },
+    fn("graft_gopher_stats",
+      "graft_gopher_stats(text) — Gopher quality-battery sufficient " +
+        "statistics struct (n_words, sum_word_len, n_alpha_words, " +
+        "n_hash, n_ellipsis, n_stopwords) in one native pass") {
+      case Seq(t) => GopherStats(t)
+    },
     fn("graft_canonicalize_url",
       "graft_canonicalize_url(url) — RFC 3986-style canonical form " +
         "(case, default ports, dot segments, tracking params, " +

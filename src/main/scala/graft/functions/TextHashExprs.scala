@@ -272,6 +272,64 @@ object TextHash {
     UTF8String.fromString(bestLang)
   }
 
+  /** Stopword set of the Gopher quality battery (Rae et al. 2021 Table
+    * A1), shared with TextAnalysis.gopherQuality's docs + oracle. */
+  val GopherStops: Array[String] =
+    Array("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** One-pass sufficient statistics for the Gopher document-quality
+    * battery: n_words, sum_word_len, n_alpha_words (words containing
+    * an ASCII letter after lowering), n_hash ('#' chars), n_ellipsis
+    * (non-overlapping left-to-right "..." occurrences — the same count
+    * as the replace-and-measure SQL formulation), n_stopwords (DISTINCT
+    * members of [[GopherStops]] present as whole tokens). Tokenization
+    * is [[words]] (the engine-wide lowered \s+ split); word lengths
+    * are codepoint counts, matching Spark's `length`. */
+  def gopherStats(text: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val raw = text.toString
+    var nHash = 0L
+    var nEll = 0L
+    var i = 0
+    while (i < raw.length) {
+      val ch = raw.charAt(i)
+      if (ch == '#') { nHash += 1; i += 1 }
+      else if (ch == '.' && i + 2 < raw.length &&
+               raw.charAt(i + 1) == '.' && raw.charAt(i + 2) == '.') {
+        nEll += 1; i += 3
+      }
+      else i += 1
+    }
+    val ws = words(text)
+    val nWords = ws.length.toLong
+    var sumLen = 0L
+    var nAlpha = 0L
+    val stopSeen = new Array[Boolean](GopherStops.length)
+    var wi = 0
+    while (wi < ws.length) {
+      val w = ws(wi)
+      sumLen += w.codePointCount(0, w.length)
+      var hasAlpha = false
+      var ci = 0
+      while (!hasAlpha && ci < w.length) {
+        val c = w.charAt(ci)
+        if (c >= 'a' && c <= 'z') hasAlpha = true
+        ci += 1
+      }
+      if (hasAlpha) nAlpha += 1
+      var si = 0
+      while (si < GopherStops.length) {
+        if (!stopSeen(si) && GopherStops(si) == w) stopSeen(si) = true
+        si += 1
+      }
+      wi += 1
+    }
+    var nStop = 0L
+    var si = 0
+    while (si < stopSeen.length) { if (stopSeen(si)) nStop += 1; si += 1 }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](nWords, sumLen, nAlpha, nHash, nEll, nStop))
+  }
+
   /** Maximal matched gram run (in grams) through the shared fingerprint
     * `fp`: for every pair of occurrence positions of `fp` in the two
     * positional gram-hash arrays (first [[MatchOccCap]] occurrences per
@@ -341,6 +399,35 @@ final case class LangId(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.langId($c)")
   override protected def withNewChildInternal(newChild: Expression): LangId =
+    copy(child = newChild)
+}
+
+/** `gopher_stats(text)`: the six integer sufficient statistics of the
+  * Gopher quality battery as one struct, computed in a single native
+  * pass (see [[TextHash.gopherStats]]). Replaces the interpreted
+  * array-HOF formulation (aggregate/filter/array_intersect — the same
+  * no-codegen shape the LangId kernel retired): codegen'd static call;
+  * the six struct-field extractions in gopherQuality's projection are
+  * de-duplicated by codegen subexpression elimination, so the text is
+  * scanned once per row. */
+final case class GopherStats(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType]) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType}")
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_words", LongType, nullable = false),
+    StructField("sum_word_len", LongType, nullable = false),
+    StructField("n_alpha_words", LongType, nullable = false),
+    StructField("n_hash", LongType, nullable = false),
+    StructField("n_ellipsis", LongType, nullable = false),
+    StructField("n_stopwords", LongType, nullable = false)))
+  override def prettyName: String = "gopher_stats"
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.gopherStats(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.gopherStats($c)")
+  override protected def withNewChildInternal(newChild: Expression): GopherStats =
     copy(child = newChild)
 }
 

@@ -164,7 +164,19 @@ object Dedup {
     * winnowing guarantee whenever a true duplicate span that long
     * exists). `n_shared` keeps the candidate-strength count. Both
     * sides' POSITIONAL hash arrays ride through the join pinned
-    * (the p51 array-pin lesson) — at most `maxDf` copies of each. */
+    * (the p51 array-pin lesson) — at most `maxDf` copies of each.
+    *
+    * CONTRACT QUALIFIER (boilerplate cap): the kernel anchors at the
+    * first [[graft.functions.TextHash.MatchOccCap]] (16) occurrences
+    * of the fingerprint PER SIDE (mirrored exactly by the DuckDB
+    * oracle). `max_span_tokens` is therefore exact up to 16
+    * occurrences/side; on documents where one fingerprint repeats
+    * more than 16 times (heavy boilerplate), the occurrence pair
+    * anchoring the true longest run can fall outside the scanned
+    * prefix and the span under-reports. The cap is what kills the
+    * degenerate repeated-fingerprint O(occ²) blowup — callers needing
+    * exactness on such documents should dedup boilerplate first
+    * (e.g. [[graft.operators.Chunking.scrubSpans]]) or raise the cap. */
   def winnowingSpans(df: DataFrame, idCol: String, textCol: String,
                      k: Int = 5, w: Int = 8, maxDf: Int = 128,
                      portableHash: Boolean = false): DataFrame = {

@@ -401,28 +401,28 @@ object TextAnalysis {
     *     floor depends on the corpus's register (Gopher itself tuned
     *     its thresholds per corpus).
     *
-    * Map-only codegen'd column expressions — one pass, no shuffle, no
-    * UDF; the whole battery is a projection at 100 TB. Tokenization is
-    * the engine-wide lowered whitespace split, so the thresholds mean
-    * the same thing here as in every other text operator. */
+    * All six counters come from ONE native codegen'd kernel pass
+    * ([[graft.functions.GopherStats]] — the r11 formulation's
+    * aggregate/filter/array_intersect HOFs were interpreted lambdas,
+    * the exact shape the langId kernel retired; the r11 scaladoc's
+    * "codegen'd" claim was wrong and is now true). The struct is
+    * extracted six times in one projection; codegen subexpression
+    * elimination evaluates the kernel once per row. Map-only, no
+    * shuffle, no UDF — the battery is a scan-speed projection at
+    * 100 TB. Tokenization is the engine-wide lowered whitespace
+    * split, so the thresholds mean the same thing here as in every
+    * other text operator. */
   def gopherQuality(df: DataFrame, textCol: String,
                     minWords: Int = 50, maxWords: Int = 100000,
                     minStopwords: Int = 2)
       : DataFrame = {
-    val t = col(textCol)
-    val ws = words(t)
-    val nWords = size(ws).cast("long")
-    val sumLen = coalesce(aggregate(ws, lit(0L),
-      (acc, w) => acc + length(w).cast("long")), lit(0L))
-    val nAlpha = size(filter(ws, w => w.rlike("[a-z]"))).cast("long")
-    val nHash = (length(t) - length(replace(t, lit("#"), lit(""))))
-      .cast("long")
-    val nEll = ((length(t) - length(replace(t, lit("..."), lit("")))) / 3)
-      .cast("long")
-    val stops = array(Seq("the", "be", "to", "of", "and", "that",
-      "have", "with").map(lit): _*)
-    val nStop = size(array_intersect(array_distinct(ws), stops))
-      .cast("long")
+    val g = graft.functions.F.gopherStats(col(textCol))
+    val nWords = g.getField("n_words")
+    val sumLen = g.getField("sum_word_len")
+    val nAlpha = g.getField("n_alpha_words")
+    val nHash = g.getField("n_hash")
+    val nEll = g.getField("n_ellipsis")
+    val nStop = g.getField("n_stopwords")
     val pass = nWords >= minWords && nWords <= maxWords &&
       sumLen >= nWords * 3 && sumLen <= nWords * 10 &&
       nHash * 10 <= nWords && nEll * 10 <= nWords &&

@@ -610,13 +610,16 @@ object PipelineQueries {
 
     // Gopher doc-quality rule battery (Rae et al. 2021 Table A1):
     // exact integer sufficient statistics + an integer-only pass
-    // verdict (the word-count floor BINDS on this corpus; the verdict's
-    // TRUE branch binds in p55 and in OperatorsSpec — this synthetic
+    // verdict. minStopwords = 1 AT THE GATE (like p55): this synthetic
     // corpus carries only "the" from the required-stopword set, so the
-    // paper-default minStopwords=2 rejects every doc here)
+    // paper default of 2 would make gopher_pass constant-false and the
+    // oracle could never catch a broken verdict — at 1 the hashed
+    // output carries BOTH verdict values (word floor still rejects
+    // ~45%), so the gate bifurcates on its own corpus
     "p54_gopher_quality" -> ((s, d) =>
       TextAnalysis.gopherQuality(
-          t(s, d, "documents").select("doc_id", "text"), "text")
+          t(s, d, "documents").select("doc_id", "text"), "text",
+          minStopwords = 1)
         .select(col("doc_id"), col("n_words"),
           col("sum_word_len"), col("n_alpha_words"), col("n_hash"),
           col("n_ellipsis"), col("n_stopwords"), col("gopher_pass"))
@@ -1919,7 +1922,7 @@ object PipelineQueries {
         |   AND sum_word_len <= n_words * 10
         |   AND n_hash * 10 <= n_words AND n_ellipsis * 10 <= n_words
         |   AND n_alpha_words * 5 >= n_words * 4
-        |   AND n_stopwords >= 2) AS gopher_pass
+        |   AND n_stopwords >= 1) AS gopher_pass
         |FROM m ORDER BY doc_id""".stripMargin,
 
     // the cap is a count-cumulative <= N over the same seeded md5 order

@@ -79,6 +79,21 @@ class GraftExtensionsSpec extends SparkTestBase {
       q.getAs[String]("oLang") == "en", q.toString)
   }
 
+  test("round-12 kernel works from SQL: gopher_stats struct") {
+    val got = spark.sql(
+      """SELECT graft_gopher_stats(
+        |  'The cat... sat #1 on the mat with a DOG')"""
+        .stripMargin).first().getStruct(0)
+    // tokens: the cat... sat #1 on the mat with a dog (10 words)
+    assert(got.getAs[Long]("n_words") == 10L, got)
+    assert(got.getAs[Long]("n_hash") == 1L, got)
+    assert(got.getAs[Long]("n_ellipsis") == 1L, got)
+    // distinct stopwords present: the, with
+    assert(got.getAs[Long]("n_stopwords") == 2L, got)
+    // '#1' has no ascii letter -> 9 alpha words
+    assert(got.getAs[Long]("n_alpha_words") == 9L, got)
+  }
+
   test("non-literal k is rejected with a clear message") {
     val e = intercept[Exception] {
       spark.sql("SELECT graft_shingle_hashes('a b c', length('xx'))")
