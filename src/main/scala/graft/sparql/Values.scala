@@ -151,10 +151,26 @@ object Compiler {
     case _ => false
   }
   /** Project the BNODE row id into `df` iff any of `exprs` needs it
-    * (idempotent). Callers drop [[BnodeRowIdCol]] from their output. */
+    * (idempotent). Callers drop [[BnodeRowIdCol]] from their output.
+    *
+    * The salted projection is PINNED (lazy localCheckpoint): a
+    * `monotonically_increasing_id` is only per-ATTEMPT deterministic —
+    * if the plan above recomputes the projection (self-join consuming
+    * the subtree twice, stage retry re-fetching an unordered
+    * exchange), a fresh run could mint different ids for the same
+    * logical row, desyncing a BNODE's rid from its label or one join
+    * side from the other. The checkpoint materializes the ids exactly
+    * once on first compute; every downstream consumer reads the same
+    * stored blocks. Lineage is truncated, so the failure mode on
+    * block loss is a LOUD job failure, never a silent re-mint (local
+    * and single-job cluster runs never lose blocks mid-query; r12
+    * retires the r11 "recompute edge" note). Cost is bounded: the pin
+    * only exists when the query actually contains a zero-arg BNODE(),
+    * and pins that query's solution relation, not the store. */
   def saltInput(df: DataFrame, exprs: Seq[Expr]): DataFrame =
     if (exprs.exists(hasFreshBnode) && !df.columns.contains(BnodeRowIdCol))
       df.withColumn(BnodeRowIdCol, monotonically_increasing_id())
+        .localCheckpoint(eager = false)
     else df
   private val rowSaltVar =
     new scala.util.DynamicVariable[Option[Column]](None)

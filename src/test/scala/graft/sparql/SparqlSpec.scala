@@ -456,4 +456,32 @@ class SparqlSpec extends SparkTestBase {
       { SELECT (BNODE() AS ?b2) WHERE { ?p a <urn:Person> } } }""")
     assert(s == Seq(Seq("3")))
   }
+
+  test("zero-arg BNODE(): row-salt ids survive DOUBLE consumption of " +
+      "the salted subtree (recompute pin, r12)") {
+    // A salted projection consumed TWICE by the downstream plan (self
+    // join) is the r11 documented edge: without the lazy-localCheckpoint
+    // pin each side could recompute monotonically_increasing_id over an
+    // unordered exchange and mint DIFFERENT ids for the same logical
+    // row. The pin materializes ids once; both sides must read the
+    // same values.
+    import org.apache.spark.sql.functions._
+    import graft.sparql.Ast.ECall
+    val base = spark.range(0, 1000).toDF("k")
+      .withColumn("v", col("k") * 7)
+      .repartition(8, col("v")) // unordered exchange under the salt
+    val salted = Compiler.saltInput(base, Seq(ECall("BNODE", Nil)))
+    val l = salted.as("l")
+    val r = salted.as("r")
+    val joined = l.join(r, col("l.k") === col("r.k"))
+      .select(col("l.k"),
+        col(s"l.${Compiler.BnodeRowIdCol}").as("id_l"),
+        col(s"r.${Compiler.BnodeRowIdCol}").as("id_r"))
+      .collect()
+    assert(joined.length == 1000)
+    assert(joined.forall(row => row.getLong(1) == row.getLong(2)),
+      "salted row ids diverged between two consumptions of one subtree")
+    // and the ids are row-unique (the freshness half of the contract)
+    assert(joined.map(_.getLong(1)).distinct.length == 1000)
+  }
 }
