@@ -29,6 +29,10 @@ class DawgSpec extends SparkTestBase {
   private val RS = "http://www.w3.org/2001/sw/DataAccess/tests/result-set#"
   private val RDFS = "http://www.w3.org/2000/01/rdf-schema#"
   private val UT = "http://www.w3.org/2009/sparql/tests/test-update#"
+  /** harness vocabulary: gt:ExpectedErrorTest + gt:errorMatch — LOUD
+    * failure modes (non-SILENT SERVICE errors) the W3C result-set
+    * vocabulary cannot express */
+  private val GT = "http://graft.invalid/tests/vocab#"
 
   /** tiny in-memory triple index over a parsed Turtle file */
   private final case class G(ts: List[(Term, Term, Term)]) {
@@ -224,17 +228,41 @@ class DawgSpec extends SparkTestBase {
     super.afterAll()
   }
 
+  /** Query text with the `service-result` placeholder authority
+    * rewritten to the live replayed-remote fixture server. */
+  private def loadQuery(queryPath: String): String = {
+    val src = scala.io.Source.fromFile(queryPath, "UTF-8")
+    val raw = try src.mkString finally src.close()
+    if (raw.contains("http://fixture.invalid"))
+      raw.replace("http://fixture.invalid",
+        s"http://localhost:${fixtureServer.getAddress.getPort}")
+    else raw
+  }
+
+  /** gt:ExpectedErrorTest: the query must FAIL and the failure message
+    * must carry the classified error (gt:errorMatch substring). */
+  private def runExpectedErrorTest(queryPath: String, data: List[String],
+                                   named: List[(String, String)],
+                                   errorMatch: String): Option[String] = {
+    val query = loadQuery(queryPath)
+    val store = loadStore(data, named)
+    try {
+      val n = Sparql.run(store, spark, query).collect().length
+      Some(s"expected failure matching '$errorMatch', query SUCCEEDED " +
+        s"with $n rows")
+    } catch {
+      case e: Throwable =>
+        val m = String.valueOf(e.getMessage)
+        if (m.contains(errorMatch)) None
+        else Some(s"failed as expected but message lacks " +
+          s"'$errorMatch': $m")
+    }
+  }
+
   private def runTest(queryPath: String, data: List[String],
                       named: List[(String, String)], resultPath: String)
       : Option[String] = {
-    val query = {
-      val src = scala.io.Source.fromFile(queryPath, "UTF-8")
-      val raw = try src.mkString finally src.close()
-      if (raw.contains("http://fixture.invalid"))
-        raw.replace("http://fixture.invalid",
-          s"http://localhost:${fixtureServer.getAddress.getPort}")
-      else raw
-    }
+    val query = loadQuery(queryPath)
     val store = loadStore(data, named)
     val resBase = "file://" + resultPath
     val rg = G(Turtle.parseFile(resultPath, resBase))
@@ -455,6 +483,14 @@ class DawgSpec extends SparkTestBase {
                 Some("negative syntax test parsed without error")
             }
           }
+        } else if (types(GT + "ExpectedErrorTest")) {
+          val queryPath = g.obj(action, QT + "query")
+            .collect { case Uri(u) => pathOf(u) }.get
+          val data = g.objs(action, QT + "data")
+            .collect { case Uri(u) => pathOf(u) }
+          val errorMatch = g.obj(e, GT + "errorMatch")
+            .collect { case Lit(l, _, _) => l }.get
+          () => runExpectedErrorTest(queryPath, data, Nil, errorMatch)
         } else updateRequest match {
         case Some(req) => // mf:UpdateEvaluationTest
           val data = g.objs(action, UT + "data")
