@@ -336,9 +336,45 @@ object QuadStore {
     val dts = f.filter(col("oDt") =!= "").select(res(
       Rid.uriCol(col("oDt")), col("oDt"), zero, emptyS): _*)
 
-    val resources = subjects.unionByName(preds).unionByName(objs)
-      .unionByName(graphs).unionByName(dts)
-      .dropDuplicates("rid")
+    // A/B-able dictionary derivation (spark.graft.import.dictStack):
+    // the default derives the dictionary as five pruned scans of the
+    // columnar parse cache union'd; the "stack" arm emits each row's
+    // <=5 candidate entries through ONE explode over a single scan.
+    // Same rid-dedup shuffle either way — the arms differ only in how
+    // the pre-shuffle rows are produced. Kept behind a conf so the GSP
+    // floor-of-N A/B protocol (ScaleProbeGspAb) can interleave both
+    // arms in one process; the measured-better arm is the default.
+    val dictStack = spark.conf.getOption("spark.graft.import.dictStack")
+      .contains("true")
+    val resources =
+      if (dictStack) {
+        val sRid = when(col("sKind") === 1, Rid.uriCol(col("sLex")))
+          .otherwise(Rid.bnodeCol(col("sLex")))
+        val gRid = when(col("gLex").isNull || col("gLex") === "",
+          lit(defaultGraph)).otherwise(Rid.uriCol(col("gLex")))
+        val gLex = when(col("gLex").isNull || col("gLex") === "",
+          lit(defaultGraphUri)).otherwise(col("gLex"))
+        val oRid = ridOf(col("oKind"), col("oLex"), col("oDt"),
+          col("oLang"))
+        val dtRid = when(col("oDt") =!= "", Rid.uriCol(col("oDt")))
+        def ent(rid: Column, lex: Column, dt: Column, lang: Column) =
+          struct(rid.as("rid"), lex.as("lex"), dt.as("dt"),
+            lang.as("lang"))
+        f.select(explode(array(
+            ent(sRid, col("sLex"), zero, emptyS),
+            ent(Rid.uriCol(col("pLex")), col("pLex"), zero, emptyS),
+            ent(oRid, col("oLex"), Rid.attrCol(col("oDt"), col("oLang")),
+              coalesce(col("oLang"), emptyS)),
+            ent(gRid, gLex, zero, emptyS),
+            ent(dtRid, col("oDt"), zero, emptyS))).as("e"))
+          .select(col("e.rid").as("rid"), col("e.lex").as("lex"),
+            col("e.dt").as("dt"), col("e.lang").as("lang"))
+          .filter(col("rid").isNotNull)
+          .dropDuplicates("rid")
+      } else
+        subjects.unionByName(preds).unionByName(objs)
+          .unionByName(graphs).unionByName(dts)
+          .dropDuplicates("rid")
     QuadStore(quads, resources, Some(valued))
   }
 

@@ -941,6 +941,50 @@ class OperatorsSpec extends SparkTestBase {
       out(4L).error.contains("malformed"), out(4L))
   }
 
+  test("MediaDecoder boundary: a plugged decoder's failures become " +
+      "ERROR ROWS, never job failures; good payloads decode") {
+    // A fake implementation standing in for a real (FFmpeg-backed)
+    // decoder: payloads starting 0xBAD fail via Left, payloads
+    // starting 0xEE THROW (native-layer surprise), everything else
+    // yields 4-byte "frames" — proves the boundary contract for any
+    // implementation
+    val fake = new Multimodal.MediaDecoder {
+      override def decodeFrames(content: Array[Byte])
+          : Either[String, Iterator[Array[Byte]]] =
+        if (content.length >= 2 && content(0) == 0xBA.toByte &&
+            content(1) == 0xD0.toByte) Left("unsupported codec")
+        else if (content.nonEmpty && content(0) == 0xEE.toByte)
+          throw new RuntimeException("segfault-adjacent")
+        else Right(content.grouped(4))
+    }
+    val media = Seq(
+      Multimodal.MediaRow(1L, "video/mp4", Array.tabulate(10)(_.toByte)),
+      Multimodal.MediaRow(2L, "video/mp4",
+        Array(0xBA.toByte, 0xD0.toByte, 1.toByte)),
+      Multimodal.MediaRow(3L, "video/mp4",
+        Array(0xEE.toByte, 1.toByte)),
+      Multimodal.MediaRow(4L, "video/mp4", Array.tabulate(8)(_.toByte)))
+      .toDS()
+    val out = Multimodal.decodeFramesWith(media, fake, everyN = 2)
+      .collect()
+    val byId = out.groupBy(_.media_id)
+    // good payloads: frames 0 and 2 of ceil(10/4)=3 survive everyN=2
+    assert(byId(1L).forall(_.error == null) &&
+      byId(1L).map(_.frame_no).sorted.toSeq == Seq(0, 2), byId(1L).toSeq)
+    assert(byId(4L).map(_.frame_no).sorted.toSeq == Seq(0))
+    // Left and THROW both become one classified error row each
+    assert(byId(2L).length == 1 &&
+      byId(2L).head.error.contains("unsupported codec"), byId(2L).toSeq)
+    assert(byId(3L).length == 1 &&
+      byId(3L).head.error.contains("decoder threw"), byId(3L).toSeq)
+    // and the shipping fake still drives sampleFrames unchanged
+    val frames = Multimodal.sampleFrames(
+      Seq(Multimodal.MediaRow(9L, "video/mp4",
+        Array.tabulate(1024)(_.toByte))).toDS(),
+      frameBytes = 256, everyN = 2).collect()
+    assert(frames.map(_.frame_no).sorted.toSeq == Seq(0, 2))
+  }
+
   test("syntheticMp4 round-trips through decodeVideoMeta in both " +
       "mvhd layouts, at the documented byte sizes") {
     val a = Multimodal.syntheticMp4(durationS = 3661L, width = 1920,
