@@ -66,10 +66,11 @@ object ScaleProbeCluster {
       gates.map { n =>
         val t0 = System.nanoTime()
         val df = SparkEntry.queries(n)(spark, sfDir)
-        val agg = df.select(
-          count(lit(1)).as("n"),
-          coalesce(sum(xxhash64(df.columns.map(col): _*)), lit(0L))
-            .as("h")).collect()(0)
+        // bit_xor: order-insensitive content hash with no ANSI
+        // overflow (sum of 2^63-scale hashes trips ansi long math)
+        val agg = df.select(xxhash64(df.columns.map(col): _*).as("h"))
+          .agg(count(lit(1)).as("n"),
+            coalesce(expr("bit_xor(h)"), lit(0L)).as("hx")).collect()(0)
         val sec = (System.nanoTime() - t0) / 1e9
         n -> (agg.getLong(0), agg.getLong(1), sec)
       }.toMap

@@ -436,6 +436,23 @@ object TextAnalysis {
       pass.as("gopher_pass")): _*)
   }
 
+  /** Intra-document repeated-LINE scrub — the Rae et al. 2021 §A1.2 /
+    * C4-style repetition cleanup: boilerplate (nav bars, cookie
+    * banners, repeated headings) shows up as the same line occurring
+    * many times inside one document; training corpora drop every
+    * occurrence after the first. Keeps FIRST occurrences in order and
+    * rejoins — `array_distinct` preserves first-occurrence order, so
+    * the whole scrub is one map-only projection (no shuffle, no UDF;
+    * at 100 TB this is scan speed like the other text passes).
+    * `sep` defaults to newline; gate corpora without newlines derive
+    * a line view first (the p56 gate word-lines its corpus). */
+  def scrubRepeatedLines(df: DataFrame, textCol: String,
+                         out: String = "scrubbed",
+                         sep: String = "\n"): DataFrame =
+    df.withColumn(out,
+      concat_ws(sep, array_distinct(split(col(textCol),
+        java.util.regex.Pattern.quote(sep)))))
+
   /** Canonical text normalization — the first pass of a crawl-ingest
     * pipeline, run BEFORE dedup/shingling so composed-vs-decomposed
     * Unicode (é vs e+◌́), stray control characters and ragged whitespace

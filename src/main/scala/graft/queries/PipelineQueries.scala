@@ -646,6 +646,36 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // intra-document repeated-line scrub (C4/Gopher boilerplate
+    // cleanup): keep first occurrences in order, rejoin. The corpus is
+    // single-line, so the gate derives a word-per-line view
+    // (translate ' '->'\n') — repetition is natural ("batch batch
+    // batch"); integer line counts + md5 of the scrubbed text
+    "p56_scrub_repeated_lines" -> ((s, d) => {
+      val lined = t(s, d, "documents").select(col("doc_id"),
+        translate(col("text"), " ", "\n").as("text"))
+      TextAnalysis.scrubRepeatedLines(lined, "text")
+        .select(col("doc_id"),
+          size(split(col("text"), "\n")).cast("long").as("n_lines"),
+          size(array_distinct(split(col("text"), "\n"))).cast("long")
+            .as("n_distinct_lines"),
+          md5(col("scrubbed")).as("scrubbed_md5"))
+        .orderBy("doc_id")
+    }),
+
+    // crawl domain blocklist: drop docs whose eTLD+1 is blocked —
+    // exercises registrable-host precision (a github.io TENANT is
+    // blocked without touching the platform; a com.au domain
+    // regardless of subdomain; an IPv4 literal). Each blocked host
+    // kills one whole corpus arm (~10%)
+    "p57_domain_blocklist" -> ((s, d) =>
+      UrlOps.dropBlockedHosts(
+          t(s, d, "documents").select(col("doc_id"), crawlUrl.as("url")),
+          "url", Seq("site3.com.au", "fan3.github.io", "192.168.1.4"))
+        .select(col("doc_id"),
+          UrlOps.registrableHost(col("url")).as("reg_host"))
+        .orderBy("doc_id")),
+
     // per-source frequency capping (domain caps): at most 17 docs per
     // source (sources carry 25 docs at the smallest gate SF, so the cap
     // BINDS at every scale), chosen by the seeded portable shuffle order
@@ -1924,6 +1954,55 @@ object PipelineQueries {
         |   AND n_alpha_words * 5 >= n_words * 4
         |   AND n_stopwords >= 1) AS gopher_pass
         |FROM m ORDER BY doc_id""".stripMargin,
+
+    // first-occurrence-ordered line dedup: min(subscript) per distinct
+    // line, string_agg back in that order (array_distinct's documented
+    // first-occurrence order, replayed explicitly)
+    "p56_scrub_repeated_lines" ->
+      """WITH l AS (SELECT doc_id,
+        |    string_split(replace(text, ' ', chr(10)), chr(10)) AS ls
+        |  FROM documents),
+        |u AS (SELECT doc_id, unnest(ls) AS line,
+        |    generate_subscripts(ls, 1) AS i FROM l),
+        |f AS (SELECT doc_id, line, min(i) AS fi
+        |  FROM u GROUP BY doc_id, line),
+        |s AS (SELECT doc_id, count(*) AS nd,
+        |    md5(string_agg(line, chr(10) ORDER BY fi)) AS m
+        |  FROM f GROUP BY doc_id)
+        |SELECT l.doc_id, CAST(len(l.ls) AS BIGINT) AS n_lines,
+        |  CAST(s.nd AS BIGINT) AS n_distinct_lines, s.m AS scrubbed_md5
+        |FROM l JOIN s USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // the same host chain + PSL lookup as p53/p55, then a NOT IN over
+    // the blocklist ('' non-URL hosts pass: filter what is provably
+    // blocked)
+    "p57_domain_blocklist" ->
+      """WITH src AS (SELECT doc_id, @URL@ AS url FROM documents),
+        |t AS (SELECT doc_id, trim(url) AS s0 FROM src),
+        |nf AS (SELECT doc_id, s0,
+        |    CASE WHEN strpos(s0, '#') > 0
+        |      THEN substr(s0, 1, strpos(s0, '#') - 1) ELSE s0 END AS s
+        |  FROM t),
+        |m AS (SELECT doc_id, s0,
+        |    regexp_matches(s, '^[A-Za-z][A-Za-z0-9+.-]*://') AS isurl,
+        |    regexp_extract(s, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?]*)(.*)$', 2) AS rauth
+        |  FROM nf),
+        |hb AS (SELECT doc_id, CASE
+        |    WHEN isurl THEN lower(regexp_replace(regexp_replace(rauth,
+        |      '^.*@', ''), ':[0-9]+$', ''))
+        |    WHEN regexp_matches(s0, '^[A-Za-z0-9.-]+$')
+        |      THEN lower(regexp_replace(s0, ':[0-9]+$', ''))
+        |    ELSE NULL END AS host
+        |  FROM m),
+        |@PSL@,
+        |@REGHOST@
+        |SELECT r.doc_id, r.reg_host FROM reg r
+        |WHERE r.reg_host NOT IN
+        |  ('site3.com.au', 'fan3.github.io', '192.168.1.4')
+        |ORDER BY r.doc_id""".stripMargin
+        .replace("@URL@", crawlUrlCaseSql)
+        .replace("@PSL@", pslCteSql)
+        .replace("@REGHOST@", regHostCtesSql),
 
     // the cap is a count-cumulative <= N over the same seeded md5 order
     "p50_cap_per_group" ->

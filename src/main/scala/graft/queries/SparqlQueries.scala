@@ -15,12 +15,19 @@ object SparqlQueries {
 
   /** Per-JVM per-table store cache so Verify/Bench rdfize each table at
     * most once; multi-table queries union the cached single-table stores
-    * (a cheap plan-level union of cached RDDs). */
-  private val cache =
-    scala.collection.concurrent.TrieMap[(String, String), QuadStore]()
+    * (a cheap plan-level union of cached RDDs). Keyed by SESSION too
+    * (the PipelineQueries.pairCache lesson, re-learned by the r12
+    * local-cluster smoke run): a path-only key handed a RESTARTED
+    * session the previous session's pinned plans, which die with
+    * "SparkPlan.session is null". Dead-session entries are dropped on
+    * sight. */
+  private val cache = scala.collection.concurrent
+    .TrieMap[(SparkSession, String, String), QuadStore]()
 
   private def store(s: SparkSession, dir: String,
-                    tables: String*): QuadStore =
+                    tables: String*): QuadStore = {
+    cache.keys.filter(_._1.sparkContext.isStopped)
+      .foreach(cache.remove)
     // memoize the UNIONED store too: a stable instance per table set is
     // what lets Sparql's prepared-plan cache hit on repeated runs.
     // Single-table stores take the compact (one-segment) layout — see
@@ -28,10 +35,11 @@ object SparqlQueries {
     // small table joined against a big one can never drag the big side
     // into one partition (a SinglePartition child satisfies the join's
     // clustering requirement, forcing the OTHER side to co-locate).
-    cache.getOrElseUpdate((dir, tables.mkString("+")), {
+    cache.getOrElseUpdate((s, dir, tables.mkString("+")), {
       val onePart = tables.size == 1
       tables.map(t => singleStore(s, dir, t, onePart)).reduce(_ union _)
     })
+  }
 
   /** Below this quad count a store used ALONE by a query caches as ONE
     * partition. The reference sizes segment count to the KB
@@ -73,7 +81,7 @@ object SparqlQueries {
 
   private def singleStore(s: SparkSession, dir: String, t: String,
                           onePart: Boolean): QuadStore =
-      cache.getOrElseUpdate((dir, t + (if (onePart) "@1" else "")), {
+      cache.getOrElseUpdate((s, dir, t + (if (onePart) "@1" else "")), {
         val st = QuadStore.rdfizeDir(s, dir, Seq(t))
         // cache the VALUED (wide) form once; the narrow quads view is a
         // projection over the same cached relation (columnar cache prunes
@@ -92,7 +100,7 @@ object SparqlQueries {
   /** documents store with full-text derived quads (token/stem/phonetic),
     * cached per (dir) like the rdfize stores. */
   private def ftStore(s: SparkSession, dir: String): QuadStore =
-    cache.getOrElseUpdate((dir, "__fulltext_documents"), {
+    cache.getOrElseUpdate((s, dir, "__fulltext_documents"), {
       import org.apache.spark.sql.functions.{col, concat, lit}
       val flat = Tables.t(s, dir, "documents").select(
         lit("urn:g:documents").as("gLex"),
@@ -115,7 +123,7 @@ object SparqlQueries {
     * nation->region), so `locIn+` exercises genuine multi-level transitive
     * closure (SPARQL 1.1 §9 — extension; the reference has no paths). */
   private def locStore(s: SparkSession, dir: String): QuadStore =
-    cache.getOrElseUpdate((dir, "__locin"), {
+    cache.getOrElseUpdate((s, dir, "__locin"), {
       def edge(df: DataFrame, sPfx: String, sCol: String,
                oPfx: String, oCol: String): DataFrame =
         df.select(

@@ -1210,6 +1210,39 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("scrubRepeatedLines keeps first occurrences in order (C4-style " +
+      "boilerplate cleanup)") {
+    val docs = Seq(
+      (1L, "cookie banner\nreal content A\ncookie banner\nreal content B\ncookie banner"),
+      (2L, "only\nunique\nlines"),
+      (3L, "x\nx\nx")).toDF("doc_id", "text")
+    val out = TextAnalysis.scrubRepeatedLines(docs, "text")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(out(1L) == "cookie banner\nreal content A\nreal content B")
+    assert(out(2L) == "only\nunique\nlines")
+    assert(out(3L) == "x")
+    // custom separator (paragraph scrub)
+    val p = TextAnalysis.scrubRepeatedLines(
+      Seq((1L, "a||b||a||c")).toDF("doc_id", "text"),
+      "text", sep = "||").collect()(0).getString(2)
+    assert(p == "a||b||c")
+  }
+
+  test("dropBlockedHosts blocks by eTLD+1 precision: a platform " +
+      "tenant, not the platform; any subdomain of a blocked domain") {
+    val urls = Seq(
+      (1L, "https://www.evil.github.io/x"),    // blocked tenant
+      (2L, "https://docs.good.github.io/y"),   // other tenant survives
+      (3L, "https://cdn.assets.spam.com.br/z"),// blocked via subdomain
+      (4L, "https://ham.com.br/w"),            // same registry, kept
+      (5L, "not a url"))                       // no host -> kept
+      .toDF("doc_id", "url")
+    val kept = UrlOps.dropBlockedHosts(urls, "url",
+        Seq("evil.github.io", "SPAM.com.br"))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(2L, 4L, 5L), kept)
+  }
+
   test("registrable host composes as the group key for per-domain " +
       "capping (the crawl-curation front door)") {
     // 30 URLs over 2 registrable domains (many subdomains each);
