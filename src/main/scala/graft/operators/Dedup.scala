@@ -31,6 +31,44 @@ object Dedup {
     df.groupBy(on).agg(rep.as("__rep")).select(col("__rep.*"))
   }
 
+  /** CORPUS-GLOBAL line dedup (C4 §2.1: "we discard all but one of any
+    * three-sentence span occurring more than once" — here the unit is a
+    * `sep`-delimited line, parameterizable to spans): every occurrence
+    * of a line AFTER the globally-first one is dropped, where "first"
+    * is the deterministic minimum of (id, position). Documents are
+    * reassembled in original line order; a document whose every line
+    * lost becomes "".
+    *
+    * Shape at 100 TB: one hash-shuffle on the line (winner election,
+    * map-side partial min), one semi-join of the exploded lines against
+    * the winners (both sides partitioned by line — AQE co-locates), one
+    * reassembly shuffle keyed by id. No window over the whole corpus,
+    * no driver-side state; the line table is the only explode and
+    * carries (id, pos, line) — nothing wider. */
+  def dedupLinesGlobal(df: DataFrame, idCol: String, textCol: String,
+                       sep: String = "\n", out: String = "deduped")
+      : DataFrame = {
+    val lines = df.select(col(idCol),
+      posexplode(split(col(textCol),
+        java.util.regex.Pattern.quote(sep))).as(Seq("pos", "line")))
+    val winners = lines.groupBy("line")
+      .agg(min(struct(col(idCol), col("pos"))).as("w"))
+    val kept = lines.join(winners,
+      lines("line") === winners("line") &&
+        struct(lines(idCol), lines("pos")) === winners("w"),
+      "left_semi")
+    val rebuilt = kept.groupBy(idCol).agg(
+      concat_ws(sep, transform(
+        array_sort(collect_list(struct(col("pos"), col("line")))),
+        x => x.getField("line"))).as(out),
+      count(lit(1)).as("__nkept"))
+    df.join(rebuilt, Seq(idCol), "left")
+      .withColumn(out, coalesce(col(out), lit("")))
+      .withColumn("n_kept_lines",
+        coalesce(col("__nkept"), lit(0L)).cast("long"))
+      .drop("__nkept")
+  }
+
   /** (id, nsh, h) rows: distinct hashed k-shingles per document, one row
     * per shingle hash, with the document's distinct-shingle count.
     *

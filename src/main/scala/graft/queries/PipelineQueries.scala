@@ -676,6 +676,19 @@ object PipelineQueries {
           UrlOps.registrableHost(col("url")).as("reg_host"))
         .orderBy("doc_id")),
 
+    // CORPUS-GLOBAL line dedup (C4-style): all but the globally-first
+    // occurrence of each line dropped, docs reassembled in order.
+    // Word-per-line view like p56 — the corpus's heavy word repetition
+    // makes the election bind hard (late docs keep almost nothing)
+    "p58_global_line_dedup" -> ((s, d) => {
+      val lined = t(s, d, "documents").select(col("doc_id"),
+        translate(col("text"), " ", "\n").as("text"))
+      Dedup.dedupLinesGlobal(lined, "doc_id", "text")
+        .select(col("doc_id"), col("n_kept_lines"),
+          md5(col("deduped")).as("deduped_md5"))
+        .orderBy("doc_id")
+    }),
+
     // per-source frequency capping (domain caps): at most 17 docs per
     // source (sources carry 25 docs at the smallest gate SF, so the cap
     // BINDS at every scale), chosen by the seeded portable shuffle order
@@ -1972,6 +1985,30 @@ object PipelineQueries {
         |SELECT l.doc_id, CAST(len(l.ls) AS BIGINT) AS n_lines,
         |  CAST(s.nd AS BIGINT) AS n_distinct_lines, s.m AS scrubbed_md5
         |FROM l JOIN s USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // winner per line = lexicographic min (doc_id, pos), replayed as a
+    // two-step min; docs reassembled with an ordered string_agg; docs
+    // losing every line join to NULL -> '' (md5('') both engines)
+    "p58_global_line_dedup" ->
+      """WITH l AS (SELECT doc_id, unnest(ls) AS line,
+        |    generate_subscripts(ls, 1) AS i
+        |  FROM (SELECT doc_id,
+        |    string_split(replace(text, ' ', chr(10)), chr(10)) AS ls
+        |  FROM documents)),
+        |w1 AS (SELECT line, min(doc_id) AS wd FROM l GROUP BY line),
+        |w AS (SELECT l.line, l.doc_id AS wd, min(l.i) AS wi
+        |  FROM l JOIN w1 ON l.line = w1.line AND l.doc_id = w1.wd
+        |  GROUP BY l.line, l.doc_id),
+        |kept AS (SELECT l.doc_id, l.line, l.i FROM l
+        |  JOIN w ON l.line = w.line AND l.doc_id = w.wd AND l.i = w.wi),
+        |r AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept_lines,
+        |    md5(string_agg(line, chr(10) ORDER BY i)) AS deduped_md5
+        |  FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  coalesce(r.n_kept_lines, 0) AS n_kept_lines,
+        |  coalesce(r.deduped_md5, md5('')) AS deduped_md5
+        |FROM documents d LEFT JOIN r USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
 
     // the same host chain + PSL lookup as p53/p55, then a NOT IN over
     // the blocklist ('' non-URL hosts pass: filter what is provably

@@ -106,6 +106,52 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("URL kernels: canonicalize is IDEMPOTENT; registrable host is a " +
+      "label-aligned suffix containing its public suffix") {
+    import graft.functions.UrlKernel
+    def canon(s: String): String =
+      UrlKernel.canonicalizeUrl(UTF8String.fromString(s)).toString
+    def reg(s: String): String =
+      UrlKernel.registrableHost(UTF8String.fromString(s)).toString
+    val hostPool = Seq("com", "org", "co.uk", "com.br", "ac.jp",
+      "github.io", "ck", "kawasaki.jp", "zz", "k12.ca.us")
+    val labelPool = Seq("a", "www", "city", "x9", "long-label", "b2b")
+    def randHost(): String = {
+      val depth = rnd.nextInt(4)
+      ((0 until depth).map(_ => labelPool(rnd.nextInt(labelPool.size))) :+
+        hostPool(rnd.nextInt(hostPool.size))).mkString(".")
+    }
+    val urls = (1 to 300).map { _ =>
+      val h = randHost()
+      val path = "/" + Seq.fill(rnd.nextInt(4))(
+        Seq("a", "..", ".", "b9")(rnd.nextInt(4))).mkString("/")
+      val q = if (rnd.nextBoolean()) "?utm_x=1&id=2" else ""
+      val f = if (rnd.nextBoolean()) "#frag" else ""
+      s"HTTP://$h:80$path$q$f"
+    } ++ samples // arbitrary junk must still be total + idempotent
+    for (u <- urls) {
+      val c1 = canon(u)
+      assert(canon(c1) == c1, s"canonicalize not idempotent on [$u]: " +
+        s"[$c1] -> [${canon(c1)}]")
+      val r = reg(u)
+      assert(reg(r) == r || r.isEmpty,
+        s"registrable host not a fixpoint on [$u]: [$r] -> [${reg(r)}]")
+      if (r.nonEmpty && !r.matches("[0-9.]+")) {
+        // r must be a whole-label suffix of the (lowercased, stripped)
+        // host it was derived from
+        val host = {
+          val m = java.util.regex.Pattern
+            .compile("^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)").matcher(u.trim)
+          val a = if (m.find()) m.group(2) else u.trim
+          a.substring(a.lastIndexOf('@') + 1).toLowerCase
+            .replaceAll(":[0-9]+$", "")
+        }
+        assert(host == r || host.endsWith("." + r),
+          s"[$r] is not a label-aligned suffix of [$host] (url [$u])")
+      }
+    }
+  }
+
   test("hyperplane components sit on the exact 1/1024 binary grid") {
     for (p <- graft.operators.Similarity.hyperplanes(8, 64); c <- p) {
       val scaled = c * 1024.0

@@ -1228,6 +1228,26 @@ class OperatorsSpec extends SparkTestBase {
     assert(p == "a||b||c")
   }
 
+  test("dedupLinesGlobal keeps exactly the globally-first occurrence " +
+      "of each line (C4-style corpus dedup)") {
+    val docs = Seq(
+      (1L, "alpha\nbeta\ngamma"),
+      (2L, "beta\ndelta\nalpha"),   // beta+alpha lost to doc 1
+      (3L, "beta\nbeta\ndelta"))    // everything lost to docs 1-2
+      .toDF("doc_id", "text")
+    val out = Dedup.dedupLinesGlobal(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(2), r.getLong(3))).toMap
+    assert(out(1L) == ("alpha\nbeta\ngamma", 3L), out(1L))
+    assert(out(2L) == ("delta", 1L), out(2L))
+    assert(out(3L) == ("", 0L), out(3L))
+    // within-doc repeats: first position wins, later ones drop
+    val one = Dedup.dedupLinesGlobal(
+      Seq((9L, "x\ny\nx\nz")).toDF("doc_id", "text"), "doc_id", "text")
+      .collect()(0)
+    assert(one.getString(2) == "x\ny\nz" && one.getLong(3) == 3L)
+  }
+
   test("dropBlockedHosts blocks by eTLD+1 precision: a platform " +
       "tenant, not the platform; any subdomain of a blocked domain") {
     val urls = Seq(
