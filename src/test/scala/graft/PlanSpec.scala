@@ -609,6 +609,39 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("r12 crawl operators: scrub/blocklist/quality are shuffle-free " +
+      "map passes; global line dedup plans exactly its three shuffles") {
+    val docs = graft.core.Tables.t(spark, sf, "documents")
+      .select("doc_id", "text")
+    // p56: intra-doc scrub — one projection, no Exchange, no Generate
+    val scrub = planOf(graft.operators.TextAnalysis
+      .scrubRepeatedLines(docs, "text"))
+    assert(!scrub.contains("Exchange") && !scrub.contains("Generate"),
+      s"scrubRepeatedLines must be map-only:\n$scrub")
+    // p57: blocklist — a scan-side filter, no Exchange, no join
+    val block = planOf(graft.operators.UrlOps.dropBlockedHosts(
+      docs.withColumn("url", concat(lit("https://x"),
+        col("doc_id"), lit(".com.br/"))), "url", Seq("x1.com.br")))
+    assert(!block.contains("Exchange") && !block.contains("Join"),
+      s"dropBlockedHosts must be a pushed filter:\n$block")
+    // p54: the quality battery is one kernel projection
+    val gq = planOf(graft.operators.TextAnalysis.gopherQuality(
+      docs, "text"))
+    assert(!gq.contains("Exchange"),
+      s"gopherQuality must be map-only:\n$gq")
+    assert(gq.contains("gopher_stats"),
+      s"gopherQuality must use the native kernel:\n$gq")
+    // p58: winner election + semi-join + reassembly — and NOTHING
+    // nested-loops or goes corpus-wide-window
+    val dedup = planOf(graft.operators.Dedup.dedupLinesGlobal(
+      docs, "doc_id", "text"))
+    assert(!dedup.contains("CartesianProduct") &&
+      !dedup.contains("BroadcastNestedLoopJoin"),
+      s"dedupLinesGlobal must stay key-joined:\n$dedup")
+    assert(!dedup.contains("Window"),
+      s"dedupLinesGlobal must not window the corpus:\n$dedup")
+  }
+
   test("linear classifier scoring is map-only, inside codegen") {
     val docs = graft.core.Tables.t(spark, sf, "documents")
       .select("doc_id", "text")
