@@ -119,6 +119,46 @@ class StreamingSpec extends SparkTestBase {
     q.stop()
   }
 
+  test("crawl front door runs on a STREAM: canonicalize + domain key + " +
+      "blocklist + quality filter are stateless map stages") {
+    // the r12 crawl operators are pure projections/filters, so the
+    // whole pre-cap front door lifts onto readStream unchanged — this
+    // pins that none of them silently grew a batch-only dependency
+    // (collect, window, non-streamable join)
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val mem = MemoryStream[(Long, String, String)]
+    val good = ("the data " * 30).trim // passes the word floor, has "the"
+    val front = {
+      val docs = mem.toDS().toDF("doc_id", "url", "text")
+      val keyed = graft.operators.UrlOps.dropBlockedHosts(
+        graft.operators.UrlOps.keyByDomain(docs, "url"),
+        "url", Seq("blocked.com"))
+      graft.operators.TextAnalysis.gopherQuality(
+          keyed, "text", minStopwords = 1)
+        .filter(col("gopher_pass"))
+        .select("doc_id", "registrable_host", "url_canon")
+    }
+    val q = front.writeStream.format("memory").queryName("front")
+      .outputMode("append").start()
+    mem.addData(
+      (1L, "HTTP://WWW.Good.COM:80/a/../b?utm_x=1", good),
+      (2L, "https://sub.blocked.com/x", good),     // blocklisted
+      (3L, "https://ok.github.io/y", "too short")) // quality-rejected
+    q.processAllAvailable()
+    mem.addData((4L, "https://Tenant.GitHub.IO/z", good)) // 2nd batch
+    q.processAllAvailable()
+    val got = spark.sql(
+        "select doc_id, registrable_host, url_canon from front")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, "good.com", "http://www.good.com/b"),
+      (4L, "tenant.github.io", "https://tenant.github.io/z")), got)
+    q.stop()
+  }
+
   test("streaming DSIR scoring matches the batch operator's log weight") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
