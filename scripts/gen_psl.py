@@ -356,9 +356,15 @@ def from_file_rules(path):
 
 
 def main():
-    if len(sys.argv) >= 3 and sys.argv[1] == "--from-file":
-        icann, priv = from_file_rules(sys.argv[2])
-        prov = f"regenerated from {os.path.basename(sys.argv[2])}"
+    global OUT
+    args = sys.argv[1:]
+    if "--out" in args:
+        i = args.index("--out")
+        OUT = args[i + 1]
+        del args[i:i + 2]
+    if len(args) >= 2 and args[0] == "--from-file":
+        icann, priv = from_file_rules(args[1])
+        prov = f"regenerated from {os.path.basename(args[1])}"
     else:
         icann, priv = curated_rules()
         prov = "curated offline snapshot (no egress; see scripts/gen_psl.py)"
