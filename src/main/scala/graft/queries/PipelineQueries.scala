@@ -689,6 +689,30 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // frame extraction through the pluggable MediaDecoder boundary:
+    // payload = the doc text's bytes (pure-ASCII corpus, so the
+    // oracle's char-based substr chunks are the same bytes), decoder =
+    // the shipping ChunkFrameDecoder(64), everyN=2; every doc_id%97==0
+    // gets an EMPTY payload so the error-row contract is oracle-hashed
+    // too (one classified error row, job never fails)
+    "p59_frame_extract" -> ((s, d) => {
+      import s.implicits._
+      val media = t(s, d, "documents")
+        .select(col("doc_id").as("media_id"),
+          lit("application/octet-stream").as("mime"),
+          when(col("doc_id") % 97 === 0,
+            lit(Array.emptyByteArray))
+            .otherwise(col("text").cast("binary")).as("content"))
+        .as[Multimodal.MediaRow]
+      Multimodal.decodeFramesWith(media,
+          new Multimodal.ChunkFrameDecoder(64), everyN = 2)
+        .toDF()
+        .select(col("media_id").as("doc_id"), col("frame_no"),
+          md5(col("frame")).as("frame_md5"),
+          coalesce(col("error"), lit("")).as("error"))
+        .orderBy("doc_id", "frame_no")
+    }),
+
     // per-source frequency capping (domain caps): at most 17 docs per
     // source (sources carry 25 docs at the smallest gate SF, so the cap
     // BINDS at every scale), chosen by the seeded portable shuffle order
@@ -1985,6 +2009,26 @@ object PipelineQueries {
         |SELECT l.doc_id, CAST(len(l.ls) AS BIGINT) AS n_lines,
         |  CAST(s.nd AS BIGINT) AS n_distinct_lines, s.m AS scrubbed_md5
         |FROM l JOIN s USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // chunk windows replayed as char-based substr (byte-identical on
+    // the ASCII corpus), same %2 sampling; empty payloads produce the
+    // classified error row with md5('')
+    "p59_frame_extract" ->
+      """WITH src AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 97 = 0 THEN '' ELSE text END AS payload
+        |  FROM documents),
+        |f AS (SELECT doc_id, payload,
+        |    unnest(range(0, (len(payload) + 63) // 64)) AS i
+        |  FROM src WHERE len(payload) > 0)
+        |SELECT doc_id, CAST(i AS INT) AS frame_no,
+        |  md5(substr(payload, CAST(1 + i * 64 AS INT), 64)) AS frame_md5,
+        |  '' AS error
+        |FROM f WHERE i % 2 = 0
+        |UNION ALL
+        |SELECT doc_id, -1 AS frame_no, md5('') AS frame_md5,
+        |  'decode failed: empty payload' AS error
+        |FROM src WHERE len(payload) = 0
+        |ORDER BY doc_id, frame_no""".stripMargin,
 
     // winner per line = lexicographic min (doc_id, pos), replayed as a
     // two-step min; docs reassembled with an ordered string_agg; docs
