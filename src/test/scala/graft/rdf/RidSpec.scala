@@ -75,6 +75,30 @@ class RidSpec extends SparkTestBase {
       WellKnown.defaultGraph)
   }
 
+  test("dictStack import arm builds a dictionary identical to the " +
+      "default five-scan union (the GSP A/B conf must not rot)") {
+    val nt = Seq(
+      """<urn:s1> <urn:p> <urn:o1> .""",
+      """<urn:s1> <urn:q> "lit"@en .""",
+      """_:b <urn:p> "5"^^<http://www.w3.org/2001/XMLSchema#integer> <urn:g> .""",
+      """<urn:s2> <urn:q> "plain" .""")
+    def dict(stack: Boolean): Seq[(Long, String, Long, String)] = {
+      if (stack) spark.conf.set("spark.graft.import.dictStack", "true")
+      else spark.conf.unset("spark.graft.import.dictStack")
+      try {
+        val flat = graft.streaming.StreamIngest.parseNtLines(
+          spark.createDataset(nt)(org.apache.spark.sql.Encoders.STRING))
+        QuadStore.fromFlat(spark, flat).resources
+          .select("rid", "lex", "dt", "lang")
+          .as[(Long, String, Long, String)].collect().sortBy(_._1).toSeq
+      } finally spark.conf.unset("spark.graft.import.dictStack")
+    }
+    val base = dict(stack = false)
+    val stacked = dict(stack = true)
+    assert(base.nonEmpty && base == stacked,
+      s"arms diverged:\nbase   : $base\nstacked: $stacked")
+  }
+
   test("TriG: graph blocks, label-only blocks, default graph, nesting") {
     val doc =
       """@prefix : <urn:x:> .
