@@ -44,6 +44,60 @@ object Decontaminate {
         (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
   }
 
+  /** FUZZY (near-duplicate) decontamination — the paraphrase-leakage
+    * companion to the exact-gram [[flag]]: a training document is
+    * flagged when its MinHash-estimated Jaccard with ANY eval document
+    * reaches `threshold`, under the same banded-LSH candidate rule as
+    * [[Dedup.minhashPairs]] (collide in ≥ `minBands` independent
+    * bands, then signature-verify). Exact-gram decontamination stops
+    * matching the moment a benchmark answer is lightly reworded; this
+    * catches the near-verbatim tail.
+    *
+    * Scale shape: the eval side is tiny (benchmark suites), so its
+    * banded keys AND signatures broadcast — the corpus side is a
+    * map-only probe, never shuffled; the only shuffle is the per-doc
+    * candidate dedup, already partial-aggregated. Output per training
+    * doc: `(id, n_near_eval, contaminated)` with `n_near_eval` the
+    * count of DISTINCT eval documents estimated ≥ threshold. */
+  def nearDupFlag(train: DataFrame, eval: DataFrame, idCol: String,
+                  textCol: String, k: Int = 3, h: Int = 32,
+                  bands: Int = 16, threshold: Double = 0.35,
+                  minBands: Int = 2,
+                  portableHash: Boolean = false): DataFrame = {
+    val rows = h / bands
+    val sigT = Dedup.minhashSignatures(train, idCol, textCol, k, h,
+      portableHash)
+    val sigE = Dedup.minhashSignatures(eval, idCol, textCol, k, h,
+      portableHash)
+    def banded(sig: DataFrame): DataFrame =
+      sig.select(col("id"),
+        posexplode(array((0 until bands).map(b =>
+          xxhash64(slice(col("sig"), b * rows + 1, rows), lit(b))): _*)))
+        .withColumnRenamed("pos", "band")
+        .withColumnRenamed("col", "bucket")
+    val cand = banded(sigT).as("t")
+      .join(broadcast(banded(sigE).as("e")),
+        col("t.band") === col("e.band") &&
+          col("t.bucket") === col("e.bucket"))
+      .select(col("t.id").as("tid"), col("e.id").as("eid"))
+      .groupBy("tid", "eid").agg(count(lit(1)).as("nb"))
+      .filter(col("nb") >= minBands)
+      .select("tid", "eid")
+    val near = cand
+      .join(broadcast(sigE.select(col("id").as("eid"),
+        col("sig").as("esig"))), "eid")
+      .join(sigT.select(col("id").as("tid"), col("sig").as("tsig")),
+        "tid")
+      .filter(size(filter(zip_with(col("tsig"), col("esig"), _ === _),
+        x => x)).cast("double") / h >= threshold)
+      .groupBy("tid").agg(count(lit(1)).as("n_near_eval"))
+    train.select(col(idCol).as("id"))
+      .join(near.withColumnRenamed("tid", "id"), Seq("id"), "left_outer")
+      .select(col("id"),
+        coalesce(col("n_near_eval"), lit(0L)).as("n_near_eval"),
+        (coalesce(col("n_near_eval"), lit(0L)) > 0).as("contaminated"))
+  }
+
   /** Per-document contamination FRACTION — the reporting companion to the
     * boolean [[flag]]: `(id, n_grams, n_hits, overlap_frac)` where
     * `overlap_frac = n_hits / n_grams` (0 for gram-less short documents).

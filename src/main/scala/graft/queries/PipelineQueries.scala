@@ -713,6 +713,21 @@ object PipelineQueries {
         .orderBy("doc_id", "frame_no")
     }),
 
+    // FUZZY decontamination: train docs near-duplicate (MinHash-LSH,
+    // same banded rule as p03) to ANY eval doc (the %10==0 slice, like
+    // p19's exact-gram gate) — catches the reworded-benchmark leakage
+    // exact grams miss; planted near-dups straddle the slice boundary
+    "p60_decontaminate_neardup" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      graft.operators.Decontaminate.nearDupFlag(
+          docs.filter(col("doc_id") % 10 =!= 0),
+          docs.filter(col("doc_id") % 10 === 0),
+          "doc_id", "text", portableHash = true)
+        .select(col("id").as("doc_id"), col("n_near_eval"),
+          col("contaminated"))
+        .orderBy("doc_id")
+    }),
+
     // per-source frequency capping (domain caps): at most 17 docs per
     // source (sources carry 25 docs at the smallest gate SF, so the cap
     // BINDS at every scale), chosen by the seeded portable shuffle order
@@ -835,6 +850,51 @@ object PipelineQueries {
        |SELECT id1, id2 FROM agg
        |WHERE nb >= 2 AND eqc / 32.0 >= 0.35
        |ORDER BY id1, id2""".stripMargin
+  }
+
+  /** Generated fuzzy-decontamination oracle: p03's signature + band
+    * structure, asymmetric (train x eval slice) join, per-train-doc
+    * distinct-eval count. */
+  private lazy val p60Oracle: String = {
+    val p = Dedup.minhashP
+    val seeds = Dedup.minhashSeeds(32)
+    val mins = seeds.zipWithIndex.map { case ((a, b), i) =>
+      s"list_min(list_transform(hs, x -> ($a * x + $b) % $p)) AS m$i"
+    }.mkString(",\n    ")
+    val eqSum = (0 until 32).map(i => s"(a.m$i = b.m$i)::INT")
+      .mkString(" + ")
+    val bandJoins = (0 until 16).map { bi =>
+      s"""SELECT a.doc_id AS tid, b.doc_id AS eid, $eqSum AS eqc
+         |  FROM sigt a JOIN sige b
+         |    ON a.m${2 * bi} = b.m${2 * bi}
+         |    AND a.m${2 * bi + 1} = b.m${2 * bi + 1}""".stripMargin
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH ws AS (SELECT doc_id,
+       |    list_filter(regexp_split_to_array(lower(text), '\\s+'),
+       |      x -> len(x) > 0) AS ws
+       |  FROM documents),
+       |sh0 AS (SELECT doc_id, list_distinct(list_transform(
+       |    range(1, len(ws)-1), i -> ws[i]||' '||ws[i+1]||' '||ws[i+2]))
+       |    AS shingles FROM ws),
+       |hs0 AS (SELECT doc_id, list_transform(shingles,
+       |    s -> ${duckShingleHash(p)}) AS hs
+       |  FROM sh0 WHERE len(shingles) > 0),
+       |sig AS (SELECT doc_id,
+       |    $mins
+       |  FROM hs0),
+       |sigt AS (SELECT * FROM sig WHERE doc_id % 10 <> 0),
+       |sige AS (SELECT * FROM sig WHERE doc_id % 10 = 0),
+       |cand AS (
+       |  $bandJoins),
+       |agg AS (SELECT tid, eid, count(*) AS nb, max(eqc) AS eqc
+       |  FROM cand GROUP BY tid, eid),
+       |near AS (SELECT tid, CAST(count(*) AS BIGINT) AS n
+       |  FROM agg WHERE nb >= 2 AND eqc / 32.0 >= 0.35 GROUP BY tid)
+       |SELECT d.doc_id, coalesce(near.n, 0) AS n_near_eval,
+       |  coalesce(near.n, 0) > 0 AS contaminated
+       |FROM documents d LEFT JOIN near ON near.tid = d.doc_id
+       |WHERE d.doc_id % 10 <> 0
+       |ORDER BY d.doc_id""".stripMargin
   }
 
   /** Generated SimHash oracle: identical bit votes, 16-bit chunk LSH and
@@ -1268,6 +1328,7 @@ object PipelineQueries {
         |GROUP BY 1, 2 ORDER BY id1, id2""".stripMargin,
 
     "p03_minhash_pairs" -> p03Oracle,
+    "p60_decontaminate_neardup" -> p60Oracle,
     "p04_simhash_pairs" -> p04Oracle,
     "p10_embed_lsh" -> p10Oracle,
     "p14_embed_ivf" -> p14Oracle,

@@ -1228,6 +1228,38 @@ class OperatorsSpec extends SparkTestBase {
     assert(p == "a||b||c")
   }
 
+  test("nearDupFlag catches reworded eval leakage that exact-gram " +
+      "decontamination misses") {
+    val benchmark = "the quick brown fox jumps over the lazy dog " +
+      "while seven wizards brew strong potions at midnight under pale " +
+      "moonlight chanting secret spells with great delight tonight"
+    // reworded: a word swapped every 7 tokens (words 5, 13, 21 of 27)
+    // — no unchanged 8-word run survives, so every exact 8-gram
+    // breaks; 16 of 25 3-shingles survive (J ≈ 0.47), so
+    // shingle-level similarity stays high
+    val reworded = "the quick brown fox leaps over the lazy dog " +
+      "while seven wizards make strong potions at midnight under pale " +
+      "moonlight whispering secret spells with great delight tonight"
+    val train = Seq(
+      (1L, reworded),
+      (2L, "completely unrelated text about spark query planning and " +
+        "shuffle partitions in distributed execution engines today"))
+      .toDF("doc_id", "text")
+    val eval = Seq((100L, benchmark)).toDF("doc_id", "text")
+    val exact = Decontaminate.flag(train, eval, "doc_id", "text", k = 8)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(exact == Map(1L -> false, 2L -> false),
+      s"exact 8-gram should MISS the reworded doc: $exact")
+    // threshold 0.25 < true J ≈ 0.47: a 32-perm estimate sits within
+    // ±~0.09 of truth, so the margin absorbs the fixed-seed estimate's
+    // variance while the unrelated doc (J ≈ 0) stays far below
+    val fuzzy = Decontaminate.nearDupFlag(train, eval, "doc_id", "text",
+        threshold = 0.25, minBands = 1)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(fuzzy == Map(1L -> true, 2L -> false),
+      s"fuzzy should CATCH the reworded doc only: $fuzzy")
+  }
+
   test("dedupLinesGlobal keeps exactly the globally-first occurrence " +
       "of each line (C4-style corpus dedup)") {
     val docs = Seq(
