@@ -713,6 +713,17 @@ object PipelineQueries {
         .orderBy("doc_id", "frame_no")
     }),
 
+    // table/column profiling preflight: per-column null count, EXACT
+    // distinct count, min/max-as-string in ONE aggregation pass. Gate
+    // columns are the bigint/varchar ones (timestamp/double string
+    // RENDERING differs across engines — the operator profiles them
+    // too, but the hash gate pins the portably-rendered types)
+    "p61_table_profile" -> ((s, d) =>
+      graft.operators.Profiling.profile(t(s, d, "orders"),
+          Seq("o_orderkey", "o_custkey", "o_orderstatus",
+            "o_orderpriority"))
+        .orderBy("col_name")),
+
     // FUZZY decontamination: train docs near-duplicate (MinHash-LSH,
     // same banded rule as p03) to ANY eval doc (the %10==0 slice, like
     // p19's exact-gram gate) — catches the reworded-benchmark leakage
@@ -1329,6 +1340,17 @@ object PipelineQueries {
 
     "p03_minhash_pairs" -> p03Oracle,
     "p60_decontaminate_neardup" -> p60Oracle,
+    // one UNION ALL branch per profiled column, identical statistics
+    "p61_table_profile" ->
+      Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+        .map { c =>
+          s"""SELECT '$c' AS col_name,
+             |  CAST(count(*) FILTER ($c IS NULL) AS BIGINT) AS n_nulls,
+             |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+             |  CAST(min($c) AS VARCHAR) AS min_s,
+             |  CAST(max($c) AS VARCHAR) AS max_s
+             |FROM orders""".stripMargin
+        }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name"),
     "p04_simhash_pairs" -> p04Oracle,
     "p10_embed_lsh" -> p10Oracle,
     "p14_embed_ivf" -> p14Oracle,

@@ -1228,6 +1228,23 @@ class OperatorsSpec extends SparkTestBase {
     assert(p == "a||b||c")
   }
 
+  test("table profile: null/distinct/min/max per column in one pass, " +
+      "string-rendered across types") {
+    val df = Seq(
+      (1L, Some("b"), Some(10)),
+      (2L, None, Some(30)),
+      (3L, Some("a"), None),
+      (4L, Some("a"), Some(20)))
+      .toDF("k", "s", "v")
+    val out = Profiling.profile(df, Seq("k", "s", "v"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3), r.getString(4)))
+      .toMap
+    assert(out("k") == (0L, 4L, "1", "4"), out("k"))
+    assert(out("s") == (1L, 2L, "a", "b"), out("s"))
+    assert(out("v") == (1L, 3L, "10", "30"), out("v"))
+  }
+
   test("nearDupFlag catches reworded eval leakage that exact-gram " +
       "decontamination misses") {
     val benchmark = "the quick brown fox jumps over the lazy dog " +
