@@ -3,33 +3,40 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Cluster-shaped smoke run (r12 verdict task 6): everything else in
-  * this repo runs single-JVM `local[32]`, where closure serialization,
-  * broadcast thresholds, task-result sizes and classpath/resource
-  * loading are never truly exercised. `local-cluster[4,8,m]` starts a
-  * real standalone Master + 4 Workers in-process and forks 4 REAL
-  * executor JVMs (separate processes, real serialization, real
-  * classloaders reading the PSL snapshot resource etc.), which is the
-  * closest a single box gets to multi-executor execution.
+/** Cluster-shaped parity run (r12 verdict task 6, widened to the FULL
+  * gate ledger in r13 per verdict task 4): everything else in this repo
+  * runs single-JVM `local[32]`, where closure serialization, broadcast
+  * thresholds, task-result sizes and classpath/resource loading are
+  * never truly exercised. `local-cluster[4,8,m]` starts a real
+  * standalone Master + 4 Workers in-process and forks 4 REAL executor
+  * JVMs (separate processes, real serialization, real classloaders
+  * reading the PSL snapshot resource etc.), which is the closest a
+  * single box gets to multi-executor execution. The r12 21-gate run of
+  * this probe found a real bug (SparqlQueries' session-less store cache
+  * handing restarted sessions dead pinned plans), which is why r13 runs
+  * every gate.
   *
-  * Protocol: run ~20 headline gates under plain local[32] (rows +
-  * order-insensitive xxhash64 content hash), stop, re-run identically
-  * under local-cluster, compare hashes, then drive one GSP HTTP PUT
-  * end-to-end under the cluster. Artifact: SCALE_BENCH_cluster.json
-  * with per-gate parity + times for both masters.
+  * Protocol: run EVERY `SparkEntry.queries` gate under plain local[32]
+  * (rows + order-insensitive multiplicity-sensitive content digest),
+  * stop, re-run identically under local-cluster, compare digests, then
+  * drive one GSP HTTP PUT end-to-end under the cluster. Artifact:
+  * SCALE_BENCH_cluster.json with per-gate parity + times for both
+  * masters + the dd disk-health number (r12 verdict task 8).
+  *
+  * Digest design (r12 ADVICE fix): the r12 probe xor'd per-row
+  * xxhash64, but xor cancels any multiset difference with EVEN
+  * multiplicity — two copies of row A swapped for two copies of row B
+  * passes both count and xor. r13 SUMS the row hashes as decimal(38,0)
+  * (overflow-free: |sum| ≤ 2^63 · rows ≪ 10^38), which is
+  * multiplicity-sensitive: changing any row's multiplicity by k shifts
+  * the sum by k·h, and a collision now needs hash sums — not hash
+  * sets — to coincide.
   *
   * Usage: runMain graft.ScaleProbeCluster [sfDir] [outJson]
   */
 object ScaleProbeCluster {
 
-  private val gates = Seq(
-    "q02_agg_pricing_summary", "q03_join_customer_nation_region",
-    "q08_order_limit_offset", "q21_window_rank", "q24_events_hourly",
-    "s01_sparql_bgp_join", "s02_sparql_optional", "s04_sparql_minus",
-    "s05_sparql_agg", "s06_sparql_filter_str", "s07_sparql_order_limit",
-    "s11_sparql_ask", "s15_sparql_fulltext", "s17_sparql_path",
-    "p01_dedup_exact", "p03_minhash_pairs", "p07_langid", "p34_bm25_topk",
-    "p49_winnowing", "p53_url_canonicalize", "p55_crawl_curate")
+  private val gates: Seq[String] = SparkEntry.queries.keys.toSeq.sorted
 
   private def session(master: String): SparkSession = {
     val b = SparkSession.builder().master(master)
@@ -50,29 +57,29 @@ object ScaleProbeCluster {
     s
   }
 
-  /** (rows, content-hash, seconds) per gate; hash is the SUM of row
-    * xxhash64 over all columns — order-insensitive, engine-stable. */
+  /** (rows, content-digest, seconds) per gate; digest is the SUM of row
+    * xxhash64 over all columns as decimal(38,0) — order-insensitive,
+    * multiplicity-sensitive, overflow-free. */
   private def phase(master: String, sfDir: String)
-      : Map[String, (Long, Long, Double)] = {
+      : Map[String, (Long, String, Double)] = {
     val spark = session(master)
     try {
-      // one untimed pass pays codegen/JIT so the timed numbers compare
-      // steady states, not first-compile noise
-      gates.foreach { n =>
-        try SparkEntry.queries(n)(spark, sfDir).count()
-        catch { case e: Throwable =>
-          println(s"[cluster] warmup $n FAILED: ${e.getMessage}") }
-      }
       gates.map { n =>
         val t0 = System.nanoTime()
-        val df = SparkEntry.queries(n)(spark, sfDir)
-        // bit_xor: order-insensitive content hash with no ANSI
-        // overflow (sum of 2^63-scale hashes trips ansi long math)
-        val agg = df.select(xxhash64(df.columns.map(col): _*).as("h"))
-          .agg(count(lit(1)).as("n"),
-            coalesce(expr("bit_xor(h)"), lit(0L)).as("hx")).collect()(0)
+        val rowsDigest =
+          try {
+            val df = SparkEntry.queries(n)(spark, sfDir)
+            val agg = df.select(xxhash64(df.columns.map(col): _*).as("h"))
+              .agg(count(lit(1)).as("n"),
+                coalesce(sum(col("h").cast("decimal(38,0)")),
+                  lit(0).cast("decimal(38,0)")).as("hs")).collect()(0)
+            (agg.getLong(0), agg.getDecimal(1).toBigInteger.toString)
+          } catch { case e: Throwable =>
+            println(s"[cluster] $n FAILED under $master: ${e.getMessage}")
+            (-1L, s"ERROR:${e.getClass.getSimpleName}")
+          }
         val sec = (System.nanoTime() - t0) / 1e9
-        n -> (agg.getLong(0), agg.getLong(1), sec)
+        n -> (rowsDigest._1, rowsDigest._2, sec)
       }.toMap
     } finally spark.stop()
   }
@@ -80,20 +87,23 @@ object ScaleProbeCluster {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val outJson = args.lift(1)
+    val dd = graft.probe.DiskProbe.jsonFragment()
+    println(s"[cluster] disk probe: {$dd}")
 
-    println("[cluster] phase 1: local[32]")
+    println(s"[cluster] phase 1: local[32], ${gates.size} gates")
     val local = phase("local[32]", sfDir)
-    println("[cluster] phase 2: local-cluster[4,8,4096]")
+    println(s"[cluster] phase 2: local-cluster[4,8,4096], " +
+      s"${gates.size} gates")
     val cluster = phase("local-cluster[4,8,4096]", sfDir)
 
     var mismatches = List.empty[String]
     val perGate = gates.map { n =>
       val (lr, lh, ls) = local(n)
       val (cr, ch, cs) = cluster(n)
-      val ok = lr == cr && lh == ch
+      val ok = lr == cr && lh == ch && lr >= 0
       if (!ok) mismatches ::= n
       println(f"[cluster] $n%-32s rows $lr%8d/$cr%-8d " +
-        f"hash ${if (lh == ch) "==" else "!="} " +
+        f"digest ${if (lh == ch) "==" else "!="} " +
         f"local $ls%6.2f s cluster $cs%6.2f s")
       s""""$n":{"rows":$lr,"match":$ok,""" +
         f""""local_sec":$ls%.2f,"cluster_sec":$cs%.2f}"""
@@ -160,7 +170,7 @@ object ScaleProbeCluster {
 
     val json = s"""{"metric":"cluster_smoke","master":""" +
       s""""local-cluster[4,8,4096]","gates":${gates.size},""" +
-      s""""mismatches":${mismatches.size},""" +
+      s""""mismatches":${mismatches.size},$dd,""" +
       s""""detail":{${perGate.mkString(",")},$gspJson}}"""
     println(json)
     outJson.foreach { p =>

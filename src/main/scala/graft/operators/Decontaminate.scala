@@ -64,6 +64,10 @@ object Decontaminate {
                   bands: Int = 16, threshold: Double = 0.35,
                   minBands: Int = 2,
                   portableHash: Boolean = false): DataFrame = {
+    require(bands > 0 && h % bands == 0,
+      s"nearDupFlag: bands=$bands must be positive and divide h=$h " +
+        "(a non-divisor silently drops trailing signature positions " +
+        "from banding; bands > h makes every band slice empty)")
     val rows = h / bands
     val sigT = Dedup.minhashSignatures(train, idCol, textCol, k, h,
       portableHash)

@@ -48,6 +48,13 @@ object Dedup {
   def dedupLinesGlobal(df: DataFrame, idCol: String, textCol: String,
                        sep: String = "\n", out: String = "deduped")
       : DataFrame = {
+    require(!df.columns.contains(out),
+      s"dedupLinesGlobal: output column '$out' already exists on input")
+    require(!df.columns.contains("n_kept_lines"),
+      "dedupLinesGlobal: input already carries 'n_kept_lines' — the " +
+        "operator appends that counter column and would overwrite it")
+    require(!df.columns.contains("__nkept"),
+      "dedupLinesGlobal: input carries the reserved temp column '__nkept'")
     val lines = df.select(col(idCol),
       posexplode(split(col(textCol),
         java.util.regex.Pattern.quote(sep))).as(Seq("pos", "line")))
@@ -277,6 +284,10 @@ object Dedup {
                    k: Int = 3, h: Int = 32, bands: Int = 16,
                    threshold: Double = 0.5, minBands: Int = 1,
                    portableHash: Boolean = false): DataFrame = {
+    require(bands > 0 && h % bands == 0,
+      s"minhashPairs: bands=$bands must be positive and divide h=$h " +
+        "(a non-divisor silently drops trailing signature positions " +
+        "from banding; bands > h makes every band slice empty)")
     val rows = h / bands
     val sig =
       minhashSignatures(df, idCol, textCol, k, h, portableHash).cache()

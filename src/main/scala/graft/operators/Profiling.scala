@@ -24,7 +24,10 @@ object Profiling {
     require(cols.nonEmpty, "profile: need at least one column")
     val aggs: Seq[Column] = cols.flatMap { c =>
       Seq(
-        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nn_$c"),
+        // count(when(...)) not sum(when(...)): over ZERO input rows sum
+        // aggregates to NULL while count stays 0, so the empty-snapshot
+        // profile reports n_nulls = 0 like every other counter
+        count(when(col(c).isNull, lit(1))).as(s"__nn_$c"),
         count_distinct(col(c)).as(s"__nd_$c"),
         min(col(c)).cast("string").as(s"__mn_$c"),
         max(col(c)).cast("string").as(s"__mx_$c"))

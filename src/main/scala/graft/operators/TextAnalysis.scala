@@ -498,6 +498,125 @@ object TextAnalysis {
     trim(regexp_replace(decoded, "\\s+", " "))
   }
 
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020, "CCNet:
+    * Extracting High Quality Monolingual Datasets from Web Crawl Data"
+    * §4; the same head/middle/tail selection LLaMA's pipeline used):
+    * within each group (CCNet buckets PER LANGUAGE), rank documents by
+    * a quality key ascending (for LM perplexity: lowest ppl = most
+    * fluent = head) and assign equal-width rank buckets —
+    * `bucket = ((rank−1)·k) div n` — so bucket 0 is the best 1/k of the
+    * group, bucket k−1 the worst. With `quota = Some(q)`, at most the
+    * q best-ranked documents of each (group, bucket) survive — the
+    * bucket-quota sampling CCNet uses to hit a target corpus mix
+    * without taking only the head (pure-head selection over-selects
+    * Wikipedia-like text; quota'd middle/tail keep diversity).
+    *
+    * The ranking key is a caller-supplied column, NOT hardwired to
+    * [[ngramLmScore]]'s float `ppl`: production callers pass `ppl`,
+    * while correctness gates pass an exact integer/decimal surrogate
+    * (e.g. a negated scaled fluency ratio `−(sum_c12·10⁶ div
+    * n_bigrams)` from the LM's integer sufficient statistics), because
+    * float perplexity — a sum of transcendental logs — is not
+    * bit-stable across engines and must never hash in a gate (the p45
+    * decimal playbook). Ties break on `idCol`, so the assignment is
+    * total and deterministic for any key.
+    *
+    * Output: input columns + `rank_in_group` (1-based, key then id
+    * ascending), `n_in_group`, `bucket` (0..k−1), `bucket_name`
+    * ("head"/"middle"/"tail" when k = 3, else "b<i>"), `bucket_rank`
+    * (1-based within the bucket, = rank_in_group − ⌈bucket·n/k⌉ —
+    * integer arithmetic only, no float ever touches an assignment).
+    *
+    * Scale shape and the exact-vs-approx quantile trade: EXACT rank
+    * bucketing is one shuffle on the group key plus a per-group sort
+    * (two window functions over the same partition order — Catalyst
+    * plans them in ONE Window exchange+sort). That is the standard
+    * CCNet shape, because groups are languages: even at 100 TB the
+    * biggest single language is a few tens of TB and the sort
+    * distributes over its partitions. It degrades when one group must
+    * be totally ordered inside single-reducer partitions — for a
+    * grouping column with billion-row groups (or `groupCols = Nil`,
+    * which is ONE global group), swap to [[perplexityBucketsApprox]]:
+    * `approx_percentile` boundary estimation (one partial-aggregated
+    * pass, no sort) + a broadcast join + a map-side comparison. The
+    * cost is boundary wobble: approx_percentile guarantees rank error
+    * ≤ ε·n, so up to ε·n documents near each cut land one bucket off —
+    * fine for corpus selection, wrong for an exact-rank gate; quantile
+    * SKEW makes it worse (a heavy spike exactly at the cut value puts
+    * the whole spike on one side, where exact ranking splits it by
+    * tie-break). This is why the oracle gate pins THIS method and the
+    * approx variant is spec-tested against it instead.
+    */
+  def perplexityBuckets(df: DataFrame, idCol: String, keyCol: String,
+                        groupCols: Seq[String] = Nil, k: Int = 3,
+                        quota: Option[Long] = None): DataFrame = {
+    require(k >= 1, s"perplexityBuckets: k=$k buckets must be >= 1")
+    quota.foreach(q => require(q >= 1,
+      s"perplexityBuckets: quota=$q must be >= 1"))
+    val added = Seq("rank_in_group", "n_in_group", "bucket",
+      "bucket_name", "bucket_rank")
+    added.foreach(c => require(!df.columns.contains(c),
+      s"perplexityBuckets: input already carries output column '$c'"))
+    import org.apache.spark.sql.expressions.Window
+    val part = Window.partitionBy(groupCols.map(col): _*)
+    val w = part.orderBy(col(keyCol).asc, col(idCol).asc)
+    val ranked = df
+      .withColumn("rank_in_group", row_number().over(w).cast("long"))
+      .withColumn("n_in_group", count(lit(1)).over(part))
+      // integer div (not floor of a float quotient): exact at any n
+      .withColumn("bucket",
+        expr(s"((rank_in_group - 1) * $k) DIV n_in_group"))
+      .withColumn("bucket_name",
+        if (k == 3) when(col("bucket") === 0, "head")
+          .when(col("bucket") === 1, "middle").otherwise("tail")
+        else concat(lit("b"), col("bucket")))
+      // first rank of bucket b is ceil(b*n/k)+1, so the within-bucket
+      // rank is rank − ceil(b*n/k) — still pure integer arithmetic
+      .withColumn("bucket_rank",
+        expr(s"rank_in_group - ((bucket * n_in_group + ${k - 1}) DIV $k)"))
+    quota.fold(ranked)(q => ranked.filter(col("bucket_rank") <= q))
+  }
+
+  /** Approximate-boundary variant of [[perplexityBuckets]] for groups
+    * too large to totally order (see the scale note there): estimates
+    * the k−1 bucket cut values per group with `approx_percentile`
+    * (rank error ≤ ε·n, one partial-aggregated pass, NO sort), then
+    * assigns `bucket` by comparing each row's key against its group's
+    * broadcast boundaries — map-only after the tiny boundary
+    * aggregate. No ranks exist on this path, so there is no
+    * `rank_in_group`/`bucket_rank` and no quota (quota needs a rank);
+    * output is input columns + `bucket` + `bucket_name`. Rows within
+    * ε·n ranks of a cut may land one bucket off vs the exact variant,
+    * and a value-spike at a cut lands entirely on one side (exact
+    * ranking splits it by id tie-break) — spec-tested against the
+    * exact variant, never oracle-gated. */
+  def perplexityBucketsApprox(df: DataFrame, idCol: String,
+                              keyCol: String,
+                              groupCols: Seq[String] = Nil, k: Int = 3,
+                              accuracy: Int = 10000): DataFrame = {
+    require(k >= 1, s"perplexityBucketsApprox: k=$k must be >= 1")
+    Seq("bucket", "bucket_name", "__cuts").foreach(c =>
+      require(!df.columns.contains(c),
+        s"perplexityBucketsApprox: input already carries column '$c'"))
+    val probs = array((1 until k).map(i => lit(i.toDouble / k)): _*)
+    val cuts = (if (groupCols.isEmpty) df.groupBy()
+                else df.groupBy(groupCols.map(col): _*))
+      .agg(approx_percentile(col(keyCol), probs, lit(accuracy))
+        .as("__cuts"))
+    val joined =
+      if (groupCols.isEmpty) df.crossJoin(broadcast(cuts))
+      else df.join(broadcast(cuts), groupCols)
+    joined
+      .withColumn("bucket",
+        // number of cuts strictly below the key = bucket index
+        size(filter(col("__cuts"), c => c < col(keyCol))).cast("long"))
+      .withColumn("bucket_name",
+        if (k == 3) when(col("bucket") === 0, "head")
+          .when(col("bucket") === 1, "middle").otherwise("tail")
+        else concat(lit("b"), col("bucket")))
+      .drop("__cuts")
+  }
+
   def fingerprintMd5(text: Column): Column =
     md5(trim(regexp_replace(lower(text), "\\s+", " ")).cast("binary"))
 

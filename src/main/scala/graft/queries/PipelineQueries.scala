@@ -724,6 +724,33 @@ object PipelineQueries {
             "o_orderpriority"))
         .orderBy("col_name")),
 
+    // CCNet perplexity bucketing: per-LANGUAGE head/middle/tail rank
+    // buckets over LM-scored eval docs (p32's model), quota-sampled at
+    // 5 per bucket (binds only on the biggest language group, so both
+    // quota'd and complete groups are in the gate). The ranking key is
+    // the EXACT negated fluency ratio −(sum_c12·10⁶ div n_bigrams)
+    // from the LM's integer sufficient statistics — float ppl (a sum
+    // of transcendental logs) never hashes in a gate (p45 playbook);
+    // the gate exercises BOTH bucket boundaries in every group (group
+    // sizes 7..20 → bucket splits 3/2/2, 3/3/2, 7/7/6)
+    "p62_perplexity_buckets" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val scored = TextAnalysis.ngramLmScore(
+          docs.filter(col("doc_id") % 10 =!= 0),
+          docs.filter(col("doc_id") % 10 === 0), "doc_id", "text",
+          addK = 0.1, portableHash = true)
+        .join(docs.select(col("doc_id").as("id"), col("lang")), Seq("id"))
+        .withColumn("ppl_proxy",
+          expr("0L - ((sum_c12 * 1000000L) DIV greatest(n_bigrams, 1L))"))
+        .select("id", "lang", "n_bigrams", "sum_c12", "ppl_proxy")
+      TextAnalysis.perplexityBuckets(scored, "id", "ppl_proxy",
+          groupCols = Seq("lang"), k = 3, quota = Some(5L))
+        .select(col("id").as("doc_id"), col("lang"), col("ppl_proxy"),
+          col("rank_in_group"), col("n_in_group"), col("bucket"),
+          col("bucket_name"), col("bucket_rank"))
+        .orderBy("doc_id")
+    }),
+
     // FUZZY decontamination: train docs near-duplicate (MinHash-LSH,
     // same banded rule as p03) to ANY eval doc (the %10==0 slice, like
     // p19's exact-gram gate) — catches the reworded-benchmark leakage
@@ -1351,6 +1378,51 @@ object PipelineQueries {
              |  CAST(max($c) AS VARCHAR) AS max_s
              |FROM orders""".stripMargin
         }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name"),
+    // p32's LM counting replayed, then exact integer rank bucketing:
+    // key = -(sum_c12*10^6 // n_bigrams), row_number per lang, bucket
+    // by (rank-1)*3 // n, within-bucket rank via ceil(b*n/3), quota 5
+    "p62_perplexity_buckets" ->
+      """WITH ws AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |      x -> len(x) > 0) AS ws
+        |  FROM documents),
+        |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+        |    i -> {'pair': ws[i] || ' ' || ws[i+1]})) AS u
+        |  FROM ws),
+        |pairs AS (SELECT doc_id, u.pair AS pair FROM bg),
+        |tb AS (SELECT pair, count(*) AS c12 FROM pairs
+        |  WHERE doc_id % 10 <> 0 GROUP BY 1),
+        |agg AS (SELECT p.doc_id, count(*) AS n_bigrams,
+        |    sum(coalesce(tb.c12, 0)) AS sum_c12
+        |  FROM pairs p LEFT JOIN tb USING (pair)
+        |  WHERE p.doc_id % 10 = 0 GROUP BY 1),
+        |scored AS (SELECT d.doc_id, d.lang,
+        |    CAST(coalesce(n_bigrams, 0) AS BIGINT) AS n_bigrams,
+        |    CAST(coalesce(sum_c12, 0) AS BIGINT) AS sum_c12
+        |  FROM documents d LEFT JOIN agg USING (doc_id)
+        |  WHERE d.doc_id % 10 = 0),
+        |keyed AS (SELECT *,
+        |    0 - ((sum_c12 * 1000000) // greatest(n_bigrams, 1))
+        |      AS ppl_proxy
+        |  FROM scored),
+        |ranked AS (SELECT *,
+        |    ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY ppl_proxy, doc_id) AS rank_in_group,
+        |    COUNT(*) OVER (PARTITION BY lang) AS n_in_group
+        |  FROM keyed),
+        |bk AS (SELECT *,
+        |    ((rank_in_group - 1) * 3) // n_in_group AS bucket
+        |  FROM ranked),
+        |qr AS (SELECT *, rank_in_group -
+        |    ((bucket * n_in_group + 2) // 3) AS bucket_rank FROM bk)
+        |SELECT doc_id, lang, CAST(ppl_proxy AS BIGINT) AS ppl_proxy,
+        |  CAST(rank_in_group AS BIGINT) AS rank_in_group,
+        |  CAST(n_in_group AS BIGINT) AS n_in_group,
+        |  CAST(bucket AS BIGINT) AS bucket,
+        |  CASE bucket WHEN 0 THEN 'head' WHEN 1 THEN 'middle'
+        |    ELSE 'tail' END AS bucket_name,
+        |  CAST(bucket_rank AS BIGINT) AS bucket_rank
+        |FROM qr WHERE bucket_rank <= 5 ORDER BY doc_id""".stripMargin,
     "p04_simhash_pairs" -> p04Oracle,
     "p10_embed_lsh" -> p10Oracle,
     "p14_embed_ivf" -> p14Oracle,

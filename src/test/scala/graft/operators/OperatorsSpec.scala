@@ -1441,4 +1441,134 @@ class OperatorsSpec extends SparkTestBase {
     assert(en.getDouble(7) == 1.0 + 0.9 * 3)  // p90 linear interpolation
     assert(out("de").getLong(2) == 2L)
   }
+
+  test("perplexityBuckets: hand-ranked CCNet head/middle/tail with " +
+      "integer boundary math, tie-break by id, quota sampling") {
+    // group g7: 7 docs, keys engineered so ranks are known; ids 20/21
+    // share key 5 -> tie breaks by id (20 before 21)
+    val df = Seq(
+      ("g7", 10L, 1L), ("g7", 20L, 5L), ("g7", 21L, 5L), ("g7", 30L, 7L),
+      ("g7", 40L, 8L), ("g7", 50L, 9L), ("g7", 60L, 12L),
+      // group g4: 4 docs -> bucket sizes 2/1/1
+      ("g4", 1L, 100L), ("g4", 2L, 200L), ("g4", 3L, 300L),
+      ("g4", 4L, 400L))
+      .toDF("lang", "id", "key")
+    val out = TextAnalysis.perplexityBuckets(df, "id", "key",
+        groupCols = Seq("lang"), k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(3), r.getLong(5), r.getString(6), r.getLong(7)))
+      .toMap
+    // n=7: buckets (rn-1)*3 div 7 -> sizes 3/2/2; bucket_rank uses
+    // ceil(b*7/3) = 0, 3, 5
+    assert(out(("g7", 10L)) == (1L, 0L, "head", 1L))
+    assert(out(("g7", 20L)) == (2L, 0L, "head", 2L))   // tie: id 20 first
+    assert(out(("g7", 21L)) == (3L, 0L, "head", 3L))
+    assert(out(("g7", 30L)) == (4L, 1L, "middle", 1L)) // head/middle edge
+    assert(out(("g7", 40L)) == (5L, 1L, "middle", 2L))
+    assert(out(("g7", 50L)) == (6L, 2L, "tail", 1L))   // middle/tail edge
+    assert(out(("g7", 60L)) == (7L, 2L, "tail", 2L))
+    // n=4: sizes 2/1/1 (rn2 -> (1*3) div 4 = 0 stays head)
+    assert(out(("g4", 1L)) == (1L, 0L, "head", 1L))
+    assert(out(("g4", 2L)) == (2L, 0L, "head", 2L))
+    assert(out(("g4", 3L)) == (3L, 1L, "middle", 1L))
+    assert(out(("g4", 4L)) == (4L, 2L, "tail", 1L))
+    // quota 1: best-ranked doc of each (group, bucket) only
+    val q = TextAnalysis.perplexityBuckets(df, "id", "key",
+        groupCols = Seq("lang"), k = 3, quota = Some(1L))
+      .select("lang", "id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(q == Set(("g7", 10L), ("g7", 30L), ("g7", 50L),
+      ("g4", 1L), ("g4", 3L), ("g4", 4L)), q)
+    // n < k: a 2-doc group fills head and middle, tail stays empty
+    val tiny = TextAnalysis.perplexityBuckets(
+        Seq(("t", 1L, 1L), ("t", 2L, 2L)).toDF("lang", "id", "key"),
+        "id", "key", groupCols = Seq("lang"), k = 3)
+      .select("id", "bucket_name").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(tiny == Map(1L -> "head", 2L -> "middle"), tiny)
+    // guards: output-column collision and degenerate k fail closed
+    intercept[IllegalArgumentException] {
+      TextAnalysis.perplexityBuckets(
+        df.withColumn("bucket", lit(0)), "id", "key", Seq("lang"))
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.perplexityBuckets(df, "id", "key", Seq("lang"), k = 0)
+    }
+  }
+
+  test("perplexityBucketsApprox agrees with exact ranks on spread keys " +
+      "and diverges (whole spike one side) on a cut-value spike") {
+    // 9 distinct uniform keys, n divisible by k: approx_percentile
+    // returns actual elements here, so the variants must agree exactly
+    val spread = (1L to 9L).map(i => ("g", i, i * 10L))
+      .toDF("lang", "id", "key")
+    val exact = TextAnalysis.perplexityBuckets(spread, "id", "key",
+        Seq("lang"), k = 3)
+      .select("id", "bucket").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val approx = TextAnalysis.perplexityBucketsApprox(spread, "id", "key",
+        Seq("lang"), k = 3)
+      .select("id", "bucket").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(exact == approx, s"exact $exact vs approx $approx")
+    assert(exact.values.groupBy(identity).view.mapValues(_.size).toMap ==
+      Map(0L -> 3, 1L -> 3, 2L -> 3))
+    // value spike at the cut: exact ranking splits the five key=5 docs
+    // across buckets by id tie-break; the approx path (no ranks) puts
+    // the whole spike on one side of the boundary — the quantile-skew
+    // caveat in the scaladoc, pinned as behavior
+    val spike = Seq(("g", 1L, 1L), ("g", 2L, 5L), ("g", 3L, 5L),
+      ("g", 4L, 5L), ("g", 5L, 5L), ("g", 6L, 5L), ("g", 7L, 9L))
+      .toDF("lang", "id", "key")
+    val exS = TextAnalysis.perplexityBuckets(spike, "id", "key",
+        Seq("lang"), k = 3)
+      .select("id", "bucket").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(exS.filterKeys(Set(2L, 3L, 4L, 5L, 6L)).values.toSet.size > 1,
+      s"exact must split the spike: $exS")
+    val apS = TextAnalysis.perplexityBucketsApprox(spike, "id", "key",
+        Seq("lang"), k = 3)
+      .select("id", "bucket").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(apS.filterKeys(Set(2L, 3L, 4L, 5L, 6L)).values.toSet.size == 1,
+      s"approx must keep the spike together: $apS")
+  }
+
+  test("profile on an EMPTY table reports n_nulls = 0, not NULL") {
+    val empty = Seq.empty[(Long, String)].toDF("k", "s")
+    val out = Profiling.profile(empty, Seq("k", "s"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.isNullAt(3), r.isNullAt(4)))
+      .toMap
+    assert(out("k") == (0L, 0L, true, true), out("k"))
+    assert(out("s") == (0L, 0L, true, true), out("s"))
+  }
+
+  test("nearDupFlag and minhashPairs fail closed when bands does not " +
+      "divide the signature length") {
+    val df = Seq((1L, "a b c d e")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      Decontaminate.nearDupFlag(df, df, "doc_id", "text",
+        h = 32, bands = 5)
+    }
+    intercept[IllegalArgumentException] {
+      Decontaminate.nearDupFlag(df, df, "doc_id", "text",
+        h = 32, bands = 64) // bands > h: every slice would be empty
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.minhashPairs(df, "doc_id", "text", h = 32, bands = 7)
+    }
+  }
+
+  test("dedupLinesGlobal fails closed on output-column collisions") {
+    val df = Seq((1L, "a\nb", "x")).toDF("doc_id", "text", "deduped")
+    intercept[IllegalArgumentException] {
+      Dedup.dedupLinesGlobal(df, "doc_id", "text")
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.dedupLinesGlobal(
+        Seq((1L, "a", 2L)).toDF("doc_id", "text", "n_kept_lines"),
+        "doc_id", "text")
+    }
+  }
 }
