@@ -331,43 +331,123 @@ object TextHash {
   }
 
   /** Maximal matched gram run (in grams) through the shared fingerprint
-    * `fp`: for every pair of occurrence positions of `fp` in the two
-    * positional gram-hash arrays (first [[MatchOccCap]] occurrences per
-    * side — boilerplate-repetition bound, mirrored EXACTLY by the
-    * DuckDB oracle), extend left and right while the gram hashes stay
-    * equal, and return the longest run found. 0 if `fp` is absent from
-    * either side. A run of g grams is a common substring of g+k-1
-    * tokens (modulo hash collision) — the exact-substring verification
-    * of Lee et al. 2021 anchored at winnowing fingerprints instead of
-    * a distributed suffix array. */
+    * `fp`: enumerate occurrence-position pairs (pa in side a, pb in
+    * side b) NEAREST-FIRST — ordered by (|pa−pb|, pa, pb) ascending —
+    * evaluate at most [[MatchOccCap]]² = 256 of them (mirrored EXACTLY
+    * by the DuckDB oracle: all-pairs struct sort + slice 256), extend
+    * each left and right while the gram hashes stay equal, and return
+    * the longest run found. 0 if `fp` is absent from either side. A
+    * run of g grams is a common substring of g+k-1 tokens (modulo hash
+    * collision) — the exact-substring verification of Lee et al. 2021
+    * anchored at winnowing fingerprints instead of a distributed
+    * suffix array.
+    *
+    * Why nearest-first (r12 verdict task 6): the r12 kernel took the
+    * FIRST 16 occurrences per side, so on boilerplate-heavy documents
+    * (one fingerprint repeating dozens of times) the occurrence pair
+    * anchoring the true longest run could fall outside the scanned
+    * prefix entirely. Near-duplicate documents share structure, so
+    * the aligning pair has small |pa−pb| while boilerplate echoes
+    * scatter — proximity order puts the true anchor in the first few
+    * pairs. The budget is PAIRS, not occurrences: the kernel is EXACT
+    * whenever occ_a·occ_b ≤ 256 (the old rule was exact only when
+    * both sides had ≤ 16), and proximity-biased beyond. Enumeration
+    * is a ca-way merge: per pa a two-pointer walk outward from the
+    * binary-search insertion point in the (sorted) pb list yields that
+    * pa's pairs in increasing |pa−pb| (left pointer first on ties —
+    * smaller pb); a binary heap keyed (diff, ai, bi) merges the walks
+    * globally. (pa, pb) order equals (ai, bi) order because positions
+    * are strictly increasing, so the heap key matches the oracle's
+    * (d, pa, pb) struct sort. Cost: O(occ·log occ) heap work + 256
+    * bounded extensions — still no O(occ²) blowup. */
   val MatchOccCap = 16
+  val MatchPairCap: Int = MatchOccCap * MatchOccCap
   def matchSpanFp(ha: ArrayData, hb: ArrayData, fp: Long): Int = {
     val na = ha.numElements(); val nb = hb.numElements()
-    val pas = new Array[Int](MatchOccCap); var ca = 0
-    var i = 0
-    while (i < na && ca < MatchOccCap) {
-      if (ha.getLong(i) == fp) { pas(ca) = i; ca += 1 }; i += 1 }
-    val pbs = new Array[Int](MatchOccCap); var cb = 0
-    i = 0
-    while (i < nb && cb < MatchOccCap) {
-      if (hb.getLong(i) == fp) { pbs(cb) = i; cb += 1 }; i += 1 }
-    var best = 0
+    var ca = 0; var i = 0
+    while (i < na) { if (ha.getLong(i) == fp) ca += 1; i += 1 }
+    if (ca == 0) return 0
+    var cb = 0; i = 0
+    while (i < nb) { if (hb.getLong(i) == fp) cb += 1; i += 1 }
+    if (cb == 0) return 0
+    val pas = new Array[Int](ca); var j = 0; i = 0
+    while (i < na) { if (ha.getLong(i) == fp) { pas(j) = i; j += 1 }
+      i += 1 }
+    val pbs = new Array[Int](cb); j = 0; i = 0
+    while (i < nb) { if (hb.getLong(i) == fp) { pbs(j) = i; j += 1 }
+      i += 1 }
+
+    // per-ai outward walk state: next unvisited left/right pbs index
+    val lp = new Array[Int](ca); val rp = new Array[Int](ca)
+    // binary heap of one outstanding candidate per ai, keyed
+    // (diff, ai, bi) lexicographic — parallel arrays, manual sift
+    val hd = new Array[Int](ca); val hai = new Array[Int](ca)
+    val hbi = new Array[Int](ca); var hn = 0
+    def less(x: Int, y: Int): Boolean =
+      hd(x) < hd(y) || (hd(x) == hd(y) && (hai(x) < hai(y) ||
+        (hai(x) == hai(y) && hbi(x) < hbi(y))))
+    def swap(x: Int, y: Int): Unit = {
+      var t = hd(x); hd(x) = hd(y); hd(y) = t
+      t = hai(x); hai(x) = hai(y); hai(y) = t
+      t = hbi(x); hbi(x) = hbi(y); hbi(y) = t
+    }
+    def push(d: Int, ai: Int, bi: Int): Unit = {
+      hd(hn) = d; hai(hn) = ai; hbi(hn) = bi
+      var c = hn; hn += 1
+      while (c > 0 && less(c, (c - 1) >> 1)) { swap(c, (c - 1) >> 1)
+        c = (c - 1) >> 1 }
+    }
+    def popToTail(): Unit = { // min moves to index hn; heap shrinks
+      hn -= 1; swap(0, hn)
+      var c = 0
+      var go = true
+      while (go) {
+        val l = 2 * c + 1; val r = l + 1
+        var m = c
+        if (l < hn && less(l, m)) m = l
+        if (r < hn && less(r, m)) m = r
+        if (m == c) go = false else { swap(c, m); c = m }
+      }
+    }
+    // nearest pb for a given pa: two-pointer walk outward from the
+    // insertion point; on equal diff the LEFT (smaller pb) comes first
+    def nextFor(ai: Int): Unit = {
+      val pa = pas(ai)
+      val li = lp(ai); val ri = rp(ai)
+      if (li >= 0 && ri < cb) {
+        val dl = pa - pbs(li); val dr = pbs(ri) - pa
+        if (dl <= dr) { lp(ai) = li - 1; push(dl, ai, li) }
+        else { rp(ai) = ri + 1; push(dr, ai, ri) }
+      } else if (li >= 0) { lp(ai) = li - 1; push(pa - pbs(li), ai, li) }
+      else if (ri < cb) { rp(ai) = ri + 1; push(pbs(ri) - pa, ai, ri) }
+    }
     var ai = 0
     while (ai < ca) {
-      var bi = 0
-      while (bi < cb) {
-        val pa = pas(ai); val pb = pbs(bi)
-        var l = 0
-        while (pa - l - 1 >= 0 && pb - l - 1 >= 0 &&
-               ha.getLong(pa - l - 1) == hb.getLong(pb - l - 1)) l += 1
-        var r = 0
-        while (pa + r + 1 < na && pb + r + 1 < nb &&
-               ha.getLong(pa + r + 1) == hb.getLong(pb + r + 1)) r += 1
-        val run = l + 1 + r
-        if (run > best) best = run
-        bi += 1
-      }
+      // first pbs index with pbs(idx) >= pa
+      val pa = pas(ai)
+      var lo = 0; var hi = cb
+      while (lo < hi) { val m = (lo + hi) >>> 1
+        if (pbs(m) < pa) lo = m + 1 else hi = m }
+      lp(ai) = lo - 1; rp(ai) = lo
+      nextFor(ai)
       ai += 1
+    }
+    var best = 0
+    var budget = MatchPairCap
+    while (budget > 0 && hn > 0) {
+      popToTail()
+      val a = hai(hn); val bi = hbi(hn)
+      val pa = pas(a); val pb = pbs(bi)
+      var l = 0
+      while (pa - l - 1 >= 0 && pb - l - 1 >= 0 &&
+             ha.getLong(pa - l - 1) == hb.getLong(pb - l - 1)) l += 1
+      var r = 0
+      while (pa + r + 1 < na && pb + r + 1 < nb &&
+             ha.getLong(pa + r + 1) == hb.getLong(pb + r + 1)) r += 1
+      val run = l + 1 + r
+      if (run > best) best = run
+      nextFor(a)
+      budget -= 1
     }
     best
   }

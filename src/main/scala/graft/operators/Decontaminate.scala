@@ -58,7 +58,20 @@ object Decontaminate {
     * map-only probe, never shuffled; the only shuffle is the per-doc
     * candidate dedup, already partial-aggregated. Output per training
     * doc: `(id, n_near_eval, contaminated)` with `n_near_eval` the
-    * count of DISTINCT eval documents estimated ≥ threshold. */
+    * count of DISTINCT eval documents estimated ≥ threshold.
+    *
+    * `threshold` compares an ESTIMATE, not true Jaccard: the matching
+    * fraction of an h-permutation signature is a Binomial(h, J)/h
+    * estimator with standard deviation √(J(1−J)/h) — at the default
+    * h = 32 that is ±~0.09 near J = 0.5 (and the banded candidate rule
+    * adds its own miss probability below ~2 bands' worth of
+    * similarity). So a pair whose true Jaccard sits within ~0.1 of
+    * `threshold` can land on either side run-structure-independently
+    * (the hash seeds are fixed, so any GIVEN pair is deterministic —
+    * but which side it lands on is effectively arbitrary). Choose
+    * thresholds with that margin in mind (the unit spec uses 0.25
+    * against a true J ≈ 0.47), and raise h if the decision boundary
+    * must be sharp — σ halves per 4× permutations. */
   def nearDupFlag(train: DataFrame, eval: DataFrame, idCol: String,
                   textCol: String, k: Int = 3, h: Int = 32,
                   bands: Int = 16, threshold: Double = 0.35,

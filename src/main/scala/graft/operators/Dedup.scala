@@ -44,7 +44,21 @@ object Dedup {
     * the winners (both sides partitioned by line — AQE co-locates), one
     * reassembly shuffle keyed by id. No window over the whole corpus,
     * no driver-side state; the line table is the only explode and
-    * carries (id, pos, line) — nothing wider. */
+    * carries (id, pos, line) — nothing wider.
+    *
+    * Empty-line semantics (the corpus-global version of the p56
+    * caveat, and much stronger): `split` emits "" between consecutive
+    * separators, and "" is a line — so exactly ONE blank line survives
+    * in the ENTIRE corpus (the one at the global minimum (id, pos))
+    * and every other document loses all its paragraph boundaries. C4
+    * itself sidesteps this by deduping three-SENTENCE spans, never
+    * blank units; callers who feed newline-delimited prose and need
+    * paragraph structure should drop blank lines from the unit view
+    * (or dedup spans) rather than rely on blank-line identity. The
+    * empty string is also what a lost-every-line document collapses
+    * to, so "" in `out` means either "all lines lost" or "document was
+    * empty" — disambiguate with `n_kept_lines` (0 in both cases) vs
+    * the input text. */
   def dedupLinesGlobal(df: DataFrame, idCol: String, textCol: String,
                        sep: String = "\n", out: String = "deduped")
       : DataFrame = {
@@ -211,17 +225,24 @@ object Dedup {
     * sides' POSITIONAL hash arrays ride through the join pinned
     * (the p51 array-pin lesson) — at most `maxDf` copies of each.
     *
-    * CONTRACT QUALIFIER (boilerplate cap): the kernel anchors at the
-    * first [[graft.functions.TextHash.MatchOccCap]] (16) occurrences
-    * of the fingerprint PER SIDE (mirrored exactly by the DuckDB
-    * oracle). `max_span_tokens` is therefore exact up to 16
-    * occurrences/side; on documents where one fingerprint repeats
-    * more than 16 times (heavy boilerplate), the occurrence pair
-    * anchoring the true longest run can fall outside the scanned
-    * prefix and the span under-reports. The cap is what kills the
-    * degenerate repeated-fingerprint O(occ²) blowup — callers needing
-    * exactness on such documents should dedup boilerplate first
-    * (e.g. [[graft.operators.Chunking.scrubSpans]]) or raise the cap. */
+    * CONTRACT QUALIFIER (boilerplate cap, r13 nearest-first): the
+    * kernel evaluates at most
+    * [[graft.functions.TextHash.MatchPairCap]] (256) occurrence PAIRS
+    * per fingerprint, enumerated nearest-first by (|posA−posB|, posA,
+    * posB) — mirrored exactly by the DuckDB oracle's all-pairs struct
+    * sort + slice. `max_span_tokens` is therefore EXACT whenever
+    * occ_a·occ_b ≤ 256 (the r12 first-16-per-side rule was exact only
+    * for ≤ 16/side, and document-order scanning meant a late-aligned
+    * true run could be missed entirely); beyond the budget it is
+    * proximity-BIASED: near-duplicate structure aligns the true
+    * longest run at small position offset, so the anchoring pair
+    * sorts into the first few evaluated — but an adversarial document
+    * where the longest run aligns at a larger offset than 256
+    * nearer decoys can still under-report. The pair budget is what
+    * kills the degenerate repeated-fingerprint O(occ²) blowup —
+    * callers needing exactness on such documents should dedup
+    * boilerplate first (e.g. [[graft.operators.Chunking.scrubSpans]])
+    * or raise the cap. */
   def winnowingSpans(df: DataFrame, idCol: String, textCol: String,
                      k: Int = 5, w: Int = 8, maxDf: Int = 128,
                      portableHash: Boolean = false): DataFrame = {

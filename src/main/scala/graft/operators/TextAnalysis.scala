@@ -445,7 +445,17 @@ object TextAnalysis {
     * the whole scrub is one map-only projection (no shuffle, no UDF;
     * at 100 TB this is scan speed like the other text passes).
     * `sep` defaults to newline; gate corpora without newlines derive
-    * a line view first (the p56 gate word-lines its corpus). */
+    * a line view first (the p56 gate word-lines its corpus).
+    *
+    * Empty-line semantics (deliberate, and a paragraph-boundary
+    * caveat): `split` emits "" for consecutive separators, and the
+    * empty string is a line like any other — so the FIRST blank line
+    * survives and every later one is scrubbed, which collapses
+    * paragraph boundaries after the first ("a\n\nb\n\nc" keeps only
+    * the first gap: "a\n\nb\nc"). That matches treating the line as
+    * the dedup unit literally; pipelines that must preserve paragraph
+    * structure should scrub within paragraphs (split on "\n\n" first)
+    * or filter blanks out of the line view before calling this. */
   def scrubRepeatedLines(df: DataFrame, textCol: String,
                          out: String = "scrubbed",
                          sep: String = "\n"): DataFrame =

@@ -1916,10 +1916,12 @@ object PipelineQueries {
         |FROM ur a JOIN ur b ON a.fp = b.fp AND a.doc_id < b.doc_id
         |GROUP BY 1, 2 ORDER BY id1, id2""".stripMargin,
 
-    // p51's pair machinery + per-anchor extension: occurrence positions
-    // of the shared fp in both positional hash lists (first 16 per
-    // side, the kernel's MatchOccCap), extend left/right to the first
-    // mismatching gram, max over occurrence pairs; span tokens =
+    // p51's pair machinery + per-anchor extension: ALL occurrence-
+    // position pairs of the shared fp, sorted nearest-first by the
+    // struct key (|pa-pb|, pa, pb) — DuckDB sorts structs
+    // lexicographically by field order — sliced to the kernel's
+    // 256-pair budget (MatchPairCap), extend left/right to the first
+    // mismatching gram, max over the evaluated pairs; span tokens =
     // grams + k - 1
     "p52_winnowing_spans" ->
       """WITH ws AS (SELECT doc_id,
@@ -1941,22 +1943,24 @@ object PipelineQueries {
         |rare AS (SELECT fp FROM u GROUP BY fp HAVING count(*) <= 128),
         |ur AS (SELECT u.doc_id, u.hs, u.fp FROM u JOIN rare USING (fp)),
         |sp AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
-        |  list_max(flatten(list_transform(
-        |    list_slice(list_filter(range(1, len(a.hs) + 1),
-        |      p -> a.hs[p] = a.fp), 1, 16),
-        |    pa -> list_transform(
-        |      list_slice(list_filter(range(1, len(b.hs) + 1),
-        |        q -> b.hs[q] = a.fp), 1, 16),
-        |      pb ->
-        |        coalesce(list_min(list_filter(range(1, least(pa, pb)),
-        |          s -> a.hs[pa-s] IS DISTINCT FROM b.hs[pb-s])),
-        |          least(pa, pb)) - 1
+        |  list_max(list_transform(
+        |    list_slice(list_sort(flatten(list_transform(
+        |      list_filter(range(1, len(a.hs) + 1), p -> a.hs[p] = a.fp),
+        |      pa -> list_transform(
+        |        list_filter(range(1, len(b.hs) + 1), q -> b.hs[q] = a.fp),
+        |        pb -> {'d': abs(pa - pb), 'pa': pa, 'pb': pb})))),
+        |      1, 256),
+        |    e ->
+        |        coalesce(list_min(list_filter(
+        |          range(1, least(e.pa, e.pb)),
+        |          s -> a.hs[e.pa-s] IS DISTINCT FROM b.hs[e.pb-s])),
+        |          least(e.pa, e.pb)) - 1
         |        + 1 +
         |        coalesce(list_min(list_filter(
-        |          range(1, least(len(a.hs) - pa, len(b.hs) - pb) + 1),
-        |          s -> a.hs[pa+s] IS DISTINCT FROM b.hs[pb+s])),
-        |          least(len(a.hs) - pa, len(b.hs) - pb) + 1) - 1
-        |      )))) AS span
+        |          range(1, least(len(a.hs)-e.pa, len(b.hs)-e.pb) + 1),
+        |          s -> a.hs[e.pa+s] IS DISTINCT FROM b.hs[e.pb+s])),
+        |          least(len(a.hs)-e.pa, len(b.hs)-e.pb) + 1) - 1
+        |      )) AS span
         |  FROM ur a JOIN ur b ON a.fp = b.fp AND a.doc_id < b.doc_id)
         |SELECT id1, id2, CAST(count(*) AS BIGINT) AS n_shared,
         |  CAST(max(span) + 4 AS BIGINT) AS max_span_tokens

@@ -1534,6 +1534,69 @@ class OperatorsSpec extends SparkTestBase {
       s"approx must keep the spike together: $apS")
   }
 
+  test("matchSpanFp nearest-first: boilerplate docs with >16 " +
+      "occurrences anchor the true aligned run the first-16 rule missed") {
+    val F = graft.functions.F
+    val fp = 7L
+    // 17 occurrences/side (289 pairs > the 256 budget): 16 boilerplate
+    // echoes with mismatching neighbors (every cross pair extends to a
+    // 1-gram run) + a 7-gram truly-duplicated run whose anchoring pair
+    // aligns at |pa-pb| = 0, so nearest-first evaluates it in the
+    // first handful of pairs; the r12 first-16-per-side rule never
+    // scanned occurrence #17 and reported 1
+    def side(noise: Int => Long): Seq[Long] =
+      (0 until 32).map(i => if (i % 2 == 0) fp else noise(i)) ++
+        Seq(100L, 101L, 102L, fp, 103L, 104L, 105L)
+    val df = Seq((side(i => 1000L + i), side(i => 2000L + i)))
+      .toDF("ha", "hb")
+    val got = df.select(F.matchSpanFp(col("ha"), col("hb"), lit(fp)))
+      .collect()(0).getInt(0)
+    assert(got == 7, s"nearest-first must find the 7-gram run, got $got")
+    // exactness domain is now occA*occB <= 256, not 16/side: the run
+    // anchored at occurrence #20 of side a (20x1 = 20 pairs, all
+    // evaluated) verifies exactly
+    val a2 = (0 until 19).flatMap(i => Seq(fp, 1000L + i)) ++
+      Seq(50L, 51L, fp, 52L)
+    val b2 = Seq(9L, 50L, 51L, fp, 52L, 9L)
+    val got2 = Seq((a2, b2)).toDF("ha", "hb")
+      .select(F.matchSpanFp(col("ha"), col("hb"), lit(fp)))
+      .collect()(0).getInt(0)
+    assert(got2 == 4, s"occurrence #20 anchor must verify exactly, " +
+      s"got $got2")
+    // absent fingerprint still returns 0
+    val got3 = Seq((Seq(1L, 2L), Seq(7L, 2L))).toDF("ha", "hb")
+      .select(F.matchSpanFp(col("ha"), col("hb"), lit(fp)))
+      .collect()(0).getInt(0)
+    assert(got3 == 0)
+  }
+
+  test("profileApprox: same report schema as profile on the p61 gate " +
+      "fixture, exact nulls/min/max, distinct within the rsd bound") {
+    val orders = graft.core.Tables.t(spark, "/root/testdata/sf0.001",
+      "orders")
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_orderpriority")
+    val exact = Profiling.profile(orders, cols).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val approxDf = Profiling.profileApprox(orders, cols, rsd = 0.05)
+    assert(approxDf.schema == Profiling.profile(orders, cols).schema)
+    // the sketch path must not plan the exact path's per-column Expand
+    assert(!approxDf.queryExecution.executedPlan.toString
+      .contains("Expand"))
+    val approx = approxDf.collect().map(r => r.getString(0) -> r).toMap
+    cols.foreach { c =>
+      val (e, a) = (exact(c), approx(c))
+      assert(a.getLong(1) == e.getLong(1), s"$c n_nulls")
+      assert(a.getString(3) == e.getString(3), s"$c min_s")
+      assert(a.getString(4) == e.getString(4), s"$c max_s")
+      // rsd = relative STANDARD DEVIATION, not a hard bound: 4 sigma
+      // (20% at rsd 0.05) is far outside HLL++'s realistic error here
+      val (nd, ndA) = (e.getLong(2).toDouble, a.getLong(2).toDouble)
+      assert(math.abs(ndA - nd) <= math.max(4 * 0.05 * nd, 1.0),
+        s"$c n_distinct exact $nd approx $ndA")
+    }
+  }
+
   test("profile on an EMPTY table reports n_nulls = 0, not NULL") {
     val empty = Seq.empty[(Long, String)].toDF("k", "s")
     val out = Profiling.profile(empty, Seq("k", "s"))
