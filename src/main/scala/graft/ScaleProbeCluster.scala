@@ -33,6 +33,12 @@ import org.apache.spark.sql.functions._
   * sets — to coincide.
   *
   * Usage: runMain graft.ScaleProbeCluster [sfDir] [outJson]
+  * REQUIRES env SPARK_HOME=/opt/spark AND SPARK_SCALA_VERSION=2.13:
+  * the Worker's ExecutorRunner builds the executor command through the
+  * launcher library, which (a) resolves SPARK_HOME and (b) — because
+  * /opt/spark is a binary dist with no launcher/target build dir —
+  * needs SPARK_SCALA_VERSION to skip its source-tree probe (else
+  * "Cannot find any build directories").
   */
 object ScaleProbeCluster {
 
