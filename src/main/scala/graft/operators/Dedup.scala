@@ -90,6 +90,73 @@ object Dedup {
       .drop("__nkept")
   }
 
+  /** PER-DOMAIN boilerplate line scrub — the site-level extraction
+    * cleanup of CCNet/trafilatura-style pipelines: a line that occurs
+    * in at least `minDocs` DISTINCT documents of the SAME domain (nav
+    * bars, cookie banners, footers — template text stamped on every
+    * page of a site) is dropped from every document of that domain.
+    * The domain key is caller-supplied — compose with
+    * [[graft.operators.UrlOps.registrableHost]] so user1.github.io and
+    * user2.github.io scrub independently. Sits between the intra-doc
+    * scrub ([[TextAnalysis.scrubRepeatedLines]]: repeats WITHIN one
+    * doc) and the corpus-global dedup ([[dedupLinesGlobal]]: first
+    * occurrence anywhere wins): here the unit of repetition is the
+    * SITE, which is where template boilerplate actually lives — a
+    * legitimate quote shared by two docs on different sites survives,
+    * the same site's cookie banner on 10k pages does not.
+    *
+    * Output: input columns + `out` (scrubbed text, lines rejoined in
+    * original order; "" when everything was boilerplate) +
+    * `n_dropped_lines`.
+    *
+    * Shape at 100 TB: one hash-shuffle on (domain, line) with
+    * map-side-combined distinct-doc counting, one anti-join of the
+    * exploded lines against the (small) boilerplate set — AQE
+    * broadcasts it when a domain-shard's boilerplate fits — and one
+    * reassembly shuffle keyed by id. Skew caveat (measured in the r13
+    * viral-line probe, SCALE_BENCH_sf10_r13.json): the anti-join keys
+    * are (domain, line) WITHOUT a unique disambiguator, so a
+    * boilerplate line concentrates its domain's occurrences on one
+    * reducer — bounded by the largest domain's doc count, not the
+    * corpus — and AQE's byte-based skew detector under-reports
+    * duplicate-key partitions (identical lines compress to almost
+    * nothing). If one domain dominates a shard, pre-aggregate per
+    * (domain, line, id-bucket) or broadcast the boilerplate set
+    * explicitly. */
+  def scrubBoilerplateLines(df: DataFrame, idCol: String,
+                            domainCol: String, textCol: String,
+                            minDocs: Int = 3, sep: String = "\n",
+                            out: String = "cleaned"): DataFrame = {
+    require(minDocs >= 2,
+      s"scrubBoilerplateLines: minDocs=$minDocs must be >= 2 " +
+        "(1 would scrub every line of every document)")
+    require(!df.columns.contains(out),
+      s"scrubBoilerplateLines: output column '$out' already exists")
+    require(!df.columns.contains("n_dropped_lines"),
+      "scrubBoilerplateLines: input already carries 'n_dropped_lines'")
+    require(!df.columns.contains("__nkept"),
+      "scrubBoilerplateLines: input carries reserved column '__nkept'")
+    val qsep = java.util.regex.Pattern.quote(sep)
+    val lines = df.select(col(idCol), col(domainCol),
+      posexplode(split(col(textCol), qsep)).as(Seq("pos", "line")))
+    val boiler = lines.groupBy(domainCol, "line")
+      .agg(count_distinct(col(idCol)).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .select(col(domainCol), col("line"))
+    val kept = lines.join(boiler, Seq(domainCol, "line"), "left_anti")
+    val rebuilt = kept.groupBy(idCol).agg(
+      concat_ws(sep, transform(
+        array_sort(collect_list(struct(col("pos"), col("line")))),
+        x => x.getField("line"))).as(out),
+      count(lit(1)).as("__nkept"))
+    df.join(rebuilt, Seq(idCol), "left")
+      .withColumn(out, coalesce(col(out), lit("")))
+      .withColumn("n_dropped_lines",
+        (size(split(col(textCol), qsep)) -
+          coalesce(col("__nkept"), lit(0L))).cast("long"))
+      .drop("__nkept")
+  }
+
   /** (id, nsh, h) rows: distinct hashed k-shingles per document, one row
     * per shingle hash, with the document's distinct-shingle count.
     *

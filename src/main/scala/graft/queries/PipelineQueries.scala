@@ -724,6 +724,28 @@ object PipelineQueries {
             "o_orderpriority"))
         .orderBy("col_name")),
 
+    // per-DOMAIN boilerplate line scrub: each doc is wrapped with a
+    // site banner (same line for all ~50 docs of its registrable
+    // host -> scrubbed at minDocs=3), its own unique text (kept), and
+    // a "buddy" line shared by exactly 2 docs of the same domain
+    // (kept: 2 < 3 — the threshold boundary is exercised on BOTH
+    // sides; buddy keys repeat across domains, proving (domain, line)
+    // cell isolation)
+    "p63_boilerplate_lines" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("text"), crawlUrl.as("url"))
+        .withColumn("reg_host", UrlOps.registrableHost(col("url")))
+      val lined = docs.select(col("doc_id"), col("reg_host"),
+        concat(lit("welcome to "), col("reg_host"), lit("\n"),
+          col("text"), lit("\nbuddy "),
+          expr("doc_id DIV 20").cast("string")).as("text"))
+      Dedup.scrubBoilerplateLines(lined, "doc_id", "reg_host", "text",
+          minDocs = 3)
+        .select(col("doc_id"), col("reg_host"),
+          col("n_dropped_lines"), md5(col("cleaned")).as("cleaned_md5"))
+        .orderBy("doc_id")
+    }),
+
     // CCNet perplexity bucketing: per-LANGUAGE head/middle/tail rank
     // buckets over LM-scored eval docs (p32's model), quota-sampled at
     // 5 per bucket (binds only on the biggest language group, so both
@@ -2240,6 +2262,59 @@ object PipelineQueries {
         |WHERE r.reg_host NOT IN
         |  ('site3.com.au', 'fan3.github.io', '192.168.1.4')
         |ORDER BY r.doc_id""".stripMargin
+        .replace("@URL@", crawlUrlCaseSql)
+        .replace("@PSL@", pslCteSql)
+        .replace("@REGHOST@", regHostCtesSql),
+
+    // p53's host chain + PSL lookup for the domain key, then the
+    // boilerplate election replayed: count(DISTINCT doc_id) per
+    // (reg_host, line), drop cells >= 3, rejoin survivors in order
+    "p63_boilerplate_lines" ->
+      """WITH src AS (SELECT doc_id, @URL@ AS url FROM documents),
+        |t AS (SELECT doc_id, trim(url) AS s0 FROM src),
+        |nf AS (SELECT doc_id, s0,
+        |    CASE WHEN strpos(s0, '#') > 0
+        |      THEN substr(s0, 1, strpos(s0, '#') - 1) ELSE s0 END AS s
+        |  FROM t),
+        |m AS (SELECT doc_id, s0,
+        |    regexp_matches(s, '^[A-Za-z][A-Za-z0-9+.-]*://') AS isurl,
+        |    regexp_extract(s, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?]*)(.*)$', 2) AS rauth
+        |  FROM nf),
+        |hb AS (SELECT doc_id, CASE
+        |    WHEN isurl THEN lower(regexp_replace(regexp_replace(rauth,
+        |      '^.*@', ''), ':[0-9]+$', ''))
+        |    WHEN regexp_matches(s0, '^[A-Za-z0-9.-]+$')
+        |      THEN lower(regexp_replace(s0, ':[0-9]+$', ''))
+        |    ELSE NULL END AS host
+        |  FROM m),
+        |@PSL@,
+        |@REGHOST@,
+        |lined AS (SELECT d.doc_id, r.reg_host,
+        |    'welcome to ' || r.reg_host || chr(10) || d.text ||
+        |      chr(10) || 'buddy ' || (d.doc_id // 20) AS text2
+        |  FROM documents d JOIN reg r USING (doc_id)),
+        |l AS (SELECT doc_id, reg_host, unnest(ls) AS line,
+        |    generate_subscripts(ls, 1) AS i
+        |  FROM (SELECT doc_id, reg_host,
+        |    string_split(text2, chr(10)) AS ls FROM lined)),
+        |b AS (SELECT reg_host, line FROM (
+        |    SELECT reg_host, line, count(DISTINCT doc_id) AS nd
+        |    FROM l GROUP BY 1, 2) WHERE nd >= 3),
+        |kept AS (SELECT l.doc_id, l.line, l.i FROM l
+        |  LEFT JOIN b ON l.reg_host = b.reg_host AND l.line = b.line
+        |  WHERE b.line IS NULL),
+        |r2 AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |    md5(string_agg(line, chr(10) ORDER BY i)) AS cleaned_md5
+        |  FROM kept GROUP BY doc_id),
+        |tot AS (SELECT doc_id, reg_host,
+        |    len(string_split(text2, chr(10))) AS n_lines FROM lined)
+        |SELECT d.doc_id, t2.reg_host,
+        |  CAST(t2.n_lines - coalesce(r2.n_kept, 0) AS BIGINT)
+        |    AS n_dropped_lines,
+        |  coalesce(r2.cleaned_md5, md5('')) AS cleaned_md5
+        |FROM documents d JOIN tot t2 USING (doc_id)
+        |LEFT JOIN r2 USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin
         .replace("@URL@", crawlUrlCaseSql)
         .replace("@PSL@", pslCteSql)
         .replace("@REGHOST@", regHostCtesSql),

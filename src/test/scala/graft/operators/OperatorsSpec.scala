@@ -1534,6 +1534,41 @@ class OperatorsSpec extends SparkTestBase {
       s"approx must keep the spike together: $apS")
   }
 
+  test("scrubBoilerplateLines: site-level template lines drop, " +
+      "cross-domain and below-threshold shares survive") {
+    val docs = Seq(
+      // domain A: "nav bar" in 3 docs (>= minDocs 3) -> scrubbed;
+      // "pair quote" in only 2 -> kept
+      (1L, "a.com", "nav bar\nunique one\npair quote"),
+      (2L, "a.com", "nav bar\nunique two\npair quote"),
+      (3L, "a.com", "nav bar\nunique three"),
+      // domain B carries the SAME "nav bar" text but only 2 docs:
+      // (domain, line) cells are isolated, so it survives here
+      (4L, "b.org", "nav bar\nunique four"),
+      (5L, "b.org", "nav bar\nunique five"),
+      // all-boilerplate doc in domain A -> scrubbed to ""
+      (6L, "a.com", "nav bar"))
+      .toDF("doc_id", "domain", "text")
+    val out = Dedup.scrubBoilerplateLines(docs, "doc_id", "domain",
+        "text", minDocs = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(3), r.getLong(4))).toMap
+    assert(out(1L) == ("unique one\npair quote", 1L), out(1L))
+    assert(out(2L) == ("unique two\npair quote", 1L), out(2L))
+    assert(out(3L) == ("unique three", 1L), out(3L))
+    assert(out(4L) == ("nav bar\nunique four", 0L), out(4L))
+    assert(out(5L) == ("nav bar\nunique five", 0L), out(5L))
+    assert(out(6L) == ("", 1L), out(6L))
+    intercept[IllegalArgumentException] {
+      Dedup.scrubBoilerplateLines(docs, "doc_id", "domain", "text",
+        minDocs = 1)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.scrubBoilerplateLines(
+        docs.withColumn("cleaned", lit("x")), "doc_id", "domain", "text")
+    }
+  }
+
   test("matchSpanFp nearest-first: boilerplate docs with >16 " +
       "occurrences anchor the true aligned run the first-16 rule missed") {
     val F = graft.functions.F
