@@ -642,6 +642,45 @@ class PlanSpec extends SparkTestBase {
       s"dedupLinesGlobal must not window the corpus:\n$dedup")
   }
 
+  test("perplexityBuckets: both window functions share ONE exchange " +
+      "(one group-key shuffle, no second sort pass)") {
+    import spark.implicits._
+    val df = (1L to 100L).map(i => (s"g${i % 3}", i, i * 7 % 31))
+      .toDF("lang", "id", "key")
+    val full = planOf(graft.operators.TextAnalysis.perplexityBuckets(
+      df, "id", "key", groupCols = Seq("lang"), k = 3,
+      quota = Some(5L)))
+    // AQE prints the final AND the initial plan — count the final only
+    val plan = full.split("== Initial Plan ==")(0)
+    val exchanges = "Exchange hashpartitioning".r
+      .findAllIn(plan).size
+    assert(exchanges == 1,
+      s"rank + count windows must share one shuffle, got $exchanges:\n" +
+        plan)
+    assert(plan.contains("Window"), plan)
+    // the quota filter and all bucket math are post-window projections
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("HashJoin"),
+      s"bucketing must not join:\n$plan")
+  }
+
+  test("scrubBoilerplateLines: partial-aggregated election, anti-join " +
+      "against the boilerplate set, no window/cartesian") {
+    val docs = graft.core.Tables.t(spark, sf, "documents")
+      .select(col("doc_id"),
+        concat(lit("site"), col("doc_id") % 5).as("domain"),
+        translate(col("text"), " ", "\n").as("text"))
+    val plan = planOf(graft.operators.Dedup.scrubBoilerplateLines(
+      docs, "doc_id", "domain", "text", minDocs = 3))
+    assert(plan.contains("LeftAnti"),
+      s"boilerplate removal must be an anti-join:\n$plan")
+    assert(plan.contains("partial_count(distinct"),
+      s"distinct-doc election must partial-aggregate map-side:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("Window"),
+      s"scrubBoilerplateLines must stay key-joined, no window:\n$plan")
+  }
+
   test("linear classifier scoring is map-only, inside codegen") {
     val docs = graft.core.Tables.t(spark, sf, "documents")
       .select("doc_id", "text")
