@@ -105,6 +105,13 @@ object GraftFunctions {
         "n_hash, n_ellipsis, n_stopwords) in one native pass") {
       case Seq(t) => GopherStats(t)
     },
+    fn("graft_rep_stats",
+      "graft_rep_stats(text) — Gopher repetition-battery sufficient " +
+        "statistics struct (n_lines, n_dup_lines, chars_dup_lines, " +
+        "n_paras, n_dup_paras, chars_dup_paras, total_chars, " +
+        "top2_chars, dup5_chars) in one native pass") {
+      case Seq(t) => RepStats(t)
+    },
     fn("graft_canonicalize_url",
       "graft_canonicalize_url(url) — RFC 3986-style canonical form " +
         "(case, default ports, dot segments, tracking params, " +

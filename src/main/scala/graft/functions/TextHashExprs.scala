@@ -330,6 +330,109 @@ object TextHash {
       Array[Any](nWords, sumLen, nAlpha, nHash, nEll, nStop))
   }
 
+  /** Gopher Table A1 REPETITION counters (Rae et al. 2021 — the other
+    * half of the quality battery [[gopherStats]] covers) in one native
+    * pass: per-document duplicate-unit and duplicate-character
+    * statistics for lines and paragraphs, plus the two n-gram
+    * character-coverage signals, all exact integers so a SQL oracle
+    * replays them bit-for-bit.
+    *
+    *   - lines = literal '\n' split of the RAW text, paragraphs =
+    *     literal "\n\n" split — trailing/consecutive separators yield
+    *     empty units, and an empty unit is a unit like any other (the
+    *     p56/p58 blank-line discipline; mirrored by the oracle's
+    *     string_split);
+    *   - a DUPLICATE unit is any occurrence after the first of an
+    *     equal unit (exact string identity, case preserved);
+    *     `chars_dup_*` sums the codepoint lengths of those duplicate
+    *     occurrences;
+    *   - `top2_chars` = max over distinct word-2-grams of
+    *     count · (len(w1)+len(w2)+1) — the characters contained in
+    *     the most common 2-gram (words = the engine-wide lowered \s+
+    *     split; gram length counts the joining space);
+    *   - `dup5_chars` = codepoint sum of TOKENS covered by at least
+    *     one word-5-gram occurring ≥ 2 times, each token counted once
+    *     (the paper's "characters inside duplicate n-grams, not
+    *     counting overlaps twice", restricted to token characters —
+    *     inter-word whitespace is not attributed).
+    *
+    * The paper's battery spans n = 2..4 (top n-gram) and n = 5..10
+    * (duplicate n-gram); this kernel computes the two ENDPOINT
+    * representatives (top-2-gram, dup-5-gram) — the other n are the
+    * same computation with different constants and thresholds. */
+  def repStats(text: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val raw = text.toString
+    val totalChars = raw.codePointCount(0, raw.length).toLong
+    def unitStats(sep: String): (Long, Long, Long) = {
+      // limit -1: keep trailing empties, matching SQL string_split
+      val parts = raw.split(java.util.regex.Pattern.quote(sep), -1)
+      val seen = new java.util.HashSet[String]()
+      var n = 0L; var dup = 0L; var dupChars = 0L
+      var i = 0
+      while (i < parts.length) {
+        val u = parts(i); n += 1
+        if (!seen.add(u)) {
+          dup += 1; dupChars += u.codePointCount(0, u.length)
+        }
+        i += 1
+      }
+      (n, dup, dupChars)
+    }
+    val (nl, dl, dlc) = unitStats("\n")
+    val (np, dp, dpc) = unitStats("\n\n")
+    val ws = words(text)
+    var top2 = 0L
+    if (ws.length >= 2) {
+      val counts = new java.util.HashMap[String, Integer]()
+      var i = 0
+      while (i < ws.length - 1) {
+        val g = ws(i) + " " + ws(i + 1)
+        val c = counts.get(g)
+        counts.put(g, if (c == null) 1 else c + 1)
+        i += 1
+      }
+      val it = counts.entrySet().iterator()
+      while (it.hasNext) {
+        val en = it.next()
+        val k = en.getKey
+        val chars = k.codePointCount(0, k.length).toLong * en.getValue
+        if (chars > top2) top2 = chars
+      }
+    }
+    var dup5 = 0L
+    if (ws.length >= 5) {
+      val grams = new Array[String](ws.length - 4)
+      val counts = new java.util.HashMap[String, Integer]()
+      var i = 0
+      while (i < grams.length) {
+        val sb = new java.lang.StringBuilder(ws(i))
+        var j = 1
+        while (j < 5) { sb.append(' ').append(ws(i + j)); j += 1 }
+        grams(i) = sb.toString
+        val c = counts.get(grams(i))
+        counts.put(grams(i), if (c == null) 1 else c + 1)
+        i += 1
+      }
+      val covered = new Array[Boolean](ws.length)
+      i = 0
+      while (i < grams.length) {
+        if (counts.get(grams(i)) >= 2) {
+          var j = 0
+          while (j < 5) { covered(i + j) = true; j += 1 }
+        }
+        i += 1
+      }
+      i = 0
+      while (i < ws.length) {
+        if (covered(i))
+          dup5 += ws(i).codePointCount(0, ws(i).length)
+        i += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](nl, dl, dlc, np, dp, dpc, totalChars, top2, dup5))
+  }
+
   /** Maximal matched gram run (in grams) through the shared fingerprint
     * `fp`: enumerate occurrence-position pairs (pa in side a, pb in
     * side b) NEAREST-FIRST — ordered by (|pa−pb|, pa, pb) ascending —
@@ -508,6 +611,35 @@ final case class GopherStats(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.gopherStats($c)")
   override protected def withNewChildInternal(newChild: Expression): GopherStats =
+    copy(child = newChild)
+}
+
+/** `rep_stats(text)`: the nine integer repetition counters of the
+  * Gopher Table A1 repetition battery as one struct, computed in a
+  * single native pass (see [[TextHash.repStats]]) — same codegen shape
+  * as [[GopherStats]]: struct-field extractions in the consuming
+  * projection de-duplicate via codegen subexpression elimination. */
+final case class RepStats(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType]) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType}")
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_lines", LongType, nullable = false),
+    StructField("n_dup_lines", LongType, nullable = false),
+    StructField("chars_dup_lines", LongType, nullable = false),
+    StructField("n_paras", LongType, nullable = false),
+    StructField("n_dup_paras", LongType, nullable = false),
+    StructField("chars_dup_paras", LongType, nullable = false),
+    StructField("total_chars", LongType, nullable = false),
+    StructField("top2_chars", LongType, nullable = false),
+    StructField("dup5_chars", LongType, nullable = false)))
+  override def prettyName: String = "rep_stats"
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.repStats(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.repStats($c)")
+  override protected def withNewChildInternal(newChild: Expression): RepStats =
     copy(child = newChild)
 }
 

@@ -210,6 +210,7 @@ object F {
   def nfcNormalize(text: Column): Column = c(NfcNormalize(e(text)))
   def langId(text: Column): Column = c(LangId(e(text)))
   def gopherStats(text: Column): Column = c(GopherStats(e(text)))
+  def repStats(text: Column): Column = c(RepStats(e(text)))
   def matchSpanFp(ha: Column, hb: Column, fp: Column): Column =
     c(MatchSpanFp(e(ha), e(hb), e(fp)))
   def canonicalizeUrl(url: Column): Column = c(CanonicalizeUrl(e(url)))

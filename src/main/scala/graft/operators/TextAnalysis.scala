@@ -436,6 +436,49 @@ object TextAnalysis {
       pass.as("gopher_pass")): _*)
   }
 
+  /** Gopher repetition-signal battery (Rae et al. 2021 Table A1, the
+    * REPETITION half — [[gopherQuality]] is the quality half): exact
+    * integer repetition counters per document from the one-pass native
+    * [[graft.functions.RepStats]] kernel, plus a pass verdict derived
+    * with INTEGER-ONLY comparisons at the paper's thresholds:
+    *
+    *   - duplicate line fraction ≤ 0.30       (10·dup ≤ 3·n)
+    *   - duplicate paragraph fraction ≤ 0.30
+    *   - duplicate line char fraction ≤ 0.20  (5·chars_dup ≤ total)
+    *   - duplicate paragraph char fraction ≤ 0.20
+    *   - top-2-gram char fraction ≤ 0.20
+    *   - duplicate-5-gram char fraction ≤ 0.15 (20·dup5 ≤ 3·total)
+    *
+    * (the paper also lists top-3/4-gram and dup-6..10-gram variants —
+    * same computation, different constants; the kernel's two signals
+    * are the family endpoints). Unit semantics, tokenization, and the
+    * coverage rule are pinned in the kernel scaladoc and mirrored by
+    * the p64 oracle. A document with no text repetition passes; heavy
+    * boilerplate (the docs [[scrubRepeatedLines]] and
+    * [[Dedup.scrubBoilerplateLines]] would clean) fails — run the
+    * scrubs first if the intent is salvage rather than filtering.
+    * Map-only: one codegen'd kernel call per row, no shuffle — scan
+    * speed at 100 TB like the rest of the signal passes. Input
+    * columns pass through so it composes as a filter stage. */
+  def repetitionSignals(df: DataFrame, textCol: String): DataFrame = {
+    val r = graft.functions.F.repStats(col(textCol))
+    val nl = r.getField("n_lines"); val dl = r.getField("n_dup_lines")
+    val dlc = r.getField("chars_dup_lines")
+    val np = r.getField("n_paras"); val dp = r.getField("n_dup_paras")
+    val dpc = r.getField("chars_dup_paras")
+    val tc = r.getField("total_chars")
+    val t2 = r.getField("top2_chars"); val d5 = r.getField("dup5_chars")
+    val pass = dl * 10 <= nl * 3 && dp * 10 <= np * 3 &&
+      dlc * 5 <= tc && dpc * 5 <= tc && t2 * 5 <= tc &&
+      d5 * 20 <= tc * 3
+    df.select(df.columns.map(col) ++ Seq(
+      nl.as("n_lines"), dl.as("n_dup_lines"),
+      dlc.as("chars_dup_lines"), np.as("n_paras"),
+      dp.as("n_dup_paras"), dpc.as("chars_dup_paras"),
+      tc.as("total_chars"), t2.as("top2_chars"), d5.as("dup5_chars"),
+      pass.as("rep_pass")): _*)
+  }
+
   /** Intra-document repeated-LINE scrub — the Rae et al. 2021 §A1.2 /
     * C4-style repetition cleanup: boilerplate (nav bars, cookie
     * banners, repeated headings) shows up as the same line occurring

@@ -746,6 +746,29 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // Gopher Table A1 REPETITION battery: every doc is wrapped so the
+    // signals bind — doc_id%3==0 gets a repeated line ("repeat me"x2),
+    // a repeated paragraph (the doc's first 50 chars twice), and the
+    // blank-line dup the "\n\n" wrapping creates (verdict fails);
+    // other docs get unique tails (verdict passes unless natural word
+    // repetition trips the n-gram signals) — both verdicts in the hash
+    "p64_repetition_signals" -> ((s, d) => {
+      val wrapped = when(col("doc_id") % 3 === 0,
+        concat(col("text"), lit("\nrepeat me\nrepeat me\n\n"),
+          substring(col("text"), 1, 50), lit("\n\n"),
+          substring(col("text"), 1, 50)))
+        .otherwise(concat(col("text"), lit("\nuq"), col("doc_id"),
+          lit("\n\nuq2"), col("doc_id")))
+      TextAnalysis.repetitionSignals(
+          t(s, d, "documents").select(col("doc_id"),
+            wrapped.as("text")), "text")
+        .select(col("doc_id"), col("n_lines"), col("n_dup_lines"),
+          col("chars_dup_lines"), col("n_paras"), col("n_dup_paras"),
+          col("chars_dup_paras"), col("total_chars"),
+          col("top2_chars"), col("dup5_chars"), col("rep_pass"))
+        .orderBy("doc_id")
+    }),
+
     // CCNet perplexity bucketing: per-LANGUAGE head/middle/tail rank
     // buckets over LM-scored eval docs (p32's model), quota-sampled at
     // 5 per bucket (binds only on the biggest language group, so both
@@ -2265,6 +2288,94 @@ object PipelineQueries {
         .replace("@URL@", crawlUrlCaseSql)
         .replace("@PSL@", pslCteSql)
         .replace("@REGHOST@", regHostCtesSql),
+
+    // the repetition kernel replayed relationally: min-subscript dup
+    // detection for lines ('\n') and paragraphs ('\n\n'), grouped
+    // 2-gram count-x-length max, and the p31-style coverage union for
+    // duplicated 5-grams; verdict = the same integer comparisons
+    "p64_repetition_signals" ->
+      """WITH base AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN text || chr(10) ||
+        |      'repeat me' || chr(10) || 'repeat me' || chr(10) ||
+        |      chr(10) || substr(text, 1, 50) || chr(10) || chr(10) ||
+        |      substr(text, 1, 50)
+        |    ELSE text || chr(10) || 'uq' || doc_id || chr(10) ||
+        |      chr(10) || 'uq2' || doc_id END AS t2
+        |  FROM documents),
+        |lu AS (SELECT doc_id, t2,
+        |    string_split(t2, chr(10)) AS ls,
+        |    string_split(t2, chr(10) || chr(10)) AS ps,
+        |    list_filter(regexp_split_to_array(lower(t2), '\s+'),
+        |      x -> len(x) > 0) AS ws,
+        |    len(t2) AS total_chars
+        |  FROM base),
+        |lx AS (SELECT doc_id, unnest(ls) AS u,
+        |    generate_subscripts(ls, 1) AS i FROM lu),
+        |lw AS (SELECT doc_id, u, min(i) AS wi FROM lx GROUP BY 1, 2),
+        |ld AS (SELECT x.doc_id, count(*) AS n_lines,
+        |    count(*) FILTER (x.i > w.wi) AS n_dup_lines,
+        |    coalesce(sum(len(x.u)) FILTER (x.i > w.wi), 0)
+        |      AS chars_dup_lines
+        |  FROM lx x JOIN lw w ON x.doc_id = w.doc_id AND x.u = w.u
+        |  GROUP BY 1),
+        |px AS (SELECT doc_id, unnest(ps) AS u,
+        |    generate_subscripts(ps, 1) AS i FROM lu),
+        |pw AS (SELECT doc_id, u, min(i) AS wi FROM px GROUP BY 1, 2),
+        |pd AS (SELECT x.doc_id, count(*) AS n_paras,
+        |    count(*) FILTER (x.i > w.wi) AS n_dup_paras,
+        |    coalesce(sum(len(x.u)) FILTER (x.i > w.wi), 0)
+        |      AS chars_dup_paras
+        |  FROM px x JOIN pw w ON x.doc_id = w.doc_id AND x.u = w.u
+        |  GROUP BY 1),
+        |w2 AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS g,
+        |    len(ws[i]) + len(ws[i+1]) + 1 AS gl
+        |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i
+        |        FROM lu)),
+        |t2a AS (SELECT doc_id, max(cnt * gl) AS top2_chars FROM (
+        |    SELECT doc_id, g, gl, count(*) AS cnt FROM w2
+        |    GROUP BY 1, 2, 3) GROUP BY 1),
+        |g5 AS (SELECT doc_id, i, array_to_string(ws[i:i+4], ' ') AS g
+        |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 3)) AS i
+        |        FROM lu)),
+        |d5 AS (SELECT doc_id, g FROM g5 GROUP BY 1, 2
+        |  HAVING count(*) >= 2),
+        |st AS (SELECT DISTINCT g5.doc_id, g5.i FROM g5
+        |  JOIN d5 USING (doc_id, g)),
+        |cov AS (SELECT doc_id, list_sort(list(i)) AS starts FROM st
+        |  GROUP BY 1),
+        |d5c AS (SELECT l.doc_id,
+        |    coalesce(list_sum(list_transform(
+        |      list_filter(range(1, len(l.ws) + 1),
+        |        p -> len(list_filter(coalesce(c.starts,
+        |          CAST([] AS BIGINT[])),
+        |          s -> s <= p AND p <= s + 4)) > 0),
+        |      p -> len(l.ws[p]))), 0) AS dup5_chars
+        |  FROM lu l LEFT JOIN cov c USING (doc_id)),
+        |fin AS (SELECT l.doc_id,
+        |    ld.n_lines, ld.n_dup_lines, ld.chars_dup_lines,
+        |    pd.n_paras, pd.n_dup_paras, pd.chars_dup_paras,
+        |    l.total_chars,
+        |    coalesce(t2a.top2_chars, 0) AS top2_chars,
+        |    d5c.dup5_chars
+        |  FROM lu l JOIN ld USING (doc_id) JOIN pd USING (doc_id)
+        |  LEFT JOIN t2a USING (doc_id) JOIN d5c USING (doc_id))
+        |SELECT doc_id,
+        |  CAST(n_lines AS BIGINT) AS n_lines,
+        |  CAST(n_dup_lines AS BIGINT) AS n_dup_lines,
+        |  CAST(chars_dup_lines AS BIGINT) AS chars_dup_lines,
+        |  CAST(n_paras AS BIGINT) AS n_paras,
+        |  CAST(n_dup_paras AS BIGINT) AS n_dup_paras,
+        |  CAST(chars_dup_paras AS BIGINT) AS chars_dup_paras,
+        |  CAST(total_chars AS BIGINT) AS total_chars,
+        |  CAST(top2_chars AS BIGINT) AS top2_chars,
+        |  CAST(dup5_chars AS BIGINT) AS dup5_chars,
+        |  (n_dup_lines * 10 <= n_lines * 3 AND
+        |   n_dup_paras * 10 <= n_paras * 3 AND
+        |   chars_dup_lines * 5 <= total_chars AND
+        |   chars_dup_paras * 5 <= total_chars AND
+        |   top2_chars * 5 <= total_chars AND
+        |   dup5_chars * 20 <= total_chars * 3) AS rep_pass
+        |FROM fin ORDER BY doc_id""".stripMargin,
 
     // p53's host chain + PSL lookup for the domain key, then the
     // boilerplate election replayed: count(DISTINCT doc_id) per

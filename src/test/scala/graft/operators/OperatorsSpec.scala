@@ -1534,6 +1534,40 @@ class OperatorsSpec extends SparkTestBase {
       s"approx must keep the spike together: $apS")
   }
 
+  test("repetitionSignals: hand-counted Gopher repetition battery " +
+      "(dup lines/paras, top-2-gram chars, dup-5-gram coverage)") {
+    // lines: [aa bb aa bb, aa bb aa bb, '', cc] -> 1 dup of 11 chars;
+    // paras: [aa bb aa bb\naa bb aa bb, cc] -> no dup;
+    // words: aa bb aa bb aa bb aa bb cc -> top 2-gram (aa,bb) x4,
+    // len 5 -> top2 = 20; 5-grams g(0)=g(2), g(1)=g(3) duplicate ->
+    // tokens 0..7 covered (16 chars), token cc not
+    val doc = "aa bb aa bb\naa bb aa bb\n\ncc"
+    val out = TextAnalysis.repetitionSignals(
+        Seq((1L, doc)).toDF("doc_id", "text"), "text")
+      .collect()(0)
+    assert(out.getLong(2) == 4L, "n_lines")     // after doc_id, text
+    assert(out.getLong(3) == 1L, "n_dup_lines")
+    assert(out.getLong(4) == 11L, "chars_dup_lines")
+    assert(out.getLong(5) == 2L, "n_paras")
+    assert(out.getLong(6) == 0L, "n_dup_paras")
+    assert(out.getLong(7) == 0L, "chars_dup_paras")
+    assert(out.getLong(8) == 27L, "total_chars")
+    assert(out.getLong(9) == 20L, "top2_chars")
+    assert(out.getLong(10) == 16L, "dup5_chars")
+    assert(!out.getBoolean(11),
+      "boilerplate doc must FAIL the battery")
+    // a long unrepetitive doc passes (note: top-2-gram char fraction
+    // inherently fails VERY short docs — one 2-gram is >20% of a
+    // 6-word doc; the battery is calibrated for real documents)
+    val clean = (1 to 40).map(i => s"word$i").mkString(" ")
+    val ok = TextAnalysis.repetitionSignals(
+        Seq((2L, clean)).toDF("doc_id", "text"), "text")
+      .collect()(0)
+    assert(ok.getLong(3) == 0L && ok.getLong(6) == 0L &&
+      ok.getLong(10) == 0L)
+    assert(ok.getBoolean(11), "clean doc must pass")
+  }
+
   test("scrubBoilerplateLines: site-level template lines drop, " +
       "cross-domain and below-threshold shares survive") {
     val docs = Seq(
