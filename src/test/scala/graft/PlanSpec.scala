@@ -629,6 +629,14 @@ class PlanSpec extends SparkTestBase {
       docs, "text"))
     assert(!gq.contains("Exchange"),
       s"gopherQuality must be map-only:\n$gq")
+    // p64: the repetition battery is the same shape — one native
+    // kernel projection, no shuffle
+    val rs = planOf(graft.operators.TextAnalysis.repetitionSignals(
+      docs, "text"))
+    assert(!rs.contains("Exchange"),
+      s"repetitionSignals must be map-only:\n$rs")
+    assert(rs.contains("rep_stats"),
+      s"repetitionSignals must use the native kernel:\n$rs")
     assert(gq.contains("gopher_stats"),
       s"gopherQuality must use the native kernel:\n$gq")
     // p58: winner election + semi-join + reassembly — and NOTHING

@@ -106,6 +106,33 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("repStats invariants: dup counts bounded by unit counts, dup " +
+      "chars bounded by total, scrubRepeatedLines zeroes dup lines") {
+    val u8 = UTF8String.fromString _
+    for (s <- samples) {
+      val r = functions.TextHash.repStats(u8(s))
+      val Seq(nl, dl, dlc, np, dp, dpc, tc, t2, d5) =
+        (0 until 9).map(r.getLong)
+      assert(dl < nl || (dl == 0 && nl >= 1),
+        s"dup lines $dl vs lines $nl for ${s.take(40)}")
+      assert(dp < np || dp == 0)
+      assert(dlc <= tc && dpc <= tc,
+        s"dup chars ($dlc, $dpc) exceed total $tc")
+      assert(d5 <= tc && t2 >= 0 && d5 >= 0)
+      // determinism
+      val r2 = functions.TextHash.repStats(u8(s))
+      assert((0 until 9).forall(i => r2.getLong(i) == r.getLong(i)))
+      // after the intra-doc scrub, no duplicate lines remain (the
+      // operators compose: scrub first, then the battery passes the
+      // dup-line rule by construction)
+      val parts = s.split(java.util.regex.Pattern.quote("\n"), -1)
+      val scrubbed = parts.distinct.mkString("\n")
+      val rs = functions.TextHash.repStats(u8(scrubbed))
+      assert(rs.getLong(1) == 0L,
+        s"scrubbed text still has dup lines: ${scrubbed.take(40)}")
+    }
+  }
+
   test("URL kernels: canonicalize is IDEMPOTENT; registrable host is a " +
       "label-aligned suffix containing its public suffix") {
     import graft.functions.UrlKernel
