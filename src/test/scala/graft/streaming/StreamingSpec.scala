@@ -159,6 +159,38 @@ class StreamingSpec extends SparkTestBase {
     q.stop()
   }
 
+  test("repetition battery runs on a STREAM and matches the batch " +
+      "operator row for row") {
+    // repetitionSignals is one map-only kernel projection, so it lifts
+    // onto readStream unchanged — and unlike the corpus-scoped scrubs
+    // (p58/p63 need corpus-global or domain-global state), the
+    // REPETITION verdict is per-document, making it the natural
+    // crawl-time pre-filter before any stateful stage
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val boiler = "spam line\nspam line\nspam line\nspam line\nok"
+    val clean = (1 to 40).map(i => s"w$i").mkString(" ")
+    val batch = graft.operators.TextAnalysis.repetitionSignals(
+        Seq((1L, boiler), (2L, clean)).toDF("doc_id", "text"), "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(3), r.getBoolean(11))).toMap
+    val mem = MemoryStream[(Long, String)]
+    val out = graft.operators.TextAnalysis.repetitionSignals(
+      mem.toDS().toDF("doc_id", "text"), "text")
+    val q = out.writeStream.format("memory").queryName("repsig")
+      .outputMode("append").start()
+    mem.addData((1L, boiler), (2L, clean))
+    q.processAllAvailable()
+    val got = spark.sql(
+        "select doc_id, n_dup_lines, rep_pass from repsig")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getBoolean(2))).toMap
+    assert(got == batch, s"stream $got vs batch $batch")
+    assert(got(1L) == (3L, false) && got(2L)._2, got)
+    q.stop()
+  }
+
   test("streaming DSIR scoring matches the batch operator's log weight") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
