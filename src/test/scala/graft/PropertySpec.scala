@@ -133,6 +133,51 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("matchSpanFp equals a brute-force all-pairs model: the heap " +
+      "enumeration's (diff, pa, pb) order and 256-pair budget exactly") {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    // independent model: materialize ALL occurrence pairs, sort by
+    // (|pa-pb|, pa, pb), evaluate the first 256, max extension
+    def model(ha: Array[Long], hb: Array[Long], fp: Long): Int = {
+      val pas = ha.indices.filter(ha(_) == fp)
+      val pbs = hb.indices.filter(hb(_) == fp)
+      val pairs = (for (pa <- pas; pb <- pbs)
+        yield (math.abs(pa - pb), pa, pb)).sorted.take(256)
+      var best = 0
+      for ((_, pa, pb) <- pairs) {
+        var l = 0
+        while (pa - l - 1 >= 0 && pb - l - 1 >= 0 &&
+               ha(pa - l - 1) == hb(pb - l - 1)) l += 1
+        var r = 0
+        while (pa + r + 1 < ha.length && pb + r + 1 < hb.length &&
+               ha(pa + r + 1) == hb(pb + r + 1)) r += 1
+        best = math.max(best, l + 1 + r)
+      }
+      best
+    }
+    // small alphabet (0..3) makes fp occurrences dense: hundreds of
+    // occurrences per side, so the budget binds and ties are common —
+    // exactly the regime where a heap-order bug would diverge
+    for (trial <- 1 to 200) {
+      val na = 1 + rnd.nextInt(60); val nb = 1 + rnd.nextInt(60)
+      val ha = Array.fill(na)(rnd.nextInt(4).toLong)
+      val hb = Array.fill(nb)(rnd.nextInt(4).toLong)
+      val fp = rnd.nextInt(4).toLong
+      val got = functions.TextHash.matchSpanFp(
+        ArrayData.toArrayData(ha), ArrayData.toArrayData(hb), fp)
+      val want = model(ha, hb, fp)
+      assert(got == want,
+        s"trial $trial: kernel $got vs model $want for fp=$fp " +
+          s"ha=${ha.mkString(",")} hb=${hb.mkString(",")}")
+    }
+    // and a dense long case where the budget definitely binds
+    val big = Array.fill(400)(rnd.nextInt(3).toLong)
+    val big2 = Array.fill(380)(rnd.nextInt(3).toLong)
+    assert(functions.TextHash.matchSpanFp(
+      ArrayData.toArrayData(big), ArrayData.toArrayData(big2), 1L) ==
+      model(big, big2, 1L))
+  }
+
   test("URL kernels: canonicalize is IDEMPOTENT; registrable host is a " +
       "label-aligned suffix containing its public suffix") {
     import graft.functions.UrlKernel
