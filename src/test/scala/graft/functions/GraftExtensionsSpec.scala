@@ -94,6 +94,20 @@ class GraftExtensionsSpec extends SparkTestBase {
     assert(got.getAs[Long]("n_alpha_words") == 9L, got)
   }
 
+  test("round-13 kernel works from SQL: rep_stats struct") {
+    val got = spark.sql(
+      "SELECT graft_rep_stats('aa bb aa bb\naa bb aa bb\n\ncc')")
+      .first().getStruct(0)
+    // the hand-counted OperatorsSpec fixture, through the SQL surface
+    assert(got.getAs[Long]("n_lines") == 4L, got)
+    assert(got.getAs[Long]("n_dup_lines") == 1L, got)
+    assert(got.getAs[Long]("chars_dup_lines") == 11L, got)
+    assert(got.getAs[Long]("n_paras") == 2L, got)
+    assert(got.getAs[Long]("total_chars") == 27L, got)
+    assert(got.getAs[Long]("top2_chars") == 20L, got)
+    assert(got.getAs[Long]("dup5_chars") == 16L, got)
+  }
+
   test("non-literal k is rejected with a clear message") {
     val e = intercept[Exception] {
       spark.sql("SELECT graft_shingle_hashes('a b c', length('xx'))")
