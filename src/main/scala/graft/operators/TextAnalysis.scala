@@ -479,6 +479,42 @@ object TextAnalysis {
       pass.as("rep_pass")): _*)
   }
 
+  /** Corpus curation REPORT — the per-slice observability aggregate a
+    * pipeline publishes after (or instead of) filtering: for each
+    * group (source, language, crawl snapshot…), how many documents
+    * pass the Gopher QUALITY battery ([[gopherQuality]]), how many
+    * pass the REPETITION battery ([[repetitionSignals]]), how many
+    * pass both, plus the exact integer volume counters that turn the
+    * verdict counts into rates (total words, total chars) and the raw
+    * repetition mass (total duplicate lines, total duplicated-5-gram
+    * chars). "Did this crawl batch get spammier?" is a diff of two of
+    * these reports — the same role [[Profiling.profile]] plays for
+    * table shape and [[distributionShift]] for vocabulary mix.
+    *
+    * Shape: both batteries are map-only native-kernel projections over
+    * the same scan (one stage, two kernel calls per row), then ONE
+    * partial-aggregated group-by — at 100 TB this is a scan plus a
+    * shuffle of #groups rows. All columns are exact integers, so the
+    * whole report is oracle-gated, verdicts included. */
+  def curationReport(df: DataFrame, groupCol: String, textCol: String,
+                     minWords: Int = 50,
+                     minStopwords: Int = 2): DataFrame = {
+    val scored = repetitionSignals(
+      gopherQuality(df, textCol, minWords = minWords,
+        minStopwords = minStopwords), textCol)
+    scored.groupBy(groupCol).agg(
+      count(lit(1)).as("n_docs"),
+      sum(when(col("gopher_pass"), 1L).otherwise(0L))
+        .as("n_gopher_pass"),
+      sum(when(col("rep_pass"), 1L).otherwise(0L)).as("n_rep_pass"),
+      sum(when(col("gopher_pass") && col("rep_pass"), 1L)
+        .otherwise(0L)).as("n_pass_both"),
+      sum(col("n_words")).as("total_words"),
+      sum(col("total_chars")).as("total_chars"),
+      sum(col("n_dup_lines")).as("total_dup_lines"),
+      sum(col("dup5_chars")).as("total_dup5_chars"))
+  }
+
   /** Intra-document repeated-LINE scrub — the Rae et al. 2021 §A1.2 /
     * C4-style repetition cleanup: boilerplate (nav bars, cookie
     * banners, repeated headings) shows up as the same line occurring

@@ -761,6 +761,24 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // corpus curation report: per-source pass counts for BOTH rule
+    // batteries + exact volume/repetition mass counters, on the same
+    // wrapped corpus as p64 (so the repetition verdict bifurcates) at
+    // the same corpus-tuned thresholds as p54 (minStopwords = 1)
+    "p65_curation_report" -> ((s, d) => {
+      val wrapped = when(col("doc_id") % 3 === 0,
+        concat(col("text"), lit("\nrepeat me\nrepeat me\n\n"),
+          substring(col("text"), 1, 50), lit("\n\n"),
+          substring(col("text"), 1, 50)))
+        .otherwise(concat(col("text"), lit("\nuq"), col("doc_id"),
+          lit("\n\nuq2"), col("doc_id")))
+      TextAnalysis.curationReport(
+          t(s, d, "documents").select(col("doc_id"), col("source"),
+            wrapped.as("text")),
+          "source", "text", minStopwords = 1)
+        .orderBy("source")
+    }),
+
     // Gopher Table A1 REPETITION battery: every doc is wrapped so the
     // signals bind — doc_id%3==0 gets a repeated line ("repeat me"x2),
     // a repeated paragraph (the doc's first 50 chars twice), and the
@@ -2300,6 +2318,114 @@ object PipelineQueries {
         .replace("@URL@", crawlUrlCaseSql)
         .replace("@PSL@", pslCteSql)
         .replace("@REGHOST@", regHostCtesSql),
+
+    // the p54 gopher CTEs + the p64 repetition chain on the SAME
+    // wrapped corpus, aggregated per source — verdict counts and the
+    // integer volume/repetition-mass sums, all exact
+    "p65_curation_report" ->
+      """WITH base AS (SELECT doc_id, source,
+        |    CASE WHEN doc_id % 3 = 0 THEN text || chr(10) ||
+        |      'repeat me' || chr(10) || 'repeat me' || chr(10) ||
+        |      chr(10) || substr(text, 1, 50) || chr(10) || chr(10) ||
+        |      substr(text, 1, 50)
+        |    ELSE text || chr(10) || 'uq' || doc_id || chr(10) ||
+        |      chr(10) || 'uq2' || doc_id END AS t2
+        |  FROM documents),
+        |lu AS (SELECT doc_id, t2,
+        |    string_split(t2, chr(10)) AS ls,
+        |    string_split(t2, chr(10) || chr(10)) AS ps,
+        |    list_filter(regexp_split_to_array(lower(t2), '\s+'),
+        |      x -> len(x) > 0) AS ws,
+        |    len(t2) AS total_chars
+        |  FROM base),
+        |g AS (SELECT doc_id,
+        |    CAST(len(ws) AS BIGINT) AS n_words,
+        |    CAST(coalesce(list_sum(list_transform(ws, w -> len(w))), 0)
+        |      AS BIGINT) AS sum_word_len,
+        |    CAST(len(list_filter(ws, w -> regexp_matches(w, '[a-z]')))
+        |      AS BIGINT) AS n_alpha_words,
+        |    CAST(len(t2) - len(replace(t2, '#', '')) AS BIGINT)
+        |      AS n_hash,
+        |    CAST((len(t2) - len(replace(t2, '...', ''))) // 3
+        |      AS BIGINT) AS n_ellipsis,
+        |    CAST(len(list_intersect(list_distinct(ws),
+        |      ['the','be','to','of','and','that','have','with']))
+        |      AS BIGINT) AS n_stopwords
+        |  FROM lu),
+        |gp AS (SELECT doc_id, n_words,
+        |    (n_words >= 50 AND n_words <= 100000
+        |     AND sum_word_len >= n_words * 3
+        |     AND sum_word_len <= n_words * 10
+        |     AND n_hash * 10 <= n_words AND n_ellipsis * 10 <= n_words
+        |     AND n_alpha_words * 5 >= n_words * 4
+        |     AND n_stopwords >= 1) AS gopher_pass
+        |  FROM g),
+        |lx AS (SELECT doc_id, unnest(ls) AS u,
+        |    generate_subscripts(ls, 1) AS i FROM lu),
+        |lw AS (SELECT doc_id, u, min(i) AS wi FROM lx GROUP BY 1, 2),
+        |ld AS (SELECT x.doc_id, count(*) AS n_lines,
+        |    count(*) FILTER (x.i > w.wi) AS n_dup_lines,
+        |    coalesce(sum(len(x.u)) FILTER (x.i > w.wi), 0)
+        |      AS chars_dup_lines
+        |  FROM lx x JOIN lw w ON x.doc_id = w.doc_id AND x.u = w.u
+        |  GROUP BY 1),
+        |px AS (SELECT doc_id, unnest(ps) AS u,
+        |    generate_subscripts(ps, 1) AS i FROM lu),
+        |pw AS (SELECT doc_id, u, min(i) AS wi FROM px GROUP BY 1, 2),
+        |pd AS (SELECT x.doc_id, count(*) AS n_paras,
+        |    count(*) FILTER (x.i > w.wi) AS n_dup_paras,
+        |    coalesce(sum(len(x.u)) FILTER (x.i > w.wi), 0)
+        |      AS chars_dup_paras
+        |  FROM px x JOIN pw w ON x.doc_id = w.doc_id AND x.u = w.u
+        |  GROUP BY 1),
+        |w2 AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS gm,
+        |    len(ws[i]) + len(ws[i+1]) + 1 AS gl
+        |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i
+        |        FROM lu)),
+        |t2a AS (SELECT doc_id, max(cnt * gl) AS top2_chars FROM (
+        |    SELECT doc_id, gm, gl, count(*) AS cnt FROM w2
+        |    GROUP BY 1, 2, 3) GROUP BY 1),
+        |g5 AS (SELECT doc_id, i, array_to_string(ws[i:i+4], ' ') AS gm
+        |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 3)) AS i
+        |        FROM lu)),
+        |d5 AS (SELECT doc_id, gm FROM g5 GROUP BY 1, 2
+        |  HAVING count(*) >= 2),
+        |st AS (SELECT DISTINCT g5.doc_id, g5.i FROM g5
+        |  JOIN d5 USING (doc_id, gm)),
+        |cov AS (SELECT doc_id, list_sort(list(i)) AS starts FROM st
+        |  GROUP BY 1),
+        |d5c AS (SELECT l.doc_id,
+        |    coalesce(list_sum(list_transform(
+        |      list_filter(range(1, len(l.ws) + 1),
+        |        p -> len(list_filter(coalesce(c.starts,
+        |          CAST([] AS BIGINT[])),
+        |          s -> s <= p AND p <= s + 4)) > 0),
+        |      p -> len(l.ws[p]))), 0) AS dup5_chars
+        |  FROM lu l LEFT JOIN cov c USING (doc_id)),
+        |rp AS (SELECT l.doc_id, ld.n_dup_lines, d5c.dup5_chars,
+        |    l.total_chars,
+        |    (ld.n_dup_lines * 10 <= ld.n_lines * 3 AND
+        |     pd.n_dup_paras * 10 <= pd.n_paras * 3 AND
+        |     ld.chars_dup_lines * 5 <= l.total_chars AND
+        |     pd.chars_dup_paras * 5 <= l.total_chars AND
+        |     coalesce(t2a.top2_chars, 0) * 5 <= l.total_chars AND
+        |     d5c.dup5_chars * 20 <= l.total_chars * 3) AS rep_pass
+        |  FROM lu l JOIN ld USING (doc_id) JOIN pd USING (doc_id)
+        |  LEFT JOIN t2a USING (doc_id) JOIN d5c USING (doc_id))
+        |SELECT b.source,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN gp.gopher_pass THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_gopher_pass,
+        |  CAST(sum(CASE WHEN rp.rep_pass THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_rep_pass,
+        |  CAST(sum(CASE WHEN gp.gopher_pass AND rp.rep_pass
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_both,
+        |  CAST(sum(gp.n_words) AS BIGINT) AS total_words,
+        |  CAST(sum(rp.total_chars) AS BIGINT) AS total_chars,
+        |  CAST(sum(rp.n_dup_lines) AS BIGINT) AS total_dup_lines,
+        |  CAST(sum(rp.dup5_chars) AS BIGINT) AS total_dup5_chars
+        |FROM base b JOIN gp USING (doc_id) JOIN rp USING (doc_id)
+        |GROUP BY 1 ORDER BY b.source""".stripMargin,
 
     // the repetition kernel replayed relationally: min-subscript dup
     // detection for lines ('\n') and paragraphs ('\n\n'), grouped

@@ -1568,6 +1568,25 @@ class OperatorsSpec extends SparkTestBase {
     assert(ok.getBoolean(11), "clean doc must pass")
   }
 
+  test("curationReport: per-group battery pass counts and exact " +
+      "volume counters") {
+    val clean = ("the" +: (1 to 59).map(i => s"word$i")).mkString(" ")
+    val boiler = (("spam line\n" * 10).trim)
+    val df = Seq(
+      ("a", 1L, clean),   // passes both batteries
+      ("a", 2L, boiler),  // fails both: 20 words < 50; 9/10 dup lines
+      ("b", 3L, clean))
+      .toDF("src", "doc_id", "text")
+    val out = TextAnalysis.curationReport(df, "src", "text",
+        minStopwords = 1)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5))).toMap
+    // (n_docs, n_gopher_pass, n_rep_pass, n_pass_both, total_words)
+    assert(out("a") == (2L, 1L, 1L, 1L, 80L), out("a"))
+    assert(out("b") == (1L, 1L, 1L, 1L, 60L), out("b"))
+  }
+
   test("scrubBoilerplateLines: site-level template lines drop, " +
       "cross-domain and below-threshold shares survive") {
     val docs = Seq(
