@@ -1524,13 +1524,13 @@ class OperatorsSpec extends SparkTestBase {
         Seq("lang"), k = 3)
       .select("id", "bucket").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(exS.filterKeys(Set(2L, 3L, 4L, 5L, 6L)).values.toSet.size > 1,
+    assert(exS.view.filterKeys(Set(2L, 3L, 4L, 5L, 6L)).values.toSet.size > 1,
       s"exact must split the spike: $exS")
     val apS = TextAnalysis.perplexityBucketsApprox(spike, "id", "key",
         Seq("lang"), k = 3)
       .select("id", "bucket").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(apS.filterKeys(Set(2L, 3L, 4L, 5L, 6L)).values.toSet.size == 1,
+    assert(apS.view.filterKeys(Set(2L, 3L, 4L, 5L, 6L)).values.toSet.size == 1,
       s"approx must keep the spike together: $apS")
   }
 
