@@ -151,8 +151,10 @@ object Dedup {
       count(lit(1)).as("__nkept"))
     df.join(rebuilt, Seq(idCol), "left")
       .withColumn(out, coalesce(col(out), lit("")))
+      // null text explodes to no lines: 0 kept, 0 dropped — coalesce
+      // keeps the counter integral instead of NULL-poisoning reports
       .withColumn("n_dropped_lines",
-        (size(split(col(textCol), qsep)) -
+        (coalesce(size(split(col(textCol), qsep)), lit(0)) -
           coalesce(col("__nkept"), lit(0L))).cast("long"))
       .drop("__nkept")
   }

@@ -1600,7 +1600,9 @@ class OperatorsSpec extends SparkTestBase {
       (4L, "b.org", "nav bar\nunique four"),
       (5L, "b.org", "nav bar\nunique five"),
       // all-boilerplate doc in domain A -> scrubbed to ""
-      (6L, "a.com", "nav bar"))
+      (6L, "a.com", "nav bar"),
+      // null text -> "" with ZERO dropped (not a NULL counter)
+      (7L, "a.com", null))
       .toDF("doc_id", "domain", "text")
     val out = Dedup.scrubBoilerplateLines(docs, "doc_id", "domain",
         "text", minDocs = 3)
@@ -1612,6 +1614,7 @@ class OperatorsSpec extends SparkTestBase {
     assert(out(4L) == ("nav bar\nunique four", 0L), out(4L))
     assert(out(5L) == ("nav bar\nunique five", 0L), out(5L))
     assert(out(6L) == ("", 1L), out(6L))
+    assert(out(7L) == ("", 0L), out(7L))
     intercept[IllegalArgumentException] {
       Dedup.scrubBoilerplateLines(docs, "doc_id", "domain", "text",
         minDocs = 1)
