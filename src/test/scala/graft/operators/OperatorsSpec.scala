@@ -1496,6 +1496,31 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("perplexityBuckets on the production float key: real ppl from " +
+      "ngramLmScore ranks fluent docs into the head") {
+    // train a tiny LM; the in-distribution doc must out-rank the
+    // gibberish one under REAL float perplexity (the production key
+    // the integer-surrogate gates stand in for)
+    val train = Seq(
+      (10L, "the cat sat on the mat"),
+      (11L, "the dog sat on the mat"),
+      (12L, "the cat ran to the dog")).toDF("doc_id", "text")
+    val score = Seq(
+      (1L, "the cat sat on the mat"),      // seen bigrams: low ppl
+      (2L, "zq xv qqj wpt zzk lrm"),       // all-OOV: high ppl
+      (3L, "the dog ran to the mat"))      // mixed
+      .toDF("doc_id", "text")
+    val scored = TextAnalysis.ngramLmScore(train, score,
+      "doc_id", "text")
+    val out = TextAnalysis.perplexityBuckets(
+        scored.select(col("id"), col("ppl")), "id", "ppl", Nil, k = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), r.getString(5))).toMap
+    assert(out(1L) == (1L, "head"), out(1L))   // lowest ppl
+    assert(out(3L) == (2L, "middle"), out(3L))
+    assert(out(2L) == (3L, "tail"), out(2L))   // gibberish
+  }
+
   test("perplexityBucketsApprox agrees with exact ranks on spread keys " +
       "and diverges (whole spike one side) on a cut-value spike") {
     // 9 distinct uniform keys, n divisible by k: approx_percentile
