@@ -65,11 +65,20 @@ object ScaleProbeCluster {
 
   /** (rows, content-digest, seconds) per gate; digest is the SUM of row
     * xxhash64 over all columns as decimal(38,0) — order-insensitive,
-    * multiplicity-sensitive, overflow-free. */
+    * multiplicity-sensitive, overflow-free.
+    *
+    * One untimed warmup pass per phase (r13 ADVICE): both phases share
+    * this JVM, so without it phase 1 pays first-compile/codegen JIT that
+    * phase 2 inherits warm and the local-vs-cluster timing comparison is
+    * systematically biased (the parity digests never were). */
   private def phase(master: String, sfDir: String)
       : Map[String, (Long, String, Double)] = {
     val spark = session(master)
     try {
+      gates.foreach { n =>
+        try SparkEntry.queries(n)(spark, sfDir).count()
+        catch { case _: Throwable => } // timed pass reports the failure
+      }
       gates.map { n =>
         val t0 = System.nanoTime()
         val rowsDigest =

@@ -459,7 +459,16 @@ object TextAnalysis {
     * scrubs first if the intent is salvage rather than filtering.
     * Map-only: one codegen'd kernel call per row, no shuffle — scan
     * speed at 100 TB like the rest of the signal passes. Input
-    * columns pass through so it composes as a filter stage. */
+    * columns pass through so it composes as a filter stage.
+    *
+    * NULL-text contract: the kernel is null-safe, so a NULL `textCol`
+    * yields NULL for all nine counters AND `rep_pass` (three-valued
+    * logic — the verdict is "unknown", not false; a `filter(rep_pass)`
+    * drops such rows, matching the gating intent). Callers needing
+    * integral counters on NULL text should coalesce to "" first —
+    * [[curationReport]] does exactly that, so its sums never
+    * NULL-poison. Same contract as [[gopherQuality]] (whose kernel is
+    * null-safe too). */
   def repetitionSignals(df: DataFrame, textCol: String): DataFrame = {
     val r = graft.functions.F.repStats(col(textCol))
     val nl = r.getField("n_lines"); val dl = r.getField("n_dup_lines")
@@ -495,12 +504,21 @@ object TextAnalysis {
     * the same scan (one stage, two kernel calls per row), then ONE
     * partial-aggregated group-by — at 100 TB this is a scan plus a
     * shuffle of #groups rows. All columns are exact integers, so the
-    * whole report is oracle-gated, verdicts included. */
+    * whole report is oracle-gated, verdicts included.
+    *
+    * NULL text is coalesced to "" before the kernels (r13 ADVICE): the
+    * batteries' null-safe kernels would otherwise yield NULL counters
+    * and NULL verdicts, silently counting such docs as failing both
+    * batteries while NULL-poisoning the volume sums. With the coalesce
+    * a NULL-text doc is an EMPTY doc: fails quality (0 words), passes
+    * repetition (nothing repeats), counts 0 into every volume column —
+    * integral and honest. */
   def curationReport(df: DataFrame, groupCol: String, textCol: String,
                      minWords: Int = 50,
                      minStopwords: Int = 2): DataFrame = {
+    val nn = df.withColumn(textCol, coalesce(col(textCol), lit("")))
     val scored = repetitionSignals(
-      gopherQuality(df, textCol, minWords = minWords,
+      gopherQuality(nn, textCol, minWords = minWords,
         minStopwords = minStopwords), textCol)
     scored.groupBy(groupCol).agg(
       count(lit(1)).as("n_docs"),
