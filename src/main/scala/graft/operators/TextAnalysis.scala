@@ -169,6 +169,143 @@ object TextAnalysis {
           exp(-col("logprob") / col("n_bigrams"))).as("ppl"))
   }
 
+  /** Order-n language-model scoring with STUPID BACKOFF (Brants et al.
+    * 2007, "Large Language Models in Machine Translation" §4 — the
+    * smoothing built for distributed count-based LMs; the shape of the
+    * CCNet §3.3 5-gram KenLM quality scorer, which [[ngramLmScore]]
+    * approximates at order 2 only). Every token scores at the HIGHEST
+    * order its context admits and its count supports:
+    *
+    *   S(w_i | w_{i-k+1..i-1}) = c_k(gram) / c_{k-1}(prefix)   if c_k > 0
+    *                           = α · S(w_i | w_{i-k+2..i-1})    otherwise
+    *   S(w_i) = c_1(w_i) / N  at the unigram floor; an unseen word
+    *   scores 1/(N+V) (one pseudo-occurrence against the event space).
+    *
+    * α is the EXACT RATIONAL `alphaNum/alphaDen` (default 2/5 = the
+    * paper's 0.4), so the per-token score is α^steps · num/den with
+    * integer num/den/steps — the gate hashes those integer sufficient
+    * statistics (per-level hit counts, Σnum, Σden, Σsteps), NEVER the
+    * float log score (p45/p62 playbook: a sum of transcendental logs is
+    * not bit-stable across engines). They pin tokenization, hashing,
+    * every per-order count table, and the backoff cascade itself.
+    *
+    * Output per scored doc: (id, n_tokens, n_hit1..n_hit<order>, n_oov,
+    * sum_num, sum_den, sum_steps, logscore, ppl) — n_hit_k = tokens
+    * resolved at order k, steps = backoff distance from the position's
+    * top admissible order min(order, i+1), logscore = Σ ln(α)·steps +
+    * ln(num/den), ppl = exp(−logscore/n_tokens) (null for 0 tokens).
+    * Unlike [[ngramLmScore]] every token scores (a 1-token doc scores
+    * at the unigram floor), so fluent-but-rare text and templated spam
+    * separate the way the CCNet pipeline's 5-gram model separates them
+    * where an add-k bigram ties (spec-tested).
+    *
+    * Scale: the count step is `order` hash-shuffle aggregates over the
+    * train corpus with map-side partials (the distributed KenLM count
+    * step — at 100 TB fuse them into one tagged pass if the train scan
+    * dominates; the tables themselves stay distributed and AQE
+    * broadcasts the small ones). Scoring explodes the score side once
+    * (positions carry only 64-bit keys, the parent arrays never ride a
+    * shuffle) and joins each per-order table twice at most (numerator
+    * key at k, denominator prefix at k−1 — the prefix of a counted
+    * k-gram is always counted, so the denominator is never null on a
+    * hit). No driver-side state beyond the 1-row (N, V) collect. */
+  def ngramLmScoreBackoff(train: DataFrame, score: DataFrame,
+                          idCol: String, textCol: String, order: Int = 3,
+                          alphaNum: Int = 2, alphaDen: Int = 5,
+                          portableHash: Boolean = false): DataFrame = {
+    require(order >= 2 && order <= 6,
+      s"ngramLmScoreBackoff: order=$order out of [2,6]")
+    require(alphaNum >= 1 && alphaDen > alphaNum,
+      s"ngramLmScoreBackoff: alpha=$alphaNum/$alphaDen must be in (0,1)")
+    val F = graft.functions.F
+    // per-order occurrence-count tables (pinned: each feeds the
+    // numerator join at k and the denominator join at k+1; c1 also
+    // feeds the N/V collect)
+    val cnts: Seq[DataFrame] = (1 to order).map { k =>
+      train.select(
+          explode(F.shinglePosHashes(col(textCol), k, portableHash))
+            .as(s"nk$k"))
+        .groupBy(s"nk$k").agg(count(lit(1)).as(s"cn$k"))
+        .localCheckpoint(eager = false)
+    }
+    val nv = cnts.head
+      .agg(coalesce(sum(col("cn1")), lit(0L)), count(lit(1))).collect()(0)
+    val nTok = nv.getLong(0)
+    val vocab = nv.getLong(1)
+    // one position row per score-side token: the k-gram ending at
+    // 0-based position i starts at i-k+1, i.e. 1-based element i-k+2 of
+    // the positional hash array — and its (k-1)-prefix shares that
+    // start, so numerator and denominator keys read the SAME index from
+    // adjacent-order arrays. Keys are extracted in the projection fused
+    // with the generate; the arrays never reach the joins.
+    val arrs = score.select(Seq(col(idCol).as("id")) ++
+      (1 to order).map(k =>
+        F.shinglePosHashes(col(textCol), k, portableHash).as(s"a$k")) :+
+      posexplode(F.shinglePosHashes(col(textCol), 1, portableHash))
+        .as(Seq("i", "nk1")): _*)
+    val pos = arrs.select(Seq(col("id"), col("i"), col("nk1")) ++
+      (2 to order).flatMap { k =>
+        val idx = col("i") - (k - 2) // 1-based i-k+2; valid iff i >= k-1
+        Seq(
+          when(col("i") >= k - 1, element_at(col(s"a$k"), idx))
+            .as(s"nk$k"),
+          when(col("i") >= k - 1, element_at(col(s"a${k - 1}"), idx))
+            .as(s"dk$k"))
+      }: _*)
+    var joined = pos
+    for (k <- 1 to order)
+      joined = joined.join(cnts(k - 1), Seq(s"nk$k"), "left_outer")
+    for (k <- 2 to order)
+      joined = joined.join(
+        cnts(k - 2).withColumnRenamed(s"nk${k - 1}", s"dk$k")
+          .withColumnRenamed(s"cn${k - 1}", s"cd$k"),
+        Seq(s"dk$k"), "left_outer")
+    val topk = least(lit(order), col("i") + 1)
+    // level = highest order whose count hit (its prefix count is then
+    // guaranteed non-null); 0 = OOV (unigram miss)
+    val level = (order to 1 by -1)
+      .foldRight(lit(0)) { (k, els) =>
+        when(col(s"cn$k").isNotNull, lit(k)).otherwise(els)
+      }
+    val num = coalesce(
+      (order to 1 by -1).map(k => col(s"cn$k")) :+ lit(0L): _*)
+    val den = (order to 2 by -1).foldRight(
+        when(col("cn1").isNotNull, lit(nTok)).otherwise(lit(0L))) {
+      (k, els) => when(col(s"cn$k").isNotNull, col(s"cd$k")).otherwise(els)
+    }
+    val steps = when(level > 0, topk - level).otherwise(topk - 1)
+    val lnAlpha = math.log(alphaNum.toDouble / alphaDen)
+    val lnOov = math.log(1.0 / math.max(nTok + vocab, 1L))
+    val lp = when(level > 0,
+        steps.cast("double") * lnAlpha +
+          log(num.cast("double") / den.cast("double")))
+      .otherwise(steps.cast("double") * lnAlpha + lit(lnOov))
+    val scored = joined.select(col("id"), level.as("lvl"),
+        num.as("num"), den.as("den"),
+        steps.cast("long").as("steps"), lp.as("lp"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_tokens"),
+        (1 to order).map(k =>
+          sum(when(col("lvl") === k, 1L).otherwise(0L)).as(s"n_hit$k")) ++
+        Seq(sum(when(col("lvl") === 0, 1L).otherwise(0L)).as("n_oov"),
+          sum(col("num")).as("sum_num"), sum(col("den")).as("sum_den"),
+          sum(col("steps")).as("sum_steps"),
+          sum(col("lp")).as("logscore")): _*)
+    score.select(col(idCol).as("id")).join(scored, Seq("id"), "left_outer")
+      .select(Seq(col("id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens")) ++
+        (1 to order).map(k =>
+          coalesce(col(s"n_hit$k"), lit(0L)).as(s"n_hit$k")) ++
+        Seq(coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+          coalesce(col("sum_num"), lit(0L)).as("sum_num"),
+          coalesce(col("sum_den"), lit(0L)).as("sum_den"),
+          coalesce(col("sum_steps"), lit(0L)).as("sum_steps"),
+          coalesce(col("logscore"), lit(0.0)).as("logscore"),
+          when(coalesce(col("n_tokens"), lit(0L)) > 0,
+            exp(-coalesce(col("logscore"), lit(0.0)) / col("n_tokens")))
+            .as("ppl")): _*)
+  }
+
   /** DSIR-style hashed n-gram importance weights (Xie et al. 2023,
     * "Data Selection for Language Models via Importance Resampling"):
     * estimate the target-domain and raw-corpus distributions over a

@@ -826,6 +826,26 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // order-3 stupid-backoff LM scoring (the CCNet/KenLM order-n shape;
+    // p32 is the order-2 add-k variant): eval slice scored against
+    // per-order count tables from the train slice. The gate hashes the
+    // integer sufficient statistics — per-level hit counts, Σnum, Σden,
+    // Σ backoff steps — which pin tokenization, portable hashing, all
+    // three count tables, and the backoff cascade; both backoff levels
+    // and the OOV floor are exercised (eval trigram misses back off to
+    // bigram/unigram at gate scale). Float logscore never hashes.
+    "p66_lm_backoff" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      TextAnalysis.ngramLmScoreBackoff(
+          docs.filter(col("doc_id") % 10 =!= 0),
+          docs.filter(col("doc_id") % 10 === 0), "doc_id", "text",
+          order = 3, portableHash = true)
+        .select(col("id").as("doc_id"), col("n_tokens"), col("n_hit3"),
+          col("n_hit2"), col("n_hit1"), col("n_oov"), col("sum_num"),
+          col("sum_den"), col("sum_steps"))
+        .orderBy("doc_id")
+    }),
+
     // FUZZY decontamination: train docs near-duplicate (MinHash-LSH,
     // same banded rule as p03) to ANY eval doc (the %10==0 slice, like
     // p19's exact-gram gate) — catches the reworded-benchmark leakage
@@ -1691,6 +1711,75 @@ object PipelineQueries {
         |  CAST(coalesce(n_oov, 0) AS BIGINT) AS n_oov,
         |  CAST(coalesce(sum_c12, 0) AS BIGINT) AS sum_c12,
         |  CAST(coalesce(sum_c1, 0) AS BIGINT) AS sum_c1
+        |FROM documents d LEFT JOIN agg USING (doc_id)
+        |WHERE d.doc_id % 10 = 0 ORDER BY d.doc_id""".stripMargin,
+
+    // order-3 stupid backoff replayed on gram STRINGS (Spark joins on
+    // 64-bit portable hashes — collision-approximate like p03/p32):
+    // numerator = count of the k-gram ending at position i, denominator
+    // = count of its (k-1)-prefix (same start), level = highest hit,
+    // steps = min(3, i) - level (OOV: min(3, i) - 1)
+    "p66_lm_backoff" ->
+      """WITH ws AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |      x -> len(x) > 0) AS ws
+        |  FROM documents),
+        |tr AS (SELECT ws FROM ws WHERE doc_id % 10 <> 0),
+        |c1 AS (SELECT g, count(*) AS c FROM (
+        |    SELECT unnest(ws) AS g FROM tr) GROUP BY 1),
+        |c2 AS (SELECT g, count(*) AS c FROM (
+        |    SELECT unnest(list_transform(range(1, len(ws)),
+        |      i -> ws[i]||' '||ws[i+1])) AS g FROM tr) GROUP BY 1),
+        |c3 AS (SELECT g, count(*) AS c FROM (
+        |    SELECT unnest(list_transform(range(1, len(ws)-1),
+        |      i -> ws[i]||' '||ws[i+1]||' '||ws[i+2])) AS g FROM tr)
+        |  GROUP BY 1),
+        |nt AS (SELECT coalesce(sum(c), 0)::BIGINT AS n FROM c1),
+        |pos AS (SELECT doc_id, i, ws[i] AS g1,
+        |    CASE WHEN i >= 2 THEN ws[i-1]||' '||ws[i] END AS g2,
+        |    CASE WHEN i >= 3
+        |      THEN ws[i-2]||' '||ws[i-1]||' '||ws[i] END AS g3,
+        |    CASE WHEN i >= 2 THEN ws[i-1] END AS d2,
+        |    CASE WHEN i >= 3 THEN ws[i-2]||' '||ws[i-1] END AS d3,
+        |    LEAST(3, i) AS topk
+        |  FROM (SELECT doc_id, unnest(range(1, len(ws)+1)) AS i, ws
+        |    FROM ws WHERE doc_id % 10 = 0)),
+        |j AS (SELECT p.doc_id, p.topk,
+        |    n3.c AS cn3, n2.c AS cn2, n1.c AS cn1,
+        |    p3.c AS cd3, p2.c AS cd2
+        |  FROM pos p
+        |  LEFT JOIN c3 n3 ON n3.g = p.g3
+        |  LEFT JOIN c2 n2 ON n2.g = p.g2
+        |  LEFT JOIN c1 n1 ON n1.g = p.g1
+        |  LEFT JOIN c2 p3 ON p3.g = p.d3
+        |  LEFT JOIN c1 p2 ON p2.g = p.d2),
+        |tok AS (SELECT doc_id,
+        |    CASE WHEN cn3 IS NOT NULL THEN 3 WHEN cn2 IS NOT NULL THEN 2
+        |         WHEN cn1 IS NOT NULL THEN 1 ELSE 0 END AS lvl,
+        |    coalesce(cn3, cn2, cn1, 0) AS num,
+        |    CASE WHEN cn3 IS NOT NULL THEN cd3
+        |         WHEN cn2 IS NOT NULL THEN cd2
+        |         WHEN cn1 IS NOT NULL THEN (SELECT n FROM nt)
+        |         ELSE 0 END AS den,
+        |    CASE WHEN cn3 IS NOT NULL THEN topk - 3
+        |         WHEN cn2 IS NOT NULL THEN topk - 2
+        |         ELSE topk - 1 END AS steps
+        |  FROM j),
+        |agg AS (SELECT doc_id, count(*) AS n_tokens,
+        |    sum((lvl = 3)::INT) AS n_hit3, sum((lvl = 2)::INT) AS n_hit2,
+        |    sum((lvl = 1)::INT) AS n_hit1, sum((lvl = 0)::INT) AS n_oov,
+        |    sum(num) AS sum_num, sum(den) AS sum_den,
+        |    sum(steps) AS sum_steps
+        |  FROM tok GROUP BY 1)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(n_tokens, 0) AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(n_hit3, 0) AS BIGINT) AS n_hit3,
+        |  CAST(coalesce(n_hit2, 0) AS BIGINT) AS n_hit2,
+        |  CAST(coalesce(n_hit1, 0) AS BIGINT) AS n_hit1,
+        |  CAST(coalesce(n_oov, 0) AS BIGINT) AS n_oov,
+        |  CAST(coalesce(sum_num, 0) AS BIGINT) AS sum_num,
+        |  CAST(coalesce(sum_den, 0) AS BIGINT) AS sum_den,
+        |  CAST(coalesce(sum_steps, 0) AS BIGINT) AS sum_steps
         |FROM documents d LEFT JOIN agg USING (doc_id)
         |WHERE d.doc_id % 10 = 0 ORDER BY d.doc_id""".stripMargin,
 

@@ -689,6 +689,31 @@ class PlanSpec extends SparkTestBase {
       s"scrubBoilerplateLines must stay key-joined, no window:\n$plan")
   }
 
+  test("ngramLmScoreBackoff: one explode, map-side-combined count " +
+      "tables, broadcast joins at gate scale, no cartesian") {
+    val docs = graft.core.Tables.t(spark, sf, "documents")
+    val plan = planOf(graft.operators.TextAnalysis.ngramLmScoreBackoff(
+      docs.filter(col("doc_id") % 10 =!= 0),
+      docs.filter(col("doc_id") % 10 === 0),
+      "doc_id", "text", order = 3, portableHash = true))
+    val finalPlan = plan.split("== Initial Plan ==")(0)
+    // the score side explodes ONCE (positions carry extracted 64-bit
+    // keys, never the parent arrays) — a second Generate would mean the
+    // positional kernel re-ran per join
+    val gens = "Generate posexplode".r.findAllIn(finalPlan).size
+    assert(gens == 1, s"expected 1 scoring explode, got $gens:\n$finalPlan")
+    // per-order count tables partial-aggregate map-side (the
+    // distributed KenLM count step), then broadcast into the scoring
+    // joins at this scale (AQE: the tables are vocabulary-sized)
+    assert(finalPlan.contains("partial_count"),
+      s"count tables must map-side combine:\n$finalPlan")
+    assert(finalPlan.contains("BroadcastHashJoin"),
+      s"small count tables should broadcast:\n$finalPlan")
+    assert(!finalPlan.contains("CartesianProduct") &&
+      !finalPlan.contains("BroadcastNestedLoopJoin"),
+      s"scoring must stay key-joined:\n$finalPlan")
+  }
+
   test("linear classifier scoring is map-only, inside codegen") {
     val docs = graft.core.Tables.t(spark, sf, "documents")
       .select("doc_id", "text")

@@ -344,6 +344,110 @@ class OperatorsSpec extends SparkTestBase {
     assert(r3.getLong(1) == 0L && r3.isNullAt(6))
   }
 
+  test("ngramLmScoreBackoff: hand-computed stupid-backoff cascade") {
+    // train: c1 = {a:1,b:2,c:1,z:1,d:1}, N=6, V=5;
+    // c2 = {a b:1, b c:1, z b:1, b d:1}; c3 = {a b c:1, z b d:1}
+    val train = Seq((1L, "a b c"), (2L, "z b d")).toDF("id", "text")
+    val a = TextAnalysis.ngramLmScoreBackoff(train,
+      Seq((10L, "a b c")).toDF("id", "text"), "id", "text",
+      order = 3).collect().head
+    // pos1 "a"->lvl1 (num 1/den N=6), pos2 "a b"->lvl2 (1/1),
+    // pos3 "a b c"->lvl3 (1/1); no backoff anywhere
+    assert(a.getAs[Long]("n_tokens") == 3L)
+    assert(a.getAs[Long]("n_hit3") == 1L &&
+      a.getAs[Long]("n_hit2") == 1L && a.getAs[Long]("n_hit1") == 1L)
+    assert(a.getAs[Long]("n_oov") == 0L)
+    assert(a.getAs[Long]("sum_num") == 3L &&
+      a.getAs[Long]("sum_den") == 8L &&
+      a.getAs[Long]("sum_steps") == 0L)
+    assert(math.abs(a.getAs[Double]("logscore") - math.log(1.0 / 6)) < 1e-12)
+    // "a b d": pos3's trigram "a b d" is unseen -> ONE backoff step to
+    // the bigram "b d" (num 1 / den c1(b)=2), alpha = 2/5
+    val b = TextAnalysis.ngramLmScoreBackoff(train,
+      Seq((11L, "a b d")).toDF("id", "text"), "id", "text",
+      order = 3).collect().head
+    assert(b.getAs[Long]("n_hit3") == 0L &&
+      b.getAs[Long]("n_hit2") == 2L && b.getAs[Long]("n_hit1") == 1L)
+    assert(b.getAs[Long]("sum_steps") == 1L)
+    val expectB = math.log(1.0 / 6) + math.log(1.0) +
+      (math.log(0.4) + math.log(0.5))
+    assert(math.abs(b.getAs[Double]("logscore") - expectB) < 1e-12)
+    // OOV floor: "q" unseen at the unigram -> lvl 0, ln(1/(N+V))=ln(1/11)
+    // at 0 steps; pos2 "q b" misses the bigram, backs off to "b" (lvl 1,
+    // 1 step, num 2 / den 6)
+    val o = TextAnalysis.ngramLmScoreBackoff(train,
+      Seq((12L, "q b")).toDF("id", "text"), "id", "text",
+      order = 3).collect().head
+    assert(o.getAs[Long]("n_oov") == 1L && o.getAs[Long]("n_hit1") == 1L)
+    assert(o.getAs[Long]("sum_num") == 2L &&
+      o.getAs[Long]("sum_den") == 6L &&
+      o.getAs[Long]("sum_steps") == 1L)
+    val expectO = math.log(1.0 / 11) +
+      (math.log(0.4) + math.log(2.0 / 6))
+    assert(math.abs(o.getAs[Double]("logscore") - expectO) < 1e-12)
+    // empty/absent docs still come back with zeroed stats and null ppl
+    val e = TextAnalysis.ngramLmScoreBackoff(train,
+      Seq((13L, "")).toDF("id", "text"), "id", "text",
+      order = 3).collect().head
+    assert(e.getAs[Long]("n_tokens") == 0L && e.isNullAt(e.length - 1))
+  }
+
+  test("ngramLmScoreBackoff: order 3 separates where order 2 ties " +
+      "(the CCNet gap vs the add-k bigram)") {
+    val train = Seq((1L, "a b c"), (2L, "z b d")).toDF("id", "text")
+    val score = Seq((10L, "a b c"), (11L, "a b d")).toDF("id", "text")
+    // order 2: both docs hit the same bigram/unigram counts
+    // (c2(b c) = c2(b d) = 1, shared prefix "a b") -> EXACT tie on every
+    // statistic including the float score
+    val o2 = TextAnalysis.ngramLmScoreBackoff(train, score, "id", "text",
+      order = 2).collect().map(r => r.getAs[Long]("id") -> r).toMap
+    for (c <- Seq("n_tokens", "n_hit2", "n_hit1", "n_oov", "sum_num",
+        "sum_den", "sum_steps"))
+      assert(o2(10L).getAs[Long](c) == o2(11L).getAs[Long](c),
+        s"order-2 $c should tie")
+    assert(o2(10L).getAs[Double]("logscore") ==
+      o2(11L).getAs[Double]("logscore"))
+    // order 3: the trained trigram "a b c" separates them — doc 10
+    // scores strictly higher (lower ppl), doc 11 pays one alpha step
+    val o3 = TextAnalysis.ngramLmScoreBackoff(train, score, "id", "text",
+      order = 3).collect().map(r => r.getAs[Long]("id") -> r).toMap
+    assert(o3(10L).getAs[Long]("n_hit3") == 1L &&
+      o3(11L).getAs[Long]("n_hit3") == 0L)
+    assert(o3(10L).getAs[Double]("logscore") >
+      o3(11L).getAs[Double]("logscore"))
+    assert(o3(10L).getAs[Double]("ppl") < o3(11L).getAs[Double]("ppl"))
+    // and fluent text still beats shuffled gibberish at order 3
+    val g = TextAnalysis.ngramLmScoreBackoff(train,
+      Seq((20L, "a b c"), (21L, "c a b")).toDF("id", "text"),
+      "id", "text", order = 3).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Double]("ppl")).toMap
+    assert(g(20L) < g(21L))
+  }
+
+  test("ngramLmScoreBackoff composes with perplexityBuckets on an " +
+      "integer surrogate (the p62 CCNet chain at order n)") {
+    val train = Seq((1L, "a b c d e"), (2L, "a b c x y")).toDF("id", "text")
+    val score = Seq((10L, "a b c d e"), (11L, "a b c"), (12L, "e d c b a"),
+      (13L, "x y a b"), (14L, "q q q"), (15L, "a b x y")).toDF("id", "text")
+    val lm = TextAnalysis.ngramLmScoreBackoff(train, score, "id", "text",
+      order = 3)
+    // exact integer fluency surrogate, like the p62 gate's: more
+    // high-order hits and fewer backoff steps rank better
+    val keyed = lm.withColumn("ppl_proxy",
+      expr("0L - (((n_hit3 * 4 + n_hit2 * 2 + n_hit1) * 1000000L) " +
+        "DIV greatest(n_tokens, 1L))"))
+    val out = TextAnalysis.perplexityBuckets(keyed, "id", "ppl_proxy",
+        groupCols = Nil, k = 3)
+      .select("id", "bucket_name", "rank_in_group").collect()
+      .map(r => r.getAs[Long]("id") ->
+        (r.getAs[String]("bucket_name"), r.getAs[Long]("rank_in_group")))
+      .toMap
+    assert(out.size == 6)
+    // the fully-trained doc ranks first (head); all-OOV gibberish last
+    assert(out(10L)._1 == "head" && out(10L)._2 == 1L)
+    assert(out(14L)._1 == "tail" && out(14L)._2 == 6L)
+  }
+
   test("scrubDuplicatedSpans removes viral spans, keeps unique text") {
     val boiler = "subscribe to our newsletter for updates today"  // 7 toks
     val d = Seq(
