@@ -421,6 +421,132 @@ object TextAnalysis {
       (score >= 0).as("label"))
   }
 
+  /** TRAIN a linear quality classifier — the stage that PRODUCES the
+    * model [[linearScore]]-style gates consume (the curated-vs-crawl
+    * selection classifier of GPT-3 Appendix A / FineWeb-Edu-style
+    * pipelines): hashed bag-of-words features over `buckets` buckets
+    * (B-bounded like DSIR's — the dimensionality never scales with the
+    * corpus), full-batch gradient descent with a FIXED iteration count,
+    * and EVERY quantity an exact integer in fixed point, so training
+    * itself is oracle-gatable (the p45/p62 integer discipline extended
+    * from statistics to LEARNED PARAMETERS):
+    *
+    *   - weights are bigints scaled by 2^fracBits (S);
+    *   - the activation is the HARD sigmoid σ̂(z) = clamp(½ + z/4, 0, 1)
+    *     — piecewise-linear, so σ̂ in 4S-scale is the exact integer
+    *     clamp(2S + z, 0, 4S); no transcendental ever enters;
+    *   - the update divides by the power-of-two learning rate with
+    *     exact FLOOR division (g − pmod(g, 2^lrShift)) div 2^lrShift —
+    *     reproducible in any engine with truncated `%`.
+    *
+    * Per iteration: margins z_d = Σ_b W_b·x_db (one partial-aggregated
+    * groupBy over the cached feature frame — the literal weight-array
+    * lookup is codegen'd), residuals R_d = σ̂4S(z_d) − 4S·y_d, gradient
+    * G_b = Σ_d R_d·x_db (one id-keyed join + one B-bounded aggregate),
+    * then W ← W − floor(G / 2^lrShift) on the driver (B longs — the
+    * bounded-collect class the DSIR totals established). Docs with no
+    * tokens contribute no features and therefore no gradient.
+    *
+    * Unnormalized gradient: G scales with corpus size, so lrShift is a
+    * SCALE-DEPENDENT knob (pick ~log2(n·x̄·4S) − log2(desired step));
+    * fixed iterations + fixed shift keep the whole run deterministic
+    * and engine-exact, which is the contract here — hyperparameter
+    * search stays the caller's job, as in any trainer.
+    *
+    * Overflow budget (bigint, 2^63): |R| ≤ 4S = 2^(fracBits+2);
+    * |G_b| ≤ 4S · Σ_d x_db ≤ 2^(fracBits+2) · corpus-tokens — fracBits
+    * 20 holds to ~10^12 train tokens; |z| ≤ max|W|·doc-tokens with
+    * max|W| growing by ≤ max|G|/2^lrShift per iteration. The requires
+    * bound the knobs; callers training on >10^12 tokens shard first.
+    *
+    * Returns one row per bucket 0..buckets−1: (b, w) with `w` the
+    * 2^fracBits-scaled bigint weight (0 for buckets no token hashed
+    * to), plus `w_real` = w / 2^fracBits for direct use in
+    * [[linearScoreHashed]]. `labelCol` must be boolean or 0/1-numeric.
+    */
+  def trainLinearClassifier(df: DataFrame, idCol: String, textCol: String,
+                            labelCol: String, buckets: Int = 64,
+                            iters: Int = 3, fracBits: Int = 20,
+                            lrShift: Int = 26,
+                            portableHash: Boolean = false): DataFrame = {
+    require(buckets > 0 && (buckets & (buckets - 1)) == 0 &&
+      buckets <= (1 << 20),
+      s"trainLinearClassifier: buckets=$buckets must be a power of two " +
+        "<= 2^20 (signed-vs-unsigned bucket parity needs 2^64 ≡ 0 mod B)")
+    require(iters >= 1 && iters <= 16,
+      s"trainLinearClassifier: iters=$iters out of [1,16]")
+    require(fracBits >= 4 && fracBits <= 28,
+      s"trainLinearClassifier: fracBits=$fracBits out of [4,28]")
+    require(lrShift >= 0 && lrShift <= 48,
+      s"trainLinearClassifier: lrShift=$lrShift out of [0,48]")
+    val F = graft.functions.F
+    val spark = df.sparkSession
+    val scale = 1L << fracBits
+    val lrP = 1L << lrShift
+    // (id, y, b, x): per-doc per-bucket token-occurrence counts — ONE
+    // tokenize + one shuffle, cached across iterations
+    val feat = df.select(col(idCol).as("id"),
+        col(labelCol).cast("long").as("y"),
+        explode(F.wordHashes(col(textCol), portableHash)).as("h"))
+      .select(col("id"), col("y"),
+        pmod(col("h"), lit(buckets.toLong)).as("b"))
+      .groupBy("id", "y", "b").agg(count(lit(1)).as("x"))
+      .cache()
+    var w = Array.fill(buckets)(0L)
+    for (_ <- 1 to iters) {
+      val warr = typedLit(w)
+      val resid = feat
+        .groupBy("id", "y")
+        .agg(sum(col("x") * element_at(warr, col("b").cast("int") + 1))
+          .as("z"))
+        .select(col("id"),
+          (greatest(lit(0L), least(lit(4 * scale),
+            lit(2 * scale) + col("z"))) - lit(4 * scale) * col("y"))
+            .as("r"))
+      val grad = feat.join(resid, Seq("id"))
+        .groupBy("b").agg(sum(col("r") * col("x")).as("g"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      w = w.zipWithIndex.map { case (wb, b) =>
+        val g = grad.getOrElse(b.toLong, 0L)
+        wb - (g - Math.floorMod(g, lrP)) / lrP
+      }
+    }
+    feat.unpersist()
+    import spark.implicits._
+    w.zipWithIndex.map { case (wb, b) =>
+      (b.toLong, wb, wb.toDouble / scale)
+    }.toSeq.toDF("b", "w", "w_real")
+  }
+
+  /** Score documents with a HASHED-bucket linear model — the scoring
+    * counterpart of [[trainLinearClassifier]] (as [[linearScore]] is of
+    * a term-keyed model): z = Σ_b tf_b(d)·w_b over the same
+    * power-of-two token-hash buckets. `weights` is the trainer's
+    * output frame (b, …, w_real) — B-bounded, collected once and
+    * applied as a codegen'd literal-array lookup; the only shuffle is
+    * the per-doc sum. Output: (<idCol>, n_tokens, score, label). */
+  def linearScoreHashed(df: DataFrame, idCol: String, textCol: String,
+                        weights: DataFrame, buckets: Int,
+                        portableHash: Boolean = false): DataFrame = {
+    require(buckets > 0 && (buckets & (buckets - 1)) == 0,
+      s"linearScoreHashed: buckets=$buckets must be a power of two")
+    val F = graft.functions.F
+    val warr = new Array[Double](buckets)
+    weights.select(col("b").cast("int"), col("w_real").cast("double"))
+      .collect().foreach(r => warr(r.getInt(0)) = r.getDouble(1))
+    val tok = df.select(col(idCol),
+      explode_outer(F.wordHashes(col(textCol), portableHash)).as("h"))
+    tok.select(col(idCol),
+        when(col("h").isNotNull,
+          element_at(typedLit(warr), pmod(col("h"), lit(buckets.toLong))
+            .cast("int") + 1)).otherwise(lit(0.0)).as("wt"),
+        when(col("h").isNotNull, 1L).otherwise(0L).as("t"))
+      .groupBy(idCol)
+      .agg(sum(col("t")).as("n_tokens"), sum(col("wt")).as("score"))
+      .select(col(idCol), col("n_tokens"), col("score"),
+        (col("score") >= 0).as("label"))
+  }
+
   /** Deterministic document fingerprint: MD5 of the normalized text
     * (lower-cased, whitespace collapsed) — the exact-dedup key. */
   /** Per-group corpus profile — the audit table every curation run ends

@@ -846,6 +846,21 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // classifier TRAINING as a gate: 3 unrolled fixed-point GD
+    // iterations over 64 hashed-BoW buckets, label = (lang = 'en').
+    // The learned weights themselves hash against the oracle's unrolled
+    // replay — every margin, hard-sigmoid clamp, residual, gradient and
+    // floor-division update is an exact integer on both engines
+    "p67_train_classifier" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      TextAnalysis.trainLinearClassifier(
+          docs.withColumn("y", col("lang") === "en"),
+          "doc_id", "text", "y", buckets = 64, iters = 3,
+          fracBits = 20, lrShift = 26, portableHash = true)
+        .select(col("b"), col("w"))
+        .orderBy("b")
+    }),
+
     // FUZZY decontamination: train docs near-duplicate (MinHash-LSH,
     // same banded rule as p03) to ANY eval doc (the %10==0 slice, like
     // p19's exact-gram gate) — catches the reworded-benchmark leakage
@@ -983,6 +998,46 @@ object PipelineQueries {
        |SELECT id1, id2 FROM agg
        |WHERE nb >= 2 AND eqc / 32.0 >= 0.35
        |ORDER BY id1, id2""".stripMargin
+  }
+
+  /** Generated classifier-training oracle: unrolls
+    * TextAnalysis.trainLinearClassifier's fixed GD iterations in SQL —
+    * per iteration one margin aggregate, one hard-sigmoid residual, one
+    * gradient aggregate, one exact-floor-division weight update. The
+    * bucket is the UNMASKED md5-prefix UBIGINT mod the power-of-two B
+    * (== Spark's pmod of the signed read, 2^64 ≡ 0 mod B — the p48
+    * idiom); sums cast back to BIGINT from DuckDB's HUGEINT. */
+  private def p67Oracle(buckets: Int, iters: Int, fracBits: Int,
+                        lrShift: Int): String = {
+    val s2 = 2L << fracBits       // 2S
+    val s4 = 4L << fracBits       // 4S
+    val p = 1L << lrShift
+    val steps = (1 to iters).map { i =>
+      s"""z$i AS (SELECT f.doc_id, any_value(f.y) AS y,
+         |    sum(w${i - 1}.w * f.x)::BIGINT AS z
+         |  FROM f JOIN w${i - 1} USING (b) GROUP BY f.doc_id),
+         |r$i AS (SELECT doc_id,
+         |    GREATEST(0, LEAST($s4, $s2 + z)) - $s4 * y AS r FROM z$i),
+         |g$i AS (SELECT f.b, sum(r$i.r * f.x)::BIGINT AS g
+         |  FROM f JOIN r$i USING (doc_id) GROUP BY f.b),
+         |w$i AS (SELECT w${i - 1}.b, w${i - 1}.w -
+         |    (coalesce(g, 0) - ((coalesce(g, 0) % $p) + $p) % $p) // $p
+         |    AS w
+         |  FROM w${i - 1} LEFT JOIN g$i USING (b))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH tok AS (SELECT doc_id, (lang = 'en')::BIGINT AS y,
+       |    unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+       |      x -> len(x) > 0)) AS w
+       |  FROM documents),
+       |f AS (SELECT doc_id, y,
+       |    (('0x'||substr(md5(w),1,16))::UBIGINT % $buckets)::BIGINT AS b,
+       |    count(*)::BIGINT AS x
+       |  FROM tok GROUP BY doc_id, y, b),
+       |w0 AS (SELECT unnest(range($buckets))::BIGINT AS b,
+       |    0::BIGINT AS w),
+       |$steps
+       |SELECT CAST(b AS BIGINT) AS b, CAST(w AS BIGINT) AS w
+       |FROM w$iters ORDER BY b""".stripMargin
   }
 
   /** Generated fuzzy-decontamination oracle: p03's signature + band
@@ -1461,6 +1516,8 @@ object PipelineQueries {
         |GROUP BY 1, 2 ORDER BY id1, id2""".stripMargin,
 
     "p03_minhash_pairs" -> p03Oracle,
+    "p67_train_classifier" ->
+      p67Oracle(buckets = 64, iters = 3, fracBits = 20, lrShift = 26),
     "p60_decontaminate_neardup" -> p60Oracle,
     // one UNION ALL branch per profiled column, identical statistics
     "p61_table_profile" ->

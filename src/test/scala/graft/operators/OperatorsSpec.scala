@@ -448,6 +448,60 @@ class OperatorsSpec extends SparkTestBase {
     assert(out(14L)._1 == "tail" && out(14L)._2 == 6L)
   }
 
+  test("trainLinearClassifier: hand-traced fixed-point GD (clamps, " +
+      "residuals, floor-division updates all exact)") {
+    // portable buckets: md5be64("excellent") % 64 = 55,
+    // md5be64("spam") % 64 = 57 (no collision)
+    val d = Seq((1L, "excellent excellent", true), (2L, "spam", false))
+      .toDF("id", "text", "y")
+    val w = TextAnalysis.trainLinearClassifier(d, "id", "text", "y",
+        buckets = 64, iters = 2, fracBits = 20, lrShift = 20,
+        portableHash = true)
+      .collect().map(r => r.getAs[Long]("b") -> r.getAs[Long]("w")).toMap
+    // iter 1: z=0 -> sigma4S = 2S; R = ∓2S; G55 = -2S*2, G57 = +2S;
+    //   W55 = -floor(-4S/P) = 4, W57 = -floor(2S/P) = -2  (P = 2^20 = S)
+    // iter 2: z1 = 8 -> R1 = -2S+8 -> G55 = -4194288 -> floor = -4 ->
+    //   W55 = 8; z2 = -2 -> R2 = 2S-2 -> G57 = 2097150 -> floor = 1 ->
+    //   W57 = -3
+    assert(w(55L) == 8L, s"w55 = ${w(55L)}")
+    assert(w(57L) == -3L, s"w57 = ${w(57L)}")
+    assert(w.filter(kv => kv._1 != 55L && kv._1 != 57L)
+      .values.forall(_ == 0L), "untouched buckets must stay 0")
+  }
+
+  test("trainLinearClassifier recovers a planted separation and " +
+      "round-trips through linearScoreHashed") {
+    // 20 positives keyed by "excellent", 20 negatives by "spam", with
+    // shared filler words; lrShift sized for a 40-doc corpus
+    val rows = (0 until 40).map { i =>
+      val pos = i % 2 == 0
+      val key = if (pos) "excellent prose excellent" else "spam noise spam"
+      (i.toLong, s"some shared filler words $key here", pos)
+    }
+    val d = rows.toDF("id", "text", "y")
+    val model = TextAnalysis.trainLinearClassifier(d, "id", "text", "y",
+      buckets = 64, iters = 3, fracBits = 20, lrShift = 12,
+      portableHash = true)
+    val w = model.collect()
+      .map(r => r.getAs[Long]("b") -> r.getAs[Long]("w")).toMap
+    assert(w(55L) > 0L, s"planted positive key got w=${w(55L)}")
+    assert(w(57L) < 0L, s"planted negative key got w=${w(57L)}")
+    // round-trip: score with the trained model, threshold at 0
+    val scored = TextAnalysis.linearScoreHashed(d, "id", "text",
+        model, buckets = 64, portableHash = true)
+      .collect().map(r => r.getAs[Long]("id") ->
+        r.getAs[Boolean]("label")).toMap
+    rows.foreach { case (id, _, y) =>
+      assert(scored(id) == y, s"doc $id misclassified after round-trip")
+    }
+    // determinism: retraining yields bit-identical weights
+    val w2 = TextAnalysis.trainLinearClassifier(d, "id", "text", "y",
+        buckets = 64, iters = 3, fracBits = 20, lrShift = 12,
+        portableHash = true)
+      .collect().map(r => r.getAs[Long]("b") -> r.getAs[Long]("w")).toMap
+    assert(w == w2, "training must be deterministic")
+  }
+
   test("scrubDuplicatedSpans removes viral spans, keeps unique text") {
     val boiler = "subscribe to our newsletter for updates today"  // 7 toks
     val d = Seq(
