@@ -690,6 +690,153 @@ object Dedup {
         (eq.cast("double") / h).as("est_jaccard"))
   }
 
+  /** Incremental snapshot dedup: probe a NEW crawl snapshot against a
+    * PERSISTED corpus index — exact fingerprints plus MinHash band
+    * buckets, the [[graft.streaming.StreamIngest.minhashDedupBatch]]
+    * layout promoted to a first-class batch operator — and write the
+    * snapshot's own delta back, so a monthly crawl drop is deduped
+    * against all of history without re-reading or re-shingling the
+    * historical TEXT. (The reference has no incremental path at all:
+    * its import always rebuilds rhash/ptree segments over the full
+    * store, `src/backend/import-backend.c`.)
+    *
+    * Index layout under `indexDir` (both tables partitioned by
+    * `snapshot`, so re-running a snapshot dynamically OVERWRITES ITS
+    * OWN PARTITION and nothing else — replay-safe, and the probe
+    * filters the running snapshot's partition out, so a re-probe after
+    * a crash mid-write still returns the original verdicts):
+    *   - `fp/`    (id, fp)           one row per probed doc
+    *   - `bands/` (id, band, bucket) `bands` rows per doc with ≥ k
+    *     tokens
+    *
+    * Decision semantics are the ALL-AT-ONCE ones: a document drops iff
+    * an EARLIER document collides with it, where "earlier" means
+    * already-in-the-index, or lower `idCol` within the same snapshot.
+    * Exact collision wins over near collision:
+    *   - `drop_exact` — same [[TextAnalysis.fingerprintMd5]]
+    *     (whitespace-normalized text identity) as an earlier doc;
+    *   - `drop_near`  — shares a MinHash band bucket with an earlier
+    *     doc (the LSH candidate screen, same banding as
+    *     [[minhashPairs]]);
+    *   - `keep`       — neither.
+    * ALL probed docs enter the index, dropped ones too: under the
+    * global rule a later doc drops if it collides with ANY earlier doc
+    * kept or dropped (a dropped doc's other buckets are evidence its
+    * survivor does not carry), so a survivors-only index would
+    * under-drop. That is exactly what makes incremental == all-at-once
+    * EXACT: probing snapshots one at a time in id order is
+    * bit-identical to one call over the union (OperatorsSpec proves
+    * it; the p68 gate's DuckDB oracle recomputes the verdicts from
+    * scratch under the (snapshot, id) precedence order).
+    *
+    * 100 TB shape: history is SCANNED, never shuffled. Both probes are
+    * two-step — (1) the snapshot's DISTINCT key set (fp, or
+    * (band, bucket)) is the build side of a left-semi join against the
+    * index, so Spark broadcasts it when it fits and the index read
+    * stays a map-only scan of two fixed-width columns; the output
+    * ("which probe keys has history already seen") is at most
+    * snapshot-sized; (2) that hit set joins back onto the snapshot
+    * (AQE-broadcastable again). If a snapshot is too large to
+    * broadcast its key set, AQE falls back to a hash shuffle of
+    * FIXED-WIDTH KEYS (`bands`+1 rows of 16–40 bytes per historical
+    * doc) — orders of magnitude below re-shingling the corpus text,
+    * which is the actual economy of the index. Null text never matches
+    * anything (null fp, no shingles, same null-excluding equi-join
+    * contract as the oracle): such docs always `keep`.
+    *
+    * Returns one row per snapshot doc: (id, fp, verdict). */
+  def dedupAgainstIndex(snapshot: DataFrame, idCol: String,
+                        textCol: String, indexDir: String,
+                        snapshotId: String, k: Int = 3, h: Int = 32,
+                        bands: Int = 16,
+                        portableHash: Boolean = false): DataFrame = {
+    require(bands > 0 && h % bands == 0,
+      s"dedupAgainstIndex: bands=$bands must be positive and divide " +
+        s"h=$h (a non-divisor silently drops trailing signature " +
+        "positions from banding)")
+    require(snapshotId.nonEmpty,
+      "dedupAgainstIndex: snapshotId keys the index delta partition " +
+        "and must be non-empty")
+    val spark = snapshot.sparkSession
+    val rows = h / bands
+    // pinned: probed against the index, min-reduced intra-snapshot,
+    // then appended as the delta — one computation feeds all three
+    val fpDf = snapshot.select(col(idCol).as("id"),
+        TextAnalysis.fingerprintMd5(col(textCol)).as("fp"))
+      .localCheckpoint()
+    val banded =
+      minhashSignatures(snapshot, idCol, textCol, k, h, portableHash)
+        .select(col("id"),
+          posexplode(array((0 until bands).map(b =>
+            xxhash64(slice(col("sig"), b * rows + 1, rows),
+              lit(b))): _*)))
+        .withColumnRenamed("pos", "band")
+        .withColumnRenamed("col", "bucket")
+        .localCheckpoint()
+    // index reads prune to the probe columns and filter the running
+    // snapshot's own partition out (replay safety + partition pruning)
+    def readIndex(sub: String, names: Seq[String],
+                  empty: Seq[Column]): DataFrame = {
+      val path = s"$indexDir/$sub"
+      if (new java.io.File(path).exists())
+        spark.read.parquet(path)
+          .filter(col("snapshot") =!= lit(snapshotId))
+          .select(names.map(col): _*)
+      else spark.emptyDataFrame.select(empty: _*).limit(0)
+    }
+    val idxFp = readIndex("fp", Seq("fp"), Seq(lit("").as("fp")))
+    val idxBands = readIndex("bands", Seq("band", "bucket"),
+      Seq(lit(0).as("band"), lit(0L).as("bucket")))
+    // two-step probe: hit sets are computed WITH THE SNAPSHOT KEYS AS
+    // THE BUILD SIDE so the (huge) index is never shuffled, then the
+    // (small) hit sets broadcast back onto the snapshot
+    val hitFps = idxFp
+      .join(fpDf.select("fp").filter(col("fp").isNotNull).distinct(),
+        Seq("fp"), "left_semi")
+      .distinct()
+    val hitBuckets = idxBands
+      .join(banded.select("band", "bucket").distinct(),
+        Seq("band", "bucket"), "left_semi")
+      .distinct()
+    // intra-snapshot precedence: min id per fp / per (band, bucket)
+    // wins; every later id collides with it (null fps drop out of the
+    // equi-join, so null-text docs never match each other)
+    val dropExact = fpDf.join(hitFps, Seq("fp"), "left_semi").select("id")
+      .unionByName(fpDf
+        .join(fpDf.groupBy("fp").agg(min(col("id")).as("first_id")),
+          Seq("fp"))
+        .filter(col("id") > col("first_id")).select("id"))
+      .distinct()
+    val dropNear =
+      banded.join(hitBuckets, Seq("band", "bucket"), "left_semi")
+        .select("id")
+        .unionByName(banded
+          .join(banded.groupBy("band", "bucket")
+              .agg(min(col("id")).as("first_id")),
+            Seq("band", "bucket"))
+          .filter(col("id") > col("first_id")).select("id"))
+        .distinct()
+    // pin the verdicts BEFORE the delta writes: the returned frame can
+    // never observe its own appended rows, whatever the caller does
+    val decisions = fpDf
+      .join(dropExact.withColumn("__de", lit(true)), Seq("id"), "left")
+      .join(dropNear.withColumn("__dn", lit(true)), Seq("id"), "left")
+      .select(col("id"), col("fp"),
+        when(col("__de"), lit("drop_exact"))
+          .when(col("__dn"), lit("drop_near"))
+          .otherwise(lit("keep")).as("verdict"))
+      .localCheckpoint()
+    def writeDelta(df: DataFrame, sub: String): Unit =
+      df.withColumn("snapshot", lit(snapshotId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("snapshot")
+        .parquet(s"$indexDir/$sub")
+    writeDelta(fpDf, "fp")
+    writeDelta(banded, "bands")
+    decisions
+  }
+
   /** Semantic deduplication (SemDeDup, Abbas et al. 2023,
     * arXiv:2303.09540): cluster document embeddings with a coarse
     * quantizer, then inside each cluster drop every document whose cosine

@@ -861,6 +861,28 @@ object PipelineQueries {
         .orderBy("b")
     }),
 
+    // INCREMENTAL snapshot dedup: snapshot A (even ids) bootstraps a
+    // fresh on-disk index, snapshot B (odd ids) probes A's index —
+    // exactly the monthly-crawl-drop motion. Output is BOTH snapshots'
+    // verdicts; the oracle recomputes them ALL-AT-ONCE from scratch
+    // under the (snapshot, id) precedence order, so green == the
+    // incremental path is bit-identical to the one-shot path on this
+    // corpus (the operator's core claim)
+    "p68_dedup_incremental" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-p68-").toString
+      val decA = Dedup.dedupAgainstIndex(
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+        dir, "snapA", portableHash = true)
+      val decB = Dedup.dedupAgainstIndex(
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text",
+        dir, "snapB", portableHash = true)
+      decA.unionByName(decB)
+        .select(col("id").as("doc_id"), col("fp"), col("verdict"))
+        .orderBy("doc_id")
+    }),
+
     // FUZZY decontamination: train docs near-duplicate (MinHash-LSH,
     // same banded rule as p03) to ANY eval doc (the %10==0 slice, like
     // p19's exact-gram gate) — catches the reworded-benchmark leakage
@@ -1043,6 +1065,58 @@ object PipelineQueries {
   /** Generated fuzzy-decontamination oracle: p03's signature + band
     * structure, asymmetric (train x eval slice) join, per-train-doc
     * distinct-eval count. */
+  /** Generated incremental-dedup oracle: recomputes
+    * Dedup.dedupAgainstIndex's verdicts ALL-AT-ONCE — no index, no
+    * snapshot sequencing — under the (snapshot, id) precedence order
+    * the incremental path realizes, from p03's portable signature +
+    * band structure and p05's exact fingerprint. A hash match
+    * therefore IS the incremental == all-at-once equivalence, checked
+    * on real data end to end through the on-disk index. */
+  private lazy val p68Oracle: String = {
+    val p = Dedup.minhashP
+    val seeds = Dedup.minhashSeeds(32)
+    val mins = seeds.zipWithIndex.map { case ((a, b), i) =>
+      s"list_min(list_transform(hs, x -> ($a * x + $b) % $p)) AS m$i"
+    }.mkString(",\n    ")
+    val earlier =
+      "(b.snap < a.snap OR (b.snap = a.snap AND b.doc_id < a.doc_id))"
+    val bandJoins = (0 until 16).map { bi =>
+      s"""SELECT a.doc_id FROM sigd a JOIN sigd b
+         |    ON a.m${2 * bi} = b.m${2 * bi}
+         |    AND a.m${2 * bi + 1} = b.m${2 * bi + 1}
+         |    AND $earlier""".stripMargin
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH fps AS (SELECT doc_id, doc_id % 2 AS snap,
+       |    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+       |      AS fp
+       |  FROM documents),
+       |ws AS (SELECT doc_id, doc_id % 2 AS snap,
+       |    list_filter(regexp_split_to_array(lower(text), '\\s+'),
+       |      x -> len(x) > 0) AS ws
+       |  FROM documents),
+       |sh0 AS (SELECT doc_id, snap, list_distinct(list_transform(
+       |    range(1, len(ws)-1), i -> ws[i]||' '||ws[i+1]||' '||ws[i+2]))
+       |    AS shingles FROM ws),
+       |hs0 AS (SELECT doc_id, snap, list_transform(shingles,
+       |    s -> ${duckShingleHash(p)}) AS hs
+       |  FROM sh0 WHERE len(shingles) > 0),
+       |sigd AS (SELECT doc_id, snap,
+       |    $mins
+       |  FROM hs0),
+       |ex AS (SELECT DISTINCT a.doc_id FROM fps a JOIN fps b
+       |  ON a.fp = b.fp AND $earlier),
+       |nr0 AS (
+       |  $bandJoins),
+       |nr AS (SELECT DISTINCT doc_id FROM nr0)
+       |SELECT f.doc_id, f.fp,
+       |  CASE WHEN ex.doc_id IS NOT NULL THEN 'drop_exact'
+       |       WHEN nr.doc_id IS NOT NULL THEN 'drop_near'
+       |       ELSE 'keep' END AS verdict
+       |FROM fps f LEFT JOIN ex ON ex.doc_id = f.doc_id
+       |           LEFT JOIN nr ON nr.doc_id = f.doc_id
+       |ORDER BY f.doc_id""".stripMargin
+  }
+
   private lazy val p60Oracle: String = {
     val p = Dedup.minhashP
     val seeds = Dedup.minhashSeeds(32)
@@ -1519,6 +1593,7 @@ object PipelineQueries {
     "p67_train_classifier" ->
       p67Oracle(buckets = 64, iters = 3, fracBits = 20, lrShift = 26),
     "p60_decontaminate_neardup" -> p60Oracle,
+    "p68_dedup_incremental" -> p68Oracle,
     // one UNION ALL branch per profiled column, identical statistics
     "p61_table_profile" ->
       Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")

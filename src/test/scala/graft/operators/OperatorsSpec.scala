@@ -1908,4 +1908,108 @@ class OperatorsSpec extends SparkTestBase {
         "doc_id", "text")
     }
   }
+
+  // --- incremental snapshot dedup (p68) ---
+
+  private def p68TmpDir(): String = java.nio.file.Files
+    .createTempDirectory("graft-p68-spec-").toString
+
+  /** Snapshot 1 (ids 0-5, the shared fixture) + snapshot 2 (ids 10-14):
+    * 10 = exact dup of 0; 11 = near-dup of 0 (one-word edit); 12 =
+    * fresh; 13 = exact dup of 12 WITHIN snapshot 2; 14 = near-dup of
+    * 12 within snapshot 2. Ids are ordered across snapshots, so the
+    * two-call incremental run must match one all-at-once call. */
+  private lazy val snap2 = Seq(
+    (10L, base),
+    (11L, base.replace("river", "creek")),
+    (12L, "fresh snapshot two document with enough words to shingle"),
+    (13L, "fresh snapshot two document with enough words to shingle"),
+    (14L, "fresh snapshot two document with many words to shingle")
+  ).toDF("doc_id", "text")
+
+  test("dedupAgainstIndex: hand-reasoned verdicts through a real " +
+      "on-disk index (exact beats near; intra- and cross-snapshot)") {
+    val dir = p68TmpDir()
+    val dec1 = Dedup.dedupAgainstIndex(docs, "doc_id", "text",
+      dir, "s1")
+    val v1 = dec1.select("id", "verdict").as[(Long, String)]
+      .collect().toMap
+    // snapshot 1 alone: 4 is an exact dup of 0; 1/2 are near-dups of 0
+    assert(v1(0L) == "keep" && v1(3L) == "keep" && v1(5L) == "keep")
+    assert(v1(4L) == "drop_exact")
+    assert(v1(1L) == "drop_near" && v1(2L) == "drop_near")
+    val dec2 = Dedup.dedupAgainstIndex(snap2, "doc_id", "text",
+      dir, "s2")
+    val v2 = dec2.select("id", "verdict").as[(Long, String)]
+      .collect().toMap
+    assert(v2(10L) == "drop_exact") // exact vs INDEXED doc 0
+    assert(v2(11L) == "drop_near")  // near vs indexed doc 0
+    assert(v2(12L) == "keep")
+    assert(v2(13L) == "drop_exact") // exact dup within its own snapshot
+    assert(v2(14L) == "drop_near")  // near-dup within its own snapshot
+  }
+
+  test("dedupAgainstIndex: incremental == all-at-once (two probes in " +
+      "id order are bit-identical to one call over the union)") {
+    val dir = p68TmpDir()
+    val incr = Dedup.dedupAgainstIndex(docs, "doc_id", "text", dir, "s1")
+      .unionByName(
+        Dedup.dedupAgainstIndex(snap2, "doc_id", "text", dir, "s2"))
+      .select("id", "fp", "verdict").as[(Long, String, String)]
+      .collect().toSet
+    val once = Dedup.dedupAgainstIndex(docs.unionByName(snap2),
+        "doc_id", "text", p68TmpDir(), "all")
+      .select("id", "fp", "verdict").as[(Long, String, String)]
+      .collect().toSet
+    assert(incr == once)
+  }
+
+  test("dedupAgainstIndex: re-probing the same snapshot is idempotent " +
+      "(same verdicts, index partition overwritten not duplicated)") {
+    val dir = p68TmpDir()
+    Dedup.dedupAgainstIndex(docs, "doc_id", "text", dir, "s1")
+    val first = Dedup.dedupAgainstIndex(snap2, "doc_id", "text",
+        dir, "s2")
+      .select("id", "verdict").as[(Long, String)].collect().toSet
+    val again = Dedup.dedupAgainstIndex(snap2, "doc_id", "text",
+        dir, "s2")
+      .select("id", "verdict").as[(Long, String)].collect().toSet
+    assert(first == again)
+    // dynamic partition overwrite: one fp row per doc, no append growth
+    val fpRows = spark.read.parquet(s"$dir/fp")
+    assert(fpRows.count() == docs.count() + snap2.count())
+    assert(fpRows.filter(col("snapshot") === "s2").count()
+      == snap2.count())
+    // the index carries only fixed-width probe keys — never the text
+    assert(!fpRows.columns.contains("text"))
+    assert(spark.read.parquet(s"$dir/bands").columns.toSet
+      == Set("id", "band", "bucket", "snapshot"))
+  }
+
+  test("dedupAgainstIndex: null text always keeps and never poisons " +
+      "the index (null fp matches nothing, no shingles)") {
+    val dir = p68TmpDir()
+    val withNulls = Seq((0L, Option(base)), (1L, None), (2L, None))
+      .toDF("doc_id", "text")
+    val v = Dedup.dedupAgainstIndex(withNulls, "doc_id", "text",
+        dir, "s1")
+      .select("id", "verdict").as[(Long, String)].collect().toMap
+    assert(v(1L) == "keep" && v(2L) == "keep") // null != null
+    val v2 = Dedup.dedupAgainstIndex(
+        Seq((10L, None: Option[String])).toDF("doc_id", "text"),
+        "doc_id", "text", dir, "s2")
+      .select("id", "verdict").as[(Long, String)].collect().toMap
+    assert(v2(10L) == "keep")
+  }
+
+  test("dedupAgainstIndex fails closed on bad banding or empty " +
+      "snapshot id") {
+    intercept[IllegalArgumentException] {
+      Dedup.dedupAgainstIndex(docs, "doc_id", "text", p68TmpDir(),
+        "s1", h = 32, bands = 7)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.dedupAgainstIndex(docs, "doc_id", "text", p68TmpDir(), "")
+    }
+  }
 }
