@@ -11,12 +11,24 @@ import org.apache.spark.sql.SparkSession
   * numbers agree are shuffle/agg/join-bound (count() already evaluates
   * them); large ratios mark the map-only family.
   *
-  * Usage: runMain graft.EvalProbe <sfDir> [outJson]
+  * BENCH-OUTLIER ADJUDICATION (r13 verdict: make the q12/q13-style
+  * box-noise call mechanical, not judge-side): pass the driver's latest
+  * `BENCH_r{N}.json` as the third arg and every query whose driver
+  * number exceeds this probe's count() time by >2× gets an immediate
+  * floor-of-3 rerun with the disk-probe MB/s recorded beside it, in a
+  * `bench_outliers` block — `"adjudication":"noise"` when the rerun
+  * floor lands back inside 2× of the calibration number (the driver
+  * sampled a bad box phase), `"regression"` when it does not (a real
+  * slowdown that needs code attention). An empty block means no driver
+  * number drifted.
+  *
+  * Usage: runMain graft.EvalProbe <sfDir> [outJson] [driverBenchJson]
   */
 object EvalProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val outJson = args.lift(1)
+    val driverBench = args.lift(2)
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
@@ -41,11 +53,51 @@ object EvalProbe {
           Some(name -> (cnt, wrt))
         } catch { case _: Throwable => None }
     }
+    val evalSec = rows.toMap.map { case (n, (c, _)) => n -> c }
+    // driver-vs-calibration diff: reruns happen AFTER the full sweep so
+    // an outlier's floor-of-3 sees the same warm session every gate saw
+    val outliers = driverBench.toSeq.flatMap { path =>
+      // the bench artifact is one JSON line; Spark's json reader is the
+      // zero-dependency parse (queries.* explodes to one column per gate)
+      val q = spark.read.json(path).select("queries.*")
+      val row = q.collect()(0)
+      val driverSec = q.columns.zipWithIndex.map { case (c, i) =>
+        c -> (row.get(i) match {
+          case d: java.lang.Double => d.doubleValue()
+          case l: java.lang.Long   => l.doubleValue()
+          case _                   => -1.0
+        })
+      }.toMap
+      driverSec.toSeq.sorted.flatMap { case (name, dSec) =>
+        (evalSec.get(name), SparkEntry.queries.get(name)) match {
+          case (Some(eSec), Some(fn))
+              if dSec > 0 && eSec > 0 && dSec > 2 * eSec =>
+            val dd = graft.probe.DiskProbe.writeMBps()
+            val floor3 = (0 until 3).map { _ =>
+              val t0 = System.nanoTime()
+              fn(spark, sfDir).count()
+              (System.nanoTime() - t0) / 1e9
+            }.min
+            val verdict =
+              if (floor3 <= 2 * eSec) "noise" else "regression"
+            println(f"[eval] OUTLIER $name driver=$dSec%.3f " +
+              f"eval=$eSec%.3f floor3=$floor3%.3f dd=$dd%.0f " +
+              f"-> $verdict")
+            Some(f""""$name":{"driver_sec":$dSec%.4f,""" +
+              f""""eval_sec":$eSec%.4f,"floor3_sec":$floor3%.4f,""" +
+              f""""dd_mbps":$dd%.0f,"adjudication":"$verdict"}""")
+          case _ => None
+        }
+      }
+    }
     val qJson = rows.map { case (n, (c, w)) =>
       f""""$n":{"count_sec":$c%.4f,"write_sec":$w%.4f}""" }
       .mkString("{", ",", "}")
-    val json =
-      s"""{"metric":"eval_probe","sf":"$sfDir","queries":$qJson}"""
+    val oJson = outliers.mkString("{", ",", "}")
+    val benchRef = driverBench.map(p => s""""$p"""").getOrElse("null")
+    val json = s"""{"metric":"eval_probe","sf":"$sfDir",""" +
+      s""""driver_bench":$benchRef,"bench_outliers":$oJson,""" +
+      s""""queries":$qJson}"""
     println(json)
     outJson.foreach { p =>
       java.nio.file.Files.write(java.nio.file.Paths.get(p),
