@@ -691,14 +691,18 @@ object Dedup {
   }
 
   /** Incremental snapshot dedup: probe a NEW crawl snapshot against a
-    * PERSISTED corpus index — exact fingerprints plus MinHash band
-    * buckets, the [[graft.streaming.StreamIngest.minhashDedupBatch]]
-    * layout promoted to a first-class batch operator — and write the
-    * snapshot's own delta back, so a monthly crawl drop is deduped
-    * against all of history without re-reading or re-shingling the
-    * historical TEXT. (The reference has no incremental path at all:
-    * its import always rebuilds rhash/ptree segments over the full
-    * store, `src/backend/import-backend.c`.)
+    * PERSISTED corpus index and write the snapshot's own delta back,
+    * so a monthly crawl drop is deduped against all of history without
+    * re-reading or re-shingling the historical TEXT. The band-index
+    * idea is [[graft.streaming.StreamIngest.minhashDedupBatch]]'s, but
+    * this is NOT that layout: it adds an exact-fingerprint table,
+    * snapshot partitioning (for replay safety), and appends ALL probed
+    * docs where the streaming variant keeps survivors only — each
+    * difference load-bearing for the all-at-once equivalence below,
+    * which the survivors-only stream index deliberately trades away
+    * for size. (The reference has no incremental path at all: its
+    * import always rebuilds rhash/ptree segments over the full store,
+    * `src/backend/import-backend.c`.)
     *
     * Index layout under `indexDir` (both tables partitioned by
     * `snapshot`, so re-running a snapshot dynamically OVERWRITES ITS
@@ -787,6 +791,29 @@ object Dedup {
     val idxFp = readIndex("fp", Seq("fp"), Seq(lit("").as("fp")))
     val idxBands = readIndex("bands", Seq("band", "bucket"),
       Seq(lit(0).as("band"), lit(0L).as("bucket")))
+    // pin the verdicts BEFORE the delta writes: the returned frame can
+    // never observe its own appended rows, whatever the caller does
+    val decisions = dedupProbe(fpDf, banded, idxFp, idxBands)
+      .localCheckpoint()
+    def writeDelta(df: DataFrame, sub: String): Unit =
+      df.withColumn("snapshot", lit(snapshotId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("snapshot")
+        .parquet(s"$indexDir/$sub")
+    writeDelta(fpDf, "fp")
+    writeDelta(banded, "bands")
+    decisions
+  }
+
+  /** The pure verdict plan of [[dedupAgainstIndex]], factored out so
+    * its physical shape is plan-gateable (the public API checkpoints
+    * the result, which hides the joins from `explain`). `fpDf` =
+    * (id, fp), `banded` = (id, band, bucket) for the snapshot; the two
+    * index frames carry only the probe columns. */
+  private[graft] def dedupProbe(fpDf: DataFrame, banded: DataFrame,
+                                idxFp: DataFrame,
+                                idxBands: DataFrame): DataFrame = {
     // two-step probe: hit sets are computed WITH THE SNAPSHOT KEYS AS
     // THE BUILD SIDE so the (huge) index is never shuffled, then the
     // (small) hit sets broadcast back onto the snapshot
@@ -816,25 +843,13 @@ object Dedup {
             Seq("band", "bucket"))
           .filter(col("id") > col("first_id")).select("id"))
         .distinct()
-    // pin the verdicts BEFORE the delta writes: the returned frame can
-    // never observe its own appended rows, whatever the caller does
-    val decisions = fpDf
+    fpDf
       .join(dropExact.withColumn("__de", lit(true)), Seq("id"), "left")
       .join(dropNear.withColumn("__dn", lit(true)), Seq("id"), "left")
       .select(col("id"), col("fp"),
         when(col("__de"), lit("drop_exact"))
           .when(col("__dn"), lit("drop_near"))
           .otherwise(lit("keep")).as("verdict"))
-      .localCheckpoint()
-    def writeDelta(df: DataFrame, sub: String): Unit =
-      df.withColumn("snapshot", lit(snapshotId))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("snapshot")
-        .parquet(s"$indexDir/$sub")
-    writeDelta(fpDf, "fp")
-    writeDelta(banded, "bands")
-    decisions
   }
 
   /** Semantic deduplication (SemDeDup, Abbas et al. 2023,

@@ -714,6 +714,43 @@ class PlanSpec extends SparkTestBase {
       s"scoring must stay key-joined:\n$finalPlan")
   }
 
+  test("dedupAgainstIndex probe: pruned index scans, semi-join hit " +
+      "sets, partial-min election, no cartesian/window") {
+    val docs = graft.core.Tables.t(spark, sf, "documents")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-p68-plan-").toString
+    // materialize a real index partition, then plan the probe over it
+    Dedup.dedupAgainstIndex(docs.filter(col("doc_id") % 2 === 0),
+      "doc_id", "text", dir, "s1")
+    val snap = docs.filter(col("doc_id") % 2 === 1)
+    val fpDf = snap.select(col("doc_id").as("id"),
+      graft.operators.TextAnalysis.fingerprintMd5(col("text")).as("fp"))
+    val banded = Dedup.minhashSignatures(snap, "doc_id", "text", 3, 32)
+      .select(col("id"), posexplode(array((0 until 16).map(b =>
+        xxhash64(slice(col("sig"), b * 2 + 1, 2), lit(b))): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val plan = planOf(Dedup.dedupProbe(fpDf, banded,
+      spark.read.parquet(s"$dir/fp").select("fp"),
+      spark.read.parquet(s"$dir/bands").select("band", "bucket")))
+    // history scans are pruned to the fixed-width probe keys — the
+    // index carries no text by construction, and the bands read must
+    // not even deserialize the id column
+    assert(plan.contains("ReadSchema: struct<band:int,bucket:bigint>"),
+      s"bands index scan must prune to (band, bucket):\n$plan")
+    // the hit sets are semi-joins whose build side broadcasts at this
+    // scale (the snapshot key set — history is never the build side)
+    assert(plan.contains("BroadcastHashJoin") &&
+      plan.contains("LeftSemi"),
+      s"probe hit sets must be broadcast semi-joins:\n$plan")
+    // intra-snapshot winner election partial-aggregates map-side
+    assert(plan.contains("partial_min"),
+      s"first-id election must map-side combine:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("Window"),
+      s"probe must stay key-joined, no window:\n$plan")
+  }
+
   test("linear classifier scoring is map-only, inside codegen") {
     val docs = graft.core.Tables.t(spark, sf, "documents")
       .select("doc_id", "text")
