@@ -133,6 +133,13 @@ object GraftFunctions {
       "graft_parse_nt_quad(line) — N-Triples/N-Quads line as a flat " +
         "import struct; NULL for comments/blank/dirty lines") {
       case Seq(l) => ParseNtQuad(l)
+    },
+    fn("graft_warc_records",
+      "graft_warc_records(raw) — WET/WARC record frames via the " +
+        "Content-Length-driven byte walk: array of (rec_type, uri, " +
+        "date, content_length, payload, valid); malformed tails " +
+        "classify as one valid=false record, never throw") {
+      case Seq(r) => WarcRecords(r)
     }
   )
 

@@ -216,4 +216,5 @@ object F {
   def canonicalizeUrl(url: Column): Column = c(CanonicalizeUrl(e(url)))
   def registrableHost(url: Column): Column = c(RegistrableHost(e(url)))
   def parseNtQuad(line: Column): Column = c(ParseNtQuad(e(line)))
+  def warcRecords(raw: Column): Column = c(WarcRecords(e(raw)))
 }

@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** WET/WARC ingest: from raw crawl file bodies to a documents frame —
+  * the stage every CommonCrawl pipeline (CCNet §2, C4) runs before any
+  * operator in this library sees text. The framing work is one
+  * map-only pass through the native [[graft.functions.Warc]] kernel
+  * (Content-Length-driven byte walk; see its scaladoc for the framing
+  * and malformed-input contract), so ingest runs at scan speed and
+  * parallelizes by FILE: feed it `spark.read.text` with
+  * `wholetext=true`, `binaryFile` payloads decoded upstream, or any
+  * (file, raw-body) frame. At 100 TB the unit of work is a WET file
+  * (~150 MB uncompressed), which is also the natural Spark partition —
+  * no shuffle anywhere until the caller aggregates.
+  */
+object WarcIngest {
+
+  /** One row per framed record: input columns (minus `rawCol`) +
+    * (rec_index, rec_type, uri, date, content_length, payload, valid).
+    */
+  def records(df: DataFrame, rawCol: String): DataFrame = {
+    val keep = df.columns.filterNot(_ == rawCol).map(col).toSeq
+    df.select(keep :+
+        posexplode(graft.functions.F.warcRecords(col(rawCol)))
+          .as(Seq("rec_index", "rec")): _*)
+      .select(keep ++ Seq(
+        col("rec_index").cast("long").as("rec_index"),
+        col("rec.rec_type").as("rec_type"),
+        col("rec.uri").as("uri"),
+        col("rec.date").as("date"),
+        col("rec.content_length").as("content_length"),
+        col("rec.payload").as("payload"),
+        col("rec.valid").as("valid")): _*)
+  }
+
+  /** WET "conversion" records as a clean documents frame
+    * (url, fetch_date, text) — invalid frames and non-conversion
+    * records (warcinfo headers, request/response records in full WARC)
+    * drop here; route `records()` output elsewhere to audit them. */
+  def wetDocuments(df: DataFrame, rawCol: String): DataFrame =
+    records(df, rawCol)
+      .filter(col("valid") && col("rec_type") === "conversion")
+      .withColumnRenamed("uri", "url")
+      .withColumnRenamed("date", "fetch_date")
+      .withColumnRenamed("payload", "text")
+      .drop("rec_type", "content_length", "valid")
+}

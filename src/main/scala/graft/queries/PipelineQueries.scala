@@ -883,6 +883,50 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // WET/WARC record framing: each source's docs become one synthetic
+    // WET file body (conversion records with real Content-Length
+    // framing), with TWO adversarial plants — every 7th doc's payload
+    // embeds a full decoy record header (only a Content-Length-driven
+    // walk keeps it in the payload; a split-on-marker parser mis-frames
+    // and fails the hash) and each blob ends in an overrun-length
+    // garbage tail (exercises the valid=false classification). The
+    // oracle rebuilds the identical blobs and walks them with a
+    // recursive CTE
+    "p69_warc_records" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val decoy = "\r\n\r\nWARC/1.0\r\nWARC-Type: decoy\r\n" +
+        "Content-Length: 0\r\n\r\n"
+      val payload = concat(col("text"),
+        when(col("doc_id") % 7 === 0, lit(decoy)).otherwise(lit("")))
+      val rec = concat(
+        lit("WARC/1.0\r\nWARC-Type: conversion\r\n" +
+          "WARC-Target-URI: urn:doc:"), col("doc_id"),
+        lit("\r\nWARC-Date: 2026-08-16T00:00:00Z\r\nContent-Length: "),
+        octet_length(payload),
+        lit("\r\n\r\n"), payload, lit("\r\n\r\n"))
+      val blobs = docs
+        .select(col("source"),
+          struct(col("doc_id"), rec.as("rec")).as("r"))
+        .groupBy("source")
+        .agg(concat(
+          array_join(transform(array_sort(collect_list(col("r"))),
+            x => x("rec")), ""),
+          lit("WARC/1.0\r\nContent-Length: 999999\r\n\r\noops"))
+          .as("raw"))
+      blobs.select(col("source"),
+          posexplode(graft.functions.F.warcRecords(col("raw")))
+            .as(Seq("rec_index", "rec")))
+        .select(col("source"),
+          col("rec_index").cast("long").as("rec_index"),
+          col("rec.rec_type").as("rec_type"),
+          col("rec.uri").as("uri"),
+          col("rec.date").as("warc_date"),
+          col("rec.content_length").as("content_length"),
+          md5(col("rec.payload")).as("payload_md5"),
+          col("rec.valid").as("valid"))
+        .orderBy("source", "rec_index")
+    }),
+
     // FUZZY decontamination: train docs near-duplicate (MinHash-LSH,
     // same banded rule as p03) to ANY eval doc (the %10==0 slice, like
     // p19's exact-gram gate) — catches the reworded-benchmark leakage
@@ -1115,6 +1159,78 @@ object PipelineQueries {
        |FROM fps f LEFT JOIN ex ON ex.doc_id = f.doc_id
        |           LEFT JOIN nr ON nr.doc_id = f.doc_id
        |ORDER BY f.doc_id""".stripMargin
+  }
+
+  /** WET/WARC framing oracle: rebuilds the gate's synthetic blobs
+    * byte-for-byte (ASCII corpus, so DuckDB's char ops equal the
+    * kernel's byte walk — the p59 precedent), then walks them with a
+    * RECURSIVE CTE that replays the Content-Length-driven frame
+    * advance: each step consumes one record (header block to
+    * CRLFCRLF, payload = declared length, +4 terminator — the builder
+    * emits exactly that framing, so the kernel's general CR/LF-run
+    * skip reduces to +4 on this corpus) and the overrun tail emits the
+    * same valid=false record the kernel classifies. */
+  private val p69Oracle: String = {
+    val c = "chr(13)||chr(10)"
+    val c2 = s"$c||$c"
+    s"""WITH RECURSIVE rec0 AS (SELECT source, doc_id,
+       |    text || CASE WHEN doc_id % 7 = 0
+       |      THEN $c2||'WARC/1.0'||$c||'WARC-Type: decoy'||$c
+       |        ||'Content-Length: 0'||$c2
+       |      ELSE '' END AS payload
+       |  FROM documents),
+       |rec AS (SELECT source, doc_id,
+       |    'WARC/1.0'||$c||'WARC-Type: conversion'||$c
+       |    ||'WARC-Target-URI: urn:doc:'||doc_id||$c
+       |    ||'WARC-Date: 2026-08-16T00:00:00Z'||$c
+       |    ||'Content-Length: '||strlen(payload)||$c2
+       |    ||payload||$c2 AS r
+       |  FROM rec0),
+       |blob AS (SELECT source, string_agg(r, '' ORDER BY doc_id)
+       |    ||'WARC/1.0'||$c||'Content-Length: 999999'||$c2||'oops'
+       |    AS raw
+       |  FROM rec GROUP BY source),
+       |walk AS (
+       |  SELECT source, raw, CAST(-1 AS BIGINT) AS rec_index,
+       |    CAST(1 AS BIGINT) AS pos, CAST(NULL AS VARCHAR) AS rec_type,
+       |    CAST(NULL AS VARCHAR) AS uri,
+       |    CAST(NULL AS VARCHAR) AS warc_date,
+       |    CAST(NULL AS BIGINT) AS content_length,
+       |    CAST(NULL AS VARCHAR) AS payload, true AS valid
+       |  FROM blob
+       |  UNION ALL
+       |  SELECT source, raw, rec_index + 1,
+       |    CASE WHEN ok THEN pstart + clen + 4
+       |         ELSE strlen(raw) + 1 END,
+       |    rtype, ruri, rdate, clen0,
+       |    CASE WHEN ok THEN substr(raw, pstart, clen)
+       |         ELSE substr(raw, pstart) END,
+       |    ok
+       |  FROM (
+       |    SELECT source, raw, rec_index, pstart,
+       |      clen0 IS NOT NULL AND pstart + clen0 - 1 <= strlen(raw)
+       |        AS ok,
+       |      COALESCE(clen0, 0) AS clen, clen0, rtype, ruri, rdate
+       |    FROM (
+       |      SELECT source, raw, rec_index, pos + he + 3 AS pstart,
+       |        TRY_CAST(regexp_extract(hdrs,
+       |          'Content-Length: ([0-9]+)', 1) AS BIGINT) AS clen0,
+       |        NULLIF(regexp_extract(hdrs,
+       |          'WARC-Type: ([^\r]*)', 1), '') AS rtype,
+       |        NULLIF(regexp_extract(hdrs,
+       |          'WARC-Target-URI: ([^\r]*)', 1), '') AS ruri,
+       |        NULLIF(regexp_extract(hdrs,
+       |          'WARC-Date: ([^\r]*)', 1), '') AS rdate
+       |      FROM (
+       |        SELECT source, raw, rec_index, pos,
+       |          instr(substr(raw, pos), $c2) AS he,
+       |          substr(raw, pos, instr(substr(raw, pos), $c2) - 1)
+       |            AS hdrs
+       |        FROM walk WHERE valid AND pos <= strlen(raw)))))
+       |SELECT source, rec_index, rec_type, uri, warc_date,
+       |  content_length, md5(payload) AS payload_md5, valid
+       |FROM walk WHERE rec_index >= 0
+       |ORDER BY source, rec_index""".stripMargin
   }
 
   private lazy val p60Oracle: String = {
@@ -1594,6 +1710,7 @@ object PipelineQueries {
       p67Oracle(buckets = 64, iters = 3, fracBits = 20, lrShift = 26),
     "p60_decontaminate_neardup" -> p60Oracle,
     "p68_dedup_incremental" -> p68Oracle,
+    "p69_warc_records" -> p69Oracle,
     // one UNION ALL branch per profiled column, identical statistics
     "p61_table_profile" ->
       Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")

@@ -108,6 +108,17 @@ class GraftExtensionsSpec extends SparkTestBase {
     assert(got.getAs[Long]("dup5_chars") == 16L, got)
   }
 
+  test("round-14 kernel works from SQL: warc_records framing") {
+    val got = spark.sql(
+      "SELECT graft_warc_records('WARC/1.0\r\nWARC-Type: conversion" +
+        "\r\nWARC-Target-URI: urn:x\r\nContent-Length: 5\r\n\r\n" +
+        "hello\r\n\r\n')").first().getSeq[org.apache.spark.sql.Row](0)
+    assert(got.length == 1, got)
+    assert(got.head.getAs[String]("uri") == "urn:x")
+    assert(got.head.getAs[String]("payload") == "hello")
+    assert(got.head.getAs[Boolean]("valid"))
+  }
+
   test("non-literal k is rejected with a clear message") {
     val e = intercept[Exception] {
       spark.sql("SELECT graft_shingle_hashes('a b c', length('xx'))")

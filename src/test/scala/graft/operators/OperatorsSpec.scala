@@ -2002,6 +2002,94 @@ class OperatorsSpec extends SparkTestBase {
     assert(v2(10L) == "keep")
   }
 
+  // --- WET/WARC record framing (p69) ---
+
+  private def wetRec(uri: String, payload: String,
+                     declaredLen: Option[Int] = None): String = {
+    val len = declaredLen.getOrElse(
+      payload.getBytes(java.nio.charset.StandardCharsets.UTF_8).length)
+    s"WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Target-URI: $uri\r\n" +
+      s"WARC-Date: 2026-08-16T00:00:00Z\r\nContent-Length: $len" +
+      s"\r\n\r\n$payload\r\n\r\n"
+  }
+
+  test("warc records: Content-Length-driven walk keeps an embedded " +
+      "decoy record header inside the payload") {
+    val decoyPayload = "real text\r\n\r\nWARC/1.0\r\nWARC-Type: " +
+      "decoy\r\nContent-Length: 0\r\n\r\ntail"
+    val raw = wetRec("urn:a", "plain doc") +
+      wetRec("urn:b", decoyPayload) + wetRec("urn:c", "last doc")
+    val recs = Seq(Tuple1(raw)).toDF("raw")
+      .select(explode(graft.functions.F.warcRecords(col("raw")))
+        .as("r"))
+      .select("r.uri", "r.payload", "r.valid", "r.rec_type")
+      .collect()
+    assert(recs.length == 3, recs.mkString("|"))
+    assert(recs.map(_.getString(0)).toSeq ==
+      Seq("urn:a", "urn:b", "urn:c"))
+    assert(recs(1).getString(1) == decoyPayload) // decoy NOT a frame
+    assert(recs.forall(_.getBoolean(2)))
+    assert(recs.forall(_.getString(3) == "conversion"))
+  }
+
+  test("warc records: Content-Length counts BYTES, so multi-byte " +
+      "payloads frame exactly") {
+    val raw = wetRec("urn:u", "héllo wörld") + // 13 bytes, 11 chars
+      wetRec("urn:v", "ascii")
+    val recs = Seq(Tuple1(raw)).toDF("raw")
+      .select(explode(graft.functions.F.warcRecords(col("raw")))
+        .as("r"))
+      .select("r.uri", "r.payload", "r.content_length", "r.valid")
+      .collect()
+    assert(recs.length == 2)
+    assert(recs(0).getString(1) == "héllo wörld")
+    assert(recs(0).getLong(2) == 13L)
+    assert(recs(1).getString(1) == "ascii" && recs(1).getBoolean(3))
+  }
+
+  test("warc records: malformed frames classify as one valid=false " +
+      "record and never throw") {
+    def parse(raw: String) = Seq(Tuple1(raw)).toDF("raw")
+      .select(explode(graft.functions.F.warcRecords(col("raw")))
+        .as("r"))
+      .select("r.rec_type", "r.content_length", "r.payload", "r.valid")
+      .collect()
+    // declared length overruns the remaining bytes
+    val over = parse(wetRec("urn:a", "ok") +
+      "WARC/1.0\r\nContent-Length: 999\r\n\r\nshort")
+    assert(over.length == 2 && over(0).getBoolean(3))
+    assert(!over(1).getBoolean(3) && over(1).getLong(1) == 999L &&
+      over(1).getString(2) == "short")
+    // header block never terminates
+    val unterminated = parse("WARC/1.0\r\nWARC-Type: conversion\r\n")
+    assert(unterminated.length == 1 && !unterminated(0).getBoolean(3))
+    // no parseable Content-Length
+    val noLen = parse("WARC/1.0\r\nWARC-Type: x\r\n\r\npayload")
+    assert(noLen.length == 1 && !noLen(0).getBoolean(3) &&
+      noLen(0).isNullAt(1))
+    // empty body -> empty array; NULL -> NULL
+    val empty = Seq(Tuple1(""), Tuple1(null: String)).toDF("raw")
+      .select(size(graft.functions.F.warcRecords(col("raw"))))
+      .collect()
+    assert(empty(0).getInt(0) == 0 && empty(1).isNullAt(0))
+  }
+
+  test("wetDocuments: raw WET bodies to a clean documents frame " +
+      "(invalid and non-conversion records drop)") {
+    val body = "WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: " +
+      "4\r\n\r\ninfo\r\n\r\n" + wetRec("urn:d1", "doc one") +
+      wetRec("urn:d2", "doc two") +
+      "WARC/1.0\r\nContent-Length: 12345\r\n\r\ntruncated"
+    val out = WarcIngest.wetDocuments(
+        Seq(("f1", body)).toDF("file", "raw"), "raw")
+      .orderBy("rec_index")
+      .select("file", "url", "text").collect()
+    assert(out.length == 2)
+    assert(out.map(_.getString(1)).toSeq == Seq("urn:d1", "urn:d2"))
+    assert(out.map(_.getString(2)).toSeq == Seq("doc one", "doc two"))
+    assert(out.forall(_.getString(0) == "f1")) // pass-through column
+  }
+
   test("dedupAgainstIndex fails closed on bad banding or empty " +
       "snapshot id") {
     intercept[IllegalArgumentException] {
