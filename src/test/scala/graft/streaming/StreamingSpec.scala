@@ -159,6 +159,34 @@ class StreamingSpec extends SparkTestBase {
     q.stop()
   }
 
+  test("WET ingest runs on a STREAM: raw crawl file bodies frame into " +
+      "documents as a stateless map stage") {
+    // the kernel walk is a pure projection, so wetDocuments lifts onto
+    // readStream unchanged — crawl files landing in a directory stream
+    // straight into a documents frame with no state store
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    def rec(uri: String, text: String) =
+      s"WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Target-URI: $uri" +
+        s"\r\nContent-Length: ${text.length}\r\n\r\n$text\r\n\r\n"
+    val mem = MemoryStream[(String, String)]
+    val docs = graft.operators.WarcIngest.wetDocuments(
+      mem.toDS().toDF("file", "raw"), "raw")
+    val q = docs.writeStream.format("memory").queryName("wet")
+      .outputMode("append").start()
+    mem.addData(("f1", rec("urn:a", "first doc") + rec("urn:b", "second")))
+    q.processAllAvailable()
+    mem.addData(("f2", rec("urn:c", "third") +
+      "WARC/1.0\r\nContent-Length: 999\r\n\r\nbad")) // invalid drops
+    q.processAllAvailable()
+    val got = spark.sql("select file, url, text from wet").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      .sortBy(_._2).toSeq
+    assert(got == Seq(("f1", "urn:a", "first doc"),
+      ("f1", "urn:b", "second"), ("f2", "urn:c", "third")), got)
+    q.stop()
+  }
+
   test("repetition battery runs on a STREAM and matches the batch " +
       "operator row for row") {
     // repetitionSignals is one map-only kernel projection, so it lifts
