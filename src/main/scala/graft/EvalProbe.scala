@@ -57,17 +57,33 @@ object EvalProbe {
     // driver-vs-calibration diff: reruns happen AFTER the full sweep so
     // an outlier's floor-of-3 sees the same warm session every gate saw
     val outliers = driverBench.toSeq.flatMap { path =>
-      // the bench artifact is one JSON line; Spark's json reader is the
-      // zero-dependency parse (queries.* explodes to one column per gate)
-      val q = spark.read.json(path).select("queries.*")
-      val row = q.collect()(0)
-      val driverSec = q.columns.zipWithIndex.map { case (c, i) =>
-        c -> (row.get(i) match {
-          case d: java.lang.Double => d.doubleValue()
-          case l: java.lang.Long   => l.doubleValue()
-          case _                   => -1.0
-        })
-      }.toMap
+      // the driver's BENCH_r{N}.json is a wrapper whose `tail` captures
+      // (possibly truncated) Bench stdout — not guaranteed clean JSON.
+      // Scrape `"gate":[samples]` / `"gate":sec` pairs from the raw
+      // text and keep only known gate names; median of the samples is
+      // the number the verdicts compare
+      // the wrapper stores the tail as a JSON STRING, so gate names
+      // arrive quote-escaped (\") on disk — unescape before matching
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path)),
+        java.nio.charset.StandardCharsets.UTF_8)
+        .replace("\\\"", "\"")
+      def median(xs: Seq[Double]): Double = {
+        val s = xs.sorted
+        if (s.isEmpty) -1.0 else s(s.size / 2)
+      }
+      val arrRe = """"([A-Za-z0-9_]+)":\[([0-9eE+\-.,\s]+)\]""".r
+      val numRe = """"([A-Za-z0-9_]+)":([0-9]+\.[0-9]+)""".r
+      val known = SparkEntry.queries.keySet
+      val fromNums = numRe.findAllMatchIn(txt)
+        .map(m => m.group(1) -> m.group(2).toDouble)
+        .filter(kv => known(kv._1)).toMap
+      val fromArrs = arrRe.findAllMatchIn(txt)
+        .map(m => m.group(1) ->
+          median(m.group(2).split(",").toSeq.map(_.trim)
+            .filter(_.nonEmpty).map(_.toDouble)))
+        .filter(kv => known(kv._1)).toMap
+      val driverSec = fromNums ++ fromArrs // sample arrays win
       driverSec.toSeq.sorted.flatMap { case (name, dSec) =>
         (evalSec.get(name), SparkEntry.queries.get(name)) match {
           case (Some(eSec), Some(fn))
