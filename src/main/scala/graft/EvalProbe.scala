@@ -36,6 +36,10 @@ object EvalProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // box-phase context for the whole calibration (standing
+    // discipline: a dd number beside every recorded timing artifact)
+    val ddStart = graft.probe.DiskProbe.writeMBps()
+    println(f"[eval] dd at start: $ddStart%.0f MB/s")
     try graft.queries.SparqlQueries.warm(spark, sfDir)
     catch { case _: Throwable => }
     val rows = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
@@ -111,7 +115,9 @@ object EvalProbe {
       .mkString("{", ",", "}")
     val oJson = outliers.mkString("{", ",", "}")
     val benchRef = driverBench.map(p => s""""$p"""").getOrElse("null")
+    val ddEnd = graft.probe.DiskProbe.writeMBps()
     val json = s"""{"metric":"eval_probe","sf":"$sfDir",""" +
+      f""""dd_mbps_start":$ddStart%.0f,"dd_mbps_end":$ddEnd%.0f,""" +
       s""""driver_bench":$benchRef,"bench_outliers":$oJson,""" +
       s""""queries":$qJson}"""
     println(json)

@@ -392,6 +392,43 @@ class OperatorsSpec extends SparkTestBase {
     assert(e.getAs[Long]("n_tokens") == 0L && e.isNullAt(e.length - 1))
   }
 
+  test("ngramLmScoreBackoff at order 5: top-order hit and a 4-step " +
+      "cascade to the OOV floor, hand-computed") {
+    // train = one 5-token doc: every k-gram table holds exactly the
+    // grams of "a b c d e"; N = 5 tokens, V = 5 distinct words
+    val train = Seq((1L, "a b c d e")).toDF("id", "text")
+    // exact replay: each position scores at its top admissible order
+    val hit = TextAnalysis.ngramLmScoreBackoff(train,
+      Seq((10L, "a b c d e")).toDF("id", "text"), "id", "text",
+      order = 5).collect().head
+    for (k <- 1 to 5)
+      assert(hit.getAs[Long](s"n_hit$k") == 1L, s"n_hit$k")
+    assert(hit.getAs[Long]("sum_steps") == 0L &&
+      hit.getAs[Long]("n_oov") == 0L)
+    // num 1 at every position; den = N (pos1) + c(k-1-prefix)=1 x4
+    assert(hit.getAs[Long]("sum_num") == 5L &&
+      hit.getAs[Long]("sum_den") == 9L)
+    // "a b c d x": positions 1-4 hit at orders 1-4; position 5 misses
+    // the 5-gram, 4-gram, 3-gram and 2-gram ending in the unseen "x",
+    // then falls past the unigram to the OOV floor: 4 backoff steps
+    val miss = TextAnalysis.ngramLmScoreBackoff(train,
+      Seq((11L, "a b c d x")).toDF("id", "text"), "id", "text",
+      order = 5).collect().head
+    assert(miss.getAs[Long]("n_hit5") == 0L &&
+      miss.getAs[Long]("n_hit4") == 1L &&
+      miss.getAs[Long]("n_hit3") == 1L &&
+      miss.getAs[Long]("n_hit2") == 1L &&
+      miss.getAs[Long]("n_hit1") == 1L)
+    assert(miss.getAs[Long]("n_oov") == 1L &&
+      miss.getAs[Long]("sum_steps") == 4L)
+    // logscore: hits contribute ln(1/5)+0+0+0; the OOV position pays
+    // 4 alpha steps times the 1/(N+V) floor
+    val expect = math.log(1.0 / 5) +
+      4 * math.log(0.4) + math.log(1.0 / 10)
+    assert(math.abs(miss.getAs[Double]("logscore") - expect) < 1e-12)
+    assert(hit.getAs[Double]("ppl") < miss.getAs[Double]("ppl"))
+  }
+
   test("ngramLmScoreBackoff: order 3 separates where order 2 ties " +
       "(the CCNet gap vs the add-k bigram)") {
     val train = Seq((1L, "a b c"), (2L, "z b d")).toDF("id", "text")
