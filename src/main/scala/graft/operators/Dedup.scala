@@ -90,6 +90,94 @@ object Dedup {
       .drop("__nkept")
   }
 
+  /** INCREMENTAL corpus-global line dedup: [[dedupLinesGlobal]]'s C4
+    * §2.1 rule extended across crawl snapshots through a persisted
+    * line-digest index, the line-level counterpart of
+    * [[dedupAgainstIndex]] — a monthly crawl drop loses every line any
+    * earlier snapshot already kept, without re-reading or re-exploding
+    * historical text. Semantics are the all-at-once ones: an
+    * occurrence survives iff it is the FIRST under ((already-indexed)
+    * before (this snapshot), then (id, pos)) — so processing
+    * snapshots one at a time in id order is bit-identical to one
+    * [[dedupLinesGlobal]] call over the union (the p70 gate's oracle
+    * recomputes exactly that from scratch; OperatorsSpec proves the
+    * library-level equality).
+    *
+    * Index layout under `indexDir/lines`: one row per DISTINCT line
+    * digest (`lh` = md5 hex of the line — exact, engine-portable, 32
+    * bytes/line) per snapshot partition; a re-run overwrites ITS OWN
+    * partition only and the probe filters the running snapshot's
+    * partition out, so re-probing is idempotent (replay-safe). Every
+    * distinct line of the snapshot enters the delta — lines that
+    * lost the intra-snapshot election too (their first occurrence
+    * was still SEEN, which is what the global-first rule keys on).
+    *
+    * 100 TB shape: one line-digest shuffle for the snapshot's distinct
+    * set + winner election (map-side combined), history SCANNED never
+    * shuffled (the two-step probe of [[dedupAgainstIndex]]: the
+    * snapshot's digest set is the build side, the hit set broadcasts
+    * back as an anti-join), one id-keyed reassembly. Inherits
+    * [[dedupLinesGlobal]]'s blank-line caveat corpus-wide AND
+    * history-wide: exactly one "" survives across ALL snapshots ever
+    * probed — feed span units, not blank-delimited prose, if paragraph
+    * structure matters. */
+  def dedupLinesAgainstIndex(df: DataFrame, idCol: String,
+                             textCol: String, indexDir: String,
+                             snapshotId: String, sep: String = "\n",
+                             out: String = "deduped"): DataFrame = {
+    require(snapshotId.nonEmpty,
+      "dedupLinesAgainstIndex: snapshotId keys the index delta " +
+        "partition and must be non-empty")
+    require(!df.columns.contains(out),
+      s"dedupLinesAgainstIndex: output column '$out' already exists")
+    require(!df.columns.contains("n_kept_lines"),
+      "dedupLinesAgainstIndex: input already carries 'n_kept_lines'")
+    require(!df.columns.contains("__nkept"),
+      "dedupLinesAgainstIndex: input carries reserved column '__nkept'")
+    val spark = df.sparkSession
+    // pinned: probed, winner-elected, delta-written — one explode
+    val lines = df.select(col(idCol),
+        posexplode(split(col(textCol),
+          java.util.regex.Pattern.quote(sep))).as(Seq("pos", "line")))
+      .withColumn("lh", md5(col("line")))
+      .localCheckpoint()
+    val linesPath = s"$indexDir/lines"
+    val idx =
+      if (new java.io.File(linesPath).exists())
+        spark.read.parquet(linesPath)
+          .filter(col("snapshot") =!= lit(snapshotId)).select("lh")
+      else spark.emptyDataFrame.select(lit("").as("lh")).limit(0)
+    // two-step probe: snapshot digest set = build side; history is a
+    // map-only scan of one column, and the hit set (≤ snapshot
+    // distinct lines) broadcasts back as the anti-join's small side
+    val probe = lines.select("lh").distinct()
+    val hitLh = idx.join(probe, Seq("lh"), "left_semi").distinct()
+    val fresh = lines.join(hitLh, Seq("lh"), "left_anti")
+    val winners = fresh.groupBy("lh")
+      .agg(min(struct(col(idCol), col("pos"))).as("w"))
+    val kept = fresh.join(winners,
+      fresh("lh") === winners("lh") &&
+        struct(fresh(idCol), fresh("pos")) === winners("w"),
+      "left_semi")
+    val rebuilt = kept.groupBy(idCol).agg(
+      concat_ws(sep, transform(
+        array_sort(collect_list(struct(col("pos"), col("line")))),
+        x => x.getField("line"))).as(out),
+      count(lit(1)).as("__nkept"))
+    val result = df.join(rebuilt, Seq(idCol), "left")
+      .withColumn(out, coalesce(col(out), lit("")))
+      .withColumn("n_kept_lines",
+        coalesce(col("__nkept"), lit(0L)).cast("long"))
+      .drop("__nkept")
+      .localCheckpoint() // pinned BEFORE the delta write
+    probe.withColumn("snapshot", lit(snapshotId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("snapshot")
+      .parquet(linesPath)
+    result
+  }
+
   /** PER-DOMAIN boilerplate line scrub — the site-level extraction
     * cleanup of CCNet/trafilatura-style pipelines: a line that occurs
     * in at least `minDocs` DISTINCT documents of the SAME domain (nav

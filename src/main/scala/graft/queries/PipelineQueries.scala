@@ -883,6 +883,30 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // INCREMENTAL corpus-global line dedup: snapshot A (even ids)
+    // seeds a line-digest index, snapshot B (odd ids) loses every line
+    // A kept — the C4 global-first rule riding the p68 index motion.
+    // The oracle recomputes all verdicts ALL-AT-ONCE under the
+    // (snapshot, id, pos) precedence order, so green == incremental
+    // line dedup is bit-identical to one dedupLinesGlobal over the
+    // union (same space->newline corpus reshaping as p58)
+    "p70_incr_line_dedup" -> ((s, d) => {
+      val lined = t(s, d, "documents").select(col("doc_id"),
+        translate(col("text"), " ", "\n").as("text"))
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-p70-").toString
+      val a = Dedup.dedupLinesAgainstIndex(
+        lined.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+        dir, "snapA")
+      val b = Dedup.dedupLinesAgainstIndex(
+        lined.filter(col("doc_id") % 2 === 1), "doc_id", "text",
+        dir, "snapB")
+      a.unionByName(b)
+        .select(col("doc_id"), col("n_kept_lines"),
+          md5(col("deduped")).as("deduped_md5"))
+        .orderBy("doc_id")
+    }),
+
     // WET/WARC record framing: each source's docs become one synthetic
     // WET file body (conversion records with real Content-Length
     // framing), with TWO adversarial plants — every 7th doc's payload
@@ -1711,6 +1735,34 @@ object PipelineQueries {
     "p60_decontaminate_neardup" -> p60Oracle,
     "p68_dedup_incremental" -> p68Oracle,
     "p69_warc_records" -> p69Oracle,
+
+    // p58's winner-election SQL with the (snapshot, id, pos)
+    // precedence key (wk = snap·10^12 + doc_id encodes the lex order;
+    // doc ids are far below 10^12 at every SF) — the ALL-AT-ONCE
+    // recomputation the incremental path must equal
+    "p70_incr_line_dedup" ->
+      """WITH l AS (SELECT doc_id, doc_id % 2 AS snap, unnest(ls)
+        |    AS line, generate_subscripts(ls, 1) AS i
+        |  FROM (SELECT doc_id,
+        |    string_split(replace(text, ' ', chr(10)), chr(10)) AS ls
+        |  FROM documents)),
+        |w1 AS (SELECT line,
+        |    min(snap * 1000000000000 + doc_id) AS wk
+        |  FROM l GROUP BY line),
+        |w AS (SELECT l.line, l.doc_id AS wd, min(l.i) AS wi
+        |  FROM l JOIN w1 ON l.line = w1.line
+        |    AND l.snap * 1000000000000 + l.doc_id = w1.wk
+        |  GROUP BY l.line, l.doc_id),
+        |kept AS (SELECT l.doc_id, l.line, l.i FROM l
+        |  JOIN w ON l.line = w.line AND l.doc_id = w.wd AND l.i = w.wi),
+        |r AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept_lines,
+        |    md5(string_agg(line, chr(10) ORDER BY i)) AS deduped_md5
+        |  FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  coalesce(r.n_kept_lines, 0) AS n_kept_lines,
+        |  coalesce(r.deduped_md5, md5('')) AS deduped_md5
+        |FROM documents d LEFT JOIN r USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     // one UNION ALL branch per profiled column, identical statistics
     "p61_table_profile" ->
       Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")

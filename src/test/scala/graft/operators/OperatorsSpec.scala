@@ -2039,6 +2039,63 @@ class OperatorsSpec extends SparkTestBase {
     assert(v2(10L) == "keep")
   }
 
+  // --- incremental corpus-global line dedup (p70) ---
+
+  test("dedupLinesAgainstIndex: hand-reasoned keeps/drops through a " +
+      "real on-disk line index") {
+    val dir = p68TmpDir()
+    val snapA = Seq((0L, "alpha\nbeta\nalpha"), (1L, "beta\ngamma"))
+      .toDF("doc_id", "text")
+    val a = Dedup.dedupLinesAgainstIndex(snapA, "doc_id", "text",
+        dir, "s1")
+      .select("doc_id", "deduped", "n_kept_lines")
+      .as[(Long, String, Long)].collect()
+      .map { case (k, v, n) => k -> ((v, n)) }.toMap
+    // global-first within the snapshot: doc 0 keeps alpha+beta (its
+    // second alpha drops); doc 1's beta lost to doc 0, keeps gamma
+    assert(a(0L) == ("alpha\nbeta", 2L), a)
+    assert(a(1L) == ("gamma", 1L), a)
+    val b = Dedup.dedupLinesAgainstIndex(
+        Seq((10L, "beta\ndelta\ngamma\ndelta")).toDF("doc_id", "text"),
+        "doc_id", "text", dir, "s2")
+      .select("doc_id", "deduped", "n_kept_lines")
+      .as[(Long, String, Long)].collect().head
+    // beta/gamma are INDEXED from snapshot 1 -> drop; delta is fresh,
+    // first occurrence kept, second (intra-doc) dropped
+    assert(b == ((10L, "delta", 1L)), b)
+  }
+
+  test("dedupLinesAgainstIndex: incremental == dedupLinesGlobal over " +
+      "the union, and re-probing is idempotent") {
+    val snapA = docs.filter(col("doc_id") <= 3)
+      .select(col("doc_id"), translate(col("text"), " ", "\n").as("text"))
+    val snapB = docs.filter(col("doc_id") > 3)
+      .select(col("doc_id"), translate(col("text"), " ", "\n").as("text"))
+    val dir = p68TmpDir()
+    val incr = Dedup.dedupLinesAgainstIndex(snapA, "doc_id", "text",
+        dir, "s1")
+      .unionByName(Dedup.dedupLinesAgainstIndex(snapB, "doc_id",
+        "text", dir, "s2"))
+      .select("doc_id", "deduped", "n_kept_lines")
+      .as[(Long, String, Long)].collect().toSet
+    val once = Dedup.dedupLinesGlobal(snapA.unionByName(snapB),
+        "doc_id", "text")
+      .select("doc_id", "deduped", "n_kept_lines")
+      .as[(Long, String, Long)].collect().toSet
+    assert(incr == once)
+    // replay: same verdicts, index partition overwritten not appended
+    val n1 = spark.read.parquet(s"$dir/lines").count()
+    val again = Dedup.dedupLinesAgainstIndex(snapB, "doc_id", "text",
+        dir, "s2")
+      .select("doc_id", "deduped", "n_kept_lines")
+      .as[(Long, String, Long)].collect().toSet
+    assert(again == incr.filter(_._1 > 3))
+    assert(spark.read.parquet(s"$dir/lines").count() == n1)
+    // the index carries only digests, never line text
+    assert(spark.read.parquet(s"$dir/lines").columns.toSet ==
+      Set("lh", "snapshot"))
+  }
+
   // --- WET/WARC record framing (p69) ---
 
   private def wetRec(uri: String, payload: String,
