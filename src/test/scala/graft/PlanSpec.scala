@@ -751,6 +751,45 @@ class PlanSpec extends SparkTestBase {
       s"probe must stay key-joined, no window:\n$plan")
   }
 
+  test("dedupLinesAgainstIndex: pruned one-column index scan, " +
+      "anti-join vs the hit set, partial-min election") {
+    val docs = graft.core.Tables.t(spark, sf, "documents")
+      .select(col("doc_id"),
+        translate(col("text"), " ", "\n").as("text"))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-p70-plan-").toString
+    Dedup.dedupLinesAgainstIndex(docs.filter(col("doc_id") % 2 === 0),
+      "doc_id", "text", dir, "s1")
+    // capture the executed plans of the second snapshot's run via the
+    // checkpoint-free probe pieces: replay the operator's joins
+    val lines = docs.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"),
+        posexplode(split(col("text"), "\n")).as(Seq("pos", "line")))
+      .withColumn("lh", md5(col("line")))
+    val idx = spark.read.parquet(s"$dir/lines")
+      .filter(col("snapshot") =!= "s2").select("lh")
+    val hit = idx.join(lines.select("lh").distinct(), Seq("lh"),
+      "left_semi").distinct()
+    val fresh = lines.join(hit, Seq("lh"), "left_anti")
+    val winners = fresh.groupBy("lh")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("w"))
+    val kept = fresh.join(winners, fresh("lh") === winners("lh") &&
+      struct(fresh("doc_id"), fresh("pos")) === winners("w"), "left_semi")
+    val plan = planOf(kept)
+    // the index read deserializes ONLY the digest column (the
+    // partition column prunes at planning; line text never exists)
+    assert(plan.contains("ReadSchema: struct<lh:string>"),
+      s"index scan must prune to the digest column:\n$plan")
+    assert(plan.contains("LeftAnti"),
+      s"index hits must drop via anti-join:\n$plan")
+    assert(plan.contains("partial_min"),
+      s"winner election must map-side combine:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("Window"),
+      s"probe must stay key-joined, no window:\n$plan")
+  }
+
   test("linear classifier scoring is map-only, inside codegen") {
     val docs = graft.core.Tables.t(spark, sf, "documents")
       .select("doc_id", "text")

@@ -2096,6 +2096,21 @@ class OperatorsSpec extends SparkTestBase {
       Set("lh", "snapshot"))
   }
 
+  test("dedupLinesAgainstIndex: the blank-line caveat spans snapshots " +
+      "(exactly one \"\" ever survives, history-wide)") {
+    val dir = p68TmpDir()
+    val a = Dedup.dedupLinesAgainstIndex(
+        Seq((0L, "x\n\ny")).toDF("doc_id", "text"),
+        "doc_id", "text", dir, "s1")
+      .select("deduped").as[String].collect().head
+    assert(a == "x\n\ny") // its "" is the corpus-first: kept
+    val b = Dedup.dedupLinesAgainstIndex(
+        Seq((10L, "p\n\nq")).toDF("doc_id", "text"),
+        "doc_id", "text", dir, "s2")
+      .select("deduped").as[String].collect().head
+    assert(b == "p\nq") // the indexed "" kills this paragraph break
+  }
+
   // --- WET/WARC record framing (p69) ---
 
   private def wetRec(uri: String, payload: String,
