@@ -178,6 +178,54 @@ object Dedup {
     result
   }
 
+  /** Compact a [[dedupAgainstIndex]] / [[dedupLinesAgainstIndex]]
+    * index IN PLACE: keep exactly one row per probe key, attributed to
+    * its EARLIEST (snapshot, id). Semantics-preserving by the indexes'
+    * set semantics — a probe only asks "was this key seen by an
+    * earlier snapshot", so duplicate key rows are pure weight:
+    *   - a future snapshot still sees every historical key (kept);
+    *   - a RE-probe of old snapshot S still excludes exactly the keys
+    *     it first contributed (keys seen before S keep their earlier
+    *     attribution and stay visible to S; keys first seen in S stay
+    *     attributed to S and stay excluded) — the replay-safety
+    *     contract survives compaction bit-for-bit (spec-proven).
+    * CALLER REQUIREMENT (unenforceable here — no processing-order
+    * metadata exists in the layout): snapshot ids must sort
+    * lexicographically in processing order (date-shaped ids —
+    * "2026-01" < "2026-02" — do). Do not compact an index whose ids
+    * don't.
+    *
+    * The 100 TB motive: the write path appends ALL probed docs — the
+    * price of exact incremental == all-at-once ([[dedupAgainstIndex]]
+    * scaladoc) — so at a 10-way duplication rate the index carries 10×
+    * the rows its decisions need. Compaction is one distinct-key
+    * aggregation per table (map-side combined, shuffles the key space
+    * once) run offline between crawl drops; after it the index is
+    * bounded by DISTINCT keys ever seen, not rows ever probed. */
+  def compactDedupIndex(spark: org.apache.spark.sql.SparkSession,
+                        indexDir: String): Unit = {
+    def compact(sub: String, keyCols: Seq[String]): Unit = {
+      val path = s"$indexDir/$sub"
+      if (!new java.io.File(path).exists()) return
+      val df = spark.read.parquet(path)
+      val others = df.columns.filterNot(keyCols.contains)
+      // earliest (snapshot, id/…) row wins per key; checkpoint pins
+      // the compacted rows so the source path can be overwritten
+      val compacted = df.groupBy(keyCols.map(col): _*)
+        .agg(min(struct(
+          (Seq("snapshot") ++ others.filterNot(_ == "snapshot"))
+            .map(col): _*)).as("__w"))
+        .select(keyCols.map(col) ++
+          others.map(c => col(s"__w.$c").as(c)): _*)
+        .localCheckpoint()
+      compacted.write.mode("overwrite")
+        .partitionBy("snapshot").parquet(path)
+    }
+    compact("fp", Seq("fp"))
+    compact("bands", Seq("band", "bucket"))
+    compact("lines", Seq("lh"))
+  }
+
   /** PER-DOMAIN boilerplate line scrub — the site-level extraction
     * cleanup of CCNet/trafilatura-style pipelines: a line that occurs
     * in at least `minDocs` DISTINCT documents of the SAME domain (nav

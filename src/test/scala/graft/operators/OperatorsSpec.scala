@@ -2111,6 +2111,51 @@ class OperatorsSpec extends SparkTestBase {
     assert(b == "p\nq") // the indexed "" kills this paragraph break
   }
 
+  test("compactDedupIndex: one row per key, future probes and old-" +
+      "snapshot re-probes decide identically pre/post compaction") {
+    val dir = p68TmpDir()
+    Dedup.dedupAgainstIndex(docs, "doc_id", "text", dir, "s1")
+    Dedup.dedupAgainstIndex(snap2, "doc_id", "text", dir, "s2")
+    val snap3 = Seq((20L, base), // exact dup of indexed doc 0
+      (21L, "fresh third snapshot content with enough words here"))
+      .toDF("doc_id", "text")
+    def verdicts(s: String, df: org.apache.spark.sql.DataFrame) =
+      Dedup.dedupAgainstIndex(df, "doc_id", "text", dir, s)
+        .select("id", "verdict").as[(Long, String)].collect().toSet
+    val future = verdicts("s3", snap3)
+    val replay = verdicts("s2", snap2)
+    val before = spark.read.parquet(s"$dir/bands").count()
+    Dedup.compactDedupIndex(spark, dir)
+    val after = spark.read.parquet(s"$dir/bands").count()
+    assert(after < before, s"compaction must shrink: $before -> $after")
+    // one row per (band, bucket) and per fp, earliest snapshot wins
+    val bandDups = spark.read.parquet(s"$dir/bands")
+      .groupBy("band", "bucket").count().filter(col("count") > 1).count()
+    assert(bandDups == 0)
+    // doc 0's fp row (shared with docs 4, 10, 20) must attribute to s1
+    val fp0 = spark.read.parquet(s"$dir/fp")
+      .filter(col("id") === 0L).select("snapshot").as[String].collect()
+    assert(fp0.toSeq == Seq("s1"))
+    // identical decisions after compaction: a future snapshot AND an
+    // old snapshot's replay (the two contracts compaction must keep)
+    assert(verdicts("s3", snap3) == future)
+    assert(verdicts("s2", snap2) == replay)
+    // line index compacts through the same entry point
+    val ldir = p68TmpDir()
+    Dedup.dedupLinesAgainstIndex(Seq((0L, "a\nb")).toDF("doc_id", "text"),
+      "doc_id", "text", ldir, "s1")
+    Dedup.dedupLinesAgainstIndex(Seq((1L, "b\nc")).toDF("doc_id", "text"),
+      "doc_id", "text", ldir, "s2")
+    Dedup.compactDedupIndex(spark, ldir)
+    val lh = spark.read.parquet(s"$ldir/lines")
+    assert(lh.count() == 3) // a, b, c — b's duplicate collapsed
+    val out = Dedup.dedupLinesAgainstIndex(
+        Seq((2L, "c\nd")).toDF("doc_id", "text"),
+        "doc_id", "text", ldir, "s3")
+      .select("deduped").as[String].collect().head
+    assert(out == "d")
+  }
+
   // --- WET/WARC record framing (p69) ---
 
   private def wetRec(uri: String, payload: String,
