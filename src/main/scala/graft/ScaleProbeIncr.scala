@@ -65,8 +65,34 @@ object ScaleProbeIncr {
         s""""drop_exact":${mix.getOrElse("drop_exact", 0L)},""" +
         s""""drop_near":${mix.getOrElse("drop_near", 0L)}}"""
     }
+    // compaction stage: shrink the index to distinct keys, then prove
+    // the replay contract survives by re-probing the LAST snapshot and
+    // comparing its verdict mix (must be identical post-compaction)
+    val lastSnap = docs.filter(col("doc_id") >= lo + (n - 1) * span &&
+      col("doc_id") < lo + n.toLong * span)
+    def mixOf(snapId: String) =
+      graft.operators.Dedup.dedupAgainstIndex(
+          lastSnap, "doc_id", "text", dir, snapId)
+        .groupBy("verdict").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val preMix = mixOf(f"snap${n - 1}%02d")
+    def idxRows() = spark.read.parquet(s"$dir/bands").count() +
+      spark.read.parquet(s"$dir/fp").count()
+    val pre = idxRows()
+    val t0 = System.nanoTime()
+    graft.operators.Dedup.compactDedupIndex(spark, dir)
+    val cSec = (System.nanoTime() - t0) / 1e9
+    val post = idxRows()
+    val postMix = mixOf(f"snap${n - 1}%02d")
+    val replayOk = preMix == postMix
+    println(f"[incr] compact: $pre -> $post rows " +
+      f"(${pre.toDouble / post}%.1fx) in $cSec%.1f s, " +
+      s"replay identical: $replayOk")
+    val compactJson =
+      f""""compaction":{"rows_before":$pre,"rows_after":$post,""" +
+        f""""sec":$cSec%.1f,"replay_identical":$replayOk}"""
     val json = s"""{"metric":"incr_dedup","sf":"$sfDir",""" +
-      f""""dd_mbps":$dd%.0f,"n_snapshots":$n,""" +
+      f""""dd_mbps":$dd%.0f,"n_snapshots":$n,$compactJson,""" +
       laps.mkString("\"snapshots\":{", ",", "}}")
     println(json)
     outJson.foreach { p =>
