@@ -67,11 +67,15 @@ object EvalProbe {
       // text and keep only known gate names; median of the samples is
       // the number the verdicts compare
       // the wrapper stores the tail as a JSON STRING, so gate names
-      // arrive quote-escaped (\") on disk — unescape before matching
-      val txt = new String(java.nio.file.Files.readAllBytes(
+      // arrive quote-escaped (\") on disk — unescape before matching.
+      // An unreadable path degrades to an empty outlier block: the
+      // multi-minute sweep above must never be lost to a typo'd arg
+      val txt = (try new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(path)),
         java.nio.charset.StandardCharsets.UTF_8)
-        .replace("\\\"", "\"")
+      catch { case e: Exception =>
+        System.err.println(s"[eval] driver bench unreadable: $e"); ""
+      }).replace("\\\"", "\"")
       def median(xs: Seq[Double]): Double = {
         val s = xs.sorted
         if (s.isEmpty) -1.0 else s(s.size / 2)

@@ -88,8 +88,7 @@ object Decontaminate {
       portableHash)
     def banded(sig: DataFrame): DataFrame =
       sig.select(col("id"),
-        posexplode(array((0 until bands).map(b =>
-          xxhash64(slice(col("sig"), b * rows + 1, rows), lit(b))): _*)))
+        posexplode(Dedup.bandBucketArray(col("sig"), bands, rows)))
         .withColumnRenamed("pos", "band")
         .withColumnRenamed("col", "bucket")
     val cand = banded(sigT).as("t")

@@ -62,21 +62,37 @@ object Dedup {
   def dedupLinesGlobal(df: DataFrame, idCol: String, textCol: String,
                        sep: String = "\n", out: String = "deduped")
       : DataFrame = {
-    require(!df.columns.contains(out),
-      s"dedupLinesGlobal: output column '$out' already exists on input")
-    require(!df.columns.contains("n_kept_lines"),
-      "dedupLinesGlobal: input already carries 'n_kept_lines' — the " +
-        "operator appends that counter column and would overwrite it")
-    require(!df.columns.contains("__nkept"),
-      "dedupLinesGlobal: input carries the reserved temp column '__nkept'")
+    requireLineOutputCols(df, "dedupLinesGlobal", out)
     val lines = df.select(col(idCol),
       posexplode(split(col(textCol),
         java.util.regex.Pattern.quote(sep))).as(Seq("pos", "line")))
-    val winners = lines.groupBy("line")
+    electAndRebuild(df, idCol, lines, "line", sep, out)
+  }
+
+  private def requireLineOutputCols(df: DataFrame, op: String,
+                                    out: String): Unit = {
+    require(!df.columns.contains(out),
+      s"$op: output column '$out' already exists on input")
+    require(!df.columns.contains("n_kept_lines"),
+      s"$op: input already carries 'n_kept_lines' — the operator " +
+        "appends that counter column and would overwrite it")
+    require(!df.columns.contains("__nkept"),
+      s"$op: input carries the reserved temp column '__nkept'")
+  }
+
+  /** The global-first election + reassembly both line-dedup variants
+    * share (a change here is a change to the p58 AND p70 oracles):
+    * keep the minimum (id, pos) occurrence per `keyCol`, rebuild each
+    * doc's surviving lines in original order, rejoin onto `df` with
+    * "" / 0 for docs that lost everything. */
+  private def electAndRebuild(df: DataFrame, idCol: String,
+                              candidates: DataFrame, keyCol: String,
+                              sep: String, out: String): DataFrame = {
+    val winners = candidates.groupBy(keyCol)
       .agg(min(struct(col(idCol), col("pos"))).as("w"))
-    val kept = lines.join(winners,
-      lines("line") === winners("line") &&
-        struct(lines(idCol), lines("pos")) === winners("w"),
+    val kept = candidates.join(winners,
+      candidates(keyCol) === winners(keyCol) &&
+        struct(candidates(idCol), candidates("pos")) === winners("w"),
       "left_semi")
     val rebuilt = kept.groupBy(idCol).agg(
       concat_ws(sep, transform(
@@ -88,6 +104,28 @@ object Dedup {
       .withColumn("n_kept_lines",
         coalesce(col("__nkept"), lit(0L)).cast("long"))
       .drop("__nkept")
+  }
+
+  /** Fail-closed parameter pinning for the persisted dedup indexes: a
+    * probe with different hashing/banding parameters than the index
+    * was built with would MATCH NOTHING and silently keep everything,
+    * so the first writer records its parameters in a sidecar and every
+    * later call must present the identical string. */
+  private def checkIndexParams(indexDir: String, op: String,
+                               params: String): Unit = {
+    val p = java.nio.file.Paths.get(indexDir, "params.txt")
+    if (java.nio.file.Files.exists(p)) {
+      val got = new String(java.nio.file.Files.readAllBytes(p),
+        java.nio.charset.StandardCharsets.UTF_8)
+      require(got == params,
+        s"$op: index at $indexDir was built with [$got] but this " +
+          s"call uses [$params] — refusing to probe with mismatched " +
+          "parameters (the probe would silently match nothing)")
+    } else {
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p, params.getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+    }
   }
 
   /** INCREMENTAL corpus-global line dedup: [[dedupLinesGlobal]]'s C4
@@ -106,8 +144,13 @@ object Dedup {
     * Index layout under `indexDir/lines`: one row per DISTINCT line
     * digest (`lh` = md5 hex of the line — exact, engine-portable, 32
     * bytes/line) per snapshot partition; a re-run overwrites ITS OWN
-    * partition only and the probe filters the running snapshot's
-    * partition out, so re-probing is idempotent (replay-safe). Every
+    * partition only and the probe reads STRICTLY-EARLIER partitions,
+    * so re-probing ANY snapshot — latest or historical — returns its
+    * original verdicts even after later snapshots landed
+    * (replay-safe; spec-proven). CALLER REQUIREMENT for that: snapshot
+    * ids must sort lexicographically in processing order (date-shaped
+    * ids do) — the same contract [[compactDedupIndex]] keys on; a
+    * params sidecar additionally pins `sep` fail-closed. Every
     * distinct line of the snapshot enters the delta — lines that
     * lost the intra-snapshot election too (their first occurrence
     * was still SEEN, which is what the global-first rule keys on).
@@ -128,12 +171,9 @@ object Dedup {
     require(snapshotId.nonEmpty,
       "dedupLinesAgainstIndex: snapshotId keys the index delta " +
         "partition and must be non-empty")
-    require(!df.columns.contains(out),
-      s"dedupLinesAgainstIndex: output column '$out' already exists")
-    require(!df.columns.contains("n_kept_lines"),
-      "dedupLinesAgainstIndex: input already carries 'n_kept_lines'")
-    require(!df.columns.contains("__nkept"),
-      "dedupLinesAgainstIndex: input carries reserved column '__nkept'")
+    requireLineOutputCols(df, "dedupLinesAgainstIndex", out)
+    checkIndexParams(indexDir, "dedupLinesAgainstIndex",
+      s"unit=line digest=md5 sep=$sep")
     val spark = df.sparkSession
     // pinned: probed, winner-elected, delta-written — one explode
     val lines = df.select(col(idCol),
@@ -142,10 +182,13 @@ object Dedup {
       .withColumn("lh", md5(col("line")))
       .localCheckpoint()
     val linesPath = s"$indexDir/lines"
+    // strictly-earlier partitions only: history for THIS snapshot is
+    // what was probed before it, never what landed after — that is
+    // what makes historical re-probes verdict-identical
     val idx =
       if (new java.io.File(linesPath).exists())
         spark.read.parquet(linesPath)
-          .filter(col("snapshot") =!= lit(snapshotId)).select("lh")
+          .filter(col("snapshot") < lit(snapshotId)).select("lh")
       else spark.emptyDataFrame.select(lit("").as("lh")).limit(0)
     // two-step probe: snapshot digest set = build side; history is a
     // map-only scan of one column, and the hit set (≤ snapshot
@@ -153,22 +196,7 @@ object Dedup {
     val probe = lines.select("lh").distinct()
     val hitLh = idx.join(probe, Seq("lh"), "left_semi").distinct()
     val fresh = lines.join(hitLh, Seq("lh"), "left_anti")
-    val winners = fresh.groupBy("lh")
-      .agg(min(struct(col(idCol), col("pos"))).as("w"))
-    val kept = fresh.join(winners,
-      fresh("lh") === winners("lh") &&
-        struct(fresh(idCol), fresh("pos")) === winners("w"),
-      "left_semi")
-    val rebuilt = kept.groupBy(idCol).agg(
-      concat_ws(sep, transform(
-        array_sort(collect_list(struct(col("pos"), col("line")))),
-        x => x.getField("line"))).as(out),
-      count(lit(1)).as("__nkept"))
-    val result = df.join(rebuilt, Seq(idCol), "left")
-      .withColumn(out, coalesce(col(out), lit("")))
-      .withColumn("n_kept_lines",
-        coalesce(col("__nkept"), lit(0L)).cast("long"))
-      .drop("__nkept")
+    val result = electAndRebuild(df, idCol, fresh, "lh", sep, out)
       .localCheckpoint() // pinned BEFORE the delta write
     probe.withColumn("snapshot", lit(snapshotId))
       .write.mode("overwrite")
@@ -179,8 +207,10 @@ object Dedup {
   }
 
   /** Compact a [[dedupAgainstIndex]] / [[dedupLinesAgainstIndex]]
-    * index IN PLACE: keep exactly one row per probe key, attributed to
-    * its EARLIEST (snapshot, id). Semantics-preserving by the indexes'
+    * index: keep exactly one row per probe key, attributed to its
+    * EARLIEST (snapshot, id), written BESIDE the live table and
+    * swapped in with renames (a crash never destroys the only durable
+    * copy). Semantics-preserving by the indexes'
     * set semantics — a probe only asks "was this key seen by an
     * earlier snapshot", so duplicate key rows are pure weight:
     *   - a future snapshot still sees every historical key (kept);
@@ -204,22 +234,37 @@ object Dedup {
     * bounded by DISTINCT keys ever seen, not rows ever probed. */
   def compactDedupIndex(spark: org.apache.spark.sql.SparkSession,
                         indexDir: String): Unit = {
+    def rmTree(f: java.io.File): Unit = {
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
+      f.delete(); ()
+    }
     def compact(sub: String, keyCols: Seq[String]): Unit = {
       val path = s"$indexDir/$sub"
       if (!new java.io.File(path).exists()) return
       val df = spark.read.parquet(path)
       val others = df.columns.filterNot(keyCols.contains)
-      // earliest (snapshot, id/…) row wins per key; checkpoint pins
-      // the compacted rows so the source path can be overwritten
       val compacted = df.groupBy(keyCols.map(col): _*)
         .agg(min(struct(
           (Seq("snapshot") ++ others.filterNot(_ == "snapshot"))
             .map(col): _*)).as("__w"))
         .select(keyCols.map(col) ++
           others.map(c => col(s"__w.$c").as(c)): _*)
-        .localCheckpoint()
+      // never overwrite the only durable copy in place: write the
+      // compacted table BESIDE the live one, then swap with renames —
+      // a crash at any point leaves either the original intact (tmp
+      // may linger, harmless) or both present under .old (recoverable)
+      val tmp = new java.io.File(s"$path.compact.tmp")
+      val old = new java.io.File(s"$path.compact.old")
+      if (tmp.exists()) rmTree(tmp)
+      if (old.exists()) rmTree(old)
       compacted.write.mode("overwrite")
-        .partitionBy("snapshot").parquet(path)
+        .partitionBy("snapshot").parquet(tmp.getPath)
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(path), old.toPath)
+      java.nio.file.Files.move(
+        tmp.toPath, java.nio.file.Paths.get(path))
+      rmTree(old)
     }
     compact("fp", Seq("fp"))
     compact("bands", Seq("band", "bucket"))
@@ -481,6 +526,18 @@ object Dedup {
       (0x7F4A7C159E3779B9L * (i + 7)) & 0x7FFFFFFFL)
   }
 
+  /** THE banded-LSH bucket definition: band b's bucket is xxhash64
+    * over the signature slice starting at b·rows+1 (1-based), seeded
+    * with the band index — statically unrolled, pure codegen.
+    * ORACLE-PINNED: every consumer ([[minhashPairs]],
+    * [[dedupAgainstIndex]], `Decontaminate.nearDupFlag`,
+    * `StreamIngest.minhashDedupBatch`) and every generated DuckDB
+    * oracle replays exactly this banding; it changes in one place or
+    * not at all. */
+  def bandBucketArray(sig: Column, bands: Int, rows: Int): Column =
+    array((0 until bands).map(b =>
+      xxhash64(slice(sig, b * rows + 1, rows), lit(b))): _*)
+
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         k: Int, h: Int,
                         portableHash: Boolean = false): DataFrame = {
@@ -521,8 +578,7 @@ object Dedup {
     // directly): pure codegen, no interpreted per-band lambda, no string
     // concat riding the bucket-join shuffle
     val banded = sig.select(col("id"),
-      posexplode(array((0 until bands).map(b =>
-        xxhash64(slice(col("sig"), b * rows + 1, rows), lit(b))): _*)))
+      posexplode(bandBucketArray(col("sig"), bands, rows)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
     // dedupe candidates on compact (id1, id2) keys only, then fetch the
     // two signatures back with joins — signatures never ride the
@@ -842,9 +898,15 @@ object Dedup {
     *
     * Index layout under `indexDir` (both tables partitioned by
     * `snapshot`, so re-running a snapshot dynamically OVERWRITES ITS
-    * OWN PARTITION and nothing else — replay-safe, and the probe
-    * filters the running snapshot's partition out, so a re-probe after
-    * a crash mid-write still returns the original verdicts):
+    * OWN PARTITION and nothing else, and the probe reads
+    * STRICTLY-EARLIER partitions — so re-probing ANY snapshot, latest
+    * or historical, returns its original verdicts even after later
+    * snapshots landed: replay-safe, spec-proven. CALLER REQUIREMENT
+    * for that: snapshot ids must sort lexicographically in processing
+    * order (date-shaped ids do) — the same contract
+    * [[compactDedupIndex]] keys on. A params sidecar pins
+    * k/h/bands/portableHash fail-closed: a probe with different
+    * parameters would silently match nothing):
     *   - `fp/`    (id, fp)           one row per probed doc
     *   - `bands/` (id, band, bucket) `bands` rows per doc with ≥ k
     *     tokens
@@ -897,6 +959,8 @@ object Dedup {
     require(snapshotId.nonEmpty,
       "dedupAgainstIndex: snapshotId keys the index delta partition " +
         "and must be non-empty")
+    checkIndexParams(indexDir, "dedupAgainstIndex",
+      s"fp=md5norm k=$k h=$h bands=$bands portable=$portableHash")
     val spark = snapshot.sparkSession
     val rows = h / bands
     // pinned: probed against the index, min-reduced intra-snapshot,
@@ -907,20 +971,20 @@ object Dedup {
     val banded =
       minhashSignatures(snapshot, idCol, textCol, k, h, portableHash)
         .select(col("id"),
-          posexplode(array((0 until bands).map(b =>
-            xxhash64(slice(col("sig"), b * rows + 1, rows),
-              lit(b))): _*)))
+          posexplode(bandBucketArray(col("sig"), bands, rows)))
         .withColumnRenamed("pos", "band")
         .withColumnRenamed("col", "bucket")
         .localCheckpoint()
-    // index reads prune to the probe columns and filter the running
-    // snapshot's own partition out (replay safety + partition pruning)
+    // index reads prune to the probe columns and keep STRICTLY-EARLIER
+    // partitions only — history for this snapshot is what was probed
+    // before it, never what landed after (replay safety for historical
+    // re-probes + partition pruning)
     def readIndex(sub: String, names: Seq[String],
                   empty: Seq[Column]): DataFrame = {
       val path = s"$indexDir/$sub"
       if (new java.io.File(path).exists())
         spark.read.parquet(path)
-          .filter(col("snapshot") =!= lit(snapshotId))
+          .filter(col("snapshot") < lit(snapshotId))
           .select(names.map(col): _*)
       else spark.emptyDataFrame.select(empty: _*).limit(0)
     }

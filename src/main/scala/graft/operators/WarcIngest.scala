@@ -21,6 +21,13 @@ object WarcIngest {
     * (rec_index, rec_type, uri, date, content_length, payload, valid).
     */
   def records(df: DataFrame, rawCol: String): DataFrame = {
+    val added = Seq("rec_index", "rec", "rec_type", "uri", "date",
+      "content_length", "payload", "valid")
+    added.filter(c => c != rawCol && df.columns.contains(c))
+      .foreach(c => throw new IllegalArgumentException(
+        s"WarcIngest.records: input already carries output column " +
+          s"'$c' — rename it before framing (the record fields would " +
+          "collide and make downstream references ambiguous)"))
     val keep = df.columns.filterNot(_ == rawCol).map(col).toSeq
     df.select(keep :+
         posexplode(graft.functions.F.warcRecords(col(rawCol)))
@@ -39,11 +46,17 @@ object WarcIngest {
     * (url, fetch_date, text) — invalid frames and non-conversion
     * records (warcinfo headers, request/response records in full WARC)
     * drop here; route `records()` output elsewhere to audit them. */
-  def wetDocuments(df: DataFrame, rawCol: String): DataFrame =
+  def wetDocuments(df: DataFrame, rawCol: String): DataFrame = {
+    Seq("url", "fetch_date", "text")
+      .filter(c => c != rawCol && df.columns.contains(c))
+      .foreach(c => throw new IllegalArgumentException(
+        s"WarcIngest.wetDocuments: input already carries output " +
+          s"column '$c' — rename it before framing"))
     records(df, rawCol)
       .filter(col("valid") && col("rec_type") === "conversion")
       .withColumnRenamed("uri", "url")
       .withColumnRenamed("date", "fetch_date")
       .withColumnRenamed("payload", "text")
       .drop("rec_type", "content_length", "valid")
+  }
 }

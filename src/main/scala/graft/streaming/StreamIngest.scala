@@ -151,8 +151,7 @@ object StreamIngest {
     val rows = h / bands
     val sig = Dedup.minhashSignatures(batch, idCol, textCol, k, h)
     val banded = sig.select(col("id"),
-      posexplode(array((0 until bands).map(b =>
-        xxhash64(slice(col("sig"), b * rows + 1, rows), lit(b))): _*)))
+      posexplode(Dedup.bandBucketArray(col("sig"), bands, rows)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
       .localCheckpoint() // pin: probed, min-reduced, then appended
     val seen =

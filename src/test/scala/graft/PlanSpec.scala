@@ -726,8 +726,8 @@ class PlanSpec extends SparkTestBase {
     val fpDf = snap.select(col("doc_id").as("id"),
       graft.operators.TextAnalysis.fingerprintMd5(col("text")).as("fp"))
     val banded = Dedup.minhashSignatures(snap, "doc_id", "text", 3, 32)
-      .select(col("id"), posexplode(array((0 until 16).map(b =>
-        xxhash64(slice(col("sig"), b * 2 + 1, 2), lit(b))): _*)))
+      .select(col("id"),
+        posexplode(Dedup.bandBucketArray(col("sig"), 16, 2)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
     val plan = planOf(Dedup.dedupProbe(fpDf, banded,
       spark.read.parquet(s"$dir/fp").select("fp"),

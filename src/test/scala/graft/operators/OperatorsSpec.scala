@@ -2023,6 +2023,60 @@ class OperatorsSpec extends SparkTestBase {
       == Set("id", "band", "bucket", "snapshot"))
   }
 
+  test("dedupAgainstIndex/dedupLinesAgainstIndex: re-probing an OLD " +
+      "snapshot after later ones landed returns its original verdicts " +
+      "(history = strictly-earlier partitions)") {
+    // doc-level: s1 first contributes doc 3's content; s2 then carries
+    // an exact copy. A replay of s1 must NOT see s2's copy as history
+    val dir = p68TmpDir()
+    val v1 = Dedup.dedupAgainstIndex(docs, "doc_id", "text", dir, "s1")
+      .select("id", "verdict").as[(Long, String)].collect().toSet
+    Dedup.dedupAgainstIndex(
+      Seq((10L, docs.filter(col("doc_id") === 3L)
+        .select("text").as[String].collect().head))
+        .toDF("doc_id", "text"),
+      "doc_id", "text", dir, "s2")
+    val v1again = Dedup.dedupAgainstIndex(docs, "doc_id", "text",
+        dir, "s1")
+      .select("id", "verdict").as[(Long, String)].collect().toSet
+    assert(v1again == v1) // pre-fix: doc 3 flipped keep -> drop_exact
+    // line-level: the same contract
+    val ldir = p68TmpDir()
+    val l1 = Dedup.dedupLinesAgainstIndex(
+      Seq((0L, "x\ny")).toDF("doc_id", "text"), "doc_id", "text",
+      ldir, "s1").select("deduped").as[String].collect().head
+    assert(l1 == "x\ny")
+    Dedup.dedupLinesAgainstIndex(
+      Seq((1L, "x\nz")).toDF("doc_id", "text"), "doc_id", "text",
+      ldir, "s2")
+    val l1again = Dedup.dedupLinesAgainstIndex(
+      Seq((0L, "x\ny")).toDF("doc_id", "text"), "doc_id", "text",
+      ldir, "s1").select("deduped").as[String].collect().head
+    assert(l1again == "x\ny") // pre-fix: s2's x killed the replay's x
+  }
+
+  test("dedup indexes fail closed on mismatched probe parameters") {
+    val dir = p68TmpDir()
+    Dedup.dedupAgainstIndex(docs, "doc_id", "text", dir, "s1")
+    intercept[IllegalArgumentException] {
+      Dedup.dedupAgainstIndex(docs, "doc_id", "text", dir, "s2",
+        bands = 8) // different banding would silently match nothing
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.dedupAgainstIndex(docs, "doc_id", "text", dir, "s2",
+        portableHash = true)
+    }
+    val ldir = p68TmpDir()
+    Dedup.dedupLinesAgainstIndex(
+      Seq((0L, "a\nb")).toDF("doc_id", "text"), "doc_id", "text",
+      ldir, "s1")
+    intercept[IllegalArgumentException] {
+      Dedup.dedupLinesAgainstIndex(
+        Seq((1L, "a b")).toDF("doc_id", "text"), "doc_id", "text",
+        ldir, "s2", sep = " ")
+    }
+  }
+
   test("dedupAgainstIndex: null text always keeps and never poisons " +
       "the index (null fp matches nothing, no shingles)") {
     val dir = p68TmpDir()
