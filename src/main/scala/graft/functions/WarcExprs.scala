@@ -30,8 +30,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * replay is byte-identical on the ASCII gate corpus, the p59
   * precedent). Header names match case-insensitively (spec §5.1).
   *
-  * Malformed input never throws — it classifies: a frame whose header
-  * block has no terminator, no parseable Content-Length, or whose
+  * Malformed input never throws — it classifies: a frame that does
+  * not begin with the "WARC/" version magic (spec §4 — without this
+  * check ANY text carrying a CRLFCRLF-terminated "Content-Length"
+  * block would frame as valid), whose header block has no terminator,
+  * has no parseable Content-Length, or whose
   * declared length overruns the remaining bytes yields ONE record with
   * `valid = false` carrying the parsed-so-far fields and the remaining
   * bytes as payload, and the walk stops (the tail cannot be re-framed
@@ -131,11 +134,20 @@ object Warc {
         recType, uri, date, clen,
         UTF8String.fromBytes(b, payloadFrom, b.length - payloadFrom),
         false)))
+    // "WARC/" version magic (spec §4: every record starts with a
+    // version line) — without it any text with a CRLFCRLF-terminated
+    // block carrying a "Content-Length: N" line would frame as a VALID
+    // record; garbage must classify as valid=false, not well-formed
+    def hasMagic(at: Int): Boolean =
+      at + 5 <= b.length && b(at) == 'W' && b(at + 1) == 'A' &&
+        b(at + 2) == 'R' && b(at + 3) == 'C' && b(at + 4) == '/'
     var done = false
     while (!done && pos < b.length) {
       while (pos < b.length && (b(pos) == CR || b(pos) == LF)) pos += 1
       if (pos >= b.length) done = true
-      else {
+      else if (!hasMagic(pos)) { // not a record frame: classify, stop
+        invalidTail(null, null, null, null, pos); done = true
+      } else {
         val hdrEnd = findHdrEnd(b, pos)
         if (hdrEnd < 0) { // unterminated header block
           invalidTail(null, null, null, null, pos); done = true

@@ -199,34 +199,78 @@ object TextAnalysis {
     * separate the way the CCNet pipeline's 5-gram model separates them
     * where an add-k bigram ties (spec-tested).
     *
-    * Scale: the count step is `order` hash-shuffle aggregates over the
-    * train corpus with map-side partials (the distributed KenLM count
-    * step — at 100 TB fuse them into one tagged pass if the train scan
-    * dominates; the tables themselves stay distributed and AQE
-    * broadcasts the small ones). Scoring explodes the score side once
-    * (positions carry only 64-bit keys, the parent arrays never ride a
-    * shuffle) and joins each per-order table twice at most (numerator
-    * key at k, denominator prefix at k−1 — the prefix of a counted
-    * k-gram is always counted, so the denominator is never null on a
-    * hit). No driver-side state beyond the 1-row (N, V) collect. */
+    * `minCount` is KenLM's singleton pruning (CCNet §3.3 ships PRUNED
+    * 5-gram models for exactly this reason): count rows below
+    * `minCount` at orders ≥ 3 are dropped from the tables, so a rare
+    * high-order gram simply never "hits" and the cascade backs off
+    * through it — stupid backoff absorbs pruned grams by construction,
+    * no renormalization exists to break. Orders 1–2 stay unpruned
+    * (the unigram floor and the N/V totals must see every token; the
+    * order-2 table is every order-3 numerator's denominator). The
+    * denominator-never-null-on-a-hit invariant survives pruning: a
+    * k-gram with count ≥ minCount has a (k−1)-prefix with count ≥ the
+    * k-gram's count, so the prefix survives the same threshold.
+    *
+    * Scale: the count step is ONE hash-shuffle aggregate over the
+    * train corpus — all `order` gram streams explode through a single
+    * (order-tag, hash) generate into a single map-side-combined
+    * groupBy, so the train text is scanned and shuffled once, not
+    * `order` times (the distributed KenLM count step; the per-order
+    * tables are filters over the one checkpointed aggregate, and AQE
+    * broadcasts the small ones). With `minCount` > 1 the high-order
+    * tables shrink from corpus-gram-sized to the frequent-gram set —
+    * the difference between an unbounded and a bounded scoring join at
+    * web scale. Scoring explodes the score side once (positions carry
+    * only 64-bit keys, the parent arrays never ride a shuffle) and
+    * joins each per-order table twice at most (numerator key at k,
+    * denominator prefix at k−1). No driver-side state beyond the 1-row
+    * (N, V) collect. */
+  /** The fused KenLM-style count step of [[ngramLmScoreBackoff]],
+    * factored out so its physical shape is plan-gateable (the public
+    * API checkpoints the result, which hides the aggregate from
+    * `explain`): every order's positional gram stream rides the same
+    * two generates — (k, array) rows, then (k, hash) grams — into ONE
+    * map-side-combined (k, h) aggregate, so the train corpus is
+    * scanned and shuffled once, not `order` times. Null text yields
+    * null arrays, which the inner explode drops (exactly as per-order
+    * explodes would). `minCount` > 1 prunes orders ≥ 3 below the
+    * threshold; orders 1–2 always survive. */
+  private[graft] def lmCountTables(train: DataFrame, textCol: String,
+                                   order: Int, minCount: Int,
+                                   portableHash: Boolean): DataFrame = {
+    val F = graft.functions.F
+    val fused = train
+      .select(posexplode(array((1 to order).map(k =>
+          F.shinglePosHashes(col(textCol), k, portableHash)): _*))
+        .as(Seq("k0", "arr")))
+      .select((col("k0") + 1).as("k"), explode(col("arr")).as("h"))
+      .groupBy("k", "h").agg(count(lit(1)).as("c"))
+    if (minCount > 1) fused.filter(col("k") <= 2 || col("c") >= minCount)
+    else fused
+  }
+
   def ngramLmScoreBackoff(train: DataFrame, score: DataFrame,
                           idCol: String, textCol: String, order: Int = 3,
                           alphaNum: Int = 2, alphaDen: Int = 5,
+                          minCount: Int = 1,
                           portableHash: Boolean = false): DataFrame = {
     require(order >= 2 && order <= 6,
       s"ngramLmScoreBackoff: order=$order out of [2,6]")
     require(alphaNum >= 1 && alphaDen > alphaNum,
       s"ngramLmScoreBackoff: alpha=$alphaNum/$alphaDen must be in (0,1)")
+    require(minCount >= 1,
+      s"ngramLmScoreBackoff: minCount=$minCount must be >= 1")
     val F = graft.functions.F
-    // per-order occurrence-count tables (pinned: each feeds the
-    // numerator join at k and the denominator join at k+1; c1 also
-    // feeds the N/V collect)
+    // ONE fused count pass (plan-gated via lmCountTables), pinned: the
+    // per-order filtered views below feed 2·order−1 joins plus the
+    // N/V collect.
+    val fused = lmCountTables(train, textCol, order, minCount,
+      portableHash).localCheckpoint(eager = false)
+    // per-order occurrence-count tables (each feeds the numerator join
+    // at k and the denominator join at k+1; c1 also feeds N/V)
     val cnts: Seq[DataFrame] = (1 to order).map { k =>
-      train.select(
-          explode(F.shinglePosHashes(col(textCol), k, portableHash))
-            .as(s"nk$k"))
-        .groupBy(s"nk$k").agg(count(lit(1)).as(s"cn$k"))
-        .localCheckpoint(eager = false)
+      fused.filter(col("k") === k)
+        .select(col("h").as(s"nk$k"), col("c").as(s"cn$k"))
     }
     val nv = cnts.head
       .agg(coalesce(sum(col("cn1")), lit(0L)), count(lit(1))).collect()(0)
@@ -462,7 +506,9 @@ object TextAnalysis {
     * Returns one row per bucket 0..buckets−1: (b, w) with `w` the
     * 2^fracBits-scaled bigint weight (0 for buckets no token hashed
     * to), plus `w_real` = w / 2^fracBits for direct use in
-    * [[linearScoreHashed]]. `labelCol` must be boolean or 0/1-numeric.
+    * [[linearScoreHashed]]. `labelCol` must be boolean or 0/1-numeric
+    * and NON-NULL on every row (fails closed — a null label would
+    * silently drop the doc from the gradient).
     */
   def trainLinearClassifier(df: DataFrame, idCol: String, textCol: String,
                             labelCol: String, buckets: Int = 64,
@@ -483,6 +529,16 @@ object TextAnalysis {
     val spark = df.sparkSession
     val scale = 1L << fracBits
     val lrP = 1L << lrShift
+    // fail closed on unlabelable rows: a NULL (or non-castable) label
+    // nulls the residual, so the doc would silently contribute NO
+    // gradient — a corpus-quality bug this trainer must surface, not
+    // absorb (same philosophy as the dedup-index params sidecar). The
+    // probe scans only the label column and short-circuits at one hit.
+    require(df.filter(col(labelCol).cast("long").isNull)
+        .limit(1).count() == 0L,
+      s"trainLinearClassifier: labelCol '$labelCol' has NULL or " +
+        "non-0/1-castable values — such docs would silently drop out " +
+        "of the gradient; filter or impute labels first")
     // (id, y, b, x): per-doc per-bucket token-occurrence counts — ONE
     // tokenize + one shuffle, cached across iterations
     val feat = df.select(col(idCol).as("id"),
@@ -493,25 +549,26 @@ object TextAnalysis {
       .groupBy("id", "y", "b").agg(count(lit(1)).as("x"))
       .cache()
     var w = Array.fill(buckets)(0L)
-    for (_ <- 1 to iters) {
-      val warr = typedLit(w)
-      val resid = feat
-        .groupBy("id", "y")
-        .agg(sum(col("x") * element_at(warr, col("b").cast("int") + 1))
-          .as("z"))
-        .select(col("id"),
-          (greatest(lit(0L), least(lit(4 * scale),
-            lit(2 * scale) + col("z"))) - lit(4 * scale) * col("y"))
-            .as("r"))
-      val grad = feat.join(resid, Seq("id"))
-        .groupBy("b").agg(sum(col("r") * col("x")).as("g"))
-        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      w = w.zipWithIndex.map { case (wb, b) =>
-        val g = grad.getOrElse(b.toLong, 0L)
-        wb - (g - Math.floorMod(g, lrP)) / lrP
+    try {
+      for (_ <- 1 to iters) {
+        val warr = typedLit(w)
+        val resid = feat
+          .groupBy("id", "y")
+          .agg(sum(col("x") * element_at(warr, col("b").cast("int") + 1))
+            .as("z"))
+          .select(col("id"),
+            (greatest(lit(0L), least(lit(4 * scale),
+              lit(2 * scale) + col("z"))) - lit(4 * scale) * col("y"))
+              .as("r"))
+        val grad = feat.join(resid, Seq("id"))
+          .groupBy("b").agg(sum(col("r") * col("x")).as("g"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        w = w.zipWithIndex.map { case (wb, b) =>
+          val g = grad.getOrElse(b.toLong, 0L)
+          wb - (g - Math.floorMod(g, lrP)) / lrP
+        }
       }
-    }
-    feat.unpersist()
+    } finally feat.unpersist() // a failed stage must not leak the cache
     import spark.implicits._
     w.zipWithIndex.map { case (wb, b) =>
       (b.toLong, wb, wb.toDouble / scale)
@@ -533,7 +590,14 @@ object TextAnalysis {
     val F = graft.functions.F
     val warr = new Array[Double](buckets)
     weights.select(col("b").cast("int"), col("w_real").cast("double"))
-      .collect().foreach(r => warr(r.getInt(0)) = r.getDouble(1))
+      .collect().foreach { r =>
+        val b = r.getInt(0)
+        require(b >= 0 && b < buckets,
+          s"linearScoreHashed: weight bucket $b out of range for " +
+            s"buckets=$buckets — the weights frame was trained at a " +
+            "different width; pass the trainer's `buckets` value")
+        warr(b) = r.getDouble(1)
+      }
     val tok = df.select(col(idCol),
       explode_outer(F.wordHashes(col(textCol), portableHash)).as("h"))
     tok.select(col(idCol),

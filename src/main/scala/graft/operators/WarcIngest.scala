@@ -14,6 +14,27 @@ import org.apache.spark.sql.functions._
   * (file, raw-body) frame. At 100 TB the unit of work is a WET file
   * (~150 MB uncompressed), which is also the natural Spark partition —
   * no shuffle anywhere until the caller aggregates.
+  *
+  * Compressed ingest (the actual CommonCrawl shape — `.warc.wet.gz`):
+  *
+  * {{{
+  * val raw = spark.read.option("wholetext", "true")
+  *   .text("s3://.../segments/.../wet/")      // *.warc.wet.gz
+  *   .withColumnRenamed("value", "raw")
+  * val docs = WarcIngest.wetDocuments(raw, "raw")
+  * }}}
+  *
+  * Hadoop's codec layer decompresses by file extension before the text
+  * reader sees bytes, and its built-in gzip decompressor handles
+  * CONCATENATED MEMBERS (CommonCrawl tooling produces multi-member
+  * files; spec-proven in OperatorsSpec with a two-member fixture).
+  * Two hard bounds to respect at scale: (1) gzip is not splittable, so
+  * one `.gz` file = one task — exactly the per-WET-file parallelism
+  * this frame wants (a CC WET file is ~150 MB decompressed; do NOT
+  * concatenate archives into multi-GB singles), and (2) a whole file
+  * rides one `UTF8String`, whose byte array caps at ~2 GB DECOMPRESSED
+  * — beyond that the task fails outright (never mis-frames); split
+  * oversized inputs upstream.
   */
 object WarcIngest {
 

@@ -846,6 +846,25 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // the PRUNED variant of p66 — KenLM-style singleton pruning
+    // (minCount=2 drops count-1 trigrams from the order-3 table; CCNet
+    // §3.3 ships pruned 5-gram models): eval trigrams whose train
+    // count was 1 now BACK OFF to the bigram level instead of hitting,
+    // so the hashed statistics differ from p66 wherever pruning bites
+    // (a no-op pruning implementation fails this gate against p66's
+    // own oracle with a HAVING clause). Orders 1–2 stay unpruned.
+    "p71_lm_backoff_pruned" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      TextAnalysis.ngramLmScoreBackoff(
+          docs.filter(col("doc_id") % 10 =!= 0),
+          docs.filter(col("doc_id") % 10 === 0), "doc_id", "text",
+          order = 3, minCount = 2, portableHash = true)
+        .select(col("id").as("doc_id"), col("n_tokens"), col("n_hit3"),
+          col("n_hit2"), col("n_hit1"), col("n_oov"), col("sum_num"),
+          col("sum_den"), col("sum_steps"))
+        .orderBy("doc_id")
+    }),
+
     // classifier TRAINING as a gate: 3 unrolled fixed-point GD
     // iterations over 64 hashed-BoW buckets, label = (lang = 'en').
     // The learned weights themselves hash against the oracle's unrolled
@@ -909,11 +928,14 @@ object PipelineQueries {
 
     // WET/WARC record framing: each source's docs become one synthetic
     // WET file body (conversion records with real Content-Length
-    // framing), with TWO adversarial plants — every 7th doc's payload
+    // framing), with THREE adversarial plants — every 7th doc's payload
     // embeds a full decoy record header (only a Content-Length-driven
     // walk keeps it in the payload; a split-on-marker parser mis-frames
-    // and fails the hash) and each blob ends in an overrun-length
-    // garbage tail (exercises the valid=false classification). The
+    // and fails the hash), each blob ends in an overrun-length garbage
+    // tail (exercises the valid=false classification), and one extra
+    // blob is a non-WARC text that still carries a CRLFCRLF-terminated
+    // Content-Length block (a kernel without the "WARC/" version-magic
+    // check frames it as a VALID record and fails the hash). The
     // oracle rebuilds the identical blobs and walks them with a
     // recursive CTE
     "p69_warc_records" -> ((s, d) => {
@@ -937,6 +959,9 @@ object PipelineQueries {
             x => x("rec")), ""),
           lit("WARC/1.0\r\nContent-Length: 999999\r\n\r\noops"))
           .as("raw"))
+        .unionByName(s.range(1).select(lit("__garbage").as("source"),
+          lit("Not-A-Warc: decoy\r\nContent-Length: 3\r\n\r\nabc")
+            .as("raw")))
       blobs.select(col("source"),
           posexplode(graft.functions.F.warcRecords(col("raw")))
             .as(Seq("rec_index", "rec")))
@@ -1194,6 +1219,74 @@ object PipelineQueries {
     * emits exactly that framing, so the kernel's general CR/LF-run
     * skip reduces to +4 on this corpus) and the overrun tail emits the
     * same valid=false record the kernel classifies. */
+  /** The p66/p71 stupid-backoff replay, parametric in the order-3
+    * count table's pruning threshold (minCount3=1 = unpruned p66;
+    * minCount3=2 = KenLM singleton pruning, p71). Orders 1–2 are
+    * never pruned, matching the operator. */
+  private def lmBackoffOracle(minCount3: Int): String =
+    s"""WITH ws AS (SELECT doc_id,
+       |    list_filter(regexp_split_to_array(lower(text), '\\s+'),
+       |      x -> len(x) > 0) AS ws
+       |  FROM documents),
+       |tr AS (SELECT ws FROM ws WHERE doc_id % 10 <> 0),
+       |c1 AS (SELECT g, count(*) AS c FROM (
+       |    SELECT unnest(ws) AS g FROM tr) GROUP BY 1),
+       |c2 AS (SELECT g, count(*) AS c FROM (
+       |    SELECT unnest(list_transform(range(1, len(ws)),
+       |      i -> ws[i]||' '||ws[i+1])) AS g FROM tr) GROUP BY 1),
+       |c3 AS (SELECT g, count(*) AS c FROM (
+       |    SELECT unnest(list_transform(range(1, len(ws)-1),
+       |      i -> ws[i]||' '||ws[i+1]||' '||ws[i+2])) AS g FROM tr)
+       |  GROUP BY 1 HAVING count(*) >= $minCount3),
+       |nt AS (SELECT coalesce(sum(c), 0)::BIGINT AS n FROM c1),
+       |pos AS (SELECT doc_id, i, ws[i] AS g1,
+       |    CASE WHEN i >= 2 THEN ws[i-1]||' '||ws[i] END AS g2,
+       |    CASE WHEN i >= 3
+       |      THEN ws[i-2]||' '||ws[i-1]||' '||ws[i] END AS g3,
+       |    CASE WHEN i >= 2 THEN ws[i-1] END AS d2,
+       |    CASE WHEN i >= 3 THEN ws[i-2]||' '||ws[i-1] END AS d3,
+       |    LEAST(3, i) AS topk
+       |  FROM (SELECT doc_id, unnest(range(1, len(ws)+1)) AS i, ws
+       |    FROM ws WHERE doc_id % 10 = 0)),
+       |j AS (SELECT p.doc_id, p.topk,
+       |    n3.c AS cn3, n2.c AS cn2, n1.c AS cn1,
+       |    p3.c AS cd3, p2.c AS cd2
+       |  FROM pos p
+       |  LEFT JOIN c3 n3 ON n3.g = p.g3
+       |  LEFT JOIN c2 n2 ON n2.g = p.g2
+       |  LEFT JOIN c1 n1 ON n1.g = p.g1
+       |  LEFT JOIN c2 p3 ON p3.g = p.d3
+       |  LEFT JOIN c1 p2 ON p2.g = p.d2),
+       |tok AS (SELECT doc_id,
+       |    CASE WHEN cn3 IS NOT NULL THEN 3 WHEN cn2 IS NOT NULL THEN 2
+       |         WHEN cn1 IS NOT NULL THEN 1 ELSE 0 END AS lvl,
+       |    coalesce(cn3, cn2, cn1, 0) AS num,
+       |    CASE WHEN cn3 IS NOT NULL THEN cd3
+       |         WHEN cn2 IS NOT NULL THEN cd2
+       |         WHEN cn1 IS NOT NULL THEN (SELECT n FROM nt)
+       |         ELSE 0 END AS den,
+       |    CASE WHEN cn3 IS NOT NULL THEN topk - 3
+       |         WHEN cn2 IS NOT NULL THEN topk - 2
+       |         ELSE topk - 1 END AS steps
+       |  FROM j),
+       |agg AS (SELECT doc_id, count(*) AS n_tokens,
+       |    sum((lvl = 3)::INT) AS n_hit3, sum((lvl = 2)::INT) AS n_hit2,
+       |    sum((lvl = 1)::INT) AS n_hit1, sum((lvl = 0)::INT) AS n_oov,
+       |    sum(num) AS sum_num, sum(den) AS sum_den,
+       |    sum(steps) AS sum_steps
+       |  FROM tok GROUP BY 1)
+       |SELECT d.doc_id,
+       |  CAST(coalesce(n_tokens, 0) AS BIGINT) AS n_tokens,
+       |  CAST(coalesce(n_hit3, 0) AS BIGINT) AS n_hit3,
+       |  CAST(coalesce(n_hit2, 0) AS BIGINT) AS n_hit2,
+       |  CAST(coalesce(n_hit1, 0) AS BIGINT) AS n_hit1,
+       |  CAST(coalesce(n_oov, 0) AS BIGINT) AS n_oov,
+       |  CAST(coalesce(sum_num, 0) AS BIGINT) AS sum_num,
+       |  CAST(coalesce(sum_den, 0) AS BIGINT) AS sum_den,
+       |  CAST(coalesce(sum_steps, 0) AS BIGINT) AS sum_steps
+       |FROM documents d LEFT JOIN agg USING (doc_id)
+       |WHERE d.doc_id % 10 = 0 ORDER BY d.doc_id""".stripMargin
+
   private val p69Oracle: String = {
     val c = "chr(13)||chr(10)"
     val c2 = s"$c||$c"
@@ -1213,7 +1306,11 @@ object PipelineQueries {
        |blob AS (SELECT source, string_agg(r, '' ORDER BY doc_id)
        |    ||'WARC/1.0'||$c||'Content-Length: 999999'||$c2||'oops'
        |    AS raw
-       |  FROM rec GROUP BY source),
+       |  FROM rec GROUP BY source
+       |  UNION ALL
+       |  SELECT '__garbage' AS source,
+       |    'Not-A-Warc: decoy'||$c||'Content-Length: 3'||$c2||'abc'
+       |    AS raw),
        |walk AS (
        |  SELECT source, raw, CAST(-1 AS BIGINT) AS rec_index,
        |    CAST(1 AS BIGINT) AS pos, CAST(NULL AS VARCHAR) AS rec_type,
@@ -1226,17 +1323,24 @@ object PipelineQueries {
        |  SELECT source, raw, rec_index + 1,
        |    CASE WHEN ok THEN pstart + clen + 4
        |         ELSE strlen(raw) + 1 END,
-       |    rtype, ruri, rdate, clen0,
+       |    rtype2, ruri2, rdate2, clen02,
        |    CASE WHEN ok THEN substr(raw, pstart, clen)
+       |         WHEN NOT magic THEN substr(raw, pos0)
        |         ELSE substr(raw, pstart) END,
        |    ok
        |  FROM (
-       |    SELECT source, raw, rec_index, pstart,
-       |      clen0 IS NOT NULL AND pstart + clen0 - 1 <= strlen(raw)
-       |        AS ok,
-       |      COALESCE(clen0, 0) AS clen, clen0, rtype, ruri, rdate
+       |    SELECT source, raw, rec_index, pstart, pos0, magic,
+       |      magic AND clen0 IS NOT NULL
+       |        AND pstart + clen0 - 1 <= strlen(raw) AS ok,
+       |      COALESCE(clen0, 0) AS clen,
+       |      CASE WHEN magic THEN clen0 END AS clen02,
+       |      CASE WHEN magic THEN rtype END AS rtype2,
+       |      CASE WHEN magic THEN ruri END AS ruri2,
+       |      CASE WHEN magic THEN rdate END AS rdate2
        |    FROM (
-       |      SELECT source, raw, rec_index, pos + he + 3 AS pstart,
+       |      SELECT source, raw, rec_index, pos AS pos0,
+       |        substr(raw, pos, 5) = 'WARC/' AS magic,
+       |        pos + he + 3 AS pstart,
        |        TRY_CAST(regexp_extract(hdrs,
        |          'Content-Length: ([0-9]+)', 1) AS BIGINT) AS clen0,
        |        NULLIF(regexp_extract(hdrs,
@@ -2020,69 +2124,13 @@ object PipelineQueries {
     // numerator = count of the k-gram ending at position i, denominator
     // = count of its (k-1)-prefix (same start), level = highest hit,
     // steps = min(3, i) - level (OOV: min(3, i) - 1)
-    "p66_lm_backoff" ->
-      """WITH ws AS (SELECT doc_id,
-        |    list_filter(regexp_split_to_array(lower(text), '\s+'),
-        |      x -> len(x) > 0) AS ws
-        |  FROM documents),
-        |tr AS (SELECT ws FROM ws WHERE doc_id % 10 <> 0),
-        |c1 AS (SELECT g, count(*) AS c FROM (
-        |    SELECT unnest(ws) AS g FROM tr) GROUP BY 1),
-        |c2 AS (SELECT g, count(*) AS c FROM (
-        |    SELECT unnest(list_transform(range(1, len(ws)),
-        |      i -> ws[i]||' '||ws[i+1])) AS g FROM tr) GROUP BY 1),
-        |c3 AS (SELECT g, count(*) AS c FROM (
-        |    SELECT unnest(list_transform(range(1, len(ws)-1),
-        |      i -> ws[i]||' '||ws[i+1]||' '||ws[i+2])) AS g FROM tr)
-        |  GROUP BY 1),
-        |nt AS (SELECT coalesce(sum(c), 0)::BIGINT AS n FROM c1),
-        |pos AS (SELECT doc_id, i, ws[i] AS g1,
-        |    CASE WHEN i >= 2 THEN ws[i-1]||' '||ws[i] END AS g2,
-        |    CASE WHEN i >= 3
-        |      THEN ws[i-2]||' '||ws[i-1]||' '||ws[i] END AS g3,
-        |    CASE WHEN i >= 2 THEN ws[i-1] END AS d2,
-        |    CASE WHEN i >= 3 THEN ws[i-2]||' '||ws[i-1] END AS d3,
-        |    LEAST(3, i) AS topk
-        |  FROM (SELECT doc_id, unnest(range(1, len(ws)+1)) AS i, ws
-        |    FROM ws WHERE doc_id % 10 = 0)),
-        |j AS (SELECT p.doc_id, p.topk,
-        |    n3.c AS cn3, n2.c AS cn2, n1.c AS cn1,
-        |    p3.c AS cd3, p2.c AS cd2
-        |  FROM pos p
-        |  LEFT JOIN c3 n3 ON n3.g = p.g3
-        |  LEFT JOIN c2 n2 ON n2.g = p.g2
-        |  LEFT JOIN c1 n1 ON n1.g = p.g1
-        |  LEFT JOIN c2 p3 ON p3.g = p.d3
-        |  LEFT JOIN c1 p2 ON p2.g = p.d2),
-        |tok AS (SELECT doc_id,
-        |    CASE WHEN cn3 IS NOT NULL THEN 3 WHEN cn2 IS NOT NULL THEN 2
-        |         WHEN cn1 IS NOT NULL THEN 1 ELSE 0 END AS lvl,
-        |    coalesce(cn3, cn2, cn1, 0) AS num,
-        |    CASE WHEN cn3 IS NOT NULL THEN cd3
-        |         WHEN cn2 IS NOT NULL THEN cd2
-        |         WHEN cn1 IS NOT NULL THEN (SELECT n FROM nt)
-        |         ELSE 0 END AS den,
-        |    CASE WHEN cn3 IS NOT NULL THEN topk - 3
-        |         WHEN cn2 IS NOT NULL THEN topk - 2
-        |         ELSE topk - 1 END AS steps
-        |  FROM j),
-        |agg AS (SELECT doc_id, count(*) AS n_tokens,
-        |    sum((lvl = 3)::INT) AS n_hit3, sum((lvl = 2)::INT) AS n_hit2,
-        |    sum((lvl = 1)::INT) AS n_hit1, sum((lvl = 0)::INT) AS n_oov,
-        |    sum(num) AS sum_num, sum(den) AS sum_den,
-        |    sum(steps) AS sum_steps
-        |  FROM tok GROUP BY 1)
-        |SELECT d.doc_id,
-        |  CAST(coalesce(n_tokens, 0) AS BIGINT) AS n_tokens,
-        |  CAST(coalesce(n_hit3, 0) AS BIGINT) AS n_hit3,
-        |  CAST(coalesce(n_hit2, 0) AS BIGINT) AS n_hit2,
-        |  CAST(coalesce(n_hit1, 0) AS BIGINT) AS n_hit1,
-        |  CAST(coalesce(n_oov, 0) AS BIGINT) AS n_oov,
-        |  CAST(coalesce(sum_num, 0) AS BIGINT) AS sum_num,
-        |  CAST(coalesce(sum_den, 0) AS BIGINT) AS sum_den,
-        |  CAST(coalesce(sum_steps, 0) AS BIGINT) AS sum_steps
-        |FROM documents d LEFT JOIN agg USING (doc_id)
-        |WHERE d.doc_id % 10 = 0 ORDER BY d.doc_id""".stripMargin,
+    "p66_lm_backoff" -> lmBackoffOracle(minCount3 = 1),
+
+    // the pruned variant: identical replay, but the order-3 count
+    // table drops rows below minCount (KenLM singleton pruning) — an
+    // eval trigram over a pruned train trigram backs off instead of
+    // hitting. Orders 1–2 stay unpruned, exactly as the operator.
+    "p71_lm_backoff_pruned" -> lmBackoffOracle(minCount3 = 2),
 
     "p31_scrub_spans" ->
       """WITH wsl AS (SELECT doc_id,

@@ -714,6 +714,27 @@ class PlanSpec extends SparkTestBase {
       s"scoring must stay key-joined:\n$finalPlan")
   }
 
+  test("lmCountTables: the train corpus is scanned and shuffled ONCE " +
+      "for all orders (fused tagged count pass), map-side combined") {
+    val docs = graft.core.Tables.t(spark, sf, "documents")
+    val plan = planOf(graft.operators.TextAnalysis.lmCountTables(
+      docs, "text", order = 3, minCount = 2, portableHash = true))
+    val finalPlan = plan.split("== Initial Plan ==")(0)
+    // one parquet scan of the train text — the fusion's whole point
+    // (the per-order formulation scanned and shuffled `order` times)
+    val scans = "Scan parquet".r.findAllIn(finalPlan).size
+    assert(scans == 1, s"expected 1 train scan, got $scans:\n$finalPlan")
+    val exch = "Exchange hashpartitioning".r.findAllIn(finalPlan).size
+    assert(exch == 1,
+      s"expected 1 count shuffle, got $exch:\n$finalPlan")
+    assert(finalPlan.contains("partial_count"),
+      s"fused count must map-side combine:\n$finalPlan")
+    // the pruning threshold applies AFTER the final aggregate, orders
+    // 1-2 exempt (k <= 2 OR c >= minCount)
+    assert(finalPlan.contains("Filter") && plan.contains("2)"),
+      s"minCount filter missing:\n$finalPlan")
+  }
+
   test("dedupAgainstIndex probe: pruned index scans, semi-join hit " +
       "sets, partial-min election, no cartesian/window") {
     val docs = graft.core.Tables.t(spark, sf, "documents")

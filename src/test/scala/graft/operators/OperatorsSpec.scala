@@ -429,6 +429,48 @@ class OperatorsSpec extends SparkTestBase {
     assert(hit.getAs[Double]("ppl") < miss.getAs[Double]("ppl"))
   }
 
+  test("ngramLmScoreBackoff minCount pruning: pruned trigrams back " +
+      "off where unpruned hit; orders 1-2 never prune") {
+    // c3 = {a b c: 2, z b d: 1}; minCount=2 prunes "z b d" only.
+    // c1/c2 keep their singletons (z:1, z b:1, b d:1) — unpruned.
+    val train = Seq((1L, "a b c"), (2L, "a b c"), (3L, "z b d"))
+      .toDF("id", "text")
+    val score = Seq((10L, "a b c"), (11L, "z b d")).toDF("id", "text")
+    def run(mc: Int) = TextAnalysis.ngramLmScoreBackoff(train, score,
+        "id", "text", order = 3, minCount = mc)
+      .collect().map(r => r.getAs[Long]("id") -> r).toMap
+    val un = run(1)
+    val pr = run(2)
+    // the frequent trigram still hits at order 3 under pruning
+    assert(pr(10L).getAs[Long]("n_hit3") == 1L &&
+      pr(10L).getAs[Long]("sum_steps") == 0L)
+    // the singleton trigram hit unpruned...
+    assert(un(11L).getAs[Long]("n_hit3") == 1L &&
+      un(11L).getAs[Long]("sum_steps") == 0L)
+    // ...but BACKS OFF pruned: pos3 falls to the bigram "b d" (1/3),
+    // one alpha step; the singleton bigram "z b" still hits at lvl 2
+    // (orders 1-2 are never pruned)
+    assert(pr(11L).getAs[Long]("n_hit3") == 0L &&
+      pr(11L).getAs[Long]("n_hit2") == 2L &&
+      pr(11L).getAs[Long]("n_hit1") == 1L &&
+      pr(11L).getAs[Long]("n_oov") == 0L)
+    assert(pr(11L).getAs[Long]("sum_steps") == 1L)
+    // num: z 1 + "z b" 1 + "b d" 1; den: N=9 + c1(z)=1 + c1(b)=3
+    assert(pr(11L).getAs[Long]("sum_num") == 3L &&
+      pr(11L).getAs[Long]("sum_den") == 13L)
+    // unpruned den: N=9 + c1(z)=1 + c2(z b)=1
+    assert(un(11L).getAs[Long]("sum_den") == 11L)
+    // pruning degrades the pruned doc's score, leaves the other exact
+    assert(pr(11L).getAs[Double]("ppl") > un(11L).getAs[Double]("ppl"))
+    assert(pr(10L).getAs[Double]("logscore") ==
+      un(10L).getAs[Double]("logscore"))
+    // minCount=1 is the identity: bit-identical to the default path
+    assert(run(1).view.mapValues(_.toSeq).toMap ==
+      TextAnalysis.ngramLmScoreBackoff(train, score, "id", "text",
+        order = 3).collect()
+        .map(r => r.getAs[Long]("id") -> r.toSeq).toMap)
+  }
+
   test("ngramLmScoreBackoff: order 3 separates where order 2 ties " +
       "(the CCNet gap vs the add-k bigram)") {
     val train = Seq((1L, "a b c"), (2L, "z b d")).toDF("id", "text")
@@ -537,6 +579,53 @@ class OperatorsSpec extends SparkTestBase {
         portableHash = true)
       .collect().map(r => r.getAs[Long]("b") -> r.getAs[Long]("w")).toMap
     assert(w == w2, "training must be deterministic")
+  }
+
+  test("trainLinearClassifier fails closed on NULL or non-castable " +
+      "labels (a null label would silently drop the doc's gradient)") {
+    val withNull = Seq((1L, "good text", Some(true)),
+      (2L, "other text", None)).toDF("id", "text", "y")
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.trainLinearClassifier(withNull, "id", "text", "y",
+        buckets = 64, iters = 1, portableHash = true)
+    }
+    assert(e.getMessage.contains("NULL"))
+    val nonCastable = Seq((1L, "good text", "yes"))
+      .toDF("id", "text", "y")
+    intercept[IllegalArgumentException] {
+      TextAnalysis.trainLinearClassifier(nonCastable, "id", "text", "y",
+        buckets = 64, iters = 1, portableHash = true)
+    }
+  }
+
+  test("trainLinearClassifier: a failed GD stage does not leak the " +
+      "feature cache") {
+    val boom = udf((s: String) => {
+      if (s == "kaboom") throw new RuntimeException("poisoned doc")
+      s
+    })
+    val d = Seq((1L, "good text", true), (2L, "kaboom", false))
+      .toDF("id", "raw", "y")
+      .withColumn("text", boom(col("raw")))
+    val before = spark.sparkContext.getPersistentRDDs.size
+    intercept[Exception] {
+      TextAnalysis.trainLinearClassifier(d, "id", "text", "y",
+        buckets = 64, iters = 2, portableHash = true)
+    }
+    assert(spark.sparkContext.getPersistentRDDs.size == before,
+      "feature cache leaked after a failed GD stage")
+  }
+
+  test("linearScoreHashed rejects a weights frame trained at a " +
+      "different bucket width (driver AIOOBE otherwise)") {
+    val d = Seq((1L, "hello world", true)).toDF("id", "text", "y")
+    val model = TextAnalysis.trainLinearClassifier(d, "id", "text", "y",
+      buckets = 128, iters = 1, portableHash = true)
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.linearScoreHashed(d, "id", "text", model,
+        buckets = 64, portableHash = true)
+    }
+    assert(e.getMessage.contains("width"))
   }
 
   test("scrubDuplicatedSpans removes viral spans, keeps unique text") {
@@ -2280,6 +2369,68 @@ class OperatorsSpec extends SparkTestBase {
       .select(size(graft.functions.F.warcRecords(col("raw"))))
       .collect()
     assert(empty(0).getInt(0) == 0 && empty(1).isNullAt(0))
+  }
+
+  test("warc records: the WARC/ version magic gates framing — " +
+      "garbage with a Content-Length block classifies, never frames") {
+    def parse(raw: String) = Seq(Tuple1(raw)).toDF("raw")
+      .select(explode(graft.functions.F.warcRecords(col("raw")))
+        .as("r"))
+      .select("r.rec_type", "r.content_length", "r.payload", "r.valid")
+      .collect()
+    // an arbitrary text blob that happens to carry a CRLFCRLF-
+    // terminated Content-Length header block: without the magic check
+    // this framed as a VALID record with payload "abc"
+    val garbage = parse("Not-A-Warc: decoy\r\nContent-Length: 3" +
+      "\r\n\r\nabc and more trailing text")
+    assert(garbage.length == 1 && !garbage(0).getBoolean(3))
+    assert(garbage(0).isNullAt(0) && garbage(0).isNullAt(1))
+    assert(garbage(0).getString(2).startsWith("Not-A-Warc"))
+    // a valid record followed by a non-WARC tail (e.g. an HTTP
+    // response spliced in): the tail classifies as one invalid record
+    val mixed = parse(wetRec("urn:a", "ok") +
+      "HTTP/1.1 200 OK\r\nContent-Length: 5\r\n\r\nhello")
+    assert(mixed.length == 2 && mixed(0).getBoolean(3))
+    assert(!mixed(1).getBoolean(3) &&
+      mixed(1).getString(2).startsWith("HTTP/1.1"))
+  }
+
+  test("wetDocuments ingests gzipped WET files end-to-end via " +
+      "wholetext text reads (the CommonCrawl .warc.wet.gz recipe)") {
+    // a real multi-record gzipped fixture, written as TWO concatenated
+    // gzip members (gzip permits member concatenation and CommonCrawl
+    // tooling produces it; Hadoop's codec must decompress BOTH)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-wetgz-").toFile
+    val member1 = wetRec("urn:g1", "gz doc one") +
+      wetRec("urn:g2", "gz doc twö") // multi-byte payload through gzip
+    val member2 = wetRec("urn:g3", "gz doc three")
+    def gz(s: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      g.close(); bos.toByteArray
+    }
+    val f = new java.io.File(dir, "chunk.warc.wet.gz")
+    val out = new java.io.FileOutputStream(f)
+    out.write(gz(member1)); out.write(gz(member2)); out.close()
+    // the documented ingest recipe: wholetext .text() decompresses
+    // through Hadoop's gzip codec, one file = one row = one partition
+    val raw = spark.read.option("wholetext", "true")
+      .text(dir.getAbsolutePath)
+      .withColumnRenamed("value", "raw")
+    val docs = WarcIngest.wetDocuments(raw, "raw")
+      .orderBy("rec_index").select("url", "text").collect()
+    assert(docs.map(_.getString(0)).toSeq ==
+      Seq("urn:g1", "urn:g2", "urn:g3"),
+      "both concatenated gzip members must decompress")
+    assert(docs.map(_.getString(1)).toSeq ==
+      Seq("gz doc one", "gz doc twö", "gz doc three"))
+    // and the audit path sees only valid conversion frames
+    val recs = WarcIngest.records(raw, "raw")
+    assert(recs.count() == 3 &&
+      recs.filter(col("valid")).count() == 3)
+    org.apache.commons.io.FileUtils.deleteDirectory(dir)
   }
 
   test("wetDocuments: raw WET bodies to a clean documents frame " +
