@@ -54,13 +54,13 @@ object ScaleProbeIncr {
           spark.read.parquet(s"$dir/fp").count()
       val t0 = System.nanoTime()
       val dec = graft.operators.Dedup.dedupAgainstIndex(
-        snap, "doc_id", "text", dir, f"snap$i%02d")
+        snap, "doc_id", "text", dir, f"snap$i%05d")
       val sec = (System.nanoTime() - t0) / 1e9
       val mix = dec.groupBy("verdict").count().collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap
-      println(f"[incr] snap$i%02d sec=$sec%.1f idx_rows=$idxRows " +
+      println(f"[incr] snap$i%05d sec=$sec%.1f idx_rows=$idxRows " +
         s"mix=$mix")
-      f""""snap$i%02d":{"sec":$sec%.1f,"index_rows_probed":$idxRows,""" +
+      f""""snap$i%05d":{"sec":$sec%.1f,"index_rows_probed":$idxRows,""" +
         s""""keep":${mix.getOrElse("keep", 0L)},""" +
         s""""drop_exact":${mix.getOrElse("drop_exact", 0L)},""" +
         s""""drop_near":${mix.getOrElse("drop_near", 0L)}}"""
@@ -75,7 +75,7 @@ object ScaleProbeIncr {
           lastSnap, "doc_id", "text", dir, snapId)
         .groupBy("verdict").count().collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap
-    val preMix = mixOf(f"snap${n - 1}%02d")
+    val preMix = mixOf(f"snap${n - 1}%05d")
     def idxRows() = spark.read.parquet(s"$dir/bands").count() +
       spark.read.parquet(s"$dir/fp").count()
     val pre = idxRows()
@@ -83,7 +83,7 @@ object ScaleProbeIncr {
     graft.operators.Dedup.compactDedupIndex(spark, dir)
     val cSec = (System.nanoTime() - t0) / 1e9
     val post = idxRows()
-    val postMix = mixOf(f"snap${n - 1}%02d")
+    val postMix = mixOf(f"snap${n - 1}%05d")
     val replayOk = preMix == postMix
     println(f"[incr] compact: $pre -> $post rows " +
       f"(${pre.toDouble / post}%.1fx) in $cSec%.1f s, " +

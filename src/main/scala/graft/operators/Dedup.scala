@@ -110,22 +110,105 @@ object Dedup {
     * probe with different hashing/banding parameters than the index
     * was built with would MATCH NOTHING and silently keep everything,
     * so the first writer records its parameters in a sidecar and every
-    * later call must present the identical string. */
-  private def checkIndexParams(indexDir: String, op: String,
-                               params: String): Unit = {
-    val p = java.nio.file.Paths.get(indexDir, "params.txt")
-    if (java.nio.file.Files.exists(p)) {
-      val got = new String(java.nio.file.Files.readAllBytes(p),
-        java.nio.charset.StandardCharsets.UTF_8)
+    * later call must present the identical string. Sidecars are
+    * PER-FAMILY (`params.fp.txt` for the doc-grain fp+bands tables,
+    * `params.lines.txt` for the line-digest table) so one indexDir can
+    * host both families — which [[compactDedupIndex]] already treats
+    * as one unit — without the second family tripping a bogus
+    * mismatch. A pre-family `params.txt` (written by older builds,
+    * necessarily single-family) is honored read-only. The sidecar is
+    * written via temp-file + atomic rename; a rename race (two
+    * concurrent first probes, only possible outside the index lock)
+    * re-validates against the winner. */
+  private def checkIndexParams(indexDir: String, family: String,
+                               op: String, params: String): Unit = {
+    val utf8 = java.nio.charset.StandardCharsets.UTF_8
+    def read(f: java.nio.file.Path): String =
+      new String(java.nio.file.Files.readAllBytes(f), utf8)
+    def check(f: java.nio.file.Path): Unit = {
+      val got = read(f)
       require(got == params,
         s"$op: index at $indexDir was built with [$got] but this " +
           s"call uses [$params] — refusing to probe with mismatched " +
           "parameters (the probe would silently match nothing)")
-    } else {
-      java.nio.file.Files.createDirectories(p.getParent)
-      java.nio.file.Files.write(p, params.getBytes(
-        java.nio.charset.StandardCharsets.UTF_8))
     }
+    val dir = java.nio.file.Paths.get(indexDir)
+    val p = dir.resolve(s"params.$family.txt")
+    val legacy = dir.resolve("params.txt")
+    if (java.nio.file.Files.exists(p)) check(p)
+    else if (java.nio.file.Files.exists(legacy)) check(legacy)
+    else {
+      java.nio.file.Files.createDirectories(dir)
+      val tmp = java.nio.file.Files
+        .createTempFile(dir, s".params.$family.", ".tmp")
+      java.nio.file.Files.write(tmp, params.getBytes(utf8))
+      try java.nio.file.Files.move(tmp, p,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          java.nio.file.Files.deleteIfExists(tmp); check(p)
+      }
+    }
+  }
+
+  /** Fail closed when a crashed compaction left the live table
+    * missing: `$path.compact.old` existing while `$path` is absent
+    * means [[compactDedupIndex]] died between its two renames.
+    * Treating that as a fresh/empty index would silently KEEP
+    * EVERYTHING (history reads as empty) and append a delta that
+    * makes `.compact.old` recovery ambiguous — the exact
+    * silent-keep-everything failure the params sidecar exists to
+    * prevent, so the probe refuses instead. */
+  private def requireNoOrphanedCompaction(path: String,
+                                          op: String): Unit = {
+    if (!new java.io.File(path).exists() &&
+        new java.io.File(s"$path.compact.old").exists())
+      throw new IllegalStateException(
+        s"$op: $path is missing but $path.compact.old exists — a " +
+          "compaction crashed between its renames. Recover with " +
+          s"`mv $path.compact.old $path` (and remove a lingering " +
+          s"$path.compact.tmp) before probing; refusing to treat a " +
+          "half-compacted index as empty")
+  }
+
+  /** Single-writer mutual exclusion for a persisted dedup index:
+    * probes append snapshot deltas and compaction swaps whole tables,
+    * so a probe racing a compaction (or two probes of the SAME
+    * snapshot id racing each other's dynamic partition overwrite) can
+    * interleave into a state no replay contract covers. Every
+    * index-mutating entry point runs under an atomic-create `lock`
+    * file in the index dir and FAILS CLOSED when it is held — the
+    * params-sidecar philosophy: serialize your crawl drops; a probe
+    * that cannot safely run must refuse, not silently interleave.
+    * A crash leaves the lock behind (deliberate — there is no safe
+    * auto-expiry without fencing): the error says what to verify and
+    * delete. Probes of DISTINCT snapshots are semantically
+    * commutative (disjoint partitions, strictly-earlier reads), so
+    * serializing them costs ordering only, never correctness
+    * (spec-proven: a lock-refused probe retried after release returns
+    * the verdicts a serialized run produces). */
+  private def withIndexLock[T](indexDir: String, op: String)
+                              (body: => T): T = {
+    val utf8 = java.nio.charset.StandardCharsets.UTF_8
+    java.nio.file.Files
+      .createDirectories(java.nio.file.Paths.get(indexDir))
+    val lock = java.nio.file.Paths.get(indexDir, "lock")
+    val info = s"op=$op pid=${ProcessHandle.current().pid()}"
+    try java.nio.file.Files.write(lock, info.getBytes(utf8),
+      java.nio.file.StandardOpenOption.CREATE_NEW)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        val held =
+          try new String(java.nio.file.Files.readAllBytes(lock), utf8)
+          catch { case _: Exception => "unreadable" }
+        throw new IllegalStateException(
+          s"$op: index at $indexDir is locked by [$held] — probes " +
+            "and compaction are single-writer and must be " +
+            "serialized. If the holder crashed, verify no writer is " +
+            s"running and delete $lock")
+    }
+    try body
+    finally java.nio.file.Files.deleteIfExists(lock)
   }
 
   /** INCREMENTAL corpus-global line dedup: [[dedupLinesGlobal]]'s C4
@@ -150,7 +233,9 @@ object Dedup {
     * (replay-safe; spec-proven). CALLER REQUIREMENT for that: snapshot
     * ids must sort lexicographically in processing order (date-shaped
     * ids do) — the same contract [[compactDedupIndex]] keys on; a
-    * params sidecar additionally pins `sep` fail-closed. Every
+    * params sidecar additionally pins `sep` fail-closed, and the same
+    * single-writer `lock` file serializes probes and compaction
+    * (see [[dedupAgainstIndex]]). Every
     * distinct line of the snapshot enters the delta — lines that
     * lost the intra-snapshot election too (their first occurrence
     * was still SEEN, which is what the global-first rule keys on).
@@ -172,38 +257,41 @@ object Dedup {
       "dedupLinesAgainstIndex: snapshotId keys the index delta " +
         "partition and must be non-empty")
     requireLineOutputCols(df, "dedupLinesAgainstIndex", out)
-    checkIndexParams(indexDir, "dedupLinesAgainstIndex",
-      s"unit=line digest=md5 sep=$sep")
-    val spark = df.sparkSession
-    // pinned: probed, winner-elected, delta-written — one explode
-    val lines = df.select(col(idCol),
-        posexplode(split(col(textCol),
-          java.util.regex.Pattern.quote(sep))).as(Seq("pos", "line")))
-      .withColumn("lh", md5(col("line")))
-      .localCheckpoint()
-    val linesPath = s"$indexDir/lines"
-    // strictly-earlier partitions only: history for THIS snapshot is
-    // what was probed before it, never what landed after — that is
-    // what makes historical re-probes verdict-identical
-    val idx =
-      if (new java.io.File(linesPath).exists())
-        spark.read.parquet(linesPath)
-          .filter(col("snapshot") < lit(snapshotId)).select("lh")
-      else spark.emptyDataFrame.select(lit("").as("lh")).limit(0)
-    // two-step probe: snapshot digest set = build side; history is a
-    // map-only scan of one column, and the hit set (≤ snapshot
-    // distinct lines) broadcasts back as the anti-join's small side
-    val probe = lines.select("lh").distinct()
-    val hitLh = idx.join(probe, Seq("lh"), "left_semi").distinct()
-    val fresh = lines.join(hitLh, Seq("lh"), "left_anti")
-    val result = electAndRebuild(df, idCol, fresh, "lh", sep, out)
-      .localCheckpoint() // pinned BEFORE the delta write
-    probe.withColumn("snapshot", lit(snapshotId))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("snapshot")
-      .parquet(linesPath)
-    result
+    withIndexLock(indexDir, "dedupLinesAgainstIndex") {
+      checkIndexParams(indexDir, "lines", "dedupLinesAgainstIndex",
+        s"unit=line digest=md5 sep=$sep")
+      val spark = df.sparkSession
+      // pinned: probed, winner-elected, delta-written — one explode
+      val lines = df.select(col(idCol),
+          posexplode(split(col(textCol),
+            java.util.regex.Pattern.quote(sep))).as(Seq("pos", "line")))
+        .withColumn("lh", md5(col("line")))
+        .localCheckpoint()
+      val linesPath = s"$indexDir/lines"
+      requireNoOrphanedCompaction(linesPath, "dedupLinesAgainstIndex")
+      // strictly-earlier partitions only: history for THIS snapshot is
+      // what was probed before it, never what landed after — that is
+      // what makes historical re-probes verdict-identical
+      val idx =
+        if (new java.io.File(linesPath).exists())
+          spark.read.parquet(linesPath)
+            .filter(col("snapshot") < lit(snapshotId)).select("lh")
+        else spark.emptyDataFrame.select(lit("").as("lh")).limit(0)
+      // two-step probe: snapshot digest set = build side; history is a
+      // map-only scan of one column, and the hit set (≤ snapshot
+      // distinct lines) broadcasts back as the anti-join's small side
+      val probe = lines.select("lh").distinct()
+      val hitLh = idx.join(probe, Seq("lh"), "left_semi").distinct()
+      val fresh = lines.join(hitLh, Seq("lh"), "left_anti")
+      val result = electAndRebuild(df, idCol, fresh, "lh", sep, out)
+        .localCheckpoint() // pinned BEFORE the delta write
+      probe.withColumn("snapshot", lit(snapshotId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("snapshot")
+        .parquet(linesPath)
+      result
+    }
   }
 
   /** Compact a [[dedupAgainstIndex]] / [[dedupLinesAgainstIndex]]
@@ -231,9 +319,18 @@ object Dedup {
     * the rows its decisions need. Compaction is one distinct-key
     * aggregation per table (map-side combined, shuffles the key space
     * once) run offline between crawl drops; after it the index is
-    * bounded by DISTINCT keys ever seen, not rows ever probed. */
+    * bounded by DISTINCT keys ever seen, not rows ever probed.
+    *
+    * SINGLE-WRITER: runs under the index lock file (fail-closed, like
+    * every probe) — compaction racing a probe would swap a table out
+    * from under the probe's scan. A crash between the two renames
+    * leaves `<table>.compact.old` WITHOUT the live table; every probe
+    * then refuses (never treats the half-swapped index as empty) with
+    * a recovery hint, and a crash-left `lock` file is reported with
+    * its holder for manual removal. */
   def compactDedupIndex(spark: org.apache.spark.sql.SparkSession,
-                        indexDir: String): Unit = {
+                        indexDir: String): Unit =
+    withIndexLock(indexDir, "compactDedupIndex") {
     def rmTree(f: java.io.File): Unit = {
       if (f.isDirectory)
         Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
@@ -241,6 +338,7 @@ object Dedup {
     }
     def compact(sub: String, keyCols: Seq[String]): Unit = {
       val path = s"$indexDir/$sub"
+      requireNoOrphanedCompaction(path, "compactDedupIndex")
       if (!new java.io.File(path).exists()) return
       val df = spark.read.parquet(path)
       val others = df.columns.filterNot(keyCols.contains)
@@ -269,7 +367,7 @@ object Dedup {
     compact("fp", Seq("fp"))
     compact("bands", Seq("band", "bucket"))
     compact("lines", Seq("lh"))
-  }
+    }
 
   /** PER-DOMAIN boilerplate line scrub — the site-level extraction
     * cleanup of CCNet/trafilatura-style pipelines: a line that occurs
@@ -906,7 +1004,14 @@ object Dedup {
     * order (date-shaped ids do) — the same contract
     * [[compactDedupIndex]] keys on. A params sidecar pins
     * k/h/bands/portableHash fail-closed: a probe with different
-    * parameters would silently match nothing):
+    * parameters would silently match nothing. CONCURRENCY: probes and
+    * compaction are SINGLE-WRITER per index — each runs under an
+    * atomic-create `lock` file in `indexDir` and fails closed when it
+    * is held (serialize your crawl drops; distinct-snapshot probes
+    * commute semantically, so serializing them costs ordering only).
+    * A crashed holder's lock is reported with its pid for manual
+    * removal; a crashed compaction is detected by its orphaned
+    * `.compact.old` and refused with a recovery hint):
     *   - `fp/`    (id, fp)           one row per probed doc
     *   - `bands/` (id, band, bucket) `bands` rows per doc with ≥ k
     *     tokens
@@ -959,7 +1064,8 @@ object Dedup {
     require(snapshotId.nonEmpty,
       "dedupAgainstIndex: snapshotId keys the index delta partition " +
         "and must be non-empty")
-    checkIndexParams(indexDir, "dedupAgainstIndex",
+    withIndexLock(indexDir, "dedupAgainstIndex") {
+    checkIndexParams(indexDir, "fp", "dedupAgainstIndex",
       s"fp=md5norm k=$k h=$h bands=$bands portable=$portableHash")
     val spark = snapshot.sparkSession
     val rows = h / bands
@@ -982,6 +1088,7 @@ object Dedup {
     def readIndex(sub: String, names: Seq[String],
                   empty: Seq[Column]): DataFrame = {
       val path = s"$indexDir/$sub"
+      requireNoOrphanedCompaction(path, "dedupAgainstIndex")
       if (new java.io.File(path).exists())
         spark.read.parquet(path)
           .filter(col("snapshot") < lit(snapshotId))
@@ -1004,6 +1111,7 @@ object Dedup {
     writeDelta(fpDf, "fp")
     writeDelta(banded, "bands")
     decisions
+    }
   }
 
   /** The pure verdict plan of [[dedupAgainstIndex]], factored out so

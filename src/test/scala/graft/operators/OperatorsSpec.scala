@@ -2166,6 +2166,145 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("dedup indexes are single-writer: a held lock fails closed, " +
+      "releases on success AND failure, and a refused probe retried " +
+      "after release matches the serialized run") {
+    val dir = p68TmpDir()
+    Dedup.dedupAgainstIndex(docs, "doc_id", "text", dir, "s1")
+    // success path released the lock
+    assert(!new java.io.File(s"$dir/lock").exists())
+    // a held lock (crashed or concurrent writer) refuses every
+    // index-mutating entry point with the holder's info
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "lock"),
+      "op=test pid=0".getBytes("UTF-8"))
+    val e = intercept[IllegalStateException] {
+      Dedup.dedupAgainstIndex(docs, "doc_id", "text", dir, "s2")
+    }
+    assert(e.getMessage.contains("locked") &&
+      e.getMessage.contains("op=test"))
+    intercept[IllegalStateException] {
+      Dedup.compactDedupIndex(spark, dir)
+    }
+    // ...and leaves no partial delta: the refused snapshot is absent
+    val snaps = spark.read.parquet(s"$dir/fp")
+      .select("snapshot").distinct().as[String].collect().toSet
+    assert(snaps == Set("s1"))
+    // after release, the retried probe returns exactly the verdicts a
+    // serialized run produces (the safe-concurrency story: distinct
+    // snapshots commute, the lock only imposes an order)
+    java.nio.file.Files.delete(java.nio.file.Paths.get(dir, "lock"))
+    val retried = Dedup.dedupAgainstIndex(docs, "doc_id", "text",
+        dir, "s2")
+      .select("id", "verdict").as[(Long, String)].collect().toMap
+    val serial = p68TmpDir()
+    Dedup.dedupAgainstIndex(docs, "doc_id", "text", serial, "s1")
+    val expect = Dedup.dedupAgainstIndex(docs, "doc_id", "text",
+        serial, "s2")
+      .select("id", "verdict").as[(Long, String)].collect().toMap
+    assert(retried == expect)
+    // a FAILED entry releases the lock too (params mismatch throws
+    // inside the locked section)
+    intercept[IllegalArgumentException] {
+      Dedup.dedupAgainstIndex(docs, "doc_id", "text", dir, "s3",
+        bands = 8)
+    }
+    assert(!new java.io.File(s"$dir/lock").exists(),
+      "lock leaked after a failed probe")
+  }
+
+  test("a crashed compaction (orphaned .compact.old, missing live " +
+      "table) fails probes closed until recovered") {
+    val dir = p68TmpDir()
+    Dedup.dedupAgainstIndex(docs, "doc_id", "text", dir, "s1")
+    val before = Dedup.dedupAgainstIndex(docs, "doc_id", "text",
+        dir, "s2")
+      .select("id", "verdict").as[(Long, String)].collect().toMap
+    // simulate a compaction dying between move(path -> .old) and
+    // move(tmp -> path): live fp/ gone, backup present
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(s"$dir/fp"),
+      java.nio.file.Paths.get(s"$dir/fp.compact.old"))
+    val e = intercept[IllegalStateException] {
+      Dedup.dedupAgainstIndex(docs, "doc_id", "text", dir, "s3")
+    }
+    assert(e.getMessage.contains("compact.old"),
+      s"wrong failure: ${e.getMessage}")
+    intercept[IllegalStateException] { // compaction refuses too
+      Dedup.compactDedupIndex(spark, dir)
+    }
+    // the documented recovery restores the index bit-for-bit: the
+    // historical re-probe returns its original verdicts
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(s"$dir/fp.compact.old"),
+      java.nio.file.Paths.get(s"$dir/fp"))
+    val after = Dedup.dedupAgainstIndex(docs, "doc_id", "text",
+        dir, "s2")
+      .select("id", "verdict").as[(Long, String)].collect().toMap
+    assert(after == before)
+    // same guard on the lines family
+    val ldir = p68TmpDir()
+    Dedup.dedupLinesAgainstIndex(
+      Seq((0L, "a\nb")).toDF("doc_id", "text"), "doc_id", "text",
+      ldir, "s1")
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(s"$ldir/lines"),
+      java.nio.file.Paths.get(s"$ldir/lines.compact.old"))
+    intercept[IllegalStateException] {
+      Dedup.dedupLinesAgainstIndex(
+        Seq((1L, "b\nc")).toDF("doc_id", "text"), "doc_id", "text",
+        ldir, "s2")
+    }
+  }
+
+  test("one indexDir hosts BOTH index families (per-family params " +
+      "sidecars), and compaction treats them as one unit") {
+    val dir = p68TmpDir()
+    // doc-grain and line-grain probes share the dir without tripping
+    // each other's parameter pinning (pre-fix: one shared params.txt
+    // made the second family fail with a bogus mismatch)
+    Dedup.dedupAgainstIndex(docs, "doc_id", "text", dir, "s1")
+    Dedup.dedupLinesAgainstIndex(
+      Seq((0L, "a\nb")).toDF("doc_id", "text"), "doc_id", "text",
+      dir, "s1")
+    // each family still pins ITS OWN parameters fail-closed
+    intercept[IllegalArgumentException] {
+      Dedup.dedupAgainstIndex(docs, "doc_id", "text", dir, "s2",
+        bands = 8)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.dedupLinesAgainstIndex(
+        Seq((1L, "a b")).toDF("doc_id", "text"), "doc_id", "text",
+        dir, "s2", sep = " ")
+    }
+    // one compaction pass covers fp + bands + lines, and both
+    // families keep answering correctly afterwards
+    Dedup.compactDedupIndex(spark, dir)
+    val v = Dedup.dedupAgainstIndex(docs, "doc_id", "text", dir, "s2")
+      .select("id", "verdict").as[(Long, String)].collect().toMap
+    assert(v.values.forall(_ == "drop_exact")) // same docs as s1
+    val l = Dedup.dedupLinesAgainstIndex(
+        Seq((1L, "b\nc")).toDF("doc_id", "text"), "doc_id", "text",
+        dir, "s2")
+      .select("deduped").as[String].collect().head
+    assert(l == "c") // a, b already indexed by s1
+  }
+
+  test("a pre-family params.txt sidecar is honored read-only") {
+    val dir = p68TmpDir()
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(dir))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "params.txt"),
+      "fp=md5norm k=3 h=32 bands=16 portable=false".getBytes("UTF-8"))
+    // matching parameters pass through the legacy sidecar
+    Dedup.dedupAgainstIndex(docs, "doc_id", "text", dir, "s1")
+    // mismatched parameters still fail closed against it
+    intercept[IllegalArgumentException] {
+      Dedup.dedupAgainstIndex(docs, "doc_id", "text", dir, "s2",
+        bands = 8)
+    }
+  }
+
   test("dedupAgainstIndex: null text always keeps and never poisons " +
       "the index (null fp matches nothing, no shingles)") {
     val dir = p68TmpDir()
