@@ -37,9 +37,13 @@ object EvalProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     // box-phase context for the whole calibration (standing
-    // discipline: a dd number beside every recorded timing artifact)
+    // discipline: a dd number beside every recorded timing artifact;
+    // r15 adds the CPU reference so the disk and CPU phase axes are
+    // separable mechanically instead of by elimination)
     val ddStart = graft.probe.DiskProbe.writeMBps()
-    println(f"[eval] dd at start: $ddStart%.0f MB/s")
+    val cpuStart = graft.probe.DiskProbe.cpuRefSec()
+    println(f"[eval] dd at start: $ddStart%.0f MB/s, " +
+      f"cpuRef: $cpuStart%.2f s")
     try graft.queries.SparqlQueries.warm(spark, sfDir)
     catch { case _: Throwable => }
     val rows = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
@@ -120,8 +124,11 @@ object EvalProbe {
     val oJson = outliers.mkString("{", ",", "}")
     val benchRef = driverBench.map(p => s""""$p"""").getOrElse("null")
     val ddEnd = graft.probe.DiskProbe.writeMBps()
+    val cpuEnd = graft.probe.DiskProbe.cpuRefSec()
     val json = s"""{"metric":"eval_probe","sf":"$sfDir",""" +
       f""""dd_mbps_start":$ddStart%.0f,"dd_mbps_end":$ddEnd%.0f,""" +
+      f""""cpu_ref_sec_start":$cpuStart%.3f,""" +
+      f""""cpu_ref_sec_end":$cpuEnd%.3f,""" +
       s""""driver_bench":$benchRef,"bench_outliers":$oJson,""" +
       s""""queries":$qJson}"""
     println(json)

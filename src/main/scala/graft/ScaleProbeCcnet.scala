@@ -8,12 +8,14 @@ import org.apache.spark.sql.functions._
   * chain a production caller runs): train an LM on the 90% slice,
   * score EVERY document with float perplexity, bucket per language
   * into head/middle/tail by exact rank, apply bucket-quota sampling.
-  * Runs the chain twice — once with the add-k bigram scorer
-  * ([[graft.operators.TextAnalysis.ngramLmScore]], the p32/p62 shape)
-  * and once with the order-3 stupid-backoff scorer
+  * Runs the chain per scorer shape — the add-k bigram
+  * ([[graft.operators.TextAnalysis.ngramLmScore]], the p32/p62 shape),
+  * the order-3 stupid-backoff scorer
   * ([[graft.operators.TextAnalysis.ngramLmScoreBackoff]], the p66
-  * CCNet/KenLM shape) — so the backoff upgrade's scale cost at 500k
-  * docs is a recorded number, not a guess. noop-format writes (count()
+  * CCNet/KenLM shape), and (r15) its PRUNED production variant
+  * (minCount=2 singleton pruning over the fused one-pass count step,
+  * the p71 shape) — so each upgrade's scale cost at 500k docs is a
+  * recorded number, not a guess. noop-format writes (count()
   * would prune the output projection — the Bench r10 caveat); the
   * disk probe is recorded beside the run per the standing discipline.
   *
@@ -72,7 +74,17 @@ object ScaleProbeCcnet {
         T.ngramLmScoreBackoff(train, docs, "doc_id", "text", order = 3)),
       lap("chain_backoff3", () =>
         bucketed(T.ngramLmScoreBackoff(train, docs, "doc_id", "text",
-          order = 3))))
+          order = 3))),
+      // the r15 production shape: KenLM singleton pruning (minCount=2
+      // empties the singleton mass out of the order-3 table) on top of
+      // the fused one-pass count step — the r14 verdict's ask was this
+      // chain's cost materially below the unpruned 62.0 s
+      lap("score_backoff3_pruned", () =>
+        T.ngramLmScoreBackoff(train, docs, "doc_id", "text", order = 3,
+          minCount = 2)),
+      lap("chain_backoff3_pruned", () =>
+        bucketed(T.ngramLmScoreBackoff(train, docs, "doc_id", "text",
+          order = 3, minCount = 2))))
 
     val json = s"""{"metric":"ccnet_chain","sf":"$sfDir",""" +
       f""""dd_mbps":$dd%.0f,"n_docs":$nDocs,"quota":$quota,""" +

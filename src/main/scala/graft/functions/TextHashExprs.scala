@@ -126,6 +126,43 @@ object TextHash {
     new GenericArrayData(out)
   }
 
+  /** ALL positional hashed k-shingle arrays for k = 1..maxK in ONE
+    * tokenize pass: element k (1-based) of the result is exactly
+    * [[shinglePosHashes]](text, k) — bit-identical, so every oracle
+    * pinned to the per-order kernel transfers. The backoff LM needs
+    * every order for every document on BOTH the count and score side;
+    * calling the per-order kernel order(+1) times re-runs the regex
+    * tokenize per call, which dominates the map side at scale. Here
+    * words() runs once and each position's gram strings share their
+    * prefix builds (the order-k gram at start i extends the order-k−1
+    * gram at i by one token). */
+  def shinglePosHashesUpTo(text: UTF8String, maxK: Int,
+                           md5: Boolean): ArrayData = {
+    val ws = words(text)
+    val n = ws.length
+    val arrs = new Array[Array[Long]](maxK)
+    var k = 0
+    while (k < maxK) {
+      arrs(k) =
+        if (n < k + 1) Array.emptyLongArray else new Array[Long](n - k)
+      k += 1
+    }
+    var i = 0
+    while (i < n) {
+      val sb = new java.lang.StringBuilder(48)
+      var j = 0
+      while (j < maxK && i + j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(ws(i + j))
+        arrs(j)(i) = hashOf(sb.toString, md5)
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(
+      arrs.map(a => new GenericArrayData(a): AnyRef))
+  }
+
   /** Drop every token covered by a k-token span starting at one of
     * `starts` (0-based token positions, sorted ascending, duplicates
     * fine). The original-case whitespace tokens are kept — only the
@@ -682,6 +719,35 @@ final case class ShinglePosHashes(child: Expression, k: Int,
       s"graft.functions.TextHash.shinglePosHashes($c, $k, $md5)")
   override protected def withNewChildInternal(newChild: Expression)
       : ShinglePosHashes = copy(child = newChild)
+}
+
+/** `shingle_pos_hashes_upto(text, maxK)`: array<array<long>> — element
+  * k (1-based) is [[TextHash.shinglePosHashes]](text, k); one
+  * tokenize pass serves every order (see
+  * [[TextHash.shinglePosHashesUpTo]]). */
+final case class ShinglePosHashesUpTo(child: Expression, maxK: Int,
+                                      md5: Boolean = false)
+    extends UnaryExpression {
+  require(maxK >= 1 && maxK <= 16,
+    s"maxK must be in [1,16], got $maxK")
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType])
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType}")
+  override def dataType: DataType =
+    ArrayType(ArrayType(LongType, containsNull = false),
+      containsNull = false)
+  override def prettyName: String = "shingle_pos_hashes_upto"
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.shinglePosHashesUpTo(input.asInstanceOf[UTF8String], maxK,
+      md5)
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextHash.shinglePosHashesUpTo($c, $maxK, $md5)")
+  override protected def withNewChildInternal(newChild: Expression)
+      : ShinglePosHashesUpTo = copy(child = newChild)
 }
 
 /** `match_span_fp(ha, hb, fp)`: longest matched gram run through the

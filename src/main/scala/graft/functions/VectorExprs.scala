@@ -196,6 +196,9 @@ object F {
     c(ShingleHashes(e(text), k, md5))
   def shinglePosHashes(text: Column, k: Int, md5: Boolean = false): Column =
     c(ShinglePosHashes(e(text), k, md5))
+  def shinglePosHashesUpTo(text: Column, maxK: Int,
+                           md5: Boolean = false): Column =
+    c(ShinglePosHashesUpTo(e(text), maxK, md5))
   def scrubSpans(text: Column, starts: Column, k: Int): Column =
     c(ScrubSpans(e(text), e(starts), k))
   def wordHashes(text: Column, md5: Boolean = false): Column =

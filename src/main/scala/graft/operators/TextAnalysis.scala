@@ -239,9 +239,12 @@ object TextAnalysis {
                                    order: Int, minCount: Int,
                                    portableHash: Boolean): DataFrame = {
     val F = graft.functions.F
+    // the multi-order kernel tokenizes each doc ONCE for all orders
+    // (the per-order kernel re-ran the regex split per order — the
+    // dominant map-side cost of the count pass)
     val fused = train
-      .select(posexplode(array((1 to order).map(k =>
-          F.shinglePosHashes(col(textCol), k, portableHash)): _*))
+      .select(posexplode(
+          F.shinglePosHashesUpTo(col(textCol), order, portableHash))
         .as(Seq("k0", "arr")))
       .select((col("k0") + 1).as("k"), explode(col("arr")).as("h"))
       .groupBy("k", "h").agg(count(lit(1)).as("c"))
@@ -274,19 +277,35 @@ object TextAnalysis {
     }
     val nv = cnts.head
       .agg(coalesce(sum(col("cn1")), lit(0L)), count(lit(1))).collect()(0)
-    val nTok = nv.getLong(0)
-    val vocab = nv.getLong(1)
+    lmBackoffScore(score, idCol, textCol, cnts,
+      nv.getLong(0), nv.getLong(1), order, alphaNum, alphaDen,
+      portableHash)
+  }
+
+  /** The scoring half of [[ngramLmScoreBackoff]], shared with the
+    * saved-model path ([[ngramLmScoreWithModel]]): the backoff cascade
+    * over caller-supplied per-order count tables + (N, V) totals. */
+  private def lmBackoffScore(score: DataFrame, idCol: String,
+                             textCol: String, cnts: Seq[DataFrame],
+                             nTok: Long, vocab: Long, order: Int,
+                             alphaNum: Int, alphaDen: Int,
+                             portableHash: Boolean): DataFrame = {
+    val F = graft.functions.F
     // one position row per score-side token: the k-gram ending at
     // 0-based position i starts at i-k+1, i.e. 1-based element i-k+2 of
     // the positional hash array — and its (k-1)-prefix shares that
     // start, so numerator and denominator keys read the SAME index from
-    // adjacent-order arrays. Keys are extracted in the projection fused
-    // with the generate; the arrays never reach the joins.
-    val arrs = score.select(Seq(col(idCol).as("id")) ++
-      (1 to order).map(k =>
-        F.shinglePosHashes(col(textCol), k, portableHash).as(s"a$k")) :+
-      posexplode(F.shinglePosHashes(col(textCol), 1, portableHash))
-        .as(Seq("i", "nk1")): _*)
+    // adjacent-order arrays. The multi-order kernel runs ONCE per doc
+    // (order+1 per-order calls would re-tokenize per call — the
+    // dominant score-side map cost); keys are extracted in the
+    // projection fused with the generate, and the nested array rides
+    // the Generate as a single attribute — never a shuffle.
+    val arrs = score.select(col(idCol).as("id"),
+        F.shinglePosHashesUpTo(col(textCol), order, portableHash)
+          .as("am"))
+      .select(Seq(col("id")) ++
+        (1 to order).map(k => element_at(col("am"), k).as(s"a$k")) :+
+        posexplode(element_at(col("am"), 1)).as(Seq("i", "nk1")): _*)
     val pos = arrs.select(Seq(col("id"), col("i"), col("nk1")) ++
       (2 to order).flatMap { k =>
         val idx = col("i") - (k - 2) // 1-based i-k+2; valid iff i >= k-1
@@ -348,6 +367,91 @@ object TextAnalysis {
           when(coalesce(col("n_tokens"), lit(0L)) > 0,
             exp(-coalesce(col("logscore"), lit(0.0)) / col("n_tokens")))
             .as("ppl")): _*)
+  }
+
+  /** TRAIN-ONCE / SCORE-MANY for the backoff LM: persist the fused
+    * count tables of [[ngramLmScoreBackoff]] as an on-disk model.
+    * This is the actual CCNet operating shape — §3.3 trains ONE KenLM
+    * per language on curated text (Wikipedia) and scores EVERY monthly
+    * crawl drop against it; recounting the train corpus per snapshot
+    * (what the in-line API does) wastes a full train scan each month.
+    * The saved model is just the (k, h, c) table partitioned by order
+    * + a meta sidecar pinning (order, minCount, hash, N, V) — at 100
+    * TB it is vocabulary/gram-bounded (and `minCount`-pruned), read
+    * with per-order partition pruning, and AQE-broadcast into the
+    * scoring joins exactly like the in-line tables.
+    *
+    * Layout: `modelDir/counts` (parquet, partitioned by `k`) and
+    * `modelDir/params.lm.txt` (written temp-file + atomic rename
+    * AFTER the counts land, so its presence marks a COMPLETE model —
+    * [[ngramLmScoreWithModel]] fails closed on a counts dir without
+    * it, the interrupted-save case). Re-saving overwrites the model;
+    * train-vs-score parameter drift is impossible by construction
+    * (scoring reads order/hash from the sidecar, never from caller
+    * arguments). */
+  def saveLmModel(train: DataFrame, textCol: String, modelDir: String,
+                  order: Int = 3, minCount: Int = 1,
+                  portableHash: Boolean = false): Unit = {
+    require(order >= 2 && order <= 6,
+      s"saveLmModel: order=$order out of [2,6]")
+    require(minCount >= 1,
+      s"saveLmModel: minCount=$minCount must be >= 1")
+    val meta = java.nio.file.Paths.get(modelDir, "params.lm.txt")
+    java.nio.file.Files.deleteIfExists(meta) // re-save: incomplete
+    // until the new counts land and the sidecar is re-written
+    lmCountTables(train, textCol, order, minCount, portableHash)
+      .write.mode("overwrite").partitionBy("k")
+      .parquet(s"$modelDir/counts")
+    val spark = train.sparkSession
+    val nv = spark.read.parquet(s"$modelDir/counts")
+      .filter(col("k") === 1)
+      .agg(coalesce(sum(col("c")), lit(0L)), count(lit(1))).collect()(0)
+    val line = s"order=$order minCount=$minCount " +
+      s"portable=$portableHash n=${nv.getLong(0)} v=${nv.getLong(1)}"
+    val tmp = java.nio.file.Files.createTempFile(
+      java.nio.file.Paths.get(modelDir), ".params.lm.", ".tmp")
+    java.nio.file.Files.write(tmp,
+      line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(tmp, meta,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Score documents against a model saved by [[saveLmModel]] — the
+    * monthly-crawl-drop side of train-once/score-many. Output schema
+    * and semantics are EXACTLY [[ngramLmScoreBackoff]]'s (the p72 gate
+    * proves the disk round-trip bit-identical against the same
+    * oracle); order, pruning, and hashing come from the model's
+    * sidecar so a scoring call can never silently mismatch its
+    * training parameters. α stays a scoring-time knob (it never
+    * touches the count tables). */
+  def ngramLmScoreWithModel(modelDir: String, score: DataFrame,
+                            idCol: String, textCol: String,
+                            alphaNum: Int = 2,
+                            alphaDen: Int = 5): DataFrame = {
+    require(alphaNum >= 1 && alphaDen > alphaNum,
+      s"ngramLmScoreWithModel: alpha=$alphaNum/$alphaDen not in (0,1)")
+    val meta = java.nio.file.Paths.get(modelDir, "params.lm.txt")
+    if (!java.nio.file.Files.exists(meta))
+      throw new IllegalStateException(
+        s"ngramLmScoreWithModel: no complete model at $modelDir — " +
+          "params.lm.txt is missing (either the dir is wrong or a " +
+          "saveLmModel was interrupted; re-save the model)")
+    val kv = new String(java.nio.file.Files.readAllBytes(meta),
+      java.nio.charset.StandardCharsets.UTF_8)
+      .trim.split(" ").map(_.split("=", 2))
+      .map(a => a(0) -> a(1)).toMap
+    val order = kv("order").toInt
+    val portableHash = kv("portable").toBoolean
+    val (nTok, vocab) = (kv("n").toLong, kv("v").toLong)
+    val spark = score.sparkSession
+    val counts = spark.read.parquet(s"$modelDir/counts")
+    val cnts = (1 to order).map { k =>
+      counts.filter(col("k") === k)
+        .select(col("h").as(s"nk$k"), col("c").as(s"cn$k"))
+    }
+    lmBackoffScore(score, idCol, textCol, cnts, nTok, vocab, order,
+      alphaNum, alphaDen, portableHash)
   }
 
   /** DSIR-style hashed n-gram importance weights (Xie et al. 2023,

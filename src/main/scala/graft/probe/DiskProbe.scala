@@ -43,4 +43,26 @@ object DiskProbe {
   /** One-line JSON fragment (no braces) for inlining into a SCALE
     * artifact: `"dd_mbps":412.3`. */
   def jsonFragment(): String = f""""dd_mbps":${writeMBps()}%.1f"""
+
+  /** Fixed CPU reference: wall seconds for a deterministic in-memory
+    * mix loop (no allocation, no I/O — ~1 s on a healthy box). The
+    * r14 verdict's ask: dd measures only the disk axis, so a uniform
+    * bench drift had to be adjudicated "CPU phase" BY ELIMINATION;
+    * recording this beside dd at artifact start/end separates the two
+    * phase axes mechanically — slow run + slow cpuRef = box CPU
+    * phase, slow run + healthy cpuRef + healthy dd = a regression.
+    * The sink value defeats dead-code elimination; iteration count is
+    * fixed so the number is comparable across rounds. */
+  def cpuRefSec(iters: Long = 400_000_000L): Double = {
+    var x = 0x9e3779b97f4a7c15L
+    var i = 0L
+    val t0 = System.nanoTime()
+    while (i < iters) {
+      x ^= x << 13; x ^= x >>> 7; x ^= x << 17 // xorshift64
+      i += 1
+    }
+    val sec = (System.nanoTime() - t0) / 1e9
+    if (x == 42L) println("") // sink
+    sec
+  }
 }

@@ -865,6 +865,28 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // TRAIN-ONCE/SCORE-MANY round trip as a gate: the pruned model is
+    // SAVED to disk (partitioned count tables + the meta sidecar) and
+    // the eval slice scored through ngramLmScoreWithModel — hashed
+    // against the SAME oracle as p71, so green proves the disk round
+    // trip (fused counts → parquet → sidecar-pinned rescore) is
+    // bit-identical to the in-line path. This is CCNet's operating
+    // shape: one KenLM per language trained once, every crawl drop
+    // scored against it.
+    "p72_lm_saved_model" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-p72-").toString
+      TextAnalysis.saveLmModel(docs.filter(col("doc_id") % 10 =!= 0),
+        "text", dir, order = 3, minCount = 2, portableHash = true)
+      TextAnalysis.ngramLmScoreWithModel(dir,
+          docs.filter(col("doc_id") % 10 === 0), "doc_id", "text")
+        .select(col("id").as("doc_id"), col("n_tokens"), col("n_hit3"),
+          col("n_hit2"), col("n_hit1"), col("n_oov"), col("sum_num"),
+          col("sum_den"), col("sum_steps"))
+        .orderBy("doc_id")
+    }),
+
     // classifier TRAINING as a gate: 3 unrolled fixed-point GD
     // iterations over 64 hashed-BoW buckets, label = (lang = 'en').
     // The learned weights themselves hash against the oracle's unrolled
@@ -2131,6 +2153,11 @@ object PipelineQueries {
     // eval trigram over a pruned train trigram backs off instead of
     // hitting. Orders 1–2 stay unpruned, exactly as the operator.
     "p71_lm_backoff_pruned" -> lmBackoffOracle(minCount3 = 2),
+
+    // identical replay to p71: the gate saves the pruned model to disk
+    // and rescores through it, so a hash match IS the proof that the
+    // persisted-model path reproduces the in-line path bit-for-bit
+    "p72_lm_saved_model" -> lmBackoffOracle(minCount3 = 2),
 
     "p31_scrub_spans" ->
       """WITH wsl AS (SELECT doc_id,

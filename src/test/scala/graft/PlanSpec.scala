@@ -702,6 +702,14 @@ class PlanSpec extends SparkTestBase {
     // positional kernel re-ran per join
     val gens = "Generate posexplode".r.findAllIn(finalPlan).size
     assert(gens == 1, s"expected 1 scoring explode, got $gens:\n$finalPlan")
+    // the multi-order kernel must run ONCE per score row — a collapsed
+    // projection that inlines it per element_at would re-tokenize the
+    // text per order (the exact cost the fused kernel removes)
+    val kernels = "shingle_pos_hashes_upto".r.findAllIn(finalPlan).size
+    assert(kernels == 1,
+      s"expected 1 multi-order kernel call, got $kernels:\n$finalPlan")
+    assert(!finalPlan.contains("shingle_pos_hashes("),
+      s"per-order kernel must not appear in the scoring plan:\n$finalPlan")
     // per-order count tables partial-aggregate map-side (the
     // distributed KenLM count step), then broadcast into the scoring
     // joins at this scale (AQE: the tables are vocabulary-sized)

@@ -43,6 +43,32 @@ class FunctionsSpec extends SparkTestBase {
     }
   }
 
+  test("ShinglePosHashesUpTo element k is bit-identical to the " +
+      "per-order ShinglePosHashes, both hash flavors, null-safe") {
+    val df = texts.toDF("id", "text")
+    for (md5 <- Seq(false, true); maxK <- Seq(1, 3, 5)) {
+      val expected = df.select(col("id"),
+          array((1 to maxK).map(k =>
+            F.shinglePosHashes(col("text"), k, md5)): _*).as("a"))
+        .as[(Long, Seq[Seq[Long]])].collect().toMap
+      val actual = df.select(col("id"),
+          F.shinglePosHashesUpTo(col("text"), maxK, md5).as("a"))
+        .as[(Long, Seq[Seq[Long]])].collect().toMap
+      assert(actual == expected, s"maxK=$maxK md5=$md5")
+    }
+    // null in, null out; short/empty docs yield empty inner arrays
+    val edge = Seq((0L, Some("solo")), (1L, None), (2L, Some("")))
+      .toDF("id", "text")
+      .select(col("id"), F.shinglePosHashesUpTo(col("text"), 3).as("a"))
+      .collect()
+    assert(edge.find(_.getLong(0) == 1L).get.isNullAt(1))
+    val solo = edge.find(_.getLong(0) == 0L).get
+      .getSeq[scala.collection.Seq[Long]](1)
+    assert(solo(0).length == 1 && solo(1).isEmpty && solo(2).isEmpty)
+    assert(edge.find(_.getLong(0) == 2L).get
+      .getSeq[scala.collection.Seq[Long]](1).forall(_.isEmpty))
+  }
+
   test("WordHashes matches xxhash64 over the HOF word array") {
     val df = texts.toDF("id", "text")
     val expected = df.select(col("id"),

@@ -471,6 +471,51 @@ class OperatorsSpec extends SparkTestBase {
         .map(r => r.getAs[Long]("id") -> r.toSeq).toMap)
   }
 
+  test("saveLmModel / ngramLmScoreWithModel: the disk round trip is " +
+      "bit-identical to the in-line scorer, pins its own params, and " +
+      "fails closed on an incomplete save") {
+    val train = Seq((1L, "a b c"), (2L, "a b c"), (3L, "z b d"))
+      .toDF("id", "text")
+    val score = Seq((10L, "a b c"), (11L, "z b d"), (12L, ""))
+      .toDF("id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-lm-model-").toString
+    TextAnalysis.saveLmModel(train, "text", dir, order = 3,
+      minCount = 2)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[Long]("id") -> r.toSeq).toMap
+    // saved == in-line at the same pruning, column for column
+    assert(rows(TextAnalysis.ngramLmScoreWithModel(dir, score,
+        "id", "text")) ==
+      rows(TextAnalysis.ngramLmScoreBackoff(train, score, "id", "text",
+        order = 3, minCount = 2)))
+    // order and hashing come from the sidecar, not the caller — a
+    // model trained at order 3 scores at order 3, full stop (the meta
+    // line carries order/minCount/portable/n/v)
+    val meta = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "params.lm.txt")), "UTF-8")
+    assert(meta.contains("order=3") && meta.contains("minCount=2") &&
+      meta.contains("n=9") && meta.contains("v=5"), meta)
+    // re-save with different params replaces the model wholesale
+    TextAnalysis.saveLmModel(train, "text", dir, order = 2)
+    val rescored = TextAnalysis.ngramLmScoreWithModel(dir, score,
+      "id", "text")
+    assert(!rescored.columns.contains("n_hit3") &&
+      rescored.columns.contains("n_hit2"))
+    // an interrupted save (counts present, sidecar missing) refuses
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(dir, "params.lm.txt"))
+    val e = intercept[IllegalStateException] {
+      TextAnalysis.ngramLmScoreWithModel(dir, score, "id", "text")
+    }
+    assert(e.getMessage.contains("params.lm.txt"))
+    // ...and so does a wrong dir
+    intercept[IllegalStateException] {
+      TextAnalysis.ngramLmScoreWithModel("/tmp/graft-no-such-model",
+        score, "id", "text")
+    }
+  }
+
   test("ngramLmScoreBackoff: order 3 separates where order 2 ties " +
       "(the CCNet gap vs the add-k bigram)") {
     val train = Seq((1L, "a b c"), (2L, "z b d")).toDF("id", "text")
