@@ -111,39 +111,41 @@ object TextAnalysis {
     * checks them); the log-space doubles are for ranking/filtering.
     * Docs with fewer than 2 tokens score 0 bigrams, logprob 0, ppl null.
     *
-    * Scale: counting is two hash-shuffle aggregates over the train
-    * corpus with map-side partial aggregation (the distributed KenLM
-    * count step); scoring joins the score-side bigram stream to the
-    * count tables on 64-bit gram hashes (collision-approximate exactly
-    * like [[Dedup.ngramJaccardPairs]]) and reduces per document — no
-    * driver-side state, no vocabulary broadcast needed (the count
-    * tables stay distributed; AQE broadcasts them when small). */
+    * Scale: counting is ONE fused hash-shuffle aggregate over the
+    * train corpus with map-side partial aggregation (the same
+    * [[lmCountTables]] pass the backoff scorer uses — bigram and
+    * unigram counts ride one tagged shuffle, the train text tokenized
+    * once via the multi-order kernel); scoring joins the score-side
+    * bigram stream to the count tables on 64-bit gram hashes
+    * (collision-approximate exactly like [[Dedup.ngramJaccardPairs]])
+    * and reduces per document — no driver-side state, no vocabulary
+    * broadcast needed (the count tables stay distributed; AQE
+    * broadcasts them when small). */
   def ngramLmScore(train: DataFrame, score: DataFrame, idCol: String,
                    textCol: String, addK: Double = 0.1,
                    portableHash: Boolean = false): DataFrame = {
     val F = graft.functions.F
     // (id, h1, h2) per bigram OCCURRENCE: h2 = hash of "w_i w_{i+1}",
-    // h1 = hash of w_i — position-aligned via the positional kernel
+    // h1 = hash of w_i — position-aligned via ONE multi-order kernel
+    // call per doc (per-order calls would re-tokenize per order)
     def bigramRows(df: DataFrame) =
       df.select(col(idCol).as("id"),
-          F.shinglePosHashes(col(textCol), 2, portableHash).as("h2s"),
-          F.shinglePosHashes(col(textCol), 1, portableHash).as("h1s"))
-        .select(col("id"), posexplode(col("h2s")).as(Seq("i", "h2")),
-          col("h1s"))
+          F.shinglePosHashesUpTo(col(textCol), 2, portableHash)
+            .as("am"))
+        .select(col("id"), element_at(col("am"), 1).as("h1s"),
+          posexplode(element_at(col("am"), 2)).as(Seq("i", "h2")))
         .select(col("id"), col("h2"),
           element_at(col("h1s"), col("i").cast("int") + 1).as("h1"))
-    def unigramRows(df: DataFrame) =
-      df.select(col(idCol).as("id"),
-          explode(F.shinglePosHashes(col(textCol), 1, portableHash))
-            .as("h1"))
-    val c12 = bigramRows(train).groupBy("h2")
-      .agg(count(lit(1)).as("c12"))
-    // pinned: c1 feeds both the vocab-size action below and the scoring
-    // join — without the pin the train corpus tokenizes twice for
-    // unigrams (once per consumer). The count() materializes the
-    // checkpoint; the join re-scans the blocks.
-    val c1 = unigramRows(train).groupBy("h1")
-      .agg(count(lit(1)).as("c1")).localCheckpoint(eager = false)
+    // pinned: the fused (k, h, c) table feeds the bigram join, the
+    // unigram join, AND the vocab-size action — one train scan + one
+    // shuffle for all three (the count() materializes the checkpoint;
+    // consumers re-scan the blocks)
+    val fused = lmCountTables(train, textCol, order = 2, minCount = 1,
+      portableHash = portableHash).localCheckpoint(eager = false)
+    val c12 = fused.filter(col("k") === 2)
+      .select(col("h").as("h2"), col("c").as("c12"))
+    val c1 = fused.filter(col("k") === 1)
+      .select(col("h").as("h1"), col("c").as("c1"))
     val vocab = c1.count().toDouble
     val scored = bigramRows(score)
       .join(c12, Seq("h2"), "left_outer")
@@ -388,7 +390,12 @@ object TextAnalysis {
     * it, the interrupted-save case). Re-saving overwrites the model;
     * train-vs-score parameter drift is impossible by construction
     * (scoring reads order/hash from the sidecar, never from caller
-    * arguments). */
+    * arguments). Models are immutable artifacts: re-save to a NEW dir
+    * if scorers may be mid-flight on the old one — a re-save deletes
+    * the sidecar first, so concurrent scorers fail closed rather than
+    * read half-written counts, but in-flight jobs that already passed
+    * the sidecar check race the overwrite like any file replaced
+    * under a reader. */
   def saveLmModel(train: DataFrame, textCol: String, modelDir: String,
                   order: Int = 3, minCount: Int = 1,
                   portableHash: Boolean = false): Unit = {
@@ -693,15 +700,26 @@ object TextAnalysis {
       s"linearScoreHashed: buckets=$buckets must be a power of two")
     val F = graft.functions.F
     val warr = new Array[Double](buckets)
-    weights.select(col("b").cast("int"), col("w_real").cast("double"))
-      .collect().foreach { r =>
-        val b = r.getInt(0)
-        require(b >= 0 && b < buckets,
-          s"linearScoreHashed: weight bucket $b out of range for " +
-            s"buckets=$buckets — the weights frame was trained at a " +
-            "different width; pass the trainer's `buckets` value")
-        warr(b) = r.getDouble(1)
-      }
+    val rows = weights
+      .select(col("b").cast("int"), col("w_real").cast("double"))
+      .collect()
+    // the trainer emits EXACTLY one row per bucket 0..B-1 (zeros
+    // included), so a row-count mismatch is a width mismatch in EITHER
+    // direction — a SMALLER trained width would otherwise score
+    // silently garbage (pmod at a different modulus lands tokens in
+    // buckets the model never trained)
+    require(rows.length == buckets,
+      s"linearScoreHashed: weights frame has ${rows.length} rows but " +
+        s"buckets=$buckets — the model was trained at a different " +
+        "width; pass the trainer's `buckets` value")
+    rows.foreach { r =>
+      val b = r.getInt(0)
+      require(b >= 0 && b < buckets,
+        s"linearScoreHashed: weight bucket $b out of range for " +
+          s"buckets=$buckets — the weights frame was trained at a " +
+          "different width; pass the trainer's `buckets` value")
+      warr(b) = r.getDouble(1)
+    }
     val tok = df.select(col(idCol),
       explode_outer(F.wordHashes(col(textCol), portableHash)).as("h"))
     tok.select(col(idCol),

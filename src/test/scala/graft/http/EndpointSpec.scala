@@ -413,12 +413,20 @@ class EndpointSpec extends SparkTestBase {
       os.write("<urn:s1> <urn:p> \"partial".getBytes(UTF_8))
       os.flush()
       sock.close()
-      // the handler runs async on the server pool; poll briefly
-      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
-      while (spoolCount > before && System.nanoTime() < deadline)
-        Thread.sleep(50)
-      assert(spoolCount <= before,
-        s"partial spool leaked: $spoolCount files (was $before)")
+      // the handler runs async on the server pool; poll (generously —
+      // under a fully loaded test JVM the server's blocking read can
+      // take tens of seconds to hit its IOException; a REAL leak stays
+      // forever, so a long deadline loses no detection power). Snapshot
+      // the count ONCE per check: a prior flake asserted on one read
+      // and interpolated a second into the message, which showed the
+      // cleanup landing microseconds after the deadline.
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      var now = spoolCount
+      while (now > before && System.nanoTime() < deadline) {
+        Thread.sleep(50); now = spoolCount
+      }
+      assert(now <= before,
+        s"partial spool leaked: $now files (was $before)")
       // server is still healthy after the aborted request
       val (c, b) = req(s"http://localhost:${ep.boundPort}/sparql/?query=" +
         java.net.URLEncoder.encode("ASK { ?s ?p ?o }", "UTF-8") +

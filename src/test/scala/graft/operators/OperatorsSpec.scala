@@ -671,6 +671,16 @@ class OperatorsSpec extends SparkTestBase {
         buckets = 64, portableHash = true)
     }
     assert(e.getMessage.contains("width"))
+    // the other direction is just as wrong and previously SILENT:
+    // scoring at a LARGER width than the model was trained at lands
+    // tokens (pmod at a different modulus) in never-trained buckets
+    val small = TextAnalysis.trainLinearClassifier(d, "id", "text", "y",
+      buckets = 32, iters = 1, portableHash = true)
+    val e2 = intercept[IllegalArgumentException] {
+      TextAnalysis.linearScoreHashed(d, "id", "text", small,
+        buckets = 64, portableHash = true)
+    }
+    assert(e2.getMessage.contains("width"))
   }
 
   test("scrubDuplicatedSpans removes viral spans, keeps unique text") {
