@@ -84,7 +84,24 @@ object ScaleProbeCcnet {
           minCount = 2)),
       lap("chain_backoff3_pruned", () =>
         bucketed(T.ngramLmScoreBackoff(train, docs, "doc_id", "text",
-          order = 3, minCount = 2))))
+          order = 3, minCount = 2))),
+      // CCNet's ACTUAL model order (§3.3: pruned 5-gram KenLM) — the
+      // widest shape the operator supports below its order cap; 9
+      // count-table joins and 6 per-order arrays per doc, all still
+      // off ONE kernel call and ONE tagged count shuffle
+      lap("score_backoff5_pruned", () =>
+        T.ngramLmScoreBackoff(train, docs, "doc_id", "text", order = 5,
+          minCount = 2)),
+      lap("chain_backoff5_pruned", () =>
+        bucketed(T.ngramLmScoreBackoff(train, docs, "doc_id", "text",
+          order = 5, minCount = 2))),
+      // the same chain with the scoring frame PINNED before bucketing
+      // (what a production caller does between stages): the unpinned
+      // vs pinned delta is the measured cost of whatever re-execution
+      // the bucketing stage induces over the order-5 scoring DAG
+      lap("chain_backoff5_pruned_pinned", () =>
+        bucketed(T.ngramLmScoreBackoff(train, docs, "doc_id", "text",
+          order = 5, minCount = 2).localCheckpoint())))
 
     val json = s"""{"metric":"ccnet_chain","sf":"$sfDir",""" +
       f""""dd_mbps":$dd%.0f,"n_docs":$nDocs,"quota":$quota,""" +
