@@ -116,10 +116,15 @@ object Dedup {
     * host both families — which [[compactDedupIndex]] already treats
     * as one unit — without the second family tripping a bogus
     * mismatch. A pre-family `params.txt` (written by older builds,
-    * necessarily single-family) is honored read-only. The sidecar is
-    * written via temp-file + atomic rename; a rename race (two
-    * concurrent first probes, only possible outside the index lock)
-    * re-validates against the winner. */
+    * necessarily single-family) is honored read-only — but only by
+    * ITS OWN family, recognized by the params-string prefix: a legacy
+    * fp-dir gaining its first lines probe must pin a fresh
+    * `params.lines.txt`, not be refused against an fp string. The
+    * sidecar is written complete-then-linked (temp file + hard link —
+    * link(2) is atomic AND create-exclusive, unlike rename(2), which
+    * silently replaces); a link race (two concurrent first probes,
+    * only possible outside the index lock) re-validates against the
+    * winner. */
   private def checkIndexParams(indexDir: String, family: String,
                                op: String, params: String): Unit = {
     val utf8 = java.nio.charset.StandardCharsets.UTF_8
@@ -135,16 +140,22 @@ object Dedup {
     val dir = java.nio.file.Paths.get(indexDir)
     val p = dir.resolve(s"params.$family.txt")
     val legacy = dir.resolve("params.txt")
+    // both families' params strings lead with a family-identifying
+    // token (fp=… / unit=line …); a legacy sidecar binds only the
+    // family that wrote it
+    val familyPrefix = params.split(" ")(0).split("=")(0) + "="
     if (java.nio.file.Files.exists(p)) check(p)
-    else if (java.nio.file.Files.exists(legacy)) check(legacy)
+    else if (java.nio.file.Files.exists(legacy) &&
+        read(legacy).startsWith(familyPrefix)) check(legacy)
     else {
       java.nio.file.Files.createDirectories(dir)
       val tmp = java.nio.file.Files
         .createTempFile(dir, s".params.$family.", ".tmp")
       java.nio.file.Files.write(tmp, params.getBytes(utf8))
-      try java.nio.file.Files.move(tmp, p,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      catch {
+      try {
+        java.nio.file.Files.createLink(p, tmp)
+        java.nio.file.Files.delete(tmp)
+      } catch {
         case _: java.nio.file.FileAlreadyExistsException =>
           java.nio.file.Files.deleteIfExists(tmp); check(p)
       }

@@ -406,13 +406,22 @@ object TextAnalysis {
     val meta = java.nio.file.Paths.get(modelDir, "params.lm.txt")
     java.nio.file.Files.deleteIfExists(meta) // re-save: incomplete
     // until the new counts land and the sidecar is re-written
-    lmCountTables(train, textCol, order, minCount, portableHash)
-      .write.mode("overwrite").partitionBy("k")
-      .parquet(s"$modelDir/counts")
-    val spark = train.sparkSession
-    val nv = spark.read.parquet(s"$modelDir/counts")
-      .filter(col("k") === 1)
+    // pinned: the (N, V) totals and the parquet write share one count
+    // pass (reading N/V back from disk would also die on the
+    // zero-file parquet dir an empty corpus produces — schema
+    // inference, not the real error)
+    val fused = lmCountTables(train, textCol, order, minCount,
+      portableHash).localCheckpoint(eager = false)
+    val nv = fused.filter(col("k") === 1)
       .agg(coalesce(sum(col("c")), lit(0L)), count(lit(1))).collect()(0)
+    // an LM model of NOTHING is a pipeline bug upstream (empty train
+    // slice), and its counts dir would fail every later scorer with an
+    // unrelated schema-inference error — refuse with the real cause
+    require(nv.getLong(1) > 0L,
+      s"saveLmModel: train corpus has no tokens (column '$textCol') — " +
+        "refusing to persist an empty model")
+    fused.write.mode("overwrite").partitionBy("k")
+      .parquet(s"$modelDir/counts")
     val line = s"order=$order minCount=$minCount " +
       s"portable=$portableHash n=${nv.getLong(0)} v=${nv.getLong(1)}"
     val tmp = java.nio.file.Files.createTempFile(
@@ -642,14 +651,19 @@ object TextAnalysis {
     val lrP = 1L << lrShift
     // fail closed on unlabelable rows: a NULL (or non-castable) label
     // nulls the residual, so the doc would silently contribute NO
-    // gradient — a corpus-quality bug this trainer must surface, not
-    // absorb (same philosophy as the dedup-index params sidecar). The
-    // probe scans only the label column and short-circuits at one hit.
-    require(df.filter(col(labelCol).cast("long").isNull)
+    // gradient — and a numeric label OUTSIDE {0,1} (a multi-class
+    // column passed by mistake) corrupts the residual 2S·σ̂ − 4S·y
+    // into an unbounded gradient with no error. Both are corpus-
+    // quality bugs this trainer must surface, not absorb (the params-
+    // sidecar philosophy). The probe scans only the label column and
+    // short-circuits at one hit.
+    val yl = col(labelCol).cast("long")
+    require(df.filter(yl.isNull || (yl =!= 0L && yl =!= 1L))
         .limit(1).count() == 0L,
-      s"trainLinearClassifier: labelCol '$labelCol' has NULL or " +
-        "non-0/1-castable values — such docs would silently drop out " +
-        "of the gradient; filter or impute labels first")
+      s"trainLinearClassifier: labelCol '$labelCol' has NULL, " +
+        "non-castable, or non-{0,1} values — NULLs silently drop out " +
+        "of the gradient and out-of-domain labels corrupt it; filter " +
+        "or re-encode labels first")
     // (id, y, b, x): per-doc per-bucket token-occurrence counts — ONE
     // tokenize + one shuffle, cached across iterations
     val feat = df.select(col(idCol).as("id"),
@@ -692,7 +706,17 @@ object TextAnalysis {
     * power-of-two token-hash buckets. `weights` is the trainer's
     * output frame (b, …, w_real) — B-bounded, collected once and
     * applied as a codegen'd literal-array lookup; the only shuffle is
-    * the per-doc sum. Output: (<idCol>, n_tokens, score, label). */
+    * the per-doc sum. Output: (<idCol>, n_tokens, score, label).
+    *
+    * Pass the trainer's FULL frame: it emits exactly one row per
+    * bucket (zeros included), and the row count is the only carrier of
+    * the model's trained width, so a dense frame is what makes a
+    * width mismatch detectable in EITHER direction (scoring a 32-wide
+    * model at 64 buckets lands tokens, via a different pmod modulus,
+    * in buckets the model never trained — silently, if all you check
+    * is bucket range). A sparsified frame (`filter(w =!= 0)`) is
+    * rejected for exactly that reason; persist the dense frame — it is
+    * B-bounded (≤ 2^20 rows) by the trainer's own contract. */
   def linearScoreHashed(df: DataFrame, idCol: String, textCol: String,
                         weights: DataFrame, buckets: Int,
                         portableHash: Boolean = false): DataFrame = {
@@ -707,11 +731,14 @@ object TextAnalysis {
     // included), so a row-count mismatch is a width mismatch in EITHER
     // direction — a SMALLER trained width would otherwise score
     // silently garbage (pmod at a different modulus lands tokens in
-    // buckets the model never trained)
+    // buckets the model never trained). Dense frames are the contract
+    // (scaladoc): a sparsified frame has no width evidence at all.
     require(rows.length == buckets,
       s"linearScoreHashed: weights frame has ${rows.length} rows but " +
-        s"buckets=$buckets — the model was trained at a different " +
-        "width; pass the trainer's `buckets` value")
+        s"buckets=$buckets — either the model was trained at a " +
+        "different width (pass the trainer's `buckets` value) or the " +
+        "frame was sparsified; pass the trainer's full frame (one row " +
+        "per bucket, zeros included — the row count is the width check)")
     rows.foreach { r =>
       val b = r.getInt(0)
       require(b >= 0 && b < buckets,

@@ -641,6 +641,30 @@ class OperatorsSpec extends SparkTestBase {
       TextAnalysis.trainLinearClassifier(nonCastable, "id", "text", "y",
         buckets = 64, iters = 1, portableHash = true)
     }
+    // numeric but out of {0,1}: a multi-class column passed by
+    // mistake would corrupt the residual silently, so it fails too
+    val multiClass = Seq((1L, "good text", 0L), (2L, "other", 2L))
+      .toDF("id", "text", "y")
+    val e3 = intercept[IllegalArgumentException] {
+      TextAnalysis.trainLinearClassifier(multiClass, "id", "text", "y",
+        buckets = 64, iters = 1, portableHash = true)
+    }
+    assert(e3.getMessage.contains("{0,1}"))
+  }
+
+  test("saveLmModel refuses an empty train corpus (a model of " +
+      "nothing fails every later scorer with an unrelated error)") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-lm-empty-").toString
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.saveLmModel(
+        Seq.empty[(Long, String)].toDF("id", "text"), "text", dir)
+    }
+    assert(e.getMessage.contains("no tokens"))
+    // nothing half-written: no sidecar means scorers keep failing
+    // closed with the save-side message, not schema inference
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, "params.lm.txt")))
   }
 
   test("trainLinearClassifier: a failed GD stage does not leak the " +
@@ -2344,7 +2368,8 @@ class OperatorsSpec extends SparkTestBase {
     assert(l == "c") // a, b already indexed by s1
   }
 
-  test("a pre-family params.txt sidecar is honored read-only") {
+  test("a pre-family params.txt sidecar is honored read-only, and " +
+      "binds ONLY its own family") {
     val dir = p68TmpDir()
     java.nio.file.Files.createDirectories(
       java.nio.file.Paths.get(dir))
@@ -2357,6 +2382,22 @@ class OperatorsSpec extends SparkTestBase {
     intercept[IllegalArgumentException] {
       Dedup.dedupAgainstIndex(docs, "doc_id", "text", dir, "s2",
         bands = 8)
+    }
+    // the OTHER family is not refused against the fp string: a legacy
+    // fp dir gains its first lines probe by pinning a fresh per-family
+    // sidecar (pre-fix: bogus cross-family 'mismatched parameters')
+    val l = Dedup.dedupLinesAgainstIndex(
+        Seq((0L, "a\nb")).toDF("doc_id", "text"), "doc_id", "text",
+        dir, "s2")
+      .select("deduped").as[String].collect().head
+    assert(l == "a\nb")
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, "params.lines.txt")))
+    // and the new lines family pins fail-closed like any other
+    intercept[IllegalArgumentException] {
+      Dedup.dedupLinesAgainstIndex(
+        Seq((1L, "a b")).toDF("doc_id", "text"), "doc_id", "text",
+        dir, "s3", sep = " ")
     }
   }
 
