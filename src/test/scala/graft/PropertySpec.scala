@@ -106,6 +106,21 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("shinglePosHashesUpTo element k equals shinglePosHashes(k) on " +
+      "random input, both hash flavors (the LM kernel-fusion invariant)") {
+    for (s <- samples; md5 <- Seq(false, true)) {
+      val u = UTF8String.fromString(s)
+      val multi = functions.TextHash.shinglePosHashesUpTo(u, 6, md5)
+      assert(multi.numElements() == 6)
+      for (k <- 1 to 6) {
+        val per = functions.TextHash.shinglePosHashes(u, k, md5)
+        assert(multi.getArray(k - 1).toLongArray.toSeq ==
+          per.toLongArray.toSeq,
+          s"order $k diverged (md5=$md5) on: ${s.take(60)}")
+      }
+    }
+  }
+
   test("repStats invariants: dup counts bounded by unit counts, dup " +
       "chars bounded by total, scrubRepeatedLines zeroes dup lines") {
     val u8 = UTF8String.fromString _
