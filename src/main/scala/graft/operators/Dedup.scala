@@ -285,7 +285,10 @@ object Dedup {
       // what makes historical re-probes verdict-identical
       val idx =
         if (new java.io.File(linesPath).exists())
-          spark.read.parquet(linesPath)
+          // explicit schema: a dataless table dir (recovery leftovers,
+          // _SUCCESS only) must read as empty, not die in inference
+          spark.read.schema("lh STRING, snapshot STRING")
+            .parquet(linesPath)
             .filter(col("snapshot") < lit(snapshotId)).select("lh")
         else spark.emptyDataFrame.select(lit("").as("lh")).limit(0)
       // two-step probe: snapshot digest set = build side; history is a
@@ -1096,16 +1099,51 @@ object Dedup {
     // partitions only — history for this snapshot is what was probed
     // before it, never what landed after (replay safety for historical
     // re-probes + partition pruning)
+    // explicit schemas: an index table dir can legitimately exist with
+    // ZERO data files (every partition of a crash-orphaned table
+    // removed during recovery, or a fresh dir holding only _SUCCESS) —
+    // schema inference would die there with an error naming parquet,
+    // not the index
+    val subSchemas = Map(
+      "fp" -> "fp STRING, snapshot STRING",
+      "bands" -> "band INT, bucket BIGINT, snapshot STRING")
     def readIndex(sub: String, names: Seq[String],
                   empty: Seq[Column]): DataFrame = {
       val path = s"$indexDir/$sub"
-      requireNoOrphanedCompaction(path, "dedupAgainstIndex")
       if (new java.io.File(path).exists())
-        spark.read.parquet(path)
+        spark.read.schema(subSchemas(sub)).parquet(path)
           .filter(col("snapshot") < lit(snapshotId))
           .select(names.map(col): _*)
       else spark.emptyDataFrame.select(empty: _*).limit(0)
     }
+    // crashed-compaction detection FIRST: a missing-live-table dir
+    // would otherwise read as a bands-without-fp (or empty-history)
+    // state and get the wrong diagnosis from the checks below
+    requireNoOrphanedCompaction(s"$indexDir/fp", "dedupAgainstIndex")
+    requireNoOrphanedCompaction(s"$indexDir/bands", "dedupAgainstIndex")
+    // cross-table delta consistency: the two deltas land bands-FIRST,
+    // so a crash between them leaves a strictly-earlier partition in
+    // bands/ with no fp/ counterpart — detectable, because fp always
+    // has one row per doc while bands is legitimately empty for a
+    // snapshot of sub-k-token docs (fp ⊇ bands, never the reverse).
+    // Probing over such a half-written snapshot would drop near-dups
+    // against history whose exact-dup evidence is missing; refuse and
+    // name the snapshot to re-probe instead.
+    def partitionIds(sub: String): Set[String] = {
+      val d = new java.io.File(s"$indexDir/$sub")
+      if (!d.exists()) Set.empty[String]
+      else Option(d.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith("snapshot="))
+        .map(_.getName.stripPrefix("snapshot="))
+        .filter(_ < snapshotId).toSet
+    }
+    val orphanBands = partitionIds("bands") -- partitionIds("fp")
+    require(orphanBands.isEmpty,
+      s"dedupAgainstIndex: snapshot(s) ${orphanBands.toSeq.sorted
+        .mkString(", ")} at $indexDir have band rows but no " +
+        "fingerprint rows — a probe crashed between its two delta " +
+        "writes; re-probe those snapshot(s) (same id, idempotent " +
+        "overwrite) before probing past them")
     val idxFp = readIndex("fp", Seq("fp"), Seq(lit("").as("fp")))
     val idxBands = readIndex("bands", Seq("band", "bucket"),
       Seq(lit(0).as("band"), lit(0L).as("bucket")))
@@ -1119,8 +1157,10 @@ object Dedup {
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("snapshot")
         .parquet(s"$indexDir/$sub")
-    writeDelta(fpDf, "fp")
+    // bands FIRST: fp's presence then certifies the pair landed (the
+    // consistency check above keys on exactly this ordering)
     writeDelta(banded, "bands")
+    writeDelta(fpDf, "fp")
     decisions
     }
   }

@@ -2335,6 +2335,41 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("a probe crashed between its two delta writes (bands landed, " +
+      "fp did not) fails later probes closed; empty-bands snapshots " +
+      "stay legitimate") {
+    val dir = p68TmpDir()
+    Dedup.dedupAgainstIndex(docs, "doc_id", "text", dir, "s1")
+    // simulate the crash window: bands/ has s1, fp/ does not
+    def rmTree(p: java.nio.file.Path): Unit = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.delete)
+    }
+    rmTree(java.nio.file.Paths.get(s"$dir/fp/snapshot=s1"))
+    val e = intercept[IllegalArgumentException] {
+      Dedup.dedupAgainstIndex(snap2, "doc_id", "text", dir, "s2")
+    }
+    assert(e.getMessage.contains("band rows but no fingerprint"),
+      e.getMessage)
+    // the documented recovery: re-probe the SAME id (not blocked by
+    // its own orphan), then later probes proceed with full history
+    Dedup.dedupAgainstIndex(docs, "doc_id", "text", dir, "s1")
+    val v = Dedup.dedupAgainstIndex(snap2, "doc_id", "text", dir, "s2")
+      .select("id", "verdict").as[(Long, String)].collect().toMap
+    assert(v(10L) == "drop_exact") // exact dup of doc 0 across snapshots
+    // a snapshot of sub-k-token docs writes fp rows but NO band rows —
+    // fp-without-bands is the legitimate direction and must not trip
+    val tiny = Seq((20L, "x"), (21L, "y z")).toDF("doc_id", "text")
+    Dedup.dedupAgainstIndex(tiny, "doc_id", "text", dir, "s3")
+    assert(!new java.io.File(s"$dir/bands/snapshot=s3").exists())
+    val after = Dedup.dedupAgainstIndex(
+        Seq((30L, "x")).toDF("doc_id", "text"),
+        "doc_id", "text", dir, "s4")
+      .select("id", "verdict").as[(Long, String)].collect().toMap
+    assert(after(30L) == "drop_exact") // fp from the tiny snapshot hit
+  }
+
   test("one indexDir hosts BOTH index families (per-family params " +
       "sidecars), and compaction treats them as one unit") {
     val dir = p68TmpDir()
