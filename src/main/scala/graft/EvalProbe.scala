@@ -12,15 +12,18 @@ import org.apache.spark.sql.SparkSession
   * them); large ratios mark the map-only family.
   *
   * BENCH-OUTLIER ADJUDICATION (r13 verdict: make the q12/q13-style
-  * box-noise call mechanical, not judge-side): pass the driver's latest
-  * `BENCH_r{N}.json` as the third arg and every query whose driver
-  * number exceeds this probe's count() time by >2× gets an immediate
-  * floor-of-3 rerun with the disk-probe MB/s recorded beside it, in a
-  * `bench_outliers` block — `"adjudication":"noise"` when the rerun
-  * floor lands back inside 2× of the calibration number (the driver
-  * sampled a bad box phase), `"regression"` when it does not (a real
-  * slowdown that needs code attention). An empty block means no driver
-  * number drifted.
+  * box-noise call mechanical, not judge-side; r15 verdict: tighten
+  * the trigger to 1.5× so the 1.5–2× drift band is ruled on
+  * mechanically too, not left to the judge's elimination argument):
+  * pass the driver's latest `BENCH_r{N}.json` as the third arg and
+  * every query whose driver number exceeds this probe's count() time
+  * by >1.5× gets an immediate floor-of-3 rerun with the disk-probe
+  * MB/s recorded beside it, in a `bench_outliers` block —
+  * `"adjudication":"noise"` when the rerun floor lands back inside
+  * 1.5× of the calibration number (the driver sampled a bad box
+  * phase), `"regression"` when it does not (a real slowdown that
+  * needs code attention). An empty block means no driver number
+  * drifted past 1.5×.
   *
   * Usage: runMain graft.EvalProbe <sfDir> [outJson] [driverBenchJson]
   */
@@ -99,7 +102,7 @@ object EvalProbe {
       driverSec.toSeq.sorted.flatMap { case (name, dSec) =>
         (evalSec.get(name), SparkEntry.queries.get(name)) match {
           case (Some(eSec), Some(fn))
-              if dSec > 0 && eSec > 0 && dSec > 2 * eSec =>
+              if dSec > 0 && eSec > 0 && dSec > 1.5 * eSec =>
             val dd = graft.probe.DiskProbe.writeMBps()
             val floor3 = (0 until 3).map { _ =>
               val t0 = System.nanoTime()
@@ -107,7 +110,7 @@ object EvalProbe {
               (System.nanoTime() - t0) / 1e9
             }.min
             val verdict =
-              if (floor3 <= 2 * eSec) "noise" else "regression"
+              if (floor3 <= 1.5 * eSec) "noise" else "regression"
             println(f"[eval] OUTLIER $name driver=$dSec%.3f " +
               f"eval=$eSec%.3f floor3=$floor3%.3f dd=$dd%.0f " +
               f"-> $verdict")

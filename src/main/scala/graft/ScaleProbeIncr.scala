@@ -13,6 +13,14 @@ import org.apache.spark.sql.functions._
   * the index row count it probed against. The disk probe is recorded
   * beside the run per the standing discipline.
   *
+  * Snapshot ids are `snap%05d` (zero-padded so they sort
+  * lexicographically in processing order — the index contract). This
+  * width is INCOMPATIBLE with the pre-r15 `snap%02d` layout
+  * ("snap00003" < "snap01" lexicographically, so a resumed run over
+  * an old-format dir would read empty history and keep everything);
+  * safe here only because every run creates a FRESH temp index dir —
+  * never point this probe at a persisted old-format index.
+  *
   * Usage: runMain graft.ScaleProbeIncr <sfDir> [nSnapshots] [outJson]
   */
 object ScaleProbeIncr {

@@ -99,18 +99,23 @@ object ScaleProbeTrainer {
       .map(r => r.getBoolean(0) -> r.getLong(1)).toMap
     // did the fixed-point trainer actually separate? Two operating
     // points: (a) threshold 0 — the raw `label` column; without a bias
-    // term the unnormalized GD absorbs the 1/3-2/3 class prior into
-    // the shared-filler weights, so 0 is NOT the natural boundary at
-    // this class skew — and (b) the production move: threshold at the
-    // known positive-fraction quantile of the score distribution
-    // (callers of quality classifiers pick an operating point; CCNet
-    // keeps a fraction, not a fixed logit). (b) is the separation
-    // evidence; train accuracy, not a generalization claim.
+    // term the unnormalized GD absorbs even the balanced 1/2-1/2 class
+    // prior's filler mass into the shared-filler weights, so 0 is not
+    // guaranteed to be the natural boundary — and (b) the production
+    // move: threshold at the MEASURED positive-fraction quantile of
+    // the score distribution (derived from the data, not hard-coded,
+    // so recalibrating the planted split never silently skews the
+    // operating point; callers of quality classifiers pick an
+    // operating point — CCNet keeps a fraction, not a fixed logit).
+    // (b) is the separation evidence; train accuracy, not a
+    // generalization claim.
     val joined = scored.join(labeled.select(col("doc_id"), col("y")),
       Seq("doc_id"))
     val agree0 = joined.filter(col("label") === col("y")).count()
+    val posFrac = joined.agg(avg(col("y").cast("double")))
+      .collect()(0).getDouble(0) // planted split: 1/2 on doc_id parity
     val thr = joined.agg(
-      percentile_approx(col("score"), lit(1.0 / 2), lit(100000)))
+      percentile_approx(col("score"), lit(1.0 - posFrac), lit(100000)))
       .collect()(0).getDouble(0)
     val agreeQ = joined
       .filter((col("score") >= thr) === col("y")).count()

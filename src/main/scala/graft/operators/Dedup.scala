@@ -158,6 +158,22 @@ object Dedup {
       } catch {
         case _: java.nio.file.FileAlreadyExistsException =>
           java.nio.file.Files.deleteIfExists(tmp); check(p)
+        case _: UnsupportedOperationException |
+             _: java.nio.file.FileSystemException =>
+          // no hard-link support (object-store mounts, some network
+          // FS, FAT): fall back to a create-exclusive direct write —
+          // same create-or-lose-and-revalidate contract (the params
+          // string is one small write; a reader racing the write
+          // re-reads a complete file because CREATE_NEW losers go
+          // through check(p)) — and never leak the tmp file
+          try {
+            try java.nio.file.Files.write(p, params.getBytes(utf8),
+              java.nio.file.StandardOpenOption.CREATE_NEW)
+            catch {
+              case _: java.nio.file.FileAlreadyExistsException =>
+                check(p)
+            }
+          } finally java.nio.file.Files.deleteIfExists(tmp)
       }
     }
   }
@@ -198,13 +214,29 @@ object Dedup {
     * serializing them costs ordering only, never correctness
     * (spec-proven: a lock-refused probe retried after release returns
     * the verdicts a serialized run produces). */
+  /** Identity string written into the index `lock` file: host +
+    * process start-time beside the pid, because on shared storage the
+    * index dir is visible from many machines and a bare pid cannot be
+    * verified dead from another host — the recovery hint must name
+    * WHERE to look, and the start instant disambiguates a recycled
+    * pid on that host. */
+  private[graft] def lockHolderInfo(op: String): String = {
+    val host =
+      try java.net.InetAddress.getLocalHost.getHostName
+      catch { case _: Exception => "unknown-host" }
+    val started = ProcessHandle.current().info().startInstant()
+      .map[String](_.toString).orElse("unknown")
+    s"op=$op host=$host pid=${ProcessHandle.current().pid()} " +
+      s"start=$started"
+  }
+
   private def withIndexLock[T](indexDir: String, op: String)
                               (body: => T): T = {
     val utf8 = java.nio.charset.StandardCharsets.UTF_8
     java.nio.file.Files
       .createDirectories(java.nio.file.Paths.get(indexDir))
     val lock = java.nio.file.Paths.get(indexDir, "lock")
-    val info = s"op=$op pid=${ProcessHandle.current().pid()}"
+    val info = lockHolderInfo(op)
     try java.nio.file.Files.write(lock, info.getBytes(utf8),
       java.nio.file.StandardOpenOption.CREATE_NEW)
     catch {
@@ -215,8 +247,9 @@ object Dedup {
         throw new IllegalStateException(
           s"$op: index at $indexDir is locked by [$held] — probes " +
             "and compaction are single-writer and must be " +
-            "serialized. If the holder crashed, verify no writer is " +
-            s"running and delete $lock")
+            "serialized. If the holder crashed, verify on the named " +
+            "host that no writer with that pid/start-time is " +
+            s"running, then delete $lock")
     }
     try body
     finally java.nio.file.Files.deleteIfExists(lock)
@@ -350,10 +383,24 @@ object Dedup {
         Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
       f.delete(); ()
     }
+    // a table dir that exists but holds no data files (recovery
+    // leftovers, _SUCCESS only) must compact as a clean no-op, not die
+    // in parquet schema inference. Inference stays for NON-empty dirs
+    // on purpose: compaction must preserve EVERY column (the fp table
+    // carries the caller-typed id for attribution), so a pinned
+    // probe-column schema would silently drop data here.
+    def hasDataFiles(f: java.io.File): Boolean = {
+      if (!f.isDirectory)
+        f.getName.endsWith(".parquet") && !f.getName.startsWith(".")
+      else Option(f.listFiles()).getOrElse(Array.empty)
+        .filterNot(_.getName.startsWith("_"))
+        .exists(hasDataFiles)
+    }
     def compact(sub: String, keyCols: Seq[String]): Unit = {
       val path = s"$indexDir/$sub"
       requireNoOrphanedCompaction(path, "compactDedupIndex")
       if (!new java.io.File(path).exists()) return
+      if (!hasDataFiles(new java.io.File(path))) return
       val df = spark.read.parquet(path)
       val others = df.columns.filterNot(keyCols.contains)
       val compacted = df.groupBy(keyCols.map(col): _*)

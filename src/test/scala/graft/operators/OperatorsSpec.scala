@@ -2253,14 +2253,25 @@ class OperatorsSpec extends SparkTestBase {
     // success path released the lock
     assert(!new java.io.File(s"$dir/lock").exists())
     // a held lock (crashed or concurrent writer) refuses every
-    // index-mutating entry point with the holder's info
+    // index-mutating entry point with the holder's info — which for a
+    // real writer names the HOST and process start-time beside the
+    // pid (shared-storage recovery: a pid alone cannot be verified
+    // dead from another machine)
+    val holderInfo = Dedup.lockHolderInfo("test")
+    assert(holderInfo.matches(
+      "op=test host=\\S+ pid=\\d+ start=\\S+"), holderInfo)
     java.nio.file.Files.write(java.nio.file.Paths.get(dir, "lock"),
-      "op=test pid=0".getBytes("UTF-8"))
+      holderInfo.getBytes("UTF-8"))
     val e = intercept[IllegalStateException] {
       Dedup.dedupAgainstIndex(docs, "doc_id", "text", dir, "s2")
     }
+    val realHost =
+      try java.net.InetAddress.getLocalHost.getHostName
+      catch { case _: Exception => "unknown-host" }
     assert(e.getMessage.contains("locked") &&
-      e.getMessage.contains("op=test"))
+      e.getMessage.contains("op=test") &&
+      e.getMessage.contains(s"host=$realHost") &&
+      e.getMessage.contains("named host"))
     intercept[IllegalStateException] {
       Dedup.compactDedupIndex(spark, dir)
     }
@@ -2333,6 +2344,23 @@ class OperatorsSpec extends SparkTestBase {
         Seq((1L, "b\nc")).toDF("doc_id", "text"), "doc_id", "text",
         ldir, "s2")
     }
+  }
+
+  test("compactDedupIndex over a dataless table dir (_SUCCESS only) " +
+      "is a clean no-op, not a schema-inference crash") {
+    val dir = p68TmpDir()
+    Dedup.dedupAgainstIndex(docs, "doc_id", "text", dir, "s1")
+    // simulate recovery leftovers: a lines/ dir with marker files but
+    // zero parquet data files
+    val lines = java.nio.file.Paths.get(s"$dir/lines")
+    java.nio.file.Files.createDirectories(lines)
+    java.nio.file.Files.write(lines.resolve("_SUCCESS"),
+      Array.empty[Byte])
+    Dedup.compactDedupIndex(spark, dir) // must not throw
+    // the real tables still compacted; the dataless one was skipped
+    assert(spark.read.parquet(s"$dir/fp").count() > 0)
+    assert(!java.nio.file.Files.exists(lines.resolve("lh=")),
+      "dataless dir must be left untouched")
   }
 
   test("a probe crashed between its two delta writes (bands landed, " +
