@@ -226,7 +226,19 @@ object TextAnalysis {
     * only 64-bit keys, the parent arrays never ride a shuffle) and
     * joins each per-order table twice at most (numerator key at k,
     * denominator prefix at k−1). No driver-side state beyond the 1-row
-    * (N, V) collect. */
+    * (N, V) collect.
+    *
+    * `langCol` turns the model PER-LANGUAGE (CCNet §3.3 trains one
+    * KenLM per language and scores each doc against its own
+    * language's model): count tables are keyed (lang, k, h) by the
+    * SAME single train pass — one multilingual scan, `nlangs` models,
+    * never a per-language corpus loop — and scoring joins on
+    * (lang, hash) with each language's own (N, V) floor riding in as
+    * a broadcast languages-sized frame. Output gains a `lang` column
+    * after `id`. A language's slice is bit-identical to a
+    * single-language model trained on that slice alone (spec-proven);
+    * docs whose lang has no model degenerate deterministically (see
+    * the scoring-half scaladoc). */
   /** The fused KenLM-style count step of [[ngramLmScoreBackoff]],
     * factored out so its physical shape is plan-gateable (the public
     * API checkpoints the result, which hides the aggregate from
@@ -236,20 +248,34 @@ object TextAnalysis {
     * scanned and shuffled once, not `order` times. Null text yields
     * null arrays, which the inner explode drops (exactly as per-order
     * explodes would). `minCount` > 1 prunes orders ≥ 3 below the
-    * threshold; orders 1–2 always survive. */
+    * threshold; orders 1–2 always survive.
+    *
+    * With `langCol` set the aggregate is keyed (lang, k, h) — ONE
+    * scan and ONE shuffle still count EVERY language's tables (the
+    * CCNet §3.3 shape: one model per language, trained in one pass
+    * over the multilingual corpus instead of a per-language corpus
+    * rescan). Null-lang train rows are dropped (a doc that can't name
+    * its model trains none of them). */
   private[graft] def lmCountTables(train: DataFrame, textCol: String,
                                    order: Int, minCount: Int,
-                                   portableHash: Boolean): DataFrame = {
+                                   portableHash: Boolean,
+                                   langCol: Option[String] = None)
+      : DataFrame = {
     val F = graft.functions.F
     // the multi-order kernel tokenizes each doc ONCE for all orders
     // (the per-order kernel re-ran the regex split per order — the
     // dominant map-side cost of the count pass)
-    val fused = train
-      .select(posexplode(
+    val langKey = langCol.map(lc => col(lc).as("lang")).toSeq
+    val src = langCol.fold(train)(lc => train.filter(col(lc).isNotNull))
+    val fused = src
+      .select(langKey :+ posexplode(
           F.shinglePosHashesUpTo(col(textCol), order, portableHash))
-        .as(Seq("k0", "arr")))
-      .select((col("k0") + 1).as("k"), explode(col("arr")).as("h"))
-      .groupBy("k", "h").agg(count(lit(1)).as("c"))
+        .as(Seq("k0", "arr")): _*)
+      .select(langCol.map(_ => col("lang")).toSeq ++
+        Seq((col("k0") + 1).as("k"), explode(col("arr")).as("h")): _*)
+      .groupBy(langCol.map(_ => col("lang")).toSeq ++
+        Seq(col("k"), col("h")): _*)
+      .agg(count(lit(1)).as("c"))
     if (minCount > 1) fused.filter(col("k") <= 2 || col("c") >= minCount)
     else fused
   }
@@ -258,40 +284,73 @@ object TextAnalysis {
                           idCol: String, textCol: String, order: Int = 3,
                           alphaNum: Int = 2, alphaDen: Int = 5,
                           minCount: Int = 1,
-                          portableHash: Boolean = false): DataFrame = {
+                          portableHash: Boolean = false,
+                          langCol: Option[String] = None): DataFrame = {
     require(order >= 2 && order <= 6,
       s"ngramLmScoreBackoff: order=$order out of [2,6]")
     require(alphaNum >= 1 && alphaDen > alphaNum,
       s"ngramLmScoreBackoff: alpha=$alphaNum/$alphaDen must be in (0,1)")
     require(minCount >= 1,
       s"ngramLmScoreBackoff: minCount=$minCount must be >= 1")
-    val F = graft.functions.F
     // ONE fused count pass (plan-gated via lmCountTables), pinned: the
     // per-order filtered views below feed 2·order−1 joins plus the
-    // N/V collect.
+    // N/V step. With langCol the SAME single pass counts every
+    // language's tables keyed (lang, k, h) and scoring joins on
+    // (lang, hash) — one multilingual corpus scan, `nlangs` models.
     val fused = lmCountTables(train, textCol, order, minCount,
-      portableHash).localCheckpoint(eager = false)
-    // per-order occurrence-count tables (each feeds the numerator join
-    // at k and the denominator join at k+1; c1 also feeds N/V)
-    val cnts: Seq[DataFrame] = (1 to order).map { k =>
-      fused.filter(col("k") === k)
-        .select(col("h").as(s"nk$k"), col("c").as(s"cn$k"))
+      portableHash, langCol).localCheckpoint(eager = false)
+    langCol match {
+      case None =>
+        // per-order occurrence-count tables (each feeds the numerator
+        // join at k and the denominator join at k+1; c1 also feeds N/V)
+        val cnts: Seq[DataFrame] = (1 to order).map { k =>
+          fused.filter(col("k") === k)
+            .select(col("h").as(s"nk$k"), col("c").as(s"cn$k"))
+        }
+        val nv = cnts.head
+          .agg(coalesce(sum(col("cn1")), lit(0L)), count(lit(1)))
+          .collect()(0)
+        lmBackoffScore(score, idCol, textCol, cnts,
+          Left((nv.getLong(0), nv.getLong(1))), order, alphaNum,
+          alphaDen, portableHash, langCol = None)
+      case Some(_) =>
+        val cnts: Seq[DataFrame] = (1 to order).map { k =>
+          fused.filter(col("k") === k)
+            .select(col("lang"), col("h").as(s"nk$k"),
+              col("c").as(s"cn$k"))
+        }
+        // per-language (N, V): a languages-sized frame, broadcast into
+        // the scoring positions — never collected
+        val nv = fused.filter(col("k") === 1).groupBy("lang")
+          .agg(sum(col("c")).as("__n"), count(lit(1)).as("__v"))
+        lmBackoffScore(score, idCol, textCol, cnts, Right(nv), order,
+          alphaNum, alphaDen, portableHash, langCol)
     }
-    val nv = cnts.head
-      .agg(coalesce(sum(col("cn1")), lit(0L)), count(lit(1))).collect()(0)
-    lmBackoffScore(score, idCol, textCol, cnts,
-      nv.getLong(0), nv.getLong(1), order, alphaNum, alphaDen,
-      portableHash)
   }
 
   /** The scoring half of [[ngramLmScoreBackoff]], shared with the
     * saved-model path ([[ngramLmScoreWithModel]]): the backoff cascade
-    * over caller-supplied per-order count tables + (N, V) totals. */
+    * over caller-supplied per-order count tables + (N, V) totals.
+    *
+    * `nv` is `Left((n, v))` for a single-language model (driver-side
+    * literals, the original plan) or `Right(df)` for per-language —
+    * a (lang, __n, __v) frame broadcast onto the positions so the
+    * unigram floor and OOV event space are each language's own.
+    * Per-language count tables carry a `lang` column and every join
+    * adds `lang` to its key. A scored doc whose lang has NO model
+    * (absent from the nv frame / count tables) degenerates
+    * deterministically: every token OOV against an empty event space
+    * (num=den=0, floor probability 1), logscore = Σ steps·ln α — keep
+    * such docs out or route them by filtering on the model's language
+    * set; they are NOT nulled because a quota pipeline downstream
+    * must still see a row per doc. */
   private def lmBackoffScore(score: DataFrame, idCol: String,
                              textCol: String, cnts: Seq[DataFrame],
-                             nTok: Long, vocab: Long, order: Int,
+                             nv: Either[(Long, Long), DataFrame],
+                             order: Int,
                              alphaNum: Int, alphaDen: Int,
-                             portableHash: Boolean): DataFrame = {
+                             portableHash: Boolean,
+                             langCol: Option[String]): DataFrame = {
     val F = graft.functions.F
     // one position row per score-side token: the k-gram ending at
     // 0-based position i starts at i-k+1, i.e. 1-based element i-k+2 of
@@ -302,13 +361,16 @@ object TextAnalysis {
     // dominant score-side map cost); keys are extracted in the
     // projection fused with the generate, and the nested array rides
     // the Generate as a single attribute — never a shuffle.
-    val arrs = score.select(col(idCol).as("id"),
+    val langSel = langCol.map(lc => col(lc).as("lang")).toSeq
+    val langCar = langCol.map(_ => col("lang")).toSeq
+    val arrs = score.select(Seq(col(idCol).as("id")) ++ langSel ++ Seq(
         F.shinglePosHashesUpTo(col(textCol), order, portableHash)
-          .as("am"))
-      .select(Seq(col("id")) ++
+          .as("am")): _*)
+      .select(Seq(col("id")) ++ langCar ++
         (1 to order).map(k => element_at(col("am"), k).as(s"a$k")) :+
         posexplode(element_at(col("am"), 1)).as(Seq("i", "nk1")): _*)
-    val pos = arrs.select(Seq(col("id"), col("i"), col("nk1")) ++
+    val pos0 = arrs.select(Seq(col("id")) ++ langCar ++
+      Seq(col("i"), col("nk1")) ++
       (2 to order).flatMap { k =>
         val idx = col("i") - (k - 2) // 1-based i-k+2; valid iff i >= k-1
         Seq(
@@ -317,14 +379,22 @@ object TextAnalysis {
           when(col("i") >= k - 1, element_at(col(s"a${k - 1}"), idx))
             .as(s"dk$k"))
       }: _*)
+    // per-language (N, V) ride in as broadcast columns; an unmatched
+    // lang coalesces to the empty event space (n=v=0), never null —
+    // the degenerate-but-deterministic no-model case documented above
+    val pos = nv.fold(_ => pos0, nvDf =>
+      pos0.join(broadcast(nvDf), Seq("lang"), "left_outer")
+        .withColumn("__n", coalesce(col("__n"), lit(0L)))
+        .withColumn("__v", coalesce(col("__v"), lit(0L))))
+    def jkeys(key: String) = langCol.map(_ => "lang").toSeq :+ key
     var joined = pos
     for (k <- 1 to order)
-      joined = joined.join(cnts(k - 1), Seq(s"nk$k"), "left_outer")
+      joined = joined.join(cnts(k - 1), jkeys(s"nk$k"), "left_outer")
     for (k <- 2 to order)
       joined = joined.join(
         cnts(k - 2).withColumnRenamed(s"nk${k - 1}", s"dk$k")
           .withColumnRenamed(s"cn${k - 1}", s"cd$k"),
-        Seq(s"dk$k"), "left_outer")
+        jkeys(s"dk$k"), "left_outer")
     val topk = least(lit(order), col("i") + 1)
     // level = highest order whose count hit (its prefix count is then
     // guaranteed non-null); 0 = OOV (unigram miss)
@@ -334,17 +404,29 @@ object TextAnalysis {
       }
     val num = coalesce(
       (order to 1 by -1).map(k => col(s"cn$k")) :+ lit(0L): _*)
+    // the unigram-floor denominator and the OOV event space: literals
+    // for a single-language model, the broadcast per-lang columns
+    // otherwise. Both branches compute ln(1.0 / max(n+v, 1)) with the
+    // same IEEE ops (divide then Math.log), so a single-language score
+    // and the same language's slice of a per-lang score are
+    // bit-identical (spec-proven).
+    val nBase = nv.fold(
+      { case (nTok, _) => lit(nTok) }, _ => col("__n"))
     val den = (order to 2 by -1).foldRight(
-        when(col("cn1").isNotNull, lit(nTok)).otherwise(lit(0L))) {
+        when(col("cn1").isNotNull, nBase).otherwise(lit(0L))) {
       (k, els) => when(col(s"cn$k").isNotNull, col(s"cd$k")).otherwise(els)
     }
     val steps = when(level > 0, topk - level).otherwise(topk - 1)
     val lnAlpha = math.log(alphaNum.toDouble / alphaDen)
-    val lnOov = math.log(1.0 / math.max(nTok + vocab, 1L))
+    val lnOov = nv.fold(
+      { case (nTok, vocab) =>
+        lit(math.log(1.0 / math.max(nTok + vocab, 1L))) },
+      _ => log(lit(1.0) /
+        greatest(col("__n") + col("__v"), lit(1L)).cast("double")))
     val lp = when(level > 0,
         steps.cast("double") * lnAlpha +
           log(num.cast("double") / den.cast("double")))
-      .otherwise(steps.cast("double") * lnAlpha + lit(lnOov))
+      .otherwise(steps.cast("double") * lnAlpha + lnOov)
     val scored = joined.select(col("id"), level.as("lvl"),
         num.as("num"), den.as("den"),
         steps.cast("long").as("steps"), lp.as("lp"))
@@ -356,8 +438,9 @@ object TextAnalysis {
           sum(col("num")).as("sum_num"), sum(col("den")).as("sum_den"),
           sum(col("steps")).as("sum_steps"),
           sum(col("lp")).as("logscore")): _*)
-    score.select(col(idCol).as("id")).join(scored, Seq("id"), "left_outer")
-      .select(Seq(col("id"),
+    score.select(Seq(col(idCol).as("id")) ++ langSel: _*)
+      .join(scored, Seq("id"), "left_outer")
+      .select(Seq(col("id")) ++ langCar ++ Seq(
         coalesce(col("n_tokens"), lit(0L)).as("n_tokens")) ++
         (1 to order).map(k =>
           coalesce(col(s"n_hit$k"), lit(0L)).as(s"n_hit$k")) ++
@@ -398,7 +481,8 @@ object TextAnalysis {
     * under a reader. */
   def saveLmModel(train: DataFrame, textCol: String, modelDir: String,
                   order: Int = 3, minCount: Int = 1,
-                  portableHash: Boolean = false): Unit = {
+                  portableHash: Boolean = false,
+                  langCol: Option[String] = None): Unit = {
     require(order >= 2 && order <= 6,
       s"saveLmModel: order=$order out of [2,6]")
     require(minCount >= 1,
@@ -411,23 +495,56 @@ object TextAnalysis {
     // zero-file parquet dir an empty corpus produces — schema
     // inference, not the real error)
     val fused = lmCountTables(train, textCol, order, minCount,
-      portableHash).localCheckpoint(eager = false)
-    val nv = fused.filter(col("k") === 1)
-      .agg(coalesce(sum(col("c")), lit(0L)), count(lit(1))).collect()(0)
-    // an LM model of NOTHING is a pipeline bug upstream (empty train
-    // slice), and its counts dir would fail every later scorer with an
-    // unrelated schema-inference error — refuse with the real cause
-    require(nv.getLong(1) > 0L,
-      s"saveLmModel: train corpus has no tokens (column '$textCol') — " +
-        "refusing to persist an empty model")
-    fused.write.mode("overwrite").partitionBy("k")
-      .parquet(s"$modelDir/counts")
-    val line = s"order=$order minCount=$minCount " +
-      s"portable=$portableHash n=${nv.getLong(0)} v=${nv.getLong(1)}"
+      portableHash, langCol).localCheckpoint(eager = false)
+    val sidecar: String = langCol match {
+      case None =>
+        val nv = fused.filter(col("k") === 1)
+          .agg(coalesce(sum(col("c")), lit(0L)), count(lit(1)))
+          .collect()(0)
+        // an LM model of NOTHING is a pipeline bug upstream (empty
+        // train slice), and its counts dir would fail every later
+        // scorer with an unrelated schema-inference error — refuse
+        // with the real cause
+        require(nv.getLong(1) > 0L,
+          s"saveLmModel: train corpus has no tokens (column " +
+            s"'$textCol') — refusing to persist an empty model")
+        fused.write.mode("overwrite").partitionBy("k")
+          .parquet(s"$modelDir/counts")
+        s"order=$order minCount=$minCount " +
+          s"portable=$portableHash n=${nv.getLong(0)} v=${nv.getLong(1)}"
+      case Some(_) =>
+        // ONE-PASS multilingual save (CCNet §3.3: one model per
+        // language): counts land partitioned (lang, k) so scoring
+        // prunes to the languages it joins, and the sidecar carries
+        // one (n, v) line per language — languages-bounded, tiny
+        val langNv = fused.filter(col("k") === 1).groupBy("lang")
+          .agg(coalesce(sum(col("c")), lit(0L)).as("n"),
+            count(lit(1)).as("v"))
+          .collect().map(r => (r.getString(0), r.getLong(1),
+            r.getLong(2))).sortBy(_._1)
+        require(langNv.nonEmpty,
+          s"saveLmModel: train corpus has no tokens (column " +
+            s"'$textCol') in any language — refusing to persist an " +
+            "empty model")
+        // lang values become partition dir names and sidecar tokens;
+        // anything outside the code-shaped charset would corrupt both
+        langNv.foreach { case (l, _, _) =>
+          require(l.matches("[A-Za-z0-9_.\\-]+"),
+            s"saveLmModel: language value '$l' is not a language " +
+              "code (allowed: letters, digits, '_', '.', '-') — " +
+              "normalize the lang column before saving")
+        }
+        fused.write.mode("overwrite").partitionBy("lang", "k")
+          .parquet(s"$modelDir/counts")
+        val header = s"order=$order minCount=$minCount " +
+          s"portable=$portableHash perlang=true"
+        (header +: langNv.map { case (l, n, v) =>
+          s"lang=$l n=$n v=$v" }).mkString("\n")
+    }
     val tmp = java.nio.file.Files.createTempFile(
       java.nio.file.Paths.get(modelDir), ".params.lm.", ".tmp")
     java.nio.file.Files.write(tmp,
-      line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      sidecar.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     java.nio.file.Files.move(tmp, meta,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
@@ -440,11 +557,19 @@ object TextAnalysis {
     * oracle); order, pruning, and hashing come from the model's
     * sidecar so a scoring call can never silently mismatch its
     * training parameters. α stays a scoring-time knob (it never
-    * touches the count tables). */
+    * touches the count tables).
+    *
+    * A model saved with `langCol` is PER-LANGUAGE and must be scored
+    * with `langCol` (and vice versa) — the shape is read from the
+    * sidecar and a mismatch fails closed in both directions, because
+    * each silent version is wrong silently: lang-less scoring of a
+    * per-lang model joins nothing (all-OOV), per-lang scoring of a
+    * single model gives every language the same model. */
   def ngramLmScoreWithModel(modelDir: String, score: DataFrame,
                             idCol: String, textCol: String,
                             alphaNum: Int = 2,
-                            alphaDen: Int = 5): DataFrame = {
+                            alphaDen: Int = 5,
+                            langCol: Option[String] = None): DataFrame = {
     require(alphaNum >= 1 && alphaDen > alphaNum,
       s"ngramLmScoreWithModel: alpha=$alphaNum/$alphaDen not in (0,1)")
     val meta = java.nio.file.Paths.get(modelDir, "params.lm.txt")
@@ -453,21 +578,55 @@ object TextAnalysis {
         s"ngramLmScoreWithModel: no complete model at $modelDir — " +
           "params.lm.txt is missing (either the dir is wrong or a " +
           "saveLmModel was interrupted; re-save the model)")
-    val kv = new String(java.nio.file.Files.readAllBytes(meta),
-      java.nio.charset.StandardCharsets.UTF_8)
-      .trim.split(" ").map(_.split("=", 2))
-      .map(a => a(0) -> a(1)).toMap
+    val lines = new String(java.nio.file.Files.readAllBytes(meta),
+      java.nio.charset.StandardCharsets.UTF_8).trim.split("\n")
+    def parseKv(line: String): Map[String, String] =
+      line.trim.split(" ").map(_.split("=", 2))
+        .map(a => a(0) -> a(1)).toMap
+    val kv = parseKv(lines.head)
     val order = kv("order").toInt
     val portableHash = kv("portable").toBoolean
-    val (nTok, vocab) = (kv("n").toLong, kv("v").toLong)
+    val perLang = kv.get("perlang").contains("true")
+    // lang-shape mismatch fails CLOSED both ways: scoring a per-lang
+    // model without a lang column would join nothing (every doc
+    // all-OOV, silently), and scoring a single-lang model "per
+    // language" would silently give every language the same model
+    require(perLang == langCol.isDefined,
+      if (perLang)
+        s"ngramLmScoreWithModel: the model at $modelDir is " +
+          "PER-LANGUAGE (saved with langCol) — pass langCol so each " +
+          "doc scores against its own language's model"
+      else
+        s"ngramLmScoreWithModel: the model at $modelDir is " +
+          "single-language — langCol must be empty (save with " +
+          "langCol to get a per-language model)")
     val spark = score.sparkSession
     val counts = spark.read.parquet(s"$modelDir/counts")
-    val cnts = (1 to order).map { k =>
-      counts.filter(col("k") === k)
-        .select(col("h").as(s"nk$k"), col("c").as(s"cn$k"))
+    if (perLang) {
+      val langNv = lines.tail.map(parseKv).map(m =>
+        (m("lang"), m("n").toLong, m("v").toLong))
+      import scala.jdk.CollectionConverters._
+      val nvDf = spark.createDataFrame(
+        langNv.map(t => org.apache.spark.sql.Row(t._1, t._2, t._3))
+          .toSeq.asJava,
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "lang STRING, __n BIGINT, __v BIGINT"))
+      val cnts = (1 to order).map { k =>
+        counts.filter(col("k") === k)
+          .select(col("lang"), col("h").as(s"nk$k"),
+            col("c").as(s"cn$k"))
+      }
+      lmBackoffScore(score, idCol, textCol, cnts, Right(nvDf), order,
+        alphaNum, alphaDen, portableHash, langCol)
+    } else {
+      val (nTok, vocab) = (kv("n").toLong, kv("v").toLong)
+      val cnts = (1 to order).map { k =>
+        counts.filter(col("k") === k)
+          .select(col("h").as(s"nk$k"), col("c").as(s"cn$k"))
+      }
+      lmBackoffScore(score, idCol, textCol, cnts, Left((nTok, vocab)),
+        order, alphaNum, alphaDen, portableHash, langCol = None)
     }
-    lmBackoffScore(score, idCol, textCol, cnts, nTok, vocab, order,
-      alphaNum, alphaDen, portableHash)
   }
 
   /** DSIR-style hashed n-gram importance weights (Xie et al. 2023,

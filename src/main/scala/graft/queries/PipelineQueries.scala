@@ -887,6 +887,60 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // PER-LANGUAGE LM (CCNet §3.3's actual operating shape: one KenLM
+    // per language, each doc scored against ITS OWN language's model)
+    // through the SAVED-model path: one-pass multilingual save
+    // (counts keyed (lang, k, h), partitioned (lang, k); per-lang
+    // (N, V) sidecar lines), then the eval slice scored TWICE — once
+    // under its own lang, once pinned to 'en' — so the gate hashes
+    // the same text scoring DIFFERENTLY under two languages' models
+    // (a lang-blind implementation collapses the pairs and fails).
+    // Hashed columns are the per-(doc, lang) integer sufficient
+    // statistics; float logscore never hashes.
+    "p73_lm_perlang" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-p73-").toString
+      TextAnalysis.saveLmModel(docs.filter(col("doc_id") % 10 =!= 0),
+        "text", dir, order = 3, minCount = 2, portableHash = true,
+        langCol = Some("lang"))
+      val ev = docs.filter(col("doc_id") % 10 === 0)
+      val doubled = ev.select((col("doc_id") * 2).as("sid"),
+          col("lang"), col("text"))
+        .unionAll(ev.select((col("doc_id") * 2 + 1).as("sid"),
+          lit("en").as("lang"), col("text")))
+      TextAnalysis.ngramLmScoreWithModel(dir, doubled, "sid", "text",
+          langCol = Some("lang"))
+        .select(col("id").as("sid"), col("lang"), col("n_tokens"),
+          col("n_hit3"), col("n_hit2"), col("n_hit1"), col("n_oov"),
+          col("sum_num"), col("sum_den"), col("sum_steps"))
+        .orderBy("sid")
+    }),
+
+    // ...and the per-language CCNet chain COMPOSED: in-line per-lang
+    // pruned scoring -> integer ppl surrogate (backoff distance per
+    // token; the p62 playbook — floats never rank a gate) ->
+    // perplexityBuckets per language with a head/middle/tail quota.
+    // This is the monthly-drop selection motion end-to-end: each
+    // language ranks against its own model's scores only.
+    "p74_lm_perlang_buckets" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val scored = TextAnalysis.ngramLmScoreBackoff(
+          docs.filter(col("doc_id") % 10 =!= 0),
+          docs.filter(col("doc_id") % 10 === 0), "doc_id", "text",
+          order = 3, minCount = 2, portableHash = true,
+          langCol = Some("lang"))
+        .withColumn("ppl_proxy", expr(
+          "(sum_steps * 1000000L) DIV greatest(n_tokens, 1L)"))
+        .select("id", "lang", "n_tokens", "sum_steps", "ppl_proxy")
+      TextAnalysis.perplexityBuckets(scored, "id", "ppl_proxy",
+          groupCols = Seq("lang"), k = 3, quota = Some(5L))
+        .select(col("id").as("doc_id"), col("lang"), col("ppl_proxy"),
+          col("rank_in_group"), col("n_in_group"), col("bucket"),
+          col("bucket_name"), col("bucket_rank"))
+        .orderBy("doc_id")
+    }),
+
     // classifier TRAINING as a gate: 3 unrolled fixed-point GD
     // iterations over 64 hashed-BoW buckets, label = (lang = 'en').
     // The learned weights themselves hash against the oracle's unrolled
@@ -1308,6 +1362,82 @@ object PipelineQueries {
        |  CAST(coalesce(sum_steps, 0) AS BIGINT) AS sum_steps
        |FROM documents d LEFT JOIN agg USING (doc_id)
        |WHERE d.doc_id % 10 = 0 ORDER BY d.doc_id""".stripMargin
+
+  /** The per-language generalization of [[lmBackoffOracle]]: count
+    * tables, (N, V) totals, joins, and the OOV floor are all keyed by
+    * `lang`, replaying the one-pass multilingual train + per-language
+    * scoring of `ngramLmScoreBackoff(langCol=...)`. `evSql` supplies
+    * the score-side (sid, lang, ws) rows — p73 doubles each eval doc
+    * under its own lang AND 'en'; p74 keeps own-lang only — and
+    * `tailSql` the final projection (plain stats for p73, the
+    * rank/bucket/quota chain for p74). minCount3 prunes the order-3
+    * table exactly like the operator (orders 1–2 never prune). */
+  private def lmPerLangOracle(minCount3: Int, evSql: String,
+                              tailSql: String): String =
+    s"""WITH ws0 AS (SELECT doc_id, lang,
+       |    list_filter(regexp_split_to_array(lower(text), '\\s+'),
+       |      x -> len(x) > 0) AS ws
+       |  FROM documents),
+       |tr AS (SELECT lang, ws FROM ws0 WHERE doc_id % 10 <> 0),
+       |c1 AS (SELECT lang, g, count(*) AS c FROM (
+       |    SELECT lang, unnest(ws) AS g FROM tr) GROUP BY 1, 2),
+       |c2 AS (SELECT lang, g, count(*) AS c FROM (
+       |    SELECT lang, unnest(list_transform(range(1, len(ws)),
+       |      i -> ws[i]||' '||ws[i+1])) AS g FROM tr) GROUP BY 1, 2),
+       |c3 AS (SELECT lang, g, count(*) AS c FROM (
+       |    SELECT lang, unnest(list_transform(range(1, len(ws)-1),
+       |      i -> ws[i]||' '||ws[i+1]||' '||ws[i+2])) AS g FROM tr)
+       |  GROUP BY 1, 2 HAVING count(*) >= $minCount3),
+       |nt AS (SELECT lang, sum(c)::BIGINT AS n FROM c1 GROUP BY 1),
+       |ev AS ($evSql),
+       |pos AS (SELECT sid, lang, i, ws[i] AS g1,
+       |    CASE WHEN i >= 2 THEN ws[i-1]||' '||ws[i] END AS g2,
+       |    CASE WHEN i >= 3
+       |      THEN ws[i-2]||' '||ws[i-1]||' '||ws[i] END AS g3,
+       |    CASE WHEN i >= 2 THEN ws[i-1] END AS d2,
+       |    CASE WHEN i >= 3 THEN ws[i-2]||' '||ws[i-1] END AS d3,
+       |    LEAST(3, i) AS topk
+       |  FROM (SELECT sid, lang, unnest(range(1, len(ws)+1)) AS i, ws
+       |    FROM ev)),
+       |j AS (SELECT p.sid, p.lang, p.topk,
+       |    n3.c AS cn3, n2.c AS cn2, n1.c AS cn1,
+       |    p3.c AS cd3, p2.c AS cd2, nt.n AS ntok
+       |  FROM pos p
+       |  LEFT JOIN c3 n3 ON n3.lang = p.lang AND n3.g = p.g3
+       |  LEFT JOIN c2 n2 ON n2.lang = p.lang AND n2.g = p.g2
+       |  LEFT JOIN c1 n1 ON n1.lang = p.lang AND n1.g = p.g1
+       |  LEFT JOIN c2 p3 ON p3.lang = p.lang AND p3.g = p.d3
+       |  LEFT JOIN c1 p2 ON p2.lang = p.lang AND p2.g = p.d2
+       |  LEFT JOIN nt ON nt.lang = p.lang),
+       |tok AS (SELECT sid,
+       |    CASE WHEN cn3 IS NOT NULL THEN 3 WHEN cn2 IS NOT NULL THEN 2
+       |         WHEN cn1 IS NOT NULL THEN 1 ELSE 0 END AS lvl,
+       |    coalesce(cn3, cn2, cn1, 0) AS num,
+       |    CASE WHEN cn3 IS NOT NULL THEN cd3
+       |         WHEN cn2 IS NOT NULL THEN cd2
+       |         WHEN cn1 IS NOT NULL THEN coalesce(ntok, 0)
+       |         ELSE 0 END AS den,
+       |    CASE WHEN cn3 IS NOT NULL THEN topk - 3
+       |         WHEN cn2 IS NOT NULL THEN topk - 2
+       |         ELSE topk - 1 END AS steps
+       |  FROM j),
+       |agg AS (SELECT sid, count(*) AS n_tokens,
+       |    sum((lvl = 3)::INT) AS n_hit3, sum((lvl = 2)::INT) AS n_hit2,
+       |    sum((lvl = 1)::INT) AS n_hit1, sum((lvl = 0)::INT) AS n_oov,
+       |    sum(num) AS sum_num, sum(den) AS sum_den,
+       |    sum(steps) AS sum_steps
+       |  FROM tok GROUP BY 1),
+       |stats AS (SELECT e.sid, e.lang,
+       |    CAST(coalesce(n_tokens, 0) AS BIGINT) AS n_tokens,
+       |    CAST(coalesce(n_hit3, 0) AS BIGINT) AS n_hit3,
+       |    CAST(coalesce(n_hit2, 0) AS BIGINT) AS n_hit2,
+       |    CAST(coalesce(n_hit1, 0) AS BIGINT) AS n_hit1,
+       |    CAST(coalesce(n_oov, 0) AS BIGINT) AS n_oov,
+       |    CAST(coalesce(sum_num, 0) AS BIGINT) AS sum_num,
+       |    CAST(coalesce(sum_den, 0) AS BIGINT) AS sum_den,
+       |    CAST(coalesce(sum_steps, 0) AS BIGINT) AS sum_steps
+       |  FROM ev e LEFT JOIN agg USING (sid))
+       |$tailSql""".stripMargin
 
   private val p69Oracle: String = {
     val c = "chr(13)||chr(10)"
@@ -2158,6 +2288,42 @@ object PipelineQueries {
     // and rescores through it, so a hash match IS the proof that the
     // persisted-model path reproduces the in-line path bit-for-bit
     "p72_lm_saved_model" -> lmBackoffOracle(minCount3 = 2),
+    "p73_lm_perlang" -> lmPerLangOracle(minCount3 = 2,
+      evSql = """SELECT doc_id * 2 AS sid, lang, ws FROM ws0
+        |    WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id * 2 + 1 AS sid, 'en' AS lang, ws FROM ws0
+        |    WHERE doc_id % 10 = 0""".stripMargin,
+      tailSql = """SELECT sid, lang, n_tokens, n_hit3, n_hit2, n_hit1,
+        |  n_oov, sum_num, sum_den, sum_steps
+        |FROM stats ORDER BY sid""".stripMargin),
+    "p74_lm_perlang_buckets" -> lmPerLangOracle(minCount3 = 2,
+      evSql =
+        "SELECT doc_id AS sid, lang, ws FROM ws0 WHERE doc_id % 10 = 0",
+      tailSql = """, keyed AS (SELECT sid, lang,
+        |    (sum_steps * 1000000) // greatest(n_tokens, 1)
+        |      AS ppl_proxy
+        |  FROM stats),
+        |ranked AS (SELECT *,
+        |    ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY ppl_proxy, sid) AS rank_in_group,
+        |    COUNT(*) OVER (PARTITION BY lang) AS n_in_group
+        |  FROM keyed),
+        |bk AS (SELECT *,
+        |    ((rank_in_group - 1) * 3) // n_in_group AS bucket
+        |  FROM ranked),
+        |qr AS (SELECT *, rank_in_group -
+        |    ((bucket * n_in_group + 2) // 3) AS bucket_rank FROM bk)
+        |SELECT sid AS doc_id, lang,
+        |  CAST(ppl_proxy AS BIGINT) AS ppl_proxy,
+        |  CAST(rank_in_group AS BIGINT) AS rank_in_group,
+        |  CAST(n_in_group AS BIGINT) AS n_in_group,
+        |  CAST(bucket AS BIGINT) AS bucket,
+        |  CASE bucket WHEN 0 THEN 'head' WHEN 1 THEN 'middle'
+        |    ELSE 'tail' END AS bucket_name,
+        |  CAST(bucket_rank AS BIGINT) AS bucket_rank
+        |FROM qr WHERE bucket_rank <= 5
+        |ORDER BY doc_id""".stripMargin),
 
     "p31_scrub_spans" ->
       """WITH wsl AS (SELECT doc_id,

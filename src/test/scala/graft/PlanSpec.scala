@@ -746,6 +746,45 @@ class PlanSpec extends SparkTestBase {
         finalPlan)
   }
 
+  test("per-language LM: ONE train scan and ONE shuffle still count " +
+      "EVERY language's tables; scoring keeps one kernel call and " +
+      "key-joins on (lang, hash)") {
+    val docs = graft.core.Tables.t(spark, sf, "documents")
+    // the count pass: adding the lang key must not add a scan or a
+    // shuffle — that is the whole point of one-pass multilingual
+    // training vs CCNet's per-language corpus loop
+    val cPlan = planOf(graft.operators.TextAnalysis.lmCountTables(
+        docs, "text", order = 3, minCount = 2, portableHash = true,
+        langCol = Some("lang")))
+      .split("== Initial Plan ==")(0)
+    val scans = "Scan parquet".r.findAllIn(cPlan).size
+    assert(scans == 1, s"expected 1 train scan, got $scans:\n$cPlan")
+    val exch = "Exchange hashpartitioning".r.findAllIn(cPlan).size
+    assert(exch == 1, s"expected 1 count shuffle, got $exch:\n$cPlan")
+    assert(cPlan.contains("partial_count"),
+      s"per-lang fused count must map-side combine:\n$cPlan")
+    assert("""hashpartitioning\(lang""".r.findFirstIn(cPlan).isDefined,
+      s"count shuffle must key on lang first:\n$cPlan")
+    // the scoring side: one multi-order kernel, one explode, joins
+    // stay key-equi (lang rides every key), count tables broadcast
+    val sPlan = planOf(graft.operators.TextAnalysis.ngramLmScoreBackoff(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", order = 3, portableHash = true,
+        langCol = Some("lang")))
+      .split("== Initial Plan ==")(0)
+    val gens = "Generate posexplode".r.findAllIn(sPlan).size
+    assert(gens == 1, s"expected 1 scoring explode, got $gens:\n$sPlan")
+    val kernels = "shingle_pos_hashes_upto".r.findAllIn(sPlan).size
+    assert(kernels == 1,
+      s"expected 1 multi-order kernel call, got $kernels:\n$sPlan")
+    assert(sPlan.contains("BroadcastHashJoin"),
+      s"per-lang count tables should broadcast:\n$sPlan")
+    assert(!sPlan.contains("CartesianProduct") &&
+      !sPlan.contains("BroadcastNestedLoopJoin"),
+      s"per-lang scoring must stay key-joined:\n$sPlan")
+  }
+
   test("dedupAgainstIndex probe: pruned index scans, semi-join hit " +
       "sets, partial-min election, no cartesian/window") {
     val docs = graft.core.Tables.t(spark, sf, "documents")

@@ -667,6 +667,148 @@ class OperatorsSpec extends SparkTestBase {
       java.nio.file.Paths.get(dir, "params.lm.txt")))
   }
 
+  test("per-language LM (langCol): one-pass scoring equals the " +
+      "per-language-model loop bit-for-bit; the same text scores " +
+      "differently under two languages' models; unknown langs " +
+      "degenerate deterministically") {
+    val train = Seq(
+      (1L, "en", "a b c"), (2L, "en", "a b c"), (3L, "en", "z b d"),
+      (4L, "fr", "a b q"), (5L, "fr", "q q a"))
+      .toDF("id", "lang", "text")
+    val score = Seq(
+      (10L, "en", "a b c"), (11L, "fr", "a b c"),
+      (12L, "en", "q q"), (13L, "fr", "q q"))
+      .toDF("id", "lang", "text")
+    val per = TextAnalysis.ngramLmScoreBackoff(train, score, "id",
+      "text", order = 3, langCol = Some("lang"))
+    assert(per.columns.take(2).toSeq == Seq("id", "lang"))
+    val perRows = per.collect()
+      .map(r => r.getAs[Long]("id") -> r.toSeq).toMap
+    // CCNet §3.3 loop equality: for EVERY language, the one-pass
+    // per-lang rows equal a single-language model trained on that
+    // language's slice alone — all columns, floats included
+    for (l <- Seq("en", "fr")) {
+      val single = TextAnalysis.ngramLmScoreBackoff(
+        train.filter(col("lang") === l).drop("lang"),
+        score.filter(col("lang") === l), "id", "text", order = 3)
+      single.collect().foreach { r =>
+        val spliced = (r.toSeq.take(1) :+ l) ++ r.toSeq.drop(1)
+        assert(perRows(r.getAs[Long]("id")) == spliced,
+          s"lang=$l id=${r.get(0)}: per-lang != per-model loop")
+      }
+    }
+    // the SAME text under two models: "a b c" hits en's trained
+    // trigram but backs off under fr — different levels, different
+    // scores (the two-language separation the round-16 gate hashes)
+    val en = perRows(10L); val fr = perRows(11L)
+    assert(en != fr)
+    assert(per.filter(col("id") === 10L).collect()
+        .head.getAs[Long]("n_hit3") == 1L &&
+      per.filter(col("id") === 11L).collect()
+        .head.getAs[Long]("n_hit3") == 0L)
+    // a doc whose lang has NO model: every token OOV against the
+    // empty event space (num=den=0, floor prob 1), logscore pays
+    // only the backoff-step alphas — deterministic, never null
+    val zz = TextAnalysis.ngramLmScoreBackoff(train,
+        Seq((20L, "zz", "a b")).toDF("id", "lang", "text"),
+        "id", "text", order = 3, langCol = Some("lang"))
+      .collect().head
+    assert(zz.getAs[Long]("n_oov") == 2L &&
+      zz.getAs[Long]("sum_num") == 0L &&
+      zz.getAs[Long]("sum_den") == 0L)
+    assert(math.abs(zz.getAs[Double]("logscore") -
+      math.log(0.4)) < 1e-12) // pos2's single backoff step
+  }
+
+  test("saveLmModel(langCol): the per-language disk round trip is " +
+      "bit-identical to the in-line per-lang scorer; lang-shape " +
+      "mismatches and non-code lang values fail closed") {
+    val train = Seq(
+      (1L, "en", "a b c"), (2L, "en", "a b c"), (3L, "en", "z b d"),
+      (4L, "fr", "a b q"), (5L, "fr", "q q a"))
+      .toDF("id", "lang", "text")
+    val score = Seq(
+      (10L, "en", "a b c"), (11L, "fr", "a b c"), (12L, "fr", ""))
+      .toDF("id", "lang", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-lm-perlang-").toString
+    TextAnalysis.saveLmModel(train, "text", dir, order = 3,
+      minCount = 2, langCol = Some("lang"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[Long]("id") -> r.toSeq).toMap
+    assert(rows(TextAnalysis.ngramLmScoreWithModel(dir, score,
+        "id", "text", langCol = Some("lang"))) ==
+      rows(TextAnalysis.ngramLmScoreBackoff(train, score, "id", "text",
+        order = 3, minCount = 2, langCol = Some("lang"))))
+    // the sidecar marks the model per-language and carries one (n, v)
+    // line per language — scoring reads the shape from disk
+    val meta = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "params.lm.txt")), "UTF-8")
+    assert(meta.contains("perlang=true") &&
+      meta.contains("lang=en n=") && meta.contains("lang=fr n="), meta)
+    // shape mismatches fail closed BOTH ways: a per-lang model scored
+    // without langCol would silently all-OOV every doc...
+    val e1 = intercept[IllegalArgumentException] {
+      TextAnalysis.ngramLmScoreWithModel(dir, score, "id", "text")
+    }
+    assert(e1.getMessage.contains("PER-LANGUAGE"))
+    // ...and a single-lang model scored "per language" would silently
+    // give every language the same model
+    val dir2 = java.nio.file.Files
+      .createTempDirectory("graft-lm-single-").toString
+    TextAnalysis.saveLmModel(train, "text", dir2, order = 3)
+    val e2 = intercept[IllegalArgumentException] {
+      TextAnalysis.ngramLmScoreWithModel(dir2, score, "id", "text",
+        langCol = Some("lang"))
+    }
+    assert(e2.getMessage.contains("single-language"))
+    // a lang value that is not a language code (spaces would corrupt
+    // the sidecar line format; odd chars the partition dirs) refuses
+    // at save time with the real cause
+    val e3 = intercept[IllegalArgumentException] {
+      TextAnalysis.saveLmModel(
+        Seq((1L, "e n", "a b")).toDF("id", "lang", "text"), "text",
+        java.nio.file.Files.createTempDirectory("graft-lm-bad-")
+          .toString, langCol = Some("lang"))
+    }
+    assert(e3.getMessage.contains("language"))
+  }
+
+  test("per-language LM composes with perplexityBuckets per language " +
+      "(the CCNet chain: own-language model -> per-language buckets)") {
+    val train = Seq(
+      (1L, "en", "a b c d"), (2L, "en", "a b c d"), (3L, "en", "x y"),
+      (4L, "fr", "u v w"), (5L, "fr", "u v w"))
+      .toDF("id", "lang", "text")
+    val score = Seq(
+      (10L, "en", "a b c d"), (11L, "en", "a b x"), (12L, "en", "q q"),
+      (13L, "fr", "u v w"), (14L, "fr", "u q"), (15L, "fr", "q q q"))
+      .toDF("id", "lang", "text")
+    val scored = TextAnalysis.ngramLmScoreBackoff(train, score, "id",
+        "text", order = 3, langCol = Some("lang"))
+      // integer surrogate (the p62 playbook): backoff distance per
+      // token — floats never rank a gate
+      .withColumn("ppl_proxy", expr(
+        "(sum_steps * 1000000L) DIV greatest(n_tokens, 1L)"))
+    val buckets = TextAnalysis.perplexityBuckets(scored, "id",
+      "ppl_proxy", groupCols = Seq("lang"), k = 3)
+    val byLang = buckets.collect()
+      .groupBy(_.getAs[String]("lang"))
+    assert(byLang.keySet == Set("en", "fr"))
+    // each language ranks within ITS OWN group — 3 docs each, one per
+    // bucket, and the fluent doc (own-language hit) heads its group
+    for ((_, rs) <- byLang) {
+      assert(rs.length == 3)
+      assert(rs.map(_.getAs[Long]("rank_in_group")).sorted.toSeq ==
+        Seq(1L, 2L, 3L))
+    }
+    val rank = buckets.collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("rank_in_group"))
+      .toMap
+    assert(rank(10L) == 1L && rank(13L) == 1L,
+      "the own-language-fluent doc must head each language's ranking")
+  }
+
   test("trainLinearClassifier: a failed GD stage does not leak the " +
       "feature cache") {
     val boom = udf((s: String) => {
