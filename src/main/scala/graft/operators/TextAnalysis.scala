@@ -285,7 +285,8 @@ object TextAnalysis {
                           alphaNum: Int = 2, alphaDen: Int = 5,
                           minCount: Int = 1,
                           portableHash: Boolean = false,
-                          langCol: Option[String] = None): DataFrame = {
+                          langCol: Option[String] = None,
+                          broadcastModel: Boolean = true): DataFrame = {
     require(order >= 2 && order <= 6,
       s"ngramLmScoreBackoff: order=$order out of [2,6]")
     require(alphaNum >= 1 && alphaDen > alphaNum,
@@ -312,7 +313,7 @@ object TextAnalysis {
           .collect()(0)
         lmBackoffScore(score, idCol, textCol, cnts,
           Left((nv.getLong(0), nv.getLong(1))), order, alphaNum,
-          alphaDen, portableHash, langCol = None)
+          alphaDen, portableHash, langCol = None, broadcastModel)
       case Some(_) =>
         val cnts: Seq[DataFrame] = (1 to order).map { k =>
           fused.filter(col("k") === k)
@@ -324,7 +325,7 @@ object TextAnalysis {
         val nv = fused.filter(col("k") === 1).groupBy("lang")
           .agg(sum(col("c")).as("__n"), count(lit(1)).as("__v"))
         lmBackoffScore(score, idCol, textCol, cnts, Right(nv), order,
-          alphaNum, alphaDen, portableHash, langCol)
+          alphaNum, alphaDen, portableHash, langCol, broadcastModel)
     }
   }
 
@@ -350,7 +351,8 @@ object TextAnalysis {
                              order: Int,
                              alphaNum: Int, alphaDen: Int,
                              portableHash: Boolean,
-                             langCol: Option[String]): DataFrame = {
+                             langCol: Option[String],
+                             broadcastModel: Boolean): DataFrame = {
     val F = graft.functions.F
     // one position row per score-side token: the k-gram ending at
     // 0-based position i starts at i-k+1, i.e. 1-based element i-k+2 of
@@ -387,13 +389,23 @@ object TextAnalysis {
         .withColumn("__n", coalesce(col("__n"), lit(0L)))
         .withColumn("__v", coalesce(col("__v"), lit(0L))))
     def jkeys(key: String) = langCol.map(_ => "lang").toSeq :+ key
+    // the KenLM operating shape: the pruned model lives in full on
+    // every node (kenlm mmaps it; CCNet ships per-language pruned
+    // 5-gram models sized for node RAM), so the count tables join as
+    // BROADCAST sides by default instead of flipping to shuffle joins
+    // when a table crosses the AQE size default — at sf10 that flip
+    // alone made order-5 scoring 2.3× slower (26.6 s vs 11.6 s,
+    // SCALE_BENCH lm_profile). `broadcastModel = false` hands the
+    // choice back to AQE for models past the broadcast budget.
+    def side(df: DataFrame) = if (broadcastModel) broadcast(df) else df
     var joined = pos
     for (k <- 1 to order)
-      joined = joined.join(cnts(k - 1), jkeys(s"nk$k"), "left_outer")
+      joined = joined.join(side(cnts(k - 1)), jkeys(s"nk$k"),
+        "left_outer")
     for (k <- 2 to order)
       joined = joined.join(
-        cnts(k - 2).withColumnRenamed(s"nk${k - 1}", s"dk$k")
-          .withColumnRenamed(s"cn${k - 1}", s"cd$k"),
+        side(cnts(k - 2).withColumnRenamed(s"nk${k - 1}", s"dk$k")
+          .withColumnRenamed(s"cn${k - 1}", s"cd$k")),
         jkeys(s"dk$k"), "left_outer")
     val topk = least(lit(order), col("i") + 1)
     // level = highest order whose count hit (its prefix count is then
@@ -569,7 +581,8 @@ object TextAnalysis {
                             idCol: String, textCol: String,
                             alphaNum: Int = 2,
                             alphaDen: Int = 5,
-                            langCol: Option[String] = None): DataFrame = {
+                            langCol: Option[String] = None,
+                            broadcastModel: Boolean = true): DataFrame = {
     require(alphaNum >= 1 && alphaDen > alphaNum,
       s"ngramLmScoreWithModel: alpha=$alphaNum/$alphaDen not in (0,1)")
     val meta = java.nio.file.Paths.get(modelDir, "params.lm.txt")
@@ -617,7 +630,7 @@ object TextAnalysis {
             col("c").as(s"cn$k"))
       }
       lmBackoffScore(score, idCol, textCol, cnts, Right(nvDf), order,
-        alphaNum, alphaDen, portableHash, langCol)
+        alphaNum, alphaDen, portableHash, langCol, broadcastModel)
     } else {
       val (nTok, vocab) = (kv("n").toLong, kv("v").toLong)
       val cnts = (1 to order).map { k =>
@@ -625,7 +638,8 @@ object TextAnalysis {
           .select(col("h").as(s"nk$k"), col("c").as(s"cn$k"))
       }
       lmBackoffScore(score, idCol, textCol, cnts, Left((nTok, vocab)),
-        order, alphaNum, alphaDen, portableHash, langCol = None)
+        order, alphaNum, alphaDen, portableHash, langCol = None,
+        broadcastModel)
     }
   }
 

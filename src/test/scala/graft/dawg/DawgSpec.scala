@@ -207,6 +207,15 @@ class DawgSpec extends SparkTestBase {
     hs.createContext("/ages/sparql/", canned(200,
       "?s\t?age\n<urn:a>\t\"4\"^^<http://www.w3.org/2001/XMLSchema#integer>\n" +
       "<urn:zzz>\t\"9\"^^<http://www.w3.org/2001/XMLSchema#integer>\n"))
+    // a peer slower than the read timeout (service-result2): stall
+    // well past the group's pinned readTimeoutMs, then answer — the
+    // client must have given up long before
+    hs.createContext("/slow/sparql/", ex => {
+      try {
+        Thread.sleep(3000)
+        canned(200, "?s\t?age\n").handle(ex)
+      } catch { case _: Exception => () }
+    })
     hs.createContext("/cut/sparql/", ex => {
       // promise more bytes than are sent, then close: the client sees
       // a premature EOF (Content-Length mismatch) inside the body read
@@ -527,8 +536,22 @@ class DawgSpec extends SparkTestBase {
             () => runTest(queryPath, data, named, resultPath)
       }
       registered += 1
+      // the service-result2 group models peers SLOWER than the read
+      // timeout, so the suite would stall at the 30 s default — pin
+      // the knob low for exactly this group (it is the knob a
+      // production federation deployment sets, not a test backdoor)
+      val runConf: () => Option[String] =
+        if (dir.getName == "service-result2") () => {
+          spark.conf.set("spark.graft.service.readTimeoutMs", "300")
+          spark.conf.set("spark.graft.service.connectTimeoutMs", "1000")
+          try run()
+          finally {
+            spark.conf.unset("spark.graft.service.readTimeoutMs")
+            spark.conf.unset("spark.graft.service.connectTimeoutMs")
+          }
+        } else run
       test(s"dawg $label") {
-        (run(), excuses.get(label)) match {
+        (runConf(), excuses.get(label)) match {
           case (None, None) => // pass
           case (None, Some(_)) =>
             fail(s"excused test now passes — remove '$label' from excuses.txt")

@@ -774,6 +774,28 @@ class OperatorsSpec extends SparkTestBase {
     assert(e3.getMessage.contains("language"))
   }
 
+  test("broadcastModel=false (AQE picks join strategies) returns " +
+      "rows identical to the broadcast default, single- and per-lang") {
+    val train = Seq(
+      (1L, "en", "a b c"), (2L, "en", "a b c"), (3L, "fr", "a b q"))
+      .toDF("id", "lang", "text")
+    val score = Seq((10L, "en", "a b c"), (11L, "fr", "a b c"))
+      .toDF("id", "lang", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[Long]("id") -> r.toSeq).toMap
+    // join strategy is physical only — the knob exists for models past
+    // the broadcast budget and must never change a single value
+    assert(rows(TextAnalysis.ngramLmScoreBackoff(train, score, "id",
+        "text", order = 3, broadcastModel = false)) ==
+      rows(TextAnalysis.ngramLmScoreBackoff(train, score, "id",
+        "text", order = 3)))
+    assert(rows(TextAnalysis.ngramLmScoreBackoff(train, score, "id",
+        "text", order = 3, langCol = Some("lang"),
+        broadcastModel = false)) ==
+      rows(TextAnalysis.ngramLmScoreBackoff(train, score, "id",
+        "text", order = 3, langCol = Some("lang"))))
+  }
+
   test("per-language LM composes with perplexityBuckets per language " +
       "(the CCNet chain: own-language model -> per-language buckets)") {
     val train = Seq(
