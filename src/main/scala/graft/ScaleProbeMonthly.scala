@@ -85,7 +85,10 @@ object ScaleProbeMonthly {
       lit("WARC-Type: conversion" + crlf),
       lit("WARC-Target-URI: urn:doc:"), col("doc_id"), lit(crlf),
       lit("WARC-Date: 2026-08-01T00:00:00Z" + crlf),
-      lit("Content-Length: "), length(col("text")).cast("string"),
+      // octet_length, NOT length: the WARC walk is byte-driven (the
+      // p69 framer's rule) — a character count under-frames any
+      // multi-byte doc and poisons the rest of its blob
+      lit("Content-Length: "), octet_length(col("text")).cast("string"),
       lit(crlf + crlf), col("text"), lit(crlf + crlf))
     docs.filter(col("doc_id") % 3 === 0)
       .withColumn("rec_str", rec)

@@ -161,18 +161,21 @@ object Dedup {
         case _: UnsupportedOperationException |
              _: java.nio.file.FileSystemException =>
           // no hard-link support (object-store mounts, some network
-          // FS, FAT): fall back to a create-exclusive direct write —
-          // same create-or-lose-and-revalidate contract (the params
-          // string is one small write; a reader racing the write
-          // re-reads a complete file because CREATE_NEW losers go
-          // through check(p)) — and never leak the tmp file
+          // FS, FAT): fall back to RENAMING the already-complete tmp
+          // file into place — rename is atomic where O_EXCL direct
+          // writes are not (classic NFS), so a reader never sees a
+          // partial file. Rename-without-REPLACE is only
+          // exists-checked, not exclusive, so two concurrent first
+          // probes could both believe they won — the unconditional
+          // check(p) after the move re-validates against whatever
+          // actually landed and fails closed on a mismatch. Never
+          // leak the tmp file.
           try {
-            try java.nio.file.Files.write(p, params.getBytes(utf8),
-              java.nio.file.StandardOpenOption.CREATE_NEW)
+            try java.nio.file.Files.move(tmp, p)
             catch {
-              case _: java.nio.file.FileAlreadyExistsException =>
-                check(p)
+              case _: java.nio.file.FileAlreadyExistsException => ()
             }
+            check(p)
           } finally java.nio.file.Files.deleteIfExists(tmp)
       }
     }

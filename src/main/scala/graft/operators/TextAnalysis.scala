@@ -218,15 +218,28 @@ object TextAnalysis {
     * (order-tag, hash) generate into a single map-side-combined
     * groupBy, so the train text is scanned and shuffled once, not
     * `order` times (the distributed KenLM count step; the per-order
-    * tables are filters over the one checkpointed aggregate, and AQE
-    * broadcasts the small ones). With `minCount` > 1 the high-order
-    * tables shrink from corpus-gram-sized to the frequent-gram set —
+    * tables are filters over the one checkpointed aggregate). With
+    * `minCount` > 1 the high-order tables shrink from
+    * corpus-gram-sized to the frequent-gram set —
     * the difference between an unbounded and a bounded scoring join at
     * web scale. Scoring explodes the score side once (positions carry
     * only 64-bit keys, the parent arrays never ride a shuffle) and
     * joins each per-order table twice at most (numerator key at k,
     * denominator prefix at k−1). No driver-side state beyond the 1-row
     * (N, V) collect.
+    *
+    * `broadcastModel` (default true) pins every count-table join to a
+    * BROADCAST join — the KenLM operating shape: the pruned model
+    * lives in full on every node (kenlm mmaps the model file; CCNet's
+    * per-language pruned 5-gram models are sized for node RAM). The
+    * default exists because the alternative fails silently-slow, not
+    * loudly: at sf10 the order-4/5 tables crossed the 10 MB AQE
+    * broadcast default and 4 of the 9 joins flipped to shuffle joins
+    * over the position stream (26.6 s vs 11.6 s, SCALE_BENCH
+    * lm_profile). For a model past the broadcast budget (Spark's hard
+    * 8 GB / 512M-row per-table limits, or driver memory) pass `false`
+    * and AQE picks strategies per table — strategy only, never a
+    * value (spec-pinned).
     *
     * `langCol` turns the model PER-LANGUAGE (CCNet §3.3 trains one
     * KenLM per language and scores each doc against its own
@@ -475,8 +488,9 @@ object TextAnalysis {
     * The saved model is just the (k, h, c) table partitioned by order
     * + a meta sidecar pinning (order, minCount, hash, N, V) — at 100
     * TB it is vocabulary/gram-bounded (and `minCount`-pruned), read
-    * with per-order partition pruning, and AQE-broadcast into the
-    * scoring joins exactly like the in-line tables.
+    * with per-order partition pruning, and broadcast into the
+    * scoring joins exactly like the in-line tables (`broadcastModel`
+    * on the scorer, default true — see [[ngramLmScoreBackoff]]).
     *
     * Layout: `modelDir/counts` (parquet, partitioned by `k`) and
     * `modelDir/params.lm.txt` (written temp-file + atomic rename
@@ -614,7 +628,16 @@ object TextAnalysis {
           "single-language — langCol must be empty (save with " +
           "langCol to get a per-language model)")
     val spark = score.sparkSession
-    val counts = spark.read.parquet(s"$modelDir/counts")
+    // explicit schemas: partition-column TYPE INFERENCE would read a
+    // purely numeric lang code (lang=01/, lang=1/) back as int and
+    // silently merge two languages' tables — pin lang to STRING (and
+    // k to INT) so the round trip is shape-exact by construction
+    val counts =
+      if (perLang) spark.read
+        .schema("h BIGINT, c BIGINT, lang STRING, k INT")
+        .parquet(s"$modelDir/counts")
+      else spark.read.schema("h BIGINT, c BIGINT, k INT")
+        .parquet(s"$modelDir/counts")
     if (perLang) {
       val langNv = lines.tail.map(parseKv).map(m =>
         (m("lang"), m("n").toLong, m("v").toLong))

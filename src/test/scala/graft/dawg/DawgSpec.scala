@@ -189,6 +189,10 @@ class DawgSpec extends SparkTestBase {
     import java.nio.charset.StandardCharsets.UTF_8
     val hs = com.sun.net.httpserver.HttpServer.create(
       new java.net.InetSocketAddress("localhost", 0), 0)
+    // without an executor every handler runs on the single dispatch
+    // thread — the /slow/ handler would park it and serialize later
+    // fixture requests behind the stall
+    hs.setExecutor(java.util.concurrent.Executors.newCachedThreadPool())
     def canned(code: Int, body: String)
         : com.sun.net.httpserver.HttpHandler = ex => {
       try {
@@ -208,11 +212,12 @@ class DawgSpec extends SparkTestBase {
       "?s\t?age\n<urn:a>\t\"4\"^^<http://www.w3.org/2001/XMLSchema#integer>\n" +
       "<urn:zzz>\t\"9\"^^<http://www.w3.org/2001/XMLSchema#integer>\n"))
     // a peer slower than the read timeout (service-result2): stall
-    // well past the group's pinned readTimeoutMs, then answer — the
-    // client must have given up long before
+    // past the group's pinned 300 ms readTimeoutMs, then answer — the
+    // client must have given up long before (1.2 s, not longer: the
+    // handler thread is parked for the full sleep either way)
     hs.createContext("/slow/sparql/", ex => {
       try {
-        Thread.sleep(3000)
+        Thread.sleep(1200)
         canned(200, "?s\t?age\n").handle(ex)
       } catch { case _: Exception => () }
     })

@@ -762,6 +762,23 @@ class OperatorsSpec extends SparkTestBase {
         langCol = Some("lang"))
     }
     assert(e2.getMessage.contains("single-language"))
+    // NUMERIC lang codes survive the round trip as STRINGS: without
+    // the pinned read schema, partition type inference reads lang=01/
+    // and lang=1/ both as int 1 and silently merges two languages'
+    // models ("a" below must hit only in lang "01"'s model)
+    val dirN = java.nio.file.Files
+      .createTempDirectory("graft-lm-numlang-").toString
+    TextAnalysis.saveLmModel(
+      Seq((1L, "01", "a a"), (2L, "1", "b b"))
+        .toDF("id", "lang", "text"),
+      "text", dirN, order = 2, langCol = Some("lang"))
+    val rN = TextAnalysis.ngramLmScoreWithModel(dirN,
+        Seq((5L, "01", "a"), (6L, "1", "a")).toDF("id", "lang", "text"),
+        "id", "text", langCol = Some("lang"))
+      .collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("n_hit1")).toMap
+    assert(rN == Map(5L -> 1L, 6L -> 0L),
+      s"numeric lang partitions merged: $rN")
     // a lang value that is not a language code (spaces would corrupt
     // the sidecar line format; odd chars the partition dirs) refuses
     // at save time with the real cause
