@@ -90,7 +90,9 @@ object ScaleProbeLmProfile {
       // high-order tables; if score_o5 barely moves, the join band's
       // cost is the 9-join plan itself, not the rows flowing through
       lap("score_o5_mc8", score(5, mc = 8)),
-      // the pre-fix path for the record: AQE left to pick strategies
+      // the past-broadcast-budget fallback: AQE picks strategies (a
+      // melt reformulation was measured 3× slower than this — see
+      // SCALE_BENCH_sf10_r16 notes — so AQE stays the fallback)
       lap("score_o5_aqe", score(5, bcast = false)))
 
     // table volumes per order at the production pruning — the

@@ -238,8 +238,11 @@ object TextAnalysis {
     * over the position stream (26.6 s vs 11.6 s, SCALE_BENCH
     * lm_profile). For a model past the broadcast budget (Spark's hard
     * 8 GB / 512M-row per-table limits, or driver memory) pass `false`
-    * and AQE picks strategies per table — strategy only, never a
-    * value (spec-pinned).
+    * and AQE picks strategies per table — measured to be the right
+    * fallback: a "3 shuffles regardless of order" melt formulation
+    * was built and benchmarked 3× slower than the AQE shuffle joins
+    * (falsified; SCALE_BENCH_sf10_r16 notes). Strategy only, never a
+    * value (spec-pinned equality).
     *
     * `langCol` turns the model PER-LANGUAGE (CCNet §3.3 trains one
     * KenLM per language and scores each doc against its own
@@ -397,8 +400,8 @@ object TextAnalysis {
     // per-language (N, V) ride in as broadcast columns; an unmatched
     // lang coalesces to the empty event space (n=v=0), never null —
     // the degenerate-but-deterministic no-model case documented above
-    val pos = nv.fold(_ => pos0, nvDf =>
-      pos0.join(broadcast(nvDf), Seq("lang"), "left_outer")
+    def attachNv(df: DataFrame): DataFrame = nv.fold(_ => df, nvDf =>
+      df.join(broadcast(nvDf), Seq("lang"), "left_outer")
         .withColumn("__n", coalesce(col("__n"), lit(0L)))
         .withColumn("__v", coalesce(col("__v"), lit(0L))))
     def jkeys(key: String) = langCol.map(_ => "lang").toSeq :+ key
@@ -409,9 +412,17 @@ object TextAnalysis {
     // when a table crosses the AQE size default — at sf10 that flip
     // alone made order-5 scoring 2.3× slower (26.6 s vs 11.6 s,
     // SCALE_BENCH lm_profile). `broadcastModel = false` hands the
-    // choice back to AQE for models past the broadcast budget.
+    // choice back to AQE for models past the broadcast budget — the
+    // right fallback by MEASUREMENT, not assumption: a melt
+    // formulation (explode every position's 2·order−1 lookups, ONE
+    // (k, hash) join, (id, i) regroup — "3 shuffles regardless of
+    // order") was built, proven value-identical, and measured 3×
+    // SLOWER than even the AQE shuffle joins (81.7 s vs 27.2 s at
+    // sf10 order 5): the 9× row multiplication before the single
+    // join costs more than the repeated position-stream shuffles it
+    // removes. Falsified and removed; numbers in SCALE_BENCH_sf10_r16.
     def side(df: DataFrame) = if (broadcastModel) broadcast(df) else df
-    var joined = pos
+    var joined = attachNv(pos0)
     for (k <- 1 to order)
       joined = joined.join(side(cnts(k - 1)), jkeys(s"nk$k"),
         "left_outer")

@@ -796,7 +796,11 @@ class OperatorsSpec extends SparkTestBase {
     val train = Seq(
       (1L, "en", "a b c"), (2L, "en", "a b c"), (3L, "fr", "a b q"))
       .toDF("id", "lang", "text")
-    val score = Seq((10L, "en", "a b c"), (11L, "fr", "a b c"))
+    // hits, backoff, OOV (c is unseen in fr), an empty doc, and an
+    // unknown-lang doc — the melt regroup must keep every position
+    // AND every doc the broadcast path keeps
+    val score = Seq((10L, "en", "a b c"), (11L, "fr", "a b c"),
+      (12L, "zz", "q q"), (13L, "en", ""))
       .toDF("id", "lang", "text")
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => r.getAs[Long]("id") -> r.toSeq).toMap
