@@ -779,6 +779,24 @@ class OperatorsSpec extends SparkTestBase {
       .map(r => r.getAs[Long]("id") -> r.getAs[Long]("n_hit1")).toMap
     assert(rN == Map(5L -> 1L, 6L -> 0L),
       s"numeric lang partitions merged: $rN")
+    // re-saving a PER-LANG dir as single-lang (and back) switches the
+    // shape wholesale: overwrite replaces the whole counts table and
+    // the sidecar re-pins the shape, so the stale-shape call fails
+    // closed and the new-shape call works — no partition-layout ghosts
+    TextAnalysis.saveLmModel(train, "text", dir, order = 3)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.ngramLmScoreWithModel(dir, score, "id", "text",
+        langCol = Some("lang"))
+    }
+    assert(TextAnalysis.ngramLmScoreWithModel(dir, score, "id", "text")
+      .columns.head == "id")
+    TextAnalysis.saveLmModel(train, "text", dir, order = 3,
+      minCount = 2, langCol = Some("lang"))
+    assert(rows(TextAnalysis.ngramLmScoreWithModel(dir, score,
+        "id", "text", langCol = Some("lang"))) ==
+      rows(TextAnalysis.ngramLmScoreBackoff(train, score, "id", "text",
+        order = 3, minCount = 2, langCol = Some("lang"))),
+      "per-lang re-save over a single-lang dir must be clean")
     // a lang value that is not a language code (spaces would corrupt
     // the sidecar line format; odd chars the partition dirs) refuses
     // at save time with the real cause
