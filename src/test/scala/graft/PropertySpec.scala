@@ -121,6 +121,52 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("per-language LM equals the per-language-model loop on random " +
+      "corpora (the langCol invariant), unknown langs degenerate") {
+    import spark.implicits._
+    val T = graft.operators.TextAnalysis
+    val vocab = Vector("a", "b", "c", "d", "e", "f")
+    def doc() = (0 until (1 + rnd.nextInt(8)))
+      .map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val langs = Vector("l0", "l1", "l2")
+    for (trial <- 1 to 5) {
+      val order = 2 + rnd.nextInt(3)
+      val minCount = 1 + rnd.nextInt(2)
+      val train = (0 until 30)
+        .map(i => (i.toLong, langs(rnd.nextInt(3)), doc()))
+        .toDF("id", "lang", "text")
+      val score = (100 until 118)
+        .map(i => (i.toLong,
+          if (i % 9 == 0) "zz" else langs(rnd.nextInt(3)), doc()))
+        .toDF("id", "lang", "text")
+      val perDf = T.ngramLmScoreBackoff(train, score, "id", "text",
+        order = order, minCount = minCount, langCol = Some("lang"))
+      val per = perDf.collect()
+        .map(r => r.getAs[Long]("id") -> r.toSeq).toMap
+      // CCNet loop equality per language — all columns, floats
+      // included (random sentences exercise hits, every backoff depth,
+      // pruning, OOV, and empty/singleton language slices)
+      for (l <- langs) {
+        T.ngramLmScoreBackoff(train.filter(col("lang") === l),
+            score.filter(col("lang") === l), "id", "text",
+            order = order, minCount = minCount)
+          .collect().foreach { r =>
+            val spliced = (r.toSeq.take(1) :+ l) ++ r.toSeq.drop(1)
+            assert(per(r.getAs[Long]("id")) == spliced,
+              s"trial $trial lang $l order $order mc $minCount")
+          }
+      }
+      // unknown lang: deterministically all-OOV vs the empty event
+      // space, never null rows
+      perDf.filter(col("lang") === "zz").collect().foreach { r =>
+        assert(r.getAs[Long]("n_oov") == r.getAs[Long]("n_tokens") &&
+          r.getAs[Long]("sum_num") == 0L &&
+          r.getAs[Long]("sum_den") == 0L,
+          s"trial $trial unknown-lang row: $r")
+      }
+    }
+  }
+
   test("repStats invariants: dup counts bounded by unit counts, dup " +
       "chars bounded by total, scrubRepeatedLines zeroes dup lines") {
     val u8 = UTF8String.fromString _
