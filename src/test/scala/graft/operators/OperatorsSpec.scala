@@ -835,6 +835,36 @@ class OperatorsSpec extends SparkTestBase {
         "text", order = 3, langCol = Some("lang"))))
   }
 
+  test("per-language saved model holds at a CCNet-sized language " +
+      "count: 200 languages, one train pass, every doc scores " +
+      "against its own model") {
+    // CCNet ships ~174 per-language models; the one-pass save must
+    // not hide a per-language driver bottleneck (the sidecar is one
+    // line per language, the counts table one partition pair, the
+    // (N, V) frame one broadcast row — all languages in ONE job)
+    val langs = (0 until 200).map(i => f"lg$i%03d")
+    val train = langs.zipWithIndex.flatMap { case (l, i) =>
+      (0 until 2).map(d =>
+        ((i * 10 + d).toLong, l, s"tok$l a$l b$l tok$l a$l"))
+    }.toDF("id", "lang", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-lm-200l-").toString
+    TextAnalysis.saveLmModel(train, "text", dir, order = 2,
+      langCol = Some("lang"))
+    val meta = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "params.lm.txt")), "UTF-8")
+    assert(meta.linesIterator.count(_.startsWith("lang=")) == 200)
+    // one scored doc per language, lang-specific vocab: a hit proves
+    // it joined ITS OWN model (any cross-language mixup is all-OOV)
+    val score = langs.zipWithIndex.map { case (l, i) =>
+      ((10000 + i).toLong, l, s"tok$l a$l") }.toDF("id", "lang", "text")
+    val scored = TextAnalysis.ngramLmScoreWithModel(dir, score,
+      "id", "text", langCol = Some("lang"))
+    assert(scored.filter(col("n_hit2") === 1L && col("n_oov") === 0L)
+      .count() == 200,
+      "every language's doc must hit its own model's bigram table")
+  }
+
   test("per-language LM composes with perplexityBuckets per language " +
       "(the CCNet chain: own-language model -> per-language buckets)") {
     val train = Seq(
