@@ -400,8 +400,8 @@ object TextAnalysis {
     // per-language (N, V) ride in as broadcast columns; an unmatched
     // lang coalesces to the empty event space (n=v=0), never null —
     // the degenerate-but-deterministic no-model case documented above
-    def attachNv(df: DataFrame): DataFrame = nv.fold(_ => df, nvDf =>
-      df.join(broadcast(nvDf), Seq("lang"), "left_outer")
+    val pos = nv.fold(_ => pos0, nvDf =>
+      pos0.join(broadcast(nvDf), Seq("lang"), "left_outer")
         .withColumn("__n", coalesce(col("__n"), lit(0L)))
         .withColumn("__v", coalesce(col("__v"), lit(0L))))
     def jkeys(key: String) = langCol.map(_ => "lang").toSeq :+ key
@@ -422,7 +422,7 @@ object TextAnalysis {
     // join costs more than the repeated position-stream shuffles it
     // removes. Falsified and removed; numbers in SCALE_BENCH_sf10_r16.
     def side(df: DataFrame) = if (broadcastModel) broadcast(df) else df
-    var joined = attachNv(pos0)
+    var joined = pos
     for (k <- 1 to order)
       joined = joined.join(side(cnts(k - 1)), jkeys(s"nk$k"),
         "left_outer")

@@ -815,7 +815,7 @@ class OperatorsSpec extends SparkTestBase {
       (1L, "en", "a b c"), (2L, "en", "a b c"), (3L, "fr", "a b q"))
       .toDF("id", "lang", "text")
     // hits, backoff, OOV (c is unseen in fr), an empty doc, and an
-    // unknown-lang doc — the melt regroup must keep every position
+    // unknown-lang doc — the AQE path must keep every position
     // AND every doc the broadcast path keeps
     val score = Seq((10L, "en", "a b c"), (11L, "fr", "a b c"),
       (12L, "zz", "q q"), (13L, "en", ""))
