@@ -271,7 +271,11 @@ object TextAnalysis {
     * CCNet §3.3 shape: one model per language, trained in one pass
     * over the multilingual corpus instead of a per-language corpus
     * rescan). Null-lang train rows are dropped (a doc that can't name
-    * its model trains none of them). */
+    * its model trains none of them). The lang key is cast to string
+    * here (and on the score side, symmetrically) so a non-string lang
+    * column — an int lang id, say — keys models by its decimal
+    * rendering instead of dying in [[saveLmModel]]'s sidecar collect
+    * with an opaque ClassCastException. */
   private[graft] def lmCountTables(train: DataFrame, textCol: String,
                                    order: Int, minCount: Int,
                                    portableHash: Boolean,
@@ -281,7 +285,7 @@ object TextAnalysis {
     // the multi-order kernel tokenizes each doc ONCE for all orders
     // (the per-order kernel re-ran the regex split per order — the
     // dominant map-side cost of the count pass)
-    val langKey = langCol.map(lc => col(lc).as("lang")).toSeq
+    val langKey = langCol.map(lc => col(lc).cast("string").as("lang")).toSeq
     val src = langCol.fold(train)(lc => train.filter(col(lc).isNotNull))
     val fused = src
       .select(langKey :+ posexplode(
@@ -360,7 +364,14 @@ object TextAnalysis {
     * (num=den=0, floor probability 1), logscore = Σ steps·ln α — keep
     * such docs out or route them by filtering on the model's language
     * set; they are NOT nulled because a quota pipeline downstream
-    * must still see a row per doc. */
+    * must still see a row per doc. A score-side row with NULL lang
+    * takes the SAME degenerate path (a null key matches nothing in
+    * the lang joins) — deliberate asymmetry with the train side,
+    * which DROPS null-lang rows: training can't key a model without a
+    * language, but a scored doc must keep its row. Since a null lang
+    * at scoring time usually means an upstream langId bug rather than
+    * a missing model, count or route `lang IS NULL` rows before
+    * scoring if that distinction matters. */
   private def lmBackoffScore(score: DataFrame, idCol: String,
                              textCol: String, cnts: Seq[DataFrame],
                              nv: Either[(Long, Long), DataFrame],
@@ -379,7 +390,9 @@ object TextAnalysis {
     // dominant score-side map cost); keys are extracted in the
     // projection fused with the generate, and the nested array rides
     // the Generate as a single attribute — never a shuffle.
-    val langSel = langCol.map(lc => col(lc).as("lang")).toSeq
+    // cast mirrors lmCountTables' train-side key: a non-string lang
+    // column joins by the same decimal rendering on both sides
+    val langSel = langCol.map(lc => col(lc).cast("string").as("lang")).toSeq
     val langCar = langCol.map(_ => col("lang")).toSeq
     val arrs = score.select(Seq(col(idCol).as("id")) ++ langSel ++ Seq(
         F.shinglePosHashesUpTo(col(textCol), order, portableHash)

@@ -891,12 +891,17 @@ object PipelineQueries {
     // per language, each doc scored against ITS OWN language's model)
     // through the SAVED-model path: one-pass multilingual save
     // (counts keyed (lang, k, h), partitioned (lang, k); per-lang
-    // (N, V) sidecar lines), then the eval slice scored TWICE — once
-    // under its own lang, once pinned to 'en' — so the gate hashes
-    // the same text scoring DIFFERENTLY under two languages' models
-    // (a lang-blind implementation collapses the pairs and fails).
-    // Hashed columns are the per-(doc, lang) integer sufficient
-    // statistics; float logscore never hashes.
+    // (N, V) sidecar lines), then the eval slice scored THREE ways —
+    // under its own lang, pinned to 'en', and pinned to 'zz' (a
+    // language ABSENT from the saved model) — so the gate hashes the
+    // same text scoring DIFFERENTLY under two languages' models (a
+    // lang-blind implementation collapses the pairs and fails) AND
+    // the documented no-model degenerate path (every token OOV
+    // against an empty event space: num=den=0, steps = Σ(topk−1),
+    // row preserved) lands in the hashed output instead of resting
+    // on spec assertions alone. Hashed columns are the per-(doc,
+    // lang) integer sufficient statistics; float logscore never
+    // hashes.
     "p73_lm_perlang" -> ((s, d) => {
       val docs = t(s, d, "documents")
       val dir = java.nio.file.Files
@@ -905,11 +910,13 @@ object PipelineQueries {
         "text", dir, order = 3, minCount = 2, portableHash = true,
         langCol = Some("lang"))
       val ev = docs.filter(col("doc_id") % 10 === 0)
-      val doubled = ev.select((col("doc_id") * 2).as("sid"),
+      val tripled = ev.select((col("doc_id") * 3).as("sid"),
           col("lang"), col("text"))
-        .unionAll(ev.select((col("doc_id") * 2 + 1).as("sid"),
+        .unionAll(ev.select((col("doc_id") * 3 + 1).as("sid"),
           lit("en").as("lang"), col("text")))
-      TextAnalysis.ngramLmScoreWithModel(dir, doubled, "sid", "text",
+        .unionAll(ev.select((col("doc_id") * 3 + 2).as("sid"),
+          lit("zz").as("lang"), col("text")))
+      TextAnalysis.ngramLmScoreWithModel(dir, tripled, "sid", "text",
           langCol = Some("lang"))
         .select(col("id").as("sid"), col("lang"), col("n_tokens"),
           col("n_hit3"), col("n_hit2"), col("n_hit1"), col("n_oov"),
@@ -2288,11 +2295,18 @@ object PipelineQueries {
     // and rescores through it, so a hash match IS the proof that the
     // persisted-model path reproduces the in-line path bit-for-bit
     "p72_lm_saved_model" -> lmBackoffOracle(minCount3 = 2),
+    // the 'zz' branch scores against NO model: every count join
+    // misses (the oracle's LEFT JOINs go all-NULL), so lvl=0, num=0,
+    // den=0, steps=topk−1 per token — the engine's documented
+    // degenerate path, hash-checked rather than spec-asserted
     "p73_lm_perlang" -> lmPerLangOracle(minCount3 = 2,
-      evSql = """SELECT doc_id * 2 AS sid, lang, ws FROM ws0
+      evSql = """SELECT doc_id * 3 AS sid, lang, ws FROM ws0
         |    WHERE doc_id % 10 = 0
         |  UNION ALL
-        |  SELECT doc_id * 2 + 1 AS sid, 'en' AS lang, ws FROM ws0
+        |  SELECT doc_id * 3 + 1 AS sid, 'en' AS lang, ws FROM ws0
+        |    WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id * 3 + 2 AS sid, 'zz' AS lang, ws FROM ws0
         |    WHERE doc_id % 10 = 0""".stripMargin,
       tailSql = """SELECT sid, lang, n_tokens, n_hit3, n_hit2, n_hit1,
         |  n_oov, sum_num, sum_den, sum_steps

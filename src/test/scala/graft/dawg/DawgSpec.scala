@@ -544,7 +544,12 @@ class DawgSpec extends SparkTestBase {
       // the service-result2 group models peers SLOWER than the read
       // timeout, so the suite would stall at the 30 s default — pin
       // the knob low for exactly this group (it is the knob a
-      // production federation deployment sets, not a test backdoor)
+      // production federation deployment sets, not a test backdoor).
+      // SEQUENTIAL-EXECUTION ASSUMPTION: the set/unset mutates the
+      // shared session conf around the run, which is safe only while
+      // this suite executes tests one at a time (the ScalaTest
+      // default here); enabling parallel execution would let another
+      // in-flight SERVICE test pick up the 300 ms timeout and flake
       val runConf: () => Option[String] =
         if (dir.getName == "service-result2") () => {
           spark.conf.set("spark.graft.service.readTimeoutMs", "300")
