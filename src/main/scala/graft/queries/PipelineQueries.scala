@@ -948,6 +948,81 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // THE FULL CRAWL FRONT DOOR AS ONE DAG (r16 verdict task 1 — the
+    // C4 §2.1 + CCNet §3 order with the line-grain and URL stages
+    // that the doc-grain compositions p55/p30 omit): URL canonicalize
+    // + registrable-host keying + domain blocklist → per-domain
+    // boilerplate-line scrub → Gopher quality + repetition gates ON
+    // THE SCRUBBED TEXT → INCREMENTAL corpus-global line dedup across
+    // two snapshots (even ids = snapA seeds the index, odd ids =
+    // snapB probes it). The corpus is reshaped so EVERY stage binds
+    // (the r16 adjudication b22a9e7: single-line docs degenerate the
+    // line stages): each doc becomes a site banner line (~50 docs per
+    // domain share it → scrubbed at minDocs=3), its body line
+    // (doc-unique), an "xline" shared by exactly 2 CONSECUTIVE docs
+    // (different domains → survives the per-domain scrub; the even
+    // doc is snapA, the odd snapB → the line-dedup index binds
+    // CROSS-snapshot), a "buddy" line shared by 2 docs per domain
+    // (under the scrub threshold → kept; 20 docs corpus-wide → the
+    // global-first election binds hard), and — for doc_id%3==0 — the
+    // doc's own 50-char prefix three times (doc-unique lines, so the
+    // scrub keeps them, but the REPETITION battery fails the doc:
+    // both gate verdicts land in the hash). Output: every front-door
+    // survivor with its canonical URL, domain key, per-stage integer
+    // counters and verdicts, and — for gate passers — the line-dedup
+    // row (n_kept_lines = −1 / final_md5 = '' mark gate failures,
+    // distinct from a passer that lost every line). The DuckDB
+    // oracle composes the p53 URL CTEs + p63 election + p54 battery
+    // + p64 repetition chain + p70 (snap, id, pos) winner election —
+    // green means the PIPELINE the brief describes runs as one DAG,
+    // not just its stages in isolation.
+    "p75_crawl_pipeline" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val front = UrlOps.dropBlockedHosts(
+          docs.select(col("doc_id"), col("text"), crawlUrl.as("url")),
+          "url", Seq("site3.com.au", "fan3.github.io", "192.168.1.4"))
+        .withColumn("url_canon", UrlOps.canonicalizeUrl(col("url")))
+        .withColumn("reg_host", UrlOps.registrableHost(col("url")))
+        .filter(col("reg_host") =!= "")
+      val sub50 = substring(col("text"), 1, 50)
+      val lined = front.select(col("doc_id"), col("url_canon"),
+        col("reg_host"),
+        concat(
+          lit("welcome to "), col("reg_host"), lit("\n"),
+          col("text"), lit("\n"),
+          lit("xline "), expr("doc_id DIV 2").cast("string"),
+          lit("\n"),
+          lit("buddy "), expr("doc_id DIV 20").cast("string"),
+          when(col("doc_id") % 3 === 0,
+            concat(lit("\n"), sub50, lit("\n"), sub50, lit("\n"),
+              sub50)).otherwise(lit(""))).as("text"))
+      val scrubbed = Dedup.scrubBoilerplateLines(lined, "doc_id",
+        "reg_host", "text", minDocs = 3)
+      val gated = TextAnalysis.repetitionSignals(
+        TextAnalysis.gopherQuality(scrubbed, "cleaned",
+          minStopwords = 1), "cleaned")
+      val surv = gated.filter(col("gopher_pass") && col("rep_pass"))
+        .select(col("doc_id"), col("cleaned"))
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-p75-").toString
+      val a = Dedup.dedupLinesAgainstIndex(
+        surv.filter(col("doc_id") % 2 === 0), "doc_id", "cleaned",
+        dir, "snapA")
+      val b = Dedup.dedupLinesAgainstIndex(
+        surv.filter(col("doc_id") % 2 === 1), "doc_id", "cleaned",
+        dir, "snapB")
+      val dd = a.unionByName(b).select(col("doc_id"),
+        col("n_kept_lines"), md5(col("deduped")).as("final_md5"))
+      gated.select(col("doc_id"), col("reg_host"), col("url_canon"),
+          col("n_dropped_lines"), col("n_words"), col("gopher_pass"),
+          col("n_lines"), col("rep_pass"))
+        .join(dd, Seq("doc_id"), "left")
+        .withColumn("n_kept_lines",
+          coalesce(col("n_kept_lines"), lit(-1L)))
+        .withColumn("final_md5", coalesce(col("final_md5"), lit("")))
+        .orderBy("doc_id")
+    }),
+
     // classifier TRAINING as a gate: 3 unrolled fixed-point GD
     // iterations over 64 hashed-BoW buckets, label = (lang = 'en').
     // The learned weights themselves hash against the oracle's unrolled
@@ -1775,6 +1850,101 @@ object PipelineQueries {
       |            ELSE h.n END) - 1)):h.n], '.')
       |    END AS reg_host
       |  FROM hl h LEFT JOIN mt m USING (doc_id))""".stripMargin
+
+  /** Shared WITH prefix of the URL-pipeline oracles (the p53 gate and
+    * the p75 composed crawl pipeline): the crawlUrl template -> trim /
+    * fragment strip -> authority parse + lowering -> default-port drop
+    * -> path dot-segment FIX POINT (a recursive CTE iterating the
+    * IDENTICAL ordered regexp_replace composition
+    * functions.UrlKernel.pathStep applies) -> tracking-param filter ->
+    * canonical URL (CTE `canon`) -> bare host (CTE `hb`) -> inlined
+    * PSL rules -> registrable host (CTE `reg`). Rewrite for rewrite
+    * with the kernel, so cross-engine agreement is by construction. */
+  private lazy val urlPipeCtesSql: String = {
+      // one ordered rewrite pass (UrlKernel.pathStep), nested innermost
+      // -> outermost: // ; /./ ; trailing /. ; /seg/../ ; trailing
+      // /seg/.. ; leading /../ ; lone /.. — plain-string template with
+      // @P@ substitution (no interpolation: '$'/'\' stay single)
+      def step(p: String): String =
+        """regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+          |regexp_replace(regexp_replace(regexp_replace(@P@,
+          |  '//', '/', 'g'),
+          |  '/\./', '/', 'g'),
+          |  '/\.$', '/'),
+          |  '/(\.[^/.][^/]*|\.\.[^/]+|[^/.][^/]*)/\.\./', '/', 'g'),
+          |  '/(\.[^/.][^/]*|\.\.[^/]+|[^/.][^/]*)/\.\.$', '/'),
+          |  '^/\.\./', '/'),
+          |  '^/\.\.$', '/')""".stripMargin.replace("@P@", p)
+      """WITH RECURSIVE src AS (SELECT doc_id, @URL@ AS url
+        |  FROM documents),
+        |t AS (SELECT doc_id, trim(url) AS s0 FROM src),
+        |nf AS (SELECT doc_id, s0,
+        |    CASE WHEN strpos(s0, '#') > 0
+        |      THEN substr(s0, 1, strpos(s0, '#') - 1) ELSE s0 END AS s
+        |  FROM t),
+        |m AS (SELECT doc_id, s0, s,
+        |    regexp_matches(s, '^[A-Za-z][A-Za-z0-9+.-]*://') AS isurl,
+        |    lower(regexp_extract(s, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?]*)(.*)$', 1)) AS sch,
+        |    regexp_extract(s, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?]*)(.*)$', 2) AS rauth,
+        |    regexp_extract(s, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?]*)(.*)$', 3) AS rest
+        |  FROM nf),
+        |lc AS (SELECT doc_id, s0, s, isurl, sch, rauth, rest,
+        |    CASE WHEN strpos(rauth, '@') > 0
+        |      THEN regexp_replace(rauth, '[^@]*$', '') ||
+        |           lower(regexp_replace(rauth, '^.*@', ''))
+        |      ELSE lower(rauth) END AS auth0
+        |  FROM m),
+        |a AS (SELECT doc_id, s0, isurl, sch, rauth,
+        |    CASE WHEN sch = 'http' AND auth0 LIKE '%:80'
+        |           THEN substr(auth0, 1, len(auth0) - 3)
+        |         WHEN sch = 'https' AND auth0 LIKE '%:443'
+        |           THEN substr(auth0, 1, len(auth0) - 4)
+        |         ELSE auth0 END AS auth,
+        |    CASE WHEN strpos(rest, '?') > 0
+        |      THEN substr(rest, 1, strpos(rest, '?') - 1)
+        |      ELSE rest END AS path0,
+        |    CASE WHEN strpos(rest, '?') > 0
+        |      THEN substr(rest, strpos(rest, '?') + 1)
+        |      ELSE NULL END AS qry
+        |  FROM lc),
+        |fx AS (
+        |  SELECT doc_id, CASE WHEN path0 = '' THEN '/' ELSE path0 END
+        |    AS p, 0 AS it FROM a WHERE isurl
+        |  UNION ALL
+        |  SELECT doc_id, @STEP@, it + 1 FROM fx
+        |  WHERE @STEP@ <> p),
+        |pf AS (SELECT doc_id, p FROM (
+        |    SELECT doc_id, p, row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY it DESC) AS rn FROM fx) WHERE rn = 1),
+        |qf AS (SELECT doc_id, CASE WHEN qry IS NULL THEN ''
+        |    ELSE coalesce('?' || nullif(array_to_string(list_filter(
+        |      string_split(qry, '&'),
+        |      x -> len(x) > 0
+        |        AND NOT starts_with(split_part(x, '=', 1), 'utm_')
+        |        AND split_part(x, '=', 1) NOT IN
+        |          ('gclid','fbclid','msclkid','mc_eid','igshid','ref_src')),
+        |      '&'), ''), '') END AS q2
+        |  FROM a),
+        |hb AS (SELECT doc_id, CASE
+        |    WHEN isurl THEN lower(regexp_replace(regexp_replace(rauth,
+        |      '^.*@', ''), ':[0-9]+$', ''))
+        |    WHEN regexp_matches(s0, '^[A-Za-z0-9.-]+$')
+        |      THEN lower(regexp_replace(s0, ':[0-9]+$', ''))
+        |    ELSE NULL END AS host
+        |  FROM a),
+        |@PSL@,
+        |@REGHOST@,
+        |canon AS (SELECT a.doc_id,
+        |    CASE WHEN NOT isurl THEN s0
+        |         ELSE sch || '://' || auth || pf.p || qf.q2 END
+        |      AS url_canon
+        |  FROM a LEFT JOIN pf USING (doc_id)
+        |    JOIN qf USING (doc_id))""".stripMargin
+        .replace("@URL@", crawlUrlCaseSql)
+        .replace("@STEP@", step("p"))
+        .replace("@PSL@", pslCteSql)
+        .replace("@REGHOST@", regHostCtesSql)
+  }
 
   val oracles: Map[String, String] = Map(
     "p27_bpe_tokens" -> bpeEncodeOracle,
@@ -2690,92 +2860,162 @@ object PipelineQueries {
     // pipeline as functions.UrlKernel, rewrite for rewrite; the path
     // dot-segment resolution is the recursive-CTE fixpoint of the
     // IDENTICAL ordered regexp_replace composition the kernel iterates
-    "p53_url_canonicalize" -> {
-      // one ordered rewrite pass (UrlKernel.pathStep), nested innermost
-      // -> outermost: // ; /./ ; trailing /. ; /seg/../ ; trailing
-      // /seg/.. ; leading /../ ; lone /.. — plain-string template with
-      // @P@ substitution (no interpolation: '$'/'\' stay single)
-      def step(p: String): String =
-        """regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-          |regexp_replace(regexp_replace(regexp_replace(@P@,
-          |  '//', '/', 'g'),
-          |  '/\./', '/', 'g'),
-          |  '/\.$', '/'),
-          |  '/(\.[^/.][^/]*|\.\.[^/]+|[^/.][^/]*)/\.\./', '/', 'g'),
-          |  '/(\.[^/.][^/]*|\.\.[^/]+|[^/.][^/]*)/\.\.$', '/'),
-          |  '^/\.\./', '/'),
-          |  '^/\.\.$', '/')""".stripMargin.replace("@P@", p)
-      """WITH RECURSIVE src AS (SELECT doc_id, @URL@ AS url
-        |  FROM documents),
-        |t AS (SELECT doc_id, trim(url) AS s0 FROM src),
-        |nf AS (SELECT doc_id, s0,
-        |    CASE WHEN strpos(s0, '#') > 0
-        |      THEN substr(s0, 1, strpos(s0, '#') - 1) ELSE s0 END AS s
-        |  FROM t),
-        |m AS (SELECT doc_id, s0, s,
-        |    regexp_matches(s, '^[A-Za-z][A-Za-z0-9+.-]*://') AS isurl,
-        |    lower(regexp_extract(s, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?]*)(.*)$', 1)) AS sch,
-        |    regexp_extract(s, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?]*)(.*)$', 2) AS rauth,
-        |    regexp_extract(s, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?]*)(.*)$', 3) AS rest
-        |  FROM nf),
-        |lc AS (SELECT doc_id, s0, s, isurl, sch, rauth, rest,
-        |    CASE WHEN strpos(rauth, '@') > 0
-        |      THEN regexp_replace(rauth, '[^@]*$', '') ||
-        |           lower(regexp_replace(rauth, '^.*@', ''))
-        |      ELSE lower(rauth) END AS auth0
-        |  FROM m),
-        |a AS (SELECT doc_id, s0, isurl, sch, rauth,
-        |    CASE WHEN sch = 'http' AND auth0 LIKE '%:80'
-        |           THEN substr(auth0, 1, len(auth0) - 3)
-        |         WHEN sch = 'https' AND auth0 LIKE '%:443'
-        |           THEN substr(auth0, 1, len(auth0) - 4)
-        |         ELSE auth0 END AS auth,
-        |    CASE WHEN strpos(rest, '?') > 0
-        |      THEN substr(rest, 1, strpos(rest, '?') - 1)
-        |      ELSE rest END AS path0,
-        |    CASE WHEN strpos(rest, '?') > 0
-        |      THEN substr(rest, strpos(rest, '?') + 1)
-        |      ELSE NULL END AS qry
-        |  FROM lc),
-        |fx AS (
-        |  SELECT doc_id, CASE WHEN path0 = '' THEN '/' ELSE path0 END
-        |    AS p, 0 AS it FROM a WHERE isurl
-        |  UNION ALL
-        |  SELECT doc_id, @STEP@, it + 1 FROM fx
-        |  WHERE @STEP@ <> p),
-        |pf AS (SELECT doc_id, p FROM (
-        |    SELECT doc_id, p, row_number() OVER (PARTITION BY doc_id
-        |      ORDER BY it DESC) AS rn FROM fx) WHERE rn = 1),
-        |qf AS (SELECT doc_id, CASE WHEN qry IS NULL THEN ''
-        |    ELSE coalesce('?' || nullif(array_to_string(list_filter(
-        |      string_split(qry, '&'),
-        |      x -> len(x) > 0
-        |        AND NOT starts_with(split_part(x, '=', 1), 'utm_')
-        |        AND split_part(x, '=', 1) NOT IN
-        |          ('gclid','fbclid','msclkid','mc_eid','igshid','ref_src')),
-        |      '&'), ''), '') END AS q2
-        |  FROM a),
-        |hb AS (SELECT doc_id, CASE
-        |    WHEN isurl THEN lower(regexp_replace(regexp_replace(rauth,
-        |      '^.*@', ''), ':[0-9]+$', ''))
-        |    WHEN regexp_matches(s0, '^[A-Za-z0-9.-]+$')
-        |      THEN lower(regexp_replace(s0, ':[0-9]+$', ''))
-        |    ELSE NULL END AS host
-        |  FROM a),
-        |@PSL@,
-        |@REGHOST@
-        |SELECT a.doc_id,
-        |  CASE WHEN NOT isurl THEN s0
-        |       ELSE sch || '://' || auth || pf.p || qf.q2 END AS url_canon,
-        |  reg.reg_host
-        |FROM a LEFT JOIN pf USING (doc_id)
-        |  JOIN qf USING (doc_id) JOIN reg USING (doc_id)
-        |ORDER BY doc_id""".stripMargin
-        .replace("@URL@", crawlUrlCaseSql)
-        .replace("@STEP@", step("p"))
-        .replace("@PSL@", pslCteSql)
-        .replace("@REGHOST@", regHostCtesSql)
-    },
+    "p53_url_canonicalize" -> (urlPipeCtesSql + "\n" +
+      """SELECT c.doc_id, c.url_canon, r.reg_host
+        |FROM canon c JOIN reg r USING (doc_id)
+        |ORDER BY doc_id""".stripMargin),
+
+    // the composed crawl-pipeline oracle: the shared URL CTEs (canon +
+    // reg) → blocklist → the SAME multi-line reshaping as the gate →
+    // p63's (domain, line) boilerplate election → p54's gopher battery
+    // + p64's repetition chain ON THE SCRUBBED TEXT → p70's
+    // (snap, id, pos) all-at-once winner election over gate passers —
+    // every stage's CTEs are the per-stage oracles', composed
+    "p75_crawl_pipeline" -> (urlPipeCtesSql + ",\n" +
+      """fr AS (SELECT d.doc_id, d.text, c.url_canon, r.reg_host
+        |  FROM documents d JOIN canon c USING (doc_id)
+        |    JOIN reg r USING (doc_id)
+        |  WHERE r.reg_host NOT IN
+        |      ('site3.com.au', 'fan3.github.io', '192.168.1.4')
+        |    AND r.reg_host <> ''),
+        |lined AS (SELECT doc_id, url_canon, reg_host,
+        |    'welcome to ' || reg_host || chr(10) || text || chr(10) ||
+        |    'xline ' || (doc_id // 2) || chr(10) ||
+        |    'buddy ' || (doc_id // 20) ||
+        |    CASE WHEN doc_id % 3 = 0
+        |      THEN chr(10) || substr(text, 1, 50) || chr(10) ||
+        |           substr(text, 1, 50) || chr(10) || substr(text, 1, 50)
+        |      ELSE '' END AS t0
+        |  FROM fr),
+        |bl AS (SELECT doc_id, reg_host, unnest(ls) AS line,
+        |    generate_subscripts(ls, 1) AS i
+        |  FROM (SELECT doc_id, reg_host, string_split(t0, chr(10)) AS ls
+        |        FROM lined)),
+        |bo AS (SELECT reg_host, line FROM (
+        |    SELECT reg_host, line, count(DISTINCT doc_id) AS nd
+        |    FROM bl GROUP BY 1, 2) WHERE nd >= 3),
+        |kp AS (SELECT b.doc_id, b.line, b.i FROM bl b
+        |  LEFT JOIN bo ON b.reg_host = bo.reg_host AND b.line = bo.line
+        |  WHERE bo.line IS NULL),
+        |cl AS (SELECT doc_id, count(*) AS n_kept0,
+        |    string_agg(line, chr(10) ORDER BY i) AS cleaned
+        |  FROM kp GROUP BY doc_id),
+        |cd AS (SELECT li.doc_id, li.reg_host, li.url_canon,
+        |    CAST(len(string_split(li.t0, chr(10))) -
+        |      coalesce(cl.n_kept0, 0) AS BIGINT) AS n_dropped_lines,
+        |    coalesce(cl.cleaned, '') AS t2
+        |  FROM lined li LEFT JOIN cl USING (doc_id)),
+        |lu AS (SELECT doc_id, t2,
+        |    string_split(t2, chr(10)) AS ls,
+        |    string_split(t2, chr(10) || chr(10)) AS ps,
+        |    list_filter(regexp_split_to_array(lower(t2), '\s+'),
+        |      x -> len(x) > 0) AS ws,
+        |    len(t2) AS total_chars
+        |  FROM cd),
+        |gq AS (SELECT doc_id,
+        |    CAST(len(ws) AS BIGINT) AS n_words,
+        |    CAST(coalesce(list_sum(list_transform(ws, w -> len(w))), 0)
+        |      AS BIGINT) AS sum_word_len,
+        |    CAST(len(list_filter(ws, w -> regexp_matches(w, '[a-z]')))
+        |      AS BIGINT) AS n_alpha_words,
+        |    CAST(len(t2) - len(replace(t2, '#', '')) AS BIGINT)
+        |      AS n_hash,
+        |    CAST((len(t2) - len(replace(t2, '...', ''))) // 3
+        |      AS BIGINT) AS n_ellipsis,
+        |    CAST(len(list_intersect(list_distinct(ws),
+        |      ['the','be','to','of','and','that','have','with']))
+        |      AS BIGINT) AS n_stopwords
+        |  FROM lu),
+        |gv AS (SELECT doc_id, n_words,
+        |    (n_words >= 50 AND n_words <= 100000
+        |     AND sum_word_len >= n_words * 3
+        |     AND sum_word_len <= n_words * 10
+        |     AND n_hash * 10 <= n_words AND n_ellipsis * 10 <= n_words
+        |     AND n_alpha_words * 5 >= n_words * 4
+        |     AND n_stopwords >= 1) AS gopher_pass
+        |  FROM gq),
+        |lx AS (SELECT doc_id, unnest(ls) AS u,
+        |    generate_subscripts(ls, 1) AS i FROM lu),
+        |lw AS (SELECT doc_id, u, min(i) AS wi FROM lx GROUP BY 1, 2),
+        |ldp AS (SELECT x.doc_id, count(*) AS n_lines,
+        |    count(*) FILTER (x.i > w.wi) AS n_dup_lines,
+        |    coalesce(sum(len(x.u)) FILTER (x.i > w.wi), 0)
+        |      AS chars_dup_lines
+        |  FROM lx x JOIN lw w ON x.doc_id = w.doc_id AND x.u = w.u
+        |  GROUP BY 1),
+        |px AS (SELECT doc_id, unnest(ps) AS u,
+        |    generate_subscripts(ps, 1) AS i FROM lu),
+        |pw AS (SELECT doc_id, u, min(i) AS wi FROM px GROUP BY 1, 2),
+        |pd AS (SELECT x.doc_id, count(*) AS n_paras,
+        |    count(*) FILTER (x.i > w.wi) AS n_dup_paras,
+        |    coalesce(sum(len(x.u)) FILTER (x.i > w.wi), 0)
+        |      AS chars_dup_paras
+        |  FROM px x JOIN pw w ON x.doc_id = w.doc_id AND x.u = w.u
+        |  GROUP BY 1),
+        |w2 AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS g,
+        |    len(ws[i]) + len(ws[i+1]) + 1 AS gl
+        |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i
+        |        FROM lu)),
+        |t2a AS (SELECT doc_id, max(cnt * gl) AS top2_chars FROM (
+        |    SELECT doc_id, g, gl, count(*) AS cnt FROM w2
+        |    GROUP BY 1, 2, 3) GROUP BY 1),
+        |g5 AS (SELECT doc_id, i, array_to_string(ws[i:i+4], ' ') AS g
+        |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 3)) AS i
+        |        FROM lu)),
+        |d5 AS (SELECT doc_id, g FROM g5 GROUP BY 1, 2
+        |  HAVING count(*) >= 2),
+        |st AS (SELECT DISTINCT g5.doc_id, g5.i FROM g5
+        |  JOIN d5 USING (doc_id, g)),
+        |cov AS (SELECT doc_id, list_sort(list(i)) AS starts FROM st
+        |  GROUP BY 1),
+        |d5c AS (SELECT l.doc_id,
+        |    coalesce(list_sum(list_transform(
+        |      list_filter(range(1, len(l.ws) + 1),
+        |        p -> len(list_filter(coalesce(c.starts,
+        |          CAST([] AS BIGINT[])),
+        |          s -> s <= p AND p <= s + 4)) > 0),
+        |      p -> len(l.ws[p]))), 0) AS dup5_chars
+        |  FROM lu l LEFT JOIN cov c USING (doc_id)),
+        |rv AS (SELECT l.doc_id,
+        |    CAST(ldp.n_lines AS BIGINT) AS n_lines,
+        |    (ldp.n_dup_lines * 10 <= ldp.n_lines * 3 AND
+        |     pd.n_dup_paras * 10 <= pd.n_paras * 3 AND
+        |     ldp.chars_dup_lines * 5 <= l.total_chars AND
+        |     pd.chars_dup_paras * 5 <= l.total_chars AND
+        |     coalesce(t2a.top2_chars, 0) * 5 <= l.total_chars AND
+        |     d5c.dup5_chars * 20 <= l.total_chars * 3) AS rep_pass
+        |  FROM lu l JOIN ldp USING (doc_id) JOIN pd USING (doc_id)
+        |  LEFT JOIN t2a USING (doc_id) JOIN d5c USING (doc_id)),
+        |sv AS (SELECT cd.doc_id FROM cd
+        |  JOIN gv USING (doc_id) JOIN rv USING (doc_id)
+        |  WHERE gv.gopher_pass AND rv.rep_pass),
+        |dl AS (SELECT k.doc_id, k.doc_id % 2 AS snap, k.line, k.i
+        |  FROM kp k JOIN sv USING (doc_id)),
+        |wn1 AS (SELECT line, min(snap * 1000000000000 + doc_id) AS wk
+        |  FROM dl GROUP BY line),
+        |wn AS (SELECT d2.line, d2.doc_id AS wd, min(d2.i) AS wi
+        |  FROM dl d2 JOIN wn1 ON d2.line = wn1.line
+        |    AND d2.snap * 1000000000000 + d2.doc_id = wn1.wk
+        |  GROUP BY d2.line, d2.doc_id),
+        |kept2 AS (SELECT d2.doc_id, d2.line, d2.i FROM dl d2
+        |  JOIN wn ON d2.line = wn.line AND d2.doc_id = wn.wd
+        |    AND d2.i = wn.wi),
+        |ddp AS (SELECT doc_id,
+        |    CAST(count(*) AS BIGINT) AS n_kept_lines,
+        |    md5(string_agg(line, chr(10) ORDER BY i)) AS final_md5
+        |  FROM kept2 GROUP BY doc_id)
+        |SELECT cd.doc_id, cd.reg_host, cd.url_canon,
+        |  cd.n_dropped_lines, gv.n_words, gv.gopher_pass,
+        |  rv.n_lines, rv.rep_pass,
+        |  CASE WHEN gv.gopher_pass AND rv.rep_pass
+        |    THEN coalesce(ddp.n_kept_lines, CAST(0 AS BIGINT))
+        |    ELSE CAST(-1 AS BIGINT) END AS n_kept_lines,
+        |  CASE WHEN gv.gopher_pass AND rv.rep_pass
+        |    THEN coalesce(ddp.final_md5, md5('')) ELSE '' END
+        |    AS final_md5
+        |FROM cd JOIN gv USING (doc_id) JOIN rv USING (doc_id)
+        |LEFT JOIN ddp USING (doc_id)
+        |ORDER BY cd.doc_id""".stripMargin),
 
     // p53's authority/registrable-host CTEs + p54's verdict (with the
     // composition's minStopwords=1) + p50's seeded cumulative cap,

@@ -116,4 +116,103 @@ class CompositionSpec extends SparkTestBase {
     assert((16L to 23L).forall(verdicts(_) == "keep"),
       s"fresh docs must keep: $verdicts")
   }
+
+  test("crawl front-door composition: URL canonicalize + domain key " +
+      "+ blocklist, per-domain boilerplate scrub, quality gates on " +
+      "the scrubbed text, incremental line dedup across snapshots — " +
+      "the p75 chain's semantics at fixture scale") {
+    def tmp(p: String) =
+      java.nio.file.Files.createTempDirectory(p).toString
+    // 10 docs, 3 hosts: two github.io TENANTS (ids 0–3 / 4–7; the PSL
+    // private section keys them as separate domains, so each tenant's
+    // banner scrubs independently) and a blocked domain (ids 8–9).
+    // Planted lines: per-tenant banner (4 docs ≥ minDocs → scrubbed),
+    // per-pair buddy (2 docs < minDocs → kept, then line-deduped),
+    // a quote shared ACROSS tenants by a snapA doc (0) and a snapB
+    // doc (5) — survives the per-domain scrub, dies cross-snapshot —
+    // and a "gate victim" line shared by rep-failing doc 6 and
+    // passing doc 7: doc 7 must KEEP it, proving gate-failers never
+    // enter the line index (gates run BEFORE dedup in the chain).
+    def body(i: Int) =
+      "the " + (1 to 12).map(j => s"w${i}x$j").mkString(" ")
+    def tenant(i: Int) = if (i < 4) "a1.github.io" else "a2.github.io"
+    def text(i: Int): String = {
+      val base = s"welcome to ${tenant(i)}\n" +
+        (if (i == 3) "the tiny\n" else body(i) + "\n") +
+        s"buddy ${i / 2}"
+      base +
+        (if (i == 0 || i == 5) "\nshared quote of note" else "") +
+        (if (i == 6 || i == 7) "\ngate victim line" else "") +
+        (if (i == 6) "\nrep line\nrep line\nrep line" else "")
+    }
+    def url(i: Int): String =
+      if (i >= 8) s"https://Blocked.COM/page$i"
+      else s"HTTP://A${i / 4 + 1}.GitHub.IO:80/x/../p?utm_source=z&id=$i"
+    val docs = (0 until 10)
+      .map(i => (i.toLong, url(i), text(i)))
+      .toDF("doc_id", "url", "text")
+
+    val front = UrlOps.dropBlockedHosts(docs, "url",
+        Seq("blocked.com"))
+      .withColumn("url_canon", UrlOps.canonicalizeUrl(col("url")))
+      .withColumn("reg_host", UrlOps.registrableHost(col("url")))
+      .filter(col("reg_host") =!= "")
+    assert(front.count() == 8, "blocklist drops the blocked domain")
+    val canon0 = front.filter(col("doc_id") === 0)
+      .select("url_canon").as[String].head()
+    assert(canon0 == "http://a1.github.io/p?id=0",
+      s"canonicalize: scheme/host lowered, default port dropped, " +
+        s"dot segments resolved, tracking param stripped: $canon0")
+
+    val scrubbed = Dedup.scrubBoilerplateLines(front, "doc_id",
+      "reg_host", "text", minDocs = 3)
+    val sc = scrubbed.select("doc_id", "cleaned", "n_dropped_lines")
+      .as[(Long, String, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(sc.values.forall(_._2 == 1L),
+      "exactly the banner is boilerplate in every doc")
+    assert(sc.values.forall(!_._1.contains("welcome to")),
+      "banners scrubbed per tenant")
+    assert(sc(5L)._1.contains("shared quote of note") &&
+      sc(7L)._1.contains("gate victim line"),
+      "sub-threshold shared lines survive the per-domain scrub")
+
+    val gated = T.repetitionSignals(
+      T.gopherQuality(scrubbed, "cleaned", minWords = 6,
+        minStopwords = 1), "cleaned")
+    val verdicts = gated
+      .select("doc_id", "gopher_pass", "rep_pass")
+      .as[(Long, Boolean, Boolean)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(!verdicts(3L)._1, "the 4-word doc fails the word floor")
+    assert(!verdicts(6L)._2, "the tripled line fails the rep battery")
+    assert(Seq(0L, 1L, 2L, 4L, 5L, 7L).forall(i =>
+        verdicts(i)._1 && verdicts(i)._2),
+      s"the other docs pass both batteries: $verdicts")
+
+    val surv = gated.filter(col("gopher_pass") && col("rep_pass"))
+      .select(col("doc_id"), col("cleaned"))
+    val indexDir = tmp("graft-comp-lines-")
+    val a = Dedup.dedupLinesAgainstIndex(
+      surv.filter(col("doc_id") % 2 === 0), "doc_id", "cleaned",
+      indexDir, "snapA")
+    val b = Dedup.dedupLinesAgainstIndex(
+      surv.filter(col("doc_id") % 2 === 1), "doc_id", "cleaned",
+      indexDir, "snapB")
+    val out = a.unionByName(b).select("doc_id", "deduped")
+      .as[(Long, String)].collect().toMap
+    assert(out.keySet == Set(0L, 2L, 4L, 1L, 5L, 7L),
+      s"exactly the gate passers enter line dedup: ${out.keySet}")
+    assert(out(0L).contains("shared quote of note") &&
+      out(0L).contains("buddy 0"),
+      "the snapA doc wins its shared lines")
+    assert(out(5L) == body(5),
+      s"the snapB doc loses the cross-tenant quote AND its buddy " +
+        s"line to snapA: '${out(5L)}'")
+    assert(out(1L) == body(1), "buddy pairs dedup cross-snapshot")
+    assert(out(7L).contains("gate victim line") &&
+      out(7L).contains("buddy 3"),
+      "lines of a gate-FAILING doc never enter the index — the " +
+        "passing doc keeps them (gates precede dedup in the chain)")
+  }
 }
