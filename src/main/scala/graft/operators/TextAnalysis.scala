@@ -600,6 +600,98 @@ object TextAnalysis {
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
+  /** ADD languages to a saved per-language model WITHOUT retraining
+    * the rest — the CCNet operating reality: ~174 per-language models
+    * that evolve independently (a new language's corpus lands; nobody
+    * retrains 173 finished models to admit the 174th). [[saveLmModel]]
+    * overwrites the whole model dir; this appends.
+    *
+    * Parameters (order, minCount, hash) come FROM THE SIDECAR, never
+    * from the caller — the same fail-closed discipline as scoring, so
+    * an appended language can never be trained under silently
+    * different parameters than the languages beside it. Fails closed
+    * on: a missing/incomplete model, a single-language (lang-less)
+    * model, and any train language ALREADY in the sidecar — saved
+    * languages are immutable artifacts (re-save to a NEW dir to
+    * replace one; in-place replacement would mix epochs under
+    * in-flight scorers).
+    *
+    * Crash-window contract (spec-proven): the new `lang=` count
+    * partitions land FIRST (dynamic partition overwrite — untouched
+    * languages' files are never rewritten, so add-lang == retrain-all
+    * BIT-identity for them), and the extended sidecar is renamed into
+    * place LAST. A crash in between leaves orphan count partitions
+    * that scoring cannot see — [[ngramLmScoreWithModel]] prunes its
+    * count scan to the sidecar's language manifest — so the
+    * half-added language scores down the documented no-model
+    * degenerate path until the append is re-run, and the re-run's
+    * dynamic overwrite replaces the orphans cleanly. SINGLE-WRITER:
+    * two concurrent appends race the sidecar rename (last wins,
+    * dropping the other's language list) — serialize appends
+    * externally, exactly as with re-saves. */
+  def addLmModelLanguages(train: DataFrame, textCol: String,
+                          modelDir: String, langCol: String): Unit = {
+    val meta = java.nio.file.Paths.get(modelDir, "params.lm.txt")
+    require(java.nio.file.Files.exists(meta),
+      s"addLmModelLanguages: no complete model at $modelDir (missing " +
+        "params.lm.txt) — the first save is saveLmModel's job")
+    val lines = new String(java.nio.file.Files.readAllBytes(meta),
+      java.nio.charset.StandardCharsets.UTF_8).trim.split("\n")
+    def parseKv(line: String): Map[String, String] =
+      line.trim.split(" ").map(_.split("=", 2))
+        .map(a => a(0) -> a(1)).toMap
+    val kv = parseKv(lines.head)
+    require(kv.get("perlang").contains("true"),
+      s"addLmModelLanguages: the model at $modelDir is " +
+        "single-language — only per-language models (saved with " +
+        "langCol) can grow languages")
+    val order = kv("order").toInt
+    val minCount = kv("minCount").toInt
+    val portableHash = kv("portable").toBoolean
+    val existing = lines.tail.map(parseKv)
+      .map(m => (m("lang"), m("n").toLong, m("v").toLong))
+    val existingLangs = existing.map(_._1).toSet
+    val fused = lmCountTables(train, textCol, order, minCount,
+      portableHash, Some(langCol)).localCheckpoint(eager = false)
+    val langNv = fused.filter(col("k") === 1).groupBy("lang")
+      .agg(coalesce(sum(col("c")), lit(0L)).as("n"),
+        count(lit(1)).as("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getLong(2))).sortBy(_._1)
+    require(langNv.nonEmpty,
+      s"addLmModelLanguages: train corpus has no tokens (column " +
+        s"'$textCol') in any language — nothing to add")
+    langNv.foreach { case (l, _, _) =>
+      require(l.matches("[A-Za-z0-9_.\\-]+"),
+        s"addLmModelLanguages: language value '$l' is not a " +
+          "language code (allowed: letters, digits, '_', '.', '-') " +
+          "— normalize the lang column before saving")
+    }
+    val overlap = langNv.map(_._1).toSet.intersect(existingLangs)
+    require(overlap.isEmpty,
+      s"addLmModelLanguages: ${overlap.toSeq.sorted.mkString(", ")} " +
+        s"already in the model at $modelDir — saved languages are " +
+        "immutable; retrain to a NEW dir to replace one")
+    // new partitions FIRST: dynamic overwrite touches only the lang=
+    // dirs present in `fused` (the new languages), so every existing
+    // language's files survive byte-for-byte
+    fused.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("lang", "k")
+      .parquet(s"$modelDir/counts")
+    // sidecar LAST (temp + atomic rename): its language list is what
+    // makes the new partitions visible to scorers
+    val sidecar = (lines.head +: (existing ++ langNv).sortBy(_._1)
+      .map { case (l, n, v) => s"lang=$l n=$n v=$v" }).mkString("\n")
+    val tmp = java.nio.file.Files.createTempFile(
+      java.nio.file.Paths.get(modelDir), ".params.lm.", ".tmp")
+    java.nio.file.Files.write(tmp,
+      sidecar.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(tmp, meta,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
   /** Score documents against a model saved by [[saveLmModel]] — the
     * monthly-crawl-drop side of train-once/score-many. Output schema
     * and semantics are EXACTLY [[ngramLmScoreBackoff]]'s (the p72 gate
@@ -671,8 +763,19 @@ object TextAnalysis {
           .toSeq.asJava,
         org.apache.spark.sql.types.StructType.fromDDL(
           "lang STRING, __n BIGINT, __v BIGINT"))
+      // THE SIDECAR IS THE MODEL'S LANGUAGE MANIFEST: prune the count
+      // scan to exactly its languages (partition pruning on the lang
+      // dirs, languages-bounded IN list). A counts partition without a
+      // sidecar line — the [[addLmModelLanguages]] crash window, where
+      // new partitions landed but the sidecar rename didn't — is
+      // INVISIBLE, so such a language scores down the documented
+      // no-model degenerate path instead of hitting count tables with
+      // a zero (N, V) event space (hits with no floor — silently
+      // wrong scores)
+      val listed = counts.filter(
+        col("lang").isin(langNv.map(_._1).toSeq: _*))
       val cnts = (1 to order).map { k =>
-        counts.filter(col("k") === k)
+        listed.filter(col("k") === k)
           .select(col("lang"), col("h").as(s"nk$k"),
             col("c").as(s"cn$k"))
       }

@@ -809,6 +809,98 @@ class OperatorsSpec extends SparkTestBase {
     assert(e3.getMessage.contains("language"))
   }
 
+  test("addLmModelLanguages: append equals retrain-all bit-for-bit, " +
+      "untouched languages' files are never rewritten, params come " +
+      "from the sidecar, and the crash window (partitions landed, " +
+      "sidecar rename didn't) fails closed to the no-model path") {
+    val trainEnFr = Seq(
+      (1L, "en", "a b c"), (2L, "en", "a b c"), (3L, "en", "z b d"),
+      (4L, "fr", "a b q"), (5L, "fr", "q q a"))
+      .toDF("id", "lang", "text")
+    val trainDe = Seq((6L, "de", "x y z"), (7L, "de", "x y z"))
+      .toDF("id", "lang", "text")
+    val score = Seq(
+      (10L, "en", "a b c"), (11L, "fr", "a b c"),
+      (12L, "de", "x y z"), (13L, "zz", "x y"))
+      .toDF("id", "lang", "text")
+    def tmp(p: String) =
+      java.nio.file.Files.createTempDirectory(p).toString
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[Long]("id") -> r.toSeq).toMap
+    // per-file (path -> md5) state of one language's count partitions
+    def fileState(dir: String, lang: String): Map[String, String] = {
+      val root = java.nio.file.Paths.get(s"$dir/counts/lang=$lang")
+      val md = java.security.MessageDigest.getInstance("MD5")
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(root).iterator().asScala
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .map(p => p.toString ->
+          md.digest(java.nio.file.Files.readAllBytes(p))
+            .map("%02x".format(_)).mkString)
+        .toMap
+    }
+    // path A: retrain everything; path B: save en+fr, APPEND de
+    val dirA = tmp("graft-lm-all-")
+    TextAnalysis.saveLmModel(trainEnFr.unionByName(trainDe), "text",
+      dirA, order = 3, minCount = 2, langCol = Some("lang"))
+    val dirB = tmp("graft-lm-grow-")
+    TextAnalysis.saveLmModel(trainEnFr, "text", dirB, order = 3,
+      minCount = 2, langCol = Some("lang"))
+    val beforeEn = fileState(dirB, "en")
+    val beforeFr = fileState(dirB, "fr")
+    TextAnalysis.addLmModelLanguages(trainDe, "text", dirB, "lang")
+    assert(fileState(dirB, "en") == beforeEn &&
+      fileState(dirB, "fr") == beforeFr,
+      "append must never rewrite untouched languages' files")
+    // scoring equality across all languages — the appended one, the
+    // untouched ones, and an absent one (degenerate path) — all
+    // columns, floats included
+    assert(rows(TextAnalysis.ngramLmScoreWithModel(dirB, score, "id",
+        "text", langCol = Some("lang"))) ==
+      rows(TextAnalysis.ngramLmScoreWithModel(dirA, score, "id",
+        "text", langCol = Some("lang"))),
+      "add-lang model must score identically to retrain-all")
+    val meta = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dirB, "params.lm.txt")), "UTF-8")
+    assert(meta.contains("lang=de n=") && meta.contains("lang=en n="),
+      s"sidecar must carry old and new languages: $meta")
+    // fail-closed: an already-saved language is immutable...
+    val eDup = intercept[IllegalArgumentException] {
+      TextAnalysis.addLmModelLanguages(trainEnFr, "text", dirB, "lang")
+    }
+    assert(eDup.getMessage.contains("immutable"), eDup.getMessage)
+    // ...a single-language model cannot grow languages...
+    val dirS = tmp("graft-lm-sing-")
+    TextAnalysis.saveLmModel(trainEnFr, "text", dirS, order = 3)
+    val eS = intercept[IllegalArgumentException] {
+      TextAnalysis.addLmModelLanguages(trainDe, "text", dirS, "lang")
+    }
+    assert(eS.getMessage.contains("single-language"), eS.getMessage)
+    // ...and a missing/incomplete model has nothing to append to
+    val eM = intercept[IllegalArgumentException] {
+      TextAnalysis.addLmModelLanguages(trainDe, "text",
+        tmp("graft-lm-none-"), "lang")
+    }
+    assert(eM.getMessage.contains("no complete model"), eM.getMessage)
+    // the crash window: new partitions on disk, sidecar NOT extended
+    // (simulated by writing orphan lang=pt partitions directly).
+    // Scoring prunes its count scan to the sidecar's language
+    // manifest, so 'pt' docs take the documented no-model degenerate
+    // path instead of hitting orphan tables with a zero event space
+    spark.read.schema("h BIGINT, c BIGINT, k INT")
+      .parquet(s"$dirB/counts/lang=de")
+      .write.partitionBy("k").parquet(s"$dirB/counts/lang=pt")
+    val pt = TextAnalysis.ngramLmScoreWithModel(dirB,
+        Seq((14L, "pt", "x y z")).toDF("id", "lang", "text"),
+        "id", "text", langCol = Some("lang"))
+      .collect().head
+    assert(pt.getAs[Long]("n_oov") == 3L &&
+      pt.getAs[Long]("sum_num") == 0L &&
+      pt.getAs[Long]("sum_den") == 0L,
+      s"orphan partitions must be invisible until the sidecar lands: " +
+        s"$pt")
+  }
+
   test("broadcastModel=false (AQE picks join strategies) returns " +
       "rows identical to the broadcast default, single- and per-lang") {
     val train = Seq(
