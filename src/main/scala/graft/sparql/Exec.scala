@@ -1223,8 +1223,23 @@ final class Exec(store: QuadStore, spark: SparkSession) {
     * which joins and can inflate multiplicity when the remote leaves a
     * shared var unbound. Unconstrainable vars (maybe-NULL, non-IRI
     * values, too many distinct IRIs, unrenderable IRIs) simply get no
-    * clause. Caps: `spark.graft.service.boundJoinMax` distinct IRIs per
-    * var (default 50); `-O 0` disables. */
+    * clause.
+    *
+    * Caps: `spark.graft.service.boundJoinMax` distinct IRIs per IN
+    * list (default 50); `-O 0` disables. Past `boundJoinMax` the
+    * clause is NOT dropped immediately: up to
+    * `spark.graft.service.boundJoinShipMax` total IRIs (default
+    * 4×max) ship as max-sized IN chunks OR'd INSIDE the one FILTER —
+    * `FILTER(!BOUND(?v) || !isIRI(?v) || ?v IN (c1…) || ?v IN (c2…))`
+    * — which is purely reductive by the same argument as a single IN
+    * (the union of the chunks IS the left side's complete IRI set;
+    * chunking only works around remote parsers that cap IN-list
+    * length — separate ANDed FILTERs would instead intersect the
+    * chunks and drop joinable rows). Measured in EndpointSpec's
+    * capture test: at max+10 bindings the old shape degraded to the
+    * FULL remote relation; the chunked clause fetches exactly the
+    * joinable rows. Only past `boundJoinShipMax` does the var go
+    * unconstrained (the query-size-vs-reduction tradeoff cap). */
   private def boundJoinClauses(sv: ServiceGP,
                                left: Option[Bindings]): String = {
     val l = left.getOrElse(return "")
@@ -1232,6 +1247,9 @@ final class Exec(store: QuadStore, spark: SparkSession) {
     val max = spark.conf.getOption("spark.graft.service.boundJoinMax")
       .map(_.toInt).getOrElse(50)
     if (max <= 0) return ""
+    val ship = math.max(max, spark.conf
+      .getOption("spark.graft.service.boundJoinShipMax")
+      .map(_.toInt).getOrElse(4 * max))
     val shared = (gpVars(sv.inner) intersect l.certain).toSeq.sorted
     if (shared.isEmpty) return ""
     // ONE resolve pass for every shared var, cached: an expensive left
@@ -1243,7 +1261,7 @@ final class Exec(store: QuadStore, spark: SparkSession) {
       val clauses = shared.flatMap { v =>
         val rows = cachedLeft.filter(Rid.isUriCol(col(v)))
           .select(col(s"${v}__lex"))
-          .distinct().limit(max + 1)
+          .distinct().limit(ship + 1)
           .collect()
         // a URI rid whose dictionary row is absent resolves to a null
         // lex: its IRI is UNKNOWN, so no IN list we could ship is a
@@ -1251,21 +1269,24 @@ final class Exec(store: QuadStore, spark: SparkSession) {
         // clause for this var at all (a clause missing just that IRI
         // would drop joinable remote rows). distinct() keeps null as a
         // value, so if any null exists it is either sampled here or the
-        // sample already exceeds `max` and falls to None below.
+        // sample already exceeds `ship` and falls to None below.
         if (rows.exists(_.isNullAt(0))) None
         else {
         val uris = rows.map(_.getString(0)).toSeq
         // renderability: an IRI with NT-delimiter bytes can't ship safely
-        if (uris.size > max ||
+        if (uris.size > ship ||
             uris.exists(u => u.exists(c => c == '>' || c == '<' ||
               c == '"' || c == ' ' || c < ' ')))
           None
         else if (uris.isEmpty)
           Some(s"FILTER(!BOUND(?$v) || !isIRI(?$v))")
-        else
-          Some(uris.map(u => s"<$u>")
-            .mkString(s"FILTER(!BOUND(?$v) || !isIRI(?$v) || ?$v IN (",
-              ", ", "))"))
+        else {
+          // max-sized IN chunks OR'd inside ONE filter — reductive
+          // (union = complete IRI set); see the cap scaladoc above
+          val ins = uris.grouped(max).map(c => c.map(u => s"<$u>")
+            .mkString(s"?$v IN (", ", ", ")")).mkString(" || ")
+          Some(s"FILTER(!BOUND(?$v) || !isIRI(?$v) || $ins)")
+        }
         }
       }
       if (clauses.isEmpty) "" else clauses.mkString(" ", " ", " ")

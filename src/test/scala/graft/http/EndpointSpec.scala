@@ -263,6 +263,84 @@ class EndpointSpec extends SparkTestBase {
     } finally hs.stop(0)
   }
 
+  test("SERVICE bound join past boundJoinMax ships max-sized IN " +
+      "chunks OR'd inside ONE filter (reductive: the union is the " +
+      "complete left IRI set) instead of degrading to the full " +
+      "relation; boundJoinShipMax bounds it") {
+    import graft.sparql.Sparql
+    // stub endpoint that APPLIES the shipped filter: it serves ages
+    // for 70 subjects and, when the query carries a FILTER, answers
+    // only the subjects named in it — so the rows-fetched counter
+    // measures the clause's reduction, not just its shape
+    val seen = new java.util.concurrent.atomic.AtomicReference[String]("")
+    val sent = new java.util.concurrent.atomic.AtomicInteger(0)
+    val hs = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("localhost", 0), 0)
+    hs.createContext("/sparql/", ex => {
+      val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+      val q = body.split("&").collectFirst {
+        case kv if kv.startsWith("query=") =>
+          java.net.URLDecoder.decode(kv.drop(6), "UTF-8")
+      }.getOrElse("")
+      seen.set(q)
+      val subjects = (0 until 70).filter { i =>
+        !q.contains("FILTER") || q.contains(s"<urn:s$i>")
+      }
+      sent.set(subjects.length)
+      val tsv = "?s\t?age\n" + subjects
+        .map(i => s"<urn:s$i>\t" + "\"" + i + "\"\n").mkString
+      val out = tsv.getBytes("UTF-8")
+      ex.getResponseHeaders.set("Content-Type",
+        "text/tab-separated-values")
+      ex.sendResponseHeaders(200, out.length)
+      ex.getResponseBody.write(out); ex.close()
+    })
+    hs.start()
+    try {
+      val url = s"http://localhost:${hs.getAddress.getPort}/sparql/"
+      // left side: 60 certain subject IRIs — boundJoinMax(50) + 10,
+      // exactly the band where the old cap dropped the clause
+      val local = QuadStore.fromTerms(spark, (0 until 60).map(i =>
+        (Uri(s"urn:s$i"), Uri("urn:name"), Lit(s"n$i"))))
+      def run(tag: String) = Sparql.run(local, spark,
+        s"""SELECT ?name ?age WHERE {
+           |  ?s <urn:name> ?name . # $tag
+           |  SERVICE <$url> { ?s <urn:age> ?age }
+           |} ORDER BY ?name""".stripMargin).collect()
+      // default shipMax (4×max = 200): the clause ships as 50+10 IN
+      // chunks OR'd in ONE filter and the remote returns exactly the
+      // joinable 60 rows
+      assert(run("chunked").length == 60)
+      val q = seen.get()
+      assert("\\?s IN \\(".r.findAllIn(q).size == 2,
+        s"expected two OR'd IN chunks: $q")
+      assert("FILTER".r.findAllIn(q).size == 1,
+        s"chunks must live inside ONE filter (separate ANDed " +
+          s"filters would intersect the chunks): $q")
+      assert((0 until 60).forall(i => q.contains(s"<urn:s$i>")),
+        "the union of chunks must be the complete left IRI set")
+      assert(sent.get == 60,
+        s"remote should evaluate the reductive clause: ${sent.get}")
+      // the r15 behavior (ship cap == max): clause dropped wholesale,
+      // the remote degrades to the FULL relation — same results, 70
+      // rows fetched instead of 60 (the measured win of chunking)
+      spark.conf.set("spark.graft.service.boundJoinShipMax", "50")
+      try {
+        assert(run("legacy").length == 60)
+        assert(!seen.get().contains("FILTER"), seen.get())
+        assert(sent.get == 70)
+      } finally
+        spark.conf.unset("spark.graft.service.boundJoinShipMax")
+      // past shipMax the var goes unconstrained too (query-size cap)
+      spark.conf.set("spark.graft.service.boundJoinShipMax", "59")
+      try {
+        assert(run("overcap").length == 60)
+        assert(!seen.get().contains("FILTER"), seen.get())
+      } finally
+        spark.conf.unset("spark.graft.service.boundJoinShipMax")
+    } finally hs.stop(0)
+  }
+
   test("query timeout cancels the Spark jobs and answers 503") {
     // a PER-ROW catastrophic-backtracking regex (~0.5-2ms per row over
     // 5*10^4 rows = tens of seconds of work, guaranteed still running at the 2s
