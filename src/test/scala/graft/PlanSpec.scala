@@ -871,4 +871,77 @@ class PlanSpec extends SparkTestBase {
     assert(plan.contains("*(1)"),
       s"linearScore fell out of whole-stage codegen:\n$plan")
   }
+
+  test("crawl front-door composition (the p75 chain up to the line " +
+      "index): URL kernels and gate batteries ride the scan, the " +
+      "boilerplate election partial-aggregates, no cartesian/window") {
+    import graft.operators.{TextAnalysis => T, UrlOps => U}
+    val docs = graft.core.Tables.t(spark, sf, "documents")
+    val front = U.dropBlockedHosts(
+        docs.select(col("doc_id"), col("text"),
+          concat(lit("http://site"), pmod(col("doc_id"), lit(97L)),
+            lit(".com/p/"), col("doc_id")).as("url")),
+        "url", Seq("site13.com"))
+      .withColumn("reg_host", U.registrableHost(col("url")))
+      .filter(col("reg_host") =!= "")
+    val gated = T.repetitionSignals(
+        T.gopherQuality(
+          Dedup.scrubBoilerplateLines(
+            front.withColumn("text",
+              concat(lit("welcome to "), col("reg_host"), lit("\n"),
+                col("text"))),
+            "doc_id", "reg_host", "text", minDocs = 3),
+          "cleaned", minWords = 5, minStopwords = 1), "cleaned")
+      .filter(col("gopher_pass") && col("rep_pass"))
+      .select("doc_id", "cleaned")
+    // final plan only: AQE's toString appends the initial plan too,
+    // which would double-count every exchange
+    val plan = planOf(gated).split("== Initial Plan ==")(0)
+    // the (domain, line) election must map-side combine its
+    // distinct-doc counting (the one shuffle that matters at 100 TB)
+    assert(plan.contains("partial_count"),
+      s"boilerplate election must partial-aggregate:\n$plan")
+    // survivors drop via anti-join against the (small) boilerplate
+    // set — never a per-doc window or a cartesian
+    assert(plan.contains("LeftAnti"),
+      s"boilerplate lines must drop via anti-join:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("Window"),
+      s"the chain must stay key-joined, windowless:\n$plan")
+    // the gate batteries are projections over the rebuilt text — no
+    // extra exchange beyond the election + the id-keyed reassembly
+    val exch = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exch <= 3,
+      s"expected ≤3 shuffles (election, reassembly, rejoin), got " +
+        s"$exch:\n$plan")
+  }
+
+  test("per-lang saved-model scoring prunes the count scan to the " +
+      "sidecar's language manifest (orphan append-crash partitions " +
+      "are invisible at the SCAN, not filtered post-hoc)") {
+    import graft.operators.{TextAnalysis => T}
+    import spark.implicits._
+    val train = Seq((1L, "en", "a b c"), (2L, "fr", "a b q"))
+      .toDF("id", "lang", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-manifest-plan-").toString
+    T.saveLmModel(train, "text", dir, order = 2,
+      langCol = Some("lang"))
+    // orphan partitions: the addLmModelLanguages crash window
+    spark.read.schema("h BIGINT, c BIGINT, k INT")
+      .parquet(s"$dir/counts/lang=en")
+      .write.partitionBy("k").parquet(s"$dir/counts/lang=zz")
+    val plan = planOf(T.ngramLmScoreWithModel(dir,
+      Seq((10L, "en", "a b"), (11L, "zz", "a b"))
+        .toDF("id", "lang", "text"),
+      "id", "text", langCol = Some("lang")))
+    // the manifest filter must reach the scan as a PARTITION filter
+    // (lang is a partition column — pruning, not post-scan filtering)
+    assert("PartitionFilters: \\[[^\\]]*lang".r.findFirstIn(plan)
+        .isDefined,
+      s"manifest languages must prune count partitions:\n$plan")
+    assert(!plan.contains("lang=zz"),
+      s"orphan partitions must never be read:\n$plan")
+  }
 }
