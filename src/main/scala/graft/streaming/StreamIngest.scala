@@ -194,6 +194,46 @@ object StreamIngest {
       .outputMode(OutputMode.Append())
       .start()
 
+  /** Streaming corpus-global LINE dedup: the C4 global-first rule
+    * ([[graft.operators.Dedup.dedupLinesGlobal]]) over an unbounded
+    * ingest feed — every line any earlier micro-batch kept is dropped
+    * from later documents, documents reassembled in order and appended
+    * to `outDir` with their `deduped` text and `n_kept_lines`.
+    *
+    * Deliberately a thin streaming shell over
+    * [[graft.operators.Dedup.dedupLinesAgainstIndex]] with the batch id
+    * as the snapshot key (zero-padded, so ids sort lexicographically in
+    * processing order — the index's caller contract): the batch engine
+    * already solves the hard problems, and its guarantees TRANSFER —
+    * history stays digests-only (scanned never shuffled, pruned scans
+    * PlanSpec-gated), the per-family params sidecar fails closed, the
+    * lock file serializes probes against offline compaction
+    * ([[graft.operators.Dedup.compactDedupIndex]] runs between drops,
+    * bounding the index at distinct lines ever seen), and — the
+    * property that makes this restart-safe — RE-probing a snapshot id
+    * is verdict-identical (spec-proven), so Structured Streaming's
+    * replay of an uncommitted batch after a crash reproduces the same
+    * cleaned documents rather than double-dropping against its own
+    * half-written delta. Like [[minhashDedupStream]], `outDir` is an
+    * append sink: a replayed batch appends its (identical) rows again —
+    * dedup exact-once delivery downstream by `idCol` if the sink needs
+    * it. The blank-line caveat of the batch operator applies feed-wide:
+    * exactly one "" survives across ALL batches ever processed. */
+  def lineDedupStream(docs: DataFrame, idCol: String, textCol: String,
+                      indexDir: String, outDir: String,
+                      checkpoint: String, sep: String = "\n") =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch {
+        (batch: Dataset[org.apache.spark.sql.Row], bid: Long) =>
+          graft.operators.Dedup.dedupLinesAgainstIndex(batch.toDF(),
+              idCol, textCol, indexDir, f"batch$bid%010d", sep)
+            .write.mode("append").parquet(outDir)
+          ()
+      }
+      .outputMode(OutputMode.Append())
+      .start()
+
   /** Streaming decontamination: annotate documents in-flight with their
     * k-gram overlap against a STATIC held-out eval set — the streaming
     * analog of [[graft.operators.Decontaminate.flag]], for screening an

@@ -272,6 +272,45 @@ class StreamingSpec extends SparkTestBase {
     assert(kept2 == Seq(5L))
   }
 
+  test("line dedup stream: the C4 global-first rule across " +
+      "micro-batches — later docs lose lines earlier batches kept, " +
+      "intra-batch election included, docs reassembled in order") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("linededup_stream")
+    val idx = dir.resolve("index").toString
+    val out = dir.resolve("out").toString
+    val ckpt = dir.resolve("ckpt").toString
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamIngest.lineDedupStream(
+      mem.toDS().toDF("doc_id", "text"), "doc_id", "text", idx, out,
+      ckpt)
+    // batch 0: doc 1 keeps everything; doc 2 loses the shared quote
+    // to doc 1 WITHIN the batch (intra-batch election: lower id wins)
+    mem.addData(
+      (1L, "unique one\nshared quote\nunique two"),
+      (2L, "shared quote\ndoc two line"))
+    q.processAllAvailable()
+    // batch 1: doc 3 loses BOTH cross-batch repeats (one from each
+    // earlier doc) and keeps only its fresh line
+    mem.addData((3L, "unique one\nfresh line\ndoc two line"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.read.parquet(out)
+      .select("doc_id", "n_kept_lines", "deduped")
+      .as[(Long, Long, String)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got(1L) == (3L, "unique one\nshared quote\nunique two"))
+    assert(got(2L) == (1L, "doc two line"),
+      s"intra-batch election must drop the later doc's copy: $got")
+    assert(got(3L) == (1L, "fresh line"),
+      s"cross-batch repeats must die against the line index: $got")
+    // the index stores digests only — line TEXT never persists
+    val cols = spark.read.parquet(s"$idx/lines").columns.toSet
+    assert(cols == Set("lh", "snapshot"),
+      s"history must stay digests-only: $cols")
+  }
+
   test("minhash dedup stream filters the feed across micro-batches") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
