@@ -155,23 +155,31 @@ object ScaleProbeMonthly {
     // work), 64 blob "files" of Content-Length-framed conversion
     // records with REAL target URLs
     val crlf = "\r\n"
-    val payload = reshape(col("doc_id"), col("text"))
-    val rec = concat(lit("WARC/1.0" + crlf),
-      lit("WARC-Type: conversion" + crlf),
-      lit("WARC-Target-URI: "), crawlUrl(col("doc_id")), lit(crlf),
-      lit("WARC-Date: 2026-08-01T00:00:00Z" + crlf),
-      // octet_length, NOT length: the WARC walk is byte-driven (the
-      // p69 framer's rule) — a character count under-frames any
-      // multi-byte doc and poisons the rest of its blob
-      lit("Content-Length: "), octet_length(payload).cast("string"),
-      lit(crlf + crlf), payload, lit(crlf + crlf))
-    docs.filter(col("doc_id") % 3 === 0)
-      .withColumn("rec_str", rec)
-      .withColumn("file", pmod(col("doc_id"), lit(64L)))
-      .groupBy("file")
-      .agg(concat_ws("", collect_list(col("rec_str"))).as("raw"))
-      .write.mode("overwrite").parquet(wetDir)
-    println(s"[monthly] wet snapshot at $wetDir")
+    def writeWet(residue: Int, date: String, dir: String): Unit = {
+      val payload = reshape(col("doc_id"), col("text"))
+      val rec = concat(lit("WARC/1.0" + crlf),
+        lit("WARC-Type: conversion" + crlf),
+        lit("WARC-Target-URI: "), crawlUrl(col("doc_id")), lit(crlf),
+        lit(s"WARC-Date: ${date}T00:00:00Z" + crlf),
+        // octet_length, NOT length: the WARC walk is byte-driven (the
+        // p69 framer's rule) — a character count under-frames any
+        // multi-byte doc and poisons the rest of its blob
+        lit("Content-Length: "), octet_length(payload).cast("string"),
+        lit(crlf + crlf), payload, lit(crlf + crlf))
+      docs.filter(col("doc_id") % 3 === residue)
+        .withColumn("rec_str", rec)
+        .withColumn("file", pmod(col("doc_id"), lit(64L)))
+        .groupBy("file")
+        .agg(concat_ws("", collect_list(col("rec_str"))).as("raw"))
+        .write.mode("overwrite").parquet(dir)
+    }
+    writeWet(0, "2026-08-01", wetDir)
+    // September: the %3==1 slice in its own dir (ids ≡ 4 mod 6
+    // overlap July's seed; its trending/xline groups overlap August's
+    // deltas — the SECOND month probes indexes GROWN by the first)
+    val wetDirSep = tmp("graft-monthly-wet-sep-") + "/snap"
+    writeWet(1, "2026-09-01", wetDirSep)
+    println(s"[monthly] wet snapshots at $wetDir , $wetDirSep")
 
     // ---- MONTHLY: the one composition a crawl drop runs. The index
     // probes checkpoint internally (pinned-before-delta-write), so the
@@ -180,9 +188,9 @@ object ScaleProbeMonthly {
     case class Run(front: DataFrame, mix: Map[String, Long],
                    gated: DataFrame, lded: DataFrame,
                    picked: DataFrame)
-    def composed(docIdx: String, lineIdx: String,
+    def composed(wet: String, docIdx: String, lineIdx: String,
                  snapshotId: String): Run = {
-      val raw = spark.read.parquet(wetDir)
+      val raw = spark.read.parquet(wet)
       val framed = graft.operators.WarcIngest.wetDocuments(raw, "raw")
         .withColumn("doc_id",
           regexp_extract(col("url"), "/p/(\\d+)", 1).cast("long"))
@@ -230,11 +238,11 @@ object ScaleProbeMonthly {
     // warm lap (codegen + JIT; the standing probe discipline) against
     // THROWAWAY indexes so the real monthly probe+delta against the
     // seeded history is first-time work
-    composed(tmp("graft-monthly-warmidx-"),
+    composed(wetDir, tmp("graft-monthly-warmidx-"),
       tmp("graft-monthly-warmlines-"), "2026-08").picked.count()
 
     val t2 = System.nanoTime()
-    val run = composed(indexDir, lineIndexDir, "2026-08")
+    val run = composed(wetDir, indexDir, lineIndexDir, "2026-08")
     val nPicked = run.picked.count()
     val monthlySec = (System.nanoTime() - t2) / 1e9
 
@@ -271,6 +279,27 @@ object ScaleProbeMonthly {
       f"lines=${lineStats.getLong(1)} picked=$nPicked " +
       f"(plans: wet=$readsWet model=$readsModel rescan=$readsCorpus)")
 
+    // ---- BETWEEN DROPS: offline compaction of both indexes (the
+    // operating loop's maintenance step — re-bounds each index at
+    // DISTINCT keys ever seen; replay-identity is spec-proven)
+    val t3 = System.nanoTime()
+    D.compactDedupIndex(spark, indexDir)
+    D.compactDedupIndex(spark, lineIndexDir)
+    val compactSec = (System.nanoTime() - t3) / 1e9
+    println(f"[monthly] inter-month compaction $compactSec%.1f s")
+
+    // ---- SEPTEMBER: the second drop probes indexes GROWN by August
+    // (and just compacted) — the cost must stay flat, and the chain
+    // is identical by construction (same composed())
+    val t4 = System.nanoTime()
+    val sep = composed(wetDirSep, indexDir, lineIndexDir, "2026-09")
+    val nPickedSep = sep.picked.count()
+    val sepSec = (System.nanoTime() - t4) / 1e9
+    val mixSep = sep.mix
+    val nGatedSep = sep.gated.count()
+    println(f"[monthly] september drop $sepSec%.1f s: mix=$mixSep " +
+      f"gated=$nGatedSep picked=$nPickedSep")
+
     val json = s"""{"metric":"monthly_drop","sf":"$sfDir",""" +
       f""""dd_mbps":$dd%.0f,"cpu_ref_sec":$cpu%.2f,""" +
       f""""setup_train_save_sec":$trainSec%.1f,""" +
@@ -285,6 +314,13 @@ object ScaleProbeMonthly {
       s""""deduped_lines":${lineStats.getLong(1)},""" +
       s""""picked":$nPicked},""" +
       f""""gate_kept_frac":$keptFrac%.3f,""" +
+      f""""intermonth_compaction_sec":$compactSec%.1f,""" +
+      f""""september_sec":$sepSec%.1f,""" +
+      s""""september_rows":{""" +
+      s""""keep":${mixSep.getOrElse("keep", 0L)},""" +
+      s""""drop_exact":${mixSep.getOrElse("drop_exact", 0L)},""" +
+      s""""drop_near":${mixSep.getOrElse("drop_near", 0L)},""" +
+      s""""gated":$nGatedSep,"picked":$nPickedSep},""" +
       s""""plan_reads_model":$readsModel,""" +
       s""""plan_reads_snapshot":$readsWet,""" +
       s""""plan_rescans_train_corpus":$readsCorpus,""" +

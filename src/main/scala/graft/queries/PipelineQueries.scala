@@ -1023,6 +1023,34 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // the ADD-LANGUAGE model lifecycle as a gate (r17): the model is
+    // saved WITHOUT 'en', then 'en' is appended via
+    // addLmModelLanguages — and the eval slice scored under its own
+    // lang hashes against the SAME oracle a full retrain would (the
+    // oracle recomputes all languages' tables at once), so green IS
+    // the append == retrain-all equivalence through the driver's
+    // oracle, not just the spec's file-md5 argument. Languages
+    // trained under drifted params would shift the integer hit
+    // statistics and fail the hash.
+    "p76_lm_addlang" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val train = docs.filter(col("doc_id") % 10 =!= 0)
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-p76-").toString
+      TextAnalysis.saveLmModel(train.filter(col("lang") =!= "en"),
+        "text", dir, order = 3, minCount = 2, portableHash = true,
+        langCol = Some("lang"))
+      TextAnalysis.addLmModelLanguages(
+        train.filter(col("lang") === "en"), "text", dir, "lang")
+      TextAnalysis.ngramLmScoreWithModel(dir,
+          docs.filter(col("doc_id") % 10 === 0), "doc_id", "text",
+          langCol = Some("lang"))
+        .select(col("id").as("doc_id"), col("lang"), col("n_tokens"),
+          col("n_hit3"), col("n_hit2"), col("n_hit1"), col("n_oov"),
+          col("sum_num"), col("sum_den"), col("sum_steps"))
+        .orderBy("doc_id")
+    }),
+
     // classifier TRAINING as a gate: 3 unrolled fixed-point GD
     // iterations over 64 hashed-BoW buckets, label = (lang = 'en').
     // The learned weights themselves hash against the oracle's unrolled
@@ -2481,6 +2509,17 @@ object PipelineQueries {
       tailSql = """SELECT sid, lang, n_tokens, n_hit3, n_hit2, n_hit1,
         |  n_oov, sum_num, sum_den, sum_steps
         |FROM stats ORDER BY sid""".stripMargin),
+    // append == retrain-all: the oracle recomputes every language's
+    // tables from the full train slice AT ONCE — the engine side
+    // built the model incrementally (save without 'en', then append
+    // 'en'), so a hash match is the lifecycle equivalence proof
+    "p76_lm_addlang" -> lmPerLangOracle(minCount3 = 2,
+      evSql =
+        "SELECT doc_id AS sid, lang, ws FROM ws0 WHERE doc_id % 10 = 0",
+      tailSql = """SELECT sid AS doc_id, lang, n_tokens, n_hit3,
+        |  n_hit2, n_hit1, n_oov, sum_num, sum_den, sum_steps
+        |FROM stats ORDER BY doc_id""".stripMargin),
+
     "p74_lm_perlang_buckets" -> lmPerLangOracle(minCount3 = 2,
       evSql =
         "SELECT doc_id AS sid, lang, ws FROM ws0 WHERE doc_id % 10 = 0",
