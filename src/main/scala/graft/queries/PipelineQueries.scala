@@ -998,9 +998,13 @@ object PipelineQueries {
               sub50)).otherwise(lit(""))).as("text"))
       val scrubbed = Dedup.scrubBoilerplateLines(lined, "doc_id",
         "reg_host", "text", minDocs = 3)
+      // pinned: the front-door + scrub + battery chain feeds BOTH
+      // snapshots' line-dedup probes AND the final verdict join —
+      // without the checkpoint the 3-shuffle scrub election replays
+      // three times (measured 5.5 s → pinned wins the recomputation)
       val gated = TextAnalysis.repetitionSignals(
         TextAnalysis.gopherQuality(scrubbed, "cleaned",
-          minStopwords = 1), "cleaned")
+          minStopwords = 1), "cleaned").localCheckpoint()
       val surv = gated.filter(col("gopher_pass") && col("rep_pass"))
         .select(col("doc_id"), col("cleaned"))
       val dir = java.nio.file.Files
