@@ -265,13 +265,18 @@ object ScaleProbeMonthly {
     val nFramed = spark.read.parquet(wetDir)
       .transform(r => graft.operators.WarcIngest.wetDocuments(r, "raw"))
       .count()
-    val nFront = run.front.count()
-    val nGated = run.gated.count()
+    // every front row got a dedup verdict, so front = Σ mix — no
+    // need to replay the framing + URL kernels for a count; and the
+    // line-dedup output (pinned by the index machinery) carries one
+    // row per gated doc, so it answers both line totals AND the
+    // gated count without re-running the 3-shuffle scrub election
     val mix = run.mix
+    val nFront = mix.values.sum
     val nKept = mix.getOrElse("keep", 0L)
     val lineStats = run.lded.agg(
         count(lit(1)), coalesce(sum(col("n_kept_lines")), lit(0L)))
       .collect()(0)
+    val nGated = lineStats.getLong(0)
     val keptFrac = if (nKept == 0) 0.0 else nGated.toDouble / nKept
     println(f"[monthly] monthly drop $monthlySec%.1f s: framed=" +
       f"$nFramed front=$nFront mix=$mix gated=$nGated " +
@@ -296,7 +301,7 @@ object ScaleProbeMonthly {
     val nPickedSep = sep.picked.count()
     val sepSec = (System.nanoTime() - t4) / 1e9
     val mixSep = sep.mix
-    val nGatedSep = sep.gated.count()
+    val nGatedSep = sep.lded.count() // pinned — no scrub replay
     println(f"[monthly] september drop $sepSec%.1f s: mix=$mixSep " +
       f"gated=$nGatedSep picked=$nPickedSep")
 

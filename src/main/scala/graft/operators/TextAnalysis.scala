@@ -503,6 +503,53 @@ object TextAnalysis {
             .as("ppl")): _*)
   }
 
+  /** One sidecar line of space-separated k=v tokens. */
+  private def parseLmKv(line: String): Map[String, String] =
+    line.trim.split(" ").map(_.split("=", 2))
+      .map(a => a(0) -> a(1)).toMap
+
+  /** Read a COMPLETE model's sidecar: (header kv, per-language
+    * (lang, n, v) lines — empty for single-language models). None
+    * when params.lm.txt is absent; the CALLER owns the error shape
+    * (scoring fails closed as an illegal state, appending as an
+    * illegal argument). */
+  private def readLmSidecar(modelDir: String)
+      : Option[(Map[String, String], Array[(String, Long, Long)])] = {
+    val meta = java.nio.file.Paths.get(modelDir, "params.lm.txt")
+    if (!java.nio.file.Files.exists(meta)) None
+    else {
+      val lines = new String(java.nio.file.Files.readAllBytes(meta),
+        java.nio.charset.StandardCharsets.UTF_8).trim.split("\n")
+      Some((parseLmKv(lines.head), lines.tail.map(parseLmKv)
+        .map(m => (m("lang"), m("n").toLong, m("v").toLong))))
+    }
+  }
+
+  /** Lang values become partition dir names and sidecar tokens —
+    * anything outside the code-shaped charset would corrupt both. */
+  private def requireLangCodes(langs: Seq[String],
+                               caller: String): Unit =
+    langs.foreach { l =>
+      require(l.matches("[A-Za-z0-9_.\\-]+"),
+        s"$caller: language value '$l' is not a language code " +
+          "(allowed: letters, digits, '_', '.', '-') — normalize " +
+          "the lang column before saving")
+    }
+
+  /** Write the sidecar LAST, temp file + atomic rename: its presence
+    * marks a COMPLETE model and its content is the language manifest
+    * scorers prune to. */
+  private def writeLmSidecar(modelDir: String, content: String): Unit = {
+    val tmp = java.nio.file.Files.createTempFile(
+      java.nio.file.Paths.get(modelDir), ".params.lm.", ".tmp")
+    java.nio.file.Files.write(tmp,
+      content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(tmp,
+      java.nio.file.Paths.get(modelDir, "params.lm.txt"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
   /** TRAIN-ONCE / SCORE-MANY for the backoff LM: persist the fused
     * count tables of [[ngramLmScoreBackoff]] as an on-disk model.
     * This is the actual CCNet operating shape — §3.3 trains ONE KenLM
@@ -576,14 +623,7 @@ object TextAnalysis {
           s"saveLmModel: train corpus has no tokens (column " +
             s"'$textCol') in any language — refusing to persist an " +
             "empty model")
-        // lang values become partition dir names and sidecar tokens;
-        // anything outside the code-shaped charset would corrupt both
-        langNv.foreach { case (l, _, _) =>
-          require(l.matches("[A-Za-z0-9_.\\-]+"),
-            s"saveLmModel: language value '$l' is not a language " +
-              "code (allowed: letters, digits, '_', '.', '-') — " +
-              "normalize the lang column before saving")
-        }
+        requireLangCodes(langNv.map(_._1).toSeq, "saveLmModel")
         fused.write.mode("overwrite").partitionBy("lang", "k")
           .parquet(s"$modelDir/counts")
         val header = s"order=$order minCount=$minCount " +
@@ -591,13 +631,7 @@ object TextAnalysis {
         (header +: langNv.map { case (l, n, v) =>
           s"lang=$l n=$n v=$v" }).mkString("\n")
     }
-    val tmp = java.nio.file.Files.createTempFile(
-      java.nio.file.Paths.get(modelDir), ".params.lm.", ".tmp")
-    java.nio.file.Files.write(tmp,
-      sidecar.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    java.nio.file.Files.move(tmp, meta,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    writeLmSidecar(modelDir, sidecar)
   }
 
   /** ADD languages to a saved per-language model WITHOUT retraining
@@ -631,16 +665,11 @@ object TextAnalysis {
     * externally, exactly as with re-saves. */
   def addLmModelLanguages(train: DataFrame, textCol: String,
                           modelDir: String, langCol: String): Unit = {
-    val meta = java.nio.file.Paths.get(modelDir, "params.lm.txt")
-    require(java.nio.file.Files.exists(meta),
-      s"addLmModelLanguages: no complete model at $modelDir (missing " +
-        "params.lm.txt) — the first save is saveLmModel's job")
-    val lines = new String(java.nio.file.Files.readAllBytes(meta),
-      java.nio.charset.StandardCharsets.UTF_8).trim.split("\n")
-    def parseKv(line: String): Map[String, String] =
-      line.trim.split(" ").map(_.split("=", 2))
-        .map(a => a(0) -> a(1)).toMap
-    val kv = parseKv(lines.head)
+    val (kv, existing) = readLmSidecar(modelDir).getOrElse(
+      throw new IllegalArgumentException(
+        s"addLmModelLanguages: no complete model at $modelDir " +
+          "(missing params.lm.txt) — the first save is saveLmModel's " +
+          "job"))
     require(kv.get("perlang").contains("true"),
       s"addLmModelLanguages: the model at $modelDir is " +
         "single-language — only per-language models (saved with " +
@@ -648,8 +677,6 @@ object TextAnalysis {
     val order = kv("order").toInt
     val minCount = kv("minCount").toInt
     val portableHash = kv("portable").toBoolean
-    val existing = lines.tail.map(parseKv)
-      .map(m => (m("lang"), m("n").toLong, m("v").toLong))
     val existingLangs = existing.map(_._1).toSet
     val fused = lmCountTables(train, textCol, order, minCount,
       portableHash, Some(langCol)).localCheckpoint(eager = false)
@@ -661,12 +688,7 @@ object TextAnalysis {
     require(langNv.nonEmpty,
       s"addLmModelLanguages: train corpus has no tokens (column " +
         s"'$textCol') in any language — nothing to add")
-    langNv.foreach { case (l, _, _) =>
-      require(l.matches("[A-Za-z0-9_.\\-]+"),
-        s"addLmModelLanguages: language value '$l' is not a " +
-          "language code (allowed: letters, digits, '_', '.', '-') " +
-          "— normalize the lang column before saving")
-    }
+    requireLangCodes(langNv.map(_._1).toSeq, "addLmModelLanguages")
     val overlap = langNv.map(_._1).toSet.intersect(existingLangs)
     require(overlap.isEmpty,
       s"addLmModelLanguages: ${overlap.toSeq.sorted.mkString(", ")} " +
@@ -681,15 +703,11 @@ object TextAnalysis {
       .parquet(s"$modelDir/counts")
     // sidecar LAST (temp + atomic rename): its language list is what
     // makes the new partitions visible to scorers
-    val sidecar = (lines.head +: (existing ++ langNv).sortBy(_._1)
-      .map { case (l, n, v) => s"lang=$l n=$n v=$v" }).mkString("\n")
-    val tmp = java.nio.file.Files.createTempFile(
-      java.nio.file.Paths.get(modelDir), ".params.lm.", ".tmp")
-    java.nio.file.Files.write(tmp,
-      sidecar.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    java.nio.file.Files.move(tmp, meta,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val header = s"order=$order minCount=$minCount " +
+      s"portable=$portableHash perlang=true"
+    writeLmSidecar(modelDir,
+      (header +: (existing ++ langNv).sortBy(_._1)
+        .map { case (l, n, v) => s"lang=$l n=$n v=$v" }).mkString("\n"))
   }
 
   /** Score documents against a model saved by [[saveLmModel]] — the
@@ -715,18 +733,11 @@ object TextAnalysis {
                             broadcastModel: Boolean = true): DataFrame = {
     require(alphaNum >= 1 && alphaDen > alphaNum,
       s"ngramLmScoreWithModel: alpha=$alphaNum/$alphaDen not in (0,1)")
-    val meta = java.nio.file.Paths.get(modelDir, "params.lm.txt")
-    if (!java.nio.file.Files.exists(meta))
+    val (kv, sidecarLangNv) = readLmSidecar(modelDir).getOrElse(
       throw new IllegalStateException(
         s"ngramLmScoreWithModel: no complete model at $modelDir — " +
           "params.lm.txt is missing (either the dir is wrong or a " +
-          "saveLmModel was interrupted; re-save the model)")
-    val lines = new String(java.nio.file.Files.readAllBytes(meta),
-      java.nio.charset.StandardCharsets.UTF_8).trim.split("\n")
-    def parseKv(line: String): Map[String, String] =
-      line.trim.split(" ").map(_.split("=", 2))
-        .map(a => a(0) -> a(1)).toMap
-    val kv = parseKv(lines.head)
+          "saveLmModel was interrupted; re-save the model)"))
     val order = kv("order").toInt
     val portableHash = kv("portable").toBoolean
     val perLang = kv.get("perlang").contains("true")
@@ -755,8 +766,7 @@ object TextAnalysis {
       else spark.read.schema("h BIGINT, c BIGINT, k INT")
         .parquet(s"$modelDir/counts")
     if (perLang) {
-      val langNv = lines.tail.map(parseKv).map(m =>
-        (m("lang"), m("n").toLong, m("v").toLong))
+      val langNv = sidecarLangNv
       import scala.jdk.CollectionConverters._
       val nvDf = spark.createDataFrame(
         langNv.map(t => org.apache.spark.sql.Row(t._1, t._2, t._3))

@@ -1229,7 +1229,9 @@ final class Exec(store: QuadStore, spark: SparkSession) {
     * list (default 50); `-O 0` disables. Past `boundJoinMax` the
     * clause is NOT dropped immediately: up to
     * `spark.graft.service.boundJoinShipMax` total IRIs (default
-    * 4×max) ship as max-sized IN chunks OR'd INSIDE the one FILTER —
+    * 4×max; honored as configured — a shipMax BELOW max bounds the
+    * single chunk rather than being clamped up) ship as
+    * min(max, shipMax)-sized IN chunks OR'd INSIDE the one FILTER —
     * `FILTER(!BOUND(?v) || !isIRI(?v) || ?v IN (c1…) || ?v IN (c2…))`
     * — which is purely reductive by the same argument as a single IN
     * (the union of the chunks IS the left side's complete IRI set;
@@ -1247,9 +1249,14 @@ final class Exec(store: QuadStore, spark: SparkSession) {
     val max = spark.conf.getOption("spark.graft.service.boundJoinMax")
       .map(_.toInt).getOrElse(50)
     if (max <= 0) return ""
-    val ship = math.max(max, spark.conf
+    // the TOTAL cap is honored as configured — a shipMax BELOW max
+    // simply bounds the single chunk (a fragile remote parser may
+    // need a tighter total than the per-chunk default, and silently
+    // clamping it back up would ignore the operator's cap)
+    val ship = math.max(1, spark.conf
       .getOption("spark.graft.service.boundJoinShipMax")
       .map(_.toInt).getOrElse(4 * max))
+    val chunk = math.min(max, ship)
     val shared = (gpVars(sv.inner) intersect l.certain).toSeq.sorted
     if (shared.isEmpty) return ""
     // ONE resolve pass for every shared var, cached: an expensive left
@@ -1283,7 +1290,7 @@ final class Exec(store: QuadStore, spark: SparkSession) {
         else {
           // max-sized IN chunks OR'd inside ONE filter — reductive
           // (union = complete IRI set); see the cap scaladoc above
-          val ins = uris.grouped(max).map(c => c.map(u => s"<$u>")
+          val ins = uris.grouped(chunk).map(c => c.map(u => s"<$u>")
             .mkString(s"?$v IN (", ", ", ")")).mkString(" || ")
           Some(s"FILTER(!BOUND(?$v) || !isIRI(?$v) || $ins)")
         }

@@ -218,7 +218,20 @@ object StreamIngest {
     * append sink: a replayed batch appends its (identical) rows again —
     * dedup exact-once delivery downstream by `idCol` if the sink needs
     * it. The blank-line caveat of the batch operator applies feed-wide:
-    * exactly one "" survives across ALL batches ever processed. */
+    * exactly one "" survives across ALL batches ever processed.
+    *
+    * ONE STREAM PER INDEX, fail-closed: batch ids restart at 0 for a
+    * NEW checkpoint dir, so a second stream (or the same stream after
+    * its checkpoint was deleted) pointed at an existing index would
+    * re-probe snapshot "batch0000000000" with DIFFERENT data — and the
+    * index's dynamic partition overwrite would replace that historical
+    * digest partition, silently un-deduplicating every line it held.
+    * The index therefore records its owning checkpoint path in a
+    * `stream.owner.txt` sidecar on first use and every batch requires
+    * a match: a colliding stream gets an error naming both paths
+    * instead of corrupting shared history. (The batch API has no such
+    * guard because its callers pick explicit date-shaped snapshot ids;
+    * here the ids are batch-generated, so the lineage must be pinned.) */
   def lineDedupStream(docs: DataFrame, idCol: String, textCol: String,
                       indexDir: String, outDir: String,
                       checkpoint: String, sep: String = "\n") =
@@ -226,6 +239,24 @@ object StreamIngest {
       .option("checkpointLocation", checkpoint)
       .foreachBatch {
         (batch: Dataset[org.apache.spark.sql.Row], bid: Long) =>
+          val owner = java.nio.file.Paths
+            .get(indexDir, "stream.owner.txt")
+          java.nio.file.Files.createDirectories(
+            java.nio.file.Paths.get(indexDir))
+          if (java.nio.file.Files.exists(owner)) {
+            val prev = new String(
+              java.nio.file.Files.readAllBytes(owner), "UTF-8").trim
+            if (prev != checkpoint)
+              throw new IllegalStateException(
+                s"lineDedupStream: index $indexDir is owned by the " +
+                  s"stream checkpointed at '$prev' but this stream " +
+                  s"checkpoints at '$checkpoint' — batch ids would " +
+                  "collide and overwrite historical digest " +
+                  "partitions. Use a fresh indexDir per stream (or " +
+                  "restore the original checkpoint).")
+          } else
+            java.nio.file.Files.write(owner,
+              checkpoint.getBytes("UTF-8"))
           graft.operators.Dedup.dedupLinesAgainstIndex(batch.toDF(),
               idCol, textCol, indexDir, f"batch$bid%010d", sep)
             .write.mode("append").parquet(outDir)

@@ -309,6 +309,22 @@ class StreamingSpec extends SparkTestBase {
     val cols = spark.read.parquet(s"$idx/lines").columns.toSet
     assert(cols == Set("lh", "snapshot"),
       s"history must stay digests-only: $cols")
+    // one stream per index, fail-closed: a SECOND stream (fresh
+    // checkpoint -> batch ids restart at 0) pointed at the same index
+    // would overwrite historical digest partitions — it must error
+    // with both checkpoint paths named, not corrupt shared history
+    val mem2 = MemoryStream[(Long, String)]
+    val q2 = StreamIngest.lineDedupStream(
+      mem2.toDS().toDF("doc_id", "text"), "doc_id", "text", idx,
+      dir.resolve("out2").toString, dir.resolve("ckpt2").toString)
+    mem2.addData((9L, "whatever"))
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q2.processAllAvailable()
+    }
+    assert(e.getMessage.contains("owned by the stream") ||
+      Option(e.getCause).exists(_.getMessage.contains("owned by")),
+      s"colliding stream must fail closed: ${e.getMessage}")
+    q2.stop()
   }
 
   test("minhash dedup stream filters the feed across micro-batches") {
