@@ -88,4 +88,55 @@ object Ranking {
       .select(col("rank"), col(idCol), col("dl"), col("tf_total"),
         col("score"))
   }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009) of
+    * N ranked lists — the standard hybrid-retrieval combiner (sparse
+    * BM25 + dense ANN, or any mix of rankers):
+    *
+    *   rrf(d) = Σ_lists 1 / (k0 + rank_list(d))    (absent ⇒ 0)
+    *
+    * Each input holds one ranked list as `(idCol, rankCol)` (rank 1 =
+    * best, as [[bm25TopK]] and `Similarity.*TopK` emit). Items are fused
+    * by id across lists with full-outer joins folded in the FIXED order
+    * of `lists`, and the score sums its per-list contributions in that
+    * same order — so the double is bit-reproducible under any
+    * partitioning and in a plain-SQL oracle (a groupBy-sum over a melted
+    * union would instead add in shuffle-arrival order). Ties break on
+    * ascending id; absent ranks surface as NULL columns.
+    *
+    * Output: (rank, <idCol>, n_lists, rank_0..rank_{N-1}, rrf6) — n_lists
+    * counts the lists that retrieved the item, rrf6 the fused score
+    * rounded to 6 decimals (the ordering uses the unrounded sum).
+    *
+    * Scale shape: the inputs are top-k lists — a few thousand rows at
+    * most regardless of corpus size — so every fold step is a broadcast
+    * join of driver-scalar-sized frames and the final rank is one
+    * row_number over a single partition of ≤ Σ k rows. The corpus itself
+    * was already reduced by the upstream rankers; fusion never touches
+    * it. */
+  def rrfFuse(lists: Seq[DataFrame], idCol: String, rankCol: String,
+              k: Int, k0: Int = 60): DataFrame = {
+    require(lists.size >= 2, "rrfFuse needs at least two ranked lists")
+    require(k0 > 0, "rrfFuse needs k0 > 0")
+    val renamed = lists.zipWithIndex.map { case (df, i) =>
+      df.select(col(idCol), col(rankCol).cast("int").as(s"rank_$i"))
+    }
+    val fused = renamed.reduceLeft((a, b) =>
+      a.join(broadcast(b), Seq(idCol), "full_outer"))
+    val contribs = lists.indices.map(i =>
+      coalesce(lit(1.0) / (lit(k0.toDouble) + col(s"rank_$i")
+        .cast("double")), lit(0.0)))
+    val score = contribs.reduce(_ + _)
+    val nLists = lists.indices.map(i =>
+      when(col(s"rank_$i").isNotNull, 1).otherwise(0)).reduce(_ + _)
+    val rankCols = lists.indices.map(i => col(s"rank_$i"))
+    fused.withColumn("__score", score)
+      .orderBy(col("__score").desc, col(idCol).asc)
+      .limit(k)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("__score").desc, col(idCol).asc)))
+      .select((col("rank") +: col(idCol) +: nLists.as("n_lists") +:
+        rankCols :+ round(col("__score"), 6).as("rrf6")): _*)
+  }
 }

@@ -161,6 +161,106 @@ object Similarity {
       }
     }
 
+  // --- product quantization (Jégou, Douze & Schmid, TPAMI 2011) ---
+
+  // subspace j of a vector, widened to double BEFORE slicing so both
+  // the codes and the ADC tables work on exactly the floats' values
+  private def pqSlice(vec: Column, j: Int, sub: Int): Column =
+    slice(vec.cast("array<double>"), j * sub + 1, sub)
+
+  // squared L2 as dot(a,a) - 2*dot(a,b) + dot(b,b): three fixed-order
+  // VecDot folds, the same expression an SQL oracle spells with
+  // list_inner_product — no zip_with/aggregate HOF in the hot path
+  private def pqD2(a: Column, b: Column): Column =
+    dot(a, a) - lit(2.0) * dot(a, b) + dot(b, b)
+
+  /** Product-quantization encoding: split each vector into `m` subspaces
+    * of `dim/m` components and replace every subspace with the id of its
+    * nearest codebook entry (squared L2; ties → lowest code id). The
+    * corpus compresses from `dim` floats to `m` small ints per vector —
+    * the memory-bound ANN path: at 100 TB of embeddings the codes table
+    * is ~dim·32/(m·log₂ nCodes) times smaller than the vectors, and
+    * [[pqTopK]] scores against codes only.
+    *
+    * The codebook is pluggable (pass per-subspace-aware centroids via
+    * `codebook`); the default takes the `nCodes` lowest-id items' own
+    * sub-vectors — deterministic, so the whole encoder reproduces in a
+    * plain-SQL oracle (codebook quality is the trainer's job, the
+    * encoding mechanics are this operator's, same split as [[ivfTopK]]).
+    *
+    * Scale shape: one broadcast cross against the nCodes-row codebook,
+    * all `m` argmins computed in ONE aggregate (min_by partials collapse
+    * the nCodes candidate rows map-side), so the single shuffle moves
+    * one row of m ints per corpus item.
+    *
+    * Output: (item_id, code_0..code_{m-1}: int). */
+  def pqEncode(items: DataFrame, idCol: String, vecCol: String,
+               dim: Int, m: Int = 4, nCodes: Int = 8,
+               codebook: Option[DataFrame] = None): DataFrame = {
+    require(m > 0 && dim % m == 0, s"dim=$dim must split into m=$m subspaces")
+    val sub = dim / m
+    val cb = codebook.getOrElse(items.orderBy(col(idCol)).limit(nCodes))
+      .select(col(idCol).cast("int").as("code_id"), col(vecCol).as("cvec"))
+    val it = items.select(col(idCol).as("item_id"), col(vecCol).as("ivec"))
+    val d2Cols = (0 until m).map(j =>
+      pqD2(pqSlice(col("ivec"), j, sub), pqSlice(col("cvec"), j, sub))
+        .as(s"d2_$j"))
+    val crossed = it.crossJoin(broadcast(cb))
+      .select((col("item_id") +: col("code_id") +: d2Cols): _*)
+    val aggs = (0 until m).map(j =>
+      min_by(col("code_id"), struct(col(s"d2_$j"), col("code_id")))
+        .as(s"code_$j"))
+    crossed.groupBy("item_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** PQ asymmetric-distance top-k (ADC): approximate each query→item
+    * squared L2 as the sum of per-subspace distances from the query's
+    * exact sub-vector to the item's CODE centroid — the corpus side is
+    * only its [[pqEncode]] codes.
+    *
+    *   adc(q, x) = Σ_j d²(q_j, codebook[code_j(x)])
+    *
+    * Scale shape: the per-query distance tables are |queries|·nCodes
+    * rows (driver-scalar-sized) and join the codes stream as `m`
+    * broadcast hash joins whose summands add in fixed subspace order —
+    * map-only over the corpus codes, bit-reproducible, no shuffle until
+    * the per-query row_number top-k. A melted (item, j, code) regroup
+    * would multiply the corpus stream m× before its join — the same
+    * shape the LM melt experiment falsified (ARCHITECTURE.md).
+    *
+    * Output: (query_id, rank, item_id, adc6). */
+  def pqTopK(items: DataFrame, queries: DataFrame, idCol: String,
+             vecCol: String, k: Int, dim: Int, m: Int = 4,
+             nCodes: Int = 8, codebook: Option[DataFrame] = None)
+      : DataFrame = {
+    require(m > 0 && dim % m == 0, s"dim=$dim must split into m=$m subspaces")
+    val sub = dim / m
+    val codes = pqEncode(items, idCol, vecCol, dim, m, nCodes, codebook)
+    val cb = codebook.getOrElse(items.orderBy(col(idCol)).limit(nCodes))
+      .select(col(idCol).cast("int").as("code_id"), col(vecCol).as("cvec"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+    val qd2Cols = (0 until m).map(j =>
+      pqD2(pqSlice(col("qvec"), j, sub), pqSlice(col("cvec"), j, sub))
+        .as(s"qd2_$j"))
+    val dt = q.crossJoin(broadcast(cb))
+      .select((col("query_id") +: col("code_id") +: qd2Cols): _*)
+    val joined = (0 until m).foldLeft(codes) { (acc, j) =>
+      val dtj = dt.select(col("query_id"), col("code_id").as(s"code_$j"),
+        col(s"qd2_$j"))
+      if (j == 0) acc.join(broadcast(dtj), Seq(s"code_$j"))
+      else acc.join(broadcast(dtj), Seq("query_id", s"code_$j"))
+    }
+    val adc = (0 until m).map(j => col(s"qd2_$j")).reduce(_ + _)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").asc, col("item_id").asc)
+    joined.filter(col("query_id") =!= col("item_id"))
+      .withColumn("adc", adc)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("item_id"),
+        round(col("adc"), 6).as("adc6"))
+  }
+
   def lshTopK(items: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, dim: Int, nPlanes: Int = 16,
               bands: Int = 4): DataFrame = {

@@ -97,6 +97,45 @@ object TextAnalysis {
         .otherwise(lit(0.0)).as("dup_frac"))
   }
 
+  /** Corpus-level top-k n-grams (heavy hitters) — the dataset-report
+    * companion of the per-doc [[ngramRepetition]]: the most frequent
+    * word n-grams across the whole corpus with how many documents carry
+    * them (the table every curation writeup ships to spot boilerplate,
+    * templates and SEO spam; e.g. the Gopher/MassiveText and RefinedWeb
+    * dataset analyses).
+    *
+    * Scale shape: tokenize + explode are map-only; the first aggregate
+    * keys (ngram, doc) so map-side partials collapse a document's
+    * repeated grams before the one gram-keyed shuffle; the second
+    * aggregate reduces the already-deduplicated stream to one row per
+    * distinct gram (vocabulary-sized, not corpus-sized); the top-k is
+    * `orderBy(...).limit(k)` = TakeOrdered (per-partition heaps, no
+    * full sort). A single-step `countDistinct` would instead expand
+    * every gram row twice before its shuffle.
+    *
+    * Output: (rank, ngram, n_docs, total_count), ranked by total count
+    * descending then gram ascending. */
+  def topNgrams(df: DataFrame, idCol: String, textCol: String,
+                n: Int = 3, k: Int = 20): DataFrame = {
+    require(n >= 1, "topNgrams needs n >= 1")
+    require(k >= 1, "topNgrams needs k >= 1")
+    val tok = df.select(col(idCol).as("__id"), words(col(textCol)).as("__ws"))
+    val grams = when(size(col("__ws")) >= n,
+      transform(sequence(lit(1), size(col("__ws")) - lit(n - 1)),
+        i => concat_ws(" ", slice(col("__ws"), i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+    val perDoc = tok.select(explode(grams).as("ngram"), col("__id"))
+      .groupBy(col("ngram"), col("__id")).agg(count(lit(1)).as("__c"))
+    val agg = perDoc.groupBy("ngram")
+      .agg(sum(col("__c")).as("total_count"), count(lit(1)).as("n_docs"))
+    agg.orderBy(col("total_count").desc, col("ngram").asc).limit(k)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("total_count").desc, col("ngram").asc)))
+      .select(col("rank"), col("ngram"), col("n_docs"),
+        col("total_count"))
+  }
+
   /** Bigram language-model scoring — the statistical quality filter of
     * CCNet/KenLM-style pipelines: train bigram/unigram counts on a
     * reference corpus, then score each document by add-k smoothed

@@ -1055,6 +1055,49 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // hybrid retrieval: the sparse BM25 list (p34's ranker at k=50)
+    // and the dense cosine list (p09's ranker, query = vec 0) fused by
+    // reciprocal rank — absent ranks surface as -1 so the nullable
+    // columns stay hash-stable
+    "p77_hybrid_rrf" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val emb = t(s, d, "embeddings")
+      val sparse = Ranking.bm25TopK(docs, "doc_id", "text",
+          Seq("dup", "join", "spark"), k = 50)
+        .select(col("doc_id"), col("rank"))
+      val dense = Similarity.bruteForceTopK(emb,
+          emb.filter(col("vec_id") === 0), "vec_id", "embedding", k = 50)
+        .select(col("item_id").as("doc_id"), col("rank"))
+      Ranking.rrfFuse(Seq(sparse, dense), "doc_id", "rank", k = 20)
+        .withColumn("rank_0", coalesce(col("rank_0"), lit(-1)))
+        .withColumn("rank_1", coalesce(col("rank_1"), lit(-1)))
+        .orderBy("rank")
+    }),
+
+    // product-quantization ENCODE: every vector -> m=4 subspace codes
+    // against the deterministic lowest-id codebook (integer output,
+    // engine-exact end to end)
+    "p78_embed_pq_codes" -> ((s, d) =>
+      Similarity.pqEncode(t(s, d, "embeddings"), "vec_id", "embedding",
+          dim = 64, m = 4, nCodes = 8)
+        .orderBy("item_id")),
+
+    // PQ asymmetric-distance top-k: the memory-bound ANN scale path —
+    // the corpus side of the scoring join is ONLY the p78 codes
+    "p79_embed_pq_topk" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.pqTopK(emb, emb.filter(col("vec_id") < 5), "vec_id",
+          "embedding", k = 5, dim = 64, m = 4, nCodes = 8)
+        .orderBy("query_id", "rank")
+    }),
+
+    // corpus-level top-k n-grams (heavy hitters): the dataset-report
+    // table — most frequent trigrams with document reach
+    "p80_top_ngrams" -> ((s, d) =>
+      TextAnalysis.topNgrams(t(s, d, "documents"), "doc_id", "text",
+          n = 3, k = 20)
+        .orderBy("rank")),
+
     // classifier TRAINING as a gate: 3 unrolled fixed-point GD
     // iterations over 64 hashed-BoW buckets, label = (lang = 'en').
     // The learned weights themselves hash against the oracle's unrolled
@@ -1978,6 +2021,75 @@ object PipelineQueries {
         .replace("@REGHOST@", regHostCtesSql)
   }
 
+  /** Shared CTE chain for the p78/p79 product-quantization oracles:
+    * doubles, deterministic lowest-id codebook, per-subspace argmin
+    * with the (d2, code_id) tie order, squared L2 spelled exactly as
+    * the operator's fixed-order dot-product identity. */
+  private def pqOracleCtes: String = {
+    def ip(a: String, b: String) = s"list_inner_product($a, $b)"
+    def d2(a: String, b: String, j: Int): String = {
+      val lo = j * 16 + 1; val hi = j * 16 + 16
+      val sa = s"$a[$lo:$hi]"; val sb = s"$b[$lo:$hi]"
+      s"${ip(sa, sa)} - 2 * ${ip(sa, sb)} + ${ip(sb, sb)}"
+    }
+    val aCols = (0 until 4)
+      .map(j => s"    ${d2("e.v", "cb.cv", j)} AS d2_$j").mkString(",\n")
+    val cCtes = (0 until 4).map(j =>
+      s"""c$j AS (SELECT item_id, code_id FROM (
+         |  SELECT item_id, code_id, ROW_NUMBER() OVER (
+         |      PARTITION BY item_id ORDER BY d2_$j ASC, code_id ASC
+         |    ) AS rn FROM a) WHERE rn = 1)""".stripMargin).mkString(",\n")
+    val codeCols = (0 until 4)
+      .map(j => s"    CAST(c$j.code_id AS INT) AS code_$j").mkString(",\n")
+    val codeJoins = (1 until 4)
+      .map(j => s"  JOIN c$j USING (item_id)").mkString("\n")
+    s"""WITH e AS (SELECT vec_id,
+       |    list_transform(embedding, x -> x::DOUBLE) AS v
+       |  FROM embeddings),
+       |cb AS (SELECT vec_id AS code_id, v AS cv FROM e
+       |  ORDER BY vec_id LIMIT 8),
+       |a AS (SELECT e.vec_id AS item_id, cb.code_id,
+       |$aCols
+       |  FROM e CROSS JOIN cb),
+       |$cCtes,
+       |codes AS (SELECT c0.item_id,
+       |$codeCols
+       |  FROM c0
+       |$codeJoins)""".stripMargin
+  }
+
+  private def pqTopkOracleTail: String = {
+    def ip(a: String, b: String) = s"list_inner_product($a, $b)"
+    def d2(a: String, b: String, j: Int): String = {
+      val lo = j * 16 + 1; val hi = j * 16 + 16
+      val sa = s"$a[$lo:$hi]"; val sb = s"$b[$lo:$hi]"
+      s"${ip(sa, sa)} - 2 * ${ip(sa, sb)} + ${ip(sb, sb)}"
+    }
+    val dtCols = (0 until 4)
+      .map(j => s"    ${d2("q.qv", "cb.cv", j)} AS qd2_$j").mkString(",\n")
+    val dtJoins = (1 until 4).map(j =>
+      s"  JOIN dt d$j ON d$j.query_id = d0.query_id" +
+        s" AND d$j.code_id = c.code_$j").mkString("\n")
+    s""",
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+       |dt AS (SELECT q.query_id, CAST(cb.code_id AS INT) AS code_id,
+       |$dtCols
+       |  FROM q CROSS JOIN cb),
+       |sc AS (SELECT d0.query_id, c.item_id,
+       |    d0.qd2_0 + d1.qd2_1 + d2.qd2_2 + d3.qd2_3 AS adc
+       |  FROM codes c
+       |  JOIN dt d0 ON d0.code_id = c.code_0
+       |$dtJoins
+       |  WHERE d0.query_id <> c.item_id),
+       |r AS (SELECT query_id, item_id, adc,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY adc ASC, item_id ASC) AS rank
+       |  FROM sc)
+       |SELECT query_id, CAST(rank AS INT) AS rank, item_id,
+       |  round(adc, 6) AS adc6
+       |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "p27_bpe_tokens" -> bpeEncodeOracle,
     "p15_neardup_components" ->
@@ -2658,6 +2770,81 @@ object PipelineQueries {
         |  doc_id, CAST(dl AS BIGINT) AS dl,
         |  CAST(tf_total AS BIGINT) AS tf_total
         |FROM sc ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+    // hybrid RRF: p34's BM25 chain and p09's dense chain at k=50, full
+    // outer join on doc, 1/(60+rank) contributions added sparse-first
+    // (the operator's fixed fold order)
+    "p77_hybrid_rrf" ->
+      """WITH ws AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |      x -> len(x) > 0) AS ws
+        |  FROM documents),
+        |f AS (SELECT doc_id, len(ws) AS dl,
+        |    len(list_filter(ws, x -> x = 'dup')) AS tf0,
+        |    len(list_filter(ws, x -> x = 'join')) AS tf1,
+        |    len(list_filter(ws, x -> x = 'spark')) AS tf2
+        |  FROM ws),
+        |st AS (SELECT count(*) AS n, avg(dl) AS avgdl,
+        |    sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+        |    sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+        |    sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+        |  FROM f),
+        |sc AS (SELECT doc_id,
+        |    ln(1 + (n - df0 + 0.5)/(df0 + 0.5)) * (tf0 * 2.2) /
+        |      (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        |  + ln(1 + (n - df1 + 0.5)/(df1 + 0.5)) * (tf1 * 2.2) /
+        |      (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        |  + ln(1 + (n - df2 + 0.5)/(df2 + 0.5)) * (tf2 * 2.2) /
+        |      (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS score
+        |  FROM f, st WHERE tf0 + tf1 + tf2 > 0),
+        |bm AS (SELECT doc_id, CAST(ROW_NUMBER() OVER (
+        |      ORDER BY score DESC, doc_id) AS INT) AS rank_0
+        |  FROM sc ORDER BY score DESC, doc_id LIMIT 50),
+        |qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0),
+        |ds AS (SELECT e.vec_id AS doc_id,
+        |    list_cosine_similarity(qv.q, e.embedding) AS cs
+        |  FROM embeddings e CROSS JOIN qv WHERE e.vec_id <> 0),
+        |dn AS (SELECT doc_id, CAST(ROW_NUMBER() OVER (
+        |      ORDER BY cs DESC, doc_id) AS INT) AS rank_1
+        |  FROM ds ORDER BY cs DESC, doc_id LIMIT 50),
+        |fu AS (SELECT COALESCE(bm.doc_id, dn.doc_id) AS doc_id,
+        |    bm.rank_0, dn.rank_1,
+        |    COALESCE(CAST(1 AS DOUBLE) / (60 + bm.rank_0), 0)
+        |      + COALESCE(CAST(1 AS DOUBLE) / (60 + dn.rank_1), 0)
+        |      AS score,
+        |    CAST(CASE WHEN bm.rank_0 IS NOT NULL THEN 1 ELSE 0 END
+        |      + CASE WHEN dn.rank_1 IS NOT NULL THEN 1 ELSE 0 END
+        |      AS INT) AS n_lists
+        |  FROM bm FULL OUTER JOIN dn ON bm.doc_id = dn.doc_id)
+        |SELECT CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id)
+        |    AS INT) AS rank,
+        |  doc_id, n_lists, COALESCE(rank_0, -1) AS rank_0,
+        |  COALESCE(rank_1, -1) AS rank_1, round(score, 6) AS rrf6
+        |FROM fu ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+    "p78_embed_pq_codes" ->
+      (pqOracleCtes + "\nSELECT * FROM codes ORDER BY item_id"),
+
+    "p79_embed_pq_topk" -> (pqOracleCtes + pqTopkOracleTail),
+
+    "p80_top_ngrams" ->
+      """WITH ws AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |      x -> len(x) > 0) AS ws
+        |  FROM documents),
+        |g AS (SELECT doc_id, unnest(list_transform(
+        |    range(1, len(ws) - 1),
+        |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS ngram
+        |  FROM ws),
+        |agg AS (SELECT ngram, count(*) AS total_count,
+        |    count(DISTINCT doc_id) AS n_docs
+        |  FROM g GROUP BY ngram)
+        |SELECT CAST(ROW_NUMBER() OVER (ORDER BY total_count DESC,
+        |    ngram ASC) AS INT) AS rank,
+        |  ngram, CAST(n_docs AS BIGINT) AS n_docs,
+        |  CAST(total_count AS BIGINT) AS total_count
+        |FROM agg ORDER BY total_count DESC, ngram ASC
+        |LIMIT 20""".stripMargin,
 
     "p35_linear_classifier" ->
       """WITH ws AS (SELECT doc_id,

@@ -944,4 +944,52 @@ class PlanSpec extends SparkTestBase {
     assert(!plan.contains("lang=zz"),
       s"orphan partitions must never be read:\n$plan")
   }
+
+  test("pqEncode shuffles one row of codes per item: single keyed " +
+      "exchange, broadcast codebook cross") {
+    val emb = graft.core.Tables.t(spark, sf, "embeddings")
+    val plan = planOf(graft.operators.Similarity.pqEncode(
+      emb, "vec_id", "embedding", dim = 64, m = 4, nCodes = 8))
+    assert(!plan.contains("CartesianProduct"),
+      s"codebook cross must broadcast, not cartesian:\n$plan")
+    val executed = plan.split("== Initial Plan ==").head
+    val keyed = "Exchange hashpartitioning".r.findAllIn(executed).size
+    // the only keyed shuffle is the item_id argmin aggregate; min_by
+    // partials collapse the nCodes candidate rows map-side first
+    assert(keyed == 1, s"expected 1 keyed shuffle, got $keyed:\n$plan")
+  }
+
+  test("pqTopK scores against codes via broadcast ADC tables: no " +
+      "cartesian, corpus never re-shuffles beyond encode + top-k") {
+    val emb = graft.core.Tables.t(spark, sf, "embeddings")
+    val plan = planOf(graft.operators.Similarity.pqTopK(
+      emb, emb.filter(org.apache.spark.sql.functions.col("vec_id") < 3),
+      "vec_id", "embedding", k = 5, dim = 64, m = 4, nCodes = 8))
+    assert(!plan.contains("CartesianProduct"), plan)
+    // all m distance-table joins must be broadcast hash joins — a
+    // shuffled join here would move the corpus codes m times
+    assert("BroadcastHashJoin".r.findAllIn(
+        plan.split("== Initial Plan ==").head).size >= 4,
+      s"ADC tables must broadcast-join the codes stream:\n$plan")
+    val executed = plan.split("== Initial Plan ==").head
+    val keyed = "Exchange hashpartitioning".r.findAllIn(executed).size
+    // encode argmin + per-query row_number window
+    assert(keyed <= 2, s"expected <=2 keyed shuffles, got $keyed:\n$plan")
+  }
+
+  test("topNgrams: two keyed exchanges, top-k as TakeOrdered (no full " +
+      "sort of the gram table)") {
+    val docs = graft.core.Tables.t(spark, sf, "documents")
+    val plan = planOf(graft.operators.TextAnalysis.topNgrams(
+      docs, "doc_id", "text", n = 3, k = 20))
+    val executed = plan.split("== Initial Plan ==").head
+    val keyed = "Exchange hashpartitioning".r.findAllIn(executed).size
+    // (ngram, doc) pre-aggregate + ngram aggregate; the final top-k must
+    // NOT add a rangepartitioning sort of the vocabulary
+    assert(keyed <= 2, s"expected <=2 keyed shuffles, got $keyed:\n$plan")
+    assert(executed.contains("TakeOrderedAndProject"),
+      s"top-k must run as TakeOrdered per-partition heaps:\n$plan")
+    assert(!executed.contains("Exchange rangepartitioning"),
+      s"no global sort of the gram table:\n$plan")
+  }
 }

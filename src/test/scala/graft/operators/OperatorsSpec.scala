@@ -3082,4 +3082,87 @@ class OperatorsSpec extends SparkTestBase {
       Dedup.dedupAgainstIndex(docs, "doc_id", "text", p68TmpDir(), "")
     }
   }
+
+  test("RRF fuses ranked lists with fixed-order reciprocal " +
+      "contributions and id tie-break") {
+    val l1 = Seq((10L, 1), (20L, 2), (30L, 3), (5L, 4))
+      .toDF("doc_id", "rank")
+    val l2 = Seq((20L, 1), (40L, 2), (6L, 4)).toDF("doc_id", "rank")
+    val out = Ranking.rrfFuse(Seq(l1, l2), "doc_id", "rank", k = 10)
+      .collect()
+    // 20: 1/62+1/61; 10: 1/61; 40: 1/62; 30: 1/63; then the 1/64 tie
+    // (docs 5 and 6) breaks on ascending id
+    assert(out.map(_.getLong(1)).toSeq == Seq(20L, 10L, 40L, 30L, 5L, 6L))
+    val byDoc = out.map(r => r.getLong(1) -> r).toMap
+    assert(byDoc(20L).getInt(2) == 2)         // n_lists
+    assert(byDoc(30L).getInt(2) == 1)
+    assert(byDoc(10L).isNullAt(4))            // absent in list 1
+    assert(byDoc(40L).isNullAt(3))            // absent in list 0
+    assert(byDoc(20L).getDouble(5) == 0.032522) // round(1/62+1/61, 6)
+    assert(byDoc(30L).getDouble(5) == 0.015873) // round(1/63, 6)
+    // fused rank is dense from 1
+    assert(out.map(_.getInt(0)).toSeq == (1 to 6).toSeq)
+  }
+
+  test("PQ encode assigns each subspace its nearest codebook entry") {
+    // codebook = items 0..7; subspace 0 sub-vectors (j,0,0,0) and
+    // subspace 1 sub-vectors (7-j,0,0,0) are distinct per code, so
+    // item 8 = (3.1 | 2.1) must land on codes (3, 5)
+    val items = ((0 until 8).map { j =>
+      val v = Array.fill(8)(0.0f)
+      v(0) = j.toFloat; v(4) = (7 - j).toFloat
+      (j.toLong, v)
+    } :+ {
+      val v = Array.fill(8)(0.0f); v(0) = 3.1f; v(4) = 2.1f; (8L, v)
+    }).toDF("vec_id", "embedding")
+    val codes = Similarity.pqEncode(items, "vec_id", "embedding",
+        dim = 8, m = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2))))
+      .toMap
+    assert(codes(8L) == ((3, 5)))
+    (0 until 8).foreach(j => assert(codes(j.toLong) == ((j, j)),
+      s"codebook member $j must encode to itself"))
+  }
+
+  test("PQ encode ties break to the lowest code id") {
+    val items = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(1.0f, 0.0f)), // identical codes
+      (2L, Array(1.0f, 0.1f))).toDF("vec_id", "embedding")
+    val codes = Similarity.pqEncode(items, "vec_id", "embedding",
+        dim = 2, m = 1, nCodes = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(codes.values.forall(_ == 0), codes.toString)
+  }
+
+  test("PQ ADC top-k recalls brute-force neighbors and never returns " +
+      "the query itself") {
+    val emb = graft.core.Tables.t(spark, "/root/testdata/sf0.001",
+      "embeddings")
+    val q = emb.filter(col("vec_id") < 3)
+    val brute = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 5)
+      .select("query_id", "item_id").as[(Long, Long)].collect().toSet
+    val pq = Similarity.pqTopK(emb, q, "vec_id", "embedding",
+        k = 5, dim = 64, m = 8, nCodes = 16)
+      .select("query_id", "item_id").as[(Long, Long)].collect().toSet
+    assert(!pq.exists(p => p._1 == p._2), "query returned itself")
+    assert(pq.groupBy(_._1).forall(_._2.size == 5))
+    val recall = (brute intersect pq).size.toDouble / brute.size
+    assert(recall > 0.15, s"PQ recall too low: $recall")
+  }
+
+  test("topNgrams counts corpus trigrams with document reach") {
+    val df = Seq(
+      (0L, "a b c a b c"), // trigrams: a b c (x2), b c a, c a b
+      (1L, "a b c"),
+      (2L, "x y")          // too short for a trigram
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.topNgrams(df, "doc_id", "text", n = 3, k = 10)
+      .collect()
+    assert(out.map(_.getString(1)).toSeq == Seq("a b c", "b c a", "c a b"))
+    val head = out.head
+    assert(head.getInt(0) == 1 && head.getLong(2) == 2L &&
+      head.getLong(3) == 3L) // rank, n_docs, total_count
+    // the singleton tail ties on count and breaks on gram order
+    assert(out.drop(1).forall(r => r.getLong(3) == 1L && r.getLong(2) == 1L))
+  }
 }
