@@ -265,6 +265,47 @@ object StreamIngest {
       .outputMode(OutputMode.Append())
       .start()
 
+  /** Streaming LM quality scoring against a SAVED model
+    * ([[graft.operators.TextAnalysis.saveLmModel]]) — the streaming
+    * side of train-once/score-many: the CCNet motion where every
+    * incoming crawl document is scored against the fixed curated-text
+    * model the moment it arrives, instead of waiting for the monthly
+    * batch drop.
+    *
+    * A thin foreachBatch shell over
+    * [[graft.operators.TextAnalysis.ngramLmScoreWithModel]], so the
+    * batch scorer's guarantees TRANSFER: order/pruning/hashing read
+    * from the model's params sidecar (a scoring stream can never
+    * silently mismatch its training parameters), per-language models
+    * prune their count scan to the sidecar's language manifest, and
+    * the default broadcast-model join shape is the KenLM
+    * model-resident-per-node layout. Scoring is per-document (the
+    * groupBy inside the scorer keys on doc id), so each micro-batch is
+    * complete in itself — no cross-batch state, no watermark, restart
+    * replays of an uncommitted batch rewrite the same scores.
+    *
+    * The model directory is read ONCE per batch via the scorer; saved
+    * models are immutable per language
+    * ([[graft.operators.TextAnalysis.addLmModelLanguages]] appends new
+    * languages atomically behind the sidecar rename), so a concurrent
+    * add-language flips a half-visible language to "no model"
+    * (documented degenerate path), never to wrong scores. */
+  def lmScoreStream(docs: DataFrame, idCol: String, textCol: String,
+                    modelDir: String, outDir: String, checkpoint: String,
+                    langCol: Option[String] = None) =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch {
+        (batch: Dataset[org.apache.spark.sql.Row], bid: Long) =>
+          graft.operators.TextAnalysis.ngramLmScoreWithModel(modelDir,
+              batch.toDF(), idCol, textCol, langCol = langCol)
+            .withColumn("batch_id", lit(bid))
+            .write.mode("append").parquet(outDir)
+          ()
+      }
+      .outputMode(OutputMode.Append())
+      .start()
+
   /** Streaming decontamination: annotate documents in-flight with their
     * k-gram overlap against a STATIC held-out eval set — the streaming
     * analog of [[graft.operators.Decontaminate.flag]], for screening an

@@ -367,4 +367,42 @@ class StreamingSpec extends SparkTestBase {
     assert(xml.contains("""<literal xml:lang="en">Alice</literal>"""))
     assert(Results.toAskJson(true).contains("\"boolean\":true"))
   }
+
+  test("LM score stream: per-micro-batch scoring against a saved " +
+      "model is bit-identical to the batch scorer") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("lmstream")
+    val modelDir = dir.resolve("model").toString
+    val out = dir.resolve("out").toString
+    val ckpt = dir.resolve("ckpt").toString
+    val train = Seq((1L, "a b c a b"), (2L, "a b c d e"),
+      (3L, "c d e a b")).toDF("doc_id", "text")
+    graft.operators.TextAnalysis.saveLmModel(train, "text", modelDir,
+      order = 3, minCount = 1)
+    val evalDocs = Seq((10L, "a b c"), (11L, "zz zz zz"),
+      (12L, "c d e a"))
+    val batchDf = graft.operators.TextAnalysis.ngramLmScoreWithModel(
+      modelDir, evalDocs.toDF("doc_id", "text"), "doc_id", "text")
+    val cols = batchDf.columns
+    val expect = batchDf.collect().map(r => r.getLong(0) -> r.toSeq).toMap
+
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamIngest.lmScoreStream(mem.toDS().toDF("doc_id", "text"),
+      "doc_id", "text", modelDir, out, ckpt)
+    mem.addData((10L, "a b c"), (11L, "zz zz zz"))
+    q.processAllAvailable()
+    mem.addData((12L, "c d e a")) // second batch: no cross-batch state
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.read.parquet(out)
+    assert(got.columns.toSet == cols.toSet + "batch_id")
+    val gotRows = got.select(cols.head, cols.tail: _*).collect()
+      .map(r => r.getLong(0) -> r.toSeq).toMap
+    assert(gotRows == expect, s"stream scores diverge:\n$gotRows\n$expect")
+    val bids = got.select("id", "batch_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bids(10L) == 0L && bids(11L) == 0L && bids(12L) == 1L, bids)
+  }
 }
