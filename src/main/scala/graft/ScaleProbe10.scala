@@ -33,6 +33,11 @@ object ScaleProbe10 {
     // write is the honest action for projection-shaped gates; rows
     // are then counted untimed for the artifact
     val write = sys.env.get("SPARK_GRAFT_WRITE").contains("1")
+    // disk-health + CPU-phase reference beside the timings (the
+    // SCALE_* adjudication discipline — see probe.DiskProbe)
+    val dd = graft.probe.DiskProbe.writeMBps()
+    val cpuRef = graft.probe.DiskProbe.cpuRefSec()
+    println(f"[sf10] dd=$dd%.0f MB/s cpuRef=$cpuRef%.2f s")
     val results = names.map { n =>
       val fn = SparkEntry.queries(n)
       val t0 = System.nanoTime()
@@ -56,7 +61,9 @@ object ScaleProbe10 {
     val qJson = results.map { case (n, rows, sec) =>
       s""""$n":{"rows":$rows,"sec":$sec}""" }.mkString("{", ",", "}")
     val json =
-      s"""{"metric":"scale_probe","queries":$qJson,$ingest"sf":"$sfDir"}"""
+      f"""{"metric":"scale_probe","dd_mbps":$dd%.0f,""" +
+        f""""cpu_ref_sec":$cpuRef%.2f,""" +
+        s""""queries":$qJson,$ingest"sf":"$sfDir"}"""
     println(json)
     outJson.foreach { p =>
       java.nio.file.Files.write(java.nio.file.Paths.get(p),
