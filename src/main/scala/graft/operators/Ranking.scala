@@ -69,13 +69,24 @@ object Ranking {
       math.log(1.0 + (n - df + 0.5) / (df + 0.5))
     }
 
+    scoreBase(base, qTerms.size, n, avgdl, idf, k1, b, idCol, k)
+  }
+
+  /** Shared BM25 ranking tail over a `(idCol, dl, tf_0..tf_{m-1})`
+    * frame — ONE expression tree for both the direct path and the
+    * index path, so their scores are bit-identical by construction
+    * (the p81 equivalence gate hashes index-path ranks against the
+    * direct path's oracle). */
+  private def scoreBase(base: DataFrame, nTerms: Int, n: Long,
+                        avgdl: Double, idf: Seq[Double], k1: Double,
+                        b: Double, idCol: String, k: Int): DataFrame = {
     val lenNorm = lit(k1) * (lit(1 - b) +
       lit(b) * col("dl").cast("double") / lit(avgdl))
-    val score = qTerms.indices.map { i =>
+    val score = (0 until nTerms).map { i =>
       lit(idf(i)) * (col(s"tf_$i").cast("double") * lit(k1 + 1)) /
         (col(s"tf_$i").cast("double") + lenNorm)
     }.reduce(_ + _)
-    val tfTotal = qTerms.indices.map(i => col(s"tf_$i")).reduce(_ + _)
+    val tfTotal = (0 until nTerms).map(i => col(s"tf_$i")).reduce(_ + _)
 
     base.withColumn("tf_total", tfTotal)
       .filter(col("tf_total") > 0)
@@ -87,6 +98,100 @@ object Ranking {
           .orderBy(col("score").desc, col(idCol).asc)))
       .select(col("rank"), col(idCol), col("dl"), col("tf_total"),
         col("score"))
+  }
+
+  private def indexSidecar(indexDir: String) =
+    java.nio.file.Paths.get(indexDir, "params.index.txt")
+
+  /** Build a persisted inverted text index — the build-once/query-many
+    * motion ([[graft.operators.TextAnalysis.saveLmModel]]'s discipline
+    * applied to retrieval): [[bm25TopK]] rescans the corpus per query,
+    * this scans it ONCE and every later query touches only the queried
+    * terms' posting lists.
+    *
+    * Layout: `postings/` parquet `(term, doc_id, tf, dl)` — document
+    * length DENORMALIZED into every posting, the classic search-index
+    * trade (8 bytes/row) that keeps query-time joins away from any
+    * corpus-sized table — range-partitioned and sorted by term so a
+    * term predicate prunes files and row groups; `doclens/` parquet for
+    * diagnostics; `params.index.txt` written LAST via atomic rename
+    * (analyzer + N + avgdl) — scorers fail closed on a missing sidecar,
+    * so an interrupted build is never silently queried, and the stored
+    * corpus stats make query-time scores bit-identical to the direct
+    * path (exact long sum / long count; `Double.toString` round-trips).
+    *
+    * Scale shape: tokenize + explode map-only; ONE (term, doc) shuffle
+    * with map-side combine; the range partitioner bounds any single
+    * output file to a term range. */
+  def buildTextIndex(docs: DataFrame, idCol: String, textCol: String,
+                     indexDir: String): Unit = {
+    val tokens = docs.select(col(idCol).as("doc_id"),
+      words(col(textCol)).as("__ws"))
+    val withLen = tokens.select(col("doc_id"),
+      size(col("__ws")).cast("long").as("dl"), col("__ws"))
+    val postings = withLen
+      .select(col("doc_id"), col("dl"), explode(col("__ws")).as("term"))
+      .groupBy("term", "doc_id")
+      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+    postings.repartitionByRange(col("term"))
+      .sortWithinPartitions("term", "doc_id")
+      .write.mode("overwrite").parquet(s"$indexDir/postings")
+    val doclens = withLen.select("doc_id", "dl")
+    doclens.write.mode("overwrite").parquet(s"$indexDir/doclens")
+    val st = doclens.agg(count(lit(1)).as("n"), avg(col("dl"))
+      .as("avgdl")).first()
+    // sidecar LAST (temp + atomic rename): its presence is what makes
+    // the index queryable
+    val tmp = java.nio.file.Files.createTempFile(
+      java.nio.file.Paths.get(indexDir), ".params", ".tmp")
+    java.nio.file.Files.write(tmp,
+      (s"analyzer=ws-lower n=${st.getAs[Long]("n")} " +
+        s"avgdl=${st.getAs[Double]("avgdl")}").getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp, indexSidecar(indexDir),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Top-k BM25 against a [[buildTextIndex]] index. Output schema and
+    * scores are EXACTLY [[bm25TopK]]'s — the shared [[scoreBase]]
+    * expression tree over the same exact integer inputs (tf, dl, df)
+    * and the sidecar's exact (N, avgdl) — but the query reads ONLY the
+    * queried terms' posting lists (term predicate pushed to the
+    * parquet scan; the corpus and the doclens table are never
+    * touched). Per-term df is computed from the filtered postings
+    * (query-terms-bounded driver scalars, like the direct path's
+    * stats row). */
+  def bm25TopKFromIndex(spark: org.apache.spark.sql.SparkSession,
+                        indexDir: String, terms: Seq[String], k: Int,
+                        k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25TopKFromIndex needs at least one term")
+    val side = indexSidecar(indexDir)
+    require(java.nio.file.Files.exists(side),
+      s"bm25TopKFromIndex: no complete index at $indexDir — " +
+        "params.index.txt is missing (wrong dir, or an interrupted " +
+        "buildTextIndex; rebuild the index)")
+    val kv = new String(java.nio.file.Files.readAllBytes(side), "UTF-8")
+      .trim.split("\\s+").map { t =>
+        val Array(a, v) = t.split("=", 2); (a, v)
+      }.toMap
+    val n = kv("n").toLong
+    val avgdl = kv("avgdl").toDouble
+    val qTerms = terms.map(_.toLowerCase).distinct
+    val post = spark.read.parquet(s"$indexDir/postings")
+      .filter(col("term").isin(qTerms: _*))
+    val dfByTerm = post.groupBy("term").agg(count(lit(1)).as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val idf = qTerms.map { t =>
+      val df = dfByTerm.getOrElse(t, 0L)
+      math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+    }
+    val tfAggs = qTerms.zipWithIndex.map { case (t, i) =>
+      sum(when(col("term") === t, col("tf")).otherwise(0L))
+        .cast("long").as(s"tf_$i")
+    }
+    val base = post.groupBy(col("doc_id"))
+      .agg(max(col("dl")).as("dl"), tfAggs: _*)
+    scoreBase(base, qTerms.size, n, avgdl, idf, k1, b, "doc_id", k)
   }
 
   /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009) of

@@ -957,6 +957,43 @@ object TextAnalysis {
       (score >= 0).as("label"))
   }
 
+  /** Stochastic quality filter — the soft acceptance step of
+    * CCNet-style head/middle/tail sampling and FineWeb-style classifier
+    * gates: instead of a hard threshold, each document is kept with
+    * probability equal to its clamped [[linearScore]] (keep-all at
+    * score ≥ 1, drop-all at ≤ 0, proportional in between), so the
+    * curated corpus keeps a calibrated share of mid-quality text
+    * instead of a cliff at the threshold.
+    *
+    * Deterministic by construction: the per-doc uniform draw is the
+    * first 15 hex chars (60 bits, never negative as a signed long) of
+    * `md5("<id>:<seed>")` mod `resolution` — the engine-portable hash
+    * discipline of the shingle kernels — and the acceptance threshold
+    * is `floor(p · resolution)` with `resolution` a power of two, so
+    * every compared quantity is an exact integer in any engine and the
+    * whole filter replays identically under any partitioning, seed
+    * change re-draws, and a plain-SQL oracle reproduces it end to end.
+    *
+    * Output: (id, score, keep_thr, u, kept). Map-only (one tokenize +
+    * one md5 per doc); at 100 TB this is scan-speed like the other
+    * quality gates. */
+  def softQualityFilter(docs: DataFrame, idCol: String, textCol: String,
+                        weights: Seq[(String, Double)],
+                        bias: Double = 0.0, seed: Long = 42L,
+                        resolution: Int = 1 << 20): DataFrame = {
+    require(resolution > 0 && (resolution & (resolution - 1)) == 0,
+      s"softQualityFilter: resolution must be a power of two, " +
+        s"got $resolution")
+    val scored = linearScore(docs, idCol, textCol, weights, bias)
+    val p = least(greatest(col("score"), lit(0.0)), lit(1.0))
+    val thr = floor(p * lit(resolution.toDouble)).cast("long")
+    val u = conv(substring(md5(concat(col(idCol).cast("string"),
+        lit(":"), lit(seed.toString))), 1, 15), 16, 10)
+      .cast("long") % resolution
+    scored.select(col(idCol), col("score"), thr.as("keep_thr"),
+      u.as("u"), (u < thr).as("kept"))
+  }
+
   /** TRAIN a linear quality classifier — the stage that PRODUCES the
     * model [[linearScore]]-style gates consume (the curated-vs-crawl
     * selection classifier of GPT-3 Appendix A / FineWeb-Edu-style

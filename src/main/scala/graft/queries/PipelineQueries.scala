@@ -1098,6 +1098,30 @@ object PipelineQueries {
           n = 3, k = 20)
         .orderBy("rank")),
 
+    // BM25 via a PERSISTED inverted index: build once (postings with
+    // denormalized dl, sidecar-last), query touching only the queried
+    // terms' posting lists — the oracle is the DIRECT path's SQL, so
+    // green IS the index == rescans equivalence (the p72 saved-model
+    // motion applied to retrieval)
+    "p81_bm25_index" -> ((s, d) => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-p81-").toString
+      Ranking.buildTextIndex(t(s, d, "documents"), "doc_id", "text", dir)
+      Ranking.bm25TopKFromIndex(s, dir, Seq("dup", "join", "spark"),
+          k = 20)
+        .select(col("rank"), col("doc_id"), col("dl"), col("tf_total"))
+        .orderBy("rank")
+    }),
+
+    // stochastic quality filter: keep with probability = clamped
+    // linear score; the uniform draw is a portable md5 residue so
+    // every compared quantity is an exact integer in both engines
+    "p82_soft_filter" -> ((s, d) =>
+      TextAnalysis.softQualityFilter(t(s, d, "documents"), "doc_id",
+          "text", Seq("spark" -> 0.5, "data" -> 0.25, "join" -> 0.25,
+            "slow" -> -0.5, "dup" -> -1.5), bias = -0.5)
+        .orderBy("doc_id")),
+
     // classifier TRAINING as a gate: 3 unrolled fixed-point GD
     // iterations over 64 hashed-BoW buckets, label = (lang = 'en').
     // The learned weights themselves hash against the oracle's unrolled
@@ -2090,6 +2114,38 @@ object PipelineQueries {
        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
   }
 
+  /** The direct-path BM25 SQL — shared verbatim by p34 (direct) and
+    * p81 (persisted inverted index): the two paths are defined to be
+    * bit-identical, so they hash against the same oracle. */
+  private val bm25DirectSql: String =
+    """WITH ws AS (SELECT doc_id,
+      |    list_filter(regexp_split_to_array(lower(text), '\s+'),
+      |      x -> len(x) > 0) AS ws
+      |  FROM documents),
+      |f AS (SELECT doc_id, len(ws) AS dl,
+      |    len(list_filter(ws, x -> x = 'dup')) AS tf0,
+      |    len(list_filter(ws, x -> x = 'join')) AS tf1,
+      |    len(list_filter(ws, x -> x = 'spark')) AS tf2
+      |  FROM ws),
+      |st AS (SELECT count(*) AS n, avg(dl) AS avgdl,
+      |    sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+      |    sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+      |    sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+      |  FROM f),
+      |sc AS (SELECT doc_id, dl, tf0 + tf1 + tf2 AS tf_total,
+      |    ln(1 + (n - df0 + 0.5)/(df0 + 0.5)) * (tf0 * 2.2) /
+      |      (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+      |  + ln(1 + (n - df1 + 0.5)/(df1 + 0.5)) * (tf1 * 2.2) /
+      |      (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+      |  + ln(1 + (n - df2 + 0.5)/(df2 + 0.5)) * (tf2 * 2.2) /
+      |      (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS score
+      |  FROM f, st WHERE tf0 + tf1 + tf2 > 0)
+      |SELECT CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id)
+      |    AS INT) AS rank,
+      |  doc_id, CAST(dl AS BIGINT) AS dl,
+      |  CAST(tf_total AS BIGINT) AS tf_total
+      |FROM sc ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "p27_bpe_tokens" -> bpeEncodeOracle,
     "p15_neardup_components" ->
@@ -2742,34 +2798,36 @@ object PipelineQueries {
         |FROM tr WHERE tr.doc_id NOT IN (SELECT doc_id FROM bad)
         |ORDER BY tr.doc_id""".stripMargin,
 
-    "p34_bm25_topk" ->
+    "p34_bm25_topk" -> bm25DirectSql,
+
+    // the index path must reproduce the DIRECT path bit-for-bit, so
+    // its oracle IS the direct path's SQL
+    "p81_bm25_index" -> bm25DirectSql,
+
+    "p82_soft_filter" ->
       """WITH ws AS (SELECT doc_id,
         |    list_filter(regexp_split_to_array(lower(text), '\s+'),
         |      x -> len(x) > 0) AS ws
         |  FROM documents),
-        |f AS (SELECT doc_id, len(ws) AS dl,
-        |    len(list_filter(ws, x -> x = 'dup')) AS tf0,
-        |    len(list_filter(ws, x -> x = 'join')) AS tf1,
-        |    len(list_filter(ws, x -> x = 'spark')) AS tf2
+        |f AS (SELECT doc_id,
+        |    len(list_filter(ws, x -> x = 'spark')) AS tf0,
+        |    len(list_filter(ws, x -> x = 'data')) AS tf1,
+        |    len(list_filter(ws, x -> x = 'join')) AS tf2,
+        |    len(list_filter(ws, x -> x = 'slow')) AS tf3,
+        |    len(list_filter(ws, x -> x = 'dup')) AS tf4
         |  FROM ws),
-        |st AS (SELECT count(*) AS n, avg(dl) AS avgdl,
-        |    sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
-        |    sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
-        |    sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+        |s AS (SELECT doc_id,
+        |    -0.5 + tf0 * 0.5 + tf1 * 0.25 + tf2 * 0.25
+        |      + tf3 * -0.5 + tf4 * -1.5 AS score
         |  FROM f),
-        |sc AS (SELECT doc_id, dl, tf0 + tf1 + tf2 AS tf_total,
-        |    ln(1 + (n - df0 + 0.5)/(df0 + 0.5)) * (tf0 * 2.2) /
-        |      (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl))
-        |  + ln(1 + (n - df1 + 0.5)/(df1 + 0.5)) * (tf1 * 2.2) /
-        |      (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
-        |  + ln(1 + (n - df2 + 0.5)/(df2 + 0.5)) * (tf2 * 2.2) /
-        |      (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS score
-        |  FROM f, st WHERE tf0 + tf1 + tf2 > 0)
-        |SELECT CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id)
-        |    AS INT) AS rank,
-        |  doc_id, CAST(dl AS BIGINT) AS dl,
-        |  CAST(tf_total AS BIGINT) AS tf_total
-        |FROM sc ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+        |c AS (SELECT doc_id, score,
+        |    CAST(floor(least(greatest(score, 0), 1) * 1048576)
+        |      AS BIGINT) AS keep_thr,
+        |    ('0x' || substr(md5(doc_id::VARCHAR || ':42'), 1, 15))
+        |      ::BIGINT % 1048576 AS u
+        |  FROM s)
+        |SELECT doc_id, score, keep_thr, u, u < keep_thr AS kept
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     // hybrid RRF: p34's BM25 chain and p09's dense chain at k=50, full
     // outer join on doc, 1/(60+rank) contributions added sparse-first

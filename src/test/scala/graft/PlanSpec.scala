@@ -977,6 +977,23 @@ class PlanSpec extends SparkTestBase {
     assert(keyed <= 2, s"expected <=2 keyed shuffles, got $keyed:\n$plan")
   }
 
+  test("bm25 index query touches only the queried terms' postings: " +
+      "term predicate pushed to the parquet scan, corpus never read") {
+    val docs = graft.core.Tables.t(spark, sf, "documents")
+    val dir = java.nio.file.Files.createTempDirectory("bm25plan").toString
+    graft.operators.Ranking.buildTextIndex(docs, "doc_id", "text", dir)
+    val plan = planOf(graft.operators.Ranking.bm25TopKFromIndex(
+      spark, dir, Seq("dup", "join", "spark"), k = 20))
+    assert("PushedFilters: \\[[^\\]]*[Ii]n\\(term".r.findFirstIn(plan)
+        .isDefined,
+      s"term IN-filter must reach the postings scan:\n$plan")
+    assert(!plan.contains("documents.parquet"),
+      s"query path must never rescan the corpus:\n$plan")
+    assert(!plan.contains("doclens"),
+      s"query path must not join the corpus-sized doclens table " +
+        s"(dl is denormalized into postings):\n$plan")
+  }
+
   test("topNgrams: two keyed exchanges, top-k as TakeOrdered (no full " +
       "sort of the gram table)") {
     val docs = graft.core.Tables.t(spark, sf, "documents")

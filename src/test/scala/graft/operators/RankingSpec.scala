@@ -67,4 +67,63 @@ class RankingSpec extends SparkTestBase {
     // doc 1: 3 'join' hits: 0.75 - 0.75 = 0
     assert(out(1L)._3 == 0.0)
   }
+
+  test("inverted index: query path is bit-identical to the direct " +
+      "path, including the score doubles") {
+    val dir = java.nio.file.Files.createTempDirectory("bm25idx").toString
+    Ranking.buildTextIndex(docs, "doc_id", "text", dir)
+    for (terms <- Seq(Seq("join", "spark"), Seq("join"),
+        Seq("nothing", "filler"), Seq("absentterm", "join"))) {
+      val direct = Ranking.bm25TopK(docs, "doc_id", "text", terms, k = 10)
+        .collect().map(_.toSeq).toSeq
+      val viaIdx = Ranking.bm25TopKFromIndex(spark, dir, terms, k = 10)
+        .collect().map(_.toSeq).toSeq
+      assert(viaIdx == direct, s"terms $terms diverge")
+    }
+  }
+
+  test("inverted index fails closed without its sidecar (interrupted " +
+      "build is never silently queried)") {
+    val dir = java.nio.file.Files.createTempDirectory("bm25bad").toString
+    Ranking.buildTextIndex(docs, "doc_id", "text", dir)
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(dir, "params.index.txt"))
+    val e = intercept[IllegalArgumentException] {
+      Ranking.bm25TopKFromIndex(spark, dir, Seq("join"), k = 5)
+    }
+    assert(e.getMessage.contains("params.index.txt"))
+  }
+
+  test("soft quality filter: endpoints are deterministic, midband " +
+      "keeps proportionally, seed re-draws") {
+    val w = Seq("good" -> 0.5, "bad" -> -1.0)
+    val many = (0L until 400L).map { i =>
+      val t = if (i % 4 == 0) "good good good"      // score 1.5 -> p=1
+      else if (i % 4 == 1) "bad text"               // score -1  -> p=0
+      else "good only"                              // score 0.5 -> p=.5
+      (i, t)
+    }.toDF("doc_id", "text")
+    val out = TextAnalysis.softQualityFilter(many, "doc_id", "text", w)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getBoolean(4)))).toMap
+    (0L until 400L).foreach { i =>
+      if (i % 4 == 0) assert(out(i) == ((1.5, true)), s"doc $i")
+      else if (i % 4 == 1) assert(out(i) == ((-1.0, false)), s"doc $i")
+    }
+    // the p=0.5 band keeps roughly half (binomial over 200 docs)
+    val mid = (0L until 400L).filter(i => i % 4 >= 2)
+    val kept = mid.count(i => out(i)._2)
+    assert(kept > 60 && kept < 140, s"p=0.5 band kept $kept of 200")
+    // a different seed re-draws the midband, not the endpoints
+    val out7 = TextAnalysis.softQualityFilter(many, "doc_id", "text", w,
+        seed = 7L)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    assert(mid.exists(i => out7(i) != out(i)._2))
+    assert((0L until 400L).filter(_ % 4 == 0).forall(out7(_)))
+    // deterministic under repartitioning
+    val outRep = TextAnalysis.softQualityFilter(many.repartition(7),
+        "doc_id", "text", w)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    assert((0L until 400L).forall(i => outRep(i) == out(i)._2))
+  }
 }
