@@ -152,6 +152,56 @@ object Ranking {
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
+  /** APPEND a document batch to a [[buildTextIndex]] index without
+    * rebuilding — the monthly-drop motion applied to retrieval (the
+    * add-language LM lifecycle's discipline: bulk data first, the tiny
+    * sidecar that makes it visible LAST via atomic rename). New
+    * postings/doclens files append beside the existing ones (parquet
+    * row-group term stats keep pruning across files); the corpus stats
+    * are recomputed from the full doclens table — an id+dl-only scan,
+    * cheap relative to tokenizing the new batch — so the sidecar is
+    * value-identical to a fresh build's and query scores stay
+    * bit-identical to the direct path over the grown corpus. A crash
+    * before the sidecar rename leaves the OLD sidecar in place: the
+    * index answers consistently as of the previous corpus (orphan
+    * postings carry doc ids the old stats never counted — re-running
+    * the append replaces them via the same append+rename motion).
+    *
+    * Caller contract: a doc id must not be appended twice (same as
+    * importing the same crawl drop twice — postings would double). */
+  def appendToTextIndex(docs: DataFrame, idCol: String, textCol: String,
+                        indexDir: String): Unit = {
+    val side = indexSidecar(indexDir)
+    require(java.nio.file.Files.exists(side),
+      s"appendToTextIndex: no complete index at $indexDir — " +
+        "params.index.txt is missing (wrong dir, or an interrupted " +
+        "buildTextIndex; build before appending)")
+    val tokens = docs.select(col(idCol).as("doc_id"),
+      words(col(textCol)).as("__ws"))
+    val withLen = tokens.select(col("doc_id"),
+      size(col("__ws")).cast("long").as("dl"), col("__ws"))
+    val postings = withLen
+      .select(col("doc_id"), col("dl"), explode(col("__ws")).as("term"))
+      .groupBy("term", "doc_id")
+      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+    postings.repartitionByRange(col("term"))
+      .sortWithinPartitions("term", "doc_id")
+      .write.mode("append").parquet(s"$indexDir/postings")
+    withLen.select("doc_id", "dl")
+      .write.mode("append").parquet(s"$indexDir/doclens")
+    val spark = docs.sparkSession
+    val st = spark.read.parquet(s"$indexDir/doclens")
+      .agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl")).first()
+    val tmp = java.nio.file.Files.createTempFile(
+      java.nio.file.Paths.get(indexDir), ".params", ".tmp")
+    java.nio.file.Files.write(tmp,
+      (s"analyzer=ws-lower n=${st.getAs[Long]("n")} " +
+        s"avgdl=${st.getAs[Double]("avgdl")}").getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp, indexSidecar(indexDir),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
   /** Top-k BM25 against a [[buildTextIndex]] index. Output schema and
     * scores are EXACTLY [[bm25TopK]]'s — the shared [[scoreBase]]
     * expression tree over the same exact integer inputs (tf, dl, df)

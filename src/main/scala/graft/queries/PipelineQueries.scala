@@ -1113,6 +1113,24 @@ object PipelineQueries {
         .orderBy("rank")
     }),
 
+    // index LIFECYCLE: build on the even half, APPEND the odd half
+    // (bulk files first, sidecar rename last), query the grown index —
+    // the oracle is still the direct path over the FULL corpus, so
+    // green == append is equivalent to a fresh build of everything
+    "p83_bm25_index_append" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-p83-").toString
+      Ranking.buildTextIndex(docs.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", dir)
+      Ranking.appendToTextIndex(docs.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text", dir)
+      Ranking.bm25TopKFromIndex(s, dir, Seq("dup", "join", "spark"),
+          k = 20)
+        .select(col("rank"), col("doc_id"), col("dl"), col("tf_total"))
+        .orderBy("rank")
+    }),
+
     // stochastic quality filter: keep with probability = clamped
     // linear score; the uniform draw is a portable md5 residue so
     // every compared quantity is an exact integer in both engines
@@ -2803,6 +2821,9 @@ object PipelineQueries {
     // the index path must reproduce the DIRECT path bit-for-bit, so
     // its oracle IS the direct path's SQL
     "p81_bm25_index" -> bm25DirectSql,
+
+    // append == fresh build == direct rescans: same oracle again
+    "p83_bm25_index_append" -> bm25DirectSql,
 
     "p82_soft_filter" ->
       """WITH ws AS (SELECT doc_id,

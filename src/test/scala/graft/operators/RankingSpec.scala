@@ -94,6 +94,34 @@ class RankingSpec extends SparkTestBase {
     assert(e.getMessage.contains("params.index.txt"))
   }
 
+  test("index append: build half + append half is bit-identical to a " +
+      "fresh build of everything, and to the direct path") {
+    val dirGrown = java.nio.file.Files
+      .createTempDirectory("bm25grow").toString
+    val dirFresh = java.nio.file.Files
+      .createTempDirectory("bm25fresh").toString
+    Ranking.buildTextIndex(docs.filter(col("doc_id") % 2 === 0),
+      "doc_id", "text", dirGrown)
+    Ranking.appendToTextIndex(docs.filter(col("doc_id") % 2 === 1),
+      "doc_id", "text", dirGrown)
+    Ranking.buildTextIndex(docs, "doc_id", "text", dirFresh)
+    val terms = Seq("join", "spark")
+    val grown = Ranking.bm25TopKFromIndex(spark, dirGrown, terms, k = 10)
+      .collect().map(_.toSeq).toSeq
+    val fresh = Ranking.bm25TopKFromIndex(spark, dirFresh, terms, k = 10)
+      .collect().map(_.toSeq).toSeq
+    val direct = Ranking.bm25TopK(docs, "doc_id", "text", terms, k = 10)
+      .collect().map(_.toSeq).toSeq
+    assert(grown == fresh, "append diverges from fresh build")
+    assert(grown == direct, "append diverges from direct path")
+    // appending to a never-built dir fails closed (no silent bootstrap)
+    val e = intercept[IllegalArgumentException] {
+      Ranking.appendToTextIndex(docs, "doc_id", "text",
+        java.nio.file.Files.createTempDirectory("bm25none").toString)
+    }
+    assert(e.getMessage.contains("params.index.txt"))
+  }
+
   test("soft quality filter: endpoints are deterministic, midband " +
       "keeps proportionally, seed re-draws") {
     val w = Seq("good" -> 0.5, "bad" -> -1.0)
