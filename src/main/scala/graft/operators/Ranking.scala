@@ -103,111 +103,139 @@ object Ranking {
   private def indexSidecar(indexDir: String) =
     java.nio.file.Paths.get(indexDir, "params.index.txt")
 
+  private val snapIdRe = "[A-Za-z0-9_-]+"
+
+  // shared write motion for build/append: snapshot-partitioned DYNAMIC
+  // overwrite (re-writing a snapshot replaces its partitions instead of
+  // doubling them -> idempotent replay), bulk files first, then the
+  // stats sidecar -- whose snapshot MANIFEST is what makes partitions
+  // visible -- atomic-renamed LAST. Same discipline as the LM model
+  // sidecar and the dedup indexes' params files.
+  private def writeIndexSnapshot(docs: DataFrame, idCol: String,
+                                 textCol: String, indexDir: String,
+                                 snapshotId: String,
+                                 priorSnaps: Seq[String]): Unit = {
+    require(snapshotId.matches(snapIdRe),
+      s"text-index snapshot id must match $snapIdRe, got '$snapshotId'")
+    val tokens = docs.select(col(idCol).as("doc_id"),
+      words(col(textCol)).as("__ws"))
+    val withLen = tokens.select(col("doc_id"),
+      size(col("__ws")).cast("long").as("dl"), col("__ws"))
+    val postings = withLen
+      .select(col("doc_id"), col("dl"), explode(col("__ws")).as("term"))
+      .groupBy("term", "doc_id")
+      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+      .withColumn("snap", lit(snapshotId))
+    postings.repartitionByRange(col("term"))
+      .sortWithinPartitions("term", "doc_id")
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("snap")
+      .parquet(s"$indexDir/postings")
+    withLen.select(col("doc_id"), col("dl"),
+        lit(snapshotId).as("snap"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("snap")
+      .parquet(s"$indexDir/doclens")
+    // corpus stats over the MANIFEST being published (id+dl-only scan;
+    // never over orphan partitions a crashed foreign append left)
+    val manifest = (priorSnaps :+ snapshotId).distinct.sorted
+    val spark = docs.sparkSession
+    val st = spark.read.parquet(s"$indexDir/doclens")
+      .filter(col("snap").isin(manifest: _*))
+      .agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl")).first()
+    val tmp = java.nio.file.Files.createTempFile(
+      java.nio.file.Paths.get(indexDir), ".params", ".tmp")
+    java.nio.file.Files.write(tmp,
+      (s"analyzer=ws-lower n=${st.getAs[Long]("n")} " +
+        s"avgdl=${st.getAs[Double]("avgdl")} " +
+        s"snaps=${manifest.mkString(",")}").getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp, indexSidecar(indexDir),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private def readIndexSidecar(indexDir: String, who: String)
+      : (Long, Double, Seq[String]) = {
+    val side = indexSidecar(indexDir)
+    require(java.nio.file.Files.exists(side),
+      s"$who: no complete index at $indexDir — params.index.txt is " +
+        "missing (wrong dir, or an interrupted buildTextIndex; " +
+        "(re)build the index)")
+    val kv = new String(java.nio.file.Files.readAllBytes(side), "UTF-8")
+      .trim.split("\\s+").map { t =>
+        val Array(a, v) = t.split("=", 2); (a, v)
+      }.toMap
+    (kv("n").toLong, kv("avgdl").toDouble,
+      kv("snaps").split(",").toSeq.filter(_.nonEmpty))
+  }
+
   /** Build a persisted inverted text index — the build-once/query-many
     * motion ([[graft.operators.TextAnalysis.saveLmModel]]'s discipline
     * applied to retrieval): [[bm25TopK]] rescans the corpus per query,
     * this scans it ONCE and every later query touches only the queried
     * terms' posting lists.
     *
-    * Layout: `postings/` parquet `(term, doc_id, tf, dl)` — document
-    * length DENORMALIZED into every posting, the classic search-index
-    * trade (8 bytes/row) that keeps query-time joins away from any
-    * corpus-sized table — range-partitioned and sorted by term so a
-    * term predicate prunes files and row groups; `doclens/` parquet for
-    * diagnostics; `params.index.txt` written LAST via atomic rename
-    * (analyzer + N + avgdl) — scorers fail closed on a missing sidecar,
-    * so an interrupted build is never silently queried, and the stored
-    * corpus stats make query-time scores bit-identical to the direct
-    * path (exact long sum / long count; `Double.toString` round-trips).
+    * Layout: `postings/snap=.../` parquet `(term, doc_id, tf, dl)` —
+    * document length DENORMALIZED into every posting, the classic
+    * search-index trade (8 bytes/row) that keeps query-time joins away
+    * from any corpus-sized table — range-partitioned and sorted by term
+    * within each snapshot so a term predicate prunes files and row
+    * groups; `doclens/snap=.../` for the corpus stats;
+    * `params.index.txt` written LAST via atomic rename with the
+    * analyzer, exact corpus stats (long sum / long count;
+    * `Double.toString` round-trips so query scores are bit-identical to
+    * the direct path) and the SNAPSHOT MANIFEST: queries prune to
+    * manifest snapshots, so partitions a crashed append left behind are
+    * invisible rather than silently mis-scored (the LM
+    * language-manifest rule).
     *
     * Scale shape: tokenize + explode map-only; ONE (term, doc) shuffle
     * with map-side combine; the range partitioner bounds any single
     * output file to a term range. */
   def buildTextIndex(docs: DataFrame, idCol: String, textCol: String,
-                     indexDir: String): Unit = {
-    val tokens = docs.select(col(idCol).as("doc_id"),
-      words(col(textCol)).as("__ws"))
-    val withLen = tokens.select(col("doc_id"),
-      size(col("__ws")).cast("long").as("dl"), col("__ws"))
-    val postings = withLen
-      .select(col("doc_id"), col("dl"), explode(col("__ws")).as("term"))
-      .groupBy("term", "doc_id")
-      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
-    postings.repartitionByRange(col("term"))
-      .sortWithinPartitions("term", "doc_id")
-      .write.mode("overwrite").parquet(s"$indexDir/postings")
-    val doclens = withLen.select("doc_id", "dl")
-    doclens.write.mode("overwrite").parquet(s"$indexDir/doclens")
-    val st = doclens.agg(count(lit(1)).as("n"), avg(col("dl"))
-      .as("avgdl")).first()
-    // sidecar LAST (temp + atomic rename): its presence is what makes
-    // the index queryable
-    val tmp = java.nio.file.Files.createTempFile(
-      java.nio.file.Paths.get(indexDir), ".params", ".tmp")
-    java.nio.file.Files.write(tmp,
-      (s"analyzer=ws-lower n=${st.getAs[Long]("n")} " +
-        s"avgdl=${st.getAs[Double]("avgdl")}").getBytes("UTF-8"))
-    java.nio.file.Files.move(tmp, indexSidecar(indexDir),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+                     indexDir: String,
+                     snapshotId: String = "base"): Unit = {
+    // a fresh build must not inherit a previous index's partitions:
+    // refuse a dir that already has one (delete it first, explicitly)
+    require(!java.nio.file.Files.exists(indexSidecar(indexDir)),
+      s"buildTextIndex: $indexDir already holds a built index — " +
+        "append with appendToTextIndex, or remove the dir to rebuild " +
+        "from scratch")
+    writeIndexSnapshot(docs, idCol, textCol, indexDir, snapshotId, Nil)
   }
 
-  /** APPEND a document batch to a [[buildTextIndex]] index without
-    * rebuilding — the monthly-drop motion applied to retrieval (the
-    * add-language LM lifecycle's discipline: bulk data first, the tiny
-    * sidecar that makes it visible LAST via atomic rename). New
-    * postings/doclens files append beside the existing ones (parquet
-    * row-group term stats keep pruning across files); the corpus stats
-    * are recomputed from the full doclens table — an id+dl-only scan,
-    * cheap relative to tokenizing the new batch — so the sidecar is
-    * value-identical to a fresh build's and query scores stay
-    * bit-identical to the direct path over the grown corpus. A crash
-    * before the sidecar rename leaves the OLD sidecar in place: the
-    * index answers consistently as of the previous corpus (orphan
-    * postings carry doc ids the old stats never counted — re-running
-    * the append replaces them via the same append+rename motion).
+  /** APPEND a document snapshot to a [[buildTextIndex]] index without
+    * rebuilding — the monthly-drop motion applied to retrieval. The
+    * drop's postings/doclens land as `snap=<snapshotId>` partitions via
+    * DYNAMIC overwrite (re-appending the SAME snapshot — a restart
+    * replay — replaces its partitions instead of doubling them:
+    * idempotent), the corpus stats are recomputed from the id+dl-only
+    * doclens scan restricted to the new manifest, and the sidecar
+    * carrying that manifest renames in LAST. A crash anywhere before
+    * the rename leaves the old sidecar: the index answers consistently
+    * as of the previous corpus, the half-written snapshot invisible
+    * until the append re-runs.
     *
-    * Caller contract: a doc id must not be appended twice (same as
-    * importing the same crawl drop twice — postings would double). */
+    * Caller contract: distinct snapshots carry disjoint doc ids (the
+    * same contract as the dedup indexes); re-sending one snapshot is
+    * safe, sending one document under two snapshot ids double-counts
+    * it. */
   def appendToTextIndex(docs: DataFrame, idCol: String, textCol: String,
-                        indexDir: String): Unit = {
-    val side = indexSidecar(indexDir)
-    require(java.nio.file.Files.exists(side),
-      s"appendToTextIndex: no complete index at $indexDir — " +
-        "params.index.txt is missing (wrong dir, or an interrupted " +
-        "buildTextIndex; build before appending)")
-    val tokens = docs.select(col(idCol).as("doc_id"),
-      words(col(textCol)).as("__ws"))
-    val withLen = tokens.select(col("doc_id"),
-      size(col("__ws")).cast("long").as("dl"), col("__ws"))
-    val postings = withLen
-      .select(col("doc_id"), col("dl"), explode(col("__ws")).as("term"))
-      .groupBy("term", "doc_id")
-      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
-    postings.repartitionByRange(col("term"))
-      .sortWithinPartitions("term", "doc_id")
-      .write.mode("append").parquet(s"$indexDir/postings")
-    withLen.select("doc_id", "dl")
-      .write.mode("append").parquet(s"$indexDir/doclens")
-    val spark = docs.sparkSession
-    val st = spark.read.parquet(s"$indexDir/doclens")
-      .agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl")).first()
-    val tmp = java.nio.file.Files.createTempFile(
-      java.nio.file.Paths.get(indexDir), ".params", ".tmp")
-    java.nio.file.Files.write(tmp,
-      (s"analyzer=ws-lower n=${st.getAs[Long]("n")} " +
-        s"avgdl=${st.getAs[Double]("avgdl")}").getBytes("UTF-8"))
-    java.nio.file.Files.move(tmp, indexSidecar(indexDir),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+                        indexDir: String,
+                        snapshotId: String): Unit = {
+    val (_, _, snaps) = readIndexSidecar(indexDir, "appendToTextIndex")
+    writeIndexSnapshot(docs, idCol, textCol, indexDir, snapshotId, snaps)
   }
 
   /** Top-k BM25 against a [[buildTextIndex]] index. Output schema and
     * scores are EXACTLY [[bm25TopK]]'s — the shared [[scoreBase]]
     * expression tree over the same exact integer inputs (tf, dl, df)
     * and the sidecar's exact (N, avgdl) — but the query reads ONLY the
-    * queried terms' posting lists (term predicate pushed to the
-    * parquet scan; the corpus and the doclens table are never
+    * queried terms' posting lists within the sidecar's snapshot
+    * manifest (term predicate pushed to the parquet scan, snapshot
+    * partition pruning; the corpus and the doclens table are never
     * touched). Per-term df is computed from the filtered postings
     * (query-terms-bounded driver scalars, like the direct path's
     * stats row). */
@@ -215,19 +243,11 @@ object Ranking {
                         indexDir: String, terms: Seq[String], k: Int,
                         k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "bm25TopKFromIndex needs at least one term")
-    val side = indexSidecar(indexDir)
-    require(java.nio.file.Files.exists(side),
-      s"bm25TopKFromIndex: no complete index at $indexDir — " +
-        "params.index.txt is missing (wrong dir, or an interrupted " +
-        "buildTextIndex; rebuild the index)")
-    val kv = new String(java.nio.file.Files.readAllBytes(side), "UTF-8")
-      .trim.split("\\s+").map { t =>
-        val Array(a, v) = t.split("=", 2); (a, v)
-      }.toMap
-    val n = kv("n").toLong
-    val avgdl = kv("avgdl").toDouble
+    val (n, avgdl, snaps) =
+      readIndexSidecar(indexDir, "bm25TopKFromIndex")
     val qTerms = terms.map(_.toLowerCase).distinct
     val post = spark.read.parquet(s"$indexDir/postings")
+      .filter(col("snap").isin(snaps: _*))
       .filter(col("term").isin(qTerms: _*))
     val dfByTerm = post.groupBy("term").agg(count(lit(1)).as("df"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap

@@ -1124,7 +1124,7 @@ object PipelineQueries {
       Ranking.buildTextIndex(docs.filter(col("doc_id") % 2 === 0),
         "doc_id", "text", dir)
       Ranking.appendToTextIndex(docs.filter(col("doc_id") % 2 === 1),
-        "doc_id", "text", dir)
+        "doc_id", "text", dir, "drop1")
       Ranking.bm25TopKFromIndex(s, dir, Seq("dup", "join", "spark"),
           k = 20)
         .select(col("rank"), col("doc_id"), col("dl"), col("tf_total"))

@@ -306,6 +306,56 @@ object StreamIngest {
       .outputMode(OutputMode.Append())
       .start()
 
+  /** Stream an ingest feed INTO the inverted text index
+    * ([[graft.operators.Ranking.buildTextIndex]] layout) — retrieval
+    * over the crawl as it arrives, one snapshot per micro-batch, with
+    * the batch engine's replay guarantees transferring: each batch
+    * lands as `snap=batch<id>` partitions via dynamic overwrite (a
+    * restart replay of an uncommitted batch REPLACES its partitions —
+    * idempotent, never double-counted), the stats sidecar with its
+    * snapshot manifest renames in last, and a crash mid-batch leaves
+    * the previous consistent index answering queries. The first batch
+    * bootstraps the index; an `indexDir` already owned by a different
+    * stream (checkpoint mismatch) is refused before any write, because
+    * colliding batch ids would silently overwrite the other stream's
+    * snapshots. */
+  def textIndexStream(docs: DataFrame, idCol: String, textCol: String,
+                      indexDir: String, checkpoint: String) =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch {
+        (batch: Dataset[org.apache.spark.sql.Row], bid: Long) =>
+          val owner = java.nio.file.Paths
+            .get(indexDir, "stream.owner.txt")
+          java.nio.file.Files.createDirectories(
+            java.nio.file.Paths.get(indexDir))
+          if (java.nio.file.Files.exists(owner)) {
+            val prev = new String(
+              java.nio.file.Files.readAllBytes(owner), "UTF-8").trim
+            if (prev != checkpoint)
+              throw new IllegalStateException(
+                s"textIndexStream: index $indexDir is owned by the " +
+                  s"stream checkpointed at '$prev' but this stream " +
+                  s"checkpoints at '$checkpoint' — batch ids would " +
+                  "collide and overwrite the other stream's " +
+                  "snapshots. Use a fresh indexDir per stream (or " +
+                  "restore the original checkpoint).")
+          } else
+            java.nio.file.Files.write(owner,
+              checkpoint.getBytes("UTF-8"))
+          val snap = f"batch$bid%010d"
+          if (java.nio.file.Files.exists(java.nio.file.Paths
+              .get(indexDir, "params.index.txt")))
+            graft.operators.Ranking.appendToTextIndex(batch.toDF(),
+              idCol, textCol, indexDir, snap)
+          else
+            graft.operators.Ranking.buildTextIndex(batch.toDF(),
+              idCol, textCol, indexDir, snap)
+          ()
+      }
+      .outputMode(OutputMode.Append())
+      .start()
+
   /** Streaming decontamination: annotate documents in-flight with their
     * k-gram overlap against a STATIC held-out eval set — the streaming
     * analog of [[graft.operators.Decontaminate.flag]], for screening an

@@ -982,6 +982,16 @@ class PlanSpec extends SparkTestBase {
     val docs = graft.core.Tables.t(spark, sf, "documents")
     val dir = java.nio.file.Files.createTempDirectory("bm25plan").toString
     graft.operators.Ranking.buildTextIndex(docs, "doc_id", "text", dir)
+    // plant an ORPHAN snapshot partition (a crashed append's leftover:
+    // postings present, sidecar never renamed) — the manifest must make
+    // it invisible, not mis-scored
+    val orphan = java.nio.file.Paths.get(dir, "postings", "snap=orphan")
+    java.nio.file.Files.createDirectories(orphan)
+    val aFile = java.nio.file.Files
+      .list(java.nio.file.Paths.get(dir, "postings", "snap=base"))
+      .filter(_.toString.endsWith(".parquet")).findFirst().get()
+    java.nio.file.Files.copy(aFile,
+      orphan.resolve(aFile.getFileName.toString))
     val plan = planOf(graft.operators.Ranking.bm25TopKFromIndex(
       spark, dir, Seq("dup", "join", "spark"), k = 20))
     assert("PushedFilters: \\[[^\\]]*[Ii]n\\(term".r.findFirstIn(plan)
@@ -992,6 +1002,11 @@ class PlanSpec extends SparkTestBase {
     assert(!plan.contains("doclens"),
       s"query path must not join the corpus-sized doclens table " +
         s"(dl is denormalized into postings):\n$plan")
+    assert("PartitionFilters: \\[[^\\]]*snap".r.findFirstIn(plan)
+        .isDefined,
+      s"manifest snapshots must prune the postings partitions:\n$plan")
+    assert(!plan.contains("snap=orphan"),
+      s"orphan snapshot partitions must never be read:\n$plan")
   }
 
   test("topNgrams: two keyed exchanges, top-k as TakeOrdered (no full " +

@@ -103,7 +103,7 @@ class RankingSpec extends SparkTestBase {
     Ranking.buildTextIndex(docs.filter(col("doc_id") % 2 === 0),
       "doc_id", "text", dirGrown)
     Ranking.appendToTextIndex(docs.filter(col("doc_id") % 2 === 1),
-      "doc_id", "text", dirGrown)
+      "doc_id", "text", dirGrown, "drop1")
     Ranking.buildTextIndex(docs, "doc_id", "text", dirFresh)
     val terms = Seq("join", "spark")
     val grown = Ranking.bm25TopKFromIndex(spark, dirGrown, terms, k = 10)
@@ -114,12 +114,26 @@ class RankingSpec extends SparkTestBase {
       .collect().map(_.toSeq).toSeq
     assert(grown == fresh, "append diverges from fresh build")
     assert(grown == direct, "append diverges from direct path")
+    // restart replay: re-appending the SAME snapshot replaces its
+    // partitions (dynamic overwrite), so results do not double-count
+    Ranking.appendToTextIndex(docs.filter(col("doc_id") % 2 === 1),
+      "doc_id", "text", dirGrown, "drop1")
+    val replayed = Ranking.bm25TopKFromIndex(spark, dirGrown, terms,
+      k = 10).collect().map(_.toSeq).toSeq
+    assert(replayed == direct, "same-snapshot re-append must be " +
+      "idempotent")
     // appending to a never-built dir fails closed (no silent bootstrap)
     val e = intercept[IllegalArgumentException] {
       Ranking.appendToTextIndex(docs, "doc_id", "text",
-        java.nio.file.Files.createTempDirectory("bm25none").toString)
+        java.nio.file.Files.createTempDirectory("bm25none").toString,
+        "drop1")
     }
     assert(e.getMessage.contains("params.index.txt"))
+    // a fresh build refuses a dir already holding an index
+    val e2 = intercept[IllegalArgumentException] {
+      Ranking.buildTextIndex(docs, "doc_id", "text", dirGrown)
+    }
+    assert(e2.getMessage.contains("already holds"))
   }
 
   test("soft quality filter: endpoints are deterministic, midband " +

@@ -368,6 +368,42 @@ class StreamingSpec extends SparkTestBase {
     assert(Results.toAskJson(true).contains("\"boolean\":true"))
   }
 
+  test("text index stream: batches land as snapshots; queries on the " +
+      "grown index match the direct path over everything ingested") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("idxstream")
+    val idx = dir.resolve("index").toString
+    val ckpt = dir.resolve("ckpt").toString
+    val b1 = Seq((0L, "spark joins data with hash joins"),
+      (1L, "join join join elsewhere"))
+    val b2 = Seq((2L, "spark spark spark"), (3L, "join spark"))
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamIngest.textIndexStream(
+      mem.toDS().toDF("doc_id", "text"), "doc_id", "text", idx, ckpt)
+    mem.addData(b1: _*)
+    q.processAllAvailable() // batch 0 bootstraps the index
+    mem.addData(b2: _*)
+    q.processAllAvailable() // batch 1 appends a snapshot
+    q.stop()
+    val all = (b1 ++ b2).toDF("doc_id", "text")
+    val direct = graft.operators.Ranking.bm25TopK(all, "doc_id", "text",
+      Seq("join", "spark"), k = 10).collect().map(_.toSeq).toSeq
+    val viaIdx = graft.operators.Ranking.bm25TopKFromIndex(spark, idx,
+      Seq("join", "spark"), k = 10).collect().map(_.toSeq).toSeq
+    assert(viaIdx == direct, "streamed index diverges from direct path")
+    // a second stream with a different checkpoint must be refused
+    val mem2 = MemoryStream[(Long, String)]
+    val q2 = StreamIngest.textIndexStream(
+      mem2.toDS().toDF("doc_id", "text"), "doc_id", "text", idx,
+      dir.resolve("ckpt2").toString)
+    mem2.addData((9L, "intruder"))
+    val e = intercept[org.apache.spark.sql.streaming
+      .StreamingQueryException] { q2.processAllAvailable() }
+    assert(e.getMessage.contains("owned by the stream"))
+    q2.stop()
+  }
+
   test("LM score stream: per-micro-batch scoring against a saved " +
       "model is bit-identical to the batch scorer") {
     import spark.implicits._
