@@ -233,8 +233,10 @@ object Dedup {
       s"start=$started"
   }
 
-  private def withIndexLock[T](indexDir: String, op: String)
-                              (body: => T): T = {
+  // shared with Ranking's text-index writers — the same single-writer
+  // discipline applies to any on-disk index this engine grows in place
+  private[graft] def withIndexLock[T](indexDir: String, op: String)
+                                     (body: => T): T = {
     val utf8 = java.nio.charset.StandardCharsets.UTF_8
     java.nio.file.Files
       .createDirectories(java.nio.file.Paths.get(indexDir))

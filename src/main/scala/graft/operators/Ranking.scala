@@ -114,7 +114,8 @@ object Ranking {
   private def writeIndexSnapshot(docs: DataFrame, idCol: String,
                                  textCol: String, indexDir: String,
                                  snapshotId: String,
-                                 priorSnaps: Seq[String]): Unit = {
+                                 priorSnaps: Seq[String]): Unit =
+      Dedup.withIndexLock(indexDir, s"textIndex($snapshotId)") {
     require(snapshotId.matches(snapIdRe),
       s"text-index snapshot id must match $snapIdRe, got '$snapshotId'")
     val tokens = docs.select(col(idCol).as("doc_id"),
@@ -284,11 +285,12 @@ object Ranking {
     * rounded to 6 decimals (the ordering uses the unrounded sum).
     *
     * Scale shape: the inputs are top-k lists — a few thousand rows at
-    * most regardless of corpus size — so every fold step is a broadcast
-    * join of driver-scalar-sized frames and the final rank is one
-    * row_number over a single partition of ≤ Σ k rows. The corpus itself
-    * was already reduced by the upstream rankers; fusion never touches
-    * it. */
+    * most regardless of corpus size — so every fold step joins
+    * driver-scalar-sized frames (the broadcast hint applies where the
+    * planner supports it for full-outer; even the fallback shuffles
+    * only ≤ Σ k rows) and the final rank is one row_number over those
+    * same rows. The corpus itself was already reduced by the upstream
+    * rankers; fusion never touches it. */
   def rrfFuse(lists: Seq[DataFrame], idCol: String, rankCol: String,
               k: Int, k0: Int = 60): DataFrame = {
     require(lists.size >= 2, "rrfFuse needs at least two ranked lists")

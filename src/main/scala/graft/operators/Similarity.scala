@@ -198,6 +198,13 @@ object Similarity {
                dim: Int, m: Int = 4, nCodes: Int = 8,
                codebook: Option[DataFrame] = None): DataFrame = {
     require(m > 0 && dim % m == 0, s"dim=$dim must split into m=$m subspaces")
+    // the code id is the codebook row's idCol cast to int — a
+    // non-numeric id would cast to NULL and silently corrupt every
+    // assignment, so refuse it up front
+    val idType = codebook.getOrElse(items).schema(idCol).dataType
+    require(idType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"pqEncode: codebook id column '$idCol' must be numeric to " +
+        s"serve as the code id, got $idType")
     val sub = dim / m
     val cb = codebook.getOrElse(items.orderBy(col(idCol)).limit(nCodes))
       .select(col(idCol).cast("int").as("code_id"), col(vecCol).as("cvec"))

@@ -134,6 +134,16 @@ class RankingSpec extends SparkTestBase {
       Ranking.buildTextIndex(docs, "doc_id", "text", dirGrown)
     }
     assert(e2.getMessage.contains("already holds"))
+    // writers are single-writer: a held lock refuses the append with
+    // the holder's identity (the dedup-index lock discipline)
+    val lock = java.nio.file.Paths.get(dirGrown, "lock")
+    java.nio.file.Files.write(lock, "op=test holder".getBytes("UTF-8"))
+    val e3 = intercept[IllegalStateException] {
+      Ranking.appendToTextIndex(docs.filter(col("doc_id") === 0L),
+        "doc_id", "text", dirGrown, "drop2")
+    }
+    assert(e3.getMessage.contains("locked by"))
+    java.nio.file.Files.delete(lock)
   }
 
   test("soft quality filter: endpoints are deterministic, midband " +
