@@ -268,6 +268,50 @@ object Similarity {
         round(col("adc"), 6).as("adc6"))
   }
 
+  /** Train a PQ codebook with per-subspace k-means (each subspace
+    * clustered INDEPENDENTLY — the defining trick of product
+    * quantization: m codebooks of nCodes centroids quantize nCodes^m
+    * effective cells) — the quality path for [[pqEncode]]/[[pqTopK]]'s
+    * pluggable codebook, exactly as [[trainCentroids]] is for
+    * [[ivfTopK]]. Returns the codebook in the shape those operators
+    * consume: row r is the concatenation over subspaces of each
+    * subspace's r-th centroid (assignment slices per subspace, so the
+    * rows' cross-subspace pairing carries no meaning).
+    *
+    * At 100 TB: fit on a sample; the codebook is m·nCodes·(dim/m)
+    * floats — driver-trivial — and broadcasts into the same encode
+    * join as the deterministic default. */
+  def trainPqCodebook(items: DataFrame, idCol: String, vecCol: String,
+                      dim: Int, m: Int = 4, nCodes: Int = 8,
+                      maxIter: Int = 10, sampleFraction: Double = 1.0,
+                      seed: Long = 42L): DataFrame = {
+    require(m > 0 && dim % m == 0, s"dim=$dim must split into m=$m subspaces")
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val sub = dim / m
+    val sampled =
+      if (sampleFraction < 1.0) items.sample(sampleFraction, seed)
+      else items
+    val centers: Seq[Array[Array[Float]]] = (0 until m).map { j =>
+      val data = sampled.select(array_to_vector(
+        slice(col(vecCol).cast("array<double>"), j * sub + 1, sub))
+        .as("features"))
+      val model = new KMeans().setK(nCodes).setMaxIter(maxIter)
+        .setSeed(seed + j).setFeaturesCol("features").fit(data)
+      model.clusterCenters.map(_.toArray.map(_.toFloat))
+    }
+    val kMin = centers.map(_.length).min
+    require(kMin == nCodes,
+      s"trainPqCodebook: k-means produced only $kMin centroids in " +
+        s"some subspace (degenerate data for nCodes=$nCodes) — lower " +
+        "nCodes or train on more varied vectors")
+    val spark = items.sparkSession
+    import spark.implicits._
+    (0 until nCodes).map { r =>
+      (r.toLong, (0 until m).flatMap(j => centers(j)(r)).toArray)
+    }.toDF(idCol, vecCol)
+  }
+
   def lshTopK(items: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, dim: Int, nPlanes: Int = 16,
               bands: Int = 4): DataFrame = {

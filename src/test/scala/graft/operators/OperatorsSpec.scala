@@ -3150,6 +3150,48 @@ class OperatorsSpec extends SparkTestBase {
     assert(recall > 0.15, s"PQ recall too low: $recall")
   }
 
+  test("trained PQ codebook beats the default quantizer on data the " +
+      "lowest-id default misrepresents") {
+    // four tight clusters along distinct axes of an 8-dim space; ids
+    // ordered so the DEFAULT codebook (lowest-id items) draws every
+    // code from cluster 0 — the worst case for untrained PQ (the IVF
+    // trained-centroids spec's shape, applied per subspace)
+    def vec(cluster: Int, jitterSeed: Int): Array[Float] = {
+      val v = Array.fill(8)(0.0f)
+      v(cluster * 2) = 1.0f
+      val r = new scala.util.Random(jitterSeed)
+      (0 until 8).foreach(i => v(i) += (r.nextFloat() - 0.5f) * 0.1f)
+      v
+    }
+    val items = (0 until 200).map { i =>
+      (i.toLong, vec(i / 50, i))
+    }.toDF("vec_id", "embedding")
+    val q = items.filter(col("vec_id").isin(10L, 60L, 110L, 160L))
+    // quantization collapses WITHIN-cluster ordering (one code tuple
+    // per cluster, ties on id), so exact-neighbor recall@k is the
+    // wrong metric for PQ — what a codebook must get right is the
+    // CLUSTER: the retrieved items should come from the query's own
+    // cluster, which the all-from-cluster-0 default codebook cannot
+    // resolve for queries in clusters 1-3
+    def sameClusterFrac(cb: Option[org.apache.spark.sql.DataFrame])
+        : Double = {
+      val got = Similarity.pqTopK(items, q, "vec_id", "embedding",
+          k = 5, dim = 8, m = 2, nCodes = 4, codebook = cb)
+        .select("query_id", "item_id").as[(Long, Long)].collect()
+      got.count { case (qid, iid) => qid / 50 == iid / 50 }
+        .toDouble / got.length
+    }
+    val trained = Similarity.trainPqCodebook(items, "vec_id",
+      "embedding", dim = 8, m = 2, nCodes = 4, maxIter = 5)
+    assert(trained.count() == 4)
+    val fTrained = sameClusterFrac(Some(trained))
+    val fDefault = sameClusterFrac(None)
+    assert(fTrained >= fDefault,
+      s"trained $fTrained < default $fDefault")
+    assert(fTrained > 0.9, s"trained PQ must resolve the clusters: " +
+      s"$fTrained")
+  }
+
   test("topNgrams counts corpus trigrams with document reach") {
     val df = Seq(
       (0L, "a b c a b c"), // trigrams: a b c (x2), b c a, c a b
