@@ -468,6 +468,34 @@ object Dedup {
     * nothing). If one domain dominates a shard, pre-aggregate per
     * (domain, line, id-bucket) or broadcast the boilerplate set
     * explicitly. */
+  /** URL latest-wins dedup — the recrawl rule of C4/Dolma-style
+    * pipelines: when the same (canonicalized) URL appears in multiple
+    * crawl snapshots, keep only its NEWEST fetch (highest
+    * `versionCol`, ties to the highest id) and drop the stale ones.
+    * Orthogonal to content dedup: the same URL's refetch usually has
+    * near-identical text (MinHash would catch it expensively), but
+    * latest-wins also handles the page that CHANGED — content dedup
+    * would keep both, double-representing the URL. Canonicalization is
+    * the caller's composition point
+    * ([[graft.operators.UrlOps.canonicalizeUrl]], gated at p53).
+    *
+    * Output: (<idCol>, <urlCol>, kept) — one verdict per input row.
+    *
+    * Shape at 100 TB: one partial-aggregated max_by per URL (a viral
+    * URL's rows collapse map-side before the shuffle — no whole-group
+    * window, no skew pile-up) + one url-keyed join of the winner set
+    * back to the rows (AQE broadcasts the winner side when a shard's
+    * URL set is small). */
+  def urlLatestWins(docs: DataFrame, idCol: String, urlCol: String,
+                    versionCol: String): DataFrame = {
+    val winners = docs.groupBy(col(urlCol))
+      .agg(max_by(col(idCol), struct(col(versionCol), col(idCol)))
+        .as("__winner_id"))
+    docs.join(winners, Seq(urlCol))
+      .select(col(idCol), col(urlCol),
+        (col(idCol) === col("__winner_id")).as("kept"))
+  }
+
   def scrubBoilerplateLines(df: DataFrame, idCol: String,
                             domainCol: String, textCol: String,
                             minDocs: Int = 3, sep: String = "\n",

@@ -97,6 +97,30 @@ object TextAnalysis {
         .otherwise(lit(0.0)).as("dup_frac"))
   }
 
+  /** Per-language tokenizer fertility — the bytes-per-token table of
+    * multilingual tokenizer audits (XLM-R/NLLB-style analyses: a
+    * tokenizer that spends 3× the tokens per byte on one language
+    * effectively shrinks that language's context window and training
+    * budget 3×). Uses the same subword estimator as the token-count
+    * gate, UTF-8 octet length for bytes.
+    *
+    * Output per language: (lang, n_docs, total_bytes, total_tokens,
+    * bytes_per_token) — the totals exact longs, the ratio their exact
+    * double quotient. One partial-aggregated shuffle keyed by language
+    * (languages-bounded output); everything else rides the scan. */
+  def tokenizerFertility(docs: DataFrame, langCol: String,
+                         textCol: String): DataFrame =
+    docs.select(col(langCol).as("lang"),
+        octet_length(col(textCol)).cast("long").as("__b"),
+        subwordCountEstimate(col(textCol)).as("__t"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__b")).as("total_bytes"),
+        sum(col("__t")).as("total_tokens"))
+      .withColumn("bytes_per_token",
+        col("total_bytes").cast("double") /
+          col("total_tokens").cast("double"))
+
   /** Corpus-level top-k n-grams (heavy hitters) — the dataset-report
     * companion of the per-doc [[ngramRepetition]]: the most frequent
     * word n-grams across the whole corpus with how many documents carry

@@ -1140,6 +1140,24 @@ object PipelineQueries {
             "slow" -> -0.5, "dup" -> -1.5), bias = -0.5)
         .orderBy("doc_id")),
 
+    // per-language tokenizer fertility (bytes/token audit table):
+    // exact totals, exact-quotient ratio
+    "p84_token_fertility" -> ((s, d) =>
+      TextAnalysis.tokenizerFertility(t(s, d, "documents"), "lang",
+          "text")
+        .orderBy("lang")),
+
+    // URL latest-wins recrawl dedup: non-monotone version so the
+    // (version, id) winner ordering is actually exercised
+    "p85_url_latest_wins" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"),
+        concat(lit("https://example.com/page/"),
+          (col("doc_id") % 50).cast("string")).as("url"),
+        (col("doc_id") * 7 % 11).as("version"))
+      Dedup.urlLatestWins(docs, "doc_id", "url", "version")
+        .orderBy("doc_id")
+    }),
+
     // classifier TRAINING as a gate: 3 unrolled fixed-point GD
     // iterations over 64 hashed-BoW buckets, label = (lang = 'en').
     // The learned weights themselves hash against the oracle's unrolled
@@ -2824,6 +2842,31 @@ object PipelineQueries {
 
     // append == fresh build == direct rescans: same oracle again
     "p83_bm25_index_append" -> bm25DirectSql,
+
+    "p84_token_fertility" ->
+      s"""WITH d AS (SELECT lang,
+         |    CAST(octet_length(encode(text)) AS BIGINT) AS b,
+         |    $duckSubwordTok AS t
+         |  FROM documents),
+         |a AS (SELECT lang, count(*) AS n_docs,
+         |    CAST(sum(b) AS BIGINT) AS total_bytes,
+         |    CAST(sum(t) AS BIGINT) AS total_tokens
+         |  FROM d GROUP BY lang)
+         |SELECT lang, n_docs, total_bytes, total_tokens,
+         |  total_bytes::DOUBLE / total_tokens::DOUBLE
+         |    AS bytes_per_token
+         |FROM a ORDER BY lang""".stripMargin,
+
+    "p85_url_latest_wins" ->
+      """WITH d AS (SELECT doc_id,
+        |    'https://example.com/page/' || (doc_id % 50) AS url,
+        |    doc_id * 7 % 11 AS version
+        |  FROM documents),
+        |r AS (SELECT doc_id, url, ROW_NUMBER() OVER (
+        |    PARTITION BY url ORDER BY version DESC, doc_id DESC)
+        |    AS rn FROM d)
+        |SELECT doc_id, url, rn = 1 AS kept
+        |FROM r ORDER BY doc_id""".stripMargin,
 
     "p82_soft_filter" ->
       """WITH ws AS (SELECT doc_id,

@@ -3192,6 +3192,32 @@ class OperatorsSpec extends SparkTestBase {
       s"$fTrained")
   }
 
+  test("tokenizerFertility: exact per-language totals and ratio") {
+    val df = Seq(
+      ("en", "abcd efgh"),      // 9 bytes; 2 pieces of 4 -> 2 tokens
+      ("en", "abcdefgh"),       // 8 bytes; ceil(8/4) = 2 tokens
+      ("fr", "an")              // 2 bytes; 1 token (short-word floor)
+    ).toDF("lang", "text")
+    val out = TextAnalysis.tokenizerFertility(df, "lang", "text")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    assert(out("en") == ((2L, 17L, 4L, 17.0 / 4.0)))
+    assert(out("fr") == ((1L, 2L, 1L, 2.0)))
+  }
+
+  test("urlLatestWins keeps the newest fetch per URL, ties to the " +
+      "highest id") {
+    val df = Seq(
+      (1L, "u1", 3L), (2L, "u1", 5L), (3L, "u1", 5L), // v-tie: id 3 wins
+      (4L, "u2", 9L),                                 // singleton kept
+      (5L, "u3", 2L), (6L, "u3", 1L)                  // older id wins on v
+    ).toDF("doc_id", "url", "version")
+    val kept = Dedup.urlLatestWins(df, "doc_id", "url", "version")
+      .filter(col("kept")).select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(3L, 4L, 5L))
+  }
+
   test("topNgrams counts corpus trigrams with document reach") {
     val df = Seq(
       (0L, "a b c a b c"), // trigrams: a b c (x2), b c a, c a b
