@@ -112,18 +112,89 @@ object ScaleProbeStream {
         sys.error(s"LSH drain stalled: $seen of $totalDocs rows")
       seen = q.recentProgress.map(_.numInputRows).sum
     }
+    // same final-batch commit race as drain() below: idle the trigger
+    // before stopping so the last batch's index/output writes land
+    while (q.status.isTriggerActive || q.status.isDataAvailable) {
+      Thread.sleep(200)
+      q.exception.foreach(throw _)
+    }
     q.stop()
     val lshSec = (System.nanoTime() - t0) / 1e9
     val kept = spark.read.parquet(outDir).count()
     println(f"[stream1] minhash_lsh_dedup in=$totalDocs kept=$kept " +
       f"sec=$lshSec%.1f (${totalDocs / lshSec}%.0f docs/s)")
 
+    // shared drain-by-progress watcher for foreachBatch streams that
+    // manage their own sinks (same caveats as the LSH block above)
+    def drain(q2: org.apache.spark.sql.streaming.StreamingQuery,
+              what: String): Double = {
+      val t1 = System.nanoTime()
+      val dl = System.nanoTime() + 15L * 60 * 1000 * 1000 * 1000
+      var got = 0L
+      while (got < totalDocs) {
+        Thread.sleep(500)
+        q2.exception.foreach(throw _)
+        if (System.nanoTime() > dl)
+          sys.error(s"$what drain stalled: $got of $totalDocs rows")
+        got = q2.recentProgress.map(_.numInputRows).sum
+      }
+      // progress for the final batch can surface before its sink job
+      // fully commits — stopping here truncates the last batch's
+      // output (observed: 375001 of 500000 rows). Wait for the
+      // trigger to go idle with no data pending before stop.
+      while (q2.status.isTriggerActive || q2.status.isDataAvailable) {
+        Thread.sleep(200)
+        q2.exception.foreach(throw _)
+      }
+      q2.stop()
+      (System.nanoTime() - t1) / 1e9
+    }
+
+    // 4. saved-model LM scoring in flight (lmScoreStream): train ONCE
+    //    on the static corpus, then every arriving doc scores against
+    //    the saved per-order count tables — the train-once/score-many
+    //    contract under streaming load
+    val lmModelDir = tmpDir("probe_lm") + "/model"
+    graft.operators.TextAnalysis.saveLmModel(static, "text", lmModelDir,
+      order = 3, minCount = 2)
+    val lmOut = tmpDir("probe_lm_out") + "/scored"
+    val qLm = StreamIngest.lmScoreStream(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "8").parquet(docsPath)
+        .select("doc_id", "text"),
+      "doc_id", "text", lmModelDir, lmOut, tmpDir("probe_lm_ckpt"))
+    val lmSec = drain(qLm, "lm_score")
+    val lmRows = spark.read.parquet(lmOut).count()
+    println(f"[stream1] lm_score_stream rows=$lmRows sec=$lmSec%.1f " +
+      f"(${lmRows / lmSec}%.0f docs/s)")
+
+    // 5. streaming ingest INTO the inverted text index
+    //    (textIndexStream): one snapshot per micro-batch, then one
+    //    BM25 query against everything ingested
+    val sIdx = tmpDir("probe_idx") + "/index"
+    val qIdx = StreamIngest.textIndexStream(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "8").parquet(docsPath)
+        .select("doc_id", "text"),
+      "doc_id", "text", sIdx, tmpDir("probe_idx_ckpt"))
+    val idxSec = drain(qIdx, "text_index")
+    val tq0 = System.nanoTime()
+    val idxHits = graft.operators.Ranking.bm25TopKFromIndex(spark,
+      sIdx, Seq("dup", "join", "spark"), k = 20).count()
+    val idxQuerySec = (System.nanoTime() - tq0) / 1e9
+    println(f"[stream1] text_index_stream ingest_sec=$idxSec%.1f " +
+      f"(${totalDocs / idxSec}%.0f docs/s) query_sec=$idxQuerySec%.2f " +
+      f"hits=$idxHits")
+
     val json =
       s"""{"metric":"scale_probe_stream","sf":"$sfDir",""" +
       s""""dsir_decontaminate":{"rows":${score._1},"sec":${score._2}},""" +
       s""""watermark_dedup":{"rows":${dedup._1},"sec":${dedup._2}},""" +
       s""""minhash_lsh_dedup":{"in":$totalDocs,"kept":$kept,""" +
-      s""""sec":$lshSec}}"""
+      s""""sec":$lshSec},""" +
+      s""""lm_score_stream":{"rows":$lmRows,"sec":$lmSec},""" +
+      s""""text_index_stream":{"in":$totalDocs,"ingest_sec":$idxSec,""" +
+      s""""query_sec":$idxQuerySec,"hits":$idxHits}}"""
     println(json)
     outJson.foreach { p =>
       java.nio.file.Files.write(java.nio.file.Paths.get(p),
