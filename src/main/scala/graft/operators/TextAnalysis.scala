@@ -118,8 +118,11 @@ object TextAnalysis {
         sum(col("__b")).as("total_bytes"),
         sum(col("__t")).as("total_tokens"))
       .withColumn("bytes_per_token",
-        col("total_bytes").cast("double") /
-          col("total_tokens").cast("double"))
+        // a language bucket of empty/whitespace-only docs has zero
+        // tokens — NULL, not Infinity/NaN (which are non-portable)
+        when(col("total_tokens") > 0,
+          col("total_bytes").cast("double") /
+            col("total_tokens").cast("double")))
 
   /** Corpus-level top-k n-grams (heavy hitters) — the dataset-report
     * companion of the per-doc [[ngramRepetition]]: the most frequent

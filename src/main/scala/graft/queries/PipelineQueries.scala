@@ -2853,8 +2853,9 @@ object PipelineQueries {
          |    CAST(sum(t) AS BIGINT) AS total_tokens
          |  FROM d GROUP BY lang)
          |SELECT lang, n_docs, total_bytes, total_tokens,
-         |  total_bytes::DOUBLE / total_tokens::DOUBLE
-         |    AS bytes_per_token
+         |  CASE WHEN total_tokens > 0
+         |    THEN total_bytes::DOUBLE / total_tokens::DOUBLE
+         |    ELSE NULL END AS bytes_per_token
          |FROM a ORDER BY lang""".stripMargin,
 
     "p85_url_latest_wins" ->

@@ -232,6 +232,37 @@ object StreamIngest {
     * instead of corrupting shared history. (The batch API has no such
     * guard because its callers pick explicit date-shaped snapshot ids;
     * here the ids are batch-generated, so the lineage must be pinned.) */
+  /** Claim (or re-verify) exclusive stream ownership of an on-disk
+    * index dir via atomic CREATE_NEW of `stream.owner.txt` holding
+    * this stream's checkpoint path. Two streams with different
+    * checkpoints generate COLLIDING batch ids, silently overwriting
+    * each other's batch-keyed partitions — and the check-then-write
+    * form this replaces let two concurrent FIRST batches both pass
+    * the existence check and both claim the dir. CREATE_NEW makes the
+    * claim race-free; a restart of the same stream (same checkpoint)
+    * passes. */
+  private def claimStreamOwner(indexDir: String, checkpoint: String,
+                               what: String): Unit = {
+    val dir = java.nio.file.Paths.get(indexDir)
+    java.nio.file.Files.createDirectories(dir)
+    val owner = dir.resolve("stream.owner.txt")
+    try java.nio.file.Files.write(owner, checkpoint.getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.CREATE_NEW)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        val prev = new String(
+          java.nio.file.Files.readAllBytes(owner), "UTF-8").trim
+        if (prev != checkpoint)
+          throw new IllegalStateException(
+            s"$what: index $indexDir is owned by the stream " +
+              s"checkpointed at '$prev' but this stream checkpoints " +
+              s"at '$checkpoint' — batch ids would collide and " +
+              "overwrite the other stream's batch-keyed partitions. " +
+              "Use a fresh indexDir per stream (or restore the " +
+              "original checkpoint).")
+    }
+  }
+
   def lineDedupStream(docs: DataFrame, idCol: String, textCol: String,
                       indexDir: String, outDir: String,
                       checkpoint: String, sep: String = "\n") =
@@ -239,24 +270,7 @@ object StreamIngest {
       .option("checkpointLocation", checkpoint)
       .foreachBatch {
         (batch: Dataset[org.apache.spark.sql.Row], bid: Long) =>
-          val owner = java.nio.file.Paths
-            .get(indexDir, "stream.owner.txt")
-          java.nio.file.Files.createDirectories(
-            java.nio.file.Paths.get(indexDir))
-          if (java.nio.file.Files.exists(owner)) {
-            val prev = new String(
-              java.nio.file.Files.readAllBytes(owner), "UTF-8").trim
-            if (prev != checkpoint)
-              throw new IllegalStateException(
-                s"lineDedupStream: index $indexDir is owned by the " +
-                  s"stream checkpointed at '$prev' but this stream " +
-                  s"checkpoints at '$checkpoint' — batch ids would " +
-                  "collide and overwrite historical digest " +
-                  "partitions. Use a fresh indexDir per stream (or " +
-                  "restore the original checkpoint).")
-          } else
-            java.nio.file.Files.write(owner,
-              checkpoint.getBytes("UTF-8"))
+          claimStreamOwner(indexDir, checkpoint, "lineDedupStream")
           graft.operators.Dedup.dedupLinesAgainstIndex(batch.toDF(),
               idCol, textCol, indexDir, f"batch$bid%010d", sep)
             .write.mode("append").parquet(outDir)
@@ -281,8 +295,10 @@ object StreamIngest {
     * the default broadcast-model join shape is the KenLM
     * model-resident-per-node layout. Scoring is per-document (the
     * groupBy inside the scorer keys on doc id), so each micro-batch is
-    * complete in itself — no cross-batch state, no watermark, restart
-    * replays of an uncommitted batch rewrite the same scores.
+    * complete in itself — no cross-batch state, no watermark — and the
+    * scores land as `batch=` partitions via DYNAMIC overwrite, so a
+    * restart replay of an uncommitted batch REPLACES its partition
+    * instead of appending duplicate rows.
     *
     * The model directory is read ONCE per batch via the scorer; saved
     * models are immutable per language
@@ -299,8 +315,11 @@ object StreamIngest {
         (batch: Dataset[org.apache.spark.sql.Row], bid: Long) =>
           graft.operators.TextAnalysis.ngramLmScoreWithModel(modelDir,
               batch.toDF(), idCol, textCol, langCol = langCol)
-            .withColumn("batch_id", lit(bid))
-            .write.mode("append").parquet(outDir)
+            .withColumn("batch", lit(f"batch$bid%010d"))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch")
+            .parquet(outDir)
           ()
       }
       .outputMode(OutputMode.Append())
@@ -325,24 +344,7 @@ object StreamIngest {
       .option("checkpointLocation", checkpoint)
       .foreachBatch {
         (batch: Dataset[org.apache.spark.sql.Row], bid: Long) =>
-          val owner = java.nio.file.Paths
-            .get(indexDir, "stream.owner.txt")
-          java.nio.file.Files.createDirectories(
-            java.nio.file.Paths.get(indexDir))
-          if (java.nio.file.Files.exists(owner)) {
-            val prev = new String(
-              java.nio.file.Files.readAllBytes(owner), "UTF-8").trim
-            if (prev != checkpoint)
-              throw new IllegalStateException(
-                s"textIndexStream: index $indexDir is owned by the " +
-                  s"stream checkpointed at '$prev' but this stream " +
-                  s"checkpoints at '$checkpoint' — batch ids would " +
-                  "collide and overwrite the other stream's " +
-                  "snapshots. Use a fresh indexDir per stream (or " +
-                  "restore the original checkpoint).")
-          } else
-            java.nio.file.Files.write(owner,
-              checkpoint.getBytes("UTF-8"))
+          claimStreamOwner(indexDir, checkpoint, "textIndexStream")
           val snap = f"batch$bid%010d"
           if (java.nio.file.Files.exists(java.nio.file.Paths
               .get(indexDir, "params.index.txt")))

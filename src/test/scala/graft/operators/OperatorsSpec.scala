@@ -3216,6 +3216,16 @@ class OperatorsSpec extends SparkTestBase {
     val kept = Dedup.urlLatestWins(df, "doc_id", "url", "version")
       .filter(col("kept")).select("doc_id").as[Long].collect().sorted
     assert(kept.toSeq == Seq(3L, 4L, 5L))
+    // NULL urls carry no recrawl identity: every such row keeps its
+    // own verdict (kept=true) instead of vanishing through the join
+    // or electing one winner among unrelated unknown-URL docs
+    val withNulls = df.unionByName(Seq((7L, null: String, 1L),
+      (8L, null: String, 2L)).toDF("doc_id", "url", "version"))
+    val out = Dedup.urlLatestWins(withNulls, "doc_id", "url", "version")
+    assert(out.count() == 8)
+    val nullVerdicts = out.filter(col("url").isNull)
+      .select("doc_id", "kept").as[(Long, Boolean)].collect().toMap
+    assert(nullVerdicts == Map(7L -> true, 8L -> true))
   }
 
   test("topNgrams counts corpus trigrams with document reach") {

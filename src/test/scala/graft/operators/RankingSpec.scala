@@ -122,6 +122,17 @@ class RankingSpec extends SparkTestBase {
       k = 10).collect().map(_.toSeq).toSeq
     assert(replayed == direct, "same-snapshot re-append must be " +
       "idempotent")
+    // a THIRD snapshot accumulates: the manifest read inside the
+    // write lock must carry base+drop1 forward, not clobber them
+    val extra = Seq((100L, "join spark join extra")).toDF(
+      "doc_id", "text")
+    Ranking.appendToTextIndex(extra, "doc_id", "text", dirGrown,
+      "drop2")
+    val all3 = Ranking.bm25TopKFromIndex(spark, dirGrown, terms, k = 10)
+      .collect().map(_.toSeq).toSeq
+    val direct3 = Ranking.bm25TopK(docs.unionByName(extra), "doc_id",
+      "text", terms, k = 10).collect().map(_.toSeq).toSeq
+    assert(all3 == direct3, "third append lost an earlier snapshot")
     // appending to a never-built dir fails closed (no silent bootstrap)
     val e = intercept[IllegalArgumentException] {
       Ranking.appendToTextIndex(docs, "doc_id", "text",
@@ -140,7 +151,7 @@ class RankingSpec extends SparkTestBase {
     java.nio.file.Files.write(lock, "op=test holder".getBytes("UTF-8"))
     val e3 = intercept[IllegalStateException] {
       Ranking.appendToTextIndex(docs.filter(col("doc_id") === 0L),
-        "doc_id", "text", dirGrown, "drop2")
+        "doc_id", "text", dirGrown, "drop3")
     }
     assert(e3.getMessage.contains("locked by"))
     java.nio.file.Files.delete(lock)

@@ -433,12 +433,16 @@ class StreamingSpec extends SparkTestBase {
     q.stop()
 
     val got = spark.read.parquet(out)
-    assert(got.columns.toSet == cols.toSet + "batch_id")
+    assert(got.columns.toSet == cols.toSet + "batch")
     val gotRows = got.select(cols.head, cols.tail: _*).collect()
       .map(r => r.getLong(0) -> r.toSeq).toMap
     assert(gotRows == expect, s"stream scores diverge:\n$gotRows\n$expect")
-    val bids = got.select("id", "batch_id").collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(bids(10L) == 0L && bids(11L) == 0L && bids(12L) == 1L, bids)
+    // scores land batch-partitioned (dynamic overwrite -> replaying an
+    // uncommitted batch replaces its partition, never duplicates)
+    val bids = got.select("id", "batch").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(bids(10L) == "batch0000000000" &&
+      bids(11L) == "batch0000000000" &&
+      bids(12L) == "batch0000000001", bids)
   }
 }
