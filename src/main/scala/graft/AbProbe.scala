@@ -1,0 +1,387 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, TextAnalysis}
+
+/** Dev-only same-JVM A/B harness for the r17 optimization round: the
+  * box's write/CPU phases swing 2-20x between runs (SCALE_REHEARSAL),
+  * so cross-run bench comparisons cannot attribute a delta to code.
+  * This probe interleaves the OLD formulation (replicated inline,
+  * value-identical) with the NEW operator in one session, several
+  * rounds each, and prints per-variant best/median. Not driver
+  * contract.
+  */
+object AbProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val docs = graft.core.Tables.t(spark, sfDir, "documents")
+    docs.write.format("noop").mode("overwrite").save() // page-cache warm
+    val which = args.headOption.getOrElse("all")
+    val rounds = args.lift(1).map(_.toInt).getOrElse(5)
+
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    def report(name: String, variants: Seq[(String, () => Unit)]): Unit = {
+      // one untimed warm pass each, then `rounds` interleaved samples
+      variants.foreach(_._2())
+      val samples = scala.collection.mutable.Map[String, Vector[Double]]()
+        .withDefaultValue(Vector.empty)
+      for (_ <- 1 to rounds; (vn, f) <- variants)
+        samples(vn) = samples(vn) :+ time(f())
+      variants.foreach { case (vn, _) =>
+        val s = samples(vn).sorted
+        println(f"[ab] $name/$vn best=${s.head}%.3f med=${s(s.size / 2)}%.3f worst=${s.last}%.3f")
+      }
+    }
+
+    // ---- A: line-dedup election (p58 shape) --------------------------
+    def oldElect(df: DataFrame, idCol: String): DataFrame = {
+      val lined = df.select(col(idCol),
+        translate(col("text"), " ", "\n").as("text"))
+      val candidates = lined.select(col(idCol),
+        posexplode(split(col("text"), "\n")).as(Seq("pos", "line")))
+      val winners = candidates.groupBy("line")
+        .agg(min(struct(col(idCol), col("pos"))).as("w"))
+      val kept = candidates.join(winners,
+        candidates("line") === winners("line") &&
+          struct(candidates(idCol), candidates("pos")) === winners("w"),
+        "left_semi")
+      val rebuilt = kept.groupBy(idCol).agg(
+        concat_ws("\n", transform(
+          array_sort(collect_list(struct(col("pos"), col("line")))),
+          x => x.getField("line"))).as("deduped"),
+        count(lit(1)).as("__nkept"))
+      lined.join(rebuilt, Seq(idCol), "left")
+        .withColumn("deduped", coalesce(col("deduped"), lit("")))
+        .withColumn("n_kept_lines",
+          coalesce(col("__nkept"), lit(0L)).cast("long"))
+        .drop("__nkept")
+    }
+    def newElect(df: DataFrame, idCol: String): DataFrame =
+      Dedup.dedupLinesGlobal(df.select(col(idCol),
+        translate(col("text"), " ", "\n").as("text")), idCol, "text")
+    if (which == "all" || which == "elect")
+      report("elect", Seq(
+        "old" -> (() => oldElect(docs, "doc_id")
+          .write.format("noop").mode("overwrite").save()),
+        "new" -> (() => newElect(docs, "doc_id")
+          .write.format("noop").mode("overwrite").save())))
+
+    // ---- B: dedupAgainstIndex (p68 shape) ----------------------------
+    def oldIncr(): Unit = {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-ab-old-").toString
+      def probe(snap: DataFrame, sid: String): DataFrame = {
+        val fpDf = snap.select(col("doc_id").as("id"),
+            TextAnalysis.fingerprintMd5(col("text")).as("fp"))
+          .localCheckpoint()
+        val banded =
+          Dedup.minhashSignatures(snap, "doc_id", "text", 3, 32, true)
+            .select(col("id"),
+              posexplode(Dedup.bandBucketArray(col("sig"), 16, 2)))
+            .withColumnRenamed("pos", "band")
+            .withColumnRenamed("col", "bucket")
+            .localCheckpoint()
+        val subSchemas = Map(
+          "fp" -> "fp STRING, snapshot STRING",
+          "bands" -> "band INT, bucket BIGINT, snapshot STRING")
+        def readIndex(sub: String, names: Seq[String],
+                      empty: Seq[Column]): DataFrame = {
+          val path = s"$dir/$sub"
+          if (new java.io.File(path).exists())
+            spark.read.schema(subSchemas(sub)).parquet(path)
+              .filter(col("snapshot") < lit(sid))
+              .select(names.map(col): _*)
+          else spark.emptyDataFrame.select(empty: _*).limit(0)
+        }
+        val idxFp = readIndex("fp", Seq("fp"), Seq(lit("").as("fp")))
+        val idxBands = readIndex("bands", Seq("band", "bucket"),
+          Seq(lit(0).as("band"), lit(0L).as("bucket")))
+        // OLD dedupProbe replica (pre-r17): per-family semi-join ∪
+        // election-join → distinct, then two left joins
+        val hitFps = idxFp
+          .join(fpDf.select("fp").filter(col("fp").isNotNull).distinct(),
+            Seq("fp"), "left_semi")
+          .distinct()
+        val hitBuckets = idxBands
+          .join(banded.select("band", "bucket").distinct(),
+            Seq("band", "bucket"), "left_semi")
+          .distinct()
+        val dropExact = fpDf.join(hitFps, Seq("fp"), "left_semi")
+          .select("id")
+          .unionByName(fpDf
+            .join(fpDf.groupBy("fp").agg(min(col("id")).as("first_id")),
+              Seq("fp"))
+            .filter(col("id") > col("first_id")).select("id"))
+          .distinct()
+        val dropNear =
+          banded.join(hitBuckets, Seq("band", "bucket"), "left_semi")
+            .select("id")
+            .unionByName(banded
+              .join(banded.groupBy("band", "bucket")
+                  .agg(min(col("id")).as("first_id")),
+                Seq("band", "bucket"))
+              .filter(col("id") > col("first_id")).select("id"))
+            .distinct()
+        val decisions = fpDf
+          .join(dropExact.withColumn("__de", lit(true)), Seq("id"), "left")
+          .join(dropNear.withColumn("__dn", lit(true)), Seq("id"), "left")
+          .select(col("id"), col("fp"),
+            when(col("__de"), lit("drop_exact"))
+              .when(col("__dn"), lit("drop_near"))
+              .otherwise(lit("keep")).as("verdict"))
+          .localCheckpoint()
+        def writeDelta(df: DataFrame, sub: String): Unit =
+          df.withColumn("snapshot", lit(sid))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("snapshot")
+            .parquet(s"$dir/$sub")
+        writeDelta(banded, "bands")
+        writeDelta(fpDf, "fp")
+        decisions
+      }
+      val a = probe(docs.filter(col("doc_id") % 2 === 0), "snapA")
+      val b = probe(docs.filter(col("doc_id") % 2 === 1), "snapB")
+      a.unionByName(b).write.format("noop").mode("overwrite").save()
+    }
+    def newIncr(): Unit = {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-ab-new-").toString
+      val a = Dedup.dedupAgainstIndex(docs.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", dir, "snapA", portableHash = true)
+      val b = Dedup.dedupAgainstIndex(docs.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text", dir, "snapB", portableHash = true)
+      a.unionByName(b).write.format("noop").mode("overwrite").save()
+    }
+    if (which == "all" || which == "incr")
+      report("incr", Seq("old" -> (() => oldIncr()),
+        "new" -> (() => newIncr())))
+    if (which == "incr-flip")
+      report("incr", Seq("new" -> (() => newIncr()),
+        "old" -> (() => oldIncr())))
+
+    // phase breakdown of the old/live dedupAgainstIndex shape
+    def phasedIncr(): Unit = {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-ab-ph-").toString
+      def probe(snap: DataFrame, sid: String): DataFrame = {
+        val t0 = System.nanoTime()
+        val fpDf = snap.select(col("doc_id").as("id"),
+            TextAnalysis.fingerprintMd5(col("text")).as("fp"))
+          .localCheckpoint()
+        val t1 = System.nanoTime()
+        val banded =
+          Dedup.minhashSignatures(snap, "doc_id", "text", 3, 32, true)
+            .select(col("id"),
+              posexplode(Dedup.bandBucketArray(col("sig"), 16, 2)))
+            .withColumnRenamed("pos", "band")
+            .withColumnRenamed("col", "bucket")
+            .localCheckpoint()
+        val t2 = System.nanoTime()
+        val subSchemas = Map(
+          "fp" -> "fp STRING, snapshot STRING",
+          "bands" -> "band INT, bucket BIGINT, snapshot STRING")
+        def readIndex(sub: String, names: Seq[String],
+                      empty: Seq[Column]): DataFrame = {
+          val path = s"$dir/$sub"
+          if (new java.io.File(path).exists())
+            spark.read.schema(subSchemas(sub)).parquet(path)
+              .filter(col("snapshot") < lit(sid))
+              .select(names.map(col): _*)
+          else spark.emptyDataFrame.select(empty: _*).limit(0)
+        }
+        val idxFp = readIndex("fp", Seq("fp"), Seq(lit("").as("fp")))
+        val idxBands = readIndex("bands", Seq("band", "bucket"),
+          Seq(lit(0).as("band"), lit(0L).as("bucket")))
+        val decisions = Dedup.dedupProbe(fpDf, banded, idxFp, idxBands)
+          .localCheckpoint()
+        val t3 = System.nanoTime()
+        def writeDelta(df: DataFrame, sub: String): Unit =
+          df.withColumn("snapshot", lit(sid))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("snapshot")
+            .parquet(s"$dir/$sub")
+        writeDelta(banded, "bands")
+        writeDelta(fpDf, "fp")
+        val t4 = System.nanoTime()
+        println(f"[ph] $sid fp=${(t1 - t0) / 1e9}%.3f " +
+          f"banded=${(t2 - t1) / 1e9}%.3f probe=${(t3 - t2) / 1e9}%.3f " +
+          f"deltas=${(t4 - t3) / 1e9}%.3f")
+        decisions
+      }
+      val a = probe(docs.filter(col("doc_id") % 2 === 0), "snapA")
+      val b = probe(docs.filter(col("doc_id") % 2 === 1), "snapB")
+      val t5 = System.nanoTime()
+      a.unionByName(b).write.format("noop").mode("overwrite").save()
+      println(f"[ph] final=${(System.nanoTime() - t5) / 1e9}%.3f")
+    }
+    if (which == "phases")
+      (1 to rounds).foreach(_ => phasedIncr())
+
+    // ---- D: tokenizer kernel vs interpreted HOF (p80/p34 shapes) ----
+    def hofWords(c: Column): Column =
+      filter(split(lower(c), "\\s+"), w => length(w) > 0)
+    def topNgramsWith(ws: Column): DataFrame = {
+      val n = 3
+      val tok = docs.select(col("doc_id").as("__id"), ws.as("__ws"))
+      val grams = when(size(col("__ws")) >= n,
+        transform(sequence(lit(1), size(col("__ws")) - lit(n - 1)),
+          i => concat_ws(" ", slice(col("__ws"), i, lit(n)))))
+        .otherwise(array().cast("array<string>"))
+      val perDoc = tok.select(explode(grams).as("ngram"), col("__id"))
+        .groupBy(col("ngram"), col("__id")).agg(count(lit(1)).as("__c"))
+      perDoc.groupBy("ngram")
+        .agg(sum(col("__c")).as("total_count"), count(lit(1)).as("n_docs"))
+        .orderBy(col("total_count").desc, col("ngram").asc).limit(20)
+    }
+    def subOld(c: Column): Column = {
+      val pieces = filter(split(lower(c), "[^a-z0-9]+"), p => length(p) > 0)
+      aggregate(pieces, lit(0L),
+        (acc, p) => acc + greatest(ceil(length(p) / 4.0), lit(1L)))
+    }
+    // ---- E: pageRank co-partitioned loop (p40 shape) -----------------
+    // pairs pinned ONCE outside the variants: the expensive upstream
+    // must not ride the A/B samples
+    lazy val prPairsPinned: DataFrame = Dedup.minhashPairs(docs,
+        "doc_id", "text", k = 3, h = 32, bands = 16, threshold = 0.5,
+        portableHash = true)
+      .select(col("id1"), col("id2")).localCheckpoint()
+    def prPairs: DataFrame = prPairsPinned
+    def oldPr(): Unit = {
+      val ids = docs.select(col("doc_id").as("id"))
+      val pairs = prPairs
+      val sym = pairs.select(col("id1").as("a"), col("id2").as("b"))
+        .unionByName(pairs.select(col("id2").as("a"), col("id1").as("b")))
+        .filter(col("a") =!= col("b")).distinct().localCheckpoint()
+      val deg = sym.groupBy("a").agg(count(lit(1)).as("deg"))
+      val edges = sym.join(deg, "a").localCheckpoint()
+      var ranks = ids.select(col("id"), lit(1.0).as("rank"))
+      for (i <- 1 to 10) {
+        val contrib = edges.join(ranks, edges("a") === ranks("id"))
+          .groupBy(col("b").as("id"))
+          .agg(sum(col("rank") / col("deg")).as("__c"))
+        ranks = ids.select(col("id")).join(contrib, Seq("id"), "left")
+          .select(col("id"),
+            (lit(0.15) + lit(0.85) * coalesce(col("__c"), lit(0.0)))
+              .as("rank"))
+        if (i % 5 == 0 && i < 10) ranks = ranks.localCheckpoint()
+      }
+      ranks.write.format("noop").mode("overwrite").save()
+    }
+    def newPr(): Unit =
+      graft.operators.GraphAnalytics.pageRank(
+          docs.select(col("doc_id").as("id")), prPairs)
+        .write.format("noop").mode("overwrite").save()
+    if (which == "pr")
+      report("pr", Seq("old" -> (() => oldPr()),
+        "new" -> (() => newPr())))
+
+    // ---- F: winnowing fps kernel vs interpreted HOF chain ------------
+    def oldWinnowBase(k: Int, w: Int): DataFrame = {
+      val hs0 = graft.functions.F
+        .shinglePosHashes(col("text"), k, true)
+      val hs = transform(hs0, h => h.bitwiseAND(lit(Long.MaxValue)))
+      docs.select(col("doc_id").as("id"), hs.as("hs"))
+        .withColumn("fps",
+          when(size(col("hs")) === 0, array().cast("array<bigint>"))
+          .when(size(col("hs")) < w, array(array_min(col("hs"))))
+          .otherwise(array_sort(array_distinct(
+            transform(sequence(lit(0), size(col("hs")) - w),
+              i => array_min(slice(col("hs"), i + lit(1), lit(w))))))))
+    }
+    def oldWinnowPairs(): Unit = {
+      val u0 = oldWinnowBase(5, 8).select(col("id"), col("fps"))
+        .localCheckpoint(eager = false)
+        .select(col("id"), explode(col("fps")).as("fp"))
+      val rare = u0.groupBy("fp")
+        .agg(count(lit(1)).as("_df")).filter(col("_df") <= 128)
+        .select("fp")
+      val u = u0.join(rare, Seq("fp"), "left_semi")
+      u.as("a").join(u.as("b"),
+          col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
+        .groupBy(col("a.id").as("id1"), col("b.id").as("id2"))
+        .agg(count(lit(1)).as("n_shared"))
+        .write.format("noop").mode("overwrite").save()
+    }
+    def newWinnowPairs(): Unit =
+      Dedup.winnowingPairs(docs, "doc_id", "text", k = 5, w = 8,
+          maxDf = 128, portableHash = true)
+        .write.format("noop").mode("overwrite").save()
+    if (which == "winnow")
+      report("winnow", Seq("old" -> (() => oldWinnowPairs()),
+        "new" -> (() => newWinnowPairs())))
+
+    if (which == "tok")
+      report("tok", Seq(
+        "oldgrams" -> (() => topNgramsWith(hofWords(col("text")))
+          .write.format("noop").mode("overwrite").save()),
+        "newgrams" -> (() => graft.operators.TextAnalysis.topNgrams(
+            docs, "doc_id", "text", n = 3, k = 20)
+          .write.format("noop").mode("overwrite").save()),
+        "oldsub" -> (() => docs.select(sum(subOld(col("text"))))
+          .write.format("noop").mode("overwrite").save()),
+        "newsub" -> (() => docs.select(
+            sum(graft.functions.F.subwordCount(col("text"))))
+          .write.format("noop").mode("overwrite").save())))
+
+    // ---- C: classifier training (p67 shape) --------------------------
+    // old replica differs only in the missing repartition(col("id"))
+    def oldTrain(): Unit = {
+      val F = graft.functions.F
+      val buckets = 64; val iters = 3; val fracBits = 20; val lrShift = 26
+      val scale = 1L << fracBits; val lrP = 1L << lrShift
+      val df = docs.withColumn("y", (col("lang") === "en").cast("long"))
+      val feat = df.select(col("doc_id").as("id"), col("y"),
+          explode(F.wordHashes(col("text"), true)).as("h"))
+        .select(col("id"), col("y"),
+          pmod(col("h"), lit(buckets.toLong)).as("b"))
+        .groupBy("id", "y", "b").agg(count(lit(1)).as("x"))
+        .cache()
+      var w = Array.fill(buckets)(0L)
+      try {
+        for (_ <- 1 to iters) {
+          val warr = typedLit(w)
+          val resid = feat
+            .groupBy("id", "y")
+            .agg(sum(col("x") * element_at(warr, col("b").cast("int") + 1))
+              .as("z"))
+            .select(col("id"),
+              (greatest(lit(0L), least(lit(4 * scale),
+                lit(2 * scale) + col("z"))) - lit(4 * scale) * col("y"))
+                .as("r"))
+          val grad = feat.join(resid, Seq("id"))
+            .groupBy("b").agg(sum(col("r") * col("x")).as("g"))
+            .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+          w = w.zipWithIndex.map { case (wb, b) =>
+            val g = grad.getOrElse(b.toLong, 0L)
+            wb - (g - Math.floorMod(g, lrP)) / lrP
+          }
+        }
+      } finally feat.unpersist()
+      if (w.sum == 42L) println("")
+    }
+    def newTrain(): Unit =
+      TextAnalysis.trainLinearClassifier(
+        docs.withColumn("y", col("lang") === "en"),
+        "doc_id", "text", "y", buckets = 64, iters = 3,
+        fracBits = 20, lrShift = 26, portableHash = true)
+        .write.format("noop").mode("overwrite").save()
+    if (which == "all" || which == "train")
+      report("train", Seq("old" -> (() => oldTrain()),
+        "new" -> (() => newTrain())))
+
+    spark.stop()
+  }
+}

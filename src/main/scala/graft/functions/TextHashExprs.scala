@@ -126,6 +126,49 @@ object TextHash {
     new GenericArrayData(out)
   }
 
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken window minima)
+    * in one native pass (r17): 63-bit-masked positional k-gram hashes,
+    * sliding-window minimum over windows of `w` via a monotonic deque
+    * (O(n), vs the interpreted HOF chain's O(n·w) slice-copy per
+    * position), distinct, sorted ascending. Value-identical to
+    * Dedup.winnowBase's previous
+    * `array_sort(array_distinct(transform(sequence, array_min(slice))))`
+    * formulation: fewer grams than one window → the single whole-doc
+    * minimum; no grams → empty. */
+  def winnowFps(text: UTF8String, k: Int, w: Int, md5: Boolean): ArrayData = {
+    val hsData = shinglePosHashes(text, k, md5)
+    val n = hsData.numElements()
+    if (n == 0) return new GenericArrayData(Array.emptyLongArray)
+    val hs = new Array[Long](n)
+    var i = 0
+    while (i < n) { hs(i) = hsData.getLong(i) & Long.MaxValue; i += 1 }
+    val seen = new java.util.HashSet[java.lang.Long]()
+    if (n < w) {
+      var m = Long.MaxValue
+      i = 0
+      while (i < n) { if (hs(i) < m) m = hs(i); i += 1 }
+      return new GenericArrayData(Array(m))
+    }
+    // monotonic deque of indices; front = min of the current window
+    val dq = new Array[Int](n)
+    var head = 0
+    var tail = 0 // exclusive
+    i = 0
+    while (i < n) {
+      while (tail > head && hs(dq(tail - 1)) >= hs(i)) tail -= 1
+      dq(tail) = i; tail += 1
+      if (dq(head) <= i - w) head += 1
+      if (i >= w - 1) seen.add(hs(dq(head)))
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    java.util.Arrays.sort(out)
+    new GenericArrayData(out)
+  }
+
   /** ALL positional hashed k-shingle arrays for k = 1..maxK in ONE
     * tokenize pass: element k (1-based) of the result is exactly
     * [[shinglePosHashes]](text, k) — bit-identical, so every oracle
@@ -192,6 +235,72 @@ object TextHash {
       p += 1
     }
     UTF8String.fromString(sb.toString)
+  }
+
+  /** [[words]] as an ArrayData of UTF8Strings — the codegen'd kernel
+    * behind [[graft.functions.F.wordsArray]] (r17): the DataFrame-side
+    * `filter(split(lower(text), "\\s+"), length > 0)` tokenization is
+    * an interpreted higher-order function (ArrayFilter is
+    * CodegenFallback, evaluated per element outside whole-stage
+    * codegen); this computes the identical token array in one native
+    * pass. Same lowercasing (UTF8String.toLowerCase — what Spark's
+    * `lower` calls) and the same "\\s+" regex, so the tokens are
+    * bit-identical to the HOF formulation's on any input. */
+  def wordsArray(text: UTF8String): ArrayData = {
+    val ws = words(text)
+    val out = new Array[AnyRef](ws.length)
+    var i = 0
+    while (i < ws.length) {
+      out(i) = UTF8String.fromString(ws(i)); i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Word n-gram STRINGS of `text`, positional (no distinct) — the
+    * kernel form of topNgrams' interpreted
+    * `transform(sequence, slice+concat_ws)` HOF chain (r17):
+    * tokenize once, emit each n consecutive words joined by one
+    * space. Returns an empty array for docs shorter than n words
+    * (what the HOF's when/otherwise produced). */
+  def ngramStrings(text: UTF8String, n: Int): ArrayData = {
+    val ws = words(text)
+    if (ws.length < n)
+      return new GenericArrayData(Array.empty[AnyRef])
+    val out = new Array[AnyRef](ws.length - n + 1)
+    var i = 0
+    while (i <= ws.length - n) {
+      val sb = new java.lang.StringBuilder(32)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(ws(i + j))
+        j += 1
+      }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  private val ALNUM = java.util.regex.Pattern.compile("[^a-z0-9]+")
+
+  /** BPE-ish subword count estimate, one native pass (r17 kernel form
+    * of TextAnalysis.subwordCountEstimate's interpreted
+    * filter+aggregate HOF chain): split the lower-cased text on
+    * non-alphanumeric runs, and charge each non-empty piece
+    * max(ceil(len/4), 1) tokens. Bit-identical to the HOF: same
+    * lowercasing, same regex, same per-piece arithmetic. */
+  def subwordCount(text: UTF8String): Long = {
+    val s = text.toLowerCase.toString
+    val parts = ALNUM.split(s)
+    var acc = 0L
+    var i = 0
+    while (i < parts.length) {
+      val len = parts(i).length
+      if (len > 0) acc += math.max((len + 3) / 4, 1).toLong
+      i += 1
+    }
+    acc
   }
 
   /** Hash of every word occurrence of `text` (multiplicity kept —
@@ -856,6 +965,89 @@ final case class SimHash64(child: Expression) extends UnaryExpression {
       if (r == null) { ${ev.isNull} = true; }
       else { ${ev.value} = ((Long) r).longValue(); }""")
   override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+/** `words_array(text)`: array<string> of whitespace-delimited
+  * lower-cased words — the codegen'd tokenizer (see
+  * [[TextHash.wordsArray]]). */
+final case class WordsArray(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType]) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType}")
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "words_array"
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.wordsArray(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.wordsArray($c)")
+  override protected def withNewChildInternal(newChild: Expression): WordsArray =
+    copy(child = newChild)
+}
+
+/** `winnow_fps(text, k, w)`: sorted-distinct winnowing window minima
+  * over 63-bit-masked positional k-gram hashes
+  * (see [[TextHash.winnowFps]]). */
+final case class WinnowFps(child: Expression, k: Int, w: Int,
+                           md5: Boolean) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (!child.dataType.isInstanceOf[StringType])
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a string argument, got ${child.dataType}")
+    else if (k < 1 || w < 1)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName requires k,w >= 1")
+    else TypeCheckResult.TypeCheckSuccess
+  override def dataType: DataType =
+    ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnow_fps"
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.winnowFps(input.asInstanceOf[UTF8String], k, w, md5)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextHash.winnowFps($c, $k, $w, $md5)")
+  override protected def withNewChildInternal(newChild: Expression): WinnowFps =
+    copy(child = newChild)
+}
+
+/** `ngram_strings(text, n)`: array<string> of positional word n-grams
+  * (see [[TextHash.ngramStrings]]). */
+final case class NgramStrings(child: Expression, n: Int)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (!child.dataType.isInstanceOf[StringType])
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a string argument, got ${child.dataType}")
+    else if (n < 1)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName requires n >= 1")
+    else TypeCheckResult.TypeCheckSuccess
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "ngram_strings"
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.ngramStrings(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextHash.ngramStrings($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): NgramStrings =
+    copy(child = newChild)
+}
+
+/** `subword_count(text)`: BPE-ish subword count estimate, one native
+  * pass (see [[TextHash.subwordCount]]). */
+final case class SubwordCount(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType]) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType}")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "subword_count"
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.subwordCount(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.subwordCount($c)")
+  override protected def withNewChildInternal(newChild: Expression): SubwordCount =
     copy(child = newChild)
 }
 

@@ -203,6 +203,13 @@ object F {
     c(ScrubSpans(e(text), e(starts), k))
   def wordHashes(text: Column, md5: Boolean = false): Column =
     c(WordHashes(e(text), md5))
+  def wordsArray(text: Column): Column = c(WordsArray(e(text)))
+  def ngramStrings(text: Column, n: Int): Column =
+    c(NgramStrings(e(text), n))
+  def winnowFps(text: Column, k: Int, w: Int,
+                md5: Boolean = false): Column =
+    c(WinnowFps(e(text), k, w, md5))
+  def subwordCount(text: Column): Column = c(SubwordCount(e(text)))
   def minhashSig(hs: Column, seeds: Seq[(Long, Long)], p: Long): Column =
     c(MinHashSig(e(hs), seeds, p))
   def simhash64(hs: Column): Column = c(SimHash64(e(hs)))

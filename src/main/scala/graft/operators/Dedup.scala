@@ -84,16 +84,25 @@ object Dedup {
     * share (a change here is a change to the p58 AND p70 oracles):
     * keep the minimum (id, pos) occurrence per `keyCol`, rebuild each
     * doc's surviving lines in original order, rejoin onto `df` with
-    * "" / 0 for docs that lost everything. */
+    * "" / 0 for docs that lost everything.
+    *
+    * r17 shape: the winner struct carries its own LINE TEXT, so the
+    * winning occurrences fall straight out of the election — no
+    * join-back of the full exploded candidate stream against the
+    * winner set. That removes one corpus scan+explode and the
+    * (key, struct)-keyed semi-join exchange (guide §2.4), and it keeps
+    * the skew-safe partial_min map-side combine: a hot line (blank
+    * lines, banners) partially reduces per task instead of shuffling
+    * every occurrence. (id, pos) is unique per occurrence, so the line
+    * field never participates in the min comparison — the elected row
+    * is bit-identical to the join-back formulation's. */
   private def electAndRebuild(df: DataFrame, idCol: String,
                               candidates: DataFrame, keyCol: String,
                               sep: String, out: String): DataFrame = {
-    val winners = candidates.groupBy(keyCol)
-      .agg(min(struct(col(idCol), col("pos"))).as("w"))
-    val kept = candidates.join(winners,
-      candidates(keyCol) === winners(keyCol) &&
-        struct(candidates(idCol), candidates("pos")) === winners("w"),
-      "left_semi")
+    val kept = candidates.groupBy(keyCol)
+      .agg(min(struct(col(idCol), col("pos"), col("line"))).as("w"))
+      .select(col(s"w.$idCol").as(idCol), col("w.pos").as("pos"),
+        col("w.line").as("line"))
     val rebuilt = kept.groupBy(idCol).agg(
       concat_ws(sep, transform(
         array_sort(collect_list(struct(col("pos"), col("line")))),
@@ -331,9 +340,13 @@ object Dedup {
         else spark.emptyDataFrame.select(lit("").as("lh")).limit(0)
       // two-step probe: snapshot digest set = build side; history is a
       // map-only scan of one column, and the hit set (≤ snapshot
-      // distinct lines) broadcasts back as the anti-join's small side
+      // distinct lines × historical dup factor) rides back as the
+      // anti-join's build side — no .distinct() on it (r17): an
+      // anti-join ignores build-side duplicates, so the dedup exchange
+      // bought nothing (post-compaction the index is distinct-keyed
+      // anyway)
       val probe = lines.select("lh").distinct()
-      val hitLh = idx.join(probe, Seq("lh"), "left_semi").distinct()
+      val hitLh = idx.join(probe, Seq("lh"), "left_semi")
       val fresh = lines.join(hitLh, Seq("lh"), "left_anti")
       val result = electAndRebuild(df, idCol, fresh, "lh", sep, out)
         .localCheckpoint() // pinned BEFORE the delta write
@@ -587,19 +600,19 @@ object Dedup {
                          k: Int, w: Int,
                          portableHash: Boolean): DataFrame = {
     require(k >= 1 && w >= 1, s"k=$k w=$w must be positive")
+    // r17: fps come from the native WinnowFps kernel — the previous
+    // array_sort(array_distinct(transform(sequence, array_min(slice))))
+    // chain was interpreted HOFs doing an O(n·w) slice-copy per
+    // position; the kernel is an O(n) monotonic-deque pass with
+    // bit-identical output (FunctionsSpec parity). hs keeps the masked
+    // positional array for the span-verify kernel; consumers that only
+    // need fps (fingerprints/pairs) get hs pruned away by Catalyst.
     val hs0 = graft.functions.F
       .shinglePosHashes(col(textCol), k, portableHash)
     val hs = transform(hs0, h => h.bitwiseAND(lit(Long.MaxValue)))
-    df.select(col(idCol).as("id"), hs.as("hs"))
-      .withColumn("fps",
-        when(size(col("hs")) === 0,
-          array().cast("array<bigint>"))
-        .when(size(col("hs")) < w,
-          // fewer grams than one window: the whole doc is the window
-          array(array_min(col("hs"))))
-        .otherwise(array_sort(array_distinct(
-          transform(sequence(lit(0), size(col("hs")) - w),
-            i => array_min(slice(col("hs"), i + lit(1), lit(w))))))))
+    df.select(col(idCol).as("id"), hs.as("hs"),
+      graft.functions.F.winnowFps(col(textCol), k, w, portableHash)
+        .as("fps"))
   }
 
   def winnowingFingerprints(df: DataFrame, idCol: String, textCol: String,
@@ -1171,7 +1184,17 @@ object Dedup {
     val spark = snapshot.sparkSession
     val rows = h / bands
     // pinned: probed against the index, min-reduced intra-snapshot,
-    // then appended as the delta — one computation feeds all three
+    // then appended as the delta — one computation feeds all three.
+    // r17 adjudication: a fused one-scan variant (fp + minhash sig out
+    // of one projection, one shared checkpoint) was built and measured
+    // SLOWER in interleaved same-JVM A/B at gate scale, both with the
+    // banded explode re-derived per consumer (best 6.8 vs 6.1 s) and
+    // with it checkpointed (best 3.97 vs 3.46 s, order-flipped rerun):
+    // the fingerprint column riding the signature repartition, and
+    // fpDf inheriting its 32-way partitioning (the separate fp scan
+    // stays scan-partitioned and its five small consumers run in 1-2
+    // tasks), cost more than the avoided column-pruned text scan.
+    // Falsified and reverted; numbers in OPTIMIZATION_r17.md.
     val fpDf = snapshot.select(col(idCol).as("id"),
         TextAnalysis.fingerprintMd5(col(textCol)).as("fp"))
       .localCheckpoint()
@@ -1262,38 +1285,51 @@ object Dedup {
                                 idxBands: DataFrame): DataFrame = {
     // two-step probe: hit sets are computed WITH THE SNAPSHOT KEYS AS
     // THE BUILD SIDE so the (huge) index is never shuffled, then the
-    // (small) hit sets broadcast back onto the snapshot
+    // (small) hit sets ride the election aggregate back onto the
+    // snapshot.
+    //
+    // r17 shape (same verdicts, ~half the exchanges): history hits and
+    // the intra-snapshot first-id election share ONE union +
+    // aggregation per key family — a history hit contributes
+    // (hit=true, id=null) and a snapshot occurrence (hit=false, id),
+    // so min(id) IGNORES history (nulls) and yields the snapshot's
+    // first id while max(hit) carries "an earlier snapshot saw this
+    // key". A doc then drops iff hit OR id > first_id — exactly the
+    // spec's "an EARLIER document collides with it". Previously each
+    // family ran [semi-join ∪ election-join → distinct], i.e. two
+    // joins, a union, and a distinct exchange per family; now it is
+    // one partial-min/max aggregate (map-side combined, hot keys
+    // skew-safe) and one join. The hit sets also lost their own
+    // .distinct(): they feed an aggregation that dedups by
+    // construction. Null fps never join back (equi-join), so
+    // null-text docs still always keep.
     val hitFps = idxFp
       .join(fpDf.select("fp").filter(col("fp").isNotNull).distinct(),
         Seq("fp"), "left_semi")
-      .distinct()
     val hitBuckets = idxBands
       .join(banded.select("band", "bucket").distinct(),
         Seq("band", "bucket"), "left_semi")
-      .distinct()
-    // intra-snapshot precedence: min id per fp / per (band, bucket)
-    // wins; every later id collides with it (null fps drop out of the
-    // equi-join, so null-text docs never match each other)
-    val dropExact = fpDf.join(hitFps, Seq("fp"), "left_semi").select("id")
-      .unionByName(fpDf
-        .join(fpDf.groupBy("fp").agg(min(col("id")).as("first_id")),
-          Seq("fp"))
-        .filter(col("id") > col("first_id")).select("id"))
-      .distinct()
-    val dropNear =
-      banded.join(hitBuckets, Seq("band", "bucket"), "left_semi")
-        .select("id")
-        .unionByName(banded
-          .join(banded.groupBy("band", "bucket")
-              .agg(min(col("id")).as("first_id")),
-            Seq("band", "bucket"))
-          .filter(col("id") > col("first_id")).select("id"))
-        .distinct()
+    val exactAgg = fpDf.select(col("fp"), col("id"),
+        lit(false).as("__hit"))
+      .unionByName(hitFps.select(col("fp"), lit(null).cast("long")
+        .as("id"), lit(true).as("__hit")))
+      .groupBy("fp")
+      .agg(min(col("id")).as("__first_id"), max(col("__hit")).as("__hit"))
+    val dropNear = banded.select(col("band"), col("bucket"), col("id"),
+        lit(false).as("__hit"))
+      .unionByName(hitBuckets.select(col("band"), col("bucket"),
+        lit(null).cast("long").as("id"), lit(true).as("__hit")))
+      .groupBy("band", "bucket")
+      .agg(min(col("id")).as("__first_id"), max(col("__hit")).as("__hit"))
+      .join(banded, Seq("band", "bucket"))
+      .filter(col("__hit") || col("id") > col("__first_id"))
+      .select("id").distinct()
     fpDf
-      .join(dropExact.withColumn("__de", lit(true)), Seq("id"), "left")
+      .join(exactAgg, Seq("fp"), "left")
       .join(dropNear.withColumn("__dn", lit(true)), Seq("id"), "left")
       .select(col("id"), col("fp"),
-        when(col("__de"), lit("drop_exact"))
+        when(col("__hit") || col("id") > col("__first_id"),
+            lit("drop_exact"))
           .when(col("__dn"), lit("drop_near"))
           .otherwise(lit("keep")).as("verdict"))
   }

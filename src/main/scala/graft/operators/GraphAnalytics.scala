@@ -48,6 +48,17 @@ object GraphAnalytics {
       .unionByName(pairs.select(col("id2").as("a"), col("id1").as("b")))
       .filter(col("a") =!= col("b")).distinct().localCheckpoint()
     val deg = sym.groupBy("a").agg(count(lit(1)).as("deg"))
+    // r17 adjudication: a co-partitioned loop (edges and an ids0
+    // universe both pinned hash-partitioned at defaultParallelism so
+    // the contribution join and rank-rebuild join plan exchange-free —
+    // the trainLinearClassifier r17 shape) was built and measured
+    // SLOWER in interleaved same-JVM A/B with the pair list pinned
+    // outside the variants (old best 1.90 / med 2.24 s vs new 2.26 /
+    // 2.70 s at gate scale, 10 rounds): the two setup
+    // repartition+checkpoint jobs cost more than 10 iterations of
+    // AQE-planned small joins save, and AQE's coalescing re-inserts a
+    // mismatched-partition-count exchange at the contribution join
+    // anyway. Falsified and reverted; numbers in OPTIMIZATION_r17.md.
     val edges = sym.join(deg, "a").localCheckpoint()
     var ranks = ids.select(col("id"), lit(1.0).as("rank"))
     for (i <- 1 to iterations) {

@@ -22,8 +22,11 @@ import org.apache.spark.sql.functions._
   */
 object Ranking {
 
+  // codegen'd tokenizer kernel (r17): token-identical to
+  // filter(split(lower(text), "\\s+"), length > 0) — the HOF filter is
+  // CodegenFallback; the kernel stays inside whole-stage codegen
   private def words(text: Column): Column =
-    filter(split(lower(text), "\\s+"), w => length(w) > 0)
+    graft.functions.F.wordsArray(text)
 
   /** Top-k documents for a bag-of-words query under BM25:
     *

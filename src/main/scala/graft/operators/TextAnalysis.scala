@@ -10,8 +10,12 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
+  // codegen'd tokenizer kernel (r17): token-identical to
+  // filter(split(lower(text), "\\s+"), length > 0), but the HOF filter
+  // is CodegenFallback (interpreted per element) while the kernel
+  // rides whole-stage codegen — see functions.TextHash.wordsArray
   private def words(text: Column): Column =
-    filter(split(lower(text), "\\s+"), w => length(w) > 0)
+    graft.functions.F.wordsArray(text)
 
   // tiny per-language stopword profiles for the n-gram/stopword
   // heuristic — owned by the native kernel, shared here for the
@@ -72,12 +76,12 @@ object TextAnalysis {
   /** BPE-ish subword count estimate: word-piece regex splits on
     * alphanumeric-run boundaries, ~1 token per 4 chars of long words (a
     * common heuristic), exact count for short words. */
-  def subwordCountEstimate(text: Column): Column = {
-    val pieces = filter(
-      split(lower(text), "[^a-z0-9]+"), p => length(p) > 0)
-    aggregate(pieces, lit(0L),
-      (acc, p) => acc + greatest(ceil(length(p) / 4.0), lit(1L)))
-  }
+  def subwordCountEstimate(text: Column): Column =
+    // codegen'd kernel (r17), value-identical to the previous
+    // interpreted filter+aggregate HOF chain over
+    // split(lower(text), "[^a-z0-9]+") — same regex, same
+    // max(ceil(len/4), 1) per piece; see functions.TextHash.subwordCount
+    graft.functions.F.subwordCount(text)
 
   /** Gopher-style duplicate n-gram fraction: 1 − distinct/total word
     * n-grams per document (0 for documents shorter than n words). High
@@ -146,12 +150,13 @@ object TextAnalysis {
                 n: Int = 3, k: Int = 20): DataFrame = {
     require(n >= 1, "topNgrams needs n >= 1")
     require(k >= 1, "topNgrams needs k >= 1")
-    val tok = df.select(col(idCol).as("__id"), words(col(textCol)).as("__ws"))
-    val grams = when(size(col("__ws")) >= n,
-      transform(sequence(lit(1), size(col("__ws")) - lit(n - 1)),
-        i => concat_ws(" ", slice(col("__ws"), i, lit(n)))))
-      .otherwise(array().cast("array<string>"))
-    val perDoc = tok.select(explode(grams).as("ngram"), col("__id"))
+    // codegen'd gram kernel (r17): value-identical to the previous
+    // interpreted transform(sequence, slice+concat_ws) chain over the
+    // words array (tokenize once, one native pass per doc; short docs
+    // yield an empty array exactly like the HOF's otherwise branch)
+    val tok = df.select(col(idCol).as("__id"),
+      graft.functions.F.ngramStrings(col(textCol), n).as("__gs"))
+    val perDoc = tok.select(explode(col("__gs")).as("ngram"), col("__id"))
       .groupBy(col("ngram"), col("__id")).agg(count(lit(1)).as("__c"))
     val agg = perDoc.groupBy("ngram")
       .agg(sum(col("__c")).as("total_count"), count(lit(1)).as("n_docs"))
@@ -1101,13 +1106,22 @@ object TextAnalysis {
         "of the gradient and out-of-domain labels corrupt it; filter " +
         "or re-encode labels first")
     // (id, y, b, x): per-doc per-bucket token-occurrence counts — ONE
-    // tokenize + one shuffle, cached across iterations
+    // tokenize + one map-side-combined shuffle, then re-keyed by id and
+    // cached across iterations. The id re-key (one extra exchange of
+    // the already-aggregated rows, paid once) is what makes EVERY
+    // iteration's corpus-side work exchange-free (guide §2.4): the
+    // margin aggregation groups by (id, y) and the residual joins back
+    // on id, both satisfied by hash(id) — so the only per-iteration
+    // shuffle left is the B-bounded gradient aggregate. Before this,
+    // each of the `iters` iterations re-shuffled the feature table
+    // twice (margin groupBy + residual join).
     val feat = df.select(col(idCol).as("id"),
         col(labelCol).cast("long").as("y"),
         explode(F.wordHashes(col(textCol), portableHash)).as("h"))
       .select(col("id"), col("y"),
         pmod(col("h"), lit(buckets.toLong)).as("b"))
       .groupBy("id", "y", "b").agg(count(lit(1)).as("x"))
+      .repartition(col("id"))
       .cache()
     var w = Array.fill(buckets)(0L)
     try {

@@ -839,13 +839,16 @@ class PlanSpec extends SparkTestBase {
       .withColumn("lh", md5(col("line")))
     val idx = spark.read.parquet(s"$dir/lines")
       .filter(col("snapshot") =!= "s2").select("lh")
+    // r17 election shape: the hit set feeds the anti-join undeduped
+    // (build-side dups are ignored) and the winner struct carries its
+    // own line, so the elected rows need no join-back
     val hit = idx.join(lines.select("lh").distinct(), Seq("lh"),
-      "left_semi").distinct()
+      "left_semi")
     val fresh = lines.join(hit, Seq("lh"), "left_anti")
-    val winners = fresh.groupBy("lh")
-      .agg(min(struct(col("doc_id"), col("pos"))).as("w"))
-    val kept = fresh.join(winners, fresh("lh") === winners("lh") &&
-      struct(fresh("doc_id"), fresh("pos")) === winners("w"), "left_semi")
+    val kept = fresh.groupBy("lh")
+      .agg(min(struct(col("doc_id"), col("pos"), col("line"))).as("w"))
+      .select(col("w.doc_id").as("doc_id"), col("w.pos").as("pos"),
+        col("w.line").as("line"))
     val plan = planOf(kept)
     // the index read deserializes ONLY the digest column (the
     // partition column prunes at planning; line text never exists)

@@ -25,6 +25,94 @@ class FunctionsSpec extends SparkTestBase {
   private def hofWords(c: org.apache.spark.sql.Column) =
     filter(split(lower(c), "\\s+"), w => length(w) > 0)
 
+  test("WordsArray matches the HOF tokenizer (filter(split(lower)))") {
+    val df = texts.toDF("id", "text")
+    val expected = df.select(col("id"), hofWords(col("text")).as("ws"))
+      .as[(Long, Seq[String])].collect().toMap
+    val actual = df.select(col("id"), F.wordsArray(col("text")).as("ws"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(actual == expected)
+    // null in, null out — exactly like split(null)
+    val edge = Seq((0L, Some("solo two")), (1L, None), (2L, Some("")))
+      .toDF("id", "text")
+    val eExp = edge.select(col("id"), hofWords(col("text")).as("ws"))
+      .as[(Long, Option[Seq[String]])].collect().toMap
+    val eAct = edge.select(col("id"), F.wordsArray(col("text")).as("ws"))
+      .as[(Long, Option[Seq[String]])].collect().toMap
+    assert(eAct == eExp)
+  }
+
+  test("NgramStrings matches the HOF transform/slice/concat_ws chain") {
+    val df = texts.toDF("id", "text")
+    for (n <- Seq(1, 2, 3, 5)) {
+      val ws = hofWords(col("text"))
+      val hofGrams = when(size(ws) >= n,
+        transform(sequence(lit(1), size(ws) - lit(n - 1)),
+          i => concat_ws(" ", slice(ws, i, lit(n)))))
+        .otherwise(array().cast("array<string>"))
+      val expected = df.select(col("id"), hofGrams.as("g"))
+        .as[(Long, Seq[String])].collect().toMap
+      val actual = df.select(col("id"),
+          F.ngramStrings(col("text"), n).as("g"))
+        .as[(Long, Seq[String])].collect().toMap
+      assert(actual == expected, s"n=$n")
+    }
+    // null text: kernel is null-in/null-out, the HOF produced [] — both
+    // explode to zero rows, which is the only way topNgrams consumes it
+    val edge = Seq((0L, None: Option[String])).toDF("id", "text")
+    assert(edge.select(explode(F.ngramStrings(col("text"), 3))).count() == 0)
+  }
+
+  test("WinnowFps matches the HOF window-min/distinct/sort chain") {
+    val withLong = texts ++ Seq(
+      (200L, ("lorem ipsum dolor sit amet " * 20).trim),
+      (201L, ("spam spam spam spam spam spam spam spam " * 4).trim))
+    val df = withLong.toDF("id", "text")
+    for (md5 <- Seq(false, true); k <- Seq(1, 3, 5); w <- Seq(1, 4, 8)) {
+      val hs = transform(F.shinglePosHashes(col("text"), k, md5),
+        h => h.bitwiseAND(lit(Long.MaxValue)))
+      val hofFps = when(size(hs) === 0, array().cast("array<bigint>"))
+        .when(size(hs) < w, array(array_min(hs)))
+        .otherwise(array_sort(array_distinct(
+          transform(sequence(lit(0), size(hs) - w),
+            i => array_min(slice(hs, i + lit(1), lit(w)))))))
+      val expected = df.select(col("id"), hofFps.as("fps"))
+        .as[(Long, Seq[Long])].collect().toMap
+      val actual = df.select(col("id"),
+          F.winnowFps(col("text"), k, w, md5).as("fps"))
+        .as[(Long, Seq[Long])].collect().toMap
+      assert(actual == expected, s"k=$k w=$w md5=$md5")
+    }
+    // null in, null out (the HOF chain also nulls through)
+    val edge = Seq((0L, None: Option[String])).toDF("id", "text")
+    val n = edge.select(F.winnowFps(col("text"), 3, 4).as("fps"))
+      .collect()(0)
+    assert(n.isNullAt(0))
+  }
+
+  test("SubwordCount matches the HOF filter+aggregate estimate") {
+    val withLong = texts ++ Seq(
+      (100L, "hyphen-ated under_scored dots.and.digits123 xx"),
+      (101L, "averyveryverylongword12345678 ok"))
+    val df = withLong.toDF("id", "text")
+    def hofSub(c: org.apache.spark.sql.Column) = {
+      val pieces = filter(split(lower(c), "[^a-z0-9]+"), p => length(p) > 0)
+      aggregate(pieces, lit(0L),
+        (acc, p) => acc + greatest(ceil(length(p) / 4.0), lit(1L)))
+    }
+    val expected = df.select(col("id"), hofSub(col("text")).as("n"))
+      .as[(Long, Long)].collect().toMap
+    val actual = df.select(col("id"), F.subwordCount(col("text")).as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(actual == expected)
+    val edge = Seq((0L, Some("ab cd")), (1L, None)).toDF("id", "text")
+    val eExp = edge.select(col("id"), hofSub(col("text")).as("n"))
+      .as[(Long, Option[Long])].collect().toMap
+    val eAct = edge.select(col("id"), F.subwordCount(col("text")).as("n"))
+      .as[(Long, Option[Long])].collect().toMap
+    assert(eAct == eExp)
+  }
+
   test("ShingleHashes matches the HOF shingle pipeline") {
     for (k <- Seq(1, 2, 3, 5)) {
       val df = texts.toDF("id", "text")
