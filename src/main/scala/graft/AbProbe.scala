@@ -323,6 +323,51 @@ object AbProbe {
       report("winnow", Seq("old" -> (() => oldWinnowPairs()),
         "new" -> (() => newWinnowPairs())))
 
+    // ---- G: bm25 pinned base vs double tokenize (p34 shape) ----------
+    def oldBm25(): Unit = {
+      val qTerms = Seq("dup", "join", "spark")
+      val ws = graft.functions.F.wordsArray(col("text"))
+      val tokens = docs.select(col("doc_id"), ws.as("__ws"))
+      val tfCols = qTerms.zipWithIndex.map { case (t, i) =>
+        (size(col("__ws")) - size(array_remove(col("__ws"), lit(t))))
+          .cast("long").as(s"tf_$i")
+      }
+      val base = tokens.select(
+        (col("doc_id") +: size(col("__ws")).cast("long").as("dl") +:
+          tfCols): _*)
+      val statCols = count(lit(1)).as("n") +:
+        avg(col("dl")).as("avgdl") +:
+        qTerms.indices.map(i =>
+          sum(when(col(s"tf_$i") > 0, 1L).otherwise(0L)).as(s"df_$i"))
+      val stats = base.agg(statCols.head, statCols.tail: _*).first()
+      val n = stats.getAs[Long]("n")
+      val avgdl = stats.getAs[Double]("avgdl")
+      val idf = qTerms.indices.map { i =>
+        val df = stats.getAs[Long](s"df_$i")
+        math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+      }
+      val lenNorm = lit(1.2) * (lit(0.25) +
+        lit(0.75) * col("dl").cast("double") / lit(avgdl))
+      val score = qTerms.indices.map { i =>
+        lit(idf(i)) * (col(s"tf_$i").cast("double") * lit(2.2)) /
+          (col(s"tf_$i").cast("double") + lenNorm)
+      }.reduce(_ + _)
+      val tfTotal = qTerms.indices.map(i => col(s"tf_$i")).reduce(_ + _)
+      base.withColumn("tf_total", tfTotal)
+        .filter(col("tf_total") > 0)
+        .withColumn("score", score)
+        .orderBy(col("score").desc, col("doc_id").asc)
+        .limit(20)
+        .write.format("noop").mode("overwrite").save()
+    }
+    def newBm25(): Unit =
+      graft.operators.Ranking.bm25TopK(docs, "doc_id", "text",
+          Seq("dup", "join", "spark"), k = 20)
+        .write.format("noop").mode("overwrite").save()
+    if (which == "bm25")
+      report("bm25", Seq("old" -> (() => oldBm25()),
+        "new" -> (() => newBm25())))
+
     if (which == "tok")
       report("tok", Seq(
         "oldgrams" -> (() => topNgramsWith(hofWords(col("text")))

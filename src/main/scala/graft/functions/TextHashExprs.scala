@@ -282,6 +282,30 @@ object TextHash {
     new GenericArrayData(out)
   }
 
+  private lazy val enStopSet: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    langProfiles("en").foreach(s.add)
+    s
+  }
+
+  /** OCCURRENCE count of en-profile stopwords among [[words]] —
+    * the kernel form of qualitySignals'
+    * `size(filter(ws, w => array_contains(enStops, w)))` (r17): the
+    * HOF filter is CodegenFallback and its interpreted subtree
+    * re-evaluated the tokenizer outside codegen CSE. Same list
+    * ([[langProfiles]]("en")), same tokens, occurrence semantics
+    * (multiplicity kept — unlike gopherStats' DISTINCT count). */
+  def enStopHits(text: UTF8String): Long = {
+    val ws = words(text)
+    var n = 0L
+    var i = 0
+    while (i < ws.length) {
+      if (enStopSet.contains(ws(i))) n += 1
+      i += 1
+    }
+    n
+  }
+
   private val ALNUM = java.util.regex.Pattern.compile("[^a-z0-9]+")
 
   /** BPE-ish subword count estimate, one native pass (r17 kernel form
@@ -1031,6 +1055,23 @@ final case class NgramStrings(child: Expression, n: Int)
     defineCodeGen(ctx, ev, c =>
       s"graft.functions.TextHash.ngramStrings($c, $n)")
   override protected def withNewChildInternal(newChild: Expression): NgramStrings =
+    copy(child = newChild)
+}
+
+/** `en_stop_hits(text)`: occurrence count of en-profile stopwords
+  * (see [[TextHash.enStopHits]]). */
+final case class EnStopHits(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType]) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType}")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "en_stop_hits"
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.enStopHits(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.enStopHits($c)")
+  override protected def withNewChildInternal(newChild: Expression): EnStopHits =
     copy(child = newChild)
 }
 

@@ -57,8 +57,16 @@ object Ranking {
       (size(col("__ws")) - size(array_remove(col("__ws"), lit(t))))
         .cast("long").as(s"tf_$i")
     }
+    // pinned (lazy checkpoint, r17): the (id, dl, tf_*) projection is
+    // consumed TWICE — the corpus-stats aggregate and the scoring pass —
+    // and each consumer re-ran the tokenize+count scan. The pinned rows
+    // are fixed-width (id + 1+|terms| longs), far smaller than the
+    // tokenization they avoid; the stats aggregate materializes them
+    // inside its own action. TakeOrdered top-k and the no-corpus-shuffle
+    // property are unchanged (PlanSpec's bm25 gate).
     val base = tokens.select(
       (col(idCol) +: size(col("__ws")).cast("long").as("dl") +: tfCols): _*)
+      .localCheckpoint(eager = false)
 
     // corpus statistics: one aggregate, a handful of driver scalars
     val statCols = count(lit(1)).as("n") +: avg(col("dl")).as("avgdl") +:

@@ -17,11 +17,6 @@ object TextAnalysis {
   private def words(text: Column): Column =
     graft.functions.F.wordsArray(text)
 
-  // tiny per-language stopword profiles for the n-gram/stopword
-  // heuristic — owned by the native kernel, shared here for the
-  // stopword-ratio signal and the oracle's lists
-  private val profiles: Map[String, Seq[String]] =
-    graft.functions.TextHash.langProfiles
 
   /** Heuristic language ID: CJK codepoint share first, then the language
     * with the highest stopword hit ratio, default "en". One native
@@ -53,8 +48,11 @@ object TextAnalysis {
       .cast("double") / greatest(nChars, lit(1))
     val upper = (length(t) - length(regexp_replace(t, "[A-Z]", "")))
       .cast("double") / greatest(nChars, lit(1))
-    val enStops = array(profiles("en").map(lit): _*)
-    val stopRatio = size(filter(ws, w => array_contains(enStops, w)))
+    // codegen'd stopword-occurrence kernel (r17): value-identical to
+    // size(filter(ws, array_contains(enStops))) over the same en
+    // profile list; the HOF filter was CodegenFallback and its subtree
+    // re-ran the tokenizer outside codegen CSE
+    val stopRatio = graft.functions.F.enStopHits(t)
       .cast("double") / greatest(nTokens, lit(1))
     // composite: penalize extreme lengths, high punct/digit share
     val lenOk = when(nTokens.between(5, 100000), 1.0).otherwise(0.2)

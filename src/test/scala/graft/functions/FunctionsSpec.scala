@@ -90,6 +90,24 @@ class FunctionsSpec extends SparkTestBase {
     assert(n.isNullAt(0))
   }
 
+  test("EnStopHits matches the HOF stopword-occurrence filter") {
+    val withStops = texts ++ Seq(
+      (300L, "the cat and the dog and the bird"),
+      (301L, "THE The the tHe"))
+    val df = withStops.toDF("id", "text")
+    val enStops = array(
+      TextHash.langProfiles("en").map(lit): _*)
+    val expected = df.select(col("id"),
+        size(filter(hofWords(col("text")),
+          w => array_contains(enStops, w))).cast("long").as("n"))
+      .as[(Long, Long)].collect().toMap
+    val actual = df.select(col("id"), F.enStopHits(col("text")).as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(actual == expected)
+    val edge = Seq((0L, None: Option[String])).toDF("id", "text")
+    assert(edge.select(F.enStopHits(col("text"))).collect()(0).isNullAt(0))
+  }
+
   test("SubwordCount matches the HOF filter+aggregate estimate") {
     val withLong = texts ++ Seq(
       (100L, "hyphen-ated under_scored dots.and.digits123 xx"),
