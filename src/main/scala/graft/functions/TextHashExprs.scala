@@ -306,6 +306,31 @@ object TextHash {
     n
   }
 
+  /** One-pass ASCII char-class counters (r17): code points matching
+    * Java's `[\p{Punct}]` (the 32 ASCII punctuation chars), `[0-9]`,
+    * and `[A-Z]` — the three counts qualitySignals previously derived
+    * from three `regexp_replace` passes (each allocating a stripped
+    * copy of the document). All three classes are pure ASCII, so one
+    * byte scan suffices; multi-byte sequences can never match. */
+  def charClassStats(text: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val b = text.getBytes
+    var punct = 0L
+    var digit = 0L
+    var upper = 0L
+    var i = 0
+    while (i < b.length) {
+      val c = b(i)
+      if (c >= '!' && c <= '~') {
+        if (c >= '0' && c <= '9') digit += 1
+        else if (c >= 'A' && c <= 'Z') upper += 1
+        else if (!(c >= 'a' && c <= 'z')) punct += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](punct, digit, upper))
+  }
+
   private val ALNUM = java.util.regex.Pattern.compile("[^a-z0-9]+")
 
   /** BPE-ish subword count estimate, one native pass (r17 kernel form
@@ -1072,6 +1097,27 @@ final case class EnStopHits(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.enStopHits($c)")
   override protected def withNewChildInternal(newChild: Expression): EnStopHits =
+    copy(child = newChild)
+}
+
+/** `char_class_stats(text)`: struct of ASCII punct/digit/upper code
+  * point counts in one byte scan (see [[TextHash.charClassStats]]). */
+final case class CharClassStats(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType]) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType}")
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_punct", LongType, nullable = false),
+    StructField("n_digit", LongType, nullable = false),
+    StructField("n_upper", LongType, nullable = false)))
+  override def prettyName: String = "char_class_stats"
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.charClassStats(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextHash.charClassStats($c)")
+  override protected def withNewChildInternal(newChild: Expression): CharClassStats =
     copy(child = newChild)
 }
 

@@ -211,6 +211,7 @@ object F {
     c(WinnowFps(e(text), k, w, md5))
   def subwordCount(text: Column): Column = c(SubwordCount(e(text)))
   def enStopHits(text: Column): Column = c(EnStopHits(e(text)))
+  def charClassStats(text: Column): Column = c(CharClassStats(e(text)))
   def minhashSig(hs: Column, seeds: Seq[(Long, Long)], p: Long): Column =
     c(MinHashSig(e(hs), seeds, p))
   def simhash64(hs: Column): Column = c(SimHash64(e(hs)))

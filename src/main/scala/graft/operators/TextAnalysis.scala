@@ -42,11 +42,17 @@ object TextAnalysis {
     val nChars = length(t)
     val nTokens = size(ws)
     val avgTok = nChars.cast("double") / greatest(nTokens, lit(1))
-    val punct = (length(t) - length(regexp_replace(t, "[\\p{Punct}]", "")))
+    // one-pass char-class kernel (r17): the three counts previously
+    // came from three regexp_replace passes, each allocating a
+    // stripped copy of the document; the kernel's byte scan is
+    // count-identical (all three classes are pure ASCII) and the three
+    // field extractions share one evaluation under codegen CSE
+    val ccs = graft.functions.F.charClassStats(t)
+    val punct = ccs.getField("n_punct")
       .cast("double") / greatest(nChars, lit(1))
-    val digits = (length(t) - length(regexp_replace(t, "[0-9]", "")))
+    val digits = ccs.getField("n_digit")
       .cast("double") / greatest(nChars, lit(1))
-    val upper = (length(t) - length(regexp_replace(t, "[A-Z]", "")))
+    val upper = ccs.getField("n_upper")
       .cast("double") / greatest(nChars, lit(1))
     // codegen'd stopword-occurrence kernel (r17): value-identical to
     // size(filter(ws, array_contains(enStops))) over the same en

@@ -108,6 +108,34 @@ class FunctionsSpec extends SparkTestBase {
     assert(edge.select(F.enStopHits(col("text"))).collect()(0).isNullAt(0))
   }
 
+  test("CharClassStats matches the regexp_replace counters") {
+    val withPunct = texts ++ Seq(
+      (400L, "Hello, World! 123 #tag... (a+b)=c? [x]{y}|z~`^_@"),
+      (401L, "ÜMLAUT Ünïcödé — em-dash… ellipsis char ß123"),
+      (402L, "ALLCAPS 999 !!!"))
+    val df = withPunct.toDF("id", "text")
+    val t = col("text")
+    val expected = df.select(col("id"),
+        (length(t) - length(regexp_replace(t, "[\\p{Punct}]", "")))
+          .cast("long").as("p"),
+        (length(t) - length(regexp_replace(t, "[0-9]", "")))
+          .cast("long").as("d"),
+        (length(t) - length(regexp_replace(t, "[A-Z]", "")))
+          .cast("long").as("u"))
+      .as[(Long, Long, Long, Long)].collect().toMap2
+    val actual = df.select(col("id"),
+        F.charClassStats(t).getField("n_punct").as("p"),
+        F.charClassStats(t).getField("n_digit").as("d"),
+        F.charClassStats(t).getField("n_upper").as("u"))
+      .as[(Long, Long, Long, Long)].collect().toMap2
+    assert(actual == expected)
+  }
+
+  implicit private class Tup4Ops(rows: Array[(Long, Long, Long, Long)]) {
+    def toMap2: Map[Long, (Long, Long, Long)] =
+      rows.map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+  }
+
   test("SubwordCount matches the HOF filter+aggregate estimate") {
     val withLong = texts ++ Seq(
       (100L, "hyphen-ated under_scored dots.and.digits123 xx"),
