@@ -381,6 +381,173 @@ object AbProbe {
             sum(graft.functions.F.subwordCount(col("text"))))
           .write.format("noop").mode("overwrite").save())))
 
+    // ---- J (r18): dedupAgainstIndex checkpoint/layout probes ----------
+    // inline replica of the live operator (minus lock/param checks),
+    // parameterized by (eager checkpoints, band-partitioned delta
+    // layout) so each axis A/Bs against the live shape
+    def incrVariant(eagerCk: Boolean, bandPart: Boolean): Unit = {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-ab-j-").toString
+      def probe(snap: DataFrame, sid: String): DataFrame = {
+        val fpDf = snap.select(col("doc_id").as("id"),
+            TextAnalysis.fingerprintMd5(col("text")).as("fp"))
+          .localCheckpoint(eagerCk)
+        val banded =
+          Dedup.minhashSignatures(snap, "doc_id", "text", 3, 32, true)
+            .select(col("id"),
+              posexplode(Dedup.bandBucketArray(col("sig"), 16, 2)))
+            .withColumnRenamed("pos", "band")
+            .withColumnRenamed("col", "bucket")
+            .localCheckpoint(eagerCk)
+        val subSchemas = Map(
+          "fp" -> "fp STRING, snapshot STRING",
+          "bands" -> "band INT, bucket BIGINT, snapshot STRING")
+        def readIndex(sub: String, names: Seq[String],
+                      empty: Seq[Column]): DataFrame = {
+          val path = s"$dir/$sub"
+          if (new java.io.File(path).exists())
+            spark.read.schema(subSchemas(sub)).parquet(path)
+              .filter(col("snapshot") < lit(sid))
+              .select(names.map(col): _*)
+          else spark.emptyDataFrame.select(empty: _*).limit(0)
+        }
+        val idxFp = readIndex("fp", Seq("fp"), Seq(lit("").as("fp")))
+        val idxBands = readIndex("bands", Seq("band", "bucket"),
+          Seq(lit(0).as("band"), lit(0L).as("bucket")))
+        val decisions = Dedup.dedupProbe(fpDf, banded, idxFp, idxBands)
+          .localCheckpoint()
+        def writeDelta(df: DataFrame, sub: String,
+                       parts: Seq[String]): Unit =
+          df.withColumn("snapshot", lit(sid))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(parts: _*)
+            .parquet(s"$dir/$sub")
+        writeDelta(banded, "bands",
+          if (bandPart) Seq("snapshot", "band") else Seq("snapshot"))
+        writeDelta(fpDf, "fp", Seq("snapshot"))
+        decisions
+      }
+      val a = probe(docs.filter(col("doc_id") % 2 === 0), "snapA")
+      val b = probe(docs.filter(col("doc_id") % 2 === 1), "snapB")
+      a.unionByName(b).write.format("noop").mode("overwrite").save()
+    }
+    if (which == "incrlazy")
+      report("incrlazy", Seq(
+        "eager" -> (() => incrVariant(eagerCk = true, bandPart = false)),
+        "lazy" -> (() => incrVariant(eagerCk = false, bandPart = false))))
+    if (which == "incrlazy-flip")
+      report("incrlazy", Seq(
+        "lazy" -> (() => incrVariant(eagerCk = false, bandPart = false)),
+        "eager" -> (() => incrVariant(eagerCk = true, bandPart = false))))
+    if (which == "bandpart")
+      report("bandpart", Seq(
+        "snaponly" -> (() => incrVariant(eagerCk = true, bandPart = false)),
+        "snapband" -> (() => incrVariant(eagerCk = true, bandPart = true))))
+
+    // ---- H (r18): bm25 index build — two-pass doclens vs one-pass
+    // sentinel postings (p81/p83 build side) ---------------------------
+    def oldIndexBuild(): Unit = {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-ab-idxold-").toString
+      val tokens = docs.select(col("doc_id"),
+        graft.functions.F.wordsArray(col("text")).as("__ws"))
+      val withLen = tokens.select(col("doc_id"),
+        size(col("__ws")).cast("long").as("dl"), col("__ws"))
+      val postings = withLen
+        .select(col("doc_id"), col("dl"),
+          explode(col("__ws")).as("term"))
+        .groupBy("term", "doc_id")
+        .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+        .withColumn("snap", lit("base"))
+      postings.repartitionByRange(col("term"))
+        .sortWithinPartitions("term", "doc_id")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("snap")
+        .parquet(s"$dir/postings")
+      withLen.select(col("doc_id"), col("dl"), lit("base").as("snap"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("snap")
+        .parquet(s"$dir/doclens")
+      val st = spark.read.parquet(s"$dir/doclens")
+        .filter(col("snap").isin("base"))
+        .agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl")).first()
+      if (st.getAs[Long]("n") == -1L) println("")
+    }
+    def newIndexBuild(): Unit = {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-ab-idxnew-").toString
+      graft.operators.Ranking.buildTextIndex(docs, "doc_id", "text", dir)
+    }
+    if (which == "index")
+      report("index", Seq("old" -> (() => oldIndexBuild()),
+        "new" -> (() => newIndexBuild())))
+    if (which == "index-flip")
+      report("index", Seq("new" -> (() => newIndexBuild()),
+        "old" -> (() => oldIndexBuild())))
+
+    // ---- I (r18): saved-LM per-lang scoring — per-broadcast parquet
+    // re-reads vs one pinned read (p73/p72/p76 score side) -------------
+    lazy val lmDir: String = {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-ab-lm-").toString
+      TextAnalysis.saveLmModel(docs.filter(col("doc_id") % 10 =!= 0),
+        "text", dir, order = 3, minCount = 2, portableHash = true,
+        langCol = Some("lang"))
+      dir
+    }
+    lazy val lmEval: DataFrame = {
+      val ev = docs.filter(col("doc_id") % 10 === 0)
+      ev.select((col("doc_id") * 3).as("sid"), col("lang"), col("text"))
+        .unionAll(ev.select((col("doc_id") * 3 + 1).as("sid"),
+          lit("en").as("lang"), col("text")))
+        .unionAll(ev.select((col("doc_id") * 3 + 2).as("sid"),
+          lit("zz").as("lang"), col("text")))
+    }
+    def oldLmScore(): Unit = {
+      // r17 shape: per-k views over the raw (pruned) parquet read —
+      // every broadcast build re-scans the model
+      val kvLines = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(lmDir, "params.lm.txt")), "UTF-8")
+        .trim.split("\n")
+      val kv = kvLines.head.split(" ").map(_.split("=", 2))
+        .map(a => a(0) -> a(1)).toMap
+      val langNv = kvLines.tail.map(_.split(" ").map(_.split("=", 2))
+        .map(a => a(0) -> a(1)).toMap)
+        .map(m => (m("lang"), m("n").toLong, m("v").toLong))
+      val order = kv("order").toInt
+      import scala.jdk.CollectionConverters._
+      val nvDf = spark.createDataFrame(
+        langNv.map(t => org.apache.spark.sql.Row(t._1, t._2, t._3))
+          .toSeq.asJava,
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "lang STRING, __n BIGINT, __v BIGINT"))
+      val listed = spark.read
+        .schema("h BIGINT, c BIGINT, lang STRING, k INT")
+        .parquet(s"$lmDir/counts")
+        .filter(col("lang").isin(langNv.map(_._1).toSeq: _*))
+      val cnts = (1 to order).map { k =>
+        listed.filter(col("k") === k)
+          .select(col("lang"), col("h").as(s"nk$k"), col("c").as(s"cn$k"))
+      }
+      TextAnalysis.lmBackoffScore(lmEval, "sid", "text", cnts,
+          Right(nvDf), order, 2, 5, portableHash = true,
+          langCol = Some("lang"), broadcastModel = true)
+        .write.format("noop").mode("overwrite").save()
+    }
+    def newLmScore(): Unit =
+      TextAnalysis.ngramLmScoreWithModel(lmDir, lmEval, "sid", "text",
+          langCol = Some("lang"))
+        .write.format("noop").mode("overwrite").save()
+    if (which == "lmpin")
+      report("lmpin", Seq("old" -> (() => oldLmScore()),
+        "new" -> (() => newLmScore())))
+    if (which == "lmpin-flip")
+      report("lmpin", Seq("new" -> (() => newLmScore()),
+        "old" -> (() => oldLmScore())))
+
     // ---- C: classifier training (p67 shape) --------------------------
     // old replica differs only in the missing repartition(col("id"))
     def oldTrain(): Unit = {

@@ -98,7 +98,44 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = results.map(_._2.head).sum
     val ingest = if (onlyRe.isDefined) "" else ingestBench(spark, sfDir)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,$ingest"sf":"$sfDir"}""")
+    val fullLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,$ingest"sf":"$sfDir"}"""
+    println(fullLine)
+    // r18 (VERDICT_r17 item 1): the driver captures only a ~2000-char
+    // stdout TAIL, which the full line above (~10 KB at 130 queries) has
+    // never fit — every BENCH_r*.json r01-r17 has parsed:null and the
+    // per-query PERF comparison has been empty for 17 rounds. The full
+    // line still prints (and is written verbatim to a sidecar file);
+    // the LAST line is a COMPACT JSON with the same contract keys
+    // (metric/value/unit/queries/sf) sized to fit the capture window:
+    // `queries` carries the slowest gates (real names, best-of-3 secs)
+    // up to a serialized-length budget, `families` the per-prefix sums
+    // over ALL gates, `full` the sidecar path with every per-query
+    // number. Point estimates are identical to the full line's.
+    val sidecar = java.nio.file.Paths.get("BENCH_FULL.json").toAbsolutePath
+    try java.nio.file.Files.write(sidecar,
+      (fullLine + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] sidecar write failed: $e") }
+    val families = results.groupBy(_._1.take(1)).toSeq.sortBy(_._1)
+      .map { case (f, rs) => f""""$f":${rs.map(_._2.head).sum}%.4f""" }
+      .mkString("{", ",", "}")
+    val head = f"""{"metric":"total","value":$total%.4f,"unit":"sec","compact":true,"n_queries":${results.size},"families":$families,$ingest"full":"$sidecar","sf":"$sfDir","queries":{"""
+    val tail = "}}"
+    // 1300 chars of JSON + sbt's "[info] " prefix + the trailing
+    // "[success] ..." line must all fit the ~2000-char capture tail
+    val budget = 1300 - head.length - tail.length
+    val slowest = results.sortBy(-_._2.head)
+      .map { case (k, v) => f""""$k":${v.head}%.4f""" }
+    val picked = new StringBuilder
+    slowest.foreach { e =>
+      val add = (if (picked.nonEmpty) 1 else 0) + e.length
+      if (picked.length + add <= budget) {
+        if (picked.nonEmpty) picked.append(",")
+        picked.append(e)
+      }
+    }
+    println(head + picked + tail)
     spark.stop()
   }
 

@@ -2,18 +2,22 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, TextAnalysis}
+import graft.operators.{Dedup, Ranking, TextAnalysis}
 
 /** Dev-only: dump the INTERNAL physical plans that the public APIs hide
-  * behind localCheckpoint (the p67 training iteration, the p68 dedup
-  * probe) — before-shapes replicated inline (value-identical, the
-  * r17-reverted formulations), after-shapes from the live operators.
-  * Writes plans/r17/<name>.txt. Not driver contract.
+  * behind localCheckpoint or a write action — before-shapes replicated
+  * inline (value-identical, the reverted/previous formulations),
+  * after-shapes from the live operators. Writes plans/<round>/<name>.txt.
+  * Not driver contract.
+  *
+  * Usage: runMain graft.PlanDump [outDir] [which]
+  *   which = r18 (default) | r17 (the round-17 dumps, kept reproducible)
   */
 object PlanDump {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val outDir = args.headOption.getOrElse("/root/repo/plans/r17")
+    val outDir = args.headOption.getOrElse("/root/repo/plans/r18")
+    val which = args.lift(1).getOrElse("r18")
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -23,10 +27,132 @@ object PlanDump {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val docs = graft.core.Tables.t(spark, sfDir, "documents")
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(outDir))
 
+    def planText(df: DataFrame): String =
+      df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    def dump(name: String, sections: (String, DataFrame)*): Unit = {
+      val txt = sections.map { case (hdr, df) =>
+        s"---- $hdr ----\n" + planText(df)
+      }.mkString("\n")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(outDir, s"$name.txt"),
+        txt.getBytes("UTF-8"))
+      println(s"[plandump] wrote $name")
+    }
+
+    if (which == "r18") {
+      // ---- p81/p83 bm25 index build: two-pass doclens (before) vs
+      // one-pass sentinel postings (after). The write action itself is
+      // not explainable; dumped frames are exactly what each pass
+      // writes / aggregates.
+      {
+        val F = graft.functions.F
+        val tokens = docs.select(col("doc_id"),
+          F.wordsArray(col("text")).as("__ws"))
+        val withLen = tokens.select(col("doc_id"),
+          size(col("__ws")).cast("long").as("dl"), col("__ws"))
+        val oldPostings = withLen
+          .select(col("doc_id"), col("dl"),
+            explode(col("__ws")).as("term"))
+          .groupBy("term", "doc_id")
+          .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+          .withColumn("snap", lit("base"))
+          .repartitionByRange(col("term"))
+          .sortWithinPartitions("term", "doc_id")
+        val oldDoclens = withLen.select(col("doc_id"), col("dl"),
+          lit("base").as("snap"))
+        dump("p81_bm25_index_build_before",
+          "pass 1: postings write frame" -> oldPostings,
+          "pass 2: doclens write frame (second corpus scan+tokenize)" ->
+            oldDoclens)
+        val newPostings = withLen
+          .select(col("doc_id"), col("dl"),
+            explode(concat(array(lit("")),
+              coalesce(col("__ws"), array().cast("array<string>"))))
+              .as("term"))
+          .groupBy("term", "doc_id")
+          .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+          .withColumn("snap", lit("base"))
+          .repartitionByRange(col("term"), col("doc_id"))
+          .sortWithinPartitions("term", "doc_id")
+        dump("p81_bm25_index_build_after",
+          "single pass: sentinel postings write frame" -> newPostings)
+        // stats read-back: doclens table scan (before) vs pruned
+        // sentinel scan of postings (after) — built on real dirs
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-plandump-idx-").toString
+        Ranking.buildTextIndex(docs, "doc_id", "text", dir)
+        dump("p81_bm25_index_stats_after",
+          "corpus-stats scan (sentinel rows only, pruned)" ->
+            spark.read.parquet(s"$dir/postings")
+              .filter(col("snap").isin("base"))
+              .filter(col("term") === "")
+              .agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl")))
+        dump("p81_bm25_index_query_after",
+          "query path (unchanged shape + sentinel exclusion pushed)" ->
+            Ranking.bm25TopKFromIndex(spark, dir,
+              Seq("dup", "join", "spark"), k = 20))
+      }
+
+      // ---- p72/p73/p76 saved-LM scoring: per-broadcast parquet
+      // re-reads (before) vs one pinned read (after)
+      {
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-plandump-lm-").toString
+        TextAnalysis.saveLmModel(docs.filter(col("doc_id") % 10 =!= 0),
+          "text", dir, order = 3, minCount = 2, portableHash = true,
+          langCol = Some("lang"))
+        val ev = docs.filter(col("doc_id") % 10 === 0)
+          .select(col("doc_id").as("sid"), col("lang"), col("text"))
+        // before-replica: the r17 shape — per-k views over the pruned
+        // parquet read, every broadcast build re-scans the model
+        val kvLines = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(dir, "params.lm.txt")), "UTF-8")
+          .trim.split("\n")
+        val langNv = kvLines.tail.map(_.split(" ").map(_.split("=", 2))
+          .map(a => a(0) -> a(1)).toMap)
+          .map(m => (m("lang"), m("n").toLong, m("v").toLong))
+        import scala.jdk.CollectionConverters._
+        val nvDf = spark.createDataFrame(
+          langNv.map(t => org.apache.spark.sql.Row(t._1, t._2, t._3))
+            .toSeq.asJava,
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "lang STRING, __n BIGINT, __v BIGINT"))
+        val listed = spark.read
+          .schema("h BIGINT, c BIGINT, lang STRING, k INT")
+          .parquet(s"$dir/counts")
+          .filter(col("lang").isin(langNv.map(_._1).toSeq: _*))
+        val cnts = (1 to 3).map { k =>
+          listed.filter(col("k") === k)
+            .select(col("lang"), col("h").as(s"nk$k"),
+              col("c").as(s"cn$k"))
+        }
+        dump("p73_lm_scorer_before",
+          "r17 shape: every count join re-reads counts parquet" ->
+            TextAnalysis.lmBackoffScore(ev, "sid", "text", cnts,
+              Right(nvDf), 3, 2, 5, portableHash = true,
+              langCol = Some("lang"), broadcastModel = true))
+        dump("p73_lm_scorer_after",
+          "pre-pin counts read (manifest partition pruning lives here)"
+            -> TextAnalysis.lmSavedCounts(spark, dir),
+          "live scorer: joins consume the pinned counts" ->
+            TextAnalysis.ngramLmScoreWithModel(dir, ev, "sid", "text",
+              langCol = Some("lang")))
+      }
+    }
+
+    if (which == "r17") r17Dumps(spark, docs, outDir)
+    spark.stop()
+  }
+
+  /** The round-17 dumps, kept reproducible (plans/r17 is committed). */
+  private def r17Dumps(spark: SparkSession, docs: DataFrame,
+                       outDir: String): Unit = {
     def dump(name: String, df: DataFrame): Unit = {
-      val qe = df.queryExecution
-      val txt = qe.explainString(
+      val txt = df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
       java.nio.file.Files.write(
         java.nio.file.Paths.get(outDir, s"$name.txt"),
@@ -144,7 +270,5 @@ object PlanDump {
         Dedup.winnowingPairs(docs, "doc_id", "text", k = 5, w = 8,
           maxDf = 128, portableHash = true))
     }
-
-    spark.stop()
   }
 }

@@ -134,49 +134,62 @@ object Ranking {
     // based on the same stale snapshot list — the second writer's
     // sidecar would silently orphan the first's partitions forever
     val priorSnaps: Seq[String] =
-      if (append) readIndexSidecar(indexDir, "appendToTextIndex")._3
+      if (append) readIndexSidecar(indexDir, "appendToTextIndex",
+        forAppend = true)._3
       else Nil
     val tokens = docs.select(col(idCol).as("doc_id"),
       words(col(textCol)).as("__ws"))
     val withLen = tokens.select(col("doc_id"),
       size(col("__ws")).cast("long").as("dl"), col("__ws"))
-    // TWO passes over the drop by measurement, not oversight: the
-    // doclens write re-reads and re-tokenizes rather than reusing a
-    // persisted token frame. The persist(MEMORY_AND_DISK) alternative
-    // was built and measured SLOWER at sf10 (build 14.3 s vs 12.7 s —
-    // materializing every doc's token array costs more than the
-    // second column-pruned scan + regex), and doclens cannot derive
-    // from the postings table (token-less docs carry no postings but
-    // MUST count in N/avgdl, or index scores drift from the direct
-    // path). The second pass reads only (id, text).
+    // ONE corpus pass (r18; was two). The old second pass existed
+    // because doclens could not derive from postings: token-less docs
+    // carry no postings but MUST count in N/avgdl. Solved with a
+    // per-doc SENTINEL posting under term "" — a value the tokenizer
+    // can never emit (words() drops empty tokens) — prepended to the
+    // token array so it rides the SAME explode + combine shuffle as
+    // the real postings (guide §2.4: two outputs keyed the same way
+    // share one exchange; §1.2: one corpus scan instead of two + a
+    // doclens read-back). coalesce keeps the sentinel for null-text
+    // docs (null array would explode to zero rows); their dl stays
+    // null, exactly as the old doclens row. The separate doclens
+    // table is gone; corpus stats read the sentinel rows back — they
+    // sort first within the term range, so the scan prunes to the
+    // leading files via min/max row-group stats. Query-side, "" is
+    // excluded from every term filter (bm25TopKFromIndex), keeping
+    // scores bit-identical to the direct path even for a queried ""
+    // (tf 0, df 0 on both paths).
+    // repartitionByRange(term, doc_id) — doc_id added r18 — splits the
+    // N-row sentinel run AND any hot stopword's postings across range
+    // partitions instead of sending each single-term run to one task
+    // (guide §2.5); files still hold contiguous (term, doc_id) ranges,
+    // so term predicates prune files/row groups as before.
     val postings = withLen
-      .select(col("doc_id"), col("dl"), explode(col("__ws")).as("term"))
+      .select(col("doc_id"), col("dl"),
+        explode(concat(array(lit("")),
+          coalesce(col("__ws"), array().cast("array<string>"))))
+          .as("term"))
       .groupBy("term", "doc_id")
       .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
       .withColumn("snap", lit(snapshotId))
-    postings.repartitionByRange(col("term"))
+    postings.repartitionByRange(col("term"), col("doc_id"))
       .sortWithinPartitions("term", "doc_id")
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("snap")
       .parquet(s"$indexDir/postings")
-    withLen.select(col("doc_id"), col("dl"),
-        lit(snapshotId).as("snap"))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("snap")
-      .parquet(s"$indexDir/doclens")
-    // corpus stats over the MANIFEST being published (id+dl-only scan;
-    // never over orphan partitions a crashed foreign append left)
+    // corpus stats over the MANIFEST being published (sentinel-only
+    // pruned scan; never over orphan partitions a crashed foreign
+    // append left)
     val manifest = (priorSnaps :+ snapshotId).distinct.sorted
     val spark = docs.sparkSession
-    val st = spark.read.parquet(s"$indexDir/doclens")
+    val st = spark.read.parquet(s"$indexDir/postings")
       .filter(col("snap").isin(manifest: _*))
+      .filter(col("term") === "")
       .agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl")).first()
     val tmp = java.nio.file.Files.createTempFile(
       java.nio.file.Paths.get(indexDir), ".params", ".tmp")
     java.nio.file.Files.write(tmp,
-      (s"analyzer=ws-lower n=${st.getAs[Long]("n")} " +
+      (s"analyzer=ws-lower layout=sentinel n=${st.getAs[Long]("n")} " +
         s"avgdl=${st.getAs[Double]("avgdl")} " +
         s"snaps=${manifest.mkString(",")}").getBytes("UTF-8"))
     java.nio.file.Files.move(tmp, indexSidecar(indexDir),
@@ -184,7 +197,8 @@ object Ranking {
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
-  private def readIndexSidecar(indexDir: String, who: String)
+  private def readIndexSidecar(indexDir: String, who: String,
+                               forAppend: Boolean = false)
       : (Long, Double, Seq[String]) = {
     val side = indexSidecar(indexDir)
     require(java.nio.file.Files.exists(side),
@@ -195,6 +209,15 @@ object Ranking {
       .trim.split("\\s+").map { t =>
         val Array(a, v) = t.split("=", 2); (a, v)
       }.toMap
+    // append recomputes corpus stats from the sentinel postings, which
+    // a pre-r18 index (separate doclens table) does not have — appending
+    // there would silently undercount every earlier snapshot's docs.
+    // QUERIES on an old index stay valid (postings + sidecar stats are
+    // layout-independent), so only the append path gates on layout.
+    require(!forAppend || kv.get("layout").contains("sentinel"),
+      s"$who: the index at $indexDir predates the sentinel-postings " +
+        "layout and cannot grow snapshots — rebuild it (delete the " +
+        "dir and re-run buildTextIndex over all snapshots)")
     (kv("n").toLong, kv("avgdl").toDouble,
       kv("snaps").split(",").toSeq.filter(_.nonEmpty))
   }
@@ -208,9 +231,12 @@ object Ranking {
     * Layout: `postings/snap=.../` parquet `(term, doc_id, tf, dl)` —
     * document length DENORMALIZED into every posting, the classic
     * search-index trade (8 bytes/row) that keeps query-time joins away
-    * from any corpus-sized table — range-partitioned and sorted by term
-    * within each snapshot so a term predicate prunes files and row
-    * groups; `doclens/snap=.../` for the corpus stats;
+    * from any corpus-sized table — range-partitioned and sorted by
+    * (term, doc_id) within each snapshot so a term predicate prunes
+    * files and row groups; ONE SENTINEL posting per doc under term ""
+    * (a value the tokenizer cannot emit) carries the doc length for
+    * the corpus stats, token-less docs included — no separate doclens
+    * table, one corpus pass, one shuffle;
     * `params.index.txt` written LAST via atomic rename with the
     * analyzer, exact corpus stats (long sum / long count;
     * `Double.toString` round-trips so query scores are bit-identical to
@@ -237,11 +263,11 @@ object Ranking {
 
   /** APPEND a document snapshot to a [[buildTextIndex]] index without
     * rebuilding — the monthly-drop motion applied to retrieval. The
-    * drop's postings/doclens land as `snap=<snapshotId>` partitions via
+    * drop's postings land as `snap=<snapshotId>` partitions via
     * DYNAMIC overwrite (re-appending the SAME snapshot — a restart
     * replay — replaces its partitions instead of doubling them:
-    * idempotent), the corpus stats are recomputed from the id+dl-only
-    * doclens scan restricted to the new manifest, and the sidecar
+    * idempotent), the corpus stats are recomputed from the pruned
+    * sentinel-postings scan restricted to the new manifest, and the sidecar
     * carrying that manifest renames in LAST. A crash anywhere before
     * the rename leaves the old sidecar: the index answers consistently
     * as of the previous corpus, the half-written snapshot invisible
@@ -256,7 +282,7 @@ object Ranking {
                         snapshotId: String): Unit = {
     // friendly pre-check (the authoritative read happens again inside
     // the write lock, where it cannot go stale)
-    readIndexSidecar(indexDir, "appendToTextIndex")
+    readIndexSidecar(indexDir, "appendToTextIndex", forAppend = true)
     writeIndexSnapshot(docs, idCol, textCol, indexDir, snapshotId,
       append = true)
   }
@@ -267,8 +293,9 @@ object Ranking {
     * and the sidecar's exact (N, avgdl) — but the query reads ONLY the
     * queried terms' posting lists within the sidecar's snapshot
     * manifest (term predicate pushed to the parquet scan, snapshot
-    * partition pruning; the corpus and the doclens table are never
-    * touched). Per-term df is computed from the filtered postings
+    * partition pruning; the corpus is never touched and the sentinel
+    * rows are filtered out at the scan). Per-term df is computed from
+    * the filtered postings
     * (query-terms-bounded driver scalars, like the direct path's
     * stats row). */
   def bm25TopKFromIndex(spark: org.apache.spark.sql.SparkSession,
@@ -278,9 +305,14 @@ object Ranking {
     val (n, avgdl, snaps) =
       readIndexSidecar(indexDir, "bm25TopKFromIndex")
     val qTerms = terms.map(_.toLowerCase).distinct
+    // term =!= "" keeps the per-doc sentinel postings (the doclens
+    // carrier, r18 layout) out of every query: a queried "" then gets
+    // tf 0 / df 0 on this path exactly as on the direct path (the
+    // tokenizer never emits an empty token). Both predicates push to
+    // the parquet scan.
     val post = spark.read.parquet(s"$indexDir/postings")
       .filter(col("snap").isin(snaps: _*))
-      .filter(col("term").isin(qTerms: _*))
+      .filter(col("term").isin(qTerms: _*) && col("term") =!= "")
     val dfByTerm = post.groupBy("term").agg(count(lit(1)).as("df"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val idf = qTerms.map { t =>

@@ -447,7 +447,9 @@ object TextAnalysis {
     * at scoring time usually means an upstream langId bug rather than
     * a missing model, count or route `lang IS NULL` rows before
     * scoring if that distinction matters. */
-  private def lmBackoffScore(score: DataFrame, idCol: String,
+  // private[graft] (was private) so the dev A/B probe can drive the
+  // scoring tail with an unpinned count read (the r17-shape replica)
+  private[graft] def lmBackoffScore(score: DataFrame, idCol: String,
                              textCol: String, cnts: Seq[DataFrame],
                              nv: Either[(Long, Long), DataFrame],
                              order: Int,
@@ -830,16 +832,19 @@ object TextAnalysis {
           "single-language — langCol must be empty (save with " +
           "langCol to get a per-language model)")
     val spark = score.sparkSession
-    // explicit schemas: partition-column TYPE INFERENCE would read a
-    // purely numeric lang code (lang=01/, lang=1/) back as int and
-    // silently merge two languages' tables — pin lang to STRING (and
-    // k to INT) so the round trip is shape-exact by construction
-    val counts =
-      if (perLang) spark.read
-        .schema("h BIGINT, c BIGINT, lang STRING, k INT")
-        .parquet(s"$modelDir/counts")
-      else spark.read.schema("h BIGINT, c BIGINT, k INT")
-        .parquet(s"$modelDir/counts")
+    // PINNED saved-model read (r18): the per-order count views below
+    // feed 2·order−1 broadcast builds (numerator join at k, denominator
+    // join at k+1), and each build re-scanned the counts parquet — five
+    // scan jobs per scoring call at order 3. One lazy localCheckpoint
+    // of the pruned counts replaces them: every broadcast build reads
+    // the pinned fixed-width rows (guide §1.2 — remove passes; §5 —
+    // the pinned table is the vocabulary-bounded pruned model, the
+    // thing the KenLM shape already assumes fits on every node). The
+    // manifest partition-pruning the r17 revert protected is asserted
+    // by PlanSpec on the PRE-pin frame ([[lmSavedCounts]]), which is
+    // exactly what materializes here.
+    val counts = lmSavedCounts(spark, modelDir)
+      .localCheckpoint(eager = false)
     if (perLang) {
       val langNv = sidecarLangNv
       import scala.jdk.CollectionConverters._
@@ -848,19 +853,8 @@ object TextAnalysis {
           .toSeq.asJava,
         org.apache.spark.sql.types.StructType.fromDDL(
           "lang STRING, __n BIGINT, __v BIGINT"))
-      // THE SIDECAR IS THE MODEL'S LANGUAGE MANIFEST: prune the count
-      // scan to exactly its languages (partition pruning on the lang
-      // dirs, languages-bounded IN list). A counts partition without a
-      // sidecar line — the [[addLmModelLanguages]] crash window, where
-      // new partitions landed but the sidecar rename didn't — is
-      // INVISIBLE, so such a language scores down the documented
-      // no-model degenerate path instead of hitting count tables with
-      // a zero (N, V) event space (hits with no floor — silently
-      // wrong scores)
-      val listed = counts.filter(
-        col("lang").isin(langNv.map(_._1).toSeq: _*))
       val cnts = (1 to order).map { k =>
-        listed.filter(col("k") === k)
+        counts.filter(col("k") === k)
           .select(col("lang"), col("h").as(s"nk$k"),
             col("c").as(s"cn$k"))
       }
@@ -876,6 +870,41 @@ object TextAnalysis {
         order, alphaNum, alphaDen, portableHash, langCol = None,
         broadcastModel)
     }
+  }
+
+  /** The saved-model count READ of [[ngramLmScoreWithModel]], pruned to
+    * the sidecar's language manifest but NOT yet pinned — factored out
+    * so the manifest partition-pruning is plan-gateable (PlanSpec): the
+    * public scorer localCheckpoints this frame, which hides the parquet
+    * scan (and its PartitionFilters) from the final query plan.
+    *
+    * THE SIDECAR IS THE MODEL'S LANGUAGE MANIFEST: the count scan is
+    * pruned to exactly its languages (partition pruning on the lang
+    * dirs, languages-bounded IN list). A counts partition without a
+    * sidecar line — the [[addLmModelLanguages]] crash window, where new
+    * partitions landed but the sidecar rename didn't — is INVISIBLE, so
+    * such a language scores down the documented no-model degenerate
+    * path instead of hitting count tables with a zero (N, V) event
+    * space (hits with no floor — silently wrong scores).
+    *
+    * Explicit schemas: partition-column TYPE INFERENCE would read a
+    * purely numeric lang code (lang=01/, lang=1/) back as int and
+    * silently merge two languages' tables — pin lang to STRING (and
+    * k to INT) so the round trip is shape-exact by construction. */
+  private[graft] def lmSavedCounts(
+      spark: org.apache.spark.sql.SparkSession,
+      modelDir: String): DataFrame = {
+    val (kv, sidecarLangNv) = readLmSidecar(modelDir).getOrElse(
+      throw new IllegalStateException(
+        s"lmSavedCounts: no complete model at $modelDir — " +
+          "params.lm.txt is missing"))
+    if (kv.get("perlang").contains("true"))
+      spark.read.schema("h BIGINT, c BIGINT, lang STRING, k INT")
+        .parquet(s"$modelDir/counts")
+        .filter(col("lang").isin(sidecarLangNv.map(_._1).toSeq: _*))
+    else
+      spark.read.schema("h BIGINT, c BIGINT, k INT")
+        .parquet(s"$modelDir/counts")
   }
 
   /** DSIR-style hashed n-gram importance weights (Xie et al. 2023,

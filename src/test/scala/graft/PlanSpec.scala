@@ -935,15 +935,27 @@ class PlanSpec extends SparkTestBase {
     spark.read.schema("h BIGINT, c BIGINT, k INT")
       .parquet(s"$dir/counts/lang=en")
       .write.partitionBy("k").parquet(s"$dir/counts/lang=zz")
+    // r18: the scorer PINS the pruned counts (one scan feeds all
+    // 2·order−1 broadcast builds), which hides the parquet scan from
+    // the final plan — so the pruning gate asserts on the PRE-pin
+    // frame, the exact frame the scorer materializes
+    val prePin = planOf(T.lmSavedCounts(spark, dir))
+    // the manifest filter must reach the scan as a PARTITION filter
+    // (lang is a partition column — pruning, not post-scan filtering)
+    assert("PartitionFilters: \\[[^\\]]*lang".r.findFirstIn(prePin)
+        .isDefined,
+      s"manifest languages must prune count partitions:\n$prePin")
+    assert(!prePin.contains("lang=zz"),
+      s"orphan partitions must never be read:\n$prePin")
+    // ...and the scorer's own plan must consume the PIN, not re-scan
+    // the counts parquet per broadcast build (5 scans at order 3)
     val plan = planOf(T.ngramLmScoreWithModel(dir,
       Seq((10L, "en", "a b"), (11L, "zz", "a b"))
         .toDF("id", "lang", "text"),
       "id", "text", langCol = Some("lang")))
-    // the manifest filter must reach the scan as a PARTITION filter
-    // (lang is a partition column — pruning, not post-scan filtering)
-    assert("PartitionFilters: \\[[^\\]]*lang".r.findFirstIn(plan)
-        .isDefined,
-      s"manifest languages must prune count partitions:\n$plan")
+    assert(!plan.contains("counts"),
+      s"saved-model scoring must read the pinned counts, not re-scan " +
+        s"the model parquet per join:\n$plan")
     assert(!plan.contains("lang=zz"),
       s"orphan partitions must never be read:\n$plan")
   }
