@@ -548,6 +548,71 @@ object AbProbe {
       report("lmpin", Seq("new" -> (() => newLmScore()),
         "old" -> (() => oldLmScore())))
 
+    // ---- K (r18): curation two-pass rank — separate scans vs one
+    // shared exchange for the cumsum window and the totals aggregate
+    // (p21/p50 budgetSample shape; p33/p44's seededGroupRank is the
+    // same machinery with count instead of sum) ------------------------
+    {
+      import org.apache.spark.sql.expressions.Window
+      def curInput: DataFrame = docs.select(col("doc_id"), col("lang"),
+        TextAnalysis.subwordCountEstimate(col("text")).as("n_tok"))
+      def finish(local: DataFrame, prefixes: DataFrame,
+                 kchunkJoin: Column): Unit =
+        local.join(broadcast(prefixes),
+            col("lang") === col("_pg") && kchunkJoin)
+          .filter((col("_prefix") + col("_local_cum")).cast("long")
+            <= 3000)
+          .drop("_key", "_kchunk", "_local_cum", "_pg", "_prefix")
+          .write.format("noop").mode("overwrite").save()
+      def liveCur(): Unit = {
+        val df = curInput
+        val key = graft.operators.Curation.shuffleKey(col("doc_id"), 42)
+        val chunkC = substring(key, 1, 3)
+        val local = df.withColumn("_key", key)
+          .withColumn("_kchunk", chunkC)
+          .withColumn("_local_cum", sum(col("n_tok")).over(
+            Window.partitionBy("lang", "_kchunk").orderBy("_key")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        val prefixes = df.withColumn("_kchunk", chunkC)
+          .groupBy(col("lang"), col("_kchunk"))
+          .agg(sum(col("n_tok")).as("_tot"))
+          .withColumn("_prefix", coalesce(sum(col("_tot")).over(
+            Window.partitionBy("lang").orderBy("_kchunk")
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select(col("lang").as("_pg"), col("_kchunk"), col("_prefix"))
+        finish(local, prefixes,
+          local("_kchunk") === prefixes("_kchunk"))
+      }
+      def sharedCur(ckpt: Boolean): Unit = {
+        val df = curInput
+        val key = graft.operators.Curation.shuffleKey(col("doc_id"), 42)
+        val chunkC = substring(key, 1, 3)
+        val keyed0 = df.withColumn("_key", key)
+          .withColumn("_kchunk", chunkC)
+          .repartition(col("lang"), col("_kchunk"))
+        val keyed = if (ckpt) keyed0.localCheckpoint(false) else keyed0
+        val local = keyed.withColumn("_local_cum", sum(col("n_tok")).over(
+          Window.partitionBy("lang", "_kchunk").orderBy("_key")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        val prefixes = keyed.groupBy(col("lang"), col("_kchunk"))
+          .agg(sum(col("n_tok")).as("_tot"))
+          .withColumn("_prefix", coalesce(sum(col("_tot")).over(
+            Window.partitionBy("lang").orderBy("_kchunk")
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select(col("lang").as("_pg"), col("_kchunk").as("_pk"),
+            col("_prefix"))
+        finish(local, prefixes, col("_kchunk") === col("_pk"))
+      }
+      if (which == "cur" || which == "cur-flip") {
+        val variants = Seq(
+          "live" -> (() => liveCur()),
+          "shared" -> (() => sharedCur(false)),
+          "sharedckpt" -> (() => sharedCur(true)))
+        report("cur",
+          if (which == "cur") variants else variants.reverse)
+      }
+    }
+
     // ---- C: classifier training (p67 shape) --------------------------
     // old replica differs only in the missing repartition(col("id"))
     def oldTrain(): Unit = {

@@ -144,6 +144,72 @@ object PlanDump {
       }
     }
 
+    // curation two-pass rank: live (separate scans per pass) vs a
+    // shared explicit repartition consumed by both the cumsum window
+    // and the totals aggregate. Dumped with AQE OFF so plan-level
+    // ReuseExchange (if it fires) is visible in the explain output.
+    if (which == "cur") {
+      import org.apache.spark.sql.expressions.Window
+      val aqeKey = "spark.sql.adaptive.enabled"
+      spark.conf.set(aqeKey, "false")
+      def curInput: DataFrame = docs.select(col("doc_id"), col("lang"),
+        TextAnalysis.subwordCountEstimate(col("text")).as("n_tok"))
+      val key = graft.operators.Curation.shuffleKey(col("doc_id"), 42)
+      val chunkC = substring(key, 1, 3)
+      def liveFrame: DataFrame = {
+        val df = curInput
+        val local = df.withColumn("_key", key)
+          .withColumn("_kchunk", chunkC)
+          .withColumn("_local_cum", sum(col("n_tok")).over(
+            Window.partitionBy("lang", "_kchunk").orderBy("_key")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        val prefixes = df.withColumn("_kchunk", chunkC)
+          .groupBy(col("lang"), col("_kchunk"))
+          .agg(sum(col("n_tok")).as("_tot"))
+          .withColumn("_prefix", coalesce(sum(col("_tot")).over(
+            Window.partitionBy("lang").orderBy("_kchunk")
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select(col("lang").as("_pg"), col("_kchunk"), col("_prefix"))
+        local.join(broadcast(prefixes),
+            col("lang") === col("_pg") &&
+              local("_kchunk") === prefixes("_kchunk"))
+          .filter((col("_prefix") + col("_local_cum")).cast("long")
+            <= 3000)
+          .drop("_key", "_kchunk", "_local_cum", "_pg", "_prefix")
+      }
+      def sharedFrame: DataFrame = {
+        val keyed = curInput.withColumn("_key", key)
+          .withColumn("_kchunk", chunkC)
+          .repartition(col("lang"), col("_kchunk"))
+        val local = keyed.withColumn("_local_cum", sum(col("n_tok")).over(
+          Window.partitionBy("lang", "_kchunk").orderBy("_key")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        val prefixes = keyed.groupBy(col("lang"), col("_kchunk"))
+          .agg(sum(col("n_tok")).as("_tot"))
+          .withColumn("_prefix", coalesce(sum(col("_tot")).over(
+            Window.partitionBy("lang").orderBy("_kchunk")
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select(col("lang").as("_pg"), col("_kchunk").as("_pk"),
+            col("_prefix"))
+        local.join(broadcast(prefixes),
+            col("lang") === col("_pg") && col("_kchunk") === col("_pk"))
+          .filter((col("_prefix") + col("_local_cum")).cast("long")
+            <= 3000)
+          .drop("_key", "_kchunk", "_local_cum", "_pg", "_pk", "_prefix")
+      }
+      dump("curation_rank_live", "live two-pass (AQE off)" -> liveFrame)
+      dump("curation_rank_shared",
+        "shared repartition (AQE off)" -> sharedFrame)
+      Seq("curation_rank_live" -> liveFrame,
+          "curation_rank_shared" -> sharedFrame).foreach { case (n, f) =>
+        val p = planText(f)
+        println(s"[cur] $n scans=${"Scan parquet".r.findAllIn(p).size} " +
+          s"exchanges=${"Exchange".r.findAllIn(p).size} " +
+          s"reused=${"ReusedExchange".r.findAllIn(p).size}")
+      }
+      spark.conf.set(aqeKey, "true")
+    }
+
     if (which == "r17") r17Dumps(spark, docs, outDir)
     spark.stop()
   }

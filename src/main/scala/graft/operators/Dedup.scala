@@ -319,12 +319,16 @@ object Dedup {
       checkIndexParams(indexDir, "lines", "dedupLinesAgainstIndex",
         s"unit=line digest=md5 sep=$sep")
       val spark = df.sparkSession
-      // pinned: probed, winner-elected, delta-written — one explode
+      // pinned: probed, winner-elected, delta-written — one explode.
+      // LAZY (r18): materializes inside the result checkpoint's job
+      // instead of as its own prior job (same adjudication as
+      // dedupAgainstIndex's pins; the result pin below stays eager —
+      // it is the pin-before-append barrier)
       val lines = df.select(col(idCol),
           posexplode(split(col(textCol),
             java.util.regex.Pattern.quote(sep))).as(Seq("pos", "line")))
         .withColumn("lh", md5(col("line")))
-        .localCheckpoint()
+        .localCheckpoint(false)
       val linesPath = s"$indexDir/lines"
       requireNoOrphanedCompaction(linesPath, "dedupLinesAgainstIndex")
       // strictly-earlier partitions only: history for THIS snapshot is
@@ -1185,6 +1189,14 @@ object Dedup {
     val rows = h / bands
     // pinned: probed against the index, min-reduced intra-snapshot,
     // then appended as the delta — one computation feeds all three.
+    // LAZY pins (r18, guide §1.2): the eager form ran fp and banded as
+    // their own jobs before the probe; lazy defers materialization into
+    // the decisions checkpoint's job (one DAG, same pinned blocks for
+    // the delta writes that follow). Interleaved A/B, both orders:
+    // eager best 2.83/med 4.63 vs lazy 2.58/4.44; flipped eager
+    // 3.02/3.16 vs lazy 2.73/3.16 — lazy wins best both orders, ties
+    // med once. The decisions checkpoint below STAYS eager: it is the
+    // pin-before-append barrier.
     // r17 adjudication: a fused one-scan variant (fp + minhash sig out
     // of one projection, one shared checkpoint) was built and measured
     // SLOWER in interleaved same-JVM A/B at gate scale, both with the
@@ -1197,14 +1209,14 @@ object Dedup {
     // Falsified and reverted; numbers in OPTIMIZATION_r17.md.
     val fpDf = snapshot.select(col(idCol).as("id"),
         TextAnalysis.fingerprintMd5(col(textCol)).as("fp"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val banded =
       minhashSignatures(snapshot, idCol, textCol, k, h, portableHash)
         .select(col("id"),
           posexplode(bandBucketArray(col("sig"), bands, rows)))
         .withColumnRenamed("pos", "band")
         .withColumnRenamed("col", "bucket")
-        .localCheckpoint()
+        .localCheckpoint(false)
     // index reads prune to the probe columns and keep STRICTLY-EARLIER
     // partitions only — history for this snapshot is what was probed
     // before it, never what landed after (replay safety for historical
