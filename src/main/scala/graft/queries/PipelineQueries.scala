@@ -998,10 +998,19 @@ object PipelineQueries {
               sub50)).otherwise(lit(""))).as("text"))
       val scrubbed = Dedup.scrubBoilerplateLines(lined, "doc_id",
         "reg_host", "text", minDocs = 3)
-      // pinned: the front-door + scrub + battery chain feeds BOTH
+      // pinned EAGER: the front-door + scrub + battery chain feeds BOTH
       // snapshots' line-dedup probes AND the final verdict join —
       // without the checkpoint the 3-shuffle scrub election replays
-      // three times (measured 5.5 s → pinned wins the recomputation)
+      // three times (measured 5.5 s → pinned wins the recomputation).
+      // r18 adjudication: a LAZY pin (the §4 dedup-index pattern) was
+      // measured SLOWER here — isolated bench bracket lazy 3.07/3.72 →
+      // eager 2.31/2.49 → lazy 3.70/4.11 best/med — because gated
+      // feeds TWO subtrees of snapshot A's first job (the probe's
+      // lines explode AND electAndRebuild's doc join), whose
+      // concurrent stages duplicate the battery-kernel map work
+      // before the block cache fills; the eager pin runs it exactly
+      // once. Unlike §4's probe inputs, this pin guards EXPENSIVE
+      // map compute, not just job count.
       val gated = TextAnalysis.repetitionSignals(
         TextAnalysis.gopherQuality(scrubbed, "cleaned",
           minStopwords = 1), "cleaned").localCheckpoint()

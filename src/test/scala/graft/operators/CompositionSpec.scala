@@ -99,10 +99,16 @@ class CompositionSpec extends SparkTestBase {
         "id", "ppl", Seq("lang"), k = 3, quota = Some(100L))
       .select(col("id").as("doc_id"))
       .join(withLang.select("doc_id", "text"), Seq("doc_id"))
-    // the no-rescan contract, on the PLAN: model + snapshot read,
-    // train corpus NOT read by the monthly chain
+    // the no-rescan contract, on the PLAN: snapshot read, train corpus
+    // NOT read — and since the r18 model-read pin, the saved model is
+    // read ONCE into a localCheckpoint when the scorer is built (the
+    // manifest-pruned read; PlanSpec gates its PartitionFilters) and
+    // the monthly plan consumes the pin, so the model parquet path
+    // must NOT appear as a per-query rescan here either
     val plan = picked.queryExecution.executedPlan.toString
-    assert(plan.contains(modelDir), "plan must read the saved model")
+    assert(!plan.contains(modelDir),
+      "the monthly plan must consume the pinned model read, not " +
+        "rescan the model parquet per query")
     assert(plan.contains(wetDir), "plan must read the WET snapshot")
     assert(!plan.contains(trainDir),
       "the monthly chain must never rescan the train corpus")
