@@ -204,6 +204,11 @@ object F {
   def wordHashes(text: Column, md5: Boolean = false): Column =
     c(WordHashes(e(text), md5))
   def wordsArray(text: Column): Column = c(WordsArray(e(text)))
+  /** Word n-grams as strings. NULL-PROPAGATING (ADVICE_r17): null text
+    * yields null, unlike the pre-r17 HOF formulation which returned [].
+    * Equivalent under explode (both emit zero rows — every current
+    * consumer explodes), but a future non-explode consumer must not
+    * assume []. */
   def ngramStrings(text: Column, n: Int): Column =
     c(NgramStrings(e(text), n))
   def winnowFps(text: Column, k: Int, w: Int,

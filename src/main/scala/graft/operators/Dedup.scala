@@ -611,6 +611,14 @@ object Dedup {
     // bit-identical output (FunctionsSpec parity). hs keeps the masked
     // positional array for the span-verify kernel; consumers that only
     // need fps (fingerprints/pairs) get hs pruned away by Catalyst.
+    // KNOWN DOUBLE PASS (ADVICE_r17): for winnowingSpans — the one
+    // consumer that keeps BOTH columns — hs re-runs shinglePosHashes
+    // as its own expression tree while winnowFps re-tokenizes
+    // internally, so the tokenize+hash pass runs twice. It is paid
+    // once, pre-checkpoint (spans pins u0 before the band join), and
+    // only on the spans path; folding hs+fps into one struct-returning
+    // kernel would save it at the cost of defeating Catalyst's hs
+    // pruning for the fps-only consumers, which dominate.
     val hs0 = graft.functions.F
       .shinglePosHashes(col(textCol), k, portableHash)
     val hs = transform(hs0, h => h.bitwiseAND(lit(Long.MaxValue)))

@@ -64,6 +64,12 @@ object Ranking {
     // tokenization they avoid; the stats aggregate materializes them
     // inside its own action. TakeOrdered top-k and the no-corpus-shuffle
     // property are unchanged (PlanSpec's bm25 gate).
+    // LIFETIME (ADVICE_r17): localCheckpoint blocks have no unpersist
+    // handle — they release at RDD GC, so repeated calls in a
+    // long-lived session hold blocks until their frames are collected;
+    // and the truncated lineage means an executor loss on a real
+    // cluster fails the query instead of recomputing (acceptable for a
+    // rerunnable batch gate — house style shared by every pin here).
     val base = tokens.select(
       (col(idCol) +: size(col("__ws")).cast("long").as("dl") +: tfCols): _*)
       .localCheckpoint(eager = false)
